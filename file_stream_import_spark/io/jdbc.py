@@ -1,0 +1,123 @@
+"""JDBC Postgres source/sink with ON CONFLICT upsert — true parity with
+the reference's batch writer (internal/db/db.go:43-80).
+
+The reference builds one multi-row ``INSERT ... VALUES ...,... ON
+CONFLICT (locid) DO UPDATE SET col = EXCLUDED.col`` per 12,000-row chunk
+(writer.go:19) executed by 10 concurrent workers (writer.go:20) over a
+pgx pool (db.go:27-34). Spark equivalents:
+
+  * plain append/overwrite → ``df.write.jdbc`` with
+    ``batchsize=12000`` / ``numPartitions=10`` mirroring those constants;
+  * upsert → ``foreachPartition`` issuing the same ON CONFLICT SQL via a
+    Python Postgres driver (import-gated: not installed in this
+    container, so the call raises a clear error at use time, never at
+    import time).
+
+Scale: each of N partitions holds its own connection and streams chunked
+multi-row statements — identical topology to the reference's worker pool
+but horizontally scalable: numPartitions is the worker count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+REFERENCE_BATCH_SIZE = 12_000  # writer.go:19
+REFERENCE_NUM_WRITERS = 10  # writer.go:20
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = REFERENCE_BATCH_SIZE,
+    num_partitions: int = REFERENCE_NUM_WRITERS,
+    **options: str,
+) -> None:
+    """Plain JDBC sink mirroring the reference's operating point."""
+    (
+        df.repartition(num_partitions)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode(mode)
+        .save()
+    )
+
+
+def _pg_connect(dsn: str):
+    try:
+        import psycopg2  # type: ignore
+
+        return psycopg2.connect(dsn)
+    except ImportError:
+        pass
+    try:
+        import pg8000.native  # type: ignore
+
+        return pg8000.native.Connection  # caller adapts
+    except ImportError:
+        raise RuntimeError(
+            "No Python Postgres driver available (psycopg2/pg8000); "
+            "upsert_postgres needs one on the executors. Use "
+            "operators.upsert.merge_upsert for the pure-DataFrame path."
+        )
+
+
+def upsert_postgres(
+    df: DataFrame,
+    dsn: str,
+    table: str,
+    key: str,
+    payload_cols: list[str],
+    chunk_size: int = REFERENCE_BATCH_SIZE,
+    num_partitions: int = REFERENCE_NUM_WRITERS,
+) -> None:
+    """Executor-side ON CONFLICT upsert (reference db.go:43-80).
+
+    Builds the same statement shape as the reference: multi-row VALUES
+    with positional params, ``ON CONFLICT (key) DO UPDATE SET c =
+    EXCLUDED.c`` for every payload column. Rows are deduped per key
+    within each chunk first (the reference would error on intra-chunk
+    duplicates — SURVEY.md §2.1).
+    """
+    cols = [key, *payload_cols]
+    set_clause = ", ".join(f"{c} = EXCLUDED.{c}" for c in payload_cols)
+
+    def write_partition(rows) -> None:
+        conn = _pg_connect(dsn)
+        cur = conn.cursor()
+        buf: list[tuple] = []
+
+        def flush() -> None:
+            if not buf:
+                return
+            # intra-chunk dedup, last wins (reference gets this only by
+            # accident of unique generated ids)
+            seen: dict[object, tuple] = {}
+            for r in buf:
+                seen[r[0]] = r
+            vals = list(seen.values())
+            placeholders = ", ".join(
+                "(" + ", ".join(["%s"] * len(cols)) + ")" for _ in vals
+            )
+            sql = (
+                f"INSERT INTO {table} ({', '.join(cols)}) VALUES {placeholders} "
+                f"ON CONFLICT ({key}) DO UPDATE SET {set_clause}"
+            )
+            cur.execute(sql, [v for row in vals for v in row])
+            conn.commit()
+            buf.clear()
+
+        for row in rows:
+            buf.append(tuple(row[c] for c in cols))
+            if len(buf) >= chunk_size:
+                flush()
+        flush()
+        cur.close()
+        conn.close()
+
+    df.select(*cols).repartition(num_partitions).foreachPartition(write_partition)

@@ -1,0 +1,143 @@
+"""Unit tests for the reference's own operator surface: CSV ingest with
+header-order independence (O1/O2), last-writer-wins upsert with id
+stability (O5), deterministic pagination (O7), JSON page output (O8),
+and the end-to-end flagship path (SURVEY.md §3.1-3.2)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from file_stream_import_spark.io.csv_ingest import ingest_locations_csv
+from file_stream_import_spark.operators import merge_upsert, paginate, to_json_page
+from file_stream_import_spark.operators.paginate import paginate_after
+
+
+def make_locations(spark, rows):
+    return spark.createDataFrame(
+        rows, "locid string, loctimezone string, country string, "
+        "locname string, business string"
+    )
+
+
+LOC1 = ("LOC000000000001", "Europe/London", "UK", "Springfield_1", "TechCorp_1")
+LOC2 = ("LOC000000000002", "Asia/Tokyo", "Japan", "Lakeside_2", "CoffeeCo_2")
+LOC3 = ("LOC000000000003", "America/New_York", "USA", "Bayport_3", "EduWise_3")
+
+
+class TestUpsert:
+    def test_fresh_import_generates_ids(self, spark):
+        out = merge_upsert(None, make_locations(spark, [LOC1, LOC2])).collect()
+        assert len(out) == 2
+        ids = {r["id"] for r in out}
+        assert all(ids) and len(ids) == 2  # non-null, unique
+
+    def test_last_writer_wins_on_reimport(self, spark):
+        first = merge_upsert(None, make_locations(spark, [LOC1, LOC2]))
+        changed = ("LOC000000000001", "Europe/Berlin", "Germany", "Hillview_9", "GreenBuild_9")
+        second = merge_upsert(first, make_locations(spark, [changed, LOC3]))
+        rows = {r["locid"]: r for r in second.collect()}
+        assert len(rows) == 3
+        assert rows["LOC000000000001"]["country"] == "Germany"
+        assert rows["LOC000000000002"]["country"] == "Japan"
+        assert rows["LOC000000000003"]["country"] == "USA"
+
+    def test_id_preserved_on_update_generated_on_insert(self, spark):
+        first = merge_upsert(None, make_locations(spark, [LOC1, LOC2]))
+        ids_before = {r["locid"]: r["id"] for r in first.collect()}
+        changed = ("LOC000000000001", "Europe/Berlin", "Germany", "X", "Y")
+        second = merge_upsert(first, make_locations(spark, [changed, LOC3]))
+        ids_after = {r["locid"]: r["id"] for r in second.collect()}
+        # updated + untouched rows keep their id (db.go:67-71 omits id)
+        assert ids_after["LOC000000000001"] == ids_before["LOC000000000001"]
+        assert ids_after["LOC000000000002"] == ids_before["LOC000000000002"]
+        assert ids_after["LOC000000000003"] not in ids_before.values()
+
+    def test_intra_batch_duplicate_last_wins(self, spark):
+        dup_a = ("LOCX", "Asia/Tokyo", "Japan", "A", "A")
+        dup_b = ("LOCX", "Europe/London", "UK", "B", "B")
+        out = merge_upsert(
+            None, make_locations(spark, [LOC1, dup_a, dup_b])
+        ).collect()
+        rows = {r["locid"]: r for r in out}
+        assert len(rows) == 2
+        assert rows["LOCX"]["locname"] == "B"  # later row in file order wins
+
+
+class TestCsvIngest:
+    def test_header_order_independence(self, spark, tmp_path):
+        p = tmp_path / "shuffled.csv"
+        p.write_text(
+            "COUNTRY,BUSINESS,LOCID,LOCNAME,LOCTIMEZONE\n"
+            "UK,TechCorp_1,LOC1,Springfield_1,Europe/London\n"
+            "Japan,CoffeeCo_2,LOC2,Lakeside_2,Asia/Tokyo\n"
+        )
+        df = ingest_locations_csv(spark, str(p))
+        assert df.columns == ["locid", "loctimezone", "country", "locname", "business"]
+        rows = {r["locid"]: r for r in df.collect()}
+        assert rows["LOC1"]["country"] == "UK"
+        assert rows["LOC2"]["business"] == "CoffeeCo_2"
+
+    def test_missing_header_raises(self, spark, tmp_path):
+        p = tmp_path / "bad.csv"
+        p.write_text("LOCID,COUNTRY\nLOC1,UK\n")
+        with pytest.raises(ValueError, match="missing required headers"):
+            ingest_locations_csv(spark, str(p))
+
+    def test_header_only_file_yields_zero_rows(self, spark, tmp_path):
+        p = tmp_path / "empty.csv"
+        p.write_text("LOCID,LOCTIMEZONE,COUNTRY,LOCNAME,BUSINESS\n")
+        assert ingest_locations_csv(spark, str(p)).count() == 0
+
+
+class TestPaginate:
+    def test_pages_are_deterministic_and_disjoint(self, spark):
+        df = make_locations(
+            spark, [(f"LOC{i:012d}", "tz", "C", f"N{i}", f"B{i}") for i in range(37)]
+        )
+        seen: list[str] = []
+        for page in range(4):
+            rows = paginate(df, ["locid"], limit=10, offset=page * 10).collect()
+            seen.extend(r["locid"] for r in rows)
+        assert len(seen) == 37  # 10+10+10+7 — short last page, O16 contract
+        assert seen == sorted(seen) and len(set(seen)) == 37
+
+    def test_keyset_pagination_matches_offset(self, spark):
+        df = make_locations(
+            spark, [(f"LOC{i:012d}", "tz", "C", f"N{i}", f"B{i}") for i in range(25)]
+        )
+        page1 = paginate_after(df, "locid", None, limit=10).collect()
+        page2 = paginate_after(df, "locid", page1[-1]["locid"], limit=10).collect()
+        offset_page2 = paginate(df, ["locid"], limit=10, offset=10).collect()
+        assert [r["locid"] for r in page2] == [r["locid"] for r in offset_page2]
+
+    def test_json_page_and_empty_page(self, spark):
+        df = make_locations(spark, [LOC1])
+        doc = json.loads(to_json_page(df.select("locid", "country")))
+        assert doc == [{"locid": "LOC000000000001", "country": "UK"}]
+        empty = to_json_page(df.filter("locid = 'nope'"))
+        assert empty == "[]"  # db.go:113 COALESCE contract
+
+
+class TestFlagshipPath:
+    def test_csv_to_upsert_to_page_end_to_end(self, spark, tmp_path):
+        """SURVEY.md §3.1+3.2: upload → upsert → paginated JSON read."""
+        f1 = tmp_path / "batch1.csv"
+        f1.write_text(
+            "LOCID,LOCTIMEZONE,COUNTRY,LOCNAME,BUSINESS\n"
+            + "".join(f"LOC{i:04d},tz,US,N{i},B{i}\n" for i in range(30))
+        )
+        f2 = tmp_path / "batch2.csv"  # overwrites 5, adds 5
+        f2.write_text(
+            "LOCNAME,LOCID,LOCTIMEZONE,COUNTRY,BUSINESS\n"
+            + "".join(f"NEW{i},LOC{i:04d},tz2,CA,B2\n" for i in range(5))
+            + "".join(f"N{i},LOC{i:04d},tz,US,B{i}\n" for i in range(30, 35))
+        )
+        state = merge_upsert(None, ingest_locations_csv(spark, str(f1)))
+        state = merge_upsert(state, ingest_locations_csv(spark, str(f2)))
+        assert state.count() == 35
+        page = json.loads(to_json_page(paginate(state, ["locid"], 10, 0)))
+        assert [r["locid"] for r in page] == [f"LOC{i:04d}" for i in range(10)]
+        assert page[0]["locname"] == "NEW0" and page[0]["country"] == "CA"
+        assert page[9]["locname"] == "N9"
