@@ -1,0 +1,265 @@
+"""Deduplication family for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash — all as DataFrame compositions (no Python
+UDFs, no driver-side loops), designed so only *candidate* pairs are ever
+joined at scale.
+
+The reference's only dedup is keyed last-writer-wins on `locid`
+(internal/db/db.go:63-72 — see operators/upsert.py); the content-based
+family here is a north-star addition (BASELINE.json).
+
+Scale architecture (the standard web-scale dedup pipeline):
+  exact     — one hash-aggregate on md5(text): a single shuffle of
+              (hash, id), never the text bodies.
+  jaccard   — quadratic in documents *sharing a shingle*; document-
+              frequency capping (drop shingles with df > cap) bounds the
+              worst-case bucket, the classic guard against "the the the".
+  minhash   — O(n·k) signature pass + banded LSH bucketing: the shuffle
+              carries (band_hash, id) pairs only; exact Jaccard verify
+              runs on candidates only. This is the 100 TB path.
+  simhash   — 64-bit signatures via weighted bit voting; hamming-ball
+              lookup by 16-bit band exact-match (any pair within distance
+              3 shares at least one of 4 bands, pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# MinHash parameters: 128 hashes = 32 bands × 4 rows. For Jaccard j the
+# candidate-recall is 1-(1-j^4)^32: j=0.8 → 0.99998, j=0.5 → 0.87.
+# Misses at the 0.8 threshold are ~1e-7 — the LSH output equals the
+# exact-Jaccard output with near-certainty, which is why the registry can
+# share the oracle SQL between minhash and exact.
+NUM_HASHES = 128
+BANDS = 32
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct k-token shingles per document (built-ins only)."""
+    t = tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+    )
+    return (
+        df.filter(F.size(t) >= k)
+        .select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via content-hash group-by: one row per distinct
+    normalized text, with the canonical (minimum) id and the copy count.
+    Only (hash, id) shuffles — text bodies never move."""
+    norm = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(norm.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _pair_jaccard(sh: DataFrame, id_col: str, pairs: DataFrame | None) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing ≥1 shingle (optionally
+    restricted to a candidate ``pairs`` frame with doc_a/doc_b)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (the quadratic baseline).
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    before the self-join — the standard bound on hot-shingle blowup at
+    scale (a shingle in f docs contributes f² join rows).
+    """
+    sh = shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    return _pair_jaccard(sh, id_col, None).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """One aggregation pass computes the whole signature: for seed i,
+    sig_i = min over shingles of xxhash64(i, shingle). xxhash64 is
+    JVM-side and deterministic — no Python, no randomness at runtime."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, exact-verified.
+
+    Pipeline: shingle → 128-hash signature (one groupBy) → 32 band
+    hashes → explode → bucket join on (band, band_hash) → candidate
+    pairs → exact Jaccard verify → threshold filter.
+
+    The only all-pairs work happens inside LSH buckets; everything else
+    is linear. This is the operator you run at 100 TB where
+    ngram_jaccard_pairs is the small-data oracle.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("bh"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bucketed = sig.select(F.col(id_col), F.explode(bands).alias("e")).select(
+        id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    left = bucketed.select(F.col(id_col).alias("doc_a"), "band", "bh")
+    right = bucketed.select(F.col(id_col).alias("doc_b"), "band", "bh")
+    candidates = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pair_jaccard(sh, id_col, candidates).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document with token-frequency weights.
+
+    Bit i of the signature is the sign of Σ_tokens w(t)·(±1 given bit i
+    of xxhash64(t)). Expressed as 64 conditional sums in ONE aggregation
+    (columnar, codegen'd); the shuffle carries (id, token, weight).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("double").alias("w"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                -F.col("w")
+            )
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    summed = toks.groupBy(id_col).agg(*bit_sums)
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        simhash = term if simhash is None else simhash.bitwiseOR(term)
+    return summed.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within a hamming ball.
+
+    Pigeonhole banding: any two signatures within hamming distance 3
+    agree exactly on ≥1 of 4 disjoint 16-bit bands, so bucket-joining on
+    band value finds all such pairs without an all-pairs scan; verify
+    with bit_count(xor).
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("simhash", 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bv"),
+            )
+            for b in range(4)
+        ]
+    )
+    bucketed = sig.select(id_col, "simhash", F.explode(bands).alias("e")).select(
+        id_col, "simhash", F.col("e.band").alias("band"), F.col("e.bv").alias("bv")
+    )
+    left = bucketed.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bv"
+    )
+    right = bucketed.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bv"
+    )
+    return (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The Spark-side architecture is real and tested — schemas, batch
+iteration, partition sizing; the actual media decode is STUBBED (the
+image/audio libraries are not in this container): ``decode_fn=None``
+uses a deterministic fake decoder, and passing ``strict=True`` raises
+NotImplementedError exactly where a real decoder (PIL/ffmpeg) would
+plug in.
+
+Scale notes: media payloads dominate row size, so
+  * metadata extraction projects ONLY the binary column (column pruning
+    keeps other columns out of the Arrow transfer);
+  * mapInPandas streams per-batch — no per-row Python overhead, and
+    spark.sql.execution.arrow.maxRecordsPerBatch bounds memory per task;
+  * for very large blobs, store pointers (path + offset) in the table
+    and fetch lazily inside the batch iterator — same operator shape.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, format string, width int, height int, "
+    "channels int, checksum bigint"
+)
+
+
+def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture a deterministic binary payload column from text (the
+    fixtures carry no media; this stands in for reading real bytes)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic fake 'image decode': dimensions derived from the
+    byte stream. Replace with PIL.Image.open in a real deployment."""
+    n = len(payload)
+    crc = zlib.crc32(payload)
+    return {
+        "format": ("png", "jpeg", "webp")[crc % 3],
+        "width": 64 + (crc % 512),
+        "height": 64 + ((crc >> 9) % 512),
+        "channels": 3,
+        "checksum": crc,
+        "n_bytes": n,
+    }
+
+
+def extract_image_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Decode image metadata from a binary column via mapInPandas.
+
+    ``strict=True`` raises NotImplementedError (no media libs in this
+    container) — the marked plug-in point for a real decoder.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real image decoding requires PIL/opencv on the executors; "
+                "install and replace _fake_decode"
+            )
+        for pdf in batches:
+            metas = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out[
+                ["doc_id", "n_bytes", "format", "width", "height", "channels", "checksum"]
+            ]
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=IMAGE_META_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_checksum bigint"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 64,
+) -> DataFrame:
+    """'Video' frame sampling stub: emits one row per sampled frame
+    (1→N mapInPandas fan-out — the real shape of a frame extractor).
+    Deterministic fake: a frame per every_n_bytes window, checksummed."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                for i in range(0, max(len(b), 1), every_n_bytes):
+                    ids.append(doc_id)
+                    idxs.append(i // every_n_bytes)
+                    sums.append(zlib.crc32(b[i : i + every_n_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        frames, schema=FRAME_SAMPLE_SCHEMA
+    )

@@ -1,0 +1,196 @@
+"""Text analysis for large-scale training-data pipelines: tokenization,
+token counting, quality scoring, language ID, document fingerprinting.
+
+Everything here is built-in `pyspark.sql.functions` only — no Python UDFs —
+so the whole pipeline stays inside WholeStageCodegen and scales linearly
+with executors. These ops have no counterpart in the reference (its only
+string work is CSV field extraction, internal/writer/writer.go:93-99);
+they exist per the project north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# Small closed-class stopword list (public knowledge; overlaps the fixture
+# vocabulary deliberately so ratios are non-degenerate).
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization (the CSV-era baseline; a BPE-ish regex
+    tokenizer is in token_count_bpe below)."""
+    return F.split(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, n_chars_nospace, avg_token_len."""
+    t = tokens(text_col)
+    nospace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    return (
+        df.withColumn("n_tokens", F.size(t).cast("bigint"))
+        .withColumn("n_chars_nospace", nospace.cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.round(nospace / F.size(t), 4),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: stopword ratio, uppercase ratio,
+    punctuation ratio, and a composite score in [0,1].
+
+    The composite mirrors common pretraining-data filters (C4/Gopher
+    style): docs with a reasonable stopword ratio and low symbol noise
+    score high.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+    upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
+    stop_ratio = stop_hits / n_tok
+    punct_ratio = punct / n_chars
+    upper_ratio = upper / n_chars
+    score = (
+        F.least(stop_ratio * 5, F.lit(1.0)) * 0.5
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.25
+        + (1 - F.least(upper_ratio * 10, F.lit(1.0))) * 0.25
+    )
+    return (
+        df.withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn("upper_ratio", F.round(upper_ratio, 4))
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token estimate: word-boundary pieces + digit runs + symbol
+    singles (the regex families GPT-style tokenizers pre-split on), ×1.3
+    subword inflation. A cheap, deterministic proxy when the real
+    tokenizer isn't on the cluster."""
+    pieces = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"(?=[^\w])|(?<=[^\w])"),
+            lambda x: (F.length(F.trim(x)) > 0),
+        )
+    )
+    return df.withColumn("n_tokens_bpe_est", F.ceil(pieces * 1.3).cast("bigint"))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over normalized text + a 60-bit numeric
+    prefix for compact joins (content-addressable dedup key)."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    h = F.md5(norm)
+    return df.withColumn("fp_md5", h).withColumn(
+        "fp_id", F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 4, window: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    k-token shingle, keep the minimum hash in each sliding window of
+    ``window`` shingles. Output: (id, fingerprint) — a shift-resistant
+    signature set for plagiarism/near-dup detection.
+
+    Pure built-ins: shingle via transform/sequence, per-window min via a
+    ranged window function. One shuffle on id.
+    """
+    t = tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
+        ),
+    )
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(sh).alias("pos", "h"))
+    )
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    return (
+        exploded.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("pos") >= window - 1)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+# --- language identification -------------------------------------------------
+
+# Marker-token profiles (public linguistic knowledge). Weight = how
+# distinctive the token is for the language.
+_LANG_MARKERS: list[tuple[str, str, float]] = [
+    ("en", "the", 3.0), ("en", "and", 2.0), ("en", "of", 2.0), ("en", "is", 1.5),
+    ("en", "with", 1.5), ("en", "a", 1.0),
+    ("de", "der", 3.0), ("de", "und", 3.0), ("de", "die", 2.5), ("de", "ist", 2.0),
+    ("de", "mit", 2.0), ("de", "das", 2.0),
+    ("es", "el", 2.5), ("es", "los", 3.0), ("es", "que", 2.5), ("es", "es", 1.5),
+    ("es", "con", 2.0), ("es", "una", 2.0),
+    ("fr", "le", 2.5), ("fr", "les", 3.0), ("fr", "des", 3.0), ("fr", "est", 2.0),
+    ("fr", "avec", 2.5), ("fr", "une", 2.0),
+]
+
+
+def lang_markers_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        _LANG_MARKERS, "lang string, marker string, weight double"
+    )
+
+
+def with_lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """N-gram/marker-token language ID heuristic.
+
+    CJK text short-circuits via a codepoint-range check (no token overlap
+    with Latin scripts); otherwise marker tokens vote, weighted, and the
+    argmax wins (ties broken alphabetically for determinism). Docs with
+    no markers → 'unknown'.
+
+    Scale: explode(tokens) ⋈ broadcast(markers) → groupBy(doc) — one
+    shuffle on doc_id; the marker table is tiny and broadcast.
+    """
+    spark = df.sparkSession
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    votes = (
+        toks.join(
+            F.broadcast(lang_markers_df(spark)),
+            F.col("tok") == F.col("marker"),
+        )
+        .groupBy(id_col, "lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("lang"))
+    best = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col(id_col), F.col("lang").alias("lang_pred_latin"),
+                F.round("score", 2).alias("lang_score"))
+    )
+    return (
+        df.join(best, id_col, "left")
+        .withColumn(
+            "lang_pred",
+            F.when(has_cjk, F.lit("zh")).otherwise(
+                F.coalesce(F.col("lang_pred_latin"), F.lit("unknown"))
+            ),
+        )
+        .withColumn("lang_score", F.coalesce(F.col("lang_score"), F.lit(0.0)))
+        .drop("lang_pred_latin")
+    )

@@ -1,4 +1,279 @@
-"""LLM-data-pipeline operators: dedup family, similarity search, text
-analysis, multimodal columns. Populated incrementally; see operators/."""
+"""LLM-data-pipeline query registrations: dedup family, similarity
+search, text analysis, multimodal metadata — each a thin adapter from the
+operators in ``operators/`` to the driver's (spark, sf_dir) contract.
+
+Oracle notes: Jaccard/quality/knn oracles recompute the same arithmetic
+in DuckDB with identical operand types (integer ratios divide in double,
+embeddings cast to DOUBLE[]), so values match bit-for-bit before the
+defensive ROUND. minhash_lsh shares the exact-Jaccard oracle on purpose:
+with 128 hashes × 32 bands the probability of missing a pair at the 0.8
+threshold is ~1e-7, i.e. LSH+verify provably reproduces the quadratic
+algorithm's output (see operators/dedup.py).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.tables import load_table
+from ..operators import dedup, multimodal, similarity, text
+from . import register
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars_nospace,
+      ROUND(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+            / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (whitespace tokenizer)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.with_token_stats(d).select(
+        "doc_id", "n_tokens", "n_chars_nospace", "avg_token_len"
+    )
+
+
+@register(
+    "text_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS toks,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+        length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> x IN
+          ('the','a','of','and','in','to','is','on','for','with'))) * 1.0
+          / len(toks) AS stop_r,
+        n_punct * 1.0 / n_chars AS punct_r,
+        n_upper * 1.0 / n_chars AS upper_r
+      FROM t
+    )
+    SELECT doc_id,
+      ROUND(stop_r, 4)  AS stopword_ratio,
+      ROUND(punct_r, 4) AS punct_ratio,
+      ROUND(upper_r, 4) AS upper_ratio,
+      ROUND(LEAST(stop_r * 5, 1.0) * 0.5
+            + (1 - LEAST(punct_r * 10, 1.0)) * 0.25
+            + (1 - LEAST(upper_r * 10, 1.0)) * 0.25, 4) AS quality_score
+    FROM r
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (stopword/punct/upper ratios)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.with_quality_score(d).select(
+        "doc_id", "stopword_ratio", "punct_ratio", "upper_ratio", "quality_score"
+    )
+
+
+@register(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang,
+      COUNT(*) AS n_docs,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      ROUND(AVG(n_chars), 4) AS avg_chars,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (the aggregate view a pipeline uses to
+    set per-language sampling rates)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fp_md5
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.with_fingerprint(d).select("doc_id", "fp_md5")
+
+
+@register("text_lang_id")  # rows-only: heuristic has no SQL twin
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (deterministic argmax vote)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.with_lang_id(d).select("doc_id", "lang_pred", "lang_score")
+
+
+@register("text_winnow_fingerprints")  # rows-only: xxhash64 is Spark-side
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (bounded to 20 docs to keep output small)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return text.winnow_fingerprints(d)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes x ON p.doc_a = x.doc_id
+    JOIN sizes y ON p.doc_b = y.doc_id
+    WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
+    """
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (canonical id + copy count)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d)
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard near-dup pairs (threshold 0.8)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.8)
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified — same output contract
+    as dedup_ngram_jaccard (and the same oracle), linear-time candidate
+    generation. The 100 TB dedup path."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.8)
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 bit voting is Spark-side
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance 3."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(d, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors against all embeddings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("ann_cosine_lsh_knn")  # rows-only: bucket restriction is approximate
+def ann_cosine_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 probing only the query's hyperplane bucket."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_knn(
+        e, e.filter(F.col("vec_id") < 10), k=5, num_planes=6
+    )
+
+
+@register("ann_cosine_lsh_pairs")  # rows-only
+def ann_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-neighbor pairs via hyperplane LSH buckets (embedding
+    near-dup detection shape)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_pairs(e, num_planes=4, min_cos=0.25)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_image_meta",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction via Arrow-batched mapInPandas
+    (decode is a deterministic stub; byte length is oracle-checked)."""
+    d = load_table(spark, sf_dir, "documents")
+    meta = multimodal.extract_image_metadata(multimodal.attach_fake_payload(d))
+    return meta.select("doc_id", "n_bytes")
+
+
+@register("multimodal_frame_sample")  # rows-only: 1→N fan-out stub
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out over binary payloads (bounded to 20 docs)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return multimodal.sample_frames(multimodal.attach_fake_payload(d))

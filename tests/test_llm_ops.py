@@ -1,0 +1,186 @@
+"""Behavioral unit tests for the LLM-pipeline operators on handcrafted
+inputs with known answers (complementing the fixture-scale oracle tests)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_stream_import_spark.operators import dedup, similarity, text
+from file_stream_import_spark.operators.multimodal import (
+    attach_fake_payload,
+    extract_image_metadata,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = [
+        (0, base),
+        (1, near),  # near-dup of 0 (one token differs at the end)
+        (2, base),  # exact dup of 0
+        (3, "completely different words about spark shuffles and partitions"),
+        (4, "der hund und die katze sind mit der maus im haus und der garten"),
+        (5, "los gatos y los perros que viven con una familia es con el sol"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_duplicates_groups_identical_text(self, spark, docs):
+        out = dedup.exact_duplicates(docs).collect()
+        by_copies = {r["n_copies"]: r for r in out}
+        assert by_copies[2]["canonical_id"] == 0  # docs 0 and 2 collapse
+        assert sum(r["n_copies"] for r in out) == 6
+
+    def test_ngram_jaccard_finds_planted_pair(self, spark, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+        assert pairs[(0, 2)] == 1.0  # exact dup
+        assert not any(3 in p or 4 in p for p in pairs)
+
+    def test_minhash_lsh_matches_exact_jaccard(self, spark, docs):
+        exact = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        )
+        lsh = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        )
+        assert lsh == exact
+
+    def test_simhash_close_for_neardups_far_for_different(self, spark, docs):
+        sigs = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(docs).collect()
+        }
+        ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")
+        assert ham(0, 2) == 0  # identical text → identical signature
+        assert ham(0, 1) < ham(0, 3)  # near-dup closer than unrelated
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.simhash_neardup_pairs(docs, max_hamming=3).collect()
+        }
+        assert (0, 2) in pairs
+
+    def test_max_df_drops_hot_shingles(self, spark):
+        # every doc shares the hot shingle; distinct tails → no pair survives
+        rows = [(i, f"aaa bbb ccc unique{i} tail{i} end{i}") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        with_hot = dedup.ngram_jaccard_pairs(df, threshold=0.01)
+        without = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_df=3)
+        assert with_hot.count() == 10  # all pairs share 'aaa bbb ccc'
+        assert without.count() == 0
+
+
+class TestText:
+    def test_token_stats(self, spark):
+        df = spark.createDataFrame([(1, "one two  three")], "doc_id long, text string")
+        r = text.with_token_stats(df).collect()[0]
+        assert r["n_tokens"] == 3
+        assert r["n_chars_nospace"] == 11
+        assert abs(r["avg_token_len"] - round(11 / 3, 4)) < 1e-9
+
+    def test_lang_id_markers(self, spark, docs):
+        out = {r["doc_id"]: r["lang_pred"] for r in text.with_lang_id(docs).collect()}
+        assert out[0] == "en" and out[4] == "de" and out[5] == "es"
+
+    def test_lang_id_cjk_and_unknown(self, spark):
+        df = spark.createDataFrame(
+            [(1, "你好 世界 数据 引擎"), (2, "zzz qqq xxx")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["lang_pred"] for r in text.with_lang_id(df).collect()}
+        assert out[1] == "zh" and out[2] == "unknown"
+
+    def test_winnow_shift_resistance(self, spark):
+        # same content shifted by a prefix shares most fingerprints
+        a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+        df = spark.createDataFrame(
+            [(1, a), (2, "prefix " + a)], "doc_id long, text string"
+        )
+        fps = text.winnow_fingerprints(df)
+        f1 = {r["fp"] for r in fps.filter("doc_id = 1").collect()}
+        f2 = {r["fp"] for r in fps.filter("doc_id = 2").collect()}
+        assert len(f1 & f2) / len(f1) > 0.5
+
+    def test_quality_score_orders_sanely(self, spark):
+        clean = "the cat sat on the mat and the dog lay in the sun"
+        noisy = "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) !!!!"
+        df = spark.createDataFrame(
+            [(1, clean), (2, noisy)], "doc_id long, text string"
+        )
+        s = {r["doc_id"]: r["quality_score"] for r in text.with_quality_score(df).collect()}
+        assert s[1] > 0.8 > s[2]
+
+
+class TestSimilarity:
+    @pytest.fixture()
+    def vectors(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.99, 0.1, 0.0, 0.0]),   # ~0.995 cosine with 0
+            (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 0
+            (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+            (4, [0.7, 0.7, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_knn_bruteforce_ranks_correctly(self, spark, vectors):
+        out = similarity.knn_bruteforce(
+            vectors, vectors.filter(F.col("vec_id") == 0), k=4
+        ).collect()
+        order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rk"])]
+        assert order == [1, 4, 2, 3]
+        assert out[0]["cos_sim"] == pytest.approx(0.994937, abs=1e-5)
+
+    def test_ann_lsh_knn_subset_of_bruteforce_space(self, spark, vectors):
+        out = similarity.ann_lsh_knn(
+            vectors, vectors.filter(F.col("vec_id") == 0), k=4, num_planes=2, dim=4
+        ).collect()
+        assert all(r["neighbor_id"] != 0 for r in out)
+        ranks = sorted(r["rk"] for r in out)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+    def test_ann_pairs_finds_close_pair(self, spark, vectors):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in similarity.ann_lsh_pairs(
+                vectors, num_planes=1, min_cos=0.9, dim=4
+            ).collect()
+        }
+        assert (0, 1) in pairs
+
+
+class TestMultimodal:
+    def test_metadata_deterministic_and_complete(self, spark, docs):
+        meta = extract_image_metadata(attach_fake_payload(docs))
+        rows = {r["doc_id"]: r for r in meta.collect()}
+        assert len(rows) == 6
+        r0 = rows[0]
+        assert r0["n_bytes"] > 0 and r0["format"] in ("png", "jpeg", "webp")
+        assert r0["width"] >= 64 and r0["height"] >= 64 and r0["channels"] == 3
+        again = {r["doc_id"]: r for r in
+                 extract_image_metadata(attach_fake_payload(docs)).collect()}
+        assert again[0] == r0  # deterministic stub
+
+    def test_strict_mode_raises_not_implemented(self, spark, docs):
+        with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
+            extract_image_metadata(
+                attach_fake_payload(docs), strict=True
+            ).collect()
+
+    def test_frame_sample_fanout(self, spark, docs):
+        frames = sample_frames(attach_fake_payload(docs), every_n_bytes=16)
+        counts = {
+            r["doc_id"]: r["n"]
+            for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert all(c >= 3 for c in counts.values())  # texts ≥ 48 bytes
