@@ -1,0 +1,17 @@
+from .windows import (
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "session_counts",
+    "sliding_counts",
+    "stream_dedup",
+    "tumbling_counts",
+]

@@ -1,0 +1,129 @@
+"""Structured Streaming operators over the events stream: tumbling /
+sliding / session windows with watermarks, and watermark-bounded dedup.
+
+The reference's "streaming" is byte-stream I/O (bufio over an HTTP body,
+internal/writer/writer.go:47-48) with no event-time semantics; these are
+north-star additions. Batch-equivalent forms (same window math on the
+same data) are registered for the DuckDB oracle in
+queries/streaming_batch.py — Spark's window/session_window functions are
+usable in both batch and streaming plans, so the SAME operator body is
+exercised by the oracle and by the streaming tests.
+
+Scale: watermarks bound state (late rows beyond the delay are dropped,
+state for closed windows is evicted); groupBy(window, key) shuffles on
+(window, key) — at 100 TB the key cardinality, not the stream length,
+sizes the state store. Session windows merge per key; skewed users are
+the hazard → cap sessions with the watermark delay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, drop_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of events (parquet drops with µs timestamps).
+    maxFilesPerTrigger gives deterministic micro-batch boundaries in tests
+    and backpressure in production."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(drop_dir)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, size: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows per event_type."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    size: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows: each event lands in size/slide windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events arrive within ``gap`` (an event exactly ``gap`` after the
+    previous one starts a NEW session — [start, end) semantics)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermark-bounded exact dedup on event_id: duplicates arriving
+    within the watermark delay are dropped; state is evicted after it.
+    (Streaming only — batch twin is dropDuplicates.)"""
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+):
+    """Drive a streaming query to completion synchronously against a
+    memory sink (test harness; production uses foreachBatch/parquet)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,172 @@
+"""Structured Streaming behavior tests: stream-vs-batch window parity,
+watermark late-data dropping, and watermark-bounded dedup — driven by
+file-source micro-batches (one file per trigger) into memory sinks."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_stream_import_spark.io.tables import load_table
+from file_stream_import_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+
+def write_events(df, path):
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def make_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def qname() -> str:
+    return "q" + uuid.uuid4().hex[:10]
+
+
+class TestStreamBatchParity:
+    def test_tumbling_stream_equals_batch(self, spark, sf_dir, tmp_path):
+        events = load_table(spark, sf_dir, "events")
+        src = str(tmp_path / "events_stream")
+        write_events(events, src)
+        name = qname()
+        q = run_to_memory(
+            tumbling_counts(read_events_stream(spark, src)), name, "append"
+        )
+        try:
+            got = {
+                (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+            want = {
+                (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+                for r in tumbling_counts(events).collect()
+            }
+            # append mode emits only windows closed by the watermark; every
+            # emitted window must match its batch twin, and most must emit
+            assert got and all(got[k] == want[k] for k in got)
+            assert len(got) >= len(want) - 10  # only the tail can be open
+        finally:
+            q.stop()
+
+    def test_session_stream_equals_batch(self, spark, tmp_path):
+        rows = [
+            # user 1: two sessions (gap of 2h between event 2 and 3)
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:10:00", 1, "click", 2.0, "{}"),
+            (3, "2024-01-01 12:30:00", 1, "view", 3.0, "{}"),
+            # user 2: one session
+            (4, "2024-01-01 09:00:00", 2, "click", 4.0, "{}"),
+            # flush row far in the future so the watermark closes everything
+            (5, "2024-01-02 00:00:00", 9, "view", 0.0, "{}"),
+        ]
+        df = make_events(spark, rows)
+        src = str(tmp_path / "sessions_stream")
+        write_events(df, src)
+        name = qname()
+        q = run_to_memory(
+            session_counts(read_events_stream(spark, src), gap="30 minutes"),
+            name,
+            "append",
+        )
+        try:
+            got = sorted(
+                (r["user_id"], r["session_start"], r["n_events"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+                if r["user_id"] != 9
+            )
+            assert got == [
+                (1, "2024-01-01 10:00:00.000000", 2),
+                (1, "2024-01-01 12:30:00.000000", 1),
+                (2, "2024-01-01 09:00:00.000000", 1),
+            ]
+        finally:
+            q.stop()
+
+
+class TestWatermark:
+    def test_late_rows_beyond_watermark_are_dropped(self, spark, tmp_path):
+        src = str(tmp_path / "late_stream")
+        on_time = make_events(
+            spark,
+            [
+                (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+                (2, "2024-01-01 14:00:00", 1, "click", 1.0, "{}"),  # advances watermark to 12:00
+            ],
+        )
+        write_events(on_time, src)
+        name = qname()
+        stream = tumbling_counts(
+            read_events_stream(spark, src), size="1 hour", watermark="2 hours"
+        )
+        q = run_to_memory(stream, name, "append")
+        try:
+            # micro-batch 2: a row for the already-closed 10:00 window
+            late = make_events(
+                spark, [(3, "2024-01-01 10:20:00", 1, "click", 9.0, "{}")]
+            )
+            write_events(late, src)
+            q.processAllAvailable()
+            rows = {
+                r["window_start"]: r["n_events"]
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+            # 10:00 window emitted with ONLY the on-time row; late row dropped
+            assert rows.get("2024-01-01 10:00:00") == 1
+        finally:
+            q.stop()
+
+    def test_dedup_within_watermark_drops_duplicate_event_ids(self, spark, tmp_path):
+        src = str(tmp_path / "dedup_stream")
+        b1 = make_events(
+            spark,
+            [
+                (100, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+                (101, "2024-01-01 10:01:00", 1, "view", 1.0, "{}"),
+            ],
+        )
+        write_events(b1, src)
+        name = qname()
+        q = run_to_memory(
+            stream_dedup(read_events_stream(spark, src), watermark="1 hour"),
+            name,
+            "append",
+        )
+        try:
+            # duplicate event_id 100 arrives in a later micro-batch
+            b2 = make_events(
+                spark,
+                [
+                    (100, "2024-01-01 10:02:00", 1, "click", 1.0, "{}"),
+                    (102, "2024-01-01 10:03:00", 2, "click", 1.0, "{}"),
+                ],
+            )
+            write_events(b2, src)
+            q.processAllAvailable()
+            ids = [r["event_id"] for r in spark.sql(f"SELECT event_id FROM {name}").collect()]
+            assert sorted(ids) == [100, 101, 102]  # 100 emitted once
+        finally:
+            q.stop()
+
+
+class TestBatchTwins:
+    def test_stream_dedup_batch_twin(self, spark):
+        df = make_events(
+            spark,
+            [
+                (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+                (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+                (2, "2024-01-01 10:06:00", 1, "view", 1.0, "{}"),
+            ],
+        )
+        assert stream_dedup(df).count() == 2
