@@ -42,7 +42,7 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every query module so registration side effects run."""
-    from . import llm, relational, streaming_batch  # noqa: F401
+    from . import llm, relational, streaming_batch, tpch  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
