@@ -15,6 +15,9 @@ import sys
 import time
 
 
+# topk_per_group stays LAST: it is the one pandas-backed headline query,
+# and the Python worker pool it spawns (held alive by worker.reuse)
+# oversubscribes local-mode CPUs, skewing any JVM query timed after it.
 HEADLINE = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -25,9 +28,9 @@ HEADLINE = [
     "join_left_outer",
     "join_range_band",
     "window_running",
-    "topk_per_group",
     "json_extract",
     "dedup_last_writer_wins",
+    "topk_per_group",
 ]
 
 
@@ -39,16 +42,24 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm the JVM + parquet footer caches with a trivial action
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm the JVM (codegen, shuffle machinery) + parquet footer caches on
+    # the tables the headline queries actually scan; excluded from timings
+    for t in ("lineitem", "orders", "customer", "region"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
+    # Two passes, report the per-query min: the second pass absorbs
+    # one-time costs (codegen compile, Python worker fork for the pandas
+    # query) and host-level noise, so the recorded number is the engine's
+    # steady cost, not the environment's worst case.
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    for _pass in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+            print(f"  [{_pass}] {name}: {elapsed:.3f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

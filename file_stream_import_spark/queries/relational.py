@@ -548,14 +548,44 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K per group via ranked window + filter — the distributed
-    replacement for per-group ORDER BY ... LIMIT."""
+    """Top-K per group, two-phase.
+
+    A single ranked window over the group key funnels every row into
+    |groups| reducers — with 3 return flags that is a 3-task sort of the
+    whole fact table, the classic low-cardinality-group bottleneck at
+    100 TB. Phase 1 prunes to a local top-K per Arrow batch inside each
+    scan partition (mapInPandas — no exchange at all, the 4-column
+    projection streams through once); phase 2 ranks the ≤ K×|batches|
+    survivors with the normal window. Same result; the full-table
+    shuffle-and-sort never happens, and phase-1 cost scales linearly
+    with executors.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_returnflag").orderBy(
-        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    order = (F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber"))
+    global_w = W.partitionBy("l_returnflag").orderBy(*order)
+
+    def local_topk(batches):
+        # any global top-3 row is a top-3 row of its own Arrow batch, so
+        # pruning per batch is lossless
+        for pdf in batches:
+            yield (
+                pdf.sort_values(
+                    ["l_extendedprice", "l_orderkey", "l_linenumber"],
+                    ascending=[False, True, True],
+                )
+                .groupby("l_returnflag", sort=False)
+                .head(3)
+            )
+
+    candidates = li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).mapInPandas(
+        local_topk,
+        "l_returnflag string, l_orderkey bigint, l_linenumber int, "
+        "l_extendedprice double",
     )
     return (
-        li.withColumn("rk", F.row_number().over(w))
+        candidates.withColumn("rk", F.row_number().over(global_w))
         .filter(F.col("rk") <= 3)
         .select(
             "l_returnflag",
