@@ -190,3 +190,47 @@ def ann_lsh_knn(
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+def cosine_neardup_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.4,
+    exact: bool = True,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: drop every row that has a
+    near-duplicate (cosine ≥ min_cos) with a smaller id; the smallest id
+    in each near-dup neighborhood survives.
+
+    ``exact=True`` scores all O(n²) pairs — the oracle-checkable form,
+    viable when the vector set fits a broadcast (queries, candidate pools).
+    At 100 TB set ``exact=False``: hyperplane-LSH buckets generate the
+    candidate pairs first (ann_lsh_pairs), so only colliding pairs are
+    scored; same keep-smallest-id rule applied to the approximate pair set.
+    """
+    ids = vectors.select(id_col, vec_col)
+    if exact:
+        a = ids.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).cast("array<double>").alias("va"),
+        )
+        b = ids.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).cast("array<double>").alias("vb"),
+        )
+        dup_pairs = (
+            b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= min_cos)
+        )
+    else:
+        dup_pairs = ann_lsh_pairs(
+            vectors, id_col, vec_col, num_planes=num_planes,
+            min_cos=min_cos, dim=dim,
+        )
+    # any id_b appearing in a pair has a smaller near-dup → drop it
+    doomed = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return vectors.join(doomed, id_col, "left_anti").select(id_col)

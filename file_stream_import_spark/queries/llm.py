@@ -244,6 +244,27 @@ def ann_cosine_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id
+    FROM e a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e b
+      WHERE b.vec_id < a.vec_id
+        AND list_cosine_similarity(a.v, b.v) >= 0.4
+    )
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal, keep-smallest-id rule (exact
+    pairwise form for the oracle; the LSH-bucketed form is the 100 TB
+    path — see operators.similarity.cosine_neardup_dedup)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_dedup(e, min_cos=0.4, exact=True)
+
+
 @register("ann_cosine_lsh_pairs")  # rows-only
 def ann_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-neighbor pairs via hyperplane LSH buckets (embedding

@@ -117,3 +117,64 @@ def stream_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
         )
     )
+
+
+@register(
+    "stream_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driven as a REAL
+    streaming query: events.parquet feeds a file-source stream, per-user
+    running totals update the state store, and the final emissions are
+    returned. With the fixture's single drop file this is one micro-batch,
+    so the final state equals the batch groupBy — which is the oracle.
+    Multi-batch state continuity is exercised in tests/test_streaming.py.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from ..streaming.stateful import user_running_totals
+
+    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    # subset schema → only these columns are read; ts (TIMESTAMP_NANOS)
+    # never enters the plan, so no legacy-nanos handling is needed here
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        user_running_totals(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(), "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # final totals per user: n_events is monotone across emissions, so
+    # max_by picks the last state even if the source split into batches
+    emitted = spark.table(name)
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )

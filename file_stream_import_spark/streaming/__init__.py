@@ -1,3 +1,4 @@
+from .stateful import user_running_totals
 from .windows import (
     read_events_stream,
     run_to_memory,
@@ -13,5 +14,6 @@ __all__ = [
     "session_counts",
     "sliding_counts",
     "stream_dedup",
+    "user_running_totals",
     "tumbling_counts",
 ]

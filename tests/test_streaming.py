@@ -170,3 +170,56 @@ class TestBatchTwins:
             ],
         )
         assert stream_dedup(df).count() == 2
+
+
+class TestStatefulRunningTotals:
+    def test_state_survives_micro_batches(self, spark, tmp_path):
+        """Two drop files → two micro-batches (maxFilesPerTrigger=1); the
+        second batch's emissions must include counts from the first."""
+        from file_stream_import_spark.streaming.stateful import (
+            user_running_totals,
+        )
+
+        src = str(tmp_path / "drops")
+        b1 = make_events(
+            spark,
+            [
+                (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+                (2, "2024-01-01 00:01:00", 7, "click", 2.0, "{}"),
+                (3, "2024-01-01 00:02:00", 8, "view", 5.0, "{}"),
+            ],
+        )
+        b2 = make_events(
+            spark,
+            [
+                (4, "2024-01-01 01:00:00", 7, "click", 4.0, "{}"),
+                (5, "2024-01-01 01:01:00", 9, "view", 9.0, "{}"),
+            ],
+        )
+        write_events(b1, src)
+        name = qname()
+        stream = read_events_stream(spark, src).select("user_id", "value")
+        q = (
+            user_running_totals(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_events(b2, src)
+            q.processAllAvailable()
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            # user 7: batch1 emission (2, 3.0), batch2 emission (3, 7.0)
+            u7 = sorted(
+                [(r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 7]
+            )
+            assert u7 == [(2, 3.0), (3, 7.0)]
+            # user 8 only in batch 1; user 9 only in batch 2
+            u8 = [(r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 8]
+            u9 = [(r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 9]
+            assert u8 == [(1, 5.0)] and u9 == [(1, 9.0)]
+        finally:
+            q.stop()
