@@ -1,0 +1,61 @@
+"""Physical-layout tests: partition pruning and row-group clustering —
+the distributed stand-ins for the reference's five B-tree indexes
+(internal/db/db.go:97-103)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from file_stream_import_spark.io.layout import (
+    explain_has_partition_pruning,
+    read_pruned,
+    write_partitioned,
+)
+from file_stream_import_spark.io.tables import load_table
+
+
+class TestPartitionedLayout:
+    def test_partition_pruning_kicks_in(self, spark, sf_dir, tmp_path):
+        orders = load_table(spark, sf_dir, "orders")
+        path = str(tmp_path / "orders_by_priority")
+        write_partitioned(
+            orders, path, partition_by="o_orderpriority", sort_by="o_orderdate"
+        )
+        df = read_pruned(spark, path).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        assert explain_has_partition_pruning(df)
+        # pruned read returns exactly the partition's rows
+        want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+        assert df.count() == want
+
+    def test_unfiltered_read_round_trips(self, spark, sf_dir, tmp_path):
+        orders = load_table(spark, sf_dir, "orders")
+        path = str(tmp_path / "orders_rt")
+        write_partitioned(
+            orders, path, partition_by="o_orderstatus", sort_by="o_orderkey"
+        )
+        back = read_pruned(spark, path)
+        assert back.count() == orders.count()
+        # partition column survives with identical values (hive layout)
+        a = sorted(r[0] for r in back.select("o_orderstatus").distinct().collect())
+        b = sorted(r[0] for r in orders.select("o_orderstatus").distinct().collect())
+        assert a == b
+
+    def test_sorted_within_partitions(self, spark, sf_dir, tmp_path):
+        li = load_table(spark, sf_dir, "lineitem").limit(10000)
+        path = str(tmp_path / "li_sorted")
+        write_partitioned(
+            li, path, partition_by="l_returnflag", sort_by="l_shipdate"
+        )
+        # each parquet file must be internally sorted on l_shipdate
+        back = read_pruned(spark, path).withColumn(
+            "_file", F.input_file_name()
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("_file").orderBy(F.monotonically_increasing_id())
+        got = back.withColumn("_prev", F.lag("l_shipdate").over(w)).filter(
+            F.col("_prev") > F.col("l_shipdate")
+        )
+        assert got.count() == 0
