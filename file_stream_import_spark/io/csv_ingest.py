@@ -30,13 +30,28 @@ LOCATION_SCHEMA = T.StructType(
 )
 
 
-def ingest_locations_csv(spark: SparkSession, path: str) -> DataFrame:
+def ingest_locations_csv(
+    spark: SparkSession, path: str, multiline: bool = False
+) -> DataFrame:
     """Read a locations CSV with header-order independence (O1+O2).
 
     Returns the canonical 5 payload columns, lower-cased, all strings.
     Raises ValueError on missing headers instead of silently mis-reading.
+
+    RFC-4180 parity with the reference's Go ``encoding/csv`` reader
+    (writer.go:48): quotes are escaped by DOUBLING inside quoted fields,
+    so ``escape`` is set to ``"`` (Spark's default ``\\`` is not 4180).
+    ``multiline=True`` additionally allows embedded newlines in quoted
+    fields — correct but unsplittable (one task per file), so leave it
+    off unless the data needs it; at 100 TB prefer line-safe exports.
     """
-    raw = spark.read.option("header", True).csv(path)
+    raw = (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", multiline)
+        .csv(path)
+    )
     by_upper = {c.upper(): c for c in raw.columns}
     missing = [c for c in LOCATION_COLUMNS if c.upper() not in by_upper]
     if missing:

@@ -121,3 +121,42 @@ def upsert_postgres(
         conn.close()
 
     df.select(*cols).repartition(num_partitions).foreachPartition(write_partition)
+
+
+def read_jdbc(
+    spark,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = REFERENCE_NUM_WRITERS,
+    **options: str,
+):
+    """JDBC source (parity for the reference's paginated Postgres reads,
+    db.go:111-137 — but range-partitioned instead of LIMIT/OFFSET).
+
+    LIMIT/OFFSET pagination is O(offset) per page server-side; a
+    partitioned JDBC read splits the key range into ``num_partitions``
+    slices fetched concurrently, which is both faster and deterministic.
+    Filters on the returned DataFrame push down to the database as WHERE
+    clauses (Catalyst JDBC pushdown), mirroring index use in Postgres.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .options(**options)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()

@@ -59,3 +59,26 @@ class TestPartitionedLayout:
             F.col("_prev") > F.col("l_shipdate")
         )
         assert got.count() == 0
+
+
+class TestJsonIO:
+    def test_jsonl_round_trip(self, spark, sf_dir, tmp_path):
+        from file_stream_import_spark.io.json_io import read_jsonl, write_jsonl
+
+        nation = load_table(spark, sf_dir, "nation")
+        path = str(tmp_path / "nation_jsonl")
+        write_jsonl(nation, path)
+        back = read_jsonl(spark, path, schema=nation.schema)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, nation.collect())
+        )
+
+    def test_jdbc_read_requires_bounds_with_partition_column(self, spark):
+        import pytest as _pytest
+
+        from file_stream_import_spark.io.jdbc import read_jdbc
+
+        with _pytest.raises(ValueError, match="lower_bound"):
+            read_jdbc(
+                spark, "jdbc:postgresql://x/y", "t", partition_column="id"
+            )

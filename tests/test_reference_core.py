@@ -141,3 +141,34 @@ class TestFlagshipPath:
         assert [r["locid"] for r in page] == [f"LOC{i:04d}" for i in range(10)]
         assert page[0]["locname"] == "NEW0" and page[0]["country"] == "CA"
         assert page[9]["locname"] == "N9"
+
+
+class TestCsvRfc4180:
+    def test_quoted_commas_and_doubled_quotes(self, spark, tmp_path):
+        """Go's encoding/csv (writer.go:48) parses these; so must we."""
+        from file_stream_import_spark.io.csv_ingest import ingest_locations_csv
+
+        p = tmp_path / "quoted.csv"
+        p.write_text(
+            'LOCID,LOCTIMEZONE,COUNTRY,LOCNAME,BUSINESS\n'
+            'L1,UTC,"US","Name, with comma","He said ""hi"""\n'
+            'L2,UTC,DE,plain,also plain\n'
+        )
+        rows = {
+            r["locid"]: r
+            for r in ingest_locations_csv(spark, str(p)).collect()
+        }
+        assert rows["L1"]["locname"] == "Name, with comma"
+        assert rows["L1"]["business"] == 'He said "hi"'
+        assert rows["L2"]["locname"] == "plain"
+
+    def test_embedded_newline_with_multiline(self, spark, tmp_path):
+        from file_stream_import_spark.io.csv_ingest import ingest_locations_csv
+
+        p = tmp_path / "nl.csv"
+        p.write_text(
+            'LOCID,LOCTIMEZONE,COUNTRY,LOCNAME,BUSINESS\n'
+            'L1,UTC,US,"line1\nline2",biz\n'
+        )
+        got = ingest_locations_csv(spark, str(p), multiline=True).collect()
+        assert len(got) == 1 and got[0]["locname"] == "line1\nline2"
