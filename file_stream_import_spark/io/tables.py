@@ -60,3 +60,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     oracle's pre-registered views, so SQL-form queries read identically)."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# Tables whose size is CONSTANT in the scale factor (TPC-H: region=5,
+# nation=25 rows forever). Everything else grows with SF — customer /
+# supplier / part are gigabytes at SF100 and TERABYTES at the 100 TB
+# design point, where a forced broadcast is an executor OOM.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def dim(df: DataFrame, name: str | None = None) -> DataFrame:
+    """Dimension-side join input.
+
+    Applies an explicit broadcast HINT only for constant-size tables;
+    for scaling dimensions it returns the frame unhinted so Catalyst's
+    statistics (file size < autoBroadcastJoinThreshold) and AQE's runtime
+    re-plan pick broadcast when the actual post-filter size allows — and
+    fall back to shuffle join when it doesn't. A hard F.broadcast() on a
+    scaling table is wrong at 100 TB even though it "works" at test SF.
+    """
+    from pyspark.sql import functions as F
+
+    if name in ALWAYS_BROADCAST:
+        return F.broadcast(df)
+    return df

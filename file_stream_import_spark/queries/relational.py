@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..io.tables import load_table
+from ..io.tables import dim, load_table
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -272,7 +272,7 @@ def q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") > cutoff)
         .join(o.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            dim(c.filter(F.col("c_mktsegment") == "BUILDING"), "customer"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -328,9 +328,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim(c, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            dim(s, "supplier"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
