@@ -1,0 +1,104 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around (pushdown, pruning, broadcast selection, no accidental
+cartesian products, local top-k prune) must survive refactors — a query
+that still returns correct rows but loses its PushedFilters would pass
+the oracle and silently become a 100 TB full scan."""
+
+from __future__ import annotations
+
+import pytest
+
+from file_stream_import_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def physical_plan(spark, sf_dir, name: str) -> str:
+    qe = QUERIES[name](spark, sf_dir)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    # formatted mode prints full PushedFilters / ReadSchema (toString()
+    # abbreviates them)
+    return qe.explainString(mode)
+
+
+def read_schema_cols(plan: str) -> list[str]:
+    import re
+
+    cols = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.append([f.split(":")[0] for f in m.group(1).split(",") if f])
+    return cols
+
+
+class TestPushdownAndPruning:
+    def test_q6_filters_reach_scan_and_schema_is_minimal(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "q6_forecast_revenue")
+        assert "PushedFilters: [" in plan
+        assert "GreaterThanOrEqual(l_shipdate" in plan
+        assert "LessThan(l_shipdate" in plan
+        (cols,) = read_schema_cols(plan)
+        assert set(cols) == {
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        }
+
+    def test_q1_prunes_to_seven_columns(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "q1_pricing_summary")
+        (cols,) = read_schema_cols(plan)
+        assert len(cols) == 7
+
+    def test_dimension_filters_push_into_scans(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "q3_unshipped_orders")
+        assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+class TestJoinStrategies:
+    def test_star_joins_broadcast_at_test_sf(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "q5_region_revenue")
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "CartesianProduct" not in plan
+
+    def test_no_cartesian_in_fact_joins(self, spark, sf_dir):
+        for name in (
+            "q7_nation_volume",
+            "q9_product_profit",
+            "q18_large_orders",
+            "join_range_band",
+        ):
+            assert "CartesianProduct" not in physical_plan(spark, sf_dir, name), name
+
+    def test_semi_and_anti_join_types(self, spark, sf_dir):
+        assert "LeftSemi" in physical_plan(spark, sf_dir, "q4_priority_late_ship")
+        assert "LeftAnti" in physical_plan(spark, sf_dir, "q22_idle_customers")
+
+    def test_range_join_is_bucketized_hash_not_nested_loop(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "join_range_band")
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTopKAndOrder:
+    def test_topk_prunes_locally_before_window(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "topk_per_group")
+        assert "MapInPandas" in plan
+
+    def test_top_n_uses_take_ordered(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "q10_returned_items")
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestAggregation:
+    def test_q1_aggregate_is_partial_then_final(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "q1_pricing_summary")
+        # map-side combine: partial aggregate below the exchange, final above
+        assert "partial_sum" in plan
+        assert "hashpartitioning(l_returnflag" in plan
+
+    def test_grouping_sets_single_expand(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "agg_grouping_sets")
+        # exactly one Expand node (") Expand" is the node-detail header)
+        assert plan.count(") Expand") == 1

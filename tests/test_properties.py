@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the reference-core semantics:
+last-writer-wins upsert and pagination invariants must hold for ANY
+input shape, not just the examples in test_reference_core.py.
+
+Examples are kept small and the Spark work is driver-light (collect on
+tens of rows) so each property run stays fast; deadline is disabled
+because JVM warmup makes the first example slow.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from file_stream_import_spark.operators.paginate import paginate, paginate_after
+from file_stream_import_spark.operators.upsert import merge_upsert
+
+KEYS = st.text(alphabet="abcd", min_size=1, max_size=2)
+VALS = st.text(alphabet="xyz0", min_size=0, max_size=3)
+
+prop = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def mk_batch(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "locid string, payload string, seq long",
+    )
+
+
+class TestUpsertProperties:
+    @prop
+    @given(batch=st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=12))
+    def test_last_writer_wins_within_batch(self, spark, batch):
+        got = {
+            r["locid"]: r["payload"]
+            for r in merge_upsert(
+                None, mk_batch(spark, batch), key="locid", arrival_col="seq"
+            ).collect()
+        }
+        want = {k: v for k, v in batch}  # dict insertion: later wins
+        assert got == want
+
+    @prop
+    @given(
+        first=st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=8),
+        second=st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=8),
+    )
+    def test_reimport_replaces_payload_and_keeps_id(self, spark, first, second):
+        state = merge_upsert(
+            None, mk_batch(spark, first), key="locid", arrival_col="seq"
+        ).cache()
+        ids_before = {r["locid"]: r["id"] for r in state.collect()}
+        merged = merge_upsert(
+            state, mk_batch(spark, second), key="locid", arrival_col="seq"
+        )
+        rows = merged.collect()
+        got = {r["locid"]: (r["id"], r["payload"]) for r in rows}
+        # keys survive from both sides, payload reflects the later batch
+        want_payload = {k: v for k, v in first} | {k: v for k, v in second}
+        assert {k: p for k, (_, p) in got.items()} == want_payload
+        # ids are stable across re-import and unique
+        for k, (id_, _) in got.items():
+            if k in ids_before:
+                assert id_ == ids_before[k], f"id changed for re-imported key {k}"
+        assert len({id_ for id_, _ in got.values()}) == len(got)
+
+
+class TestPaginationProperties:
+    @prop
+    @given(
+        n_rows=st.integers(min_value=0, max_value=30),
+        page_size=st.integers(min_value=1, max_value=7),
+    )
+    def test_offset_pages_partition_the_table(self, spark, n_rows, page_size):
+        df = spark.range(n_rows).selectExpr(
+            "format_string('K%03d', CAST(id AS INT)) AS k", "id AS v"
+        )
+        seen = []
+        offset = 0
+        while True:
+            page = paginate(df, ["k"], limit=page_size, offset=offset).collect()
+            seen.extend(r["k"] for r in page)
+            if len(page) < page_size:  # reference UI's last-page rule
+                break
+            offset += page_size
+        assert seen == sorted(seen)
+        assert len(seen) == n_rows and len(set(seen)) == n_rows
+
+    @prop
+    @given(
+        n_rows=st.integers(min_value=0, max_value=30),
+        page_size=st.integers(min_value=1, max_value=7),
+    )
+    def test_keyset_pages_equal_offset_pages(self, spark, n_rows, page_size):
+        df = spark.range(n_rows).selectExpr(
+            "format_string('K%03d', CAST(id AS INT)) AS k", "id AS v"
+        )
+        via_offset, offset = [], 0
+        while True:
+            page = paginate(df, ["k"], limit=page_size, offset=offset).collect()
+            via_offset.extend(r["k"] for r in page)
+            if len(page) < page_size:
+                break
+            offset += page_size
+        via_keyset, after = [], None
+        while True:
+            page = paginate_after(df, "k", after, limit=page_size).collect()
+            via_keyset.extend(r["k"] for r in page)
+            if len(page) < page_size:
+                break
+            after = page[-1]["k"]
+        assert via_keyset == via_offset
