@@ -14,6 +14,7 @@ algorithm's output (see operators/dedup.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io.tables import load_table
@@ -298,3 +299,84 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out over binary payloads (bounded to 20 docs)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     return multimodal.sample_frames(multimodal.attach_fake_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus curation: deterministic sampling + corpus reporting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_systematic",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-20 systematic sample keyed on doc_id.
+
+    Training pipelines need REPRODUCIBLE samples; rand()-based sampling
+    differs per run and per engine. A key-modulus (or hash-modulus)
+    predicate is stable, pushes down to the scan, and needs no shuffle
+    at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: a fixed quota of documents per language
+    (equal-representation curation for low-resource langs). Deterministic
+    order key (doc_id) instead of rand() for cross-run reproducibility;
+    the per-stratum quota bounds output regardless of stratum skew."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+@register(
+    "corpus_report",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per (lang, source) — the summary every
+    dataset card needs. Pure map-side-combined aggregation; the shuffle
+    carries |lang|x|source| partial rows only."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

@@ -1,3 +1,4 @@
+from .ingest import latest_state, stream_csv_upsert
 from .stateful import user_running_totals
 from .windows import (
     read_events_stream,
@@ -15,5 +16,7 @@ __all__ = [
     "sliding_counts",
     "stream_dedup",
     "user_running_totals",
+    "latest_state",
+    "stream_csv_upsert",
     "tumbling_counts",
 ]

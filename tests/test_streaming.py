@@ -223,3 +223,42 @@ class TestStatefulRunningTotals:
             assert u8 == [(1, 5.0)] and u9 == [(1, 9.0)]
         finally:
             q.stop()
+
+
+class TestContinuousCsvUpsert:
+    def test_flagship_loop_csv_drops_to_upserted_state(self, spark, tmp_path):
+        """The reference's full ingest lifecycle (SURVEY §3.1) run
+        continuously: two CSV drops → two micro-batches → final state has
+        last-writer-wins rows with stable ids."""
+        from file_stream_import_spark.streaming.ingest import (
+            latest_state,
+            stream_csv_upsert,
+        )
+
+        drop = tmp_path / "drops"
+        drop.mkdir()
+        state = str(tmp_path / "state")
+        header = "locid,loctimezone,country,locname,business\n"
+        (drop / "f1.csv").write_text(
+            header + "L1,UTC,US,First,Biz1\nL2,UTC,DE,Second,Biz2\n"
+        )
+        q = stream_csv_upsert(
+            spark, str(drop), state, str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+            s1 = {r["locid"]: r for r in latest_state(spark, state).collect()}
+            assert set(s1) == {"L1", "L2"}
+            id_l2 = s1["L2"]["id"]
+
+            (drop / "f2.csv").write_text(
+                header + "L2,UTC,DE,SecondV2,Biz2b\nL3,UTC,FR,Third,Biz3\n"
+            )
+            q.processAllAvailable()
+            s2 = {r["locid"]: r for r in latest_state(spark, state).collect()}
+            assert set(s2) == {"L1", "L2", "L3"}
+            assert s2["L2"]["locname"] == "SecondV2"  # last writer won
+            assert s2["L2"]["id"] == id_l2  # id stable across update
+            assert s2["L1"]["locname"] == "First"  # untouched rows survive
+        finally:
+            q.stop()
