@@ -58,3 +58,31 @@ def explain_has_partition_pruning(df: DataFrame) -> bool:
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     return bool(m and m.group(1).strip())
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: str | list[str],
+    num_buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+) -> None:
+    """Bucketed managed table: pre-hash-partitioned on the join key.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with NO exchange — the shuffle was paid once at write time and every
+    subsequent join/aggregation on that key reuses it. This is the
+    co-located-join answer for fact⋈fact joins (lineitem⋈orders at
+    100 TB) where neither side can broadcast; same role as the
+    reference's Postgres PK index making its upsert-by-key cheap
+    (internal/db/db.go:86).
+
+    sort_by additionally orders within buckets → sort-merge join without
+    even the sort step.
+    """
+    bcols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.format("parquet").bucketBy(num_buckets, *bcols)
+    if sort_by:
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*scols)
+    w.mode("overwrite").saveAsTable(table_name)

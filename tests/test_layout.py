@@ -82,3 +82,35 @@ class TestJsonIO:
             read_jdbc(
                 spark, "jdbc:postgresql://x/y", "t", partition_column="id"
             )
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir):
+        from file_stream_import_spark.io.layout import write_bucketed
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_bucketed(li, "t_li_bucketed", "l_orderkey", num_buckets=8)
+        write_bucketed(o, "t_o_bucketed", "o_orderkey", num_buckets=8)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force a non-broadcast join so the bucketing is what saves
+            # the shuffle
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("t_li_bucketed").join(
+                spark.table("t_o_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            # and it computes the right thing
+            assert joined.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+            spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
