@@ -380,3 +380,50 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+@register(
+    "text_length_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS mean_chars,
+           ROUND(STDDEV_SAMP(n_chars), 4) AS sd_chars,
+           ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS median_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_length_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation via applyInPandas (the UDAF path).
+
+    Each language group arrives as ONE Arrow-backed pandas frame, so
+    arbitrary Python statistics run per group; pandas ddof=1 std and
+    linear-interpolated median match STDDEV_SAMP / quantile_cont exactly.
+
+    Scale: one shuffle on the group key, like any aggregation — but NO
+    map-side combine and the whole group materializes in one task's
+    memory. Correct tool for bounded groups (languages); for
+    unbounded/skewed keys use built-in aggregates or sketches instead.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        chars = pdf["n_chars"].astype("float64")
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "mean_chars": [round(chars.mean(), 4)],
+                "sd_chars": [round(chars.std(ddof=1), 4)],
+                "median_chars": [round(chars.median(), 4)],
+            }
+        )
+
+    return d.groupBy("lang").applyInPandas(
+        stats,
+        "lang string, n_docs long, mean_chars double, sd_chars double, "
+        "median_chars double",
+    )

@@ -114,3 +114,14 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
             spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+class TestIngestMetrics:
+    def test_observe_counts_rows_in_one_pass(self, spark, sf_dir):
+        from file_stream_import_spark.io.metrics import with_ingest_metrics
+
+        orders = load_table(spark, sf_dir, "orders")
+        observed, obs = with_ingest_metrics(orders, "o9")
+        n = observed.count()  # the "real job"; metrics ride along
+        assert obs.get["n_rows"] == n
+        assert obs.get["n_key_nulls"] == 0
