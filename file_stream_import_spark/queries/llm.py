@@ -427,3 +427,41 @@ def text_length_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, n_docs long, mean_chars double, sd_chars double, "
         "median_chars double",
     )
+
+
+@register(
+    "text_bigrams_udtf",
+    oracle=r"""
+    SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+           t[u.i] || ' ' || t[u.i + 1] AS bigram
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE doc_id < 50) x,
+         UNNEST(range(1, len(t))) AS u(i)
+    """,
+)
+def text_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram expansion via a Python UDTF (1 row → N rows table
+    function), lateral-joined to the documents scan — the UDTF member of
+    the UDF/UDAF/UDTF triple (SURVEY §2.2).
+
+    Scale: the UDTF runs Arrow-batched per partition like any Python
+    worker; no shuffle is introduced — the lateral join is a per-row
+    expansion. Prefer F.explode over built-in arrays when expressible;
+    a UDTF earns its place when the expansion logic is genuinely
+    imperative (parsers, tokenizers, decoders).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, bigram string")
+    class Bigrams:
+        def eval(self, doc_id, text):
+            toks = text.split()
+            for i in range(len(toks) - 1):
+                yield doc_id, i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT b.* FROM _udtf_docs, LATERAL bigrams_udtf(doc_id, text) b"
+    )
