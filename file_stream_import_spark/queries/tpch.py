@@ -1,6 +1,7 @@
-"""TPC-H-adapted relational suite (Q4/Q7/Q8/Q9/Q10/Q13/Q14/Q15/Q16/Q17/
-Q18/Q19/Q22 shapes) over the reduced fixture schema, plus grouping sets,
-exact quantiles, histogram bucketing, and a salted-skew aggregation.
+"""TPC-H-adapted relational suite — all 22 canonical plan shapes over the
+reduced fixture schema (Q1/Q3/Q5/Q6 in queries/relational.py; Q2/Q4/Q7-Q22
+here), plus grouping sets, exact quantiles, histogram bucketing, and a
+salted-skew aggregation.
 
 The reference delegates every relational query to PostgreSQL (it only emits
 SQL strings — internal/db/db.go:63-74,112-124); this module is the breadth
@@ -845,3 +846,367 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").select("r_name")
     st = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
     return r.crossJoin(F.broadcast(st))
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part (correlated scalar-MIN subquery).
+# Fixture has no partsupp, so the part↔supplier cost relation is derived
+# from lineitem: ps_supplycost := MIN(l_extendedprice) per (part, supp) —
+# the canonical correlated-min plan shape is unchanged (TPC-H Q2;
+# reference surface: internal/db/db.go delegates all SQL to Postgres).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM ps
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ps_supplycost AS supplycost
+    FROM eligible e JOIN part ON e.ps_partkey = p_partkey
+    WHERE p_size = 15
+      AND ps_supplycost = (
+        SELECT MIN(ps_supplycost) FROM eligible e2
+        WHERE e2.ps_partkey = e.ps_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN decorrelates to a window-min over the
+    region-eligible cost relation, then an equality filter — one shuffle on
+    partkey instead of a per-row subquery.
+
+    Scale: the derived ps relation is |parts|x|supps-per-part| (far smaller
+    than lineitem after the groupBy's partial aggregation); supplier/nation/
+    region are broadcast; the window and the groupBy share the partkey
+    hash-partitioning so AQE coalesces them into adjacent stages. MIN is an
+    exact value-selection (no summation), so the equality filter is
+    bit-identical across engines.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    sup = dim(load_table(spark, sf_dir, "supplier"), "supplier")
+    nat = dim(load_table(spark, sf_dir, "nation"), "nation")
+    reg = dim(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+        "region",
+    )
+    eligible = (
+        ps.join(sup, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = eligible.withColumn(
+        "min_cost", F.min("ps_supplycost").over(w)
+    ).filter(F.col("ps_supplycost") == F.col("min_cost"))
+    prt = dim(
+        load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15), "part"
+    )
+    return (
+        best.join(prt, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important-stock: group value vs a fraction of the global total
+# (HAVING against a scalar subquery). Stock value derived from lineitem
+# revenue per part over suppliers of selected nations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH supvalue AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+               AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3','NATION_8','NATION_13','NATION_18')
+      GROUP BY 1
+    )
+    SELECT partkey, CAST(ROUND(val, 2) AS DOUBLE) AS total_value
+    FROM supvalue
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) FROM supvalue) * 0.001
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group sum filtered against a fraction of the
+    global sum (scalar subquery → 1-row broadcast join).
+
+    Determinism: both per-part and global sums are exact DECIMAL(18,6)
+    accumulations (identical in any reduction order on both engines); the
+    threshold compare happens after a deterministic IEEE double conversion,
+    so no last-ulp flips at the HAVING boundary.
+
+    Scale: one shuffle (groupBy partkey) carrying partial-aggregated rows;
+    the global total re-aggregates the small per-part frame, not lineitem;
+    the scalar joins back as a broadcast of one row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = dim(load_table(spark, sf_dir, "supplier"), "supplier")
+    nat = dim(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13", "NATION_18")
+        ),
+        "nation",
+    )
+    supvalue = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("val")
+        )
+    )
+    total = supvalue.agg(
+        F.sum("val").cast("double").alias("grand_total")
+    )
+    return (
+        supvalue.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("grand_total") * F.lit(0.001))
+        .select(
+            "partkey",
+            F.round(F.col("val"), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — priority-class line counts by return class (CASE aggregation with a
+# cross-table date comparison). Fixture has no l_shipmode/l_commitdate/
+# l_receiptdate: return-flag classes stand in for ship modes and
+# "shipped ≥30 days after order" stands in for the commit/receipt lag.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_priority_classes",
+    oracle="""
+    SELECT l_returnflag AS return_class,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional CASE aggregation into two
+    pivoted counters.
+
+    Scale: the date range and returnflag filters push to the lineitem scan
+    (PushedFilters); the join shuffles on orderkey with the non-equi date
+    lag applied post-join; partial aggregation reduces each task's output
+    to ≤2 rows before the final 2-row exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= _TS("1996-01-01"))
+        & (F.col("l_shipdate") < _TS("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.expr("l_shipdate >= o_orderdate + INTERVAL 30 DAY"))
+        .groupBy(F.col("l_returnflag").alias("return_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with excess stock of selected parts (nested IN
+# subqueries). "Stock" is derived from shipped quantity per (supp, part).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 50
+      )
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: two nested IN subqueries — part-name filter feeds a
+    grouped HAVING feeds a semi join on supplier.
+
+    Scale: the filtered part list broadcasts into a LEFT SEMI against
+    lineitem (no fan-out); the (supp, part) groupBy carries partial sums;
+    the surviving supplier keys are tiny and semi-join (broadcast) into the
+    supplier dimension. Quantity sums are exact decimals, so the HAVING
+    threshold cannot flip between engines.
+    """
+    prt = dim(
+        load_table(spark, sf_dir, "part").filter(
+            F.col("p_name").startswith("large")
+        ),
+        "part",
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _TS("1996-01-01"))
+            & (F.col("l_shipdate") < _TS("1997-01-01"))
+        )
+        .join(prt, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    excess_keys = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = dim(load_table(spark, sf_dir, "nation"), "nation")
+    reg = dim(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+        "region",
+    )
+    return (
+        sup.join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(excess_keys, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept multi-supplier orders waiting (EXISTS +
+# NOT EXISTS self-joins on lineitem). "Late" is shipped >60 days after the
+# order date (fixture has no commit/receipt dates).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair collapses into per-order
+    distinct-supplier counts — a line qualifies iff its order has >1
+    distinct supplier (EXISTS) and exactly one distinct LATE supplier
+    (NOT EXISTS, since the qualifying line itself is late).
+
+    Scale: instead of two more shuffles of lineitem for the self-joins,
+    both counts come from collect_set window aggregates over the SAME
+    orderkey partitioning the orders join already established — one shuffle
+    total, and the per-order sets are bounded by lines-per-order (~7), so
+    no skew risk.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAY")
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late", late
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = lo.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w)
+        ),
+    )
+    qual = flagged.filter(
+        F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    sup = dim(load_table(spark, sf_dir, "supplier"), "supplier")
+    nat = dim(load_table(spark, sf_dir, "nation"), "nation")
+    reg = dim(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+        "region",
+    )
+    return (
+        qual.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
