@@ -648,16 +648,26 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
       )
       AND NOT EXISTS (
-        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
       )
     GROUP BY n_name
     """,
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar AVG subquery + NOT EXISTS anti join,
-    grouped by nation instead of phone prefix (fixtures have no phone)."""
+    grouped by nation instead of phone prefix (fixtures have no phone).
+    "Idle" is no order since 2000 — the fixtures give every customer at
+    least one order ever, so the canonical no-orders-at-all predicate is
+    degenerate (0 rows ≤ sf0.1); the date-bounded anti join keeps the
+    plan shape and yields a non-trivial result at every fixture scale."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _TS("2000-01-01"))
+        .select("o_custkey")
+    )
     n = load_table(spark, sf_dir, "nation")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("avg_bal")
