@@ -263,3 +263,60 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document that
+    appears in a pair gets a ``cluster_id`` = the smallest doc id
+    reachable through the dup graph (the canonical representative a
+    dedup pipeline keeps).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (dups of a common
+    source), so 3-5 rounds in practice. Each round is one shuffle of the
+    (src, label) edge join; lineage is cut with localCheckpoint so the
+    plan doesn't grow superlinearly. At 100 TB scale swap the loop body
+    for the large-star/small-star iteration (Kiveris et al.) — same
+    driver-loop skeleton, provably O(log n) rounds on adversarial
+    graphs.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("id", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+    )

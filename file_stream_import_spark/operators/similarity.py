@@ -234,3 +234,138 @@ def cosine_neardup_dedup(
     # any id_b appearing in a pair has a smaller near-dup → drop it
     doomed = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
     return vectors.join(doomed, id_col, "left_anti").select(id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer variant of the scale path.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer centroids: the ``n_centroids``
+    vectors that sort first by ``md5(id)`` — a uniform pseudo-random
+    sample that is reproducible across runs, cluster sizes, AND engines
+    (DuckDB's md5 of the same string agrees), so the whole IVF pipeline
+    stays oracle-checkable. Sampled-vector centroids are the classic
+    cheap init for IVF (k-means refinement would improve balance but
+    breaks cross-engine determinism; see module docstring).
+
+    The TopK sort is a per-partition prune + driver merge of
+    ``n_centroids`` rows — no global sort, and only C rows ever reach
+    the driver, so this scales to any vector count.
+    """
+    rows = (
+        vectors.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in rows]
+
+
+def _centroid_lit(cents: list[tuple[int, list[float]]]):
+    """Centroid table as a literal array<struct<cid,cv>> — broadcast in
+    the task closure, so centroid scoring is a pure projection (no join,
+    no shuffle). For C beyond ~10k switch to a broadcast DataFrame +
+    Pandas UDF; at the classic IVF sweet spot (C ≈ sqrt(N)) the closure
+    form holds well past 10^8 vectors."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("bigint").alias("cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+            )
+            for cid, cv in cents
+        ]
+    )
+
+
+def _centroid_scores(cent_lit, v: Column):
+    """array<struct<negcos,cid>> — negated cosine so ascending struct
+    order ranks best-first with ties broken by smallest cid."""
+    return F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            (-cosine(c.getField("cv"), v)).alias("negcos"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cid",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-cosine) centroid — the
+    inverted-list key. Pure projection: zero shuffle at any scale; write
+    the result partitioned by ``out_col`` to get on-disk inverted lists."""
+    scores = _centroid_scores(_centroid_lit(cents), F.col(vec_col).cast("array<double>"))
+    return df.withColumn(out_col, F.array_min(scores).getField("cid"))
+
+
+def ivf_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose inverted list is
+    among the query's ``nprobe`` nearest centroids.
+
+    Scale: candidate generation touches ~nprobe/C of the corpus per query
+    instead of all of it; queries (exploded to one row per probed list)
+    broadcast into the assigned-vector side, so the only data-sized cost
+    is the scan + the per-query top-k window over candidates. Same output
+    contract as knn_bruteforce.
+    """
+    cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    lit = _centroid_lit(cents)
+    v = ivf_assign(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("vv"),
+        ),
+        cents,
+        vec_col="vv",
+        out_col="vcid",
+    )
+    probe_cids = F.slice(F.array_sort(_centroid_scores(lit, F.col("qv"))), 1, nprobe)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("pcid", F.explode(F.transform(probe_cids, lambda s: s.getField("cid"))))
+    )
+    scored = (
+        v.join(
+            F.broadcast(q),
+            (F.col("vcid") == F.col("pcid"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos", cosine(F.col("qv"), F.col("vv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

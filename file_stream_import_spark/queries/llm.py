@@ -194,6 +194,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, threshold=0.8)
 
 
+_CLUSTER_ORACLE = r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    praw AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT doc_a, doc_b FROM praw p
+      JOIN sizes x ON p.doc_a = x.doc_id
+      JOIN sizes y ON p.doc_b = y.doc_id
+      WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp
+      UNION ALL SELECT doc_b, doc_a FROM jp
+    ),
+    cc(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM cc GROUP BY id
+    """
+
+
+@register("dedup_clusters", oracle=_CLUSTER_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: 3-gram Jaccard pairs (threshold 0.8)
+    → connected components → smallest-id representative per cluster.
+    The oracle computes the same components with a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    return dedup.cluster_pairs(pairs)
+
+
 @register("dedup_simhash")  # rows-only: xxhash64 bit voting is Spark-side
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 3."""
@@ -242,6 +289,60 @@ def ann_cosine_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_knn(
         e, e.filter(F.col("vec_id") < 10), k=5, num_planes=6
+    )
+
+
+@register(
+    "ann_cosine_ivf_knn",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS ark
+      FROM e CROSS JOIN cent
+    ),
+    a AS (SELECT vec_id, v, cid FROM assign WHERE ark = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS prk
+      FROM q CROSS JOIN cent
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(a.v, p.qv) AS cos
+      FROM (SELECT * FROM probes WHERE prk <= 2) p
+      JOIN a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_cosine_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: md5-sampled coarse quantizer (C=8), probe
+    the 2 nearest inverted lists per query. Deterministic end-to-end, so
+    unlike the LSH variants the full pipeline is oracle-checked —
+    centroid choice, list assignment, probe order, and final ranking."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=2
     )
 
 

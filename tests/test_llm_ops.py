@@ -45,6 +45,27 @@ class TestDedup:
         assert pairs[(0, 2)] == 1.0  # exact dup
         assert not any(3 in p or 4 in p for p in pairs)
 
+    def test_cluster_pairs_transitive_multi_hop(self, spark):
+        # Chain 1-2, 2-3, plus isolated pair 10-11: components must close
+        # transitively (1,2,3 share a cluster even with no 1-3 edge).
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.cluster_pairs(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_cluster_pairs_long_chain_converges(self, spark):
+        # Path graph 0-1-...-9: worst-case diameter for label propagation.
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+        )
+        got = dedup.cluster_pairs(pairs).collect()
+        assert {r["cluster_id"] for r in got} == {0}
+        assert len(got) == 10
+
     def test_minhash_lsh_matches_exact_jaccard(self, spark, docs):
         exact = sorted(
             (r["doc_a"], r["doc_b"], r["jaccard"])
@@ -148,6 +169,39 @@ class TestSimilarity:
         assert all(r["neighbor_id"] != 0 for r in out)
         ranks = sorted(r["rk"] for r in out)
         assert ranks == list(range(1, len(ranks) + 1))
+
+    def test_ivf_assign_uses_only_centroid_ids(self, spark, vectors):
+        cents = similarity.ivf_centroids(vectors, n_centroids=3)
+        assert len(cents) == 3
+        cids = {cid for cid, _ in cents}
+        assigned = similarity.ivf_assign(vectors, cents)
+        assert {r["ivf_cid"] for r in assigned.collect()} <= cids
+
+    def test_ivf_assign_picks_max_cosine_centroid(self, spark, vectors):
+        # Force known centroids: 0 (x-axis) and 2 (y-axis).
+        cents = [(0, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]
+        got = {
+            r["vec_id"]: r["ivf_cid"]
+            for r in similarity.ivf_assign(vectors, cents).collect()
+        }
+        assert got[1] == 0  # near x-axis
+        assert got[2] == 2  # on y-axis
+        assert got[4] == 0  # 45° tie -> smallest cid
+
+    def test_ivf_knn_full_probe_matches_bruteforce(self, spark, vectors):
+        # nprobe == n_centroids -> every list probed -> exact result.
+        q = vectors.filter(F.col("vec_id") == 0)
+        exact = {
+            (r["query_id"], r["neighbor_id"], r["rk"])
+            for r in similarity.knn_bruteforce(vectors, q, k=4).collect()
+        }
+        ivf = {
+            (r["query_id"], r["neighbor_id"], r["rk"])
+            for r in similarity.ivf_knn(
+                vectors, q, k=4, n_centroids=3, nprobe=3
+            ).collect()
+        }
+        assert ivf == exact
 
     def test_ann_pairs_finds_close_pair(self, spark, vectors):
         pairs = {
