@@ -11,7 +11,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io.tables import load_table
-from ..streaming.windows import session_counts, sliding_counts, tumbling_counts
+from ..streaming.windows import (
+    attribution_join,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
 from . import register
 
 
@@ -178,3 +183,27 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("n_events").alias("n_events"),
         F.max_by("sum_value", "n_events").alias("sum_value"),
     )
+
+
+@register(
+    "stream_attribution_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 4 HOUR
+    """,
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase interval join (batch form of the stream-stream
+    join; the streaming twin with watermark-bounded state is exercised
+    in tests/test_streaming.py)."""
+    return attribution_join(load_table(spark, sf_dir, "events"))

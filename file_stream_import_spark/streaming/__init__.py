@@ -1,6 +1,7 @@
 from .ingest import latest_state, stream_csv_upsert
 from .stateful import user_running_totals
 from .windows import (
+    attribution_join,
     read_events_stream,
     run_to_memory,
     session_counts,
@@ -10,6 +11,7 @@ from .windows import (
 )
 
 __all__ = [
+    "attribution_join",
     "read_events_stream",
     "run_to_memory",
     "session_counts",

@@ -127,3 +127,51 @@ def run_to_memory(
     )
     q.processAllAvailable()
     return q
+
+
+def attribution_join(
+    events: DataFrame,
+    within: str = "4 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every purchase a user makes within
+    ``within`` after one of their clicks (click→purchase attribution).
+
+    Streaming semantics: both sides carry watermarks and the join
+    condition bounds purchase time to (click_ts, click_ts + within], so
+    Spark can evict click state once the purchase-side watermark passes
+    click_ts + within — state is bounded by the interval, not the stream
+    length. Works identically on a batch frame (no watermarks needed).
+
+    Scale: the join shuffles both sides on user_id; the time bound keeps
+    per-key state small even for hot users. Output order is undefined
+    (streaming append) — consumers sort or aggregate downstream.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias(
+            "lag_us"
+        ),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from file_stream_import_spark.io.tables import load_table
 from file_stream_import_spark.streaming import (
+    attribution_join,
     read_events_stream,
     run_to_memory,
     session_counts,
@@ -56,6 +57,30 @@ class TestStreamBatchParity:
             # emitted window must match its batch twin, and most must emit
             assert got and all(got[k] == want[k] for k in got)
             assert len(got) >= len(want) - 10  # only the tail can be open
+        finally:
+            q.stop()
+
+    def test_attribution_join_stream_equals_batch(self, spark, sf_dir, tmp_path):
+        events = load_table(spark, sf_dir, "events")
+        src = str(tmp_path / "events_stream")
+        write_events(events, src)
+        name = qname()
+        q = run_to_memory(
+            attribution_join(read_events_stream(spark, src)), name, "append"
+        )
+        try:
+            got = {
+                (r["click_id"], r["purchase_id"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+            want = {
+                (r["click_id"], r["purchase_id"])
+                for r in attribution_join(events).collect()
+            }
+            # stream-stream inner join emits matches as both sides arrive;
+            # a single-file source delivers everything in one micro-batch,
+            # so the streamed result must equal the batch join exactly
+            assert got == want and got
         finally:
             q.stop()
 
