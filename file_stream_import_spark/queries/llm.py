@@ -566,3 +566,55 @@ def text_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT b.* FROM _udtf_docs, LATERAL bigrams_udtf(doc_id, text) b"
     )
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(
+        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+')) AS BIGINT)
+        AS n_bpe_tokens,
+      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        AS n_ws_tokens,
+      ROUND(len(regexp_extract_all(
+        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+')) * 1.0
+        / len(string_split_regex(trim(text), '\s+')), 4)
+        AS bpe_per_ws
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: letter runs / digit runs / punctuation runs
+    as separate tokens (the pre-tokenization split every BPE vocabulary
+    applies), next to the whitespace count and their ratio — the signal a
+    training pipeline uses to estimate token budgets per document. The
+    pattern sticks to a regex subset Java and RE2 interpret identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+"), 0
+        )
+    )
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        ws.cast("bigint").alias("n_ws_tokens"),
+        F.round(bpe * F.lit(1.0) / ws, 4).alias("bpe_per_ws"),
+    )
+
+
+@register("agg_approx_quantiles")  # rows-only: sketch internals differ by engine
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles of order totals per status via Spark's
+    Greenwald-Khanna sketch (single pass, mergeable partials — the scale
+    path where exact quantiles' full sort is unaffordable). Accuracy vs
+    the exact quantiles is asserted in tests/test_llm_ops.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", 0.5, 1000).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", 0.95, 1000).alias("p95_approx"),
+        F.count("*").alias("n_orders"),
+    )

@@ -1049,3 +1049,80 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_right").alias("purchase_event_id"),
         F.round("value_right", 2).alias("purchase_value"),
     )
+
+
+@register(
+    "resample_hourly_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+      FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.bucket, h.n, h.sv
+      FROM spine s
+      LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.bucket = h.bucket
+    )
+    SELECT event_type,
+           STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           last_value(sv IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value_ffill
+    FROM j
+    """,
+)
+def resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: dense hourly grid per event type, zero
+    counts for silent hours, last hourly value-sum carried forward
+    (operators/timeseries.py — sequence()+explode spine, no UDF)."""
+    from ..operators.timeseries import resample_ffill
+
+    return resample_ffill(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "window_navigation",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+      ROUND(LAG(o_totalprice) OVER w, 2)  AS prev_price,
+      ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+      STRFTIME(FIRST_VALUE(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S')
+        AS first_order_ts,
+      CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+        AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: lag/lead/first_value per customer
+    order history plus a global ntile quartile. All Catalyst built-ins;
+    the per-customer windows share one shuffle on o_custkey, the global
+    ntile is a single-partition sort of the (price, key) projection only.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wg = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.date_format(
+            F.first("o_orderdate").over(w), "yyyy-MM-dd HH:mm:ss"
+        ).alias("first_order_ts"),
+        F.ntile(4).over(wg).cast("bigint").alias("price_quartile"),
+    )

@@ -213,6 +213,31 @@ class TestSimilarity:
         assert (0, 1) in pairs
 
 
+class TestApproxQuantiles:
+    def test_sketch_tracks_exact_quantiles(self, spark, sf_dir):
+        from file_stream_import_spark.queries.llm import agg_approx_quantiles
+
+        got = {
+            r["o_orderstatus"]: r for r in agg_approx_quantiles(spark, sf_dir).collect()
+        }
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        exact = {
+            r["o_orderstatus"]: r
+            for r in o.groupBy("o_orderstatus")
+            .agg(
+                F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+                F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+            )
+            .collect()
+        }
+        for status, row in got.items():
+            # GK sketch with accuracy=1000 is within 1/1000 rank error;
+            # on the fixture's smooth price distribution that is well
+            # under 5% relative value error
+            assert abs(row["p50_approx"] - exact[status]["p50"]) <= 0.05 * exact[status]["p50"]
+            assert abs(row["p95_approx"] - exact[status]["p95"]) <= 0.05 * exact[status]["p95"]
+
+
 class TestMultimodal:
     def test_metadata_deterministic_and_complete(self, spark, docs):
         meta = extract_image_metadata(attach_fake_payload(docs))
