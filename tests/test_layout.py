@@ -125,3 +125,49 @@ class TestIngestMetrics:
         n = observed.count()  # the "real job"; metrics ride along
         assert obs.get["n_rows"] == n
         assert obs.get["n_key_nulls"] == 0
+
+
+class TestOrcAndText:
+    def test_orc_round_trip_and_filter_pushdown(self, spark, sf_dir, tmp_path):
+        import pytest
+
+        from file_stream_import_spark.io.formats import (
+            read_avro,
+            read_orc,
+            write_orc,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        path = str(tmp_path / "orders_orc")
+        write_orc(orders, path)
+        back = read_orc(spark, path)
+        assert back.count() == orders.count()
+        assert set(back.columns) == set(orders.columns)
+        # filter must reach the ORC scan, same contract as parquet
+        plan = (
+            back.filter(F.col("o_orderkey") == 42)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [" in plan and "o_orderkey" in plan.split(
+            "PushedFilters"
+        )[1][:120]
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro(spark, path)
+
+    def test_text_lines_per_file_numbering(self, spark, tmp_path):
+        from file_stream_import_spark.io.formats import read_text_lines
+
+        d = tmp_path / "shards"
+        d.mkdir()
+        (d / "s0.txt").write_text("alpha\nbeta\ngamma\n")
+        (d / "s1.txt").write_text("one\ntwo\n")
+        rows = read_text_lines(spark, str(d)).collect()
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r["source_file"].rsplit("/", 1)[-1], []).append(
+                (r["line_no"], r["text"])
+            )
+        assert sorted(by_file["s0.txt"]) == [(0, "alpha"), (1, "beta"), (2, "gamma")]
+        assert sorted(by_file["s1.txt"]) == [(0, "one"), (1, "two")]

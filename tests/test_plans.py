@@ -102,3 +102,34 @@ class TestAggregation:
         plan = physical_plan(spark, sf_dir, "agg_grouping_sets")
         # exactly one Expand node (") Expand" is the node-detail header)
         assert plan.count(") Expand") == 1
+
+
+class TestScalePathOperators:
+    def test_ivf_assignment_is_pure_projection(self, spark, sf_dir):
+        # the coarse quantizer lives in the task closure — if assignment
+        # ever grows an Exchange it has regressed to a join-based argmax
+        from file_stream_import_spark.io.tables import load_table
+        from file_stream_import_spark.operators import similarity
+
+        e = load_table(spark, sf_dir, "embeddings")
+        cents = similarity.ivf_centroids(e, 4)
+        plan = (
+            similarity.ivf_assign(e, cents)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_q21_single_fact_shuffle_no_self_joins(self, spark, sf_dir):
+        # EXISTS/NOT-EXISTS collapse into window aggregates: lineitem must
+        # be scanned once, not three times (l1/l2/l3 of the SQL form)
+        plan = physical_plan(spark, sf_dir, "q21_waiting_suppliers")
+        assert plan.count("lineitem.parquet") == 1
+
+    def test_gapfill_spine_is_generated_not_joined_wide(self, spark, sf_dir):
+        # the dense grid comes from sequence()+explode (Generate node),
+        # never from a driver-collected range or a cross join
+        plan = physical_plan(spark, sf_dir, "resample_hourly_gapfill")
+        assert ") Generate" in plan and "explode(sequence(" in plan
+        assert "CartesianProduct" not in plan

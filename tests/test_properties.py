@@ -115,3 +115,42 @@ class TestPaginationProperties:
                 break
             after = page[-1]["k"]
         assert via_keyset == via_offset
+
+
+class TestClusterProperties:
+    @prop
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=15),
+                st.integers(min_value=0, max_value=15),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_components_match_union_find(self, spark, edges):
+        from file_stream_import_spark.operators.dedup import cluster_pairs
+
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges],
+            "doc_a long, doc_b long",
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+
+        # reference: classic union-find over the same edges
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        assert got == want
