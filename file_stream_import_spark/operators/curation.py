@@ -1,0 +1,231 @@
+"""Training-corpus curation operators: PII redaction, benchmark
+contamination checking, repetition (quality) signals, sequence packing,
+and deterministic global shuffle.
+
+These are the north-star pipeline ops (BASELINE.json) with no reference
+counterpart — the reference's only text handling is CSV field extraction
+(internal/writer/writer.go:93-99). Everything here is built-in
+`pyspark.sql.functions` (WholeStageCodegen, no Python in the hot path),
+so each op scales linearly with executors:
+
+* redaction / repetition — pure per-row projections: no shuffle at all;
+* contamination — one shuffle to distinct the benchmark n-grams plus a
+  hash join; the benchmark side is bounded (a benchmark suite does not
+  grow with the corpus), so AQE turns it into a broadcast join at scale;
+* packing — window cum-sum partitioned by source shard: each partition
+  is one shard, never the whole corpus;
+* shuffle — a single range-partitioned global sort by a seeded hash,
+  the same cost as any ORDER BY; no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def redact_pii(
+    df: DataFrame,
+    name_col: str,
+    numeric_col: str,
+    bucket: int = 500,
+) -> DataFrame:
+    """Pseudonymize direct identifiers, keep analytic utility.
+
+    - ``name_token``: stable md5 of the identifier (joinable, not
+      reversible);
+    - ``name_masked``: every digit except the last 4 characters masked
+      with 'X' (the last-4 display form used for phone/account numbers —
+      applied to whatever string column carries the identifying digits);
+    - ``<numeric>_bucket``: the numeric quasi-identifier generalized to
+      a coarse bucket (k-anonymity-style coarsening).
+
+    Pure projection — no shuffle, fully codegen'd.
+    """
+    s = F.col(name_col)
+    masked = F.concat(
+        F.regexp_replace(
+            s.substr(F.lit(1), F.length(s) - 4), "[0-9]", "X"
+        ),
+        s.substr(F.length(s) - 3, F.lit(4)),
+    )
+    return (
+        df.withColumn("name_token", F.md5(s))
+        .withColumn("name_masked", masked)
+        .withColumn(
+            f"{numeric_col}_bucket",
+            (F.floor(F.col(numeric_col) / bucket) * bucket).cast("bigint"),
+        )
+    )
+
+
+def word_ngrams(text_col: str, n: int) -> F.Column:
+    """ALL word n-grams of a text column, duplicates preserved, in
+    order (contrast dedup.shingles, which distincts and explodes)."""
+    t = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+    # CaseWhen evaluates branches lazily, so the descending sequence(1, 0)
+    # a short document would produce is never constructed
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_repetition_ratio(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of word n-grams that
+    are repeats of an earlier n-gram in the same document
+    (1 - distinct/total). High values flag boilerplate / spam /
+    degenerate generations. Rows with fewer than n tokens are dropped
+    (no n-grams exist). Per-row arrays only — no shuffle."""
+    grams = word_ngrams(text_col, n)
+    return (
+        df.withColumn("_g", grams)
+        .filter(F.size("_g") > 0)
+        .withColumn("n_grams", F.size("_g").cast("bigint"))
+        .withColumn(
+            "n_distinct_grams", F.size(F.array_distinct("_g")).cast("bigint")
+        )
+        .withColumn(
+            "dup_gram_ratio",
+            F.round(1 - F.col("n_distinct_grams") / F.col("n_grams"), 4),
+        )
+        .drop("_g")
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark-contamination check (the n-gram overlap test used for
+    pretraining-set hygiene): for each training document, the fraction
+    of its distinct k-gram shingles that appear anywhere in the
+    benchmark corpus.
+
+    Plan shape: benchmark → distinct shingles (one small shuffle; the
+    benchmark is bounded so at scale AQE broadcasts it), train →
+    exploded distinct shingles → hash left-join → per-doc re-aggregate.
+    The train side is never collected or crossed with itself.
+    """
+    from .dedup import shingles
+
+    ev = (
+        shingles(benchmark, id_col=id_col, text_col=text_col, k=k)
+        .select(F.col("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr = shingles(train, id_col=id_col, text_col=text_col, k=k)
+    ratio = F.col("n_hits") / F.col("n_shingles")
+    return (
+        tr.join(ev, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .withColumn("contamination_ratio", F.round(ratio, 4))
+        .withColumn("is_contaminated", ratio >= threshold)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    shard_col: str,
+    order_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    a deterministic order within each shard and sliced into fixed
+    ``seq_len``-token training sequences; each document learns its token
+    offset and the first/last sequence index it lands in.
+
+    The cum-sum window is partitioned by shard — the unit a writer task
+    owns — so no executor ever sees more than one shard's documents and
+    there is no global single-partition bottleneck. (A corpus-global
+    offset, when wanted, is the standard two-level fix: per-shard totals
+    are tiny — one row per shard — broadcast back as base offsets.)
+    """
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    n = F.col(token_count_col)
+    offset = F.sum(token_count_col).over(w) - n
+    return (
+        df.withColumn("tok_offset", offset.cast("bigint"))
+        .withColumn(
+            "seq_first", F.floor(F.col("tok_offset") / seq_len).cast("bigint")
+        )
+        .withColumn(
+            "seq_last",
+            F.floor((F.col("tok_offset") + n - 1) / seq_len).cast("bigint"),
+        )
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: str = "seed=42"
+) -> DataFrame:
+    """Seeded, reproducible global training order: rank by
+    md5(seed || id). Identical output on every run and engine (no RNG
+    state), which is what makes training runs resumable/comparable.
+
+    A naive ``row_number() OVER (ORDER BY key)`` is a single-partition
+    window — the classic global-sequence bottleneck. Instead the rank is
+    computed two-level: the first hex byte of the hash pre-buckets rows
+    into 256 uniform groups (lowercase-hex lexicographic order equals
+    the byte's numeric order, so (bucket, key) sorts identically to
+    key); ranks are local per bucket, and each bucket's base offset
+    comes from a 256-row cum-sum broadcast back. Both shuffles are
+    256-way parallel; nothing ever funnels through one task.
+    """
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    keyed = df.withColumn("shuffle_key", key).withColumn(
+        "_bkt", F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
+    )
+    local = keyed.withColumn(
+        "_local",
+        F.row_number().over(
+            W.partitionBy("_bkt").orderBy("shuffle_key", id_col)
+        ),
+    )
+    bases = (
+        keyed.groupBy("_bkt")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("_bkt").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_base")
+    )
+    return (
+        local.join(F.broadcast(bases), "_bkt")
+        .withColumn(
+            "shuffle_pos", (F.col("_base") + F.col("_local")).cast("bigint")
+        )
+        .drop("_bkt", "_local", "_base")
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io.tables import load_table
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import curation, dedup, multimodal, similarity, text
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -617,4 +617,183 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("o_totalprice", 0.5, 1000).alias("p50_approx"),
         F.approx_percentile("o_totalprice", 0.95, 1000).alias("p95_approx"),
         F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_redaction",
+    oracle="""
+    SELECT c_custkey,
+      md5(c_name) AS name_token,
+      concat(
+        regexp_replace(substr(c_name, 1, length(c_name) - 4),
+                       '[0-9]', 'X', 'g'),
+        substr(c_name, length(c_name) - 3, 4)) AS name_masked,
+      CAST(FLOOR(c_acctbal / 500) * 500 AS BIGINT) AS c_acctbal_bucket
+    FROM customer
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization over the customer table: stable md5 token,
+    identifying digit run masked to last-4, account balance generalized
+    to a $500 bucket. Pure codegen projection — no shuffle (see
+    operators/curation.py)."""
+    c = load_table(spark, sf_dir, "customer")
+    return curation.redact_pii(c, "c_name", "c_acctbal", bucket=500).select(
+        "c_custkey", "name_token", "name_masked", "c_acctbal_bucket"
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1]) AS grams
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT doc_id,
+      CAST(len(grams) AS BIGINT) AS n_grams,
+      CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+      ROUND(1 - len(list_distinct(grams)) * 1.0 / len(grams), 4)
+        AS dup_gram_ratio
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-bigram ratio per document (boilerplate /
+    spam signal). Per-row arrays only — no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.with_repetition_ratio(d).select(
+        "doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio"
+    )
+
+
+@register(
+    "contamination_check",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM t WHERE len(toks) >= 3)
+    ), ev AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_hits,
+      ROUND(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+            / COUNT(*), 4) AS contamination_ratio,
+      SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        / COUNT(*) >= 0.2 AS is_contaminated
+    FROM sh s LEFT JOIN ev e USING (shingle)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination n-gram overlap: every 97th document plays
+    the held-out benchmark; each training doc reports what fraction of
+    its distinct 3-gram shingles appear in the benchmark corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return curation.contamination_report(train, bench, k=3, threshold=0.2)
+
+
+@register(
+    "seq_packing",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+        len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS tok_offset
+      FROM t
+    )
+    SELECT doc_id, source,
+      CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(tok_offset AS BIGINT) AS tok_offset,
+      CAST(FLOOR(tok_offset / 256.0) AS BIGINT) AS seq_first,
+      CAST(FLOOR((tok_offset + n_tokens - 1) / 256.0) AS BIGINT) AS seq_last
+    FROM c
+    """,
+)
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 256-token training
+    sequences, cum-sum windowed per source shard (never a global
+    single-partition window — see operators/curation.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.withColumn("n_tokens", F.size(text.tokens()).cast("bigint"))
+    return curation.pack_sequences(
+        t, "n_tokens", shard_col="source", order_col="doc_id", seq_len=256
+    ).select("doc_id", "source", "n_tokens", "tok_offset", "seq_first", "seq_last")
+
+
+@register(
+    "train_shuffle",
+    oracle="""
+    SELECT doc_id,
+      md5(concat('seed=42:', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+      CAST(ROW_NUMBER() OVER (
+        ORDER BY md5(concat('seed=42:', CAST(doc_id AS VARCHAR))), doc_id)
+        AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global training order (md5 rank), computed
+    two-level (256 hash-prefix buckets + broadcast base offsets) so no
+    single task ever ranks the whole corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.deterministic_shuffle(d, "doc_id").select(
+        "doc_id", "shuffle_key", "shuffle_pos"
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+      ROUND(sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+      ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        / len(embedding), 4) + 0.0 AS mean_val,
+      ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+        AS max_val
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene stats via higher-order array functions (transform/
+    aggregate/array_max) — all JVM-side, no UDF: the pre-normalization
+    pass an embedding pipeline runs before cosine retrieval."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    fsum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(fsum(sq)), 4).alias("l2_norm"),
+        (F.round(fsum(dbl) / F.size("embedding"), 4) + 0.0).alias("mean_val"),
+        F.round(F.array_max(dbl), 4).alias("max_val"),
     )

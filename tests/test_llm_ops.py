@@ -263,3 +263,91 @@ class TestMultimodal:
             for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
         }
         assert all(c >= 3 for c in counts.values())  # texts ≥ 48 bytes
+
+
+class TestCuration:
+    def test_redact_pii_masks_all_but_last4(self, spark):
+        from file_stream_import_spark.operators.curation import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "Customer#000000042", 1234.56), (2, "Customer#000099999", -50.0)],
+            "k long, name string, bal double",
+        )
+        out = {r["k"]: r for r in redact_pii(df, "name", "bal").collect()}
+        assert out[1]["name_masked"] == "Customer#XXXXX0042"
+        assert out[2]["name_masked"] == "Customer#XXXXX99999"[:9] + "XXXXX" + "9999"
+        assert out[1]["bal_bucket"] == 1000
+        assert out[2]["bal_bucket"] == -500  # floor, not trunc
+        assert len(out[1]["name_token"]) == 32
+
+    def test_repetition_ratio_known_answer(self, spark):
+        from file_stream_import_spark.operators.curation import (
+            with_repetition_ratio,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a b a b a b"), (1, "all distinct words here"), (2, "solo")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in with_repetition_ratio(df).collect()}
+        # bigrams of doc 0: ab ba ab ba ab -> 5 total, 2 distinct
+        assert rows[0]["n_grams"] == 5 and rows[0]["n_distinct_grams"] == 2
+        assert rows[0]["dup_gram_ratio"] == 0.6
+        assert rows[1]["dup_gram_ratio"] == 0.0
+        assert 2 not in rows  # <2 tokens -> no bigrams -> dropped
+
+    def test_contamination_flags_planted_overlap(self, spark):
+        from file_stream_import_spark.operators.curation import (
+            contamination_report,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon"),  # fully contaminated
+                (1, "zeta eta theta iota kappa lambada"),  # clean
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               contamination_report(train, bench).collect()}
+        assert out[0]["contamination_ratio"] == 1.0 and out[0]["is_contaminated"]
+        assert out[1]["n_hits"] == 0 and not out[1]["is_contaminated"]
+
+    def test_pack_sequences_offsets_contiguous_per_shard(self, spark):
+        from file_stream_import_spark.operators.curation import pack_sequences
+
+        rows = [(i, f"s{i % 2}", 100 + 30 * i) for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+        out = pack_sequences(df, "n", "source", "doc_id", seq_len=256)
+        by_shard: dict[str, list] = {}
+        for r in sorted(out.collect(), key=lambda r: (r["source"], r["doc_id"])):
+            by_shard.setdefault(r["source"], []).append(r)
+        for shard_rows in by_shard.values():
+            expect = 0
+            for r in shard_rows:
+                assert r["tok_offset"] == expect
+                assert r["seq_first"] == r["tok_offset"] // 256
+                assert r["seq_last"] == (r["tok_offset"] + r["n"] - 1) // 256
+                assert r["seq_first"] <= r["seq_last"]
+                expect += r["n"]
+
+    def test_deterministic_shuffle_is_stable_permutation(self, spark):
+        from file_stream_import_spark.operators.curation import (
+            deterministic_shuffle,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+        out = deterministic_shuffle(df, "doc_id").collect()
+        # exact permutation of 1..N
+        assert sorted(r["shuffle_pos"] for r in out) == list(range(1, 301))
+        # two-level rank == plain rank by (key, id)
+        by_key = sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+        assert [r["shuffle_pos"] for r in by_key] == list(range(1, 301))
+        # rerun identical (no RNG state)
+        again = deterministic_shuffle(df, "doc_id").collect()
+        assert {r["doc_id"]: r["shuffle_pos"] for r in again} == {
+            r["doc_id"]: r["shuffle_pos"] for r in out
+        }

@@ -133,3 +133,14 @@ class TestScalePathOperators:
         plan = physical_plan(spark, sf_dir, "resample_hourly_gapfill")
         assert ") Generate" in plan and "explode(sequence(" in plan
         assert "CartesianProduct" not in plan
+
+    def test_train_shuffle_has_no_corpus_wide_single_partition(self, spark, sf_dir):
+        # the global rank is two-level: the full corpus is ranked per
+        # hash-prefix bucket and only the 256-row bucket-count table may
+        # pass through a SinglePartition exchange (for its cum-sum); the
+        # base-offset join must broadcast, never shuffle the corpus
+        plan = physical_plan(spark, sf_dir, "train_shuffle")
+        assert "BroadcastHashJoin" in plan
+        # formatted mode spells the exchange's distribution in its
+        # Arguments: detail line; exactly one (the 256-row cum-sum)
+        assert plan.count("SinglePartition") == 1
