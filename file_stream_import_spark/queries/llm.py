@@ -797,3 +797,41 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(fsum(dbl) / F.size("embedding"), 4) + 0.0).alias("mean_val"),
         F.round(F.array_max(dbl), 4).alias("max_val"),
     )
+
+
+@register(
+    "corpus_mix_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, total_chars,
+      ROUND((SELECT SUM(total_chars) * 1.0 / COUNT(*) FROM s)
+            / total_chars, 4) AS mix_weight
+    FROM s
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing weights: the per-source sampling multiplier that
+    equalizes character mass across sources (the knob a pretraining
+    pipeline turns to hit a target data mixture). One aggregate produces
+    one row per source; the global mean rides along as a broadcast
+    scalar subquery — nothing here scales with corpus size except the
+    first aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    mean_chars = s.agg(
+        (F.sum("total_chars") * 1.0 / F.count("*")).alias("_m")
+    )
+    return s.crossJoin(F.broadcast(mean_chars)).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("_m") / F.col("total_chars"), 4).alias("mix_weight"),
+    )

@@ -1126,3 +1126,85 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_order_ts"),
         F.ntile(4).over(wg).cast("bigint").alias("price_quartile"),
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'view' AS event_type,
+             CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel view → click → purchase: a user
+    counts at stage k only if the stage-k event happens within 24 hours
+    at-or-after their earliest qualifying stage-(k-1) event. Each stage is one aggregate on user_id
+    plus a join back to events — the joins all share the user_id
+    hash partitioning, so the three stages reuse one shuffle layout, and
+    each stage's survivor set only shrinks. The reference would delegate
+    this shape to Postgres (SURVEY §2.2); here it is three Catalyst
+    aggregates, no window over the full event stream."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        (1, "view", s1),
+        (2, "click", s2),
+        (3, "purchase", s3),
+    ]
+    parts = [
+        s.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+        for stage, name, s in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
