@@ -194,3 +194,43 @@ def with_lang_id(
         .withColumn("lang_score", F.coalesce(F.col("lang_score"), F.lit(0.0)))
         .drop("lang_pred_latin")
     )
+
+
+def term_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per (doc, term occurrence) — the exploded form feeding
+    corpus-level term statistics. Explode happens before any shuffle, so
+    the groupBys downstream aggregate map-side first."""
+    return df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+
+
+def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus tf-idf: tf(doc,term) × ln(N/df(term)).
+
+    Three aggregates over one exploded projection: tf by (doc, term),
+    df by term (distinct docs), N a broadcast scalar. The df side is
+    vocabulary-sized — orders of magnitude smaller than the corpus — so
+    its join back to tf broadcasts at scale; nothing here performs a
+    quadratic or corpus-wide single-task step.
+    """
+    terms = term_rows(df, id_col, text_col)
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfreq = terms.groupBy("term").agg(
+        F.countDistinct(id_col).cast("bigint").alias("df")
+    )
+    n = df.agg(F.count("*").alias("_n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 4) + 0.0)
+            .alias("tfidf"),
+        )
+    )

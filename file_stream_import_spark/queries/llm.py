@@ -835,3 +835,59 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         F.round(F.col("_m") / F.col("total_chars"), 4).alias("mix_weight"),
     )
+
+
+@register(
+    "text_term_frequencies",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok GROUP BY term
+    ORDER BY n_occurrences DESC, term LIMIT 20
+    """,
+)
+def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 terms by occurrence (the view a
+    pipeline inspects for stopword/boilerplate leakage). TakeOrdered
+    top-k, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        text.term_rows(d)
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    )
+    SELECT doc_id, term, tf, df,
+      ROUND(tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / df), 4) + 0.0
+        AS tfidf
+    FROM tf JOIN dfreq USING (term)
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus tf-idf (SURVEY §7 phase-2 item): tf × ln(N/df) per
+    (doc, term); the df relation is vocabulary-sized and broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.tfidf(d)
