@@ -49,22 +49,38 @@ def write_jdbc(
 
 
 def _pg_connect(dsn: str):
+    """Return a DB-API connection (cursor()/commit()) for ``dsn``.
+
+    psycopg2 only: the pg8000.native API has no cursor() and a different
+    paramstyle, so a half-adapted fallback would fail with a confusing
+    TypeError deep inside write_partition — better one clear error here.
+    """
     try:
         import psycopg2  # type: ignore
-
-        return psycopg2.connect(dsn)
-    except ImportError:
-        pass
-    try:
-        import pg8000.native  # type: ignore
-
-        return pg8000.native.Connection  # caller adapts
     except ImportError:
         raise RuntimeError(
-            "No Python Postgres driver available (psycopg2/pg8000); "
+            "No Python Postgres driver available (psycopg2); "
             "upsert_postgres needs one on the executors. Use "
             "operators.upsert.merge_upsert for the pure-DataFrame path."
         )
+    return psycopg2.connect(dsn)
+
+
+def build_upsert_sql(table: str, key: str, cols: list[str], n_rows: int) -> str:
+    """The exact ON CONFLICT statement the reference emits per chunk
+    (internal/db/db.go:63-72): multi-row positional VALUES, ``ON CONFLICT
+    (key) DO UPDATE SET c = EXCLUDED.c`` per payload column. Split out so
+    tests can assert the statement text without a live Postgres.
+    """
+    payload = [c for c in cols if c != key]
+    set_clause = ", ".join(f"{c} = EXCLUDED.{c}" for c in payload)
+    placeholders = ", ".join(
+        "(" + ", ".join(["%s"] * len(cols)) + ")" for _ in range(n_rows)
+    )
+    return (
+        f"INSERT INTO {table} ({', '.join(cols)}) VALUES {placeholders} "
+        f"ON CONFLICT ({key}) DO UPDATE SET {set_clause}"
+    )
 
 
 def upsert_postgres(
@@ -75,6 +91,7 @@ def upsert_postgres(
     payload_cols: list[str],
     chunk_size: int = REFERENCE_BATCH_SIZE,
     num_partitions: int = REFERENCE_NUM_WRITERS,
+    connect=None,
 ) -> None:
     """Executor-side ON CONFLICT upsert (reference db.go:43-80).
 
@@ -83,12 +100,16 @@ def upsert_postgres(
     EXCLUDED.c`` for every payload column. Rows are deduped per key
     within each chunk first (the reference would error on intra-chunk
     duplicates — SURVEY.md §2.1).
+
+    ``connect``: injectable ``dsn -> DB-API connection`` factory so tests
+    can assert the emitted SQL/chunking on a fake connection; defaults to
+    the real psycopg2 path.
     """
     cols = [key, *payload_cols]
-    set_clause = ", ".join(f"{c} = EXCLUDED.{c}" for c in payload_cols)
+    connect_fn = connect or _pg_connect
 
     def write_partition(rows) -> None:
-        conn = _pg_connect(dsn)
+        conn = connect_fn(dsn)
         cur = conn.cursor()
         buf: list[tuple] = []
 
@@ -101,13 +122,7 @@ def upsert_postgres(
             for r in buf:
                 seen[r[0]] = r
             vals = list(seen.values())
-            placeholders = ", ".join(
-                "(" + ", ".join(["%s"] * len(cols)) + ")" for _ in vals
-            )
-            sql = (
-                f"INSERT INTO {table} ({', '.join(cols)}) VALUES {placeholders} "
-                f"ON CONFLICT ({key}) DO UPDATE SET {set_clause}"
-            )
+            sql = build_upsert_sql(table, key, cols, len(vals))
             cur.execute(sql, [v for row in vals for v in row])
             conn.commit()
             buf.clear()

@@ -39,12 +39,22 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*by_cols, on)]
 
+    # Carry the right payload as ONE struct so the matched right row is
+    # atomic: per-column last(ignorenulls=True) could stitch together
+    # values from different right rows when a payload column holds NULL.
+    struct_type = (
+        "struct<"
+        + ",".join(
+            f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols
+        )
+        + ">"
+    )
     l_tagged = left.select(
         *by_cols,
         F.col(on),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in (*by_cols, on)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(struct_type).alias("__rpay"),
     )
     r_tagged = right.select(
         *by_cols,
@@ -55,7 +65,7 @@ def asof_join(
             for c in left.columns
             if c not in (*by_cols, on)
         ],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rpay"),
     )
     u = l_tagged.unionByName(r_tagged)
     w = (
@@ -68,9 +78,13 @@ def asof_join(
         on,
         "__side",
         *[c for c in left.columns if c not in (*by_cols, on)],
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            "*",
+            *[F.col(f"__rpay.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+        .drop("__side", "__rpay")
+    )

@@ -46,11 +46,18 @@ def redact_pii(
     Pure projection — no shuffle, fully codegen'd.
     """
     s = F.col(name_col)
-    masked = F.concat(
-        F.regexp_replace(
-            s.substr(F.lit(1), F.length(s) - 4), "[0-9]", "X"
-        ),
-        s.substr(F.length(s) - 3, F.lit(4)),
+    # Strings of <= 4 chars get fully masked: substr with a non-positive
+    # start counts from the string END in Spark, silently truncating
+    # short identifiers instead of masking them.
+    masked = F.when(
+        F.length(s) <= 4, F.regexp_replace(s, "[0-9]", "X")
+    ).otherwise(
+        F.concat(
+            F.regexp_replace(
+                s.substr(F.lit(1), F.length(s) - 4), "[0-9]", "X"
+            ),
+            s.substr(F.length(s) - 3, F.lit(4)),
+        )
     )
     return (
         df.withColumn("name_token", F.md5(s))

@@ -106,12 +106,17 @@ def winnow_fingerprints(
     ranged window function. One shuffle on id.
     """
     t = tokens(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
+    # Guard short docs: sequence(1, n) with n < 1 yields a DESCENDING
+    # sequence ([1, 0]), and element_at(t, 0) aborts the query.
+    sh = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<bigint>"))
     exploded = (
         df.select(F.col(id_col), F.posexplode(sh).alias("pos", "h"))
     )

@@ -630,10 +630,13 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
       md5(c_name) AS name_token,
-      concat(
-        regexp_replace(substr(c_name, 1, length(c_name) - 4),
-                       '[0-9]', 'X', 'g'),
-        substr(c_name, length(c_name) - 3, 4)) AS name_masked,
+      CASE WHEN length(c_name) <= 4
+           THEN regexp_replace(c_name, '[0-9]', 'X', 'g')
+           ELSE concat(
+             regexp_replace(substr(c_name, 1, length(c_name) - 4),
+                            '[0-9]', 'X', 'g'),
+             substr(c_name, length(c_name) - 3, 4))
+      END AS name_masked,
       CAST(FLOOR(c_acctbal / 500) * 500 AS BIGINT) AS c_acctbal_bucket
     FROM customer
     """,

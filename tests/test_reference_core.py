@@ -172,3 +172,112 @@ class TestCsvRfc4180:
         )
         got = ingest_locations_csv(spark, str(p), multiline=True).collect()
         assert len(got) == 1 and got[0]["locname"] == "line1\nline2"
+
+
+class TestPostgresUpsertSqlParity:
+    """The executor-side ON CONFLICT path (io/jdbc.py) must emit the exact
+    statement shape and 12k chunking of the reference's batch writer
+    (internal/db/db.go:63-72, writer.go:19) — asserted on a fake DB-API
+    connection, no live Postgres needed."""
+
+    def test_statement_text_matches_reference_shape(self):
+        from file_stream_import_spark.io.jdbc import build_upsert_sql
+
+        sql = build_upsert_sql(
+            "locations", "locid",
+            ["locid", "loctimezone", "country"], n_rows=2,
+        )
+        assert sql == (
+            "INSERT INTO locations (locid, loctimezone, country) "
+            "VALUES (%s, %s, %s), (%s, %s, %s) "
+            "ON CONFLICT (locid) DO UPDATE SET "
+            "loctimezone = EXCLUDED.loctimezone, country = EXCLUDED.country"
+        )
+
+    def test_chunking_and_dedup_on_fake_connection(self, spark, tmp_path):
+        from file_stream_import_spark.io.jdbc import upsert_postgres
+
+        log_dir = str(tmp_path)
+
+        class FakeCursor:
+            def __init__(self, path):
+                self.path = path
+
+            def execute(self, sql, params):
+                import json as _json
+                import os as _os
+                import uuid as _uuid
+
+                rec = {
+                    "n_tuples": sql.count("(%s"),
+                    "n_params": len(params),
+                    "on_conflict": "ON CONFLICT (locid) DO UPDATE SET" in sql,
+                    "keys": [params[i] for i in range(0, len(params), 3)],
+                }
+                fn = _os.path.join(self.path, f"{_uuid.uuid4().hex}.json")
+                with open(fn, "w") as fh:
+                    fh.write(_json.dumps(rec))
+
+            def close(self):
+                pass
+
+        class FakeConn:
+            def __init__(self, path):
+                self.path = path
+
+            def cursor(self):
+                return FakeCursor(self.path)
+
+            def commit(self):
+                pass
+
+            def close(self):
+                pass
+
+        # 25 distinct keys, chunk_size=10, one partition -> chunks 10/10/5.
+        rows = [(f"L{i:03d}", f"tz{i}", "US") for i in range(25)]
+        df = spark.createDataFrame(
+            rows, "locid string, loctimezone string, country string"
+        )
+        upsert_postgres(
+            df, "postgresql://fake", "locations", "locid",
+            ["loctimezone", "country"],
+            chunk_size=10, num_partitions=1,
+            connect=lambda dsn: FakeConn(log_dir),
+        )
+
+        import glob
+        import json as _json
+
+        recs = [
+            _json.loads(open(f).read())
+            for f in glob.glob(log_dir + "/*.json")
+        ]
+        assert len(recs) == 3
+        assert all(r["on_conflict"] for r in recs)
+        assert sorted(r["n_tuples"] for r in recs) == [5, 10, 10]
+        assert all(r["n_params"] == r["n_tuples"] * 3 for r in recs)
+        all_keys = [k for r in recs for k in r["keys"]]
+        assert len(all_keys) == 25 and len(set(all_keys)) == 25
+
+        # Intra-chunk duplicate keys: last write wins within one statement
+        # (chunk_size > n rows so the dup is guaranteed in-chunk).
+        log2 = str(tmp_path / "dedup")
+        import os as _os
+
+        _os.makedirs(log2)
+        dup_rows = rows + [("L004", "tz-dup", "US")]
+        df2 = spark.createDataFrame(
+            dup_rows, "locid string, loctimezone string, country string"
+        )
+        upsert_postgres(
+            df2, "postgresql://fake", "locations", "locid",
+            ["loctimezone", "country"],
+            chunk_size=100, num_partitions=1,
+            connect=lambda dsn: FakeConn(log2),
+        )
+        recs2 = [
+            _json.loads(open(f).read())
+            for f in glob.glob(log2 + "/*.json")
+        ]
+        assert len(recs2) == 1 and recs2[0]["n_tuples"] == 25  # 26 rows dedup to 25
