@@ -20,10 +20,29 @@ but horizontally scalable: numPartitions is the worker count.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 REFERENCE_BATCH_SIZE = 12_000  # writer.go:19
 REFERENCE_NUM_WRITERS = 10  # writer.go:20
+
+_PLAIN_IDENT = re.compile(r"[a-z_][a-z0-9_]*$")
+
+
+def _ident(name: str) -> str:
+    """SQL-safe identifier: plain lowercase names pass through bare
+    (byte-identical to the reference's emitted statements); anything else
+    is double-quoted with embedded quotes escaped, closing the injection
+    hole for user-derived table/column names."""
+    if _PLAIN_IDENT.match(name):
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _table_ident(table: str) -> str:
+    """Like _ident but allows one schema qualifier (schema.table)."""
+    return ".".join(_ident(p) for p in table.split(".", 1))
 
 
 def write_jdbc(
@@ -73,13 +92,16 @@ def build_upsert_sql(table: str, key: str, cols: list[str], n_rows: int) -> str:
     tests can assert the statement text without a live Postgres.
     """
     payload = [c for c in cols if c != key]
-    set_clause = ", ".join(f"{c} = EXCLUDED.{c}" for c in payload)
+    set_clause = ", ".join(
+        f"{_ident(c)} = EXCLUDED.{_ident(c)}" for c in payload
+    )
     placeholders = ", ".join(
         "(" + ", ".join(["%s"] * len(cols)) + ")" for _ in range(n_rows)
     )
+    col_list = ", ".join(_ident(c) for c in cols)
     return (
-        f"INSERT INTO {table} ({', '.join(cols)}) VALUES {placeholders} "
-        f"ON CONFLICT ({key}) DO UPDATE SET {set_clause}"
+        f"INSERT INTO {_table_ident(table)} ({col_list}) VALUES {placeholders} "
+        f"ON CONFLICT ({_ident(key)}) DO UPDATE SET {set_clause}"
     )
 
 

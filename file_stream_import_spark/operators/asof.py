@@ -19,6 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def _qc(name: str) -> F.Column:
+    """Column reference by EXACT name: F.col()/df[] parse dots as struct
+    paths, so names like "price.usd" need backtick quoting (with embedded
+    backticks escaped by doubling)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def asof_join(
@@ -42,18 +50,16 @@ def asof_join(
     # Carry the right payload as ONE struct so the matched right row is
     # atomic: per-column last(ignorenulls=True) could stitch together
     # values from different right rows when a payload column holds NULL.
-    struct_type = (
-        "struct<"
-        + ",".join(
-            f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols
-        )
-        + ">"
+    # Built as a DataType object (not a DDL string) so payload column
+    # names with dots/backticks and nested types round-trip exactly.
+    struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
     )
     l_tagged = left.select(
         *by_cols,
         F.col(on),
         F.lit(1).alias("__side"),
-        *[F.col(c) for c in left.columns if c not in (*by_cols, on)],
+        *[_qc(c) for c in left.columns if c not in (*by_cols, on)],
         F.lit(None).cast(struct_type).alias("__rpay"),
     )
     r_tagged = right.select(
@@ -65,7 +71,9 @@ def asof_join(
             for c in left.columns
             if c not in (*by_cols, on)
         ],
-        F.struct(*[F.col(c) for c in right_cols]).alias("__rpay"),
+        F.struct(
+            *[_qc(c).alias(c) for c in right_cols]
+        ).alias("__rpay"),
     )
     u = l_tagged.unionByName(r_tagged)
     w = (
@@ -77,14 +85,17 @@ def asof_join(
         *by_cols,
         on,
         "__side",
-        *[c for c in left.columns if c not in (*by_cols, on)],
+        *[_qc(c) for c in left.columns if c not in (*by_cols, on)],
         F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
     )
     return (
         carried.filter(F.col("__side") == 1)
         .select(
             "*",
-            *[F.col(f"__rpay.{c}").alias(f"{c}{suffix}") for c in right_cols],
+            *[
+                F.col("__rpay").getField(c).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
         )
         .drop("__side", "__rpay")
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import portable_hash60, tokens
 
 # MinHash parameters: 128 hashes = 32 bands × 4 rows. For Jaccard j the
 # candidate-recall is 1-(1-j^4)^32: j=0.8 → 0.99998, j=0.5 → 0.87.
@@ -184,19 +184,27 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per document with token-frequency weights.
 
     Bit i of the signature is the sign of Σ_tokens w(t)·(±1 given bit i
-    of xxhash64(t)). Expressed as 64 conditional sums in ONE aggregation
+    of hash(t)). Expressed as 64 conditional sums in ONE aggregation
     (columnar, codegen'd); the shuffle carries (id, token, weight).
+
+    ``portable_hash=True`` swaps xxhash64 for the md5-derived 60-bit
+    token hash (operators/text.py:portable_hash60) — bits 60-63 then
+    vote 0 in every signature, and the whole signature set is
+    reproducible in DuckDB for oracle checking. xxhash64 stays the
+    production default (faster, full 64 bits).
     """
+    hash_fn = portable_hash60 if portable_hash else F.xxhash64
     toks = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count("*").cast("double").alias("w"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", hash_fn(F.col("tok")))
     )
     bit_sums = [
         F.sum(
@@ -222,15 +230,17 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs within a hamming ball.
 
     Pigeonhole banding: any two signatures within hamming distance 3
     agree exactly on ≥1 of 4 disjoint 16-bit bands, so bucket-joining on
     band value finds all such pairs without an all-pairs scan; verify
-    with bit_count(xor).
+    with bit_count(xor). Banding is a complete (not approximate)
+    candidate generator, so the output equals the brute-force pair set.
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = simhash_signatures(df, id_col, text_col, portable_hash)
     bands = F.array(
         *[
             F.struct(

@@ -87,6 +87,19 @@ def extract_image_metadata(
 FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_checksum bigint"
 
 
+def _frame_checksum(chunk: bytes) -> int:
+    """60-bit md5 over the frame's uppercase-hex byte representation.
+
+    Hashing the hex form (not the raw bytes) is deliberate: SQL engines
+    can reproduce it without blob-slicing support — DuckDB computes the
+    identical value as CAST('0x'||substr(md5(substring(hex(blob), 2i+1,
+    2n)),1,15) AS BIGINT) — so the fan-out output is oracle-checkable.
+    """
+    import hashlib
+
+    return int(hashlib.md5(chunk.hex().upper().encode()).hexdigest()[:15], 16)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -105,7 +118,7 @@ def sample_frames(
                 for i in range(0, max(len(b), 1), every_n_bytes):
                     ids.append(doc_id)
                     idxs.append(i // every_n_bytes)
-                    sums.append(zlib.crc32(b[i : i + every_n_bytes]))
+                    sums.append(_frame_checksum(b[i : i + every_n_bytes]))
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
             )

@@ -93,26 +93,43 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit content hash from the md5 hex prefix — bit-identical in any
+    engine with md5 (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT)),
+    which keeps hash-based operators (winnowing, SimHash) oracle-checkable
+    end-to-end. xxhash64 is the faster production default."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 4, window: int = 5,
+    k: int = 4, window: int = 5, portable_hash: bool = False,
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     k-token shingle, keep the minimum hash in each sliding window of
     ``window`` shingles. Output: (id, fingerprint) — a shift-resistant
     signature set for plagiarism/near-dup detection.
 
+    Docs with at least one shingle but fewer than ``window`` of them
+    emit the min hash over the shingles they do have, so short-but-valid
+    docs stay visible to winnowing dedup.
+
     Pure built-ins: shingle via transform/sequence, per-window min via a
-    ranged window function. One shuffle on id.
+    ranged window function. One shuffle on id (both window functions
+    share the same partition key).
+
+    ``portable_hash=True`` swaps xxhash64 for the md5-derived 60-bit
+    hash, making the whole fingerprint set reproducible in DuckDB.
     """
     t = tokens(text_col)
+    hash_fn = portable_hash60 if portable_hash else F.xxhash64
     # Guard short docs: sequence(1, n) with n < 1 yields a DESCENDING
     # sequence ([1, 0]), and element_at(t, 0) aborts the query.
     sh = F.when(
         F.size(t) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (k - 1)),
-            lambda i: F.xxhash64(
+            lambda i: hash_fn(
                 F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
             ),
         ),
@@ -127,7 +144,10 @@ def winnow_fingerprints(
     )
     return (
         exploded.withColumn("fp", F.min("h").over(w))
-        .filter(F.col("pos") >= window - 1)
+        .withColumn("__maxpos", F.max("pos").over(W.partitionBy(id_col)))
+        .filter(
+            F.col("pos") >= F.least(F.lit(window - 1), F.col("__maxpos"))
+        )
         .select(id_col, "fp")
         .distinct()
     )

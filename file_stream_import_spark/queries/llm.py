@@ -20,6 +20,14 @@ from pyspark.sql import functions as F
 from ..io.tables import load_table
 from ..operators import curation, dedup, multimodal, similarity, text
 from . import register
+from ._oracle_gen import (
+    frame_sample_oracle,
+    lang_id_oracle,
+    lsh_knn_oracle,
+    lsh_pairs_oracle,
+    simhash_pairs_oracle,
+    winnow_oracle,
+)
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -119,18 +127,22 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_fingerprint(d).select("doc_id", "fp_md5")
 
 
-@register("text_lang_id")  # rows-only: heuristic has no SQL twin
+@register("text_lang_id", oracle=lang_id_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language-ID heuristic (deterministic argmax vote)."""
+    """Marker-token language-ID heuristic (deterministic argmax vote,
+    CJK short-circuit) — fully oracle-checked since round 3: the vote
+    arithmetic and tie-breaks are replicated in SQL."""
     d = load_table(spark, sf_dir, "documents")
     return text.with_lang_id(d).select("doc_id", "lang_pred", "lang_score")
 
 
-@register("text_winnow_fingerprints")  # rows-only: xxhash64 is Spark-side
+@register("text_winnow_fingerprints", oracle=winnow_oracle())
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (bounded to 20 docs to keep output small)."""
+    """Winnowing fingerprints (bounded to 20 docs to keep output small).
+    Uses the portable md5-derived hash so the exact fingerprint VALUES
+    are oracle-checked, not just row counts."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    return text.winnow_fingerprints(d)
+    return text.winnow_fingerprints(d, portable_hash=True)
 
 
 # ---------------------------------------------------------------------------
@@ -233,19 +245,25 @@ _CLUSTER_ORACLE = r"""
 
 @register("dedup_clusters", oracle=_CLUSTER_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster assignment: 3-gram Jaccard pairs (threshold 0.8)
-    → connected components → smallest-id representative per cluster.
-    The oracle computes the same components with a recursive CTE."""
+    """Near-dup cluster assignment: MinHash-LSH pairs (threshold 0.8)
+    → connected components → smallest-id representative per cluster —
+    the 100 TB composition (linear-time candidate generation feeding the
+    cluster step). The oracle computes the same components from exact
+    Jaccard pairs with a recursive CTE; LSH reproduces the exact pair
+    set at 0.8 with ~1e-7 miss probability (see operators/dedup.py)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8)
     return dedup.cluster_pairs(pairs)
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 bit voting is Spark-side
+@register("dedup_simhash", oracle=simhash_pairs_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within hamming distance 3."""
+    """SimHash near-dup pairs within hamming distance 3, portable-hash
+    form: banding finds candidates, the oracle brute-forces all pairs —
+    identical sets because pigeonhole banding is complete. Signature
+    bits, Hamming distances, and pair membership are all hash-checked."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(d, max_hamming=3)
+    return dedup.simhash_neardup_pairs(d, max_hamming=3, portable_hash=True)
 
 
 # ---------------------------------------------------------------------------
@@ -283,9 +301,11 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
-@register("ann_cosine_lsh_knn")  # rows-only: bucket restriction is approximate
+@register("ann_cosine_lsh_knn", oracle=lsh_knn_oracle(num_planes=6))
 def ann_cosine_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 probing only the query's hyperplane bucket."""
+    """Approximate top-5 probing only the query's hyperplane bucket.
+    The md5-derived planes are deterministic, so the oracle reproduces
+    the same buckets, candidates, cosines, and ranks — fully checked."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_knn(
         e, e.filter(F.col("vec_id") < 10), k=5, num_planes=6
@@ -367,10 +387,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_dedup(e, min_cos=0.4, exact=True)
 
 
-@register("ann_cosine_lsh_pairs")  # rows-only
+@register(
+    "ann_cosine_lsh_pairs",
+    oracle=lsh_pairs_oracle(num_planes=4, min_cos=0.25),
+)
 def ann_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-neighbor pairs via hyperplane LSH buckets (embedding
-    near-dup detection shape)."""
+    near-dup detection shape). Deterministic planes ⇒ the oracle
+    reproduces bucket membership and exact cosines — fully checked."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_pairs(e, num_planes=4, min_cos=0.25)
 
@@ -395,9 +419,11 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "n_bytes")
 
 
-@register("multimodal_frame_sample")  # rows-only: 1→N fan-out stub
+@register("multimodal_frame_sample", oracle=frame_sample_oracle())
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling fan-out over binary payloads (bounded to 20 docs)."""
+    """Frame-sampling fan-out over binary payloads (bounded to 20 docs).
+    The frame checksum hashes the hex form of each byte window, so the
+    mapInPandas fan-out output is reproduced exactly by the oracle."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     return multimodal.sample_frames(multimodal.attach_fake_payload(d))
 

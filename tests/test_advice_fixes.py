@@ -38,14 +38,86 @@ class TestWinnowShortDocs:
         ids = {r["doc_id"] for r in fps}
         assert ids == {4}  # short docs silently contribute nothing
 
-    def test_exactly_k_tokens_yields_one_shingle(self, spark):
+    def test_exactly_k_tokens_yields_one_fingerprint(self, spark):
+        # Round-2 ADVICE: docs with >= 1 but < window shingles used to be
+        # invisible to winnowing; now they emit the min hash over the
+        # shingles they do have.
         df = spark.createDataFrame(
             [(1, "a b c d")], "doc_id long, text string"
         )
-        # one shingle, window min over a single row -> but pos >= window-1
-        # filter drops it when there are fewer shingles than the window;
-        # the important property is: no crash, deterministic output.
-        text.winnow_fingerprints(df).collect()
+        rows = text.winnow_fingerprints(df).collect()
+        assert len(rows) == 1
+        expected = df.select(
+            F.xxhash64(F.lit("a b c d")).alias("h")
+        ).collect()[0]["h"]
+        assert rows[0]["fp"] == expected
+
+    def test_between_k_and_window_shingles(self, spark):
+        # 6 tokens, k=4 -> 3 shingles (< window=5): fingerprint = min of
+        # all 3 shingle hashes, emitted exactly once.
+        df = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        rows = text.winnow_fingerprints(df).collect()
+        assert len(rows) == 1
+        hashes = df.select(
+            *[
+                F.xxhash64(F.lit(s)).alias(f"h{i}")
+                for i, s in enumerate(["a b c d", "b c d e", "c d e f"])
+            ]
+        ).collect()[0]
+        assert rows[0]["fp"] == min(hashes)
+
+    def test_long_docs_unchanged_by_short_doc_fix(self, spark):
+        # >= window shingles: identical output to the classic algorithm
+        # (the maxpos branch of the filter only relaxes short docs).
+        df = spark.createDataFrame(
+            [(4, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        rows = text.winnow_fingerprints(df).collect()
+        # 8 tokens -> 5 shingles -> exactly one full window position
+        assert len(rows) == 1
+
+
+class TestUpsertIdentifierQuoting:
+    def test_plain_identifiers_stay_bare(self):
+        from file_stream_import_spark.io.jdbc import build_upsert_sql
+
+        sql = build_upsert_sql("locations", "locid", ["locid", "lat"], 2)
+        assert sql == (
+            "INSERT INTO locations (locid, lat) VALUES (%s, %s), (%s, %s) "
+            "ON CONFLICT (locid) DO UPDATE SET lat = EXCLUDED.lat"
+        )
+
+    def test_hostile_identifiers_are_quoted(self):
+        from file_stream_import_spark.io.jdbc import build_upsert_sql
+
+        sql = build_upsert_sql(
+            't; DROP TABLE x--', "locid", ["locid", 'evil"col'], 1
+        )
+        assert '"t; DROP TABLE x--"' in sql
+        assert '"evil""col" = EXCLUDED."evil""col"' in sql
+        assert "DROP TABLE x-- (" not in sql  # never emitted bare
+
+    def test_schema_qualified_table(self):
+        from file_stream_import_spark.io.jdbc import build_upsert_sql
+
+        sql = build_upsert_sql("public.locations", "locid", ["locid"], 1)
+        assert sql.startswith("INSERT INTO public.locations ")
+
+
+class TestAsofDottedColumns:
+    def test_payload_column_with_dot_roundtrips(self, spark):
+        # Round-2 ADVICE: DDL-string struct types + dotted-path getattr
+        # broke payload names containing dots; the StructType/getField
+        # form must carry them through.
+        left = spark.createDataFrame([(1, 20)], "user_id long, ts long")
+        right = spark.createDataFrame(
+            [(1, 10, 7.5)], "user_id long, ts long, `price.usd` double"
+        )
+        row = asof_join(left, right, on="ts", by="user_id").collect()[0]
+        assert row["price.usd_right"] == 7.5
 
 
 class TestAsofAtomicity:
