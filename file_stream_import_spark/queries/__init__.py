@@ -45,40 +45,50 @@ def load_all() -> None:
     from . import llm, relational, streaming_batch, tpch  # noqa: F401
 
 
-# Names that already have a green driver-correctness row from round 1
-# (CORRECTNESS_r01.json). The driver evaluates queries in registry order
-# and round 1 recorded only the first 50 — so queries WITHOUT an r1 row
-# are ordered first, giving every query a driver row across rounds.
-_R1_CHECKED: frozenset[str] = frozenset({
-    "text_token_stats", "text_quality", "text_lang_profile",
-    "text_fingerprint", "text_lang_id", "text_winnow_fingerprints",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_simhash", "knn_cosine_bruteforce",
-    "ann_cosine_lsh_knn", "ann_cosine_ivf_knn", "dedup_embedding_cosine",
-    "ann_cosine_lsh_pairs", "multimodal_image_meta",
-    "multimodal_frame_sample", "sample_systematic", "sample_stratified",
-    "corpus_report", "text_length_stats_by_lang", "text_bigrams_udtf",
-    "text_bpe_tokens", "agg_approx_quantiles", "pii_redaction",
-    "text_repetition", "contamination_check", "seq_packing",
-    "train_shuffle", "embedding_norms", "corpus_mix_weights",
-    "text_term_frequencies", "text_tfidf", "q1_pricing_summary",
-    "q6_forecast_revenue", "agg_distinct_counts", "agg_rollup",
-    "agg_cube", "scalar_functions", "date_functions",
-    "q3_unshipped_orders", "q5_region_revenue", "join_left_outer",
-    "join_semi", "join_anti", "join_range_band", "window_running",
-    "topk_per_group", "set_union_distinct",
-})
+# Staleness-driven evaluation order. The driver checks only the first
+# ~50 registry entries per round, so ordering decides which queries get
+# fresh correctness evidence. driver_evidence.json records, per query,
+# the round of its most recent driver row and a hash of the query's
+# source + oracle SQL *as of that run*. Ordering:
+#   rank 0 — no evidence, or the current source hash differs from the
+#            recorded one (code/oracle changed since last verified);
+#   rank N — evidence from round N, oldest rounds first (rotation).
+# Regenerate the file after each driver round — BEFORE editing any
+# query — with tools/update_evidence.py.
 
-# Reference-flagship semantics the judge called out explicitly — put
-# them at the very front of the round-2 evaluation order.
-_LEAD: tuple[str, ...] = ("dedup_last_writer_wins", "paginate_orders")
+
+def _src_hash(name: str) -> str:
+    """Hash of the registered fn's source + its oracle SQL."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(QUERIES[name])
+    except (OSError, TypeError):  # pragma: no cover — REPL-defined fn
+        src = repr(QUERIES[name])
+    blob = src + "\x00" + ORACLE.get(name, "")
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _load_evidence() -> dict:
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).with_name("driver_evidence.json")
+    try:
+        return json.loads(path.read_text())
+    except (OSError, ValueError):  # pragma: no cover — missing file
+        return {}
 
 
 def _ordered(d: dict) -> dict:
-    def rank(name: str) -> tuple[int, int]:
-        if name in _LEAD:
-            return (0, _LEAD.index(name))
-        return (1, 0) if name not in _R1_CHECKED else (2, 0)
+    evidence = _load_evidence()
+
+    def rank(name: str) -> int:
+        row = evidence.get(name)
+        if row is None or row.get("src_hash") != _src_hash(name):
+            return 0  # never checked, or changed since its last check
+        return int(row.get("round", 0))
 
     names = list(QUERIES)  # registration order as the stable tiebreak
     order = sorted(names, key=lambda n: (rank(n), names.index(n)))
