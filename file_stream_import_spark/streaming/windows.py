@@ -146,7 +146,16 @@ def attribution_join(
     Scale: the join shuffles both sides on user_id; the time bound keeps
     per-key state small even for hot users. Output order is undefined
     (streaming append) — consumers sort or aggregate downstream.
+
+    The watermark is applied to ``ts`` BEFORE the event-type filters:
+    with per-side watermarks (filter-then-watermark) a side whose event
+    type goes idle never advances its watermark, the global minimum
+    stalls, and join state grows without bound — any event must move
+    both sides' clocks. Verified by the state-metric assertions in
+    tests/test_streaming.py::TestStateCleanup.
     """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
@@ -158,9 +167,6 @@ def attribution_join(
         F.col("ts").alias("p_ts"),
         F.col("value").alias("purchase_value"),
     )
-    if events.isStreaming:
-        clicks = clicks.withWatermark("c_ts", watermark)
-        purchases = purchases.withWatermark("p_ts", watermark)
     cond = (
         (F.col("c_user") == F.col("p_user"))
         & (F.col("p_ts") > F.col("c_ts"))

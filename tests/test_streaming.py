@@ -184,6 +184,152 @@ class TestWatermark:
             q.stop()
 
 
+def state_metrics(q):
+    """Flatten (batch_id, operator) state metrics from recentProgress."""
+    out = []
+    for p in q.recentProgress:
+        for so in p["stateOperators"]:
+            out.append(
+                {
+                    "batch": p["batchId"],
+                    "op": so.get("operatorName"),
+                    "total": so.get("numRowsTotal"),
+                    "removed": so.get("numRowsRemoved"),
+                    "dropped": so.get("numRowsDroppedByWatermark"),
+                }
+            )
+    return out
+
+
+class TestStateCleanup:
+    """The bounded-state claims, asserted on Spark's own state-store
+    metrics (numRowsRemoved / numRowsDroppedByWatermark / numRowsTotal)
+    instead of docstrings."""
+
+    def test_agg_state_evicted_and_late_rows_counted(self, spark, tmp_path):
+        src = str(tmp_path / "agg_state")
+        write_events(
+            make_events(
+                spark,
+                [
+                    (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+                    (2, "2024-01-01 14:00:00", 1, "click", 1.0, "{}"),
+                ],
+            ),
+            src,
+        )
+        name = qname()
+        q = run_to_memory(
+            tumbling_counts(
+                read_events_stream(spark, src), size="1 hour", watermark="2 hours"
+            ),
+            name,
+            "append",
+        )
+        try:
+            # late row for the already-closed 10:00 window
+            write_events(
+                make_events(
+                    spark, [(3, "2024-01-01 10:20:00", 1, "click", 9.0, "{}")]
+                ),
+                src,
+            )
+            q.processAllAvailable()
+            m = state_metrics(q)
+            # the closed 10:00 window's state row was evicted...
+            assert sum(r["removed"] for r in m) >= 1
+            # ...the late row was dropped by the watermark, not aggregated...
+            assert sum(r["dropped"] for r in m) >= 1
+            # ...and final state holds only the still-open window(s)
+            assert m[-1]["total"] <= 1
+        finally:
+            q.stop()
+
+    def test_dedup_state_evicted_and_late_dupes_counted(self, spark, tmp_path):
+        src = str(tmp_path / "dedup_state")
+        write_events(
+            make_events(
+                spark,
+                [
+                    (100, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+                    (101, "2024-01-01 14:00:00", 1, "view", 1.0, "{}"),
+                ],
+            ),
+            src,
+        )
+        name = qname()
+        q = run_to_memory(
+            stream_dedup(read_events_stream(spark, src), watermark="1 hour"),
+            name,
+            "append",
+        )
+        try:
+            # duplicate of 100, older than the advanced watermark (13:00)
+            write_events(
+                make_events(
+                    spark, [(100, "2024-01-01 10:30:00", 1, "click", 1.0, "{}")]
+                ),
+                src,
+            )
+            q.processAllAvailable()
+            m = state_metrics(q)
+            assert any(r["op"] == "dedupeWithinWatermark" for r in m)
+            # event 100's key was evicted once the watermark passed it
+            assert sum(r["removed"] for r in m) >= 1
+            # the late duplicate was dropped by the watermark filter
+            assert sum(r["dropped"] for r in m) >= 1
+            # state is bounded: only keys newer than the watermark remain
+            assert m[-1]["total"] <= 1
+        finally:
+            q.stop()
+
+    def test_attribution_join_state_bounded(self, spark, tmp_path):
+        """Regression for the stalled-watermark bug: the watermark is on
+        ts BEFORE the click/purchase filters, so batches containing only
+        ONE event type still advance it and old join state is evicted.
+        With filter-then-watermark the click side's clock froze and
+        numRowsTotal grew monotonically."""
+        src = str(tmp_path / "join_state")
+        write_events(
+            make_events(
+                spark,
+                [
+                    (10, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+                    (11, "2024-01-01 11:00:00", 1, "purchase", 5.0, "{}"),
+                ],
+            ),
+            src,
+        )
+        name = qname()
+        q = run_to_memory(
+            attribution_join(read_events_stream(spark, src)), name, "append"
+        )
+        try:
+            # purchases only — no clicks ever again
+            for i, ts in enumerate(
+                ["2024-01-02 00:00:00", "2024-01-02 06:00:00"]
+            ):
+                write_events(
+                    make_events(spark, [(20 + i, ts, 9, "purchase", 1.0, "{}")]),
+                    src,
+                )
+                q.processAllAvailable()
+            m = [r for r in state_metrics(q) if r["op"] == "symmetricHashJoin"]
+            # the matched click/purchase state from batch 0 was evicted
+            # once the watermark passed c_ts + within
+            assert sum(r["removed"] for r in m) >= 2
+            # final state holds at most the newest unexpired purchase
+            assert m[-1]["total"] <= 1
+            # and the join still produced exactly the attribution pair
+            got = {
+                (r["click_id"], r["purchase_id"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+            assert got == {(10, 11)}
+        finally:
+            q.stop()
+
+
 class TestBatchTwins:
     def test_stream_dedup_batch_twin(self, spark):
         df = make_events(
