@@ -45,9 +45,9 @@ def knn_bruteforce(
 
     Scale: the query side is broadcast (no shuffle of the 100 TB vector
     side for the join); the only shuffle is the per-query top-k window,
-    which carries |queries|·|vectors| scored pairs — use the LSH/IVF
-    variant when that product is too large, or push k-selection into a
-    partial aggregate (future work: treeAggregate-style top-k).
+    which carries |queries|·|vectors| scored pairs — when that product
+    is too large use knn_topk_partial (same exact results, shuffle
+    bounded to k·batches survivors) or the LSH/IVF variants.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -64,6 +64,77 @@ def knn_bruteforce(
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+def knn_topk_partial(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k with a BOUNDED shuffle — the treeAggregate
+    shape: score JVM-side, reduce each Arrow batch to its local top-k
+    per query (lossless: a row outside a batch's top-k under the total
+    order (cos desc, neighbor_id) cannot be in the global top-k), then
+    rank only the survivors.
+
+    Identical output to knn_bruteforce, but the per-query window never
+    sees |queries|·|vectors| rows: the one hash shuffle carries at most
+    |queries|·k·n_batches survivor rows, so the operator holds when the
+    scored-pair product is too large to shuffle (the 100 TB path for
+    EXACT kNN; LSH/IVF trade exactness for even less scoring work).
+
+    Scoring stays in whole-stage codegen (broadcast join + zip_with/
+    aggregate); only the bounded k-selection crosses into Python, as an
+    Arrow-batched mapInPandas.
+
+    Note: Spark ≥3.5's rank pushdown (WindowGroupLimit) already prunes
+    the plain-window form to k rows per (partition, query) before the
+    exchange — this operator makes the bound EXPLICIT in the plan shape
+    (asserted in tests/test_plans.py), so it survives optimizer-rule or
+    engine-version changes rather than depending on them.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vv"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("vv")))
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "cos", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+    survivors = scored.mapInPandas(local_topk, scored.schema)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(
             "query_id",

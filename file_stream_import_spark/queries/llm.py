@@ -301,6 +301,41 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "knn_topk_partial",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def knn_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 via per-batch partial top-k — same results (and same
+    brute-force oracle) as knn_cosine_bruteforce, but the per-query rank
+    shuffle carries only the k·batches local survivors instead of every
+    scored pair (operators/similarity.py:knn_topk_partial)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_topk_partial(
+        e, e.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 @register("ann_cosine_lsh_knn", oracle=lsh_knn_oracle(num_planes=6))
 def ann_cosine_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 probing only the query's hyperplane bucket.

@@ -162,6 +162,21 @@ class TestSimilarity:
         assert order == [1, 4, 2, 3]
         assert out[0]["cos_sim"] == pytest.approx(0.994937, abs=1e-5)
 
+    def test_knn_topk_partial_equals_bruteforce(self, spark, vectors, sf_dir):
+        from file_stream_import_spark.io.tables import load_table
+
+        # tiny hand-built set: results must be identical
+        q = vectors.filter(F.col("vec_id") == 0)
+        want = {tuple(r) for r in similarity.knn_bruteforce(vectors, q, k=4).collect()}
+        got = {tuple(r) for r in similarity.knn_topk_partial(vectors, q, k=4).collect()}
+        assert got == want and got
+        # fixture embeddings, multiple queries and real batch boundaries
+        e = load_table(spark, sf_dir, "embeddings").repartition(7)
+        q = e.filter(F.col("vec_id") < 5)
+        want = {tuple(r) for r in similarity.knn_bruteforce(e, q, k=3).collect()}
+        got = {tuple(r) for r in similarity.knn_topk_partial(e, q, k=3).collect()}
+        assert got == want and len(got) == 15
+
     def test_ann_lsh_knn_subset_of_bruteforce_space(self, spark, vectors):
         out = similarity.ann_lsh_knn(
             vectors, vectors.filter(F.col("vec_id") == 0), k=4, num_planes=2, dim=4

@@ -86,6 +86,20 @@ class TestTopKAndOrder:
         plan = physical_plan(spark, sf_dir, "topk_per_group")
         assert "MapInPandas" in plan
 
+    def test_knn_partial_topk_shuffles_only_survivors(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "knn_topk_partial")
+        # scoring side: query set broadcast, vectors never shuffled
+        assert plan.count(") BroadcastExchange") == 1
+        # exactly ONE hash shuffle (") Exchange" is the node-detail
+        # header; the distribution is an Arguments: line in formatted
+        # mode), keyed on query_id, and it sits ABOVE the per-batch
+        # local top-k (tree prints root-first) — the full scored-pair
+        # set never crosses the wire
+        assert plan.count(") Exchange") == 1
+        assert "hashpartitioning(query_id" in plan
+        assert "MapInPandas" in plan
+        assert plan.index("Exchange (") < plan.index("MapInPandas (")
+
     def test_top_n_uses_take_ordered(self, spark, sf_dir):
         plan = physical_plan(spark, sf_dir, "q10_returned_items")
         assert "TakeOrderedAndProject" in plan
