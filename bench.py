@@ -3,8 +3,25 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end including the action (count of the result —
-forces full execution without driver-side materialization of wide rows).
+Timing protocol (de-noising for this host's CPU-steal variance):
+  * one discarded warm-up run per query (codegen compile, footer caches,
+    Python worker fork), then THREE timed passes, report the min;
+  * per-pass times and the max/min spread go to stderr;
+  * every full run appends one line to BENCH_HISTORY.jsonl (all passes,
+    not just the min) so rounds have a trend line — summarized in
+    BASELINE.md.
+
+Order matters in local mode: topk_per_group is the one pandas-backed
+headline query, and the Python worker pool it spawns (held alive by
+worker.reuse) oversubscribes local-mode CPUs, skewing any JVM query
+timed after it — so it runs LAST, after the ingest bench.
+
+The ingest entry is the reference's own flagship lifecycle (O1-O5 at its
+1M-row design point, cmd/gen_file/main.go + internal/writer/writer.go):
+locations CSV → header-projected scan → last-writer-wins upsert of an
+initial 1M-row wave, then a 200k-row update wave; the CSVs are written
+once, untimed (that's the Go gen tool's job, and generation is separately
+oracle-checked as the gen_locations query).
 """
 
 from __future__ import annotations
@@ -14,10 +31,8 @@ import os
 import sys
 import time
 
+N_PASSES = 3
 
-# topk_per_group stays LAST: it is the one pandas-backed headline query,
-# and the Python worker pool it spawns (held alive by worker.reuse)
-# oversubscribes local-mode CPUs, skewing any JVM query timed after it.
 HEADLINE = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -30,8 +45,34 @@ HEADLINE = [
     "window_running",
     "json_extract",
     "dedup_last_writer_wins",
-    "topk_per_group",
 ]
+PANDAS_BACKED = ["topk_per_group"]  # runs last — see module docstring
+
+
+def bench_one(label: str, run, timings: dict, history: dict) -> None:
+    """One discarded warm-up + N_PASSES timed runs; record the min."""
+    run()  # warm-up, discarded
+    passes = []
+    for i in range(N_PASSES):
+        t0 = time.perf_counter()
+        run()
+        passes.append(round(time.perf_counter() - t0, 3))
+        print(f"  [{i}] {label}: {passes[-1]:.3f}s", file=sys.stderr)
+    spread = max(passes) / max(min(passes), 1e-9)
+    print(f"      {label}: min {min(passes):.3f}s spread {spread:.2f}x", file=sys.stderr)
+    timings[label] = min(passes)
+    history[label] = passes
+
+
+def ingest_run(spark, csv1: str, csv2: str):
+    """CSV scan → 1M-row initial upsert → 200k-row update wave (O1-O5)."""
+    from file_stream_import_spark.io.csv_ingest import ingest_locations_csv
+    from file_stream_import_spark.operators.upsert import merge_upsert
+
+    wave1 = ingest_locations_csv(spark, csv1)
+    wave2 = ingest_locations_csv(spark, csv2)
+    state = merge_upsert(None, wave1)
+    return merge_upsert(state, wave2)
 
 
 def main() -> None:
@@ -41,34 +82,69 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     qs = all_queries()
-    names = [n for n in HEADLINE if n in qs]
-    # warm the JVM (codegen, shuffle machinery) + parquet footer caches on
-    # the tables the headline queries actually scan; excluded from timings
+    # parquet footer caches on the tables the headline queries scan
     for t in ("lineitem", "orders", "customer", "region"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
-    # Two passes, report the per-query min: the second pass absorbs
-    # one-time costs (codegen compile, Python worker fork for the pandas
-    # query) and host-level noise, so the recorded number is the engine's
-    # steady cost, not the environment's worst case.
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in names:
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.count()
-            elapsed = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
-            print(f"  [{_pass}] {name}: {elapsed:.3f}s", file=sys.stderr)
+    history: dict[str, list[float]] = {}
+
+    for name in HEADLINE:
+        if name in qs:
+            bench_one(
+                name,
+                lambda name=name: qs[name](spark, sf_dir).count(),
+                timings,
+                history,
+            )
+
+    # --- reference-design-point ingest (1M rows, O1-O5) ---
+    import shutil
+    import tempfile
+
+    from file_stream_import_spark.io.generator import (
+        generate_locations,
+        write_locations_csv,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        csv1 = os.path.join(tmp, "wave1")
+        csv2 = os.path.join(tmp, "wave2")
+        write_locations_csv(generate_locations(spark, 1_000_000, seed=0), csv1)
+        write_locations_csv(generate_locations(spark, 200_000, seed=1), csv2)
+        bench_one(
+            "ingest_1m_upsert",
+            lambda: ingest_run(spark, csv1, csv2).count(),
+            timings,
+            history,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    for name in PANDAS_BACKED:
+        if name in qs:
+            bench_one(
+                name,
+                lambda name=name: qs[name](spark, sf_dir).count(),
+                timings,
+                history,
+            )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": time.time(), "sf": sf_val, "passes": history}) + "\n")
+    except OSError:
+        pass  # read-only checkout — history is best-effort
     print(json.dumps(result))
 
 

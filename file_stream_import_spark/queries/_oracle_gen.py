@@ -200,3 +200,33 @@ def lang_id_oracle() -> str:
     FROM documents d
     LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
     """
+
+
+def gen_locations_oracle(n_rows: int, seed: int = 0) -> str:
+    """DuckDB twin of io/generator.py:generate_locations — every column
+    is a pure md5 function of (seed, id), so the generator itself (O13,
+    cmd/gen_file/main.go) is fully oracle-checked."""
+    from ..io.generator import BUSINESSES, COUNTRIES, LOCNAMES, TIMEZONES
+
+    def h(field: str) -> str:
+        return _H60.format(x=f"'{seed}:{field}:' || CAST(id AS VARCHAR)")
+
+    def pick(field: str, domain: tuple[str, ...]) -> str:
+        lst = "[" + ", ".join(f"'{x}'" for x in domain) + "]"
+        return f"list_extract({lst}, CAST({h(field)} % {len(domain)} AS INT) + 1)"
+
+    def suffixed(field: str, domain: tuple[str, ...]) -> str:
+        return (
+            f"{pick(field, domain)} || '_' || "
+            f"CAST({h(field + '_n')} % 1000 AS VARCHAR)"
+        )
+
+    return f"""
+    SELECT
+      'LOC' || lpad(CAST(id AS VARCHAR), 12, '0') AS locid,
+      {pick("tz", TIMEZONES)} AS loctimezone,
+      {pick("country", COUNTRIES)} AS country,
+      {suffixed("locname", LOCNAMES)} AS locname,
+      {suffixed("business", BUSINESSES)} AS business
+    FROM (SELECT range AS id FROM range(1, {n_rows + 1}))
+    """

@@ -756,6 +756,24 @@ def dedup_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gen_locations_oracle() -> str:
+    from ._oracle_gen import gen_locations_oracle
+
+    return gen_locations_oracle(n_rows=10_000, seed=0)
+
+
+@register("gen_locations", oracle=_gen_locations_oracle())
+def gen_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O13 (cmd/gen_file/main.go): the synthetic locations
+    generator. 10k rows here; every value is a pure md5 function of
+    (seed, id), so DuckDB regenerates the identical table and the
+    generator itself is hash-verified. sf_dir is unused — the table is
+    synthesized, not read."""
+    from ..io.generator import generate_locations
+
+    return generate_locations(spark, n_rows=10_000, seed=0)
+
+
 # ---------------------------------------------------------------------------
 # Pivot / unpivot
 # ---------------------------------------------------------------------------

@@ -281,3 +281,56 @@ class TestPostgresUpsertSqlParity:
             for f in glob.glob(log2 + "/*.json")
         ]
         assert len(recs2) == 1 and recs2[0]["n_tuples"] == 25  # 26 rows dedup to 25
+
+
+class TestGenerator:
+    def test_shape_domains_and_determinism(self, spark):
+        from file_stream_import_spark.io.generator import (
+            BUSINESSES, COUNTRIES, LOCNAMES, TIMEZONES, generate_locations,
+        )
+
+        rows = generate_locations(spark, 500, seed=0, num_partitions=3).collect()
+        assert len(rows) == 500
+        assert rows[0].__fields__ == [
+            "locid", "loctimezone", "country", "locname", "business",
+        ]
+        ids = sorted(r["locid"] for r in rows)
+        assert ids[0] == "LOC000000000001" and ids[-1] == "LOC000000000500"
+        assert all(len(i) == 15 for i in ids)  # LOC + 12 digits
+        for r in rows:
+            assert r["loctimezone"] in TIMEZONES
+            assert r["country"] in COUNTRIES
+            name, n = r["locname"].rsplit("_", 1)
+            assert name in LOCNAMES and 0 <= int(n) < 1000
+            biz, n = r["business"].rsplit("_", 1)
+            assert biz in BUSINESSES and 0 <= int(n) < 1000
+        # pure function of (n, seed): repartitioning must not change rows
+        again = generate_locations(spark, 500, seed=0, num_partitions=11).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+        # different seed → different payloads, same ids
+        other = generate_locations(spark, 500, seed=1).collect()
+        assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
+
+    def test_csv_roundtrip_through_ingest_and_upsert(self, spark, tmp_path):
+        from file_stream_import_spark.io.csv_ingest import ingest_locations_csv
+        from file_stream_import_spark.io.generator import (
+            generate_locations, write_locations_csv,
+        )
+        from file_stream_import_spark.operators.upsert import merge_upsert
+
+        p1, p2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        write_locations_csv(generate_locations(spark, 300, seed=0), p1)
+        write_locations_csv(generate_locations(spark, 100, seed=1), p2)
+        wave1 = ingest_locations_csv(spark, p1)
+        assert wave1.columns == ["locid", "loctimezone", "country", "locname", "business"]
+        state = merge_upsert(None, wave1)
+        final = merge_upsert(state, ingest_locations_csv(spark, p2))
+        got = {r["locid"]: r for r in final.collect()}
+        assert len(got) == 300  # 100 updates overlap, no new keys
+        seed1 = {r["locid"]: r for r in generate_locations(spark, 100, seed=1).collect()}
+        seed0 = {r["locid"]: r for r in generate_locations(spark, 300, seed=0).collect()}
+        for lid, row in got.items():
+            want = seed1.get(lid) or seed0[lid]  # last writer (wave 2) wins
+            assert row["locname"] == want["locname"]
+            assert row["business"] == want["business"]
+            assert row["id"] is not None
