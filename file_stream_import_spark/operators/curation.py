@@ -187,6 +187,33 @@ def pack_sequences(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    boundaries: tuple[int, int] = (80, 90),
+    seed: str = "split=1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket 0-99 from the md5
+    of the seeded id, split by ``boundaries`` ([0, b0) train, [b0, b1)
+    val, [b1, 100) test).
+
+    Hash-based (not random) so the assignment is stable under corpus
+    growth — a document keeps its split when new data arrives, the
+    property that prevents silent train/test leakage across pipeline
+    re-runs. Pure projection: no shuffle, no RNG state; the md5-prefix
+    idiom matches portable_hash60 so the oracle reproduces it exactly.
+    """
+    b0, b1 = boundaries
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < b0, "train")
+        .when(F.col("split_bucket") < b1, "val")
+        .otherwise("test"),
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str, seed: str = "seed=42"
 ) -> DataFrame:

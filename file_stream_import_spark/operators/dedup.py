@@ -330,3 +330,69 @@ def cluster_pairs(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("label").cast("bigint").alias("cluster_id"),
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Sub-document exact dedup (the C4/RefinedWeb span-removal form):
+    split each document into fixed ``chunk_tokens``-token chunks, hash
+    each chunk, and drop every chunk whose content already occurred
+    earlier in the corpus (global first occurrence by (doc_id, position)
+    wins). Catches boilerplate shared across otherwise-distinct pages —
+    the duplication mode whole-document dedup cannot see.
+
+    Returns one row per surviving document: total / duplicated chunk
+    counts and the md5 of the re-assembled deduplicated text.
+
+    Scale shape: the only corpus-sized shuffle carries (chunk_hash,
+    doc_id, idx) triples — chunk TEXT never shuffles (the hash is
+    recomputed per row, text stays columnar at the scan); first-
+    occurrence choice is one ranked window per hash partition, then one
+    re-aggregate per document. No collect, no quadratic step; hot
+    chunks (a boilerplate banner on every page) skew one hash partition,
+    which AQE's skew-join/partition splitting absorbs.
+    """
+    from pyspark.sql import Window as W
+
+    # Blank docs tokenize to [''] (split of an empty string), not [] —
+    # drop them up front so they emit no chunks at all.
+    df = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    t = tokens(text_col)
+    n_chunks = F.ceil(F.size(t) / F.lit(chunk_tokens))
+    # sequence(0, n-1): lazy CaseWhen guards the n==0 descending-sequence
+    # trap (empty text ⇒ sequence(0,-1) would yield [0,-1], not []).
+    chunks = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(t, i * chunk_tokens + 1, chunk_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    first = W.partitionBy(F.md5("chunk")).orderBy(id_col, "chunk_idx")
+    rk = ch.withColumn("rn", F.row_number().over(first))
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("rn") == 1,
+                F.struct(F.col("chunk_idx"), F.col("chunk")),
+            )
+        )
+    )
+    return rk.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_dup_chunks"),
+        F.md5(
+            F.concat_ws(
+                " ", F.transform(kept_sorted, lambda s: s.getField("chunk"))
+            )
+        ).alias("kept_md5"),
+    )

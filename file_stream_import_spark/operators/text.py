@@ -230,6 +230,111 @@ def term_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Build a (truncated) inverted index: term → document frequency +
+    the head of the posting list (first ``max_postings`` doc ids in
+    ascending order, comma-joined).
+
+    Scale shape: the posting-list head is selected with a per-term
+    ranked window BEFORE any collect_list, so no task ever materializes
+    a full posting list — for a stopword-like term at 100 TB that list
+    is corpus-sized, and the naive ``sort_array(collect_set(id))`` dies
+    exactly there. Two shuffles on ``term`` (same key, AQE-coalesced);
+    the df count rides the same window.
+    """
+    dt = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+    wt = W.partitionBy("term")
+    rk = dt.withColumn(
+        "rn", F.row_number().over(wt.orderBy(id_col))
+    ).withColumn("df", F.count("*").over(wt).cast("bigint"))
+    return (
+        rk.filter(F.col("rn") <= max_postings)
+        .groupBy("term", "df")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(id_col)),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings_head")
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms (Robertson & Spärck Jones; the Lucene-default scoring form
+    with idf = ln(1 + (N - df + 0.5) / (df + 0.5))).
+
+    Scale shape: tf is aggregated only for the query's terms (the
+    explode is pre-filtered, so the shuffled volume is hits-only, not
+    the whole corpus); df/N/avgdl are term- or scalar-sized and
+    broadcast. Per-term contributions are cast DECIMAL(18,6) before the
+    final per-doc sum so the result is reduction-order-independent, and
+    the idf is quantized to DECIMAL(12,4) right after the ln() — libm
+    and JVM ln differ in the last ulp, and without the quantization
+    that ulp cascades through the rounding boundaries into a visible
+    1e-4 flip. Documents containing none of the query terms score no
+    row (filter them in, at zero, with a left join from ``df`` if
+    needed).
+    """
+    terms = term_rows(df, id_col, text_col).filter(
+        F.col("term").isin(*query_terms)
+    )
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfreq = terms.groupBy("term").agg(
+        F.countDistinct(id_col).cast("bigint").alias("df")
+    )
+    stats = df.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(F.size(tokens(text_col))).alias("_avgdl"),
+    )
+    dl = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("double").alias("dl")
+    )
+    idf = (
+        F.log(1.0 + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        .cast("decimal(12,4)")
+        .cast("double")
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_c", contrib.cast("decimal(18,6)"))
+        .groupBy(id_col)
+        .agg(
+            (F.round(F.sum("_c").cast("double"), 4) + 0.0).alias("bm25"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+
+
 def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Corpus tf-idf: tf(doc,term) × ln(N/df(term)).
 

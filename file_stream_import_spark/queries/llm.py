@@ -955,3 +955,202 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term); the df relation is vocabulary-sized and broadcasts."""
     d = load_table(spark, sf_dir, "documents")
     return text.tfidf(d)
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: sub-document dedup, retrieval (inverted index + BM25),
+# deterministic splits, quality filter chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_dedup_exact",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), ch AS (
+      SELECT doc_id, i.i AS chunk_idx,
+        array_to_string(list_slice(w, i.i*8+1, i.i*8+8), ' ') AS chunk
+      FROM d CROSS JOIN LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(w)/8.0) AS BIGINT))) AS i) i
+    ), rk AS (
+      SELECT doc_id, chunk_idx, chunk,
+        ROW_NUMBER() OVER (
+          PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      md5(COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx)
+          FILTER (WHERE rn = 1), '')) AS kept_md5
+    FROM rk GROUP BY doc_id
+    """,
+)
+def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: 8-token chunks, global first-occurrence
+    wins (C4-style span removal). Only (hash, id, idx) triples shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.chunk_dedup(d, chunk_tokens=8)
+
+
+@register(
+    "inverted_index_postings",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ), dt AS (
+      SELECT DISTINCT doc_id, term FROM tok
+    ), rk AS (
+      SELECT term, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY term) AS df
+      FROM dt
+    )
+    SELECT term, CAST(df AS BIGINT) AS df,
+      string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_head
+    FROM rk WHERE rn <= 20 GROUP BY term, df
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated inverted index: term → df + first-20 posting head. The
+    head is ranked BEFORE any collect, so no task holds a full posting
+    list (corpus-sized for stopword terms at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.inverted_index(d, max_postings=20)
+
+
+@register(
+    "bm25_scores",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ), hit AS (
+      SELECT doc_id, term FROM tok WHERE term IN ('spark', 'join', 'dup')
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM hit GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM hit GROUP BY term
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        AVG(len(string_split_regex(trim(text), '\s+'))) AS avgdl
+      FROM documents
+    ), dl AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+      FROM documents
+    )
+    SELECT tf.doc_id,
+      ROUND(CAST(SUM(CAST(
+        CAST(CAST(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             AS DECIMAL(12,4)) AS DOUBLE)
+        * (tf * (1.2 + 1.0)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+        AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS bm25,
+      CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 over a 3-term query; per-term contributions summed as
+    DECIMAL(18,6) so the score is reduction-order-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bm25_scores(d, ["spark", "join", "dup"])
+
+
+@register(
+    "train_split_assign",
+    oracle="""
+    SELECT doc_id,
+      CAST(('0x' || substr(md5('split=1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 100 AS split_bucket,
+      CASE
+        WHEN CAST(('0x' || substr(md5('split=1:' || CAST(doc_id AS VARCHAR)),
+             1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        WHEN CAST(('0x' || substr(md5('split=1:' || CAST(doc_id AS VARCHAR)),
+             1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        ELSE 'test'
+      END AS split
+    FROM documents
+    """,
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by seeded md5 bucket
+    — stable under corpus growth (no RNG), pure projection."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.hash_split(d, "doc_id").select(
+        "doc_id", "split_bucket", "split"
+    )
+
+
+@register(
+    "quality_filter_chain",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+        string_split_regex(trim(text), '\s+') AS toks,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+        length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+        LEAST(len(list_filter(toks, x -> x IN
+          ('the','a','of','and','in','to','is','on','for','with'))) * 1.0
+          / len(toks) * 5, 1.0) * 0.5
+        + (1 - LEAST(n_punct * 1.0 / n_chars * 10, 1.0)) * 0.25
+        + (1 - LEAST(n_upper * 1.0 / n_chars * 10, 1.0)) * 0.25 AS score
+      FROM t
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN n_tokens BETWEEN 30 AND 80 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_pass_len,
+      CAST(SUM(CASE WHEN score >= 0.65 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_pass_quality,
+      CAST(SUM(CASE WHEN n_tokens BETWEEN 30 AND 80 AND score >= 0.65
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+      ROUND(SUM(CASE WHEN n_tokens BETWEEN 30 AND 80 AND score >= 0.65
+        THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS pass_rate
+    FROM r GROUP BY source
+    """,
+)
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style filter funnel per source: length gate × quality-score
+    gate, with the survival rate a pipeline uses to budget its mixture.
+    One aggregate over per-row projections — no extra shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = text.with_quality_score(text.with_token_stats(d))
+    len_ok = F.col("n_tokens").between(30, 80)
+    # the unrounded score, same arithmetic as with_quality_score
+    t = text.tokens("text")
+    stop_r = F.size(F.filter(t, lambda x: x.isin(*text.STOPWORDS))) / F.size(t)
+    punct_r = F.length(
+        F.regexp_replace(F.col("text"), r"[^!-/:-@\[-`{-~]", "")
+    ) / F.length("text")
+    upper_r = F.length(
+        F.regexp_replace(F.col("text"), r"[^A-Z]", "")
+    ) / F.length("text")
+    score = (
+        F.least(stop_r * 5, F.lit(1.0)) * 0.5
+        + (1 - F.least(punct_r * 10, F.lit(1.0))) * 0.25
+        + (1 - F.least(upper_r * 10, F.lit(1.0))) * 0.25
+    )
+    qual_ok = score >= 0.65
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(len_ok.cast("int")).cast("bigint").alias("n_pass_len"),
+        F.sum(qual_ok.cast("int")).cast("bigint").alias("n_pass_quality"),
+        F.sum((len_ok & qual_ok).cast("int")).cast("bigint").alias("n_pass_all"),
+        F.round(
+            F.sum((len_ok & qual_ok).cast("int")) * 1.0 / F.count("*"), 4
+        ).alias("pass_rate"),
+    )

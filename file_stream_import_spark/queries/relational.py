@@ -1226,3 +1226,118 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Change-data-capture: changelog merge (upsert + delete) and SCD Type 2
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_merge_changelog",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+        CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+    ), rk AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+        COUNT(*) OVER (PARTITION BY o_custkey) AS n_ops
+      FROM ch
+    )
+    SELECT o_custkey,
+      o_orderkey AS last_orderkey,
+      o_orderstatus AS last_status,
+      o_totalprice AS last_price,
+      strftime(o_orderdate, '%Y-%m-%d') AS last_date,
+      CAST(n_ops AS BIGINT) AS n_ops
+    FROM rk WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog replay with deletes — the lifecycle the reference's
+    ON CONFLICT upsert (internal/db/db.go:43-55) cannot express: the
+    newest op per customer wins, and a trailing delete removes the key.
+    The changelog is derived deterministically from orders (op = 'D'
+    when o_orderkey % 11 = 0) so Spark and the oracle replay the same
+    log. One keyed window shuffle (operators/cdc.py); AQE-skew-safe.
+    """
+    from ..operators import cdc
+
+    o = load_table(spark, sf_dir, "orders")
+    changes = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 11 == 0, "D").otherwise("U").alias("op"),
+    )
+    final = cdc.apply_changelog(
+        changes, ["o_custkey"], ["o_orderdate", "o_orderkey"]
+    )
+    return final.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderstatus").alias("last_status"),
+        F.col("o_totalprice").alias("last_price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_date"),
+        "n_ops",
+    )
+
+
+@register(
+    "scd2_status_history",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM orders WHERE o_custkey % 50 = 0
+    ), h AS (
+      SELECT *,
+        LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM ch
+    )
+    SELECT o_custkey, o_orderkey,
+      o_orderstatus AS status,
+      o_totalprice AS price,
+      strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+      COALESCE(strftime(nxt, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+      CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM h
+    """,
+)
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension over each customer's order
+    stream: every change opens a validity interval, closed by the next
+    change (lead window), newest row flagged current. Key-partitioned
+    window — one shuffle, no global sort. Output bounded to the
+    custkey % 50 = 0 sample so the driver compare stays small.
+    """
+    from ..operators import cdc
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 50 == 0
+    )
+    hist = cdc.scd2_history(
+        o.select(
+            "o_custkey", "o_orderkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate",
+        ),
+        ["o_custkey"],
+        "o_orderdate",
+        ["o_orderdate", "o_orderkey"],
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd"), F.lit("9999-12-31")
+        ).alias("valid_to"),
+        F.col("is_current").cast("bigint").alias("is_current"),
+    )
