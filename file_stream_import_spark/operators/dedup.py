@@ -396,3 +396,89 @@ def chunk_dedup(
             )
         ).alias("kept_md5"),
     )
+
+
+def cluster_pairs_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-graph upgrade over min-label propagation
+    (cluster_pairs): O(log n) rounds on ANY graph, including the long
+    chains and high-diameter components where label propagation needs
+    O(diameter) rounds.
+
+    Each round is two groupBy-min + join passes over the edge set:
+
+    * large-star: every node links its LARGER neighbors to its minimum
+      neighbor (tree flattening);
+    * small-star: every node links its smaller-or-equal neighbors to
+      the minimum (star contraction).
+
+    At the fixpoint the edge set IS the component map (node → component
+    minimum). Same output contract as cluster_pairs: (doc_id,
+    cluster_id = smallest reachable id). Per-round lineage is cut with
+    localCheckpoint; convergence is an exact edge-set checksum, not a
+    driver collect of the edges.
+    """
+
+    def _dedup(e: DataFrame) -> DataFrame:
+        return e.filter(F.col("src") != F.col("dst")).distinct()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        m = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return _dedup(
+            sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        hi_lo = e.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        ).distinct()
+        m = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
+        linked = hi_lo.join(m, "u")
+        return _dedup(
+            linked.select(F.col("v").alias("src"), F.col("m").alias("dst")).union(
+                linked.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+            )
+        )
+
+    def checksum(e: DataFrame):
+        # bit_xor, not sum: a sum of 64-bit hashes overflows under ANSI
+        # mode; xor is overflow-free and exact for a DISTINCT edge set.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row.n, row.h
+
+    edges = _dedup(
+        pairs.select(
+            F.col(id_a).cast("bigint").alias("src"),
+            F.col(id_b).cast("bigint").alias("dst"),
+        )
+    ).localCheckpoint(eager=True)
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint edges: (node, component-min). Roots appear only as dst.
+    nodes = edges.select("src").union(edges.select("dst")).distinct()
+    return (
+        nodes.join(edges, "src", "left")
+        .select(
+            F.col("src").cast("bigint").alias("doc_id"),
+            F.coalesce(F.col("dst"), F.col("src")).cast("bigint").alias("cluster_id"),
+        )
+    )

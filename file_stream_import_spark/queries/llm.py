@@ -1154,3 +1154,18 @@ def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((len_ok & qual_ok).cast("int")) * 1.0 / F.count("*"), 4
         ).alias("pass_rate"),
     )
+
+
+@register("dedup_clusters_largestar", oracle=_CLUSTER_ORACLE)
+def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_clusters (MinHash-LSH pairs → connected
+    components → smallest-id representative) but clustered with the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    SoCC'14) — O(log n) rounds on ANY graph shape, where min-label
+    propagation needs O(diameter). This is the variant to run when the
+    dup graph may contain long chains (mirror sites chaining near-dups)
+    rather than shallow stars. Shares the recursive-CTE oracle: both
+    algorithms compute the same components."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8)
+    return dedup.cluster_pairs_star(pairs)

@@ -1341,3 +1341,109 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.col("is_current").cast("bigint").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigation join and incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_t,
+        SUM(CAST("value" AS DECIMAL(18,6))) AS sum_t
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_above,
+      ROUND(CAST(MIN(sum_t) AS DOUBLE) / MIN(n_t), 4) + 0.0 AS type_avg
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE CAST(e."value" AS DECIMAL(18,6)) * n_t > sum_t
+    GROUP BY e.event_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-type-average events via an explicitly SALTED join: the fact
+    side joins its per-type aggregate on (event_type, salt) — event_type
+    has only a handful of values, the canonical hot-key join where one
+    reducer would otherwise own a whole type's rows at 100 TB. The salt
+    spreads each type over 16 buckets (operators/skew.py); the small
+    side (one row per type) explodes ×16 and still broadcasts. Result
+    is bit-identical to the unsalted join.
+
+    The avg comparison is decimal-exact (value·n > sum, no division) so
+    Spark and the oracle agree regardless of float reduction order.
+    """
+    from ..operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_t"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_t"),
+    )
+    joined = salted_join(e, s, "event_type", "event_id", n_salts=16)
+    return (
+        joined.filter(
+            F.col("value").cast("decimal(18,6)") * F.col("n_t") > F.col("sum_t")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_above"),
+            (
+                F.round(
+                    F.min("sum_t").cast("double") / F.min("n_t"), 4
+                )
+                + 0.0
+            ).alias("type_avg"),
+        )
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+        AS total_price,
+      strftime(MAX(o_orderdate), '%Y-%m-%d') AS latest_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the aggregate is computed as
+    BASE (orders before 2000-01-01, the 'materialized' partial) merged
+    with DELTA (orders on/after the cutoff) — the incremental-refresh
+    path a warehouse takes instead of full recompute. COUNT/SUM/MAX
+    merge losslessly; sums are DECIMAL so partial+partial equals the
+    oracle's single-pass sum exactly (double addition would differ by
+    reduction order). The oracle IS the full recompute — the equality
+    the driver checks is precisely 'incremental refresh ≡ recompute'.
+
+    Scale: each partial is a normal map-side-combined aggregate; the
+    merge touches only (priority-cardinality × 2) rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_s"),
+            F.max("o_orderdate").alias("_d"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_orders"),
+            F.round(F.sum("_s").cast("double"), 2).alias("total_price"),
+            F.date_format(F.max("_d"), "yyyy-MM-dd").alias("latest_order"),
+        )
+    )

@@ -213,3 +213,83 @@ def test_hash_split_is_pure_projection(spark):
         .toString()
     )
     assert "Exchange" not in plan  # no shuffle at all
+
+
+# ---------------------------------------------------------------------------
+# Large-star/small-star connected components
+# ---------------------------------------------------------------------------
+
+
+def _cc_pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+@pytest.mark.parametrize(
+    "edges,expect",
+    [
+        # long chain — the adversarial case for label propagation
+        ([(i, i + 1) for i in range(20)], {i: 0 for i in range(21)}),
+        # two components + a clique
+        (
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+            {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20},
+        ),
+        # star already
+        ([(5, 1), (5, 2), (5, 9)], {1: 1, 2: 1, 5: 1, 9: 1}),
+    ],
+    ids=["chain", "multi", "star"],
+)
+def test_cluster_pairs_star_components(spark, edges, expect):
+    out = dedup.cluster_pairs_star(_cc_pairs(spark, edges)).collect()
+    assert {r.doc_id: r.cluster_id for r in out} == expect
+
+
+def test_cluster_pairs_star_matches_label_propagation(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = _cc_pairs(spark, edges)
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs_star(pairs).collect()
+    }
+    prop = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(pairs).collect()
+    }
+    assert star == prop
+
+
+# ---------------------------------------------------------------------------
+# Salted join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    from file_stream_import_spark.operators.skew import salted_join
+
+    big = spark.range(500).select(
+        F.col("id").alias("row_id"), (F.col("id") % 3).alias("k")
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    salted = salted_join(big, small, "k", "row_id", n_salts=8)
+    plain = big.join(small, "k")
+    assert salted.count() == 500
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    assert "__salt" not in salted.columns
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    from file_stream_import_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10), (2, 20)], "k long, row_id long")
+    small = spark.createDataFrame([(1, "x")], "k long, v string")
+    out = salted_join(big, small, "k", "row_id", n_salts=4, how="left")
+    rows = {r.k: r.v for r in out.collect()}
+    assert rows == {1: "x", 2: None}
