@@ -1447,3 +1447,104 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("_d"), "yyyy-MM-dd").alias("latest_order"),
         )
     )
+
+
+@register(
+    "rolling_features",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id,
+        STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+        SUM(CAST("value" AS DECIMAL(10,2))) OVER w AS s,
+        SUM(CAST("value" AS DECIMAL(10,2)) * CAST("value" AS DECIMAL(10,2)))
+          OVER w AS s2,
+        MIN("value") OVER w AS roll_min,
+        MAX("value") OVER w AS roll_max
+      FROM events
+      WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts_s, roll_n,
+      FLOOR(CAST(s AS DOUBLE) / roll_n * 10000 + 0.5) / 10000.0 + 0.0
+        AS roll_mean,
+      CASE WHEN roll_n > 1 THEN
+        FLOOR(sqrt(CAST(
+          CAST(roll_n AS DECIMAL(4,0)) * CAST(s2 AS DECIMAL(31,4))
+          - CAST(s AS DECIMAL(12,2)) * CAST(s AS DECIMAL(12,2))
+        AS DOUBLE) / (roll_n * (roll_n - 1))) * 10000 + 0.5) / 10000.0 + 0.0
+      ELSE 0.0 END AS roll_std,
+      roll_min, roll_max
+    FROM f
+    """,
+)
+def rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-event rolling features per user (mean/std/min/max) —
+    the feature-engineering window an online-ML pipeline materializes.
+
+    Exactness across engines: Spark's sliding-frame aggregation and
+    DuckDB's segment-tree window aggregation sum in DIFFERENT orders, so
+    double sums differ in the last ulp. Both sums here are DECIMAL
+    (order-independent, exact); variance uses the n·Σx² − (Σx)² form
+    with precisions chosen to stay WELL under DECIMAL(38) — Spark caps
+    window-sum decimals at precision 38 by silently REDUCING SCALE,
+    which desynced a (14,6)-based first attempt — and only the final
+    division/sqrt (IEEE-exact on identical inputs) happens in double.
+    Quantization uses floor(x·1e4 + 0.5)/1e4 — pure IEEE arithmetic,
+    identical in both engines — NOT ROUND: Spark rounds a double via its
+    shortest decimal representation while DuckDB rounds the binary
+    value, so ROUND flips at half-boundaries (observed at sf0.01).
+
+    Scale: one shuffle on user_id; each frame is 10 rows — no
+    unbounded state, no global sort.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    vdec = F.col("value").cast("decimal(10,2)")
+    n = F.count("*").over(w).cast("bigint")
+    s = F.sum(vdec).over(w)
+    s2 = F.sum(vdec * vdec).over(w)
+    num = (
+        n.cast("decimal(4,0)") * s2.cast("decimal(31,4)")
+        - s.cast("decimal(12,2)") * s.cast("decimal(12,2)")
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            n.alias("roll_n"),
+            (
+                F.floor(s.cast("double") / n * 10000 + 0.5) / 10000.0 + 0.0
+            ).alias("roll_mean"),
+            s.alias("__s"),
+            num.alias("__num"),
+            F.min("value").over(w).alias("roll_min"),
+            F.max("value").over(w).alias("roll_max"),
+        )
+        .withColumn(
+            "roll_std",
+            F.when(
+                F.col("roll_n") > 1,
+                F.floor(
+                    F.sqrt(
+                        F.col("__num").cast("double")
+                        / (F.col("roll_n") * (F.col("roll_n") - 1))
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000.0
+                + 0.0,
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "user_id", "event_id", "ts_s", "roll_n",
+            "roll_mean", "roll_std", "roll_min", "roll_max",
+        )
+    )
