@@ -1,0 +1,600 @@
+"""Behavioral-analytics and data-profiling query surface.
+
+The reference's query layer is three SQL strings shipped to Postgres
+(internal/db/db.go:63-74,112-124); a production deployment of it would run
+exactly this class of workload downstream — sessionization, retention,
+funnels, profiling — so these operators complete the "switch to this repo"
+story for its users. Each is expressed declaratively on the DataFrame API
+(Catalyst supplies pushdown/AQE) with a DuckDB oracle.
+
+Engine-stability rules (see queries/__init__.py docstring): decimal sums
+for anything summed in a nondeterministic order, floor(x*1e4+0.5)/1e4
+quantization for ratios (pure IEEE, identical across engines — ROUND is
+not), timestamps formatted to strings, counts cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io.tables import load_table
+from . import register
+
+_TS = "yyyy-MM-dd HH:mm:ss"
+_TS_DK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), t AS (
+      SELECT user_id, ts,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+      STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+      epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+    FROM t GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session).
+
+    The canonical clickstream operator: lag → new-session flag → running
+    sum as session id → per-session aggregate. Two window passes and one
+    groupBy, all partitioned by user_id, so the whole plan reuses ONE
+    hash-partitioning on user_id — no extra shuffle between the windows
+    and the aggregate, and per-user frames are the only state. Gap
+    arithmetic is integer microseconds (exact in both engines).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sess = e.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), _TS).alias("start_s"),
+        F.date_format(F.max("ts"), _TS).alias("end_s"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "dur_us"
+        ),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
+    )
+    SELECT STRFTIME(u.cohort_week, '%Y-%m-%d') AS cohort_week,
+      date_diff('day', u.cohort_week, a.wk) // 7 AS week_offset,
+      CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN u USING (user_id)
+    GROUP BY u.cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in each subsequent week they return.
+
+    Both sides reduce events to per-user rows BEFORE the join (min-week
+    aggregate ⋈ distinct user-weeks), so the join input is |users| + a
+    small multiple of |users| — never |events| ⋈ |events|. The join key
+    is user_id, co-partitioned with both upstream aggregations: one
+    logical partitioning end-to-end. Week truncation is ISO-Monday in
+    both Spark and DuckDB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("wk"), F.to_date("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "merge_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events
+    ), o AS (
+      SELECT user_id, s, e,
+        MAX(epoch_us(e)) OVER (PARTITION BY user_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ), f AS (
+      SELECT user_id, s, e,
+        CASE WHEN prev_max IS NULL OR epoch_us(s) > prev_max
+             THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), g AS (
+      SELECT user_id, s, e,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+      FROM f
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      STRFTIME(MIN(s), '%Y-%m-%d %H:%M:%S') AS start_s,
+      STRFTIME(MAX(e), '%Y-%m-%d %H:%M:%S') AS end_s
+    FROM g GROUP BY user_id, island
+    """,
+)
+def merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each event opens a 5-minute activity interval;
+    overlapping intervals per user are merged into maximal islands.
+
+    The standard O(n log n) sweep expressed relationally: running max of
+    interval-end over all PRECEDING rows detects overlap, a break flag's
+    running sum numbers the islands. Same single user_id partitioning
+    reused across both windows and the final aggregate. Equal (s, e)
+    ties are order-insensitive: a duplicate interval always lands in its
+    twin's island regardless of intra-tie window order.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max(F.unix_micros(F.col("e"))).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max.isNull() | (F.unix_micros(F.col("s")) > prev_max), 1
+    ).otherwise(0)
+    g = e.withColumn(
+        "island",
+        F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return g.groupBy("user_id", "island").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("s"), _TS).alias("start_s"),
+        F.date_format(F.max("e"), _TS).alias("end_s"),
+    )
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS from_type,
+        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+      FLOOR(CAST(COUNT(*) AS DOUBLE)
+            / CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type) AS DOUBLE)
+            * 10000 + 0.5) / 10000.0 + 0.0 AS prob
+    FROM p WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count and row-normalized probability for each (type → next type).
+
+    lead() pairs consecutive events inside the user_id partitioning; the
+    transition count groupBy then shuffles only |types|² rows, and the
+    normalizing window runs over that tiny aggregate — the only
+    data-sized shuffle is the one on user_id. Probabilities are
+    floor-quantized (engine-stable IEEE arithmetic).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    total = F.sum("n").over(W.partitionBy("from_type"))
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double") / total.cast("double") * 10000
+                + 0.5
+            )
+            / 10000.0
+            + 0.0
+        ).alias("prob"),
+    )
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS col,
+      CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_null,
+      CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+      CAST(MIN(o_orderstatus) AS VARCHAR) AS min_s,
+      CAST(MAX(o_orderstatus) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+      CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+      CAST(MIN(o_orderpriority) AS VARCHAR),
+      CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+      CAST(MIN(o_custkey) AS VARCHAR),
+      CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+      CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+      printf('%.2f', MIN(o_totalprice)),
+      printf('%.2f', MAX(o_totalprice))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+      CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+      STRFTIME(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+      STRFTIME(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass over orders: null count, distinct count, and
+    min/max (rendered to strings) for five columns in ONE scan.
+
+    All fifteen aggregates are computed in a single agg — Catalyst plans
+    the multi-DISTINCT via one Expand + partial aggregation, so the
+    table is read once regardless of column count (the oracle's UNION of
+    five scans is the naive form this operator replaces). Output is 5
+    rows, unpivoted driver-side-free via an inline stack().
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def _null(c):  # noqa: ANN001, ANN202
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint")
+
+    agg = o.agg(
+        *[
+            a
+            for c in [
+                "o_orderstatus",
+                "o_orderpriority",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderdate",
+            ]
+            for a in (
+                _null(c).alias(f"{c}__nn"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+            )
+        ],
+        F.min("o_orderstatus").cast("string").alias("o_orderstatus__min"),
+        F.max("o_orderstatus").cast("string").alias("o_orderstatus__max"),
+        F.min("o_orderpriority").cast("string").alias("o_orderpriority__min"),
+        F.max("o_orderpriority").cast("string").alias("o_orderpriority__max"),
+        F.min("o_custkey").cast("string").alias("o_custkey__min"),
+        F.max("o_custkey").cast("string").alias("o_custkey__max"),
+        F.format_string("%.2f", F.min("o_totalprice")).alias(
+            "o_totalprice__min"
+        ),
+        F.format_string("%.2f", F.max("o_totalprice")).alias(
+            "o_totalprice__max"
+        ),
+        F.date_format(F.min("o_orderdate"), _TS).alias("o_orderdate__min"),
+        F.date_format(F.max("o_orderdate"), _TS).alias("o_orderdate__max"),
+    )
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max"
+        for c in [
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+        ]
+    )
+    return agg.selectExpr(
+        f"stack(5, {stack}) AS (col, n_null, n_distinct, min_s, max_s)"
+    )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST("value" AS DECIMAL(10,2))) AS s,
+        SUM(CAST("value" AS DECIMAL(10,2)) * CAST("value" AS DECIMAL(10,2)))
+          AS s2
+      FROM events GROUP BY event_type
+    ), z AS (
+      SELECT e.event_id, e.event_type, e."value" AS v,
+        FLOOR((e."value" - CAST(st.s AS DOUBLE) / st.n)
+          / sqrt(CAST(
+              CAST(st.n AS DECIMAL(8,0)) * CAST(st.s2 AS DECIMAL(22,4))
+              - CAST(st.s AS DECIMAL(15,2)) * CAST(st.s AS DECIMAL(15,2))
+            AS DOUBLE) / (st.n * (st.n - 1)))
+          * 10000 + 0.5) / 10000.0 + 0.0 AS z
+      FROM events e JOIN st USING (event_type)
+    )
+    SELECT event_id, event_type, v, z FROM z WHERE ABS(z) > 2.5
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier detection: flag events whose value
+    sits more than 2.5 sample standard deviations from the type mean.
+
+    The per-type stats aggregate is |types| rows — broadcast back onto
+    the event stream, so the full pass is one map-side join over a
+    single scan lineage (no event-sized shuffle at all). Moments are
+    exact decimals (order-independent); mean/std/z are then pure IEEE
+    double ops on identical inputs, and the outlier predicate filters on
+    the floor-QUANTIZED z so the cut is engine-stable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(10,2)")
+    st = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(vdec).alias("s"),
+        F.sum(vdec * vdec).alias("s2"),
+    )
+    num = (
+        F.col("n").cast("decimal(8,0)") * F.col("s2").cast("decimal(22,4)")
+        - F.col("s").cast("decimal(15,2)") * F.col("s").cast("decimal(15,2)")
+    )
+    z = (
+        F.floor(
+            (F.col("value") - F.col("s").cast("double") / F.col("n"))
+            / F.sqrt(
+                num.cast("double") / (F.col("n") * (F.col("n") - 1))
+            )
+            * 10000
+            + 0.5
+        )
+        / 10000.0
+        + 0.0
+    )
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").alias("v"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT DATE_TRUNC('day', ts) AS day FROM events
+    ), du AS (
+      SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id FROM events
+    )
+    SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+      CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users (WAU) for every day with activity.
+
+    COUNT(DISTINCT) over a sliding range frame isn't directly
+    expressible as a window, and the oracle's range join is quadratic in
+    days; the scale path instead EXPLODES each distinct (day, user) row
+    into the ≤7 window-days it contributes to — a bounded ×7 fan-out of
+    an already user-granular input — then semi-joins to observed days
+    and counts distinct users per window-day. Shuffles only user-day
+    pairs, never raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    du = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        F.explode(
+            F.expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("wday"),
+        "user_id",
+    )
+    return (
+        contrib.join(
+            F.broadcast(days), contrib["wday"] == days["day"], "semi"
+        )
+        .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+
+
+@register(
+    "revenue_deciles",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), d AS (
+      SELECT o_custkey, rev,
+        NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      FROM r
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(CAST(SUM(rev) AS DECIMAL(18,2)) AS DOUBLE) AS decile_rev,
+      FLOOR(CAST(SUM(rev) AS DOUBLE) / CAST(SUM(SUM(rev)) OVER () AS DOUBLE)
+            * 10000 + 0.5) / 10000.0 + 0.0 AS rev_share
+    FROM d GROUP BY decile
+    """,
+)
+def revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ranked into spend deciles, with
+    each decile's customer count, exact revenue, and share of total.
+
+    NTILE needs a total order, but only over the per-customer aggregate
+    (|customers| ≪ |orders|) — the event-sized data never leaves its
+    groupBy partitioning. At 100 TB the per-customer rollup is still the
+    heavy step; the single-partition rank runs on its output. For rank
+    inputs that themselves don't fit one partition, the two-level
+    bucketed rank used by train_shuffle (curation.py) is the upgrade.
+    Revenue is exact decimal; only the final share ratio is quantized.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+    )
+    d = r.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(W.orderBy(F.col("rev").desc(), F.col("o_custkey")))
+        .cast("bigint"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev").cast("decimal(18,2)").alias("decile_rev"),
+    )
+    total = F.sum("decile_rev").over(W.partitionBy())
+    return g.select(
+        "decile",
+        "n_customers",
+        F.col("decile_rev").cast("double").alias("decile_rev"),
+        (
+            F.floor(
+                F.col("decile_rev").cast("double")
+                / total.cast("double")
+                * 10000
+                + 0.5
+            )
+            / 10000.0
+            + 0.0
+        ).alias("rev_share"),
+    )
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+    SELECT c_custkey, probe, CAST(levenshtein(c_name, probe) AS BIGINT)
+      AS dist
+    FROM customer,
+      (VALUES ('Customer#000000100'), ('Customer#000001399')) p(probe)
+    WHERE levenshtein(c_name, probe) <= 1
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity matching: find customers whose name is
+    within Levenshtein distance 1 of a probe list.
+
+    The probe side is a literal in-memory table — hard-broadcast (it is
+    constant-size by construction, like region/nation under the dim()
+    policy), so the scan side streams through a broadcast nested loop
+    with the distance predicate evaluated JVM-side (built-in
+    levenshtein, no Python). At scale the upgrade is length + prefix
+    blocking before the distance call; distance ≤1 keeps the
+    demonstration exact in both engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    probes = spark.createDataFrame(
+        [("Customer#000000100",), ("Customer#000001399",)], ["probe"]
+    )
+    return (
+        c.crossJoin(F.broadcast(probes))
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("c_name"), F.col("probe")).cast("bigint"),
+        )
+        .filter(F.col("dist") <= 1)
+        .select("c_custkey", "probe", "dist")
+    )
+
+
+@register(
+    "basket_type_pairs",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+      CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def basket_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining: for every unordered pair of event types,
+    how many users have performed both.
+
+    The self-join runs on DISTINCT (user, type) rows, so per-user
+    fan-out is bounded by the type-domain size squared (not by event
+    count) — the association-rule analog of the document-frequency cap
+    in ngram_jaccard_pairs (operators/dedup.py). Both join inputs share
+    the user_id partitioning with the distinct that produced them: one
+    shuffle total.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
