@@ -598,3 +598,216 @@ def basket_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+      FLOOR(PERCENT_RANK() OVER w * 1e6 + 0.5) / 1e6 + 0.0 AS pct_rank,
+      FLOOR(CUME_DIST() OVER w * 1e6 + 0.5) / 1e6 + 0.0 AS cume,
+      CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist / ntile)
+    per market segment — the remaining ANSI window family not covered by
+    window_ranks/window_navigation.
+
+    The order-by includes the unique key so ntile's row positions are a
+    total order (ties on acctbal alone would make quartile assignment
+    engine-dependent). One window shuffle on the segment key; ranks are
+    floor-quantized (both are exact rationals, but the division is IEEE).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+
+    def _q(col):
+        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6 + F.lit(0.0)
+
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        _q(F.percent_rank().over(w)).alias("pct_rank"),
+        _q(F.cume_dist().over(w)).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH g AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    base AS (
+      SELECT o_custkey AS c_custkey,
+        date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                  CAST(ANY_VALUE(maxd) AS DATE)) AS recency_days,
+        CAST(COUNT(*) AS BIGINT) AS frequency,
+        SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS mon_exact
+      FROM orders CROSS JOIN g
+      GROUP BY o_custkey
+    )
+    SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+      frequency,
+      ROUND(CAST(mon_exact AS DOUBLE), 2) + 0.0 AS monetary,
+      CAST(NTILE(4) OVER (ORDER BY recency_days, c_custkey) AS BIGINT)
+        AS r_quartile,
+      CAST(NTILE(4) OVER (ORDER BY frequency DESC, c_custkey) AS BIGINT)
+        AS f_quartile,
+      CAST(NTILE(4) OVER (ORDER BY mon_exact DESC, c_custkey) AS BIGINT)
+        AS m_quartile
+    FROM base
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, vs the
+    corpus max date), frequency (order count), monetary (exact DECIMAL
+    revenue sum), each cut into quartiles.
+
+    The anchor date is a 1-row aggregate broadcast into the per-customer
+    aggregation (no single-partition window). Monetary sums as
+    DECIMAL(18,6) so both the output value and the m-quartile ORDERING
+    are reduction-order-independent; all three ntile orderings include
+    the unique customer key. The three global ntile windows are
+    single-partition by nature — at scale the quartile cut becomes
+    approx_percentile thresholds + a projection (the pattern in
+    revenue_deciles) rather than a global sort; kept exact here because
+    the oracle contract needs exact ranks on customer-sized data (one
+    row per customer, not per fact row).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    g = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        o.crossJoin(F.broadcast(g))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(
+                F.to_date(F.first("maxd")), F.to_date(F.max("o_orderdate"))
+            ).alias("recency_days"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("mon_exact"),
+        )
+    )
+    return base.select(
+        "c_custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        "frequency",
+        (F.round(F.col("mon_exact").cast("double"), 2) + F.lit(0.0)).alias(
+            "monetary"
+        ),
+        F.ntile(4)
+        .over(W.orderBy("recency_days", "c_custkey"))
+        .cast("bigint")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), "c_custkey"))
+        .cast("bigint")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("mon_exact").desc(), "c_custkey"))
+        .cast("bigint")
+        .alias("m_quartile"),
+    )
+
+
+@register(
+    "constraint_check",
+    oracle="""
+    SELECT 'orders_totalprice_positive' AS constraint_name,
+      CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0)
+        AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+      CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+        AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_discount_in_range',
+      CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+        THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+      CAST(COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0)
+        AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_props_wrapped_json',
+      CAST(COALESCE(SUM(CASE WHEN props NOT LIKE '{%' OR props NOT LIKE '%}'
+        THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents_nchars_consistent',
+      CAST(COALESCE(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END),
+        0) AS BIGINT)
+    FROM documents
+    """,
+)
+def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality suite: declared constraints → violation
+    counts, one row per constraint.
+
+    Same-table constraints share a single scan (one multi-sum aggregate
+    per table, unpivoted with stack()) so the suite costs one pass over
+    each fact table plus one anti-join for the FK check — each aggregate
+    collapses map-side to a handful of counters, no data-sized shuffle
+    anywhere. This is the validation gate a pipeline runs before
+    publishing a snapshot.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+    c = load_table(spark, sf_dir, "customer")
+
+    def _cnt(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).cast("bigint")
+
+    o_rows = o.agg(
+        _cnt(F.col("o_totalprice") <= 0).alias("a"),
+        _cnt(F.col("o_custkey").isNull()).alias("b"),
+    ).select(
+        F.expr(
+            "stack(2, 'orders_totalprice_positive', a,"
+            " 'orders_custkey_not_null', b) AS (constraint_name, violations)"
+        )
+    )
+    fk = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("violations"))
+        .select(F.lit("orders_fk_customer").alias("constraint_name"), "violations")
+    )
+    li_rows = li.agg(
+        _cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("a"),
+        _cnt(F.col("l_quantity") <= 0).alias("b"),
+    ).select(
+        F.expr(
+            "stack(2, 'lineitem_discount_in_range', a,"
+            " 'lineitem_quantity_positive', b) AS (constraint_name, violations)"
+        )
+    )
+    e_rows = e.agg(
+        _cnt(
+            ~F.col("props").like("{%") | ~F.col("props").like("%}")
+        ).alias("a")
+    ).select(
+        F.lit("events_props_wrapped_json").alias("constraint_name"),
+        F.col("a").alias("violations"),
+    )
+    d_rows = d.agg(
+        _cnt(F.col("n_chars") != F.length("text")).alias("a")
+    ).select(
+        F.lit("documents_nchars_consistent").alias("constraint_name"),
+        F.col("a").alias("violations"),
+    )
+    return o_rows.unionByName(fk).unionByName(li_rows).unionByName(e_rows).unionByName(d_rows)
