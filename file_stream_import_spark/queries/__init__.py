@@ -42,7 +42,15 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every query module so registration side effects run."""
-    from . import analytics, llm, mlprep, relational, streaming_batch, tpch  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        graph,
+        llm,
+        mlprep,
+        relational,
+        streaming_batch,
+        tpch,
+    )
 
 
 # Staleness-driven evaluation order. The driver checks only the first
