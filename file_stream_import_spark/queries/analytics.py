@@ -811,3 +811,178 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("violations"),
     )
     return o_rows.unionByName(fk).unionByName(li_rows).unionByName(e_rows).unionByName(d_rows)
+
+
+@register(
+    "asof_next_purchase",
+    oracle="""
+    SELECT l.event_id, l.user_id,
+      STRFTIME(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      r.event_id AS purchase_event_id,
+      ROUND(r.value, 2) AS purchase_value,
+      epoch_us(r.ts) - epoch_us(l.ts) AS wait_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every click, the user's next purchase at
+    or after it — the attribution-window direction (asof_last_purchase
+    covers backward).
+
+    Implemented by time-axis negation over the same union+window as-of
+    operator (operators/asof.py): backward-as-of on -epoch_us(ts) IS
+    forward-as-of on ts, ties included, so the one-shuffle/no-join plan
+    and its 100 TB properties carry over unchanged. Oracle: DuckDB's
+    native ASOF LEFT JOIN with the <= comparator.
+    """
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    neg = (F.unix_micros(F.col("ts")) * -1).alias("negts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", neg
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", neg
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="negts",
+        by="user_id",
+        right_cols=["event_id", "ts", "value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.col("event_id_right").alias("purchase_event_id"),
+        F.round("value_right", 2).alias("purchase_value"),
+        (F.unix_micros(F.col("ts_right")) - F.unix_micros(F.col("ts"))).alias(
+            "wait_us"
+        ),
+    )
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        CAST(SUM(CAST("value" AS DECIMAL(10,2))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, MEDIAN(sv) AS med FROM daily GROUP BY event_type
+    ), mad AS (
+      SELECT d.event_type, ANY_VALUE(m.med) AS med,
+        MEDIAN(ABS(d.sv - m.med)) AS mad
+      FROM daily d JOIN med m USING (event_type)
+      GROUP BY d.event_type
+    )
+    SELECT d.event_type, d.day, d.sv AS daily_total,
+      FLOOR(ABS(d.sv - mad.med) / (CAST(1.4826 AS DOUBLE) * mad.mad)
+        * 1e4 + 0.5) / 1e4 + 0.0 AS mad_score
+    FROM daily d JOIN mad USING (event_type)
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scoring: |x - median| / (1.4826 × MAD) over daily
+    revenue per event type — the median-based complement to
+    anomaly_zscore (immune to the outliers it is hunting).
+
+    Daily totals are exact DECIMAL sums cast to DOUBLE, so both engines
+    interpolate medians over bit-identical inputs (quantile_cont
+    semantics match between Spark's median() and DuckDB's MEDIAN). The
+    median/MAD tables are |types| rows, broadcast back onto the
+    day-grain table — no day-table shuffle after the first aggregate,
+    which itself is one (type, day) groupBy with map-side combine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("sv")
+    )
+    med = daily.groupBy("event_type").agg(F.median("sv").alias("med"))
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.median(F.abs(F.col("sv") - F.col("med"))).alias("mad"),
+        )
+    )
+    return (
+        daily.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("sv").alias("daily_total"),
+            (
+                F.floor(
+                    F.abs(F.col("sv") - F.col("med"))
+                    / (F.lit(1.4826) * F.col("mad"))
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+                + F.lit(0.0)
+            ).alias("mad_score"),
+        )
+    )
+
+
+@register(
+    "orders_repeat_interval",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+        date_diff('day',
+          CAST(LAG(o_orderdate) OVER w AS DATE),
+          CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey AS c_custkey,
+      CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+      CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+      CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+      FLOOR(CAST(SUM(gap) AS DOUBLE) / COUNT(gap) * 1e4 + 0.5) / 1e4 + 0.0
+        AS avg_gap_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def orders_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase intervals: per returning customer, the min/max/mean
+    days between consecutive orders — the input feature for churn and
+    replenishment models.
+
+    One lag window and the following aggregate share the o_custkey
+    partitioning (single shuffle). Gaps are exact integer day diffs
+    (total order includes the unique order key, so ties on date are
+    deterministic); the mean is an exact-integer sum with one quantized
+    IEEE division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_gap_days"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+        (
+            F.floor(
+                F.sum("gap").cast("double") / F.count("gap") * 1e4 + F.lit(0.5)
+            )
+            / 1e4
+            + F.lit(0.0)
+        ).alias("avg_gap_days"),
+    )
