@@ -218,3 +218,29 @@ class TestRound3Additions:
         plan = physical_plan(spark, sf_dir, "doc_bigram_logprob")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_sessionize_single_user_partitioning(self, spark, sf_dir):
+        # lag window, running sum, and final aggregate all share ONE
+        # hashpartitioning(user_id) — exactly one exchange in the plan
+        plan = physical_plan(spark, sf_dir, "sessionize_events")
+        assert plan.count(") Exchange") == 1
+        assert "hashpartitioning(user_id" in plan
+
+    def test_pagerank_no_cartesian_and_broadcast_n(self, spark, sf_dir):
+        # the 1-row node count joins via broadcast; edge⋈score joins hash
+        plan = physical_plan(spark, sf_dir, "pagerank_bipartite")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row crossJoin form
+
+    def test_supplier_jaccard_joins_on_customer_key(self, spark, sf_dir):
+        # pair generation is an equi-join on the shared-customer key with
+        # the inequality as a post-filter — never a nested-loop pair scan
+        plan = physical_plan(spark, sf_dir, "supplier_jaccard")
+        assert "CartesianProduct" not in plan
+
+    def test_anomaly_scores_join_stats_broadcast(self, spark, sf_dir):
+        # |event_type|-sized stats tables broadcast back onto the stream
+        for name in ("anomaly_zscore", "anomaly_mad"):
+            plan = physical_plan(spark, sf_dir, name)
+            assert "BroadcastHashJoin" in plan, name
+            assert "CartesianProduct" not in plan, name
