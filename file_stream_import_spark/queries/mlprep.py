@@ -331,3 +331,65 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_err"
         ),
     )
+
+
+@register(
+    "corpus_pipeline_e2e",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, text,
+        len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), gated AS (
+      SELECT * FROM toks WHERE n_tokens BETWEEN 30 AND 80
+    ), deduped AS (
+      SELECT doc_id, source, n_tokens
+      FROM gated
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
+    ), split AS (
+      SELECT source, n_tokens,
+        CASE
+          WHEN CAST(('0x' || substr(md5('split=1:' || CAST(doc_id AS VARCHAR)),
+               1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+          WHEN CAST(('0x' || substr(md5('split=1:' || CAST(doc_id AS VARCHAR)),
+               1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+          ELSE 'test'
+        END AS split
+      FROM deduped
+    )
+    SELECT split, source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM split GROUP BY split, source
+    """,
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline in one registered query: quality
+    gate (30–80 tokens) → exact content dedup (min doc_id per normalized
+    md5) → seeded 80/10/10 hash split → per-(split, source) manifest.
+
+    This is the composition a user of the reference would actually
+    deploy downstream of its ingest: each stage is one of this repo's
+    verified operators chained on a single lineage. Shuffle budget: one
+    hash partition on the content hash (dedup window — WindowGroupLimit
+    prunes duplicates map-side first) and one for the final aggregate;
+    the gate and split are pure projections fused into the scan stage.
+    """
+    from ..operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+    ).filter(F.col("n_tokens").between(30, 80))
+    wnd = W.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    split = curation.hash_split(deduped, "doc_id")
+    return split.groupBy("split", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
