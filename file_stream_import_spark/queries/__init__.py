@@ -42,6 +42,10 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every query module so registration side effects run."""
+    # NOTE: `stats` is imported LAST on purpose — registration order is
+    # the tiebreak within the rank-0 (never-driver-checked) cohort, and
+    # new queries must queue BEHIND the existing rank-0 entries so they
+    # don't displace them from the driver's ~50-query window.
     from . import (  # noqa: F401
         analytics,
         graph,
@@ -50,6 +54,7 @@ def load_all() -> None:
         relational,
         streaming_batch,
         tpch,
+        stats,
     )
 
 

@@ -244,3 +244,60 @@ class TestRound3Additions:
             plan = physical_plan(spark, sf_dir, name)
             assert "BroadcastHashJoin" in plan, name
             assert "CartesianProduct" not in plan, name
+
+
+class TestStatsQueries:
+    def test_corr_matrix_is_one_pass_one_row(self, spark, sf_dir):
+        # all 14 moments accumulate in a single partial/final aggregate
+        # (one scan, one exchange); the 6 pairs unfold via Generate from
+        # the one aggregate row — no per-pair re-scans
+        plan = physical_plan(spark, sf_dir, "corr_matrix_lineitem")
+        assert plan.count("lineitem.parquet") == 1
+        assert plan.count(") Exchange") == 1
+        assert "partial_count" in plan or "partial_sum" in plan
+        assert ") Generate" in plan
+
+    def test_skew_diagnostics_shuffles_only_key_counts(self, spark, sf_dir):
+        # the fact table reduces map-side to (key, partial count); whole
+        # rows never shuffle, and the final stats pass is over the
+        # key-bounded count table
+        plan = physical_plan(spark, sf_dir, "join_skew_diagnostics")
+        assert plan.count("lineitem.parquet") == 1
+        assert "partial_count" in plan
+        (cols,) = read_schema_cols(plan)
+        assert cols == ["l_suppkey"]
+
+    def test_iqr_fences_broadcast_back_no_fact_shuffle(self, spark, sf_dir):
+        # the 3-row quantile table broadcasts onto the second fact scan;
+        # the fact table itself is never hash-repartitioned for the join
+        plan = physical_plan(spark, sf_dir, "iqr_outlier_fences")
+        assert "BroadcastHashJoin" in plan
+        assert "hashpartitioning(l_extendedprice" not in plan
+
+    def test_yoy_joins_tiny_rollup_not_fact(self, spark, sf_dir):
+        # the year-back comparison self-joins the ~#months aggregate —
+        # the orders scan feeds ONE aggregate, and no cartesian appears
+        plan = physical_plan(spark, sf_dir, "yoy_monthly_growth")
+        assert "CartesianProduct" not in plan
+        assert plan.count("orders.parquet") == 2  # two sides of the tiny self-join
+        (cols, *rest) = read_schema_cols(plan)
+        assert set(cols) == {"o_orderdate", "o_totalprice"}
+
+    def test_welch_ttest_pairs_from_aggregates_only(self, spark, sf_dir):
+        # the pairwise comparison joins the 5-row per-segment aggregate
+        # with itself — fact rows never appear on either join side, so
+        # the join input is aggregate-bounded at any corpus size
+        plan = physical_plan(spark, sf_dir, "segment_welch_ttest")
+        assert "partial_sum" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_token_divergence_scans_corpus_once(self, spark, sf_dir):
+        # the (source, tok) count table is localCheckpoint-ed, so all four
+        # consumers (join probe, source totals, token totals, grand total)
+        # read the materialized vocab-bounded table — the corpus itself is
+        # scanned and tokenized exactly once; totals broadcast back
+        plan = physical_plan(spark, sf_dir, "source_token_divergence")
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row N_c crossJoin
+        assert "CartesianProduct" not in plan
+        assert plan.count("documents.parquet") == 0  # lineage cut upstream
+        assert "ExistingRDD" in plan  # the checkpointed count table
