@@ -126,3 +126,61 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(
         frames, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, window_idx int, n_samples int, energy bigint, peak int"
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window: int = 64,
+    strict: bool = False,
+) -> DataFrame:
+    """'Audio' feature extraction stub: treat each payload byte as one
+    centered PCM sample (b - 128) and emit per-window energy (sum of
+    squared samples) and peak amplitude — the windowed-feature fan-out
+    shape of a real audio featurizer (RMS/spectral frames), 1→N via
+    Arrow-batched mapInPandas.
+
+    ``strict=True`` raises NotImplementedError where a real decoder
+    (soundfile/ffmpeg) would plug in. The fake decode is byte-exact, so
+    the whole fan-out is oracle-checkable: DuckDB reproduces every
+    sample as CAST('0x' || substr(hex(payload), 2i-1, 2) AS INT) - 128.
+    All outputs are integers — no float reduction anywhere.
+    """
+    import numpy as np
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real audio decoding requires soundfile/ffmpeg on the "
+                "executors; install and replace the byte-sample fake"
+            )
+        for pdf in batches:
+            ids, idxs, ns, es, ps = [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64) - 128
+                for w in range(0, len(arr), window):
+                    chunk = arr[w : w + window]
+                    ids.append(doc_id)
+                    idxs.append(w // window)
+                    ns.append(len(chunk))
+                    es.append(int((chunk * chunk).sum()))
+                    ps.append(int(np.abs(chunk).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "energy": pd.Series(es, dtype="int64"),
+                    "peak": pd.Series(ps, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        features, schema=AUDIO_FEATURE_SCHEMA
+    )

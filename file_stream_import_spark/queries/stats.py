@@ -546,6 +546,9 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
         .distinct()
+        # distinct (doc, shingle) set feeds the count aggregate AND the
+        # join probe — cut lineage so tokenize+distinct runs once
+        .localCheckpoint(eager=True)
     )
     c = sh.groupBy("sh").agg(F.count("*").cast("bigint").alias("ndocs"))
     dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).cast("bigint")
@@ -765,5 +768,429 @@ def segment_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n").alias("n_b"),
             _q((mean("a") - mean("b")) / F.lit(100.0), 1e4).alias("mean_diff"),
             _q(t, 1e4).alias("t_stat"),
+        )
+    )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    ), b AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT) - 128 AS s
+      FROM h, UNNEST(generate_series(1, length(hx) // 2)) AS t(i)
+    )
+    SELECT doc_id,
+      CAST((i - 1) // 64 AS INT) AS window_idx,
+      CAST(COUNT(*) AS INT) AS n_samples,
+      CAST(SUM(s * s) AS BIGINT) AS energy,
+      CAST(MAX(ABS(s)) AS INT) AS peak
+    FROM b GROUP BY doc_id, (i - 1) // 64
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-feature extraction over an opaque binary payload
+    (operators/multimodal.py::extract_audio_features): 64-sample frames
+    of centered byte-samples → per-frame energy and peak, via the
+    Arrow-batched 1→N mapInPandas fan-out a real featurizer uses.
+
+    The payload is the deterministic fake (UTF-8 bytes of text — the
+    fixtures carry no media), so DuckDB reproduces every sample from
+    hex(encode(text)) and the ENTIRE fan-out is value-checked, not just
+    row-counted: frame boundaries, per-frame counts, integer energy
+    sums. Only doc_id + payload cross the Arrow boundary (column
+    pruning), and all emitted features are integers — no float
+    reduction anywhere in the operator.
+    """
+    from ..operators.multimodal import attach_fake_payload, extract_audio_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_audio_features(attach_fake_payload(d), window=64)
+
+
+@register(
+    "pareto_revenue_share",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+          AS rev
+      FROM orders GROUP BY o_custkey
+    ), th AS (
+      SELECT
+        ROUND(CAST(quantile_cont(rev, 0.99) AS DOUBLE), 4) AS t99,
+        ROUND(CAST(quantile_cont(rev, 0.95) AS DOUBLE), 4) AS t95,
+        ROUND(CAST(quantile_cont(rev, 0.90) AS DOUBLE), 4) AS t90,
+        ROUND(CAST(quantile_cont(rev, 0.80) AS DOUBLE), 4) AS t80
+      FROM cr
+    ), agg AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_all,
+        CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS rev_all,
+        CAST(SUM(CASE WHEN rev >= t99 THEN 1 ELSE 0 END) AS BIGINT) AS n99,
+        CAST(SUM(CASE WHEN rev >= t99 THEN CAST(rev AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS r99,
+        CAST(SUM(CASE WHEN rev >= t95 THEN 1 ELSE 0 END) AS BIGINT) AS n95,
+        CAST(SUM(CASE WHEN rev >= t95 THEN CAST(rev AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS r95,
+        CAST(SUM(CASE WHEN rev >= t90 THEN 1 ELSE 0 END) AS BIGINT) AS n90,
+        CAST(SUM(CASE WHEN rev >= t90 THEN CAST(rev AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS r90,
+        CAST(SUM(CASE WHEN rev >= t80 THEN 1 ELSE 0 END) AS BIGINT) AS n80,
+        CAST(SUM(CASE WHEN rev >= t80 THEN CAST(rev AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS r80
+      FROM cr CROSS JOIN th
+    )
+    SELECT tier, n_customers, tier_revenue,
+      FLOOR(tier_revenue / rev_all * 1e6 + 0.5) / 1e6 + 0.0 AS revenue_share
+    FROM (
+      SELECT 'top_1pct' AS tier, n99 AS n_customers, r99 AS tier_revenue,
+             rev_all FROM agg
+      UNION ALL
+      SELECT 'top_5pct', n95, r95, rev_all FROM agg
+      UNION ALL
+      SELECT 'top_10pct', n90, r90, rev_all FROM agg
+      UNION ALL
+      SELECT 'top_20pct', n80, r80, rev_all FROM agg
+    )
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration ("do 20% of customers drive 80% of
+    revenue?"): the revenue share held by the top 1/5/10/20% of
+    customers, where tiers are defined by revenue-percentile THRESHOLDS
+    rather than a ranked cumulative sum.
+
+    The threshold formulation is the scale story: a classic Pareto
+    curve needs a global revenue sort + running total — an all-data
+    single-partition window. Here the per-customer rollup (one keyed
+    shuffle) feeds a 1-row quantile aggregate, which broadcasts back
+    for one conditional-sum pass: no global sort, no window, nothing
+    single-partition except 1-row aggregates. Tier sums go through
+    DECIMAL (order-exact); thresholds are rounded to 4dp on both
+    engines before the >= comparison so an interpolation ulp can't
+    move a customer across tiers.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    # customer-bounded rollup materialized once — the quantile pass and
+    # the tier pass both consume it; without the cut the orders shuffle
+    # runs twice
+    cr = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=True)
+    )
+    th = cr.agg(
+        *[
+            F.round(F.percentile("rev", F.lit(p)), 4).alias(t)
+            for p, t in [(0.99, "t99"), (0.95, "t95"), (0.90, "t90"), (0.80, "t80")]
+        ]
+    )
+    rdec = F.col("rev").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    aggs = [
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum(rdec).cast("double").alias("rev_all"),
+    ]
+    for t in ["t99", "t95", "t90", "t80"]:
+        cond = F.col("rev") >= F.col(t)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n_{t}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, rdec).otherwise(zero)).cast("double").alias(f"r_{t}")
+        )
+    agg = cr.crossJoin(F.broadcast(th)).agg(*aggs)
+    tiers = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("tier"),
+                F.col(f"n_{t}").alias("n_customers"),
+                F.col(f"r_{t}").alias("tier_revenue"),
+            )
+            for t, name in [
+                ("t99", "top_1pct"),
+                ("t95", "top_5pct"),
+                ("t90", "top_10pct"),
+                ("t80", "top_20pct"),
+            ]
+        ]
+    )
+    return agg.select(F.col("rev_all"), F.explode(tiers).alias("x")).select(
+        "x.tier",
+        "x.n_customers",
+        "x.tier_revenue",
+        _q(F.col("x.tier_revenue") / F.col("rev_all"), 1e6).alias("revenue_share"),
+    )
+
+
+@register(
+    "ngram_novelty",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+      FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+      WHERE len(ws) >= 3
+    ), first AS (
+      SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_novel,
+      FLOOR(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 + 0.0
+        AS novelty_frac
+    FROM sh JOIN first USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-order novelty: per document, the fraction of its distinct
+    3-gram shingles whose FIRST appearance (minimum doc_id) is this
+    document — "how much genuinely new content does each document add
+    to the corpus", the diversity-budget signal a curation pipeline
+    tracks as it appends batches (complement of `dup_ngram_coverage`,
+    which is order-free).
+
+    Same doc-frequency-bounded shape as the dedup family: distinct
+    (doc, shingle) pairs, a min-aggregate per shingle (map-side
+    combinable — min commutes), a shingle-keyed join back, and the
+    per-doc rollup. Nothing quadratic, every shuffle on shingle or
+    doc_id; the min-per-shingle table is vocabulary-bounded.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
+    sh = (
+        w.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> array_join(slice(ws, i + 1, 3), ' '))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+        # the distinct (doc, shingle) set feeds both the min-aggregate
+        # and the join probe: cut lineage so the corpus is tokenized and
+        # shuffled for distinct ONCE, not once per consumer
+        .localCheckpoint(eager=True)
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            novel.alias("n_novel"),
+            _q(novel.cast("double") / F.count("*").cast("double"), 1e6).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "value_psi_weekly",
+    oracle="""
+    WITH b AS (
+      SELECT STRFTIME(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket
+      FROM events
+    ), wk AS (
+      SELECT week, bucket, CAST(COUNT(*) AS BIGINT) AS c_w
+      FROM b GROUP BY week, bucket
+    ), grid AS (
+      SELECT w.week, g.bucket, COALESCE(wk.c_w, 0) AS c_w
+      FROM (SELECT DISTINCT week FROM wk) w
+      CROSS JOIN (SELECT DISTINCT bucket FROM wk) g
+      LEFT JOIN wk ON wk.week = w.week AND wk.bucket = g.bucket
+    ), alln AS (
+      SELECT bucket, CAST(SUM(c_w) AS BIGINT) AS c_a FROM grid GROUP BY bucket
+    ), tot AS (
+      SELECT week, CAST(SUM(c_w) AS BIGINT) AS n_w FROM grid GROUP BY week
+    ), tota AS (
+      SELECT CAST(SUM(c_w) AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT bucket) AS BIGINT) AS k FROM grid
+    ), terms AS (
+      SELECT week, n_w,
+        (CAST(c_w + 1 AS DOUBLE) / CAST(n_w + k AS DOUBLE)
+          - CAST(c_a + 1 AS DOUBLE) / CAST(n_a + k AS DOUBLE))
+        * CAST(CAST(FLOOR(ln(
+            CAST((c_w + 1) * (n_a + k) AS DOUBLE)
+            / CAST((c_a + 1) * (n_w + k) AS DOUBLE)
+          ) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) AS term
+      FROM grid
+      JOIN alln USING (bucket)
+      JOIN tot USING (week)
+      CROSS JOIN tota
+    )
+    SELECT week, MAX(n_w) AS n_events,
+      FLOOR(CAST(SUM(CAST(FLOOR(term + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1e6 * 1e6 + 0.5) / 1e6 + 0.0 AS psi
+    FROM terms GROUP BY week
+    """,
+)
+def value_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution, per
+    week vs the full period — the standard "did my feature distribution
+    drift" monitor (PSI > 0.2 conventionally flags action), the
+    continuous sibling of `priority_drift_chi2`.
+
+    Values bucket into fixed-width bins (width 50); each (week, bin)
+    cell is Laplace-smoothed (+1 over k bins) so empty cells are
+    well-defined without dropping terms. PSI terms multiply an exact
+    integer-count ratio difference by ln of an integer-products ratio
+    on the 1e-6 grid, and each term is floor-rounded to an integer
+    BEFORE the per-week sum — reduction order can't move the total.
+    The dense week×bin grid is built by crossing the two tiny distinct
+    sets (weeks × ~10 bins) — never by scanning the fact table wider;
+    all fact work is one (week, bucket) groupBy.
+    """
+    e = load_table(spark, sf_dir, "events").select("ts", "value")
+    b = e.select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        F.floor(F.col("value") / F.lit(50.0)).alias("bucket"),
+    )
+    # materialize the tiny (week, bucket) contingency table once — six
+    # consumers derive from it, and without the lineage cut each one
+    # would re-scan and re-bucket the fact table (operators/dedup.py
+    # localCheckpoint pattern; the table is weeks × ~10 bins rows)
+    wk = (
+        b.groupBy("week", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c_w"))
+        .localCheckpoint(eager=True)
+    )
+    weeks = wk.select("week").distinct()
+    buckets = wk.select("bucket").distinct()
+    grid = (
+        weeks.crossJoin(buckets)
+        .join(wk, ["week", "bucket"], "left")
+        .select("week", "bucket", F.coalesce("c_w", F.lit(0)).alias("c_w"))
+    )
+    alln = grid.groupBy("bucket").agg(F.sum("c_w").cast("bigint").alias("c_a"))
+    tot = grid.groupBy("week").agg(F.sum("c_w").cast("bigint").alias("n_w"))
+    tota = grid.agg(
+        F.sum("c_w").cast("bigint").alias("n_a"),
+        F.countDistinct("bucket").cast("bigint").alias("k"),
+    )
+    p_w = (F.col("c_w") + 1).cast("double") / (F.col("n_w") + F.col("k")).cast(
+        "double"
+    )
+    p_a = (F.col("c_a") + 1).cast("double") / (F.col("n_a") + F.col("k")).cast(
+        "double"
+    )
+    lnq = F.floor(
+        F.log(
+            ((F.col("c_w") + 1) * (F.col("n_a") + F.col("k"))).cast("double")
+            / ((F.col("c_a") + 1) * (F.col("n_w") + F.col("k"))).cast("double")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    term = (p_w - p_a) * lnq.cast("double")
+    terms = (
+        grid.join(F.broadcast(alln), "bucket")
+        .join(F.broadcast(tot), "week")
+        .crossJoin(F.broadcast(tota))
+        .select(
+            "week",
+            "n_w",
+            F.floor(term + F.lit(0.5)).cast("bigint").alias("term_i"),
+        )
+    )
+    return terms.groupBy("week").agg(
+        F.max("n_w").alias("n_events"),
+        _q(F.sum("term_i").cast("double") / F.lit(1e6), 1e6).alias("psi"),
+    )
+
+
+@register(
+    "supplier_hhi_by_nation",
+    oracle="""
+    WITH sr AS (
+      SELECT s_nationkey, l_suppkey,
+        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, l_suppkey
+    ), nt AS (
+      SELECT s_nationkey, CAST(SUM(r) AS DECIMAL(38,6)) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM sr GROUP BY s_nationkey
+    )
+    SELECT n_name, MAX(n_suppliers) AS n_suppliers,
+      FLOOR(CAST(SUM(CAST(FLOOR(
+          (CAST(r AS DOUBLE) / CAST(t AS DOUBLE))
+          * (CAST(r AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9 + 0.5)
+        AS BIGINT)) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 + 0.0 AS hhi
+    FROM sr
+    JOIN nt USING (s_nationkey)
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration per
+    nation (Σ share² — 1/n for perfect competition, 1.0 for monopoly):
+    the concentration metric that complements `pareto_revenue_share`'s
+    tier view, over the supply side.
+
+    Per-supplier revenue sums go through DECIMAL (order-exact); each
+    squared share is two identical IEEE ops on exact decimals and is
+    floor-quantized to a 1e-9 BIGINT before the per-nation sum. Plan:
+    the only data-sized shuffle is the (nation, supplier) revenue
+    rollup — nation totals re-aggregate the supplier-bounded result,
+    broadcast back, and the nation-name dim is a constant-size hard
+    broadcast (`dim()` policy, io/tables.py).
+    """
+    from ..io.tables import dim
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = dim(load_table(spark, sf_dir, "nation"), "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    # supplier-bounded rollup materialized once (nation totals + the
+    # share pass both consume it; without the cut lineitem⋈supplier
+    # re-runs for each)
+    sr = (
+        li.join(su, li["l_suppkey"] == su["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(rev).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    nt = sr.groupBy("s_nationkey").agg(
+        F.sum("r").cast("decimal(38,6)").alias("t"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+    )
+    share = F.col("r").cast("double") / F.col("t").cast("double")
+    term = F.floor(share * share * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    return (
+        sr.join(F.broadcast(nt), "s_nationkey")
+        .join(na, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            _q(F.sum(term).cast("double") / F.lit(1e9), 1e6).alias("hhi"),
         )
     )

@@ -301,3 +301,44 @@ class TestStatsQueries:
         assert "CartesianProduct" not in plan
         assert plan.count("documents.parquet") == 0  # lineage cut upstream
         assert "ExistingRDD" in plan  # the checkpointed count table
+
+    def test_audio_features_prune_to_payload_columns(self, spark, sf_dir):
+        # only id + payload cross the Arrow boundary; the fan-out is a
+        # MapInPandas over the pruned scan
+        plan = physical_plan(spark, sf_dir, "multimodal_audio_energy")
+        assert "MapInPandas" in plan
+        (cols,) = read_schema_cols(plan)
+        assert set(cols) == {"doc_id", "text"}
+
+    def test_pareto_uses_thresholds_not_global_sort(self, spark, sf_dir):
+        # the quantile-threshold formulation must never produce a ranked
+        # cumulative window (all-data single-partition sort); thresholds
+        # come back as a 1-row broadcast
+        plan = physical_plan(spark, sf_dir, "pareto_revenue_share")
+        assert ") Window" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+        assert plan.count("orders.parquet") == 0  # rollup checkpointed once
+        assert "ExistingRDD" in plan
+
+    def test_psi_fact_bucketed_once(self, spark, sf_dir):
+        # six consumers all read the checkpointed (week, bucket) table;
+        # the fact table is scanned/bucketed exactly once (at checkpoint
+        # time), so the final plan contains no events scan at all
+        plan = physical_plan(spark, sf_dir, "value_psi_weekly")
+        assert plan.count("events.parquet") == 0
+        assert "ExistingRDD" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_hhi_rolls_up_fact_once(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "supplier_hhi_by_nation")
+        assert plan.count("lineitem.parquet") == 0  # supplier rollup checkpointed
+        assert "ExistingRDD" in plan
+        assert "BroadcastHashJoin" in plan  # nation dim + totals broadcast
+
+    def test_shingle_queries_tokenize_once(self, spark, sf_dir):
+        # the distinct (doc, shingle) set is checkpointed: tokenize +
+        # distinct-shuffle run once, not once per consumer
+        for name in ("ngram_novelty", "dup_ngram_coverage"):
+            plan = physical_plan(spark, sf_dir, name)
+            assert plan.count("documents.parquet") == 0, name
+            assert "ExistingRDD" in plan, name
