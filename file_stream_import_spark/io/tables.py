@@ -48,6 +48,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Depending on spark.sql.parquet.inferTimestampNTZ / timestampType,
+    # parquet timestamps with isAdjustedToUTC=false surface as
+    # TIMESTAMP_NTZ, on which TIMESTAMP-only functions (unix_micros,
+    # to_utc_timestamp, …) raise DATATYPE_MISMATCH. Normalize every NTZ
+    # column to TIMESTAMP_LTZ (spelled explicitly — under
+    # spark.sql.timestampType=TIMESTAMP_NTZ a plain "timestamp" cast
+    # resolves back to NTZ): under a UTC session (the harness default)
+    # the cast is an identity on the underlying microseconds, and
+    # downstream arithmetic uses differences, so semantics are unchanged.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp_ltz") for c in ntz_cols}
+        )
     return df
 
 
