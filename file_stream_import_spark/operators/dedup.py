@@ -124,6 +124,76 @@ def ngram_jaccard_pairs(
     return _pair_jaccard(sh, id_col, None).filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.7,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed shingle *containment* C(src,dst) = |S(src)∩S(dst)|/|S(src)|.
+
+    The asymmetric complement to Jaccard: catches subset duplication
+    (page + boilerplate, doc + quoted excerpt) that a symmetric ratio
+    dilutes — a 100-shingle doc fully contained in a 10000-shingle doc
+    has Jaccard ≈ 0.01 but containment 1.0. Same bounded candidate
+    generation as :func:`ngram_jaccard_pairs` (shingle equi-join,
+    optional df cap against hot shingles); the undirected intersection
+    is computed once and unfolded into both directions, so the join
+    work doesn't double.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    both = inter.join(
+        sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na"),
+        "doc_a",
+    ).join(
+        sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb"),
+        "doc_b",
+    )
+    # Unfold the two directions with explode INSIDE one lineage — a
+    # union of two selects over `both` would duplicate the whole
+    # shingle-join subtree (2× the scans and shuffles at scale).
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                    F.round(F.col("inter") / F.col("na"), 4).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                    F.round(F.col("inter") / F.col("nb"), 4).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return directed.filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_hashes: int = NUM_HASHES
 ) -> DataFrame:

@@ -55,6 +55,7 @@ def load_all() -> None:
         streaming_batch,
         tpch,
         stats,
+        round4,
     )
 
 

@@ -342,3 +342,59 @@ class TestStatsQueries:
             plan = physical_plan(spark, sf_dir, name)
             assert plan.count("documents.parquet") == 0, name
             assert "ExistingRDD" in plan, name
+
+
+class TestRound4Plans:
+    def test_trailing_hour_single_user_shuffle(self, spark, sf_dir):
+        # one window pass = exactly one hash exchange, keyed on user_id
+        plan = physical_plan(spark, sf_dir, "trailing_hour_window")
+        import re
+
+        args = re.findall(r"Arguments: (hashpartitioning\(\S+|SinglePartition)", plan)
+        assert len(args) == 1 and args[0].startswith(
+            "hashpartitioning(user_id"
+        )
+
+    def test_array_stats_is_pure_projection(self, spark, sf_dir):
+        # higher-order array fns compile to a shuffle-free projection
+        plan = physical_plan(spark, sf_dir, "array_stats_surface")
+        assert "Exchange" not in plan
+
+    def test_sequence_paths_take_ordered_topk(self, spark, sf_dir):
+        # top-10 must compile to TakeOrderedAndProject, not a global sort
+        plan = physical_plan(spark, sf_dir, "sequence_top_paths")
+        assert "TakeOrderedAndProject" in plan
+        assert "rangepartitioning" not in plan
+
+    def test_gap_islands_partitions_on_custkey_only(self, spark, sf_dir):
+        # distinct + window + both aggs: every exchange keys on o_custkey,
+        # and nothing funnels to a single partition
+        plan = physical_plan(spark, sf_dir, "orders_gap_islands")
+        assert "SinglePartition" not in plan
+        import re
+
+        args = re.findall(r"Arguments: hashpartitioning\(([^,]+)", plan)
+        assert args and all(a.startswith("o_custkey") for a in args)
+
+    def test_grouped_mode_partitions_on_event_type(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "grouped_mode")
+        assert "SinglePartition" not in plan
+        import re
+
+        args = re.findall(r"Arguments: hashpartitioning\(([^,]+)", plan)
+        assert args and all(a.startswith("event_type") for a in args)
+
+    def test_pmi_no_event_scale_self_join(self, spark, sf_dir):
+        # pairs unfold array-locally from one per-user aggregate — there
+        # must be no sort-merge self-join of event-scale frames; the only
+        # joins are broadcast of |types|-sized aggregates
+        plan = physical_plan(spark, sf_dir, "cooccurrence_pmi")
+        assert "SortMergeJoin" not in plan
+        assert plan.count("events.parquet") <= 4
+
+    def test_containment_no_union_duplication(self, spark, sf_dir):
+        # directions unfold via explode inside one lineage: same scan
+        # count as the jaccard baseline (a union of two selects doubles it)
+        plan = physical_plan(spark, sf_dir, "dedup_containment")
+        assert plan.count("documents.parquet") <= 4
+        assert "Union" not in plan
