@@ -60,6 +60,114 @@ def explain_has_partition_pruning(df: DataFrame) -> bool:
     return bool(m and m.group(1).strip())
 
 
+def add_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, key_col: str = "__zkey"
+) -> DataFrame:
+    """Append a Z-order (Morton) key interleaving ``cols``.
+
+    Each column is min/max-scaled onto an integer [0, 2^bits) grid (the
+    per-column extrema come from one aggregate row, cross-joined back —
+    a broadcast of a single row, never a collect), then bit j of column
+    i lands at position j·n_cols + i. Sorting by the key clusters rows
+    so that parquet row-group min/max bounds are tight in EVERY
+    interleaved dimension at once — multi-column row-group skipping, the
+    closest columnar analog of the reference's index-every-column
+    strategy (internal/db/db.go:97-103) for multi-predicate scans.
+
+    The whole computation is a codegen'd integer projection; min/max
+    scaling (vs rank) keeps it one pass, at the cost of skew sensitivity
+    — acceptable for clustering, where only relative order matters.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    lo = [F.min(F.col(c)).alias(f"__lo_{i}") for i, c in enumerate(cols)]
+    hi = [F.max(F.col(c)).alias(f"__hi_{i}") for i, c in enumerate(cols)]
+    stats = df.agg(*lo, *hi)
+    out = df.crossJoin(F.broadcast(stats))
+    scaled = []
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        rng = F.col(f"__hi_{i}") - F.col(f"__lo_{i}")
+        s = F.when(rng == 0, F.lit(0)).otherwise(
+            F.floor(
+                (F.col(c) - F.col(f"__lo_{i}"))
+                / rng
+                * F.lit(top)
+            )
+        )
+        scaled.append(F.least(s.cast("bigint"), F.lit(top)))
+    z = F.lit(0).cast("bigint")
+    for j in range(bits):
+        for i in range(n):
+            bit = F.shiftright(scaled[i], j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return out.withColumn(key_col, z).drop(
+        *[f"__lo_{i}" for i in range(n)], *[f"__hi_{i}" for i in range(n)]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-order-clustered on ``zorder_by``.
+
+    repartitionByRange on the Z-key gives each output file a disjoint
+    key range (range exchange with sampled bounds); sortWithinPartitions
+    then tightens row-group stats inside each file. Filters on ANY of
+    the interleaved columns skip row groups — vs a single-column sort,
+    which only helps its leading column.
+    """
+    zdf = add_zorder_key(df, zorder_by, bits)
+    parts = [num_files] if num_files else []
+    zdf = zdf.repartitionByRange(*parts, "__zkey").sortWithinPartitions(
+        "__zkey"
+    )
+    zdf.drop("__zkey").write.mode(mode).parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 << 20,
+    mode: str = "overwrite",
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~``target_bytes`` files.
+
+    The small-files problem is the dominant read-side tax of incremental
+    ingest (every micro-batch appends a file per task; a year of
+    15-minute batches × 32 tasks = a million tiny files whose open/footer
+    costs dwarf the data read). Compaction = read + repartition(n) +
+    rewrite, with n sized from the actual on-disk bytes. Returns
+    (files_before, files_after).
+
+    At 100 TB this runs per partition-directory (compact yesterday's
+    partition, not the table); the byte measurement comes from the file
+    listing Spark already has, no extra scan.
+    """
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(in_path)
+    files = df.inputFiles()
+    total = 0
+    for f in files:
+        p = urlparse(f).path
+        if os.path.exists(p):
+            total += os.path.getsize(p)
+    n = max(1, math.ceil(total / target_bytes))
+    df.repartition(n).write.mode(mode).parquet(out_path)
+    after = spark.read.parquet(out_path).inputFiles()
+    return len(files), len(after)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -171,3 +171,85 @@ class TestOrcAndText:
             )
         assert sorted(by_file["s0.txt"]) == [(0, "alpha"), (1, "beta"), (2, "gamma")]
         assert sorted(by_file["s1.txt"]) == [(0, "one"), (1, "two")]
+
+
+class TestZorderLayout:
+    def test_zorder_key_is_correct_morton(self, spark):
+        # hand-check the interleave on a tiny grid: bits=2, two columns
+        from file_stream_import_spark.io.layout import add_zorder_key
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(4) for y in range(4)], "x int, y int"
+        )
+        got = {
+            (r.x, r.y): r["__zkey"]
+            for r in add_zorder_key(df, ["x", "y"], bits=2).collect()
+        }
+
+        def morton(a, b):
+            z = 0
+            for j in range(2):
+                z |= ((a >> j) & 1) << (2 * j)
+                z |= ((b >> j) & 1) << (2 * j + 1)
+            return z
+
+        # min/max scaling maps the 0..3 domain onto 0..3 exactly
+        assert got == {
+            (x, y): morton(x, y) for x in range(4) for y in range(4)
+        }
+
+    def test_zorder_skips_row_groups_on_both_dims(self, spark, tmp_path):
+        # a Z-ordered layout must give tight row-group [min,max] bounds
+        # on BOTH interleaved columns; a single-column sort only bounds
+        # its leading column
+        import pyarrow.parquet as pq
+        import os
+
+        from file_stream_import_spark.io.layout import write_zordered
+
+        n = 200_000
+        df = spark.range(n).select(
+            (F.col("id") % 447).alias("x"),
+            ((F.col("id") * 7919) % 887).alias("y"),
+        )
+        zpath = str(tmp_path / "zorder")
+        write_zordered(df, zpath, ["x", "y"], bits=10, num_files=4)
+
+        def overlap_fraction(path, col, lo, hi):
+            total, hit = 0, 0
+            for fn in os.listdir(path):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(path, fn)).metadata
+                idx = md.schema.names.index(col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    total += 1
+                    if st.max >= lo and st.min <= hi:
+                        hit += 1
+            return hit / total
+
+        # a narrow predicate on either dimension touches a strict subset
+        # of row groups
+        fx = overlap_fraction(zpath, "x", 0, 44)
+        fy = overlap_fraction(zpath, "y", 0, 88)
+        assert fx < 0.75, fx
+        assert fy < 0.75, fy
+        # and the data round-trips
+        assert spark.read.parquet(zpath).count() == n
+
+    def test_compaction_reduces_file_count(self, spark, tmp_path):
+        from file_stream_import_spark.io.layout import compact_small_files
+
+        src = str(tmp_path / "fragmented")
+        spark.range(50_000).repartition(64).write.parquet(src)
+        out = str(tmp_path / "compacted")
+        before, after = compact_small_files(
+            spark, src, out, target_bytes=1 << 20
+        )
+        assert before == 64
+        assert after < before
+        assert (
+            spark.read.parquet(out).count()
+            == spark.read.parquet(src).count()
+        )
