@@ -30,6 +30,9 @@ def _q6(col: Column) -> Column:
     return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6) + F.lit(0.0)
 
 
+_TS = "yyyy-MM-dd HH:mm:ss"
+
+
 @register(
     "trailing_hour_window",
     oracle="""
@@ -442,3 +445,292 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shared candidate generation with the Jaccard family)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs(d, threshold=0.7)
+
+
+@register(
+    "pit_status_lookup",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey, o_orderdate, o_orderstatus FROM (
+        SELECT o_custkey, o_orderdate, o_orderstatus,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    ), ev AS (
+      SELECT event_id, user_id, ts FROM events WHERE user_id % 50 = 0
+    )
+    SELECT e.event_id, e.user_id,
+      STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      ch.o_orderstatus AS status_at_ts,
+      STRFTIME(ch.o_orderdate, '%Y-%m-%d') AS status_since
+    FROM ev e ASOF LEFT JOIN ch
+      ON e.user_id = ch.o_custkey AND ch.o_orderdate <= e.ts
+    """,
+)
+def pit_status_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each event joined to the status
+    its user's order stream had AT that moment — the event-to-SCD2
+    lookup every warehouse runs ('what plan was the user on when they
+    clicked'). Oracle uses DuckDB's native ASOF JOIN.
+
+    Composition of two existing operators: the change stream is
+    deduplicated to last-per-(key, date) (making the as-of target
+    unique per timestamp — determinism), then operators/asof.py's
+    union+window as-of join carries the latest prior status forward:
+    ONE shuffle on the key, no range join, per-key state only. The
+    user sample bounds driver-compare size, not the technique.
+    """
+    from ..operators.asof import asof_join
+
+    o = load_table(spark, sf_dir, "orders")
+    wch = W.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    ch = (
+        o.withColumn("rn", F.row_number().over(wch))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderstatus"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d_s"),
+        )
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    j = asof_join(ev, ch, on="ts", by="user_id",
+                  right_cols=["o_orderstatus", "d_s"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS).alias("ts_s"),
+        F.col("o_orderstatus_right").alias("status_at_ts"),
+        F.col("d_s_right").alias("status_since"),
+    )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+        epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id))
+          - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_held,
+      CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+      FLOOR(CAST(SUM(cents * dur_us) AS DOUBLE)
+            / CAST(SUM(dur_us) * 100 AS DOUBLE) * 1e6 + 0.5) / 1e6 + 0.0
+        AS twa_value
+    FROM d WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dur_us) > 0
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value signal — the step
+    function is held between consecutive events, so each reading is
+    weighted by how long it was current (the metric behind 'average
+    balance', 'mean fleet size', any sampled gauge).
+
+    Weights are exact integer microsecond durations from one lead
+    window; the weighted sum is BIGINT cents·µs (bounded by per-user
+    history span — no float until the final division, which is ONE
+    double op quantized on the 1e-6 grid). Window and aggregate share
+    the user_id partitioning: one shuffle end-to-end.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    g = d.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_held"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        F.sum(F.col("cents") * F.col("dur_us")).alias("wsum"),
+    )
+    twa = _q6(
+        F.col("wsum").cast("double")
+        / (F.col("total_dur_us") * F.lit(100)).cast("double")
+    )
+    return g.filter(F.col("total_dur_us") > 0).select(
+        "user_id", "n_held", "total_dur_us", twa.alias("twa_value")
+    )
+
+
+@register(
+    "tumbling_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+        ROW_NUMBER() OVER w AS rn,
+        COUNT(*) OVER (PARTITION BY event_type, date_trunc('hour', ts))
+          AS cnt
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id)
+    )
+    SELECT event_type, STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+      CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS open_c,
+      CAST(MAX(cents) AS BIGINT) AS high_c,
+      CAST(MIN(cents) AS BIGINT) AS low_c,
+      CAST(MAX(CASE WHEN rn = cnt THEN cents END) AS BIGINT) AS close_c,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(cents) AS BIGINT) AS vol_cents
+    FROM b GROUP BY 1, 2
+    """,
+)
+def tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type: open/high/low/close of the
+    value signal plus volume — the time-series downsampling shape
+    (monitoring rollups, market bars) the reference's users would run
+    nightly.
+
+    Open/close need a total order; (ts, event_id) pins one, and the
+    rank window + the candle aggregate share the same (type, hour)
+    partitioning — one shuffle. Values quantized to integer cents
+    before any aggregate: every output column is exact BIGINT
+    arithmetic. At 100 TB the per-partition state is one candle's
+    events; hot hours salt naturally via AQE skew handling.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = W.partitionBy("event_type", h).orderBy("ts", "event_id")
+    wall = W.partitionBy("event_type", h)
+    b = e.select(
+        "event_type",
+        h.alias("h"),
+        cents.alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("cnt"),
+    )
+    return b.groupBy(
+        "event_type", F.date_format("h", _TS).alias("hour_s")
+    ).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("open_c"),
+        F.max("cents").cast("bigint").alias("high_c"),
+        F.min("cents").cast("bigint").alias("low_c"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("cents")))
+        .cast("bigint")
+        .alias("close_c"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("vol_cents"),
+    )
+
+
+@register(
+    "embedding_pq_codes",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (SELECT e.*, s.si FROM e
+            CROSS JOIN (SELECT UNNEST(range(8)) AS si) s),
+    d AS (
+      SELECT vec_id, si, cid,
+        (v[si*8+1]-cv[si*8+1])*(v[si*8+1]-cv[si*8+1])
+        + (v[si*8+2]-cv[si*8+2])*(v[si*8+2]-cv[si*8+2])
+        + (v[si*8+3]-cv[si*8+3])*(v[si*8+3]-cv[si*8+3])
+        + (v[si*8+4]-cv[si*8+4])*(v[si*8+4]-cv[si*8+4])
+        + (v[si*8+5]-cv[si*8+5])*(v[si*8+5]-cv[si*8+5])
+        + (v[si*8+6]-cv[si*8+6])*(v[si*8+6]-cv[si*8+6])
+        + (v[si*8+7]-cv[si*8+7])*(v[si*8+7]-cv[si*8+7])
+        + (v[si*8+8]-cv[si*8+8])*(v[si*8+8]-cv[si*8+8]) AS dist2
+      FROM sub CROSS JOIN cent
+    ),
+    a AS (
+      SELECT vec_id, si, cid, dist2,
+        ROW_NUMBER() OVER (PARTITION BY vec_id, si
+                           ORDER BY dist2, cid) AS rk
+      FROM d
+    )
+    SELECT vec_id, CAST(si AS BIGINT) AS si, CAST(cid AS BIGINT) AS code,
+           ROUND(dist2, 6) AS dist2_q
+    FROM a WHERE rk = 1
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim embedding split into 8
+    subvectors, each assigned to its nearest of 16 md5-sampled
+    sub-centroids — the compression step in front of every
+    billion-vector ANN index (IVF-PQ), emitting (vector, subspace,
+    code, residual).
+
+    Zero shuffles and zero driver collects: the 16-row codebook folds
+    into ONE array in a single-row aggregate, cross-joined back as a
+    broadcast; assignment is then a pure codegen'd projection —
+    argmin via array_min over (dist², cid) structs (lexicographic
+    struct order = min distance, id tie-break). Distances are
+    explicit left-fold sums, written with the same operand order as
+    the oracle SQL, so doubles agree bit-for-bit and the argmin is
+    cross-engine stable. At 100 TB the codebook stays tiny and the
+    scan is embarrassingly parallel — this is the exact shape of the
+    IVF list assignment (operators/similarity.py), one level down.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    cb = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cb"))
+
+    def dist2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def best(si: int) -> Column:
+        sub_v = F.slice(F.col("v"), si * 8 + 1, 8)
+        return F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(
+                    dist2(sub_v, F.slice(c["cv"], si * 8 + 1, 8)).alias(
+                        "d"
+                    ),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+
+    codes = F.array(
+        *[
+            F.struct(
+                F.lit(si).cast("bigint").alias("si"),
+                best(si)["cid"].cast("bigint").alias("code"),
+                F.round(best(si)["d"], 6).alias("dist2_q"),
+            )
+            for si in range(8)
+        ]
+    )
+    return (
+        v.crossJoin(F.broadcast(cb))
+        .select("vec_id", F.explode(codes).alias("r"))
+        .select("vec_id", "r.si", "r.code", "r.dist2_q")
+    )

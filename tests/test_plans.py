@@ -398,3 +398,30 @@ class TestRound4Plans:
         plan = physical_plan(spark, sf_dir, "dedup_containment")
         assert plan.count("documents.parquet") <= 4
         assert "Union" not in plan
+
+    def test_pit_lookup_is_union_window_not_range_join(self, spark, sf_dir):
+        # the as-of lookup must compile to one keyed window over a
+        # union — no range join, no nested-loop
+        plan = physical_plan(spark, sf_dir, "pit_status_lookup")
+        assert "NestedLoop" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "Union" in plan
+
+    def test_twa_single_user_shuffle(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "time_weighted_avg")
+        import re
+
+        args = re.findall(r"Arguments: (hashpartitioning\(\S+|SinglePartition)", plan)
+        assert args and all(a.startswith("hashpartitioning(user_id") for a in args)
+
+    def test_ohlc_no_single_partition_funnel(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "tumbling_ohlc")
+        assert "SinglePartition" not in plan
+
+    def test_pq_codes_projection_with_tiny_codebook(self, spark, sf_dir):
+        # assignment is a broadcast of a 1-row codebook + pure projection:
+        # two scans (vectors + centroid sample), no shuffle of vector data
+        plan = physical_plan(spark, sf_dir, "embedding_pq_codes")
+        assert plan.count("embeddings.parquet") == 2
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastExchange" in plan or "broadcast" in plan
