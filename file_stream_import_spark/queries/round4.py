@@ -734,3 +734,226 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.explode(codes).alias("r"))
         .select("vec_id", "r.si", "r.code", "r.dist2_q")
     )
+
+
+@register(
+    "trending_hourly_topk",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour_s, event_type, n,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT h, event_type, n,
+        ROW_NUMBER() OVER (PARTITION BY h
+                           ORDER BY n DESC, event_type ASC) AS rk
+      FROM c
+    ) WHERE rk <= 3
+    """,
+)
+def trending_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour top-3 trending event types — the leaderboard shape
+    behind every 'trending now' panel, as a rank window over an
+    already-reduced hourly rollup.
+
+    The count's map-side combine shrinks the shuffle to |hours|×|types|
+    rows BEFORE the ranking window sees anything, and the rank-≤-3
+    filter compiles to Spark's WindowGroupLimit pushdown (local top-3
+    per partition below the exchange). Tie-break on event_type pins a
+    deterministic leaderboard.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = W.partitionBy("h").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.date_format("h", _TS).alias("hour_s"),
+            "event_type",
+            "n",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+@register(
+    "supplier_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), shared AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    ), directed AS (
+      SELECT s1 AS src, s2 AS dst, n_shared FROM shared
+      UNION ALL
+      SELECT s2 AS src, s1 AS dst, n_shared FROM shared
+    ), knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+          ROW_NUMBER() OVER (PARTITION BY src
+                             ORDER BY n_shared DESC, dst ASC) AS rk
+        FROM directed
+      ) WHERE rk <= 5
+    ), edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM knn
+    ), tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      WHERE EXISTS (SELECT 1 FROM edges e3
+                    WHERE e3.a = e1.a AND e3.b = e2.b)
+    )
+    SELECT v AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT UNNEST([a, b, c]) AS v FROM tri)
+    GROUP BY v
+    """,
+)
+def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier similarity graph — the
+    clustering-coefficient primitive (community cores, link spam, dense
+    near-dup neighborhoods), run on a kNN-SPARSIFIED graph exactly as a
+    production similarity-graph pipeline would.
+
+    Pipeline: distinct bipartite edge list → co-customer pair weights
+    (bounded per-customer fan-out) → per-node top-5 strongest neighbors
+    (partitioned rank window — the kNN graph; never a global edge sort)
+    → canonical a<b edges → one wedge join (e1.b = e2.a, so a<b<c by
+    construction) + one left-semi close-the-triangle join — each
+    triangle found exactly once, the degree-ordered orientation that
+    keeps wedge counts near-linear on skewed graphs. Per-vertex counts
+    unfold from the triangle list with explode. All integers.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    shared = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    directed = shared.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "n_shared"
+    ).unionByName(
+        shared.select(
+            F.col("s2").alias("src"), F.col("s1").alias("dst"), "n_shared"
+        )
+    )
+    wk = W.partitionBy("src").orderBy(F.desc("n_shared"), F.asc("dst"))
+    knn = (
+        directed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 5)
+        .select("src", "dst")
+    )
+    edges = knn.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("a"),
+        F.col("e1.b").alias("b"),
+        F.col("e2.b").alias("c"),
+    )
+    tri = wedges.join(
+        edges.select(F.col("a"), F.col("b").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    ), b AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT) - 128 AS s
+      FROM h, UNNEST(generate_series(1, length(hx) // 2)) AS t(i)
+    ), f AS (
+      SELECT doc_id, CAST((i - 1) // 64 AS BIGINT) AS widx,
+             CAST(SUM(s * s) AS BIGINT) AS energy
+      FROM b GROUP BY 1, 2
+    ), g AS (
+      SELECT doc_id, widx, energy,
+        CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_f,
+        CAST(SUM(energy) OVER (PARTITION BY doc_id) AS BIGINT) AS tot_e
+      FROM f
+    ), act AS (
+      SELECT doc_id, widx, energy,
+        widx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY widx)
+          AS island
+      FROM g WHERE energy * n_f > tot_e
+    )
+    SELECT doc_id,
+      CAST(MIN(widx) AS BIGINT) AS seg_start,
+      CAST(MAX(widx) AS BIGINT) AS seg_end,
+      CAST(COUNT(*) AS BIGINT) AS n_frames,
+      CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM act GROUP BY doc_id, island
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation over the audio feature frames:
+    frames whose energy exceeds the per-document mean are 'active', and
+    consecutive active frames coalesce into segments (gaps-and-islands
+    on the frame index) — the 1→N featurizer composed with run-length
+    segmentation, i.e. how a real pipeline cuts speech/music regions
+    before the expensive model.
+
+    The activity threshold is the per-doc mean compared by integer
+    cross-multiplication (energy·n_frames > total_energy) — no
+    division, exact in both engines. Frames flow from the Arrow-batched
+    mapInPandas fan-out (operators/multimodal.py); everything after is
+    doc_id-partitioned windows + one aggregate on that same
+    partitioning. Every output column is an exact BIGINT.
+    """
+    from ..operators.multimodal import (
+        attach_fake_payload,
+        extract_audio_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fr = extract_audio_features(attach_fake_payload(d), window=64).select(
+        "doc_id", F.col("window_idx").cast("bigint").alias("widx"), "energy"
+    )
+    wd = W.partitionBy("doc_id")
+    g = fr.select(
+        "doc_id",
+        "widx",
+        "energy",
+        F.count("*").over(wd).cast("bigint").alias("n_f"),
+        F.sum("energy").over(wd).cast("bigint").alias("tot_e"),
+    )
+    act = g.filter(F.col("energy") * F.col("n_f") > F.col("tot_e"))
+    wi = W.partitionBy("doc_id").orderBy("widx")
+    isl = act.withColumn(
+        "island", F.col("widx") - F.row_number().over(wi)
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("widx").cast("bigint").alias("seg_start"),
+        F.max("widx").cast("bigint").alias("seg_end"),
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("seg_energy"),
+    ).drop("island")

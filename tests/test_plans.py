@@ -425,3 +425,23 @@ class TestRound4Plans:
         assert plan.count("embeddings.parquet") == 2
         assert "SortMergeJoin" not in plan
         assert "BroadcastExchange" in plan or "broadcast" in plan
+
+    def test_trending_topk_window_group_limit(self, spark, sf_dir):
+        # rank<=3 must push the local top-3 prune below the exchange
+        plan = physical_plan(spark, sf_dir, "trending_hourly_topk")
+        assert ") WindowGroupLimit" in plan
+
+    def test_triangles_no_cartesian_and_knn_is_partitioned(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "supplier_triangles")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the kNN prune is a per-node window, never a global sort
+        assert "rangepartitioning" not in plan
+
+    def test_audio_vad_single_doc_partitioning_after_fanout(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "multimodal_audio_vad")
+        assert "MapInPandas" in plan
+        import re
+
+        args = re.findall(r"Arguments: (hashpartitioning\(\S+|SinglePartition)", plan)
+        assert args and all(a.startswith("hashpartitioning(doc_id") for a in args)
