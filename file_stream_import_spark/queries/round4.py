@@ -957,3 +957,94 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_frames"),
         F.sum("energy").cast("bigint").alias("seg_energy"),
     ).drop("island")
+
+
+@register(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH iv AS (
+      SELECT ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events
+    ), pieces AS (
+      SELECT date_trunc('day', s) AS d, s AS t0,
+             LEAST(e, date_trunc('day', s) + INTERVAL 1 DAY) AS t1
+      FROM iv
+      UNION ALL
+      SELECT date_trunc('day', e) AS d,
+             date_trunc('day', s) + INTERVAL 1 DAY AS t0, e
+      FROM iv
+      WHERE e > date_trunc('day', s) + INTERVAL 1 DAY
+    ), pts AS (
+      SELECT d, t0 AS t, 1 AS delta FROM pieces
+      UNION ALL
+      SELECT d, t1 AS t, -1 AS delta FROM pieces
+    ), run AS (
+      SELECT d, SUM(delta) OVER (PARTITION BY d ORDER BY t, delta
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day_s,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY d
+    """,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day (sweep line): every event opens a 5-min
+    session interval; +1/-1 boundary points, running sum, daily max —
+    'how many sessions were live at once', capacity planning's first
+    question.
+
+    A naive sweep needs ONE global time order (single-partition at
+    100 TB); instead intervals are clipped at day boundaries (a 5-min
+    interval crosses at most one midnight, so each yields ≤2 pieces)
+    and each day sweeps independently — partition-parallel with
+    per-partition state bounded by a day's traffic. Pieces and ±1
+    points unfold with explode inside one lineage (one events scan; the
+    UNION-ALL oracle form would scan four times). Half-open [s, e)
+    semantics: at equal timestamps the -1 sorts first, so
+    back-to-back sessions never double-count. All-integer arithmetic;
+    the daily MAX of prefix sums is invariant to peer order within
+    equal (t, delta) groups, so the result is engine-deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    day_s = F.date_trunc("day", F.col("s"))
+    next_mid = day_s + F.expr("INTERVAL 1 DAY")
+    pieces_arr = F.filter(
+        F.array(
+            F.struct(
+                day_s.alias("d"),
+                F.col("s").alias("t0"),
+                F.least(F.col("e"), next_mid).alias("t1"),
+            ),
+            F.when(
+                F.col("e") > next_mid,
+                F.struct(
+                    F.date_trunc("day", F.col("e")).alias("d"),
+                    next_mid.alias("t0"),
+                    F.col("e").alias("t1"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    pieces = ev.select(F.explode(pieces_arr).alias("p")).select("p.*")
+    pts = pieces.select(
+        "d",
+        F.explode(
+            F.array(
+                F.struct(F.col("t0").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("t1").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("q"),
+    ).select("d", "q.t", "q.delta")
+    w = (
+        W.partitionBy("d")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = pts.select("d", F.sum("delta").over(w).alias("conc"))
+    return run.groupBy(
+        F.date_format("d", "yyyy-MM-dd").alias("day_s")
+    ).agg(F.max("conc").cast("bigint").alias("max_concurrent"))

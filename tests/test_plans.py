@@ -445,3 +445,11 @@ class TestRound4Plans:
 
         args = re.findall(r"Arguments: (hashpartitioning\(\S+|SinglePartition)", plan)
         assert args and all(a.startswith("hashpartitioning(doc_id") for a in args)
+
+    def test_sweepline_single_scan_day_partitioned(self, spark, sf_dir):
+        # pieces and ±1 points unfold via explode: ONE events scan (the
+        # UNION-ALL formulation would scan four times), and the sweep
+        # partitions by day — never a global time order
+        plan = physical_plan(spark, sf_dir, "max_concurrent_sessions")
+        assert plan.count("events.parquet") == 1
+        assert "SinglePartition" not in plan
