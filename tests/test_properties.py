@@ -154,3 +154,70 @@ class TestClusterProperties:
                 parent[max(ra, rb)] = min(ra, rb)
         want = {n: find(n) for n in parent}
         assert got == want
+
+
+class TestRound4Properties:
+    @prop
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab ", min_size=10, max_size=40),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def test_containment_bounds_and_jaccard_relation(self, spark, texts):
+        # 0 < containment <= 1 on every emitted pair, and for any pair
+        # emitted in both directions, max-direction containment >=
+        # jaccard of the same pair (containment divides by the smaller
+        # of the union's parts)
+        from file_stream_import_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        cont = {
+            (r["src"], r["dst"]): r["containment"]
+            for r in containment_pairs(df, threshold=0.0).collect()
+        }
+        assert all(0 < v <= 1.0 for v in cont.values())
+        jac = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+        }
+        for (a, b), j in jac.items():
+            both = [v for k, v in cont.items() if k in ((a, b), (b, a))]
+            if both:
+                # rounding on both sides is 4dp, allow one ulp of the grid
+                assert max(both) >= j - 1e-4
+
+    @prop
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=1000),
+            min_size=4,
+            max_size=24,
+        ),
+        bits=st.integers(min_value=2, max_value=8),
+    )
+    def test_zorder_key_bounds_and_extremes(self, spark, vals, bits):
+        # the z-key is within [0, 4^bits) for two dims, minimal at the
+        # per-column minima and maximal at the maxima
+        from file_stream_import_spark.io.layout import add_zorder_key
+
+        rows = [(v, (v * 13 + 7) % 1001) for v in vals]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = [r["__zkey"] for r in add_zorder_key(df, ["x", "y"], bits=bits).collect()]
+        assert all(0 <= z < 4**bits for z in got)
+        lo = min(r[0] for r in rows), min(r[1] for r in rows)
+        hi = max(r[0] for r in rows), max(r[1] for r in rows)
+        by_row = {
+            (r["x"], r["y"]): r["__zkey"]
+            for r in add_zorder_key(df, ["x", "y"], bits=bits).collect()
+        }
+        if lo in by_row:
+            assert by_row[lo] == min(got)
+        if hi in by_row:
+            assert by_row[hi] == max(got)
