@@ -1048,3 +1048,118 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy(
         F.date_format("d", "yyyy-MM-dd").alias("day_s")
     ).agg(F.max("conc").cast("bigint").alias("max_concurrent"))
+
+
+@register(
+    "rolling_median_price",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+        CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 20 = 0
+    ), r AS (
+      SELECT o_custkey, o_orderkey, cents,
+        list_sort(list(cents) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS lastk
+      FROM o
+    )
+    SELECT o_custkey, o_orderkey,
+      CAST(len(lastk) AS BIGINT) AS n_window,
+      CAST(lastk[(len(lastk) + 1) // 2] AS BIGINT) AS med_cents
+    FROM r
+    """,
+)
+def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-order EXACT rolling median per customer — the robust
+    rolling feature (median resists the outliers that poison a rolling
+    mean), computed by collecting the bounded window into an array and
+    sorting it.
+
+    Exactness over approximation is affordable precisely BECAUSE the
+    frame is bounded (10 rows): collect_list over a ROWS frame + one
+    array_sort per row is O(k log k) work on k=10 elements, no UDF, no
+    sketch. Lower-median convention ((n+1)//2, 1-based) keeps every
+    value an exact integer cent — no interpolation float. One customer
+    shuffle; the customer sample bounds compare size. At 100 TB the
+    same plan holds: per-row state is the k-element array, never the
+    history.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 20 == 0
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-9, 0)
+    )
+    r = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.array_sort(F.collect_list(cents).over(w)).alias("lastk"),
+    )
+    n = F.size("lastk")
+    return r.select(
+        "o_custkey",
+        "o_orderkey",
+        n.cast("bigint").alias("n_window"),
+        F.element_at("lastk", ((n + 1) / 2).cast("int"))
+        .cast("bigint")
+        .alias("med_cents"),
+    )
+
+
+@register(
+    "decayed_engagement_score",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+    t AS (
+      SELECT user_id,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+        date_diff('day', CAST(ts AS DATE), CAST(tmax AS DATE)) AS age_d
+      FROM events CROSS JOIN mx
+    )
+    SELECT user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(FLOOR(cents * power(2.0, -LEAST(age_d, 60)) * 1e4
+                          + 0.5) AS BIGINT)) AS BIGINT) AS score_grid
+    FROM t GROUP BY user_id
+    """,
+)
+def decayed_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed engagement score per user: each event
+    contributes value·2^(-age_days) with a 1-day half-life unit — the
+    recency-weighted scoring behind ranking feeds and churn models.
+
+    Cross-engine float safety: 2^(-k) for integer k is EXACT in IEEE
+    doubles, cents·2^(-k) is one exact-input multiply rounded
+    identically in both engines, and each term is floor-quantized onto
+    a 1e-4 grid BEFORE the sum — so the aggregate is pure BIGINT
+    addition, immune to reduction order (a naive SUM of decayed doubles
+    would drift in the last ulp). Ages clamp at 60 half-lives (terms
+    vanish on the grid anyway) to keep power() in a well-conditioned
+    range. The reference anchor (max ts) is a 1-row broadcast, same
+    shape as cooccurrence_pmi's n_users.
+    """
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("tmax"))
+    t = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+        F.datediff(F.col("tmax").cast("date"), F.col("ts").cast("date")).alias(
+            "age_d"
+        ),
+    )
+    term = F.floor(
+        F.col("cents")
+        * F.pow(F.lit(2.0), -F.least(F.col("age_d"), F.lit(60)))
+        * F.lit(1e4)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return t.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(term).cast("bigint").alias("score_grid"),
+    )

@@ -453,3 +453,18 @@ class TestRound4Plans:
         plan = physical_plan(spark, sf_dir, "max_concurrent_sessions")
         assert plan.count("events.parquet") == 1
         assert "SinglePartition" not in plan
+
+    def test_rolling_median_single_cust_shuffle(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "rolling_median_price")
+        import re
+
+        args = re.findall(r"Arguments: (hashpartitioning\(\S+|SinglePartition)", plan)
+        assert args and all(a.startswith("hashpartitioning(o_custkey") for a in args)
+        assert "PushedFilters: [" in plan  # custkey sample reaches the scan
+
+    def test_decayed_score_anchor_broadcast(self, spark, sf_dir):
+        # the max-ts anchor is a 1-row broadcast; the fact side shuffles
+        # once, on user_id, for the final aggregate
+        plan = physical_plan(spark, sf_dir, "decayed_engagement_score")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "hashpartitioning(user_id" in plan
