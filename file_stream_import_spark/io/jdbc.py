@@ -16,6 +16,14 @@ pgx pool (db.go:27-34). Spark equivalents:
 Scale: each of N partitions holds its own connection and streams chunked
 multi-row statements — identical topology to the reference's worker pool
 but horizontally scalable: numPartitions is the worker count.
+
+Real-database coverage: the generic source/sink path (write_jdbc /
+read_jdbc, including partitioned reads and WHERE-clause pushdown) is
+exercised end-to-end against embedded Apache Derby in
+tests/test_layout.py::TestJdbcDerbyRoundTrip — an actual SQL engine on
+Spark's own classpath. Only the ON CONFLICT statement itself remains
+Postgres-dialect (asserted on an injected fake connection; no Postgres
+server exists in this container).
 """
 
 from __future__ import annotations

@@ -253,3 +253,68 @@ class TestZorderLayout:
             spark.read.parquet(out).count()
             == spark.read.parquet(src).count()
         )
+
+
+class TestJdbcDerbyRoundTrip:
+    """Real-database JDBC coverage: Spark ships embedded Derby, so the
+    generic JDBC source/sink path (the reference's transport,
+    internal/db/db.go) is exercised against an actual SQL engine — not
+    a fake connection. (The ON CONFLICT upsert statement itself is
+    Postgres-dialect and stays covered by the injected-connection
+    tests; Derby proves the write/read/pushdown plumbing.)"""
+
+    def _url(self, tmp_path):
+        return f"jdbc:derby:{tmp_path}/db;create=true"
+
+    def test_write_read_round_trip(self, spark, tmp_path):
+        from file_stream_import_spark.io.jdbc import read_jdbc, write_jdbc
+
+        df = spark.range(2000).selectExpr(
+            "id", "CAST(id % 7 AS STRING) AS grp", "id * 2 AS v"
+        )
+        url = self._url(tmp_path)
+        write_jdbc(df, url, "t_rt", mode="overwrite", num_partitions=4,
+                   batchsize=256)
+        back = read_jdbc(spark, url, "t_rt")
+        assert back.count() == 2000
+        assert back.agg({"v": "sum"}).collect()[0][0] == sum(
+            i * 2 for i in range(2000)
+        )
+
+    def test_partitioned_read_covers_all_rows_once(self, spark, tmp_path):
+        from file_stream_import_spark.io.jdbc import read_jdbc, write_jdbc
+
+        df = spark.range(1000).selectExpr("id", "id * 3 AS v")
+        url = self._url(tmp_path)
+        write_jdbc(df, url, "t_part", mode="overwrite", num_partitions=2)
+        back = read_jdbc(
+            spark, url, "t_part",
+            partition_column="id", lower_bound=0, upper_bound=1000,
+            num_partitions=5,
+        )
+        assert back.rdd.getNumPartitions() == 5
+        got = sorted(r["id"] for r in back.collect())
+        assert got == list(range(1000))  # no dup, no loss at slice edges
+
+    def test_filter_pushes_down_to_database(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.jdbc import read_jdbc, write_jdbc
+
+        df = spark.range(500).selectExpr("id", "id % 10 AS bucket")
+        url = self._url(tmp_path)
+        write_jdbc(df, url, "t_push", mode="overwrite", num_partitions=1)
+        filtered = read_jdbc(spark, url, "t_push").filter(F.col("bucket") == 3)
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "bucket" in plan
+        assert filtered.count() == 50
+
+    def test_append_accumulates(self, spark, tmp_path):
+        from file_stream_import_spark.io.jdbc import read_jdbc, write_jdbc
+
+        url = self._url(tmp_path)
+        a = spark.range(100).selectExpr("id", "id AS v")
+        b = spark.range(100, 250).selectExpr("id", "id AS v")
+        write_jdbc(a, url, "t_app", mode="overwrite", num_partitions=2)
+        write_jdbc(b, url, "t_app", mode="append", num_partitions=2)
+        assert read_jdbc(spark, url, "t_app").count() == 250
