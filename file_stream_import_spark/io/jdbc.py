@@ -113,6 +113,56 @@ def build_upsert_sql(table: str, key: str, cols: list[str], n_rows: int) -> str:
     )
 
 
+def build_merge_sql(table: str, key: str, cols: list[str], n_rows: int) -> str:
+    """Dialect-portable twin of :func:`build_upsert_sql`: the same
+    multi-row last-writer-wins upsert as standard SQL:2003 MERGE (the
+    form Derby/Oracle/SQL Server/DB2 accept; Postgres ≥15 too). Same
+    chunk shape as the reference's statement (internal/db/db.go:63-72):
+    one statement per chunk, positional ``?`` markers, every payload
+    column updated on match and inserted on miss.
+
+    Like ON CONFLICT, MERGE forbids two source rows hitting the same
+    target row — callers dedup per key within the chunk first (the same
+    rule upsert_postgres applies).
+    """
+    payload = [c for c in cols if c != key]
+    rows_values = ", ".join(
+        "(" + ", ".join(["?"] * len(cols)) + ")" for _ in range(n_rows)
+    )
+    col_list = ", ".join(_ident(c) for c in cols)
+    set_clause = ", ".join(f"{_ident(c)} = v.{_ident(c)}" for c in payload)
+    insert_vals = ", ".join(f"v.{_ident(c)}" for c in cols)
+    return (
+        f"MERGE INTO {_table_ident(table)} t "
+        f"USING (VALUES {rows_values}) AS v ({col_list}) "
+        f"ON t.{_ident(key)} = v.{_ident(key)} "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({insert_vals})"
+    )
+
+
+def build_merge_from_table_sql(table: str, staging: str, key: str, cols: list[str]) -> str:
+    """Staging-table MERGE (SURVEY §7 upsert option (c)): chunk rows are
+    bulk-inserted into a staging table, then one ``MERGE INTO target
+    USING staging`` applies them — the form every MERGE dialect accepts
+    (Derby rejects a VALUES derived table as MERGE source) and the
+    standard warehouse upsert when chunks are too large to inline into
+    one statement. Caller dedups staging per key first (MERGE errors on
+    two source rows hitting one target row, like ON CONFLICT).
+    """
+    payload = [c for c in cols if c != key]
+    col_list = ", ".join(_ident(c) for c in cols)
+    set_clause = ", ".join(f"{_ident(c)} = v.{_ident(c)}" for c in payload)
+    insert_vals = ", ".join(f"v.{_ident(c)}" for c in cols)
+    return (
+        f"MERGE INTO {_table_ident(table)} t "
+        f"USING {_table_ident(staging)} v "
+        f"ON t.{_ident(key)} = v.{_ident(key)} "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({insert_vals})"
+    )
+
+
 def upsert_postgres(
     df: DataFrame,
     dsn: str,

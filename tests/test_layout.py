@@ -318,3 +318,64 @@ class TestJdbcDerbyRoundTrip:
         write_jdbc(a, url, "t_app", mode="overwrite", num_partitions=2)
         write_jdbc(b, url, "t_app", mode="append", num_partitions=2)
         assert read_jdbc(spark, url, "t_app").count() == 250
+
+    def test_merge_upsert_last_writer_wins_on_real_db(self, spark, tmp_path):
+        # the reference's O5 semantics (multi-row keyed upsert, last
+        # writer wins, db.go:63-72) executed against a REAL SQL engine:
+        # chunk -> staging table -> standard MERGE (SURVEY SS7 upsert
+        # option (c)) on embedded Derby via the JVM's DriverManager, two
+        # waves with overlapping keys + an intra-chunk duplicate
+        from file_stream_import_spark.io.jdbc import build_merge_from_table_sql
+
+        url = f"jdbc:derby:{tmp_path}/mergedb;create=true"
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        st = conn.createStatement()
+        ddl = ("(locid VARCHAR(16) PRIMARY KEY, "
+               "country VARCHAR(16), business VARCHAR(16))")
+        st.executeUpdate("CREATE TABLE locations " + ddl)
+        st.executeUpdate("CREATE TABLE staging " + ddl)
+        merge_sql = build_merge_from_table_sql(
+            "locations", "staging", "locid",
+            ["locid", "country", "business"],
+        )
+
+        def merge(rows):
+            # intra-chunk dedup, last wins - same rule as upsert_postgres
+            seen = {}
+            for r in rows:
+                seen[r[0]] = r
+            ps = conn.prepareStatement(
+                "INSERT INTO staging VALUES (?, ?, ?)"
+            )
+            for row in seen.values():
+                for i, v in enumerate(row, start=1):
+                    ps.setString(i, v)
+                ps.addBatch()
+            ps.executeBatch()
+            ps.close()
+            st.executeUpdate(merge_sql)
+            st.executeUpdate("DELETE FROM staging")
+
+        merge([
+            ("L1", "US", "cafe"),
+            ("L2", "DE", "shop"),
+            ("L1", "FR", "bar"),   # intra-chunk dup: FR must win
+        ])
+        merge([
+            ("L2", "JP", "mart"),  # cross-wave update
+            ("L3", "BR", "kiosk"),
+        ])
+
+        rs = st.executeQuery(
+            "SELECT locid, country, business FROM locations ORDER BY locid"
+        )
+        got = []
+        while rs.next():
+            got.append((rs.getString(1), rs.getString(2), rs.getString(3)))
+        conn.close()
+        assert got == [
+            ("L1", "FR", "bar"),
+            ("L2", "JP", "mart"),
+            ("L3", "BR", "kiosk"),
+        ]
