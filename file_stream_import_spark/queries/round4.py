@@ -1163,3 +1163,178 @@ def decayed_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(term).cast("bigint").alias("score_grid"),
     )
+
+
+@register(
+    "tfidf_doc_similarity",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+        tf.tf * CAST(FLOOR(ln(CAST(n.nd AS DOUBLE) / dfreq.df) * 1e4)
+                     AS BIGINT) AS wq
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE dfreq.df <= 100
+    ), norm2 AS (
+      SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2
+      FROM w GROUP BY doc_id
+    ), dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.wq * b.wq) AS BIGINT) AS d
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+      ROUND(d / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))),
+            4) + 0.0 AS cos_sim
+    FROM dot
+    JOIN norm2 x ON doc_a = x.doc_id
+    JOIN norm2 y ON doc_b = y.doc_id
+    WHERE d / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+          >= 0.3
+    """,
+)
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE pairwise document cosine over tf-idf weights — the
+    inverted-index complement to the dense embedding similarity family:
+    candidate pairs come from shared TERMS (posting-list join), so two
+    documents are only ever compared if they share vocabulary.
+
+    Determinism architecture: ln(N/df) floor-quantizes onto a 1e-4
+    BIGINT grid per TERM (one ln per vocabulary entry, not per pair);
+    weights tf·lq, norms Σwq², and dots Σwq_a·wq_b are then pure BIGINT
+    arithmetic — reduction-order-immune — and the final cosine is
+    sqrt/mult/div of identical doubles (sqrt is correctly rounded in
+    IEEE 754). The df ≤ 100 cap bounds hot-term posting lists — the
+    same f² guard as the shingle joins; at 100 TB it is the difference
+    between |pairs sharing a rare term| and |corpus|². One term-keyed
+    shuffle generates candidates; norms are doc-keyed aggregates
+    joined back on the pair side.
+    """
+    from ..operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("nd"))
+    lq = F.floor(
+        F.log(F.col("nd").cast("double") / F.col("df")) * F.lit(1e4)
+    ).cast("bigint")
+    w = (
+        tf.join(dfreq.filter(F.col("df") <= 100), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", (F.col("tf") * lq).alias("wq"))
+    )
+    norm2 = w.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).cast("bigint").alias("n2")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wq").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wq").alias("wb"))
+    dot = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("d"))
+    )
+    cos = F.col("d") / (
+        F.sqrt(F.col("n2_a").cast("double"))
+        * F.sqrt(F.col("n2_b").cast("double"))
+    )
+    return (
+        dot.join(
+            norm2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2_a")),
+            "doc_a",
+        )
+        .join(
+            norm2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2_b")),
+            "doc_b",
+        )
+        .filter(cos >= 0.3)
+        .select(
+            "doc_a", "doc_b", (F.round(cos, 4) + F.lit(0.0)).alias("cos_sim")
+        )
+    )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        CAST(l_quantity AS BIGINT) AS wt,
+        l_orderkey, l_linenumber
+      FROM lineitem
+    ), c AS (
+      SELECT l_returnflag, cents, wt,
+        SUM(wt) OVER (PARTITION BY l_returnflag
+                      ORDER BY cents, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+      FROM t
+    )
+    SELECT l_returnflag,
+      CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+      CAST(MIN(total) AS BIGINT) AS total_weight
+    FROM c WHERE cum * 2 >= total
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median price per return flag (weights = quantities):
+    the first price at which cumulative weight crosses half the total —
+    'the price of the median UNIT sold', which an unweighted median of
+    line items gets wrong whenever quantities correlate with price.
+
+    All-integer: prices quantized to cents, weights exact BIGINTs, the
+    crossing test is cum·2 ≥ total (no division), and the
+    (cents, orderkey, linenumber) total order pins cumulative sums
+    deterministically. One shuffle on the group key; the running sum
+    and the final aggregate share it. At 100 TB the per-key sort is the
+    cost — for heavy groups the two-pass threshold refinement
+    (pareto_revenue_share's approach) is the documented upgrade.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        W.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt_all = W.partitionBy("l_returnflag")
+    c = t.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt").over(wc).alias("cum"),
+        F.sum("wt").over(wt_all).alias("total"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").cast("bigint").alias("wmedian_cents"),
+            F.min("total").cast("bigint").alias("total_weight"),
+        )
+    )

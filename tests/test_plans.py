@@ -468,3 +468,20 @@ class TestRound4Plans:
         plan = physical_plan(spark, sf_dir, "decayed_engagement_score")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "hashpartitioning(user_id" in plan
+
+    def test_tfidf_similarity_posting_join_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "tfidf_doc_similarity")
+        assert "CartesianProduct" not in plan
+        # candidates come from the term equi-join; the df cap must reach
+        # the join as a real filter
+        assert "hashpartitioning(term" in plan
+        assert "(df" in plan and "100" in plan
+
+    def test_weighted_median_single_group_shuffle(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "weighted_median_price")
+        import re
+
+        args = re.findall(r"Arguments: (hashpartitioning\(\S+|SinglePartition)", plan)
+        assert args and all(
+            a.startswith("hashpartitioning(l_returnflag") for a in args
+        )
