@@ -95,18 +95,26 @@ def _load_evidence() -> dict:
         return {}
 
 
+_ORDER_CACHE: list[str] | None = None
+
+
 def _ordered(d: dict) -> dict:
-    evidence = _load_evidence()
+    # Source-hashing every registered fn costs ~1 ms each; the order is
+    # stable within a process, so compute it once (all_queries +
+    # all_oracle_sql would otherwise pay it twice per harness start).
+    global _ORDER_CACHE
+    if _ORDER_CACHE is None or len(_ORDER_CACHE) != len(QUERIES):
+        evidence = _load_evidence()
 
-    def rank(name: str) -> int:
-        row = evidence.get(name)
-        if row is None or row.get("src_hash") != _src_hash(name):
-            return 0  # never checked, or changed since its last check
-        return int(row.get("round", 0))
+        def rank(name: str) -> int:
+            row = evidence.get(name)
+            if row is None or row.get("src_hash") != _src_hash(name):
+                return 0  # never checked, or changed since its last check
+            return int(row.get("round", 0))
 
-    names = list(QUERIES)  # registration order as the stable tiebreak
-    order = sorted(names, key=lambda n: (rank(n), names.index(n)))
-    return {n: d[n] for n in order if n in d}
+        names = list(QUERIES)  # registration order as the stable tiebreak
+        _ORDER_CACHE = sorted(names, key=lambda n: (rank(n), names.index(n)))
+    return {n: d[n] for n in _ORDER_CACHE if n in d}
 
 
 def all_queries() -> dict[str, QueryFn]:
