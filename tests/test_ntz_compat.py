@@ -28,6 +28,11 @@ AFFECTED = [
     "merge_intervals",
     "asof_next_purchase",
     "stream_attribution_join",
+    # round-4 queries that also apply unix_micros to events.ts
+    "trailing_hour_window",
+    "time_weighted_avg",
+    "max_concurrent_sessions",
+    "pit_status_lookup",
 ]
 
 
