@@ -1,0 +1,101 @@
+"""Streaming top-k leaderboard via foreachBatch — the standard pattern
+for rank-in-streaming.
+
+A global (or per-window) rank is NOT expressible inside an append-mode
+streaming plan: ranking needs to see every group's current count, which
+only exists in aggregation state. The production pattern is therefore
+two-layer:
+
+  1. the STREAM maintains windowed counts (watermarked tumbling windows
+     in update mode — incremental, state bounded by watermark eviction);
+  2. foreachBatch receives each micro-batch's UPDATED (window, key)
+     counts as a plain batch DataFrame, merges them into a compact
+     result store keyed on (window, key) — counts are cumulative per
+     key, so last-write-wins per (window, key) — and re-ranks the
+     affected windows with an ordinary rank window.
+
+The merge store stays |windows|x|keys| — dimension-sized, never
+stream-sized; re-ranking it is a batch window over that small frame.
+This mirrors how Kafka->Spark->serving leaderboards are actually built
+(state in the stream, rank at the sink).
+
+Reference tie-in: the reference has no event-time semantics at all
+(internal/writer/writer.go streams bytes, not events); this is a
+north-star addition layered on the same tumbling_counts operator the
+oracle checks in batch form (queries/streaming_batch.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .windows import read_events_stream
+
+
+def trending_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    checkpoint_dir: str,
+    store: dict,
+    k: int = 3,
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Start the two-layer trending pipeline; returns the StreamingQuery.
+
+    ``store`` is a plain dict standing in for the serving store
+    (Redis/RDBMS in production): ``store['counts']`` maps
+    (window_start, event_type) -> count, ``store['top']`` holds
+    {window_start: [(event_type, n), ...]} re-ranked after every batch.
+    The driver-side merge is proportional to the micro-batch's UPDATED
+    keys only.
+    """
+    events = read_events_stream(spark, drop_dir)
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # updated (window, key) counts only — cumulative, so overwrite
+        counts = store.setdefault("counts", {})
+        for r in batch_df.collect():
+            counts[(r["window_start"], r["event_type"])] = r["n"]
+        # re-rank affected windows from the compact store
+        top: dict[str, list[tuple[str, int]]] = {}
+        for (ws, et), n in counts.items():
+            top.setdefault(ws, []).append((et, n))
+        store["top"] = {
+            ws: sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
+            for ws, rows in top.items()
+        }
+
+    return (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_batch)
+        .start()
+    )
+
+
+def rank_counts(counts: DataFrame, k: int = 3) -> DataFrame:
+    """The batch re-rank layer as a DataFrame op (what a SQL serving
+    store would run): top-k per window with the deterministic
+    (n DESC, key ASC) order — identical to trending_hourly_topk's
+    ranking (queries/round4.py), so the stream+store composition and
+    the oracle-checked batch query agree."""
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -433,3 +433,95 @@ class TestContinuousCsvUpsert:
             assert s2["L1"]["locname"] == "First"  # untouched rows survive
         finally:
             q.stop()
+
+
+class TestTrendingForeachBatch:
+    def test_stream_leaderboard_matches_batch_rank(self, spark, tmp_path):
+        """Two micro-batches of events; after the stream drains, the
+        foreachBatch-maintained leaderboard must equal the batch
+        top-k over the union of all events — including a second-batch
+        surge that REORDERS a window's leaders (the update-mode path:
+        an existing (window, key) count is overwritten, not appended).
+        """
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.streaming.trending import (
+            rank_counts,
+            trending_stream,
+        )
+
+        drop = tmp_path / "drops"
+        drop.mkdir()
+        ck = str(tmp_path / "ck")
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [
+                    (i, f"2024-01-01 {h:02d}:{m:02d}:00", u, et, 1.0, "{}")
+                    for i, (h, m, u, et) in enumerate(rows)
+                ],
+                "event_id long, ts string, user_id long, event_type string,"
+                " value double, props string",
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+        # batch 1: hour 10 — click leads 3:2
+        b1 = [(10, 0, 1, "click"), (10, 5, 2, "click"), (10, 10, 3, "click"),
+              (10, 1, 1, "view"), (10, 2, 2, "view")]
+        # batch 2: hour 10 surge — view overtakes 5:3; hour 11 appears
+        b2 = [(10, 20, 4, "view"), (10, 21, 5, "view"), (10, 22, 6, "view"),
+              (11, 0, 1, "buy")]
+        mk(b1).coalesce(1).write.mode("append").parquet(str(drop))
+
+        store: dict = {}
+        q = trending_stream(spark, str(drop), ck, store, k=2)
+        try:
+            deadline = _t.time() + 60
+            while _t.time() < deadline:
+                if store.get("top", {}).get("2024-01-01 10:00:00"):
+                    break
+                _t.sleep(0.5)
+            assert store["top"]["2024-01-01 10:00:00"] == [
+                ("click", 3), ("view", 2)
+            ]
+
+            mk(b2).coalesce(1).write.mode("append").parquet(str(drop))
+            deadline = _t.time() + 60
+            while _t.time() < deadline:
+                if "2024-01-01 11:00:00" in store.get("top", {}):
+                    break
+                _t.sleep(0.5)
+        finally:
+            q.stop()
+
+        # view must have overtaken click in hour 10 (count overwritten
+        # to 5, not appended)
+        assert store["top"]["2024-01-01 10:00:00"] == [
+            ("view", 5), ("click", 3)
+        ]
+        assert store["top"]["2024-01-01 11:00:00"] == [("buy", 1)]
+
+        # and the store agrees with the pure-batch rank over all events
+        all_counts = (
+            mk(b1).unionByName(mk(b2))
+            .groupBy(
+                F.date_format(
+                    F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("window_start"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"))
+        )
+        expect = {
+            ws: [(r["event_type"], r["n"]) for r in rows]
+            for ws, rows in (
+                (ws, sorted(
+                    [r for r in rank_counts(all_counts, k=2).collect()
+                     if r["window_start"] == ws],
+                    key=lambda r: r["rk"],
+                ))
+                for ws in store["top"]
+            )
+        }
+        assert store["top"] == expect
