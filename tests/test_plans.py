@@ -485,3 +485,9 @@ class TestRound4Plans:
         assert args and all(
             a.startswith("hashpartitioning(l_returnflag") for a in args
         )
+
+    def test_hierarchy_rollup_no_joins_no_iteration(self, spark, sf_dir):
+        # transitive rollup must be explode + one aggregate: zero joins
+        plan = physical_plan(spark, sf_dir, "part_hierarchy_rollup")
+        assert "Join" not in plan
+        assert ") Generate" in plan  # the ancestor-path explode
