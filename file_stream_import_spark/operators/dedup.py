@@ -552,3 +552,68 @@ def cluster_pairs_star(
             F.coalesce(F.col("dst"), F.col("src")).cast("bigint").alias("cluster_id"),
         )
     )
+
+
+def minhash_lsh_pairs_incremental(
+    df: DataFrame,
+    new_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs between the NEW slice
+    (rows where ``new_pred`` holds) and the EXISTING corpus — the daily
+    ingest form of dedup at 100 TB, where re-running all-pairs over the
+    whole corpus every day is not an option.
+
+    Candidate generation joins new-side band buckets against old-side
+    band buckets only (no old×old, no new×new), so daily work is
+    O(|new| + matching buckets). In production the old side's
+    signatures and band buckets are precomputed state loaded from the
+    signature store; here both sides derive in one lineage so the
+    operator stays oracle-checkable end-to-end. Candidates are
+    canonicalized to (min, max) id order before the exact-Jaccard
+    verify, which scores candidates only.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("bh"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    flags = df.select(F.col(id_col), new_pred.alias("__is_new"))
+    bucketed = (
+        sig.join(flags, id_col)
+        .select(F.col(id_col), "__is_new", F.explode(bands).alias("e"))
+        .select(
+            id_col,
+            "__is_new",
+            F.col("e.band").alias("band"),
+            F.col("e.bh").alias("bh"),
+        )
+    )
+    old = bucketed.filter(~F.col("__is_new")).select(
+        F.col(id_col).alias("old_id"), "band", "bh"
+    )
+    new = bucketed.filter(F.col("__is_new")).select(
+        F.col(id_col).alias("new_id"), "band", "bh"
+    )
+    candidates = (
+        old.join(new, ["band", "bh"])
+        .select(
+            F.least("old_id", "new_id").alias("doc_a"),
+            F.greatest("old_id", "new_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _pair_jaccard(sh, id_col, candidates).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -1389,3 +1389,45 @@ def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_desc"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+_INCR_JACCARD_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes x ON p.doc_a = x.doc_id
+    JOIN sizes y ON p.doc_b = y.doc_id
+    WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
+      AND ((doc_a < 250) <> (doc_b < 250))
+    """
+
+
+@register("dedup_incremental_lsh", oracle=_INCR_JACCARD_ORACLE)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch vs existing-corpus) MinHash-LSH dedup —
+    the daily-ingest operating mode: docs with id >= 250 play today's
+    batch, the rest the standing corpus; only cross-slice band-bucket
+    collisions generate candidates (no old×old re-verification). Same
+    exact-Jaccard contract and miss probability (~1e-7 at 0.8) as
+    dedup_minhash_lsh, so the oracle is the exact cross-slice pair set.
+    See operators/dedup.py::minhash_lsh_pairs_incremental.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_incremental(
+        d, F.col("doc_id") >= 250, threshold=0.8
+    )
