@@ -221,3 +221,106 @@ class TestRound4Properties:
             assert by_row[lo] == min(got)
         if hi in by_row:
             assert by_row[hi] == max(got)
+
+
+class TestRound4QueryProperties:
+    @prop
+    @given(
+        deltas=st.lists(
+            st.integers(min_value=0, max_value=90_000),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_sweepline_matches_bruteforce(self, spark, tmp_path, deltas):
+        # max_concurrent_sessions (day-clipped sweep) must equal the
+        # O(n^2) brute force "count intervals covering each start point"
+        # on arbitrary event times spanning a midnight
+        import datetime as dt
+        import json
+        import os
+
+        from file_stream_import_spark.queries import all_queries
+
+        base = dt.datetime(2024, 3, 1, 23, 0, 0)
+        times = [base + dt.timedelta(seconds=s) for s in deltas]
+        rows = [
+            (i, t, 1, "click", 1.0, "{}") for i, t in enumerate(times)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        d = str(tmp_path / f"sf_{abs(hash(tuple(deltas))) % 10**8}")
+        os.makedirs(d, exist_ok=True)
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["day_s"]: r["max_concurrent"]
+            for r in all_queries()["max_concurrent_sessions"](spark, d).collect()
+        }
+
+        # brute force: for each day, max over piece-start points of the
+        # number of live [s, s+5min) intervals, with day clipping
+        iv = [(t, t + dt.timedelta(minutes=5)) for t in times]
+        points = []
+        for s, e in iv:
+            mid = (s + dt.timedelta(days=1)).replace(
+                hour=0, minute=0, second=0, microsecond=0
+            )
+            points.append((s.date(), s))
+            if e > mid:
+                points.append((mid.date(), mid))
+        want: dict = {}
+        for day, p in points:
+            live = sum(1 for s, e in iv if s <= p < e)
+            key = day.strftime("%Y-%m-%d")
+            want[key] = max(want.get(key, 0), live)
+        assert got == want
+
+    @prop
+    @given(
+        vals=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=9999),
+                st.integers(min_value=1, max_value=20),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_weighted_median_crossing_bruteforce(self, spark, vals):
+        # the cumulative-crossing rule must pick the smallest value v
+        # such that weight{x <= v} * 2 >= total weight
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(c, w, i) for i, (c, w) in enumerate(vals)],
+            "cents long, wt long, rid long",
+        )
+        wc = (
+            W.partitionBy(F.lit(1))
+            .orderBy("cents", "rid")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        wa = W.partitionBy(F.lit(1))
+        got = (
+            df.select(
+                "cents",
+                F.sum("wt").over(wc).alias("cum"),
+                F.sum("wt").over(wa).alias("total"),
+            )
+            .filter(F.col("cum") * 2 >= F.col("total"))
+            .agg(F.min("cents"))
+            .collect()[0][0]
+        )
+        total = sum(w for _, w in vals)
+        acc = 0
+        want = None
+        for c, w in sorted(vals, key=lambda t: t[0]):
+            acc += w
+            if acc * 2 >= total:
+                want = c
+                break
+        assert got == want
