@@ -184,3 +184,58 @@ def extract_audio_features(
     return df.select(id_col, payload_col).mapInPandas(
         features, schema=AUDIO_FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, n_bytes int, stride int, out_n_bytes int,"
+    " out_checksum bigint"
+)
+
+
+def resize_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_bytes: int = 256,
+    strict: bool = False,
+) -> DataFrame:
+    """'Resize' a binary media column to a byte budget — the 1→1
+    binary-in/binary-out transform shape of a real thumbnailer
+    (PIL resize / ffmpeg scale), with the same Arrow-batched
+    mapInPandas plumbing, schema, and batch flow.
+
+    The stand-in kernel is deterministic stride sampling (every k-th
+    byte, k = ceil(n/max_bytes)) so the output is fully
+    oracle-checkable: DuckDB reproduces the sampled byte stream from
+    hex(payload) and the same 60-bit md5 checksum the frame sampler
+    uses. ``strict=True`` raises at the marked plug-in point where a
+    real codec would go. Only (id, payload) cross the Arrow boundary.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real image resizing requires PIL/opencv on the executors; "
+                "install and replace the stride-sampling kernel"
+            )
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                n = len(b)
+                stride = max(1, -(-n // max_bytes))
+                out = b[::stride]
+                rows.append(
+                    (did, n, stride, len(out), _frame_checksum(out))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "stride", "out_n_bytes",
+                    "out_checksum",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        do, schema=RESIZE_SCHEMA
+    )

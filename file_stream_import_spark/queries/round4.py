@@ -1431,3 +1431,40 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_incremental(
         d, F.col("doc_id") >= 250, threshold=0.8
     )
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(length(hex(encode(text))) / 2 AS INT) AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, hx, n,
+             GREATEST(1, CAST(CEIL(n / 256.0) AS INT)) AS stride
+      FROM h
+    ), o AS (
+      SELECT doc_id, n, stride,
+        array_to_string(list_transform(
+          range(0, CAST(CEIL(n * 1.0 / stride) AS BIGINT)),
+          i -> substr(hx, CAST(i * stride * 2 + 1 AS INT), 2)), '') AS ohx
+      FROM s
+    )
+    SELECT doc_id, n AS n_bytes, stride,
+      CAST(length(ohx) / 2 AS INT) AS out_n_bytes,
+      CAST(('0x' || substr(md5(ohx), 1, 15)) AS BIGINT) AS out_checksum
+    FROM o
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget 'resize' over the binary payload column — the
+    thumbnailer plumbing shape (binary→binary mapInPandas), with a
+    deterministic stride-sampling kernel so every output byte stream's
+    checksum is value-checked by the oracle. See
+    operators/multimodal.py::resize_payloads for the real-codec
+    plug-in point."""
+    from ..operators.multimodal import attach_fake_payload, resize_payloads
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return resize_payloads(attach_fake_payload(d), max_bytes=256)
