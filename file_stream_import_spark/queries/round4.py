@@ -1468,3 +1468,142 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return resize_payloads(attach_fake_payload(d), max_bytes=256)
+
+
+@register(
+    "orders_backlog_daily",
+    oracle="""
+    WITH life AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d0,
+             CAST(MAX(l.l_shipdate) AS DATE) + 1 AS d1
+      FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), deltas AS (
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM (
+        SELECT d0 AS d, 1 AS delta FROM life
+        UNION ALL
+        SELECT d1 AS d, -1 AS delta FROM life
+      ) GROUP BY d
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day_s, net,
+      CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS open_orders
+    FROM deltas
+    """,
+)
+def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: +1 when an order is placed, -1 the day
+    after its last line ships; the running balance is 'how many orders
+    are open right now' through history — the warehouse running-balance
+    shape (inventory levels, open tickets, WIP).
+
+    Scale shape: the fact join reduces each order to ONE lifetime row
+    (map-side groupBy on the join key), lifetimes explode to ±1 deltas
+    INSIDE one lineage, and daily nets aggregate BEFORE the cumulative
+    sum — so the only ordered window runs over the |days| grid
+    (thousands of rows at any data scale), not the fact table. That
+    tiny single-partition cum-sum is the same accepted pattern as the
+    yoy/incremental-agg rollups. All-integer arithmetic.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    life = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.date_add(F.col("last_ship").cast("date"), 1).alias("d1"),
+        )
+    )
+    deltas = (
+        life.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d0").alias("d"), F.lit(1).alias("delta")),
+                    F.struct(F.col("d1").alias("d"), F.lit(-1).alias("delta")),
+                )
+            ).alias("e")
+        )
+        .select("e.d", "e.delta")
+        .groupBy("d")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return deltas.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day_s"),
+        "net",
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+    )
+
+
+@register(
+    "embedding_label_drift",
+    oracle="""
+    WITH q AS (
+      SELECT label, t.i AS dim,
+        CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT) AS xq
+      FROM embeddings,
+        UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), lab AS (
+      SELECT label, dim, SUM(xq) AS s, COUNT(*) AS c
+      FROM q GROUP BY label, dim
+    ), gl AS (
+      SELECT dim, SUM(xq) AS gs, COUNT(*) AS gc FROM q GROUP BY dim
+    ), diffs AS (
+      SELECT lab.label, lab.dim,
+        CAST(FLOOR(
+          (CAST(lab.s AS DOUBLE) / lab.c - CAST(gl.gs AS DOUBLE) / gl.gc)
+          * (CAST(lab.s AS DOUBLE) / lab.c - CAST(gl.gs AS DOUBLE) / gl.gc)
+          + 0.5) AS BIGINT) AS d2q
+      FROM lab JOIN gl USING (dim)
+    )
+    SELECT label, CAST(SUM(d2q) AS BIGINT) AS drift2_grid,
+           CAST(MAX(d2q) AS BIGINT) AS worst_dim_d2
+    FROM diffs GROUP BY label
+    """,
+)
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift from the corpus centroid —
+    the embedding-space monitor a training pipeline tracks per ingest
+    batch (is cluster X moving away from the population?).
+
+    Determinism: every component floor-quantizes onto a 1e-6 integer grid
+    BEFORE averaging (exact BIGINT sums; the per-dim centroid is then
+    ONE double division of exact integers), per-dim squared diffs are
+    single identical double ops floor-quantized back to BIGINT, and the
+    64-term reduction is integer addition. posexplode keeps dimension
+    indices aligned with DuckDB's UNNEST WITH ORDINALITY. Scale: the
+    shuffle carries (label, dim) partial sums — map-side combined, so
+    volume is |labels|·|dims|, independent of row count.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("bigint").alias(
+            "xq"
+        ),
+    )
+    lab = q.groupBy("label", "dim").agg(
+        F.sum("xq").alias("s"), F.count("*").alias("c")
+    )
+    glob = q.groupBy("dim").agg(
+        F.sum("xq").alias("gs"), F.count("*").alias("gc")
+    )
+    diff = (
+        F.col("s").cast("double") / F.col("c")
+        - F.col("gs").cast("double") / F.col("gc")
+    )
+    diffs = lab.join(glob, "dim").select(
+        "label",
+        F.floor(diff * diff + F.lit(0.5)).cast("bigint").alias("d2q"),
+    )
+    return diffs.groupBy("label").agg(
+        F.sum("d2q").cast("bigint").alias("drift2_grid"),
+        F.max("d2q").cast("bigint").alias("worst_dim_d2"),
+    )

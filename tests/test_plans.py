@@ -491,3 +491,19 @@ class TestRound4Plans:
         plan = physical_plan(spark, sf_dir, "part_hierarchy_rollup")
         assert "Join" not in plan
         assert ") Generate" in plan  # the ancestor-path explode
+
+    def test_backlog_cumsum_runs_on_day_grid_only(self, spark, sf_dir):
+        # the only single-partition exchange feeds the |days|-sized
+        # cumulative sum, AFTER the per-day aggregation
+        plan = physical_plan(spark, sf_dir, "orders_backlog_daily")
+        assert plan.count("SinglePartition") == 1
+        tree = plan.split("\n\n")[0]
+        # partial aggregate (per-day nets) sits leafward of the window
+        assert "HashAggregate" in tree and "Window" in tree
+
+    def test_label_drift_shuffles_partials_only(self, spark, sf_dir):
+        # the shuffle carries (label, dim) / (dim) partial sums with
+        # map-side combine, never raw embedding rows
+        plan = physical_plan(spark, sf_dir, "embedding_label_drift")
+        assert "partial_sum" in plan
+        assert "CartesianProduct" not in plan
