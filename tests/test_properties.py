@@ -324,3 +324,49 @@ class TestRound4QueryProperties:
                 want = c
                 break
         assert got == want
+
+
+class TestRollupAndPQInvariants:
+    def test_hierarchy_rollup_conserves_mass(self, spark, sf_dir):
+        # every level of the digit tree partitions the leaves: the sum
+        # over any complete level equals the all-parts total
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.tables import load_table
+        from file_stream_import_spark.queries import all_queries
+
+        # part key 0 has no positive ancestor and is excluded from the
+        # tree by the ancestor > 0 filter — the invariant holds for the
+        # keyed (k >= 1) population
+        p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") >= 1)
+        total = p.select(
+            F.sum(
+                F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+        ).collect()[0][0]
+        n_parts = p.count()
+        rows = all_queries()["part_hierarchy_rollup"](spark, sf_dir).collect()
+        # leaves (= ancestors that are part keys with n_desc counting
+        # themselves only once each) all have positive sums; stronger:
+        # the level-1 nodes (single digit 1..9) cover every part exactly
+        # once
+        lvl1 = [r for r in rows if 1 <= r["ancestor"] <= 9]
+        assert sum(r["n_desc"] for r in lvl1) == n_parts
+        assert sum(r["sum_cents"] for r in lvl1) == total
+
+    def test_pq_codes_in_codebook_and_residual_nonneg(self, spark, sf_dir):
+        from file_stream_import_spark.queries import all_queries
+
+        rows = all_queries()["embedding_pq_codes"](spark, sf_dir).collect()
+        assert rows
+        codes = {r["code"] for r in rows}
+        assert len(codes) <= 16  # codes come from the 16-entry codebook
+        assert all(r["dist2_q"] >= 0 for r in rows)
+        assert all(0 <= r["si"] <= 7 for r in rows)
+        # every vector emits exactly 8 subspace rows
+        from collections import Counter
+
+        per_vec = Counter(r["vec_id"] for r in rows)
+        assert set(per_vec.values()) == {8}
