@@ -102,6 +102,13 @@ def knn_topk_partial(
     exchange — this operator makes the bound EXPLICIT in the plan shape
     (asserted in tests/test_plans.py), so it survives optimizer-rule or
     engine-version changes rather than depending on them.
+
+    Measured (r5, 2026-08-14, tools/ab_topk.py — 5 interleaved passes,
+    one session, sf0.1 local[32]): this form median 0.655s vs the pure
+    window form 0.671s — a tie within host noise. The pandas form is
+    kept because the explicit bound is the operator's point: at true
+    scale the scored-pair stream is too large to trust to an optimizer
+    rule, and the A/B shows the crossing costs nothing here.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
