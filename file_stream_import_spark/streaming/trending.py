@@ -27,11 +27,26 @@ oracle checks in batch form (queries/streaming_batch.py).
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .windows import read_events_stream
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _duration_seconds(spec: str) -> int:
+    """Parse a Spark duration literal like '2 hours' to seconds."""
+    n, unit = spec.split()
+    return int(n) * _UNIT_SECONDS[unit]
 
 
 def trending_stream(
@@ -47,11 +62,20 @@ def trending_stream(
 
     ``store`` is a plain dict standing in for the serving store
     (Redis/RDBMS in production): ``store['counts']`` maps
-    (window_start, event_type) -> count, ``store['top']`` holds
-    {window_start: [(event_type, n), ...]} re-ranked after every batch.
-    The driver-side merge is proportional to the micro-batch's UPDATED
-    keys only.
+    window_start -> {event_type: count} for LIVE windows only,
+    ``store['top']`` holds {window_start: [(event_type, n), ...]}.
+    Per batch, the merge is proportional to the micro-batch's updated
+    keys: only windows TOUCHED by the batch are re-ranked, and windows
+    that have passed the stream's own watermark horizon (their state is
+    already evicted upstream, so update mode can never emit them again)
+    are dropped from ``counts`` — the mutable store plateaus at
+    (watermark + window) / window live windows x |keys| regardless of
+    stream lifetime. Their final ranking stays frozen in ``top``, which
+    is the serving OUTPUT (append-only by window, like the downstream
+    table it stands in for).
     """
+    wm_secs = _duration_seconds(watermark)
+    size_secs = _duration_seconds(size)
     events = read_events_stream(spark, drop_dir)
     counts = (
         events.withWatermark("ts", watermark)
@@ -67,18 +91,30 @@ def trending_stream(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # updated (window, key) counts only — cumulative, so overwrite
+        # updated (window, key) counts only — cumulative, so overwrite.
+        # .collect() here is the compact update-mode delta, not the stream.
         counts = store.setdefault("counts", {})
+        top = store.setdefault("top", {})
+        touched: set[str] = set()
         for r in batch_df.collect():
-            counts[(r["window_start"], r["event_type"])] = r["n"]
-        # re-rank affected windows from the compact store
-        top: dict[str, list[tuple[str, int]]] = {}
-        for (ws, et), n in counts.items():
-            top.setdefault(ws, []).append((et, n))
-        store["top"] = {
-            ws: sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
-            for ws, rows in top.items()
-        }
+            counts.setdefault(r["window_start"], {})[r["event_type"]] = r["n"]
+            touched.add(r["window_start"])
+        # re-rank ONLY the windows this batch touched — O(batch keys)
+        for ws in touched:
+            top[ws] = sorted(
+                counts[ws].items(), key=lambda t: (-t[1], t[0])
+            )[:k]
+        # evict windows past the watermark horizon: the stream's own
+        # state for them is gone, so update mode can never emit them
+        # again — mirror that eviction so the mutable store is bounded.
+        if counts:
+            high = max(counts)
+            horizon = (
+                _dt.datetime.strptime(high, "%Y-%m-%d %H:%M:%S")
+                - _dt.timedelta(seconds=wm_secs + size_secs)
+            ).strftime("%Y-%m-%d %H:%M:%S")
+            for ws in [w for w in counts if w < horizon]:
+                del counts[ws]
 
     return (
         counts.writeStream.outputMode("update")

@@ -525,3 +525,95 @@ class TestTrendingForeachBatch:
             )
         }
         assert store["top"] == expect
+
+    def test_leaderboard_store_bounded_over_long_stream(self, spark, tmp_path):
+        """Stream 3x the watermark horizon through the leaderboard; the
+        mutable counts store must PLATEAU (windows past the watermark are
+        evicted, mirroring the stream's own state eviction) while the
+        serving output still equals the batch top-k over ALL events —
+        frozen windows keep their final ranking.
+        """
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.streaming.trending import (
+            rank_counts,
+            trending_stream,
+        )
+
+        drop = tmp_path / "drops"
+        drop.mkdir()
+        ck = str(tmp_path / "ck")
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [
+                    (i, ts, u, et, 1.0, "{}")
+                    for i, (ts, u, et) in enumerate(rows)
+                ],
+                "event_id long, ts string, user_id long, event_type string,"
+                " value double, props string",
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+        # 1-minute windows, 2-minute watermark → at most
+        # (2 min + 1 min) / 1 min + 1 = 4 live windows ever retained.
+        # Stream 12 one-minute windows in 4 micro-batches (3 windows each).
+        batches = []
+        for b in range(4):
+            rows = []
+            for m in range(3 * b, 3 * b + 3):
+                ts = f"2024-01-01 10:{m:02d}:30"
+                rows.append((ts, m, "click"))
+                if m % 2 == 0:
+                    rows.append((ts, 100 + m, "view"))
+            batches.append(rows)
+
+        store: dict = {}
+        q = trending_stream(
+            spark, str(drop), ck, store, k=2,
+            size="1 minute", watermark="2 minutes",
+        )
+        max_live = 0
+        try:
+            for b, rows in enumerate(batches):
+                mk(rows).coalesce(1).write.mode("append").parquet(str(drop))
+                last_ws = f"2024-01-01 10:{3 * b + 2:02d}:00"
+                deadline = _t.time() + 60
+                while _t.time() < deadline:
+                    if last_ws in store.get("top", {}):
+                        break
+                    _t.sleep(0.5)
+                assert last_ws in store["top"], f"batch {b} never surfaced"
+                max_live = max(max_live, len(store["counts"]))
+        finally:
+            q.stop()
+
+        # plateau: mutable store never exceeds the watermark horizon's
+        # live-window count, despite 12 windows having streamed through
+        assert max_live <= 4, f"counts store grew to {max_live} windows"
+        assert len(store["counts"]) <= 4
+        # serving output covers every window and equals the batch rank
+        assert len(store["top"]) == 12
+        all_counts = (
+            mk([r for rows in batches for r in rows])
+            .groupBy(
+                F.date_format(
+                    F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("window_start"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"))
+        )
+        expect = {
+            ws: [(r["event_type"], r["n"]) for r in rows]
+            for ws, rows in (
+                (ws, sorted(
+                    [r for r in rank_counts(all_counts, k=2).collect()
+                     if r["window_start"] == ws],
+                    key=lambda r: r["rk"],
+                ))
+                for ws in store["top"]
+            )
+        }
+        assert store["top"] == expect
