@@ -667,17 +667,49 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_quantiles")  # rows-only: sketch internals differ by engine
+@register(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
+           COUNT(*) AS n_orders,
+           TRUE AS p50_within_bound,
+           TRUE AS p95_within_bound
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles of order totals per status via Spark's
     Greenwald-Khanna sketch (single pass, mergeable partials — the scale
-    path where exact quantiles' full sort is unaffordable). Accuracy vs
-    the exact quantiles is asserted in tests/test_llm_ops.py."""
+    path where exact quantiles' full sort is unaffordable).
+
+    Oracle-checkable sketch accuracy: at test SF the exact percentile IS
+    affordable, so the query emits the exact values plus a Spark-side
+    bound check |approx - exact| / exact <= 5%. The oracle hash-checks
+    the exact values and all-TRUE bound columns — a sketch drifting past
+    the bound fails the hash (this query was rows-only before r5).
+    """
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_percentile("o_totalprice", 0.5, 1000).alias("p50_approx"),
-        F.approx_percentile("o_totalprice", 0.95, 1000).alias("p95_approx"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("_p50e"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("_p95e"),
+        F.approx_percentile("o_totalprice", 0.5, 1000).alias("_p50a"),
+        F.approx_percentile("o_totalprice", 0.95, 1000).alias("_p95a"),
         F.count("*").alias("n_orders"),
+    )
+
+    def within(approx: str, exact: str):
+        return F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= F.lit(0.05)
+
+    return agg.select(
+        "o_orderstatus",
+        F.round("_p50e", 2).alias("p50_exact"),
+        F.round("_p95e", 2).alias("p95_exact"),
+        "n_orders",
+        within("_p50a", "_p50e").alias("p50_within_bound"),
+        within("_p95a", "_p95e").alias("p95_within_bound"),
     )
 
 

@@ -882,18 +882,59 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_sketch")  # rows-only: HLL≠DuckDB's sketch
+@register(
+    "approx_distinct_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)
+             AS exact_median_cents,
+           TRUE AS cd_within_bound,
+           TRUE AS med_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) and approx percentile
-    (t-digest-style) — the sketch aggregates that replace exact distinct /
-    percentile at 100 TB. Engine-specific estimates → rows-only check
-    (a sanity test asserts the estimate is within rsd of exact)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 2
-        ).alias("approx_median_price"),
+    """approx_count_distinct (HyperLogLog++) and approx percentile (GK
+    sketch) — the sketch aggregates that replace exact distinct /
+    percentile at 100 TB.
+
+    Oracle-checkable sketch accuracy: engine-specific estimates can't be
+    hash-compared across engines, so the query computes BOTH the sketch
+    and the exact aggregate (affordable at test SF) and emits the exact
+    values plus Spark-side bound checks (HLL rsd=0.02 → 6% bound ≈ 3σ;
+    percentile 5%). The oracle hash-checks exact values and all-TRUE
+    bounds — a sketch outside its error contract fails the hash (this
+    query was rows-only before r5).
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        # integer cents: the interpolated median of integers is an exact
+        # multiple of 0.5 in double, so the cross-engine hash can't be
+        # flipped by a last-ulp rounding boundary (observed: 52724.245
+        # rounded to .24 by Spark and .25 by DuckDB)
+        "_cents",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_cda"),
+        F.percentile("_cents", F.lit(0.5)).alias("_mede"),
+        F.percentile_approx("_cents", F.lit(0.5), F.lit(1000)).alias("_meda"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        F.col("_mede").alias("exact_median_cents"),
+        (
+            F.abs(F.col("_cda") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= F.lit(0.06)
+        ).alias("cd_within_bound"),
+        (
+            F.abs(F.col("_meda") - F.col("_mede")) / F.col("_mede")
+            <= F.lit(0.05)
+        ).alias("med_within_bound"),
     )
 
 
