@@ -77,10 +77,21 @@ def add_zorder_key(
     The whole computation is a codegen'd integer projection; min/max
     scaling (vs rank) keeps it one pass, at the cost of skew sensitivity
     — acceptable for clustering, where only relative order matters.
+
+    ``bits`` is auto-capped so bits*len(cols) <= 63: past that the top
+    interleaved bit would land in the bigint sign bit (negative keys
+    sorting first breaks the Morton order), and JVM shiftleft wraps its
+    shift amount mod 64, silently clobbering low bits. The cap only
+    coarsens the grid — relative clustering order is preserved.
     """
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if n == 0:
+        raise ValueError("add_zorder_key needs at least one column")
+    bits = min(bits, 63 // n)
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({n}): 63 bits / {n} < 1")
     lo = [F.min(F.col(c)).alias(f"__lo_{i}") for i, c in enumerate(cols)]
     hi = [F.max(F.col(c)).alias(f"__hi_{i}") for i, c in enumerate(cols)]
     stats = df.agg(*lo, *hi)
@@ -148,20 +159,32 @@ def compact_small_files(
     (files_before, files_after).
 
     At 100 TB this runs per partition-directory (compact yesterday's
-    partition, not the table); the byte measurement comes from the file
-    listing Spark already has, no extra scan.
+    partition, not the table); the byte measurement comes from the
+    Hadoop FileSystem the path actually lives on (file://, s3a://,
+    hdfs:// alike), no extra scan. Raises if no file could be statted —
+    silently defaulting to n=1 would rewrite the directory into one
+    giant file at exactly the scale compaction exists to serve.
     """
     import math
-    import os
-    from urllib.parse import urlparse
 
     df = spark.read.parquet(in_path)
     files = df.inputFiles()
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     total = 0
+    statted = 0
     for f in files:
-        p = urlparse(f).path
-        if os.path.exists(p):
-            total += os.path.getsize(p)
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        try:
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+            statted += 1
+        except Exception:
+            continue
+    if files and not statted:
+        raise IOError(
+            f"compact_small_files: could not stat any of {len(files)} input "
+            f"files under {in_path}; refusing to guess an output file count"
+        )
     n = max(1, math.ceil(total / target_bytes))
     df.repartition(n).write.mode(mode).parquet(out_path)
     after = spark.read.parquet(out_path).inputFiles()

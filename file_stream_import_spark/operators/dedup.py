@@ -73,18 +73,27 @@ def exact_duplicates(
 
 def _pair_jaccard(sh: DataFrame, id_col: str, pairs: DataFrame | None) -> DataFrame:
     """Exact Jaccard for doc pairs sharing ≥1 shingle (optionally
-    restricted to a candidate ``pairs`` frame with doc_a/doc_b)."""
+    restricted to a candidate ``pairs`` frame with doc_a/doc_b).
+
+    When ``pairs`` is given the pruning happens BEFORE the quadratic
+    work, not after: each side of the shingle self-join is semi-joined
+    down to the candidate doc ids first, and the joined co-shingle rows
+    are semi-joined to candidate (doc_a, doc_b) before the groupBy — so
+    the self-join and aggregation touch candidate docs only (the
+    property the incremental LSH mode depends on for O(|new|) dailies).
+    Per-doc shingle sizes still come from the FULL frame (a linear
+    aggregate): Jaccard's denominator needs each doc's total count.
+    """
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        a = a.join(pairs.select("doc_a").distinct(), "doc_a", "left_semi")
+        b = b.join(pairs.select("doc_b").distinct(), "doc_b", "left_semi")
+    joined = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    if pairs is not None:
+        joined = joined.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    inter = joined.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     return (
         inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb"), "doc_b")

@@ -96,14 +96,19 @@ def _load_evidence() -> dict:
 
 
 _ORDER_CACHE: list[str] | None = None
+_ORDER_CACHE_KEY: tuple[str, ...] | None = None
 
 
 def _ordered(d: dict) -> dict:
     # Source-hashing every registered fn costs ~1 ms each; the order is
     # stable within a process, so compute it once (all_queries +
     # all_oracle_sql would otherwise pay it twice per harness start).
-    global _ORDER_CACHE
-    if _ORDER_CACHE is None or len(_ORDER_CACHE) != len(QUERIES):
+    # Keyed on the full membership tuple, not len(): a same-length
+    # re-registration (tests swapping a query) must invalidate too.
+    global _ORDER_CACHE, _ORDER_CACHE_KEY
+    key = tuple(QUERIES)
+    if _ORDER_CACHE is None or _ORDER_CACHE_KEY != key:
+        _ORDER_CACHE_KEY = key
         evidence = _load_evidence()
 
         def rank(name: str) -> int:
