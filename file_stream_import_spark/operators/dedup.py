@@ -38,6 +38,54 @@ BANDS = 32
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
+def lsh_candidate_probability(jaccard: float, bands: int, rows_per_band: int) -> float:
+    """P(a pair with this Jaccard shares >=1 LSH band): 1-(1-j^r)^b."""
+    return 1.0 - (1.0 - jaccard ** rows_per_band) ** bands
+
+
+def band_params(
+    threshold: float,
+    num_hashes: int = NUM_HASHES,
+    fp_jaccard: float | None = None,
+    fp_budget: float = 0.05,
+) -> tuple[int, int]:
+    """Derive (bands, rows_per_band) for a target Jaccard threshold —
+    the tunable a real dedup user reaches for instead of fixed 32x4.
+
+    The banded S-curve's midpoint sits at (1/b)^(1/r) (where candidate
+    probability ~= 1-1/e); among splits with b*r <= num_hashes, pick the
+    one whose midpoint is closest to ``threshold``. When ``fp_jaccard``
+    is given, only splits whose candidate probability at that (lower)
+    similarity stays within ``fp_budget`` are eligible — the false-
+    positive knob: each FP candidate costs an exact-Jaccard verify, so
+    at 100 TB the budget bounds verify-stage work. Raises when no split
+    can satisfy the budget (the caller must raise num_hashes).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_hashes + 1):
+        b = num_hashes // r
+        if b < 1:
+            break
+        if (
+            fp_jaccard is not None
+            and lsh_candidate_probability(fp_jaccard, b, r) > fp_budget
+        ):
+            continue
+        mid = (1.0 / b) ** (1.0 / r)
+        cand = (abs(mid - threshold), b, r)
+        if best is None or cand < best:
+            best = cand
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) split of {num_hashes} hashes keeps the "
+            f"candidate rate at jaccard={fp_jaccard} under {fp_budget}; "
+            "increase num_hashes"
+        )
+    return best[1], best[2]
+
+
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
@@ -216,37 +264,55 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_hash_array(bands: int, rows_per_band: int):
+    """Array of (band, xxhash64 of that band's signature rows) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection, exact-verified.
 
-    Pipeline: shingle → 128-hash signature (one groupBy) → 32 band
-    hashes → explode → bucket join on (band, band_hash) → candidate
-    pairs → exact Jaccard verify → threshold filter.
+    Pipeline: shingle → ``num_hashes``-hash signature (one groupBy) →
+    ``bands`` band hashes → explode → bucket join on (band, band_hash)
+    → candidate pairs → exact Jaccard verify → threshold filter.
 
     The only all-pairs work happens inside LSH buckets; everything else
     is linear. This is the operator you run at 100 TB where
-    ngram_jaccard_pairs is the small-data oracle.
+    ngram_jaccard_pairs is the small-data oracle. The default 32×4
+    split's S-curve midpoint is ~0.56 (high recall at 0.8); derive a
+    tuned split for another threshold/FP budget with ``band_params`` and
+    pass it here.
     """
+    rows_per_band = num_hashes // bands
+    if rows_per_band < 1:
+        raise ValueError(f"bands={bands} > num_hashes={num_hashes}")
     sh = shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, id_col)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                ).alias("bh"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bucketed = sig.select(F.col(id_col), F.explode(bands).alias("e")).select(
+    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    bucketed = sig.select(
+        F.col(id_col),
+        F.explode(_band_hash_array(bands, rows_per_band)).alias("e"),
+    ).select(
         id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
     left = bucketed.select(F.col(id_col).alias("doc_a"), "band", "bh")
@@ -570,6 +636,8 @@ def minhash_lsh_pairs_incremental(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
 ) -> DataFrame:
     """Incremental MinHash-LSH: near-dup pairs between the NEW slice
     (rows where ``new_pred`` holds) and the EXISTING corpus — the daily
@@ -583,25 +651,23 @@ def minhash_lsh_pairs_incremental(
     signature store; here both sides derive in one lineage so the
     operator stays oracle-checkable end-to-end. Candidates are
     canonicalized to (min, max) id order before the exact-Jaccard
-    verify, which scores candidates only.
+    verify, which scores candidates only (the shingle self-join is
+    semi-joined down to candidate docs first — see _pair_jaccard).
+    Tune (num_hashes, bands) per threshold/FP budget via ``band_params``.
     """
+    rows_per_band = num_hashes // bands
+    if rows_per_band < 1:
+        raise ValueError(f"bands={bands} > num_hashes={num_hashes}")
     sh = shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, id_col)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                ).alias("bh"),
-            )
-            for b in range(BANDS)
-        ]
-    )
+    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
     flags = df.select(F.col(id_col), new_pred.alias("__is_new"))
     bucketed = (
         sig.join(flags, id_col)
-        .select(F.col(id_col), "__is_new", F.explode(bands).alias("e"))
+        .select(
+            F.col(id_col),
+            "__is_new",
+            F.explode(_band_hash_array(bands, rows_per_band)).alias("e"),
+        )
         .select(
             id_col,
             "__is_new",

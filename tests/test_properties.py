@@ -370,3 +370,87 @@ class TestRollupAndPQInvariants:
 
         per_vec = Counter(r["vec_id"] for r in rows)
         assert set(per_vec.values()) == {8}
+
+
+class TestBandParams:
+    """band_params derives an LSH (bands, rows) split whose S-curve
+    brackets the requested threshold — pure math, no Spark."""
+
+    @prop
+    @given(
+        threshold=st.floats(min_value=0.15, max_value=0.95),
+        num_hashes=st.sampled_from([64, 128, 256]),
+    )
+    def test_midpoint_is_optimal_and_curve_brackets(self, threshold, num_hashes):
+        from file_stream_import_spark.operators.dedup import (
+            band_params,
+            lsh_candidate_probability,
+        )
+
+        b, r = band_params(threshold, num_hashes)
+        assert b >= 1 and r >= 1 and b * r <= num_hashes
+        mid = (1.0 / b) ** (1.0 / r)
+        # optimality: no other feasible split's midpoint is closer
+        for r2 in range(1, num_hashes + 1):
+            b2 = num_hashes // r2
+            if b2 < 1:
+                break
+            assert abs(mid - threshold) <= abs(
+                (1.0 / b2) ** (1.0 / r2) - threshold
+            ) + 1e-12
+        # bracketing: the S-curve is high above the midpoint, low below
+        assert lsh_candidate_probability(min(mid + 0.2, 0.999), b, r) > 0.5
+        assert lsh_candidate_probability(max(mid - 0.2, 0.001), b, r) < 0.7
+
+    @prop
+    @given(
+        threshold=st.floats(min_value=0.5, max_value=0.9),
+        fp_jaccard=st.floats(min_value=0.05, max_value=0.3),
+    )
+    def test_fp_budget_respected_or_raises(self, threshold, fp_jaccard):
+        import pytest as _pytest
+
+        from file_stream_import_spark.operators.dedup import (
+            band_params,
+            lsh_candidate_probability,
+        )
+
+        try:
+            b, r = band_params(
+                threshold, 128, fp_jaccard=fp_jaccard, fp_budget=0.05
+            )
+        except ValueError:
+            # must only raise when NO split satisfies the budget
+            for r2 in range(1, 129):
+                b2 = 128 // r2
+                if b2 < 1:
+                    break
+                assert lsh_candidate_probability(fp_jaccard, b2, r2) > 0.05
+            return
+        assert lsh_candidate_probability(fp_jaccard, b, r) <= 0.05
+
+    def test_default_equivalence_and_tuned_run(self, spark):
+        """A tuned (num_hashes, bands) actually runs end-to-end and
+        still finds the planted near-dup pair."""
+        from file_stream_import_spark.operators.dedup import (
+            band_params,
+            minhash_lsh_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [
+                (0, base),
+                (1, base + " tail"),
+                (2, "completely different words describing other things here"),
+            ],
+            "doc_id long, text string",
+        )
+        b, r = band_params(0.7, num_hashes=64)
+        got = {
+            (x["doc_a"], x["doc_b"])
+            for x in minhash_lsh_pairs(
+                df, threshold=0.7, num_hashes=64, bands=b
+            ).collect()
+        }
+        assert (0, 1) in got
