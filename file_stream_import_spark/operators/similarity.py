@@ -152,18 +152,35 @@ def knn_topk_partial(
     )
 
 
-def _hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
+def _hyperplane_signs(
+    num_planes: int, dim: int, offset: int = 0
+) -> list[list[float]]:
     """Deterministic Rademacher (±1) hyperplanes from md5 — valid signed
     random projections for cosine LSH, reproducible across runs/cluster
-    sizes with no RNG state."""
+    sizes with no RNG state. ``offset`` shifts the absolute plane index,
+    giving independent plane sets for multi-table OR-amplification."""
     planes = []
     for p in range(num_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()
+            h = hashlib.md5(f"plane:{p + offset}:{d}".encode()).digest()
             row.append(1.0 if h[0] % 2 == 0 else -1.0)
         planes.append(row)
     return planes
+
+
+def _bucket_col(v: Column, planes: list[list[float]]) -> Column:
+    """Pack the sign bits of the plane projections into one long."""
+    bucket = None
+    for p, signs in enumerate(planes):
+        proj = _dot(v, F.array(*[F.lit(s) for s in signs]))
+        bit = (
+            F.when(proj > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        term = F.shiftleft(bit, p)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    return bucket
 
 
 def lsh_bucket(
@@ -176,14 +193,27 @@ def lsh_bucket(
     random-hyperplane projections packed into a long. Vectors with equal
     buckets are cosine-similar with high probability."""
     v = F.col(vec_col).cast("array<double>")
-    planes = _hyperplane_signs(num_planes, dim)
-    bucket = None
-    for p, signs in enumerate(planes):
-        proj = _dot(v, F.array(*[F.lit(s) for s in signs]))
-        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket.bitwiseOR(term)
-    return df.withColumn("bucket", bucket)
+    return df.withColumn(
+        "bucket", _bucket_col(v, _hyperplane_signs(num_planes, dim))
+    )
+
+
+def _table_buckets(num_tables: int, num_planes: int, dim: int, v: Column) -> Column:
+    """array<struct<t,b>>: one bucket per independent plane set — the
+    OR-amplification tables. Table t uses absolute plane indices
+    [t*num_planes, (t+1)*num_planes), so table 0 reproduces the
+    single-table bucketing exactly."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _bucket_col(
+                    v, _hyperplane_signs(num_planes, dim, offset=t * num_planes)
+                ).alias("b"),
+            )
+            for t in range(num_tables)
+        ]
+    )
 
 
 def ann_lsh_pairs(
@@ -232,29 +262,39 @@ def ann_lsh_knn(
     k: int = 5,
     num_planes: int = 8,
     dim: int = 64,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's bucket (IVF-style
     candidate restriction), then exact-rank within candidates.
 
-    Fewer planes ⇒ bigger buckets ⇒ better recall, more work. The
-    bucket join replaces the full cross product of knn_bruteforce with
-    |bucket|-sized candidate sets.
+    Fewer planes ⇒ bigger buckets ⇒ better recall, more work.
+    ``num_tables`` > 1 is the OR-amplification axis: each table hashes
+    with an independent plane set and a pair is a candidate if it
+    collides in ANY table — per-table miss probability multiplies, so
+    T tables turn per-table recall q into 1-(1-q)^T at T× bucket-join
+    cost. That (not bigger buckets) is how production LSH reaches a
+    recall target while keeping buckets small; recall@5 floors are
+    asserted in tests/test_llm_ops.py::TestAnnRecall. The bucket join
+    replaces the full cross product of knn_bruteforce with
+    |bucket|-sized candidate sets; table 0 hashes identically to the
+    single-table form, so num_tables=1 reproduces it exactly.
     """
-    vb = lsh_bucket(vectors.select(id_col, vec_col), vec_col, num_planes, dim)
-    qb = lsh_bucket(queries.select(id_col, vec_col), vec_col, num_planes, dim)
-    q = qb.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-        "bucket",
-    )
-    v = vb.select(
+    vv = F.col(vec_col).cast("array<double>")
+    v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("vv"),
-        "bucket",
-    )
+        vv.alias("vv"),
+        F.explode(_table_buckets(num_tables, num_planes, dim, vv)).alias("tb"),
+    ).select("neighbor_id", "vv", "tb.t", "tb.b")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vv.alias("qv"),
+        F.explode(_table_buckets(num_tables, num_planes, dim, vv)).alias("tb"),
+    ).select("query_id", "qv", "tb.t", "tb.b")
     scored = (
-        v.join(F.broadcast(q), "bucket")
+        v.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair colliding in several tables must score once, not T times
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", cosine(F.col("qv"), F.col("vv")))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

@@ -369,3 +369,144 @@ class TestCuration:
         assert {r["doc_id"]: r["shuffle_pos"] for r in again} == {
             r["doc_id"]: r["shuffle_pos"] for r in out
         }
+
+
+class TestAnnRecall:
+    """recall@5 floors for the ANN family vs the brute-force oracle —
+    the falsifiable form of 'scales to 100 TB' (structure alone isn't).
+
+    Two data regimes, deliberately:
+    - PLANTED CLUSTERS (seeded numpy): real neighbor structure, where an
+      ANN index must reach a recall floor or it is broken.
+    - THE FIXTURE: i.i.d. random 64-dim vectors, where cosine contrast
+      vanishes (the curse of dimensionality) and NO sublinear index can
+      reach high recall — measured r5: single-table LSH 0.03-0.13, IVF
+      at nprobe=C/2 only 0.65. There we assert the structural
+      properties instead: recall grows with probe width, and probing
+      every list reproduces brute force exactly.
+    """
+
+    K = 5
+
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(42)
+        cents = rng.randn(25, 64)
+        rows = []
+        vid = 0
+        for c in range(25):
+            for _ in range(20):
+                v = cents[c] + 0.15 * rng.randn(64)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).cache()
+        q = df.filter(F.col("vec_id") % 25 == 0)
+        return df, q
+
+    @staticmethod
+    def _topsets(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    @classmethod
+    def _recall(cls, pred, truth):
+        hit = sum(len(pred.get(q, set()) & t) for q, t in truth.items())
+        return hit / (cls.K * len(truth))
+
+    def test_ivf_recall_floor_on_clustered_data(self, planted):
+        df, q = planted
+        truth = self._topsets(similarity.knn_bruteforce(df, q, k=self.K))
+        got = self._topsets(
+            similarity.ivf_knn(df, q, k=self.K, n_centroids=16, nprobe=2)
+        )
+        assert self._recall(got, truth) >= 0.8  # measured r5: 0.91
+
+    def test_lsh_amplified_recall_floor_on_clustered_data(self, planted):
+        df, q = planted
+        truth = self._topsets(similarity.knn_bruteforce(df, q, k=self.K))
+        one = self._recall(
+            self._topsets(
+                similarity.ann_lsh_knn(df, q, k=self.K, num_planes=8)
+            ),
+            truth,
+        )
+        three = self._recall(
+            self._topsets(
+                similarity.ann_lsh_knn(
+                    df, q, k=self.K, num_planes=8, num_tables=3
+                )
+            ),
+            truth,
+        )
+        # measured r5: 0.62 single-table -> 0.94 with 3 tables
+        assert three >= 0.8
+        assert three > one  # OR-amplification must actually amplify
+
+    def test_ivf_full_probe_is_exact_on_fixture(self, spark, sf_dir):
+        from file_stream_import_spark.io.tables import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 20)
+        truth = self._topsets(similarity.knn_bruteforce(e, q, k=self.K))
+        full = self._topsets(
+            similarity.ivf_knn(e, q, k=self.K, n_centroids=8, nprobe=8)
+        )
+        assert self._recall(full, truth) == 1.0
+        # and recall is monotone in probe width (deterministic pipeline,
+        # so these are fixed values: ~0.34 at nprobe=2, ~0.65 at 4)
+        r2 = self._recall(
+            self._topsets(
+                similarity.ivf_knn(e, q, k=self.K, n_centroids=8, nprobe=2)
+            ),
+            truth,
+        )
+        r4 = self._recall(
+            self._topsets(
+                similarity.ivf_knn(e, q, k=self.K, n_centroids=8, nprobe=4)
+            ),
+            truth,
+        )
+        assert r4 > r2
+
+
+class TestPqQuantizationQuality:
+    def test_argmin_codes_beat_constant_assignment(self, spark, sf_dir):
+        """The PQ residuals emitted by embedding_pq_codes must be
+        strictly smaller in total than assigning every subvector to one
+        fixed centroid — i.e. the argmin actually discriminates. (The
+        code-validity and residual>=0 invariants are property-tested in
+        test_properties.py; this adds the quality direction.)"""
+        from file_stream_import_spark.io.tables import load_table
+        from file_stream_import_spark.queries.round4 import embedding_pq_codes
+
+        codes = embedding_pq_codes(spark, sf_dir)
+        total_argmin = codes.agg(F.sum("dist2_q")).first()[0]
+
+        e = load_table(spark, sf_dir, "embeddings")
+        v = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        c0 = (
+            v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(1)
+            .select(F.col("v").alias("cv"))
+        )
+        joined = v.crossJoin(F.broadcast(c0))
+        total_const = joined.agg(
+            F.sum(
+                F.aggregate(
+                    F.zip_with(
+                        "v", "cv", lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+            )
+        ).first()[0]
+        assert total_argmin < 0.9 * total_const
