@@ -182,3 +182,64 @@ class TestRedactShortStrings:
         assert out[2] == "X"
         assert out[3] == ""
         assert out[4] == "abc1234"   # >4 chars: last 4 kept verbatim
+
+
+class TestZorderBitCap:
+    """r4 ADVICE: bits*n_cols > 63 put the top bit in the bigint sign
+    bit (negative keys sort first) and 5+ cols wrapped shiftleft mod 64.
+    bits is now auto-capped to 63 // n_cols."""
+
+    def test_four_and_five_columns_stay_nonnegative(self, spark):
+        from file_stream_import_spark.io.layout import add_zorder_key
+
+        df = spark.createDataFrame(
+            [(i, i * 2, i * 3, 100 - i, i % 7) for i in range(50)],
+            "a long, b long, c long, d long, e long",
+        )
+        for cols in (["a", "b", "c", "d"], ["a", "b", "c", "d", "e"]):
+            keyed = add_zorder_key(df, cols, bits=16)
+            stats = keyed.agg(
+                F.min("__zkey").alias("lo"), F.max("__zkey").alias("hi")
+            ).first()
+            assert stats["lo"] >= 0, f"negative z-key with {len(cols)} cols"
+            n = len(cols)
+            capped_bits = 63 // n
+            assert stats["hi"] < (1 << (capped_bits * n))
+
+    def test_two_column_keys_unchanged_by_cap(self, spark):
+        # 2 cols x 16 bits = 32 <= 63: the cap must be a no-op
+        from file_stream_import_spark.io.layout import add_zorder_key
+
+        df = spark.createDataFrame(
+            [(0, 0), (3, 3), (0, 3), (3, 0)], "x long, y long"
+        )
+        got = {
+            (r["x"], r["y"]): r["__zkey"]
+            for r in add_zorder_key(df, ["x", "y"], bits=2).collect()
+        }
+        # classic 2-bit Morton corners: (0,0)=0, (3,3)=15
+        assert got[(0, 0)] == 0 and got[(3, 3)] == 15
+
+    def test_zero_or_too_many_columns_raise(self, spark):
+        from file_stream_import_spark.io.layout import add_zorder_key
+
+        df = spark.createDataFrame([(1,)], "a long")
+        with pytest.raises(ValueError):
+            add_zorder_key(df, [], bits=16)
+
+
+class TestCompactStatsViaHadoopFs:
+    def test_local_files_sized_and_compacted(self, spark, tmp_path):
+        """The Hadoop-FS sizing path must agree with local reality: many
+        small files in, ~one file out, counts reported correctly."""
+        from file_stream_import_spark.io.layout import compact_small_files
+
+        src = str(tmp_path / "small")
+        dst = str(tmp_path / "compact")
+        spark.range(10_000).repartition(16).write.parquet(src)
+        before, after = compact_small_files(
+            spark, src, dst, target_bytes=1 << 30
+        )
+        assert before == 16
+        assert after == 1
+        assert spark.read.parquet(dst).count() == 10_000
