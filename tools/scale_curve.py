@@ -1,0 +1,111 @@
+"""sf1 scale-curve sanity run (VERDICT r4 #7).
+
+No sf1 fixture exists, so build one at /tmp/sf1 by unioning 10
+key-shifted copies of sf0.1 (order/cust/supp keys offset per copy;
+dimension tables and value distributions unchanged — the same recipe
+TPC-H dbgen uses across scale factors, applied to the driver's own
+fixture rather than novel synthetic data). Then time the five most
+expensive headline queries at sf0.1 and sf1 in ONE session and print
+the time ratio per query. A healthy distributed plan shows ~linear
+growth (ratio ~= 10 +- constant overhead); a super-linear ratio flags a
+hidden quadratic or driver-side term the sf0.1 bench can't see.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1"
+COPIES = 10
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# key columns to shift per copy, per table (dims stay identical)
+SHIFT = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def build(spark: SparkSession) -> None:
+    os.makedirs(DST, exist_ok=True)
+    offsets: dict[str, int] = {}
+    for t, cols in SHIFT.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        for c in cols:
+            key = c.split("_", 1)[1]  # l_orderkey/o_orderkey share 'orderkey'
+            if key not in offsets:
+                offsets[key] = df.agg(F.max(c)).first()[0] + 1
+        parts = []
+        for i in range(COPIES):
+            cp = df
+            for c in cols:
+                off = offsets[c.split("_", 1)[1]]
+                cp = cp.withColumn(c, F.col(c) + F.lit(i * off))
+            parts.append(cp)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        print(f"built {t}: {spark.read.parquet(f'{DST}/{t}.parquet').count()} rows")
+    for t in COPY_AS_IS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("scale_curve")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{DST}/lineitem.parquet"):
+        build(spark)
+
+    from file_stream_import_spark.queries import all_queries
+
+    qs = all_queries()
+    names = [
+        "q1_pricing_summary",
+        "q3_unshipped_orders",
+        "q5_region_revenue",
+        "join_range_band",
+        "topk_per_group",
+    ]
+    results = {}
+    for name in names:
+        fn = qs[name]
+        times = {}
+        for sf_label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            best = None
+            for _ in range(3):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            times[sf_label] = best
+        ratio = times["sf1"] / times["sf0.1"]
+        results[name] = (times["sf0.1"], times["sf1"], ratio)
+        print(
+            f"{name}: sf0.1 {times['sf0.1']:.3f}s  sf1 {times['sf1']:.3f}s  "
+            f"ratio {ratio:.1f}x"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
