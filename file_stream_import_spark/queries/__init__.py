@@ -56,6 +56,7 @@ def load_all() -> None:
         tpch,
         stats,
         round4,
+        round5,
     )
 
 

@@ -1,0 +1,427 @@
+"""Round-5 surface widening: token-entropy quality scoring, band-tuned
+MinHash LSH, PQ asymmetric-distance top-k (the read side of IVF-PQ),
+integer-exact per-group OLS trend, and monthly retention cohorts.
+
+The reference delegates every read-side computation to Postgres SQL
+(internal/db/db.go:112-124); these queries extend the engine's surface
+with shapes a training-data / analytics user runs downstream, each a
+single declarative DataFrame lineage with a DuckDB oracle.
+
+Engine-stability rules follow queries/stats.py and round4.py: sums that
+feed cross-engine doubles are EXACT integer sums (cents / epoch days),
+every cross-engine double is either a single division of exact integers
+or a short fixed-order float fold written identically in both engines,
+and ROUND applies only to already-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io.tables import load_table
+from ..operators import dedup
+from ..operators.text import tokens
+from . import register
+from .llm import _JACCARD_ORACLE
+
+
+def _q6(col: Column) -> Column:
+    """Floor-quantize onto the 1e-6 grid with the -0.0 guard."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6) + F.lit(0.0)
+
+
+@register(
+    "text_token_entropy",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, SUM(c * log2(c)) AS slc
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(nd AS BIGINT) AS n_distinct,
+           FLOOR((log2(n) - slc / n) * 1e6 + 0.5) / 1e6 + 0.0
+             AS entropy_bits
+    FROM d
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's token distribution —
+    the classic repetition/diversity quality signal for corpus curation
+    (low entropy = boilerplate or keyword stuffing; entropy close to
+    log2(n_tokens) = no repetition).
+
+    Scale: one explode + two hash aggregations, all JVM-side; the
+    shuffle carries (doc_id, token) pairs then (doc_id) partials —
+    linear, map-side-combinable, no skew beyond token counts per doc.
+    Cross-engine parity: entropy = log2(n) - sum(c*log2(c))/n where c
+    and n are exact integers; both engines evaluate log2 on identical
+    integer inputs and the 1e-6 floor-quantize absorbs the unordered
+    float-sum association difference.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("nd"),
+        F.sum(F.col("c") * F.log2("c")).alias("slc"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("nd").cast("bigint").alias("n_distinct"),
+        _q6(F.log2("n") - F.col("slc") / F.col("n")).alias("entropy_bits"),
+    )
+
+
+@register("dedup_lsh_tuned", oracle=_JACCARD_ORACLE)
+def dedup_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with band_params-derived banding instead of the fixed
+    32x4 split — the tuned production form.
+
+    band_params(0.5) puts the S-curve midpoint near Jaccard 0.5, so
+    recall at the 0.8 verify threshold is ~1-(1-0.8^r)^b ≈ 0.999+: the
+    output equals the exact all-pairs oracle (same contract and oracle
+    as dedup_minhash_lsh, which uses the fixed split). Demonstrates the
+    threshold→(bands, rows) derivation end-to-end on real data.
+    """
+    b, _r = dedup.band_params(0.5, num_hashes=dedup.NUM_HASHES)
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, threshold=0.8, num_hashes=dedup.NUM_HASHES, bands=b
+    )
+
+
+@register(
+    "ann_cosine_pq_adc_knn",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (SELECT e.*, s.si FROM e
+            CROSS JOIN (SELECT UNNEST(range(8)) AS si) s),
+    d AS (
+      SELECT vec_id, si, cid,
+        (v[si*8+1]-cv[si*8+1])*(v[si*8+1]-cv[si*8+1])
+        + (v[si*8+2]-cv[si*8+2])*(v[si*8+2]-cv[si*8+2])
+        + (v[si*8+3]-cv[si*8+3])*(v[si*8+3]-cv[si*8+3])
+        + (v[si*8+4]-cv[si*8+4])*(v[si*8+4]-cv[si*8+4])
+        + (v[si*8+5]-cv[si*8+5])*(v[si*8+5]-cv[si*8+5])
+        + (v[si*8+6]-cv[si*8+6])*(v[si*8+6]-cv[si*8+6])
+        + (v[si*8+7]-cv[si*8+7])*(v[si*8+7]-cv[si*8+7])
+        + (v[si*8+8]-cv[si*8+8])*(v[si*8+8]-cv[si*8+8]) AS dist2
+      FROM sub CROSS JOIN cent
+    ),
+    a AS (
+      SELECT vec_id, si, cid, dist2,
+        ROW_NUMBER() OVER (PARTITION BY vec_id, si
+                           ORDER BY dist2, cid) AS rk
+      FROM d
+    ),
+    codes AS (SELECT vec_id, si, cid AS code FROM a WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    qs AS (SELECT query_id, qv, s.si FROM q
+           CROSS JOIN (SELECT UNNEST(range(8)) AS si) s),
+    qd AS (
+      SELECT query_id, si, cid,
+        (qv[si*8+1]-cv[si*8+1])*(qv[si*8+1]-cv[si*8+1])
+        + (qv[si*8+2]-cv[si*8+2])*(qv[si*8+2]-cv[si*8+2])
+        + (qv[si*8+3]-cv[si*8+3])*(qv[si*8+3]-cv[si*8+3])
+        + (qv[si*8+4]-cv[si*8+4])*(qv[si*8+4]-cv[si*8+4])
+        + (qv[si*8+5]-cv[si*8+5])*(qv[si*8+5]-cv[si*8+5])
+        + (qv[si*8+6]-cv[si*8+6])*(qv[si*8+6]-cv[si*8+6])
+        + (qv[si*8+7]-cv[si*8+7])*(qv[si*8+7]-cv[si*8+7])
+        + (qv[si*8+8]-cv[si*8+8])*(qv[si*8+8]-cv[si*8+8]) AS d2
+      FROM qs CROSS JOIN cent
+    ),
+    adc AS (
+      SELECT qd.query_id, c.vec_id AS neighbor_id,
+        SUM(CASE WHEN qd.si=0 THEN qd.d2 ELSE 0 END)
+        + SUM(CASE WHEN qd.si=1 THEN qd.d2 ELSE 0 END)
+        + SUM(CASE WHEN qd.si=2 THEN qd.d2 ELSE 0 END)
+        + SUM(CASE WHEN qd.si=3 THEN qd.d2 ELSE 0 END)
+        + SUM(CASE WHEN qd.si=4 THEN qd.d2 ELSE 0 END)
+        + SUM(CASE WHEN qd.si=5 THEN qd.d2 ELSE 0 END)
+        + SUM(CASE WHEN qd.si=6 THEN qd.d2 ELSE 0 END)
+        + SUM(CASE WHEN qd.si=7 THEN qd.d2 ELSE 0 END) AS adc
+      FROM codes c
+      JOIN qd ON qd.si = c.si AND qd.cid = c.code
+      WHERE c.vec_id <> qd.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc_dist,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT query_id, neighbor_id, adc,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc, neighbor_id) AS rk
+      FROM adc
+    ) WHERE rk <= 5
+    """,
+)
+def ann_cosine_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k — the READ side of an IVF-PQ index,
+    completing embedding_pq_codes (the write side): the corpus is
+    represented only by its 8 one-byte codes, and each query ranks
+    neighbors by the sum of exact query-subvector → sub-centroid
+    distances (ADC).
+
+    Scale: the corpus side carries codes, not vectors — 8 bytes/vector
+    instead of 512, which is the entire point of PQ at 10^9+ vectors;
+    the query side's distance table (16x8 doubles per query) folds into
+    the broadcast. Everything is codegen projections + one top-k window
+    over |queries|x|corpus| scored pairs (compose with the IVF list
+    restriction of ivf_knn to bound that product at true scale).
+
+    Cross-engine parity: each d2 term uses the identical operand order
+    as the oracle (proved bit-stable by embedding_pq_codes); the ADC sum
+    is a FIXED-ORDER 8-term left fold on both sides (Spark: aggregate()
+    over the si-ordered codes array; SQL: s0+s1+...+s7 over per-si
+    pivoted sums), so doubles — and therefore the rank — agree exactly.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    cb = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cb"))
+
+    def dist2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def best_code(vec: Column, si: int) -> Column:
+        sub_v = F.slice(vec, si * 8 + 1, 8)
+        return F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(
+                    dist2(sub_v, F.slice(c["cv"], si * 8 + 1, 8)).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"]
+
+    # corpus → si-ordered code array (the 8-byte representation)
+    coded = (
+        v.crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.array(
+                *[best_code(F.col("v"), si) for si in range(8)]
+            ).alias("codes"),
+        )
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # ADC: fold the si-ordered code array; each step adds the exact
+    # query-subvector→assigned-sub-centroid distance
+    pair = coded.join(F.broadcast(q.crossJoin(F.broadcast(cb))), how="cross")
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda code, si: F.struct(code.alias("code"), si.alias("si")),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc
+        + dist2(
+            F.slice(F.col("qv"), z["si"] * 8 + 1, 8),
+            F.slice(
+                F.filter(F.col("cb"), lambda c: c["cid"] == z["code"])[0][
+                    "cv"
+                ],
+                z["si"] * 8 + 1,
+                8,
+            ),
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
+    return (
+        pair.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).alias("adc_dist"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+@register(
+    "price_trend_by_priority",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM b GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS slope_cents_per_day,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+)
+def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (slope + R²) of order value over time —
+    closed-form regression as a pure aggregation, the distributed way to
+    fit millions of tiny per-group models (one shuffle, no iteration,
+    no ML library).
+
+    Integer-exact parity: x = epoch-day, y = cents, and all five
+    moment sums are EXACT integer sums (decimal(38,0) on Spark,
+    HUGEINT in DuckDB — n*sxy reaches ~3e19, past int64). The only
+    float ops are the final IEEE divisions/multiplications of integers
+    both engines converted identically, so slope and R² agree
+    bit-for-bit before ROUND. At 100 TB this is one map-side-combined
+    aggregate per group — the same shape as q1.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = b.groupBy("o_orderpriority").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).alias("sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y"))).alias("syy"),
+        F.sum((F.col("x").cast(dec) * F.col("y"))).alias("sxy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(cov / varx, 6).alias("slope_cents_per_day"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym
+      FROM orders
+    ),
+    first AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM m GROUP BY 1),
+    sizes AS (
+      SELECT cohort_ym, COUNT(*) AS cohort_size FROM first GROUP BY 1
+    ),
+    act AS (
+      SELECT f.cohort_ym, m.ym - f.cohort_ym AS month_offset,
+             COUNT(DISTINCT m.o_custkey) AS n_active
+      FROM m JOIN first f ON m.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(a.cohort_ym // 12 AS BIGINT) AS cohort_year,
+           CAST(a.cohort_ym % 12 + 1 AS BIGINT) AS cohort_month,
+           CAST(a.month_offset AS BIGINT) AS month_offset,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST((a.n_active * 1000000) // s.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM act a JOIN sizes s USING (cohort_ym)
+    WHERE a.month_offset <= 12
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly retention-cohort triangle over orders: customers grouped
+    by first-purchase month, activity tracked for 12 month-offsets,
+    retention as exact parts-per-million (integer division — no float
+    crosses engines).
+
+    Scale: month index is pure integer arithmetic (year*12+month), the
+    first-purchase frame is one aggregate re-joined on the customer key
+    (same shuffle key as the activity aggregate, so AQE coalesces), and
+    COUNT(DISTINCT custkey) per (cohort, offset) is the only expensive
+    reduction — bounded by customers, not orders. The 12-offset cap
+    keeps the output a fixed-size triangle at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("ym"),
+    )
+    first = m.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sizes = first.groupBy("cohort_ym").agg(
+        F.count("*").alias("cohort_size")
+    )
+    act = (
+        m.join(first, "o_custkey")
+        .groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("month_offset")
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+    return (
+        act.join(sizes, "cohort_ym")
+        .filter(F.col("month_offset") <= 12)
+        .select(
+            F.expr("cohort_ym div 12").cast("bigint").alias("cohort_year"),
+            (F.col("cohort_ym") % 12 + 1).cast("bigint").alias("cohort_month"),
+            F.col("month_offset").cast("bigint"),
+            F.col("n_active").cast("bigint"),
+            F.expr("n_active * 1000000 div cohort_size").alias(
+                "retention_ppm"
+            ),
+        )
+    )
