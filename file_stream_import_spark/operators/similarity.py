@@ -439,9 +439,12 @@ def ivf_knn(
     k: int = 5,
     n_centroids: int = 8,
     nprobe: int = 2,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors whose inverted list is
-    among the query's ``nprobe`` nearest centroids.
+    among the query's ``nprobe`` nearest centroids. Pass ``cents`` (e.g.
+    from ivf_train_kmeans) to override the default md5-sampled
+    quantizer with trained centroids.
 
     Scale: candidate generation touches ~nprobe/C of the corpus per query
     instead of all of it; queries (exploded to one row per probed list)
@@ -449,7 +452,8 @@ def ivf_knn(
     is the scan + the per-query top-k window over candidates. Same output
     contract as knn_bruteforce.
     """
-    cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    if cents is None:
+        cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
     lit = _centroid_lit(cents)
     v = ivf_assign(
         vectors.select(
@@ -487,3 +491,71 @@ def ivf_knn(
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+def ivf_train_kmeans(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means refinement of the md5-sampled IVF centroids —
+    closes the 'sampled init, no training' quality gap while keeping
+    determinism (fixed init, fixed iteration count, no RNG).
+
+    Each Lloyd round is one codegen assignment projection (ivf_assign —
+    zero shuffle) plus one element-wise mean aggregate (posexplode →
+    (cid, pos) avg → rebuild arrays), so per-iteration cost is two
+    linear passes; only C centroid rows ever reach the driver, exactly
+    like ivf_centroids. Because cosine() normalizes both sides, using
+    the un-normalized cluster mean IS spherical k-means (the mean's
+    direction maximizes the summed cosine for a fixed assignment), so
+    the summed-cosine objective is monotonically non-decreasing —
+    asserted in tests/test_llm_ops.py. Empty clusters keep their
+    previous centroid.
+
+    Refined centroids are engine-local (the oracle-checked
+    ann_cosine_ivf_knn keeps the cross-engine-reproducible sampled
+    init); pass the result to ivf_knn(..., cents=...) for the
+    quality-over-parity production mode.
+    """
+    cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vv"),
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(v, cents, vec_col="vv", out_col="cid")
+        mean_rows = (
+            assigned.select("cid", F.posexplode("vv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ),
+                    lambda s: s["m"],
+                ).alias("mv")
+            )
+            .collect()
+        )
+        means = {int(r["cid"]): [float(x) for x in r["mv"]] for r in mean_rows}
+        cents = [(cid, means.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
+def ivf_quantization_cosine(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine between each vector and its assigned centroid — the
+    (higher-is-better) spherical k-means objective, used to measure
+    training quality."""
+    v = vectors.select(F.col(vec_col).cast("array<double>").alias("vv"))
+    scores = _centroid_scores(_centroid_lit(cents), F.col("vv"))
+    best = F.array_min(scores)["negcos"]
+    return float(v.agg(F.avg(-best)).first()[0])

@@ -510,3 +510,47 @@ class TestPqQuantizationQuality:
             )
         ).first()[0]
         assert total_argmin < 0.9 * total_const
+
+
+class TestIvfKmeansTraining:
+    def test_objective_monotone_and_recall_not_worse(self, spark):
+        """Spherical k-means refinement must (a) monotonically improve
+        the mean assigned-centroid cosine objective over iterations and
+        (b) not hurt recall@5 vs the sampled init on clustered data."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        cents = rng.randn(12, 32)
+        rows = []
+        vid = 0
+        for c in range(12):
+            for _ in range(25):
+                v = cents[c] + 0.2 * rng.randn(32)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).cache()
+
+        init = similarity.ivf_centroids(df, n_centroids=12)
+        obj = [similarity.ivf_quantization_cosine(df, init)]
+        for iters in (1, 2, 3):
+            cents_i = similarity.ivf_train_kmeans(df, n_centroids=12, iters=iters)
+            obj.append(similarity.ivf_quantization_cosine(df, cents_i))
+        for a, b in zip(obj, obj[1:]):
+            assert b >= a - 1e-9, obj
+
+        q = df.filter(F.col("vec_id") % 30 == 0)
+        truth = TestAnnRecall._topsets(similarity.knn_bruteforce(df, q, k=5))
+        base = TestAnnRecall._topsets(
+            similarity.ivf_knn(df, q, k=5, n_centroids=12, nprobe=2)
+        )
+        cents3 = similarity.ivf_train_kmeans(df, n_centroids=12, iters=3)
+        ref = TestAnnRecall._topsets(
+            similarity.ivf_knn(df, q, k=5, n_centroids=12, nprobe=2, cents=cents3)
+        )
+        K = 5
+        r_base = sum(len(base.get(k_, set()) & t) for k_, t in truth.items()) / (K * len(truth))
+        r_ref = sum(len(ref.get(k_, set()) & t) for k_, t in truth.items()) / (K * len(truth))
+        assert r_ref >= r_base - 1e-9, (r_base, r_ref)
+        assert r_ref >= 0.8
