@@ -354,7 +354,7 @@ def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "retention_cohorts",
+    "retention_cohorts_monthly",
     oracle="""
     WITH m AS (
       SELECT o_custkey,
@@ -381,11 +381,12 @@ def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.month_offset <= 12
     """,
 )
-def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly retention-cohort triangle over orders: customers grouped
-    by first-purchase month, activity tracked for 12 month-offsets,
-    retention as exact parts-per-million (integer division — no float
-    crosses engines).
+def retention_cohorts_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly retention-cohort triangle over ORDERS (the weekly
+    events-based variant is queries/analytics.py::retention_cohorts):
+    customers grouped by first-purchase month, activity tracked for 12
+    month-offsets, retention as exact parts-per-million (integer
+    division — no float crosses engines).
 
     Scale: month index is pure integer arithmetic (year*12+month), the
     first-purchase frame is one aggregate re-joined on the customer key
