@@ -32,6 +32,18 @@ def register(name: str, oracle: str | None = None):
     """Decorator: add a query to the registry, optionally with oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        prev = QUERIES.get(name)
+        # Allow re-registration of the SAME function (module reloads in
+        # tests); a DIFFERENT function under an existing name silently
+        # replaced it once (round-5 retention_cohorts collision) — fail
+        # loudly instead.
+        if prev is not None and getattr(prev, "__module__", None) != getattr(
+            fn, "__module__", None
+        ):
+            raise ValueError(
+                f"query name {name!r} already registered by "
+                f"{prev.__module__}; pick a distinct name"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
