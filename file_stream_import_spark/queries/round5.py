@@ -426,3 +426,103 @@ def retention_cohorts_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice_cents",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@register(
+    "schema_profile",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+             CAST(o_custkey AS VARCHAR) AS o_custkey,
+             o_orderstatus,
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               AS o_totalprice_cents,
+             STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o_orderpriority
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           MIN(o_orderkey) AS min_s, MAX(o_orderkey) AS max_s FROM b
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey), MIN(o_custkey), MAX(o_custkey) FROM b
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus),
+           MAX(o_orderstatus) FROM b
+    UNION ALL
+    SELECT 'o_totalprice_cents', COUNT(*),
+           COUNT(*) - COUNT(o_totalprice_cents),
+           COUNT(DISTINCT o_totalprice_cents), MIN(o_totalprice_cents),
+           MAX(o_totalprice_cents) FROM b
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate), MIN(o_orderdate),
+           MAX(o_orderdate) FROM b
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+           MAX(o_orderpriority) FROM b
+    """,
+)
+def schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of orders (row count, null count,
+    distinct count, lexicographic min/max) — the first query every
+    pipeline runs against a new drop, emitted as one row per column.
+
+    ONE aggregate over ONE scan computes every metric (the per-column
+    stats unpivot driver-free via explode of a struct array); columns
+    are stringified first so min/max are engine-stable lexicographic
+    byte comparisons (numerics via exact bigint cents — no float
+    formatting crosses engines). The multi-column COUNT(DISTINCT) makes
+    Catalyst expand the input |profiled columns| times; at 100 TB swap
+    in approx_count_distinct to collapse the expand back to a single
+    pass (the approx_distinct_sketch pattern, bound-checked there).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("o_totalprice_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+    aggs = [F.count("*").alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"__cnt_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+        ]
+    one = b.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__cnt_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_s"),
+                F.col(f"__max_{c}").alias("max_s"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
