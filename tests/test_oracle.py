@@ -24,3 +24,18 @@ def test_query_vs_oracle(name, spark, duck, sf_dir):
         rows = df.limit(1000).collect()
         assert df.schema.fieldNames(), f"{name}: empty schema"
         assert rows is not None
+
+
+def test_registry_invariants():
+    """Every registered query carries oracle SQL (100% of the registry
+    is hash-checkable since r5 — no rows-only asterisks), and the
+    registry rejects cross-module name collisions instead of silently
+    replacing a query (the r5 retention_cohorts lesson)."""
+    from file_stream_import_spark.queries import register
+
+    assert set(QUERIES) == set(ORACLE)
+
+    with pytest.raises(ValueError, match="already registered"):
+        @register("retention_cohorts")
+        def impostor(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
