@@ -526,3 +526,93 @@ def schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@register(
+    "leakage_safe_split",
+    oracle=r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    praw AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT doc_a, doc_b FROM praw p
+      JOIN sizes x ON p.doc_a = x.doc_id
+      JOIN sizes y ON p.doc_b = y.doc_id
+      WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp
+      UNION ALL SELECT doc_b, doc_a FROM jp
+    ),
+    cc(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst
+    ),
+    clus AS (
+      SELECT CAST(id AS BIGINT) AS doc_id,
+             CAST(MIN(label) AS BIGINT) AS cluster_id
+      FROM cc GROUP BY id
+    ),
+    m AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clus c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+      CASE
+        WHEN CAST(('0x' || substr(md5('split=1:'
+             || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 < 80 THEN 'train'
+        WHEN CAST(('0x' || substr(md5('split=1:'
+             || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 < 90 THEN 'val'
+        ELSE 'test'
+      END AS split
+    FROM m
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster-aware train/val/test split: near-duplicate documents
+    (exact-verified MinHash-LSH pairs at Jaccard 0.8, closed into
+    connected components) are assigned to the SAME split by hashing the
+    cluster representative instead of the doc id — the leakage guard a
+    plain per-doc hash split lacks (a near-dup pair straddling
+    train/test silently inflates eval).
+
+    Composition of three verified operators on one lineage:
+    minhash_lsh_pairs (candidates from band collisions only) →
+    cluster_pairs (large-star/small-star components) → hash_split keyed
+    on cluster_id (pure projection, stable under corpus growth: a new
+    near-dup joins its cluster's existing split). Singleton docs are
+    their own cluster via coalesce — no join blowup, the left join is
+    against the pair-member subset only, which is dedup-output-sized,
+    not corpus-sized.
+    """
+    from ..operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8)
+    clusters = dedup.cluster_pairs(pairs.select("doc_a", "doc_b"))
+    m = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    return curation.hash_split(m, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
