@@ -507,3 +507,55 @@ class TestRound4Plans:
         plan = physical_plan(spark, sf_dir, "embedding_label_drift")
         assert "partial_sum" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound5Plans:
+    def test_schema_profile_scans_once(self, spark, sf_dir):
+        """All per-column profile metrics come from ONE scan (Catalyst
+        expands the input for the multi-distinct aggregate, but must not
+        re-read the parquet per column)."""
+        import re
+
+        plan = physical_plan(spark, sf_dir, "schema_profile")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Expand" in plan  # the multi-distinct shape, documented
+
+    def test_price_trend_is_single_partial_final_aggregate(self, spark, sf_dir):
+        """The OLS moments are one map-side-combined aggregate: exactly
+        one exchange, no join, no window."""
+        import re
+
+        plan = physical_plan(spark, sf_dir, "price_trend_by_priority")
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+        assert "Join" not in plan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+    def test_pq_adc_broadcasts_tiny_sides_only(self, spark, sf_dir):
+        """The corpus side streams once; codebook + queries broadcast.
+        The BNLJ cross joins are tiny-build-side by construction (1-row
+        codebook aggregate, <=10 query rows) — assert no shuffle
+        exchange other than the final top-k window's."""
+        import re
+
+        plan = physical_plan(spark, sf_dir, "ann_cosine_pq_adc_knn")
+        # exactly one non-broadcast exchange: the per-query rank window
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+        assert "hashpartitioning(query_id" in plan
+        assert "WindowGroupLimit" in plan  # top-5 pruned before exchange
+
+    def test_retention_monthly_broadcasts_cohort_sizes(self, spark, sf_dir):
+        """The month-level sizes frame (<=100 rows) must broadcast; the
+        only fact-sized shuffles are the two custkey aggregations."""
+        plan = physical_plan(spark, sf_dir, "retention_cohorts_monthly")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_leakage_split_assignment_is_projection_after_clustering(
+        self, spark, sf_dir
+    ):
+        """The split hash must be a projection (no extra shuffle beyond
+        the dedup/clustering pipeline's own): no exchange keyed on
+        split/bucket anywhere."""
+        plan = physical_plan(spark, sf_dir, "leakage_safe_split")
+        assert "hashpartitioning(split" not in plan
+        assert "CartesianProduct" not in plan
