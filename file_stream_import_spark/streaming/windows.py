@@ -181,3 +181,29 @@ def attribution_join(
         ),
         F.round("purchase_value", 2).alias("purchase_value"),
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static dimension enrichment: join the (unbounded) event
+    stream against a bounded dimension table.
+
+    Spark plans a stream-static equi-join with the STATIC side as the
+    build side — broadcast when small — re-resolved per micro-batch, so
+    a dimension refresh (new parquet snapshot) is picked up without
+    restarting the query, and NO state store is involved (unlike
+    stream-stream joins there is nothing to buffer: each micro-batch is
+    a plain batch join). This is the streaming mirror of the batch
+    dimension joins (q5's star shape) and the standard "attach user /
+    catalog attributes at ingest" operator; at 100 TB the stream side
+    never shuffles for the join when the dimension broadcasts.
+
+    ``dim_cols`` prunes the dimension projection before the join so the
+    broadcast carries only what's needed.
+    """
+    d = dim.select(on, *dim_cols) if dim_cols else dim
+    return events.join(F.broadcast(d), on, "left")

@@ -617,3 +617,71 @@ class TestTrendingForeachBatch:
             )
         }
         assert store["top"] == expect
+
+
+class TestStreamStaticEnrich:
+    def test_stream_static_join_equals_batch_join(self, spark, sf_dir, tmp_path):
+        """Events streamed file-by-file and enriched against the static
+        customer dimension must produce exactly the batch join's rows —
+        including events with no matching dimension row (left join keeps
+        them with nulls)."""
+        import time as _t
+
+        from file_stream_import_spark.io.tables import load_table
+        from file_stream_import_spark.streaming.windows import (
+            enrich_with_dimension,
+            read_events_stream,
+        )
+
+        events = load_table(spark, sf_dir, "events").limit(300).cache()
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            "c_name",
+            "c_mktsegment",
+        )
+
+        drop = tmp_path / "drops"
+        drop.mkdir()
+        # two drops → two micro-batches (maxFilesPerTrigger=1)
+        half = events.filter(F.col("event_id") % 2 == 0)
+        rest = events.filter(F.col("event_id") % 2 == 1)
+        half.coalesce(1).write.mode("append").parquet(str(drop))
+        rest.coalesce(1).write.mode("append").parquet(str(drop))
+
+        enriched = enrich_with_dimension(
+            read_events_stream(spark, str(drop)),
+            dim,
+            on="user_id",
+            dim_cols=["c_name", "c_mktsegment"],
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("enriched_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            deadline = _t.time() + 90
+            want_n = events.count()
+            while _t.time() < deadline:
+                if spark.table("enriched_sink").count() >= want_n:
+                    break
+                _t.sleep(0.5)
+        finally:
+            q.stop()
+
+        got = {
+            (r["event_id"], r["c_name"], r["c_mktsegment"])
+            for r in spark.table("enriched_sink").collect()
+        }
+        want = {
+            (r["event_id"], r["c_name"], r["c_mktsegment"])
+            for r in events.join(
+                F.broadcast(dim), "user_id", "left"
+            ).collect()
+        }
+        assert got == want
+        # left semantics: at least one event survived without a match OR
+        # all matched — either way row counts are exactly the stream's
+        assert len(got) == want_n
