@@ -32,6 +32,7 @@ SHIFT = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
+    "documents": ["doc_id"],
 }
 COPY_AS_IS = ["region", "nation"]
 
@@ -40,6 +41,8 @@ def build(spark: SparkSession) -> None:
     os.makedirs(DST, exist_ok=True)
     offsets: dict[str, int] = {}
     for t, cols in SHIFT.items():
+        if os.path.exists(f"{DST}/{t}.parquet"):
+            continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         for c in cols:
             key = c.split("_", 1)[1]  # l_orderkey/o_orderkey share 'orderkey'
@@ -73,8 +76,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(f"{DST}/lineitem.parquet"):
-        build(spark)
+    build(spark)
 
     from file_stream_import_spark.queries import all_queries
 
@@ -85,6 +87,11 @@ def main() -> None:
         "q5_region_revenue",
         "join_range_band",
         "topk_per_group",
+        # round-5 additions (documents scaled too)
+        "text_token_entropy",
+        "price_trend_by_priority",
+        "retention_cohorts_monthly",
+        "schema_profile",
     ]
     results = {}
     for name in names:
