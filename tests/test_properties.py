@@ -454,3 +454,42 @@ class TestBandParams:
             ).collect()
         }
         assert (0, 1) in got
+
+
+class TestHashSplitStability:
+    @prop
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=1, max_size=30, unique=True,
+        ),
+        extra=st.lists(
+            st.integers(min_value=10_001, max_value=20_000),
+            min_size=0, max_size=10, unique=True,
+        ),
+    )
+    def test_assignment_stable_under_corpus_growth(self, spark, ids, extra):
+        """hash_split's pitch is that a document KEEPS its split when new
+        data arrives (no leakage across pipeline re-runs) — assert it:
+        the assignment of the original ids is identical after appending
+        new rows, and buckets respect the 80/90 boundaries."""
+        from file_stream_import_spark.operators.curation import hash_split
+
+        df1 = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        df2 = spark.createDataFrame(
+            [(i,) for i in ids + extra], "doc_id long"
+        )
+        s1 = {
+            r["doc_id"]: (r["split"], r["split_bucket"])
+            for r in hash_split(df1, "doc_id").collect()
+        }
+        s2 = {
+            r["doc_id"]: (r["split"], r["split_bucket"])
+            for r in hash_split(df2, "doc_id").collect()
+        }
+        assert all(s2[i] == s1[i] for i in ids)
+        for split, bucket in s2.values():
+            assert 0 <= bucket < 100
+            assert split == (
+                "train" if bucket < 80 else "val" if bucket < 90 else "test"
+            )
