@@ -616,3 +616,93 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.hash_split(m, "cluster_id").select(
         "doc_id", "cluster_id", "split"
     )
+
+
+@register(
+    "segment_ks_test",
+    oracle="""
+    WITH b AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    v AS (
+      SELECT cents,
+             SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS n1v,
+             SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS n2v
+      FROM b GROUP BY cents
+    ),
+    c AS (
+      SELECT cents,
+             SUM(n1v) OVER (ORDER BY cents) AS c1,
+             SUM(n2v) OVER (ORDER BY cents) AS c2
+      FROM v
+    ),
+    t AS (SELECT SUM(n1v) AS n1, SUM(n2v) AS n2 FROM v)
+    SELECT t.n1 AS n_building, t.n2 AS n_machinery,
+           ROUND(MAX(ABS(CAST(c.c1 AS DOUBLE) / t.n1
+                         - CAST(c.c2 AS DOUBLE) / t.n2)), 6) AS ks_d
+    FROM c, t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def segment_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between order-value
+    distributions of two customer segments — the distribution-drift test
+    that needs no binning choice (unlike PSI/KL, which the stats battery
+    already has).
+
+    KS is the distribution test that stays EXACT cross-engine: each
+    empirical CDF value is one division of exact integer cumulative
+    counts (cents grid), the sup is a max over identical doubles — no
+    tie-averaged ranks (Mann-Whitney) or variance folds to reconcile.
+    Scale: one broadcast dim join, one hash aggregate on the value grid,
+    one ordered cumulative window over |distinct values| rows (already
+    reduced — the window input is grid-sized, not fact-sized), one
+    1-row max. The classic two-pass drift check at any corpus size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cseg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    b = (
+        o.join(F.broadcast(cseg), "o_custkey")
+        .filter(F.col("seg").isin("BUILDING", "MACHINERY"))
+        .select(
+            "seg",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    v = b.groupBy("cents").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("n1v"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("n2v"),
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = v.select(
+        F.sum("n1v").over(w).alias("c1"),
+        F.sum("n2v").over(w).alias("c2"),
+    )
+    t = v.agg(
+        F.sum("n1v").alias("n1"), F.sum("n2v").alias("n2")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c1").cast("double") / F.col("n1")
+                        - F.col("c2").cast("double") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
+        .select(
+            F.col("n1").alias("n_building"),
+            F.col("n2").alias("n_machinery"),
+            "ks_d",
+        )
+    )
