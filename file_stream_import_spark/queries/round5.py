@@ -706,3 +706,114 @@ def segment_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_d",
         )
     )
+
+
+@register(
+    "segment_mannwhitney_u",
+    oracle="""
+    WITH b AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    v AS (
+      SELECT cents,
+             SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS n1v,
+             COUNT(*) AS cnt
+      FROM b GROUP BY cents
+    ),
+    r AS (
+      SELECT cents, n1v, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumbefore
+      FROM v
+    ),
+    s AS (
+      SELECT SUM(n1v) AS n1, SUM(cnt) - SUM(n1v) AS n2, SUM(cnt) AS n,
+             SUM(n1v * (2 * cumbefore + cnt + 1)) AS r1_2x,
+             SUM(cnt * cnt * cnt - cnt) AS tie3
+      FROM r
+    )
+    SELECT n1, n2,
+           CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+           ROUND(
+             (CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) / 2
+              - CAST(n1 * n2 AS DOUBLE) / 2)
+             / sqrt(CAST(n1 * n2 AS DOUBLE) / 12
+                    * (CAST(n + 1 AS DOUBLE)
+                       - CAST(tie3 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))),
+             6) AS z
+    FROM s
+    """,
+)
+def segment_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between two customer segments'
+    order values — the nonparametric location test completing the stats
+    battery's Welch t (parametric) and KS (distribution shape).
+
+    Tie-averaged ranks are the usual cross-engine hazard (averages of
+    integer positions are arbitrary rationals whose SUM is association-
+    ordered); the doubled-rank identity removes it: 2*avg_rank of a
+    tied value = 2*cum_before + cnt + 1 — an INTEGER — so the rank sum
+    R1 and U1 = (R1_2x - n1(n1+1))/2 are exact integer arithmetic until
+    one final division by 2 (an exact power of two). The tie-corrected
+    normal z then applies identical IEEE ops to identical integers on
+    both engines (no continuity correction, documented). Scale: same
+    shape as segment_ks_test — broadcast dim join, value-grid aggregate,
+    one grid-sized cumulative window, 1-row reduction; the doubled rank
+    sum stays within int64 up to ~10^9 rows per cell (go decimal(38,0)
+    past that, as price_trend_by_priority does).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cseg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = (
+        o.join(F.broadcast(cseg), "o_custkey")
+        .filter(F.col("seg").isin("BUILDING", "MACHINERY"))
+        .select(
+            "seg",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    v = b.groupBy("cents").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("n1v"),
+        F.count("*").alias("cnt"),
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    r = v.select(
+        "n1v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cumbefore"),
+    )
+    s = r.agg(
+        F.sum("n1v").alias("n1"),
+        (F.sum("cnt") - F.sum("n1v")).alias("n2"),
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("cumbefore") + F.col("cnt") + 1)
+        ).alias("r1_2x"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie3"),
+    )
+    u1 = (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    mu = (F.col("n1") * F.col("n2")).cast("double") / 2
+    sigma = F.sqrt(
+        (F.col("n1") * F.col("n2")).cast("double") / 12
+        * (
+            (F.col("n") + 1).cast("double")
+            - F.col("tie3").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        )
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round((u1 - mu) / sigma, 6).alias("z"),
+    )
