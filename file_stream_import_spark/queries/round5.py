@@ -817,3 +817,237 @@ def segment_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1.alias("u1"),
         F.round((u1 - mu) / sigma, 6).alias("z"),
     )
+
+
+@register(
+    "benford_leading_digit",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             COUNT(*) AS n
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT digit, n, SUM(n) OVER () AS total FROM d)
+    SELECT digit, CAST(n AS BIGINT) AS n_orders,
+           CAST((n * 1000000) // total AS BIGINT) AS observed_ppm,
+           CAST(FLOOR(log10(CAST(digit + 1 AS DOUBLE)
+                            / CAST(digit AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+             AS benford_ppm,
+           CAST((n * 1000000) // total
+                - FLOOR(log10(CAST(digit + 1 AS DOUBLE)
+                              / CAST(digit AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+             AS deviation_ppm
+    FROM t
+    """,
+)
+def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit audit of order values — the classic
+    fabricated/synthetic-data screen: natural multiplicative amounts put
+    digit d first with probability log10(1+1/d); a flat or spiked
+    distribution flags generated or truncated data (this fixture's
+    uniform prices fail loudly, which is the point of the audit).
+
+    Engine stability: the leading digit comes from the DECIMAL STRING of
+    exact integer cents (no float log on data values — scale-invariance
+    under the x100 power-of-ten rescale is exact), observed shares are
+    integer-division ppm, and the Benford expectation applies identical
+    IEEE log10/floor to identical small-integer inputs on both engines.
+    Scale: one hash aggregate to 9 rows, then a 9-row window — the
+    total-sum window costs nothing because the aggregate already reduced.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+        )
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    t = d.select("digit", "n", F.sum("n").over(W.partitionBy()).alias("total"))
+    benford = F.floor(
+        F.log10(
+            (F.col("digit") + 1).cast("double") / F.col("digit").cast("double")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    observed = F.expr("n * 1000000 div total")
+    return t.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        observed.alias("observed_ppm"),
+        benford.alias("benford_ppm"),
+        (observed - benford).cast("bigint").alias("deviation_ppm"),
+    )
+
+
+@register(
+    "daily_revenue_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    lagd AS (
+      SELECT k.k, y,
+             lag(y, k.k) OVER (PARTITION BY k.k ORDER BY d) AS ylag
+      FROM daily CROSS JOIN (SELECT UNNEST(range(1, 8)) AS k) k
+    ),
+    m AS (
+      SELECT k, COUNT(*) AS n,
+             SUM(CAST(ylag AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(ylag AS HUGEINT) * ylag) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(ylag AS HUGEINT) * y) AS sxy
+      FROM lagd WHERE ylag IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(k AS BIGINT) AS lag_k, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM m
+    """,
+)
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily-revenue series — the
+    seasonality probe (a weekly cycle shows as a lag-7 peak) that gates
+    forecasting-model choice, computed as pure aggregation.
+
+    The series is first REDUCED to one exact bigint cents row per day, so
+    the ordered lag window runs over |days| rows, not |orders| — at 100 TB
+    the fact scan is one map-side-combinable aggregate and the window
+    input stays a few thousand rows regardless of corpus size. Per lag k,
+    Pearson r comes from the five moment sums in decimal(38,0)/HUGEINT
+    (day revenue squared times |days| overflows int64), with the same
+    single cast-to-double + IEEE divide/sqrt order on both engines.
+    The 7 lag columns come from ONE window pass; pairs unfold array-
+    locally (explode of a 7-struct array), not via 7 self-joins.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    w = W.orderBy("d")
+    lags = daily.select(
+        "y", *[F.lag("y", k).over(w).alias(f"ylag{k}") for k in range(1, 8)]
+    )
+    pairs = (
+        lags.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"),
+                            F.col("y").alias("y"),
+                            F.col(f"ylag{k}").alias("ylag"),
+                        )
+                        for k in range(1, 8)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(F.col("ylag").isNotNull())
+    )
+    dec = "decimal(38,0)"
+    m = pairs.groupBy("k").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("ylag").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("ylag").cast(dec) * F.col("ylag")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("ylag").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("k").cast("bigint").alias("lag_k"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / F.sqrt(vx * vy), 6).alias("acf"),
+    )
+
+
+_FD_CANDIDATES = [
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderstatus"),
+]
+
+
+@register(
+    "fd_check_orders",
+    oracle="""
+    SELECT 'o_orderkey->o_custkey' AS fd,
+           COUNT(*) AS n_lhs,
+           COUNT(*) FILTER (nd > 1) AS n_violating,
+           MAX(nd) AS max_rhs_per_lhs,
+           COUNT(*) FILTER (nd > 1) = 0 AS holds
+    FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nd
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'o_custkey->o_orderstatus', COUNT(*),
+           COUNT(*) FILTER (nd > 1), MAX(nd),
+           COUNT(*) FILTER (nd > 1) = 0
+    FROM (SELECT o_custkey, COUNT(DISTINCT o_orderstatus) AS nd
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'o_custkey->o_orderpriority', COUNT(*),
+           COUNT(*) FILTER (nd > 1), MAX(nd),
+           COUNT(*) FILTER (nd > 1) = 0
+    FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'o_orderdate->o_orderstatus', COUNT(*),
+           COUNT(*) FILTER (nd > 1), MAX(nd),
+           COUNT(*) FILTER (nd > 1) = 0
+    FROM (SELECT o_orderdate, COUNT(DISTINCT o_orderstatus) AS nd
+          FROM orders GROUP BY 1)
+    """,
+)
+def fd_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over orders: for each candidate FD
+    A→B, how many A-values map to more than one B (and the worst fan-out)
+    — the schema-discovery / key-validation primitive (here it certifies
+    o_orderkey as a key and quantifies how far the non-keys are from
+    determining anything).
+
+    Each candidate costs ONE hash aggregate on its LHS plus a 1-row
+    reduction — no joins, no sort; candidates are independent so Spark
+    runs the four aggregates as parallel stages off the shared scan. At
+    100 TB a per-LHS COUNT(DISTINCT rhs) with a hot LHS key skews; the
+    fallback is the salted two-level distinct (agg_salted_skew's
+    pattern). All outputs are exact integers/booleans.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for lhs, rhs in _FD_CANDIDATES:
+        nd = o.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        parts.append(
+            nd.agg(
+                F.lit(f"{lhs}->{rhs}").alias("fd"),
+                F.count("*").alias("n_lhs"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("nd").cast("bigint").alias("max_rhs_per_lhs"),
+                (
+                    F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)) == 0
+                ).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
