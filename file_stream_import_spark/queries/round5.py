@@ -1051,3 +1051,176 @@ def fd_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    pair AS (
+      SELECT p.event_id, p.cents, t.event_type,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM p JOIN t
+        ON p.user_id = t.user_id
+       AND t.ts < p.ts
+       AND t.ts >= p.ts - INTERVAL 24 HOUR
+    )
+    SELECT event_type AS touch_type,
+           COUNT(*) AS n_credits,
+           COUNT(DISTINCT event_id) AS n_purchases,
+           CAST(SUM((cents * 10000) // n_touches) AS BIGINT)
+             AS credited_e4
+    FROM pair GROUP BY 1
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    evenly across every click/view by the same user in the preceding 24
+    hours, then credited revenue rolls up per touch type — the marketing
+    measurement primitive between last-touch (asof_last_purchase's shape)
+    and the all-pairs interval join (stream_attribution_join).
+
+    Credit division is INTEGER: each (purchase, touch) credit is
+    cents*10000 div n_touches — exact bigint arithmetic whose sum is
+    reduction-order-immune (the deliberate sub-0.0001-cent remainder
+    truncation is the documented contract; no float rationals cross
+    engines). Scale: the user+24h band join is the watermark-bounded
+    stream-stream join shape — state per user is one day of touches, the
+    per-purchase n_touches window partitions by purchase id (already
+    co-shuffled by the join), and the final rollup is 2 rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pair = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS")),
+    ).select("event_id", "cents", "touch_type")
+    w = W.partitionBy("event_id")
+    pair = pair.withColumn("n_touches", F.count("*").over(w))
+    return pair.groupBy("touch_type").agg(
+        F.count("*").alias("n_credits"),
+        F.countDistinct("event_id").alias("n_purchases"),
+        F.sum(F.expr("cents * 10000 div n_touches")).alias("credited_e4"),
+    )
+
+
+@register(
+    "source_logodds_tokens",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS y_sw FROM tok GROUP BY 1, 2),
+    g AS (
+      SELECT source, tok, y_sw,
+             SUM(y_sw) OVER (PARTITION BY tok) AS y_w,
+             SUM(y_sw) OVER (PARTITION BY source) AS n_s,
+             SUM(y_sw) OVER () AS n
+      FROM c
+    ),
+    z AS (
+      SELECT source, tok, y_sw,
+        ln((CAST(y_sw AS DOUBLE) + (1000.0 * y_w) / n)
+           / (CAST(n_s AS DOUBLE) + 1000.0 - CAST(y_sw AS DOUBLE)
+              - (1000.0 * y_w) / n))
+        - ln((CAST(y_w - y_sw AS DOUBLE) + (1000.0 * y_w) / n)
+             / (CAST(n - n_s AS DOUBLE) + 1000.0
+                - CAST(y_w - y_sw AS DOUBLE) - (1000.0 * y_w) / n)) AS delta,
+        1.0 / (CAST(y_sw AS DOUBLE) + (1000.0 * y_w) / n)
+        + 1.0 / (CAST(y_w - y_sw AS DOUBLE) + (1000.0 * y_w) / n) AS var
+      FROM g
+    ),
+    r AS (
+      SELECT source, tok, y_sw,
+             ROUND(delta / sqrt(var), 6) AS z_logodds
+      FROM z
+    )
+    SELECT source, tok, CAST(y_sw AS BIGINT) AS n_source,
+           z_logodds, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY z_logodds DESC, tok) AS rk
+      FROM r
+    ) WHERE rk <= 5
+    """,
+)
+def source_logodds_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source via log-odds with an informative
+    Dirichlet prior (Monroe et al.'s "Fightin' Words") — the
+    corpus-comparison tool that, unlike tf-idf, corrects for variance on
+    rare terms: z = delta / sqrt(1/(y_sw+a_w) + 1/(y_rw+a_w)) where the
+    prior a_w = a0*y_w/n shrinks source counts toward the corpus mix.
+
+    One explode + one (source, token) aggregate; the marginals (token
+    totals, source totals, grand total) come from windows OVER the
+    grid-sized rollup — no second corpus scan (the cooccurrence_pmi
+    ReusedExchange pattern). Cross-engine parity: every float is the
+    SAME IEEE op sequence on exact-integer inputs in both engines
+    (single-division prior, fixed operand order in the log arguments),
+    so ranking on the 1e-6-rounded z with token tiebreak is stable.
+    Scale: grid is |sources|x|vocab|; the per-source top-5 is a
+    WindowGroupLimit local prune, never a global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("y_sw"))
+    )
+    g = c.select(
+        "source",
+        "tok",
+        "y_sw",
+        F.sum("y_sw").over(W.partitionBy("tok")).alias("y_w"),
+        F.sum("y_sw").over(W.partitionBy("source")).alias("n_s"),
+        F.sum("y_sw").over(W.partitionBy()).alias("n"),
+    )
+    a_w = (F.lit(1000.0) * F.col("y_w")) / F.col("n")
+    y_sw = F.col("y_sw").cast("double")
+    y_rw = (F.col("y_w") - F.col("y_sw")).cast("double")
+    n_s = F.col("n_s").cast("double")
+    n_r = (F.col("n") - F.col("n_s")).cast("double")
+    delta = F.log(
+        (y_sw + a_w) / (n_s + F.lit(1000.0) - y_sw - a_w)
+    ) - F.log((y_rw + a_w) / (n_r + F.lit(1000.0) - y_rw - a_w))
+    var = F.lit(1.0) / (y_sw + a_w) + F.lit(1.0) / (y_rw + a_w)
+    r = g.select(
+        "source",
+        "tok",
+        "y_sw",
+        F.round(delta / F.sqrt(var), 6).alias("z_logodds"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("z_logodds").desc(), "tok")
+    return (
+        r.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "tok",
+            F.col("y_sw").cast("bigint").alias("n_source"),
+            "z_logodds",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
