@@ -1,0 +1,140 @@
+"""Broadcast Bloom-filter runtime pre-filter for selective semi-joins.
+
+The 100 TB motivation: a semi-join `fact WHERE key IN (SELECT key FROM
+dim_subset)` still carries every fact row to the join operator (and, when
+the dim side is too big to broadcast, across a full shuffle) before the
+selectivity pays off. A Bloom filter built from the dim keys turns that
+selectivity into a pure scan-side predicate: rows that cannot match die
+in the codegen'd Filter below the exchange, and only Bloom positives
+reach the exact join that removes false positives. Spark's own runtime
+bloom filters (spark.sql.optimizer.runtime.bloomFilter.*) apply under
+narrower plan conditions; this operator is the explicit, always-available
+form of the same idea — and the bitmap (~16 bits/key) broadcasts even
+when the key set itself (64+ bits/key + hashmap overhead) cannot.
+
+Correctness does NOT depend on the filter: Bloom filters have no false
+negatives (every inserted key turns on all its bits), so the pre-filter
+passes a superset of true matches and the final exact semi-join makes
+the composition equal to the plain semi-join — which is exactly what the
+DuckDB oracle checks on bloom_semi_filter.
+
+Representation: the bitmap is built DISTRIBUTED (one explode + one hash
+aggregate over word indexes, map-side combinable), then the ≤ m_bits/64
+non-zero words — a few KB — are fetched to the driver and embedded as a
+dense ARRAY LITERAL in the predicate. The literal is the load-bearing
+choice: a predicate over only fact columns + literals is something
+Catalyst will push below joins/exchanges, whereas a bitmap joined in as
+a one-row broadcast becomes a join operand that Catalyst is free to
+reorder ABOVE the verify join (observed: the semi-join got pushed under
+the bloom stage, inverting the pipeline). Same driver-side-fetch budget
+as the C-row centroid fetch in operators/similarity.py.
+
+Reference parity: the reference's only read-side filter is Postgres
+B-tree index lookup (internal/db/db.go:97-103); this is the
+shared-nothing substitute for "probe the index before touching the heap".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+M_BITS_DEFAULT = 1 << 16
+N_HASHES_DEFAULT = 2
+
+
+def _positions(key: Column, m_bits: int, n_hashes: int) -> list[Column]:
+    """Bit positions for a key: xxhash64(key, seed_i) mod m_bits.
+
+    Seeding via an extra hashed literal keeps everything inside the
+    codegen'd xxhash64; pmod (not %) guarantees non-negative positions.
+    """
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+        for i in range(n_hashes)
+    ]
+
+
+def _word(pos: Column) -> Column:
+    return F.shiftrightunsigned(pos, 6)
+
+
+def _mask(pos: Column) -> Column:
+    # shiftleft with a COLUMN shift amount needs call_function — the
+    # typed F.shiftleft wrapper only accepts a literal int.
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+    )
+
+
+def bloom_build(
+    dim: DataFrame,
+    key: str,
+    m_bits: int = M_BITS_DEFAULT,
+    n_hashes: int = N_HASHES_DEFAULT,
+) -> list[int]:
+    """Dense bitmap of ``m_bits`` bits as a list of m_bits/64 longs.
+
+    The heavy lifting is distributed: one explode (n_hashes rows/key) +
+    one hash aggregate on word index (≤ m_bits/64 groups, map-side
+    combinable); only the aggregated non-zero words land on the driver.
+    """
+    pos = F.explode(F.array(*_positions(F.col(key), m_bits, n_hashes)))
+    words = (
+        dim.select(pos.alias("pos"))
+        .select(
+            _word(F.col("pos")).alias("word"), _mask(F.col("pos")).alias("m")
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("wmask"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r.word] = r.wmask
+    return bitmap
+
+
+def bloom_might_contain(
+    bitmap: list[int],
+    key: Column,
+    m_bits: int = M_BITS_DEFAULT,
+    n_hashes: int = N_HASHES_DEFAULT,
+) -> Column:
+    """True iff every probe bit is set — a pure codegen predicate over
+    fact columns and the bitmap literal (element_at + AND per hash), so
+    Catalyst pushes it below joins and exchanges."""
+    lit_map = F.lit(bitmap)
+    cond = F.lit(True)
+    for pos in _positions(key, m_bits, n_hashes):
+        w = F.element_at(lit_map, (_word(pos) + 1).cast("int"))
+        cond = cond & (w.bitwiseAND(_mask(pos)) != 0)
+    return cond
+
+
+def bloom_filtered_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = M_BITS_DEFAULT,
+    n_hashes: int = N_HASHES_DEFAULT,
+) -> DataFrame:
+    """fact ⋉ dim on fact_key = dim_key, with the Bloom pre-filter ahead
+    of the exact semi-join. Equivalent to the plain semi-join (no false
+    negatives + exact verify); the Bloom stage exists so at scale the
+    fact rows die at the scan instead of crossing the exchange. The dim
+    side is scanned twice (bitmap + verify); the fact side once. The
+    verify join carries no broadcast hint — below the broadcast
+    threshold the planner broadcasts it anyway, above it AQE picks the
+    shuffle strategy, and the bloom predicate stays under the exchange
+    either way.
+    """
+    bitmap = bloom_build(dim, dim_key, m_bits, n_hashes)
+    pre = fact.filter(
+        bloom_might_contain(bitmap, F.col(fact_key), m_bits, n_hashes)
+    )
+    keys = dim.select(F.col(dim_key).alias("__bloom_key")).distinct()
+    return pre.join(
+        keys, pre[fact_key] == F.col("__bloom_key"), "left_semi"
+    )

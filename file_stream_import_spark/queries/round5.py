@@ -1224,3 +1224,48 @@ def source_logodds_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+@register(
+    "bloom_semi_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+    )
+    GROUP BY 1
+    """,
+)
+def bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders from BUILDING-segment customers, via the broadcast
+    Bloom-filter runtime pre-filter + exact semi-join
+    (operators/bloom.py) — semantically identical to the plain
+    semi-join the oracle runs, which is the point: Bloom filters have no
+    false negatives, so the pre-filter only removes rows the exact join
+    would drop anyway.
+
+    Scale: at 100 TB the fact rows that can't match die in the SCAN
+    projection (map lookup + bitmask AND, whole-stage codegen) before
+    any exchange or join probe; the bitmap is ONE broadcast row of
+    ≤ m_bits/64 words built by one hash aggregate over the dim keys.
+    This is the explicit form of runtime filter pushdown for the cases
+    Spark's own runtimeFilter rewrite doesn't cover.
+    """
+    from ..operators.bloom import bloom_filtered_semi_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    hits = bloom_filtered_semi_join(o, c, "o_custkey", "c_custkey")
+    return hits.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
