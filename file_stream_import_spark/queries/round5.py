@@ -1269,3 +1269,34 @@ def bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents"
         ),
     )
+
+
+@register(
+    "heavy_hitters_users",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS total FROM events)
+    SELECT user_id, COUNT(*) AS n_rows,
+           CAST((COUNT(*) * 1000000) // MAX(t.total) AS BIGINT) AS share_ppm
+    FROM events, t
+    GROUP BY user_id
+    HAVING COUNT(*) * 125 >= MAX(t.total)
+    """,
+)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users generating at least 0.8% of all events, found by the
+    candidate-pruned two-pass heavy-hitter operator (operators/heavy.py)
+    instead of a full groupBy over every key.
+
+    Scale: pass 1 is a zero-shuffle mapInPandas partition scan emitting
+    at most 1/s = 125 candidate keys PER PARTITION (pigeonhole: a
+    globally >= s-frequent key is >= s-frequent in some partition), so
+    the only exchange carries candidate keys — bounded by partitions/s,
+    independent of key cardinality. Pass 2 recounts candidates exactly,
+    which is why the plain HAVING oracle hash-matches despite the
+    sketch-shaped first pass. The 0.8% threshold is the rational 1/125
+    compared in integer arithmetic end-to-end.
+    """
+    from ..operators.heavy import heavy_hitters
+
+    e = load_table(spark, sf_dir, "events")
+    return heavy_hitters(e, "user_id", num=1, denom=125)

@@ -1,0 +1,53 @@
+"""Candidate-pruned heavy hitters: exactness, partitioning independence,
+and the per-partition candidate bound."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from file_stream_import_spark.operators.heavy import heavy_hitters
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 0 → 600 rows (30%), key 1 → 300, key 2 → 100, rest singletons
+    base = spark.range(0, 1000).select(
+        F.when(F.col("id") < 600, 0)
+        .when(F.col("id") < 900, 1)
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    return base
+
+
+def _expected(df, num, denom):
+    total = df.count()
+    rows = (
+        df.groupBy("k").count().filter(F.col("count") * denom >= num * total)
+    ).collect()
+    return sorted((r.k, r["count"]) for r in rows)
+
+
+def test_exact_vs_plain_groupby(spark, skewed):
+    got = heavy_hitters(skewed, "k", num=5, denom=100).collect()
+    assert sorted((r.k, r.n_rows) for r in got) == _expected(skewed, 5, 100)
+
+
+def test_partitioning_independent(spark, skewed):
+    a = heavy_hitters(skewed.repartition(1), "k", num=5, denom=100).collect()
+    b = heavy_hitters(
+        skewed.repartition(17, "k"), "k", num=5, denom=100
+    ).collect()
+    c = heavy_hitters(skewed.repartition(17), "k", num=5, denom=100).collect()
+    key = lambda rows: sorted((r.k, r.n_rows, r.share_ppm) for r in rows)
+    assert key(a) == key(b) == key(c)
+
+
+def test_exact_threshold_boundary(spark):
+    # 4 of 40 rows = exactly 10%: >= must include it
+    df = spark.range(0, 40).select(
+        F.when(F.col("id") < 4, 99).otherwise(F.col("id")).alias("k")
+    )
+    got = heavy_hitters(df, "k", num=1, denom=10).collect()
+    assert [(r.k, r.n_rows, r.share_ppm) for r in got] == [(99, 4, 100000)]
