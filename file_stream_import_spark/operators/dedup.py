@@ -370,14 +370,14 @@ def simhash_signatures(
     return summed.select(F.col(id_col), simhash.alias("simhash"))
 
 
-def simhash_neardup_pairs(
-    df: DataFrame,
+def hamming_neardup_pairs(
+    sig: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    sig_col: str = "simhash",
     max_hamming: int = 3,
-    portable_hash: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs within a hamming ball.
+    """Near-dup pairs within a hamming ball over ANY 64-bit signature
+    column (SimHash over text, aHash over images, ...).
 
     Pigeonhole banding: any two signatures within hamming distance 3
     agree exactly on ≥1 of 4 disjoint 16-bit bands, so bucket-joining on
@@ -385,26 +385,30 @@ def simhash_neardup_pairs(
     with bit_count(xor). Banding is a complete (not approximate)
     candidate generator, so the output equals the brute-force pair set.
     """
-    sig = simhash_signatures(df, id_col, text_col, portable_hash)
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit banding is complete only for max_hamming <= 3; "
+            f"got {max_hamming} (use more, narrower bands)"
+        )
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned("simhash", 16 * b)
+                F.shiftrightunsigned(sig_col, 16 * b)
                 .bitwiseAND(F.lit(0xFFFF))
                 .alias("bv"),
             )
             for b in range(4)
         ]
     )
-    bucketed = sig.select(id_col, "simhash", F.explode(bands).alias("e")).select(
-        id_col, "simhash", F.col("e.band").alias("band"), F.col("e.bv").alias("bv")
+    bucketed = sig.select(id_col, sig_col, F.explode(bands).alias("e")).select(
+        id_col, sig_col, F.col("e.band").alias("band"), F.col("e.bv").alias("bv")
     )
     left = bucketed.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bv"
+        F.col(id_col).alias("doc_a"), F.col(sig_col).alias("sig_a"), "band", "bv"
     )
     right = bucketed.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bv"
+        F.col(id_col).alias("doc_b"), F.col(sig_col).alias("sig_b"), "band", "bv"
     )
     return (
         left.join(right, ["band", "bv"])
@@ -418,6 +422,19 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """SimHash near-dup pairs within a hamming ball (see
+    hamming_neardup_pairs for the banding/completeness argument)."""
+    sig = simhash_signatures(df, id_col, text_col, portable_hash)
+    return hamming_neardup_pairs(sig, id_col, "simhash", max_hamming)
 
 
 def cluster_pairs(

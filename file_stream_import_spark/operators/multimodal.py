@@ -239,3 +239,60 @@ def resize_payloads(
     return df.select(id_col, payload_col).mapInPandas(
         do, schema=RESIZE_SCHEMA
     )
+
+
+AHASH_SCHEMA = "doc_id bigint, ahash bigint"
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """64-bit average-hash (aHash) per image payload — the perceptual
+    fingerprint behind image dedup: bit i is set iff pixel i is brighter
+    than the image mean, so re-encoded/slightly-edited copies land
+    within a small hamming ball while distinct images scatter.
+
+    The stand-in kernel reads the first min(64, n) payload bytes as the
+    8x8 grayscale (a real pipeline decodes + resizes to 8x8 first —
+    ``strict=True`` raises at that plug-in point); mean uses FLOOR
+    integer division and the strict '>' comparison so the bit pattern is
+    integer-exact and DuckDB can reproduce every signature from
+    hex(payload) for oracle checking. Output is the SIGNED int64 with
+    bit i at position i (two's complement when bit 63 is set) — the
+    layout hamming_neardup_pairs expects.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real aHash requires image decode + 8x8 resize "
+                "(PIL/opencv) on the executors; install and replace the "
+                "leading-bytes fake"
+            )
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(p)[:64], dtype=np.uint8)
+                m = int(b.sum()) // len(b)
+                h = 0
+                for i, x in enumerate(b):
+                    if int(x) > m:
+                        h |= 1 << i
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(did)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=AHASH_SCHEMA
+    )

@@ -1300,3 +1300,65 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return heavy_hitters(e, "user_id", num=1, denom=125)
+
+
+@register(
+    "dedup_image_ahash",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+             LEAST(octet_length(CAST(text AS BLOB)), 64) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n,
+             list_transform(range(n),
+               i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))
+                         AS BIGINT)) AS bytes
+      FROM b
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(n),
+               i -> CASE WHEN bytes[i+1] > list_sum(bytes) // n
+                    THEN CASE WHEN i = 63
+                         THEN CAST(9223372036854775808 AS HUGEINT)
+                         ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT) END
+                    ELSE CAST(0 AS HUGEINT) END)) AS s
+      FROM px
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+                  THEN s - CAST(18446744073709551616 AS HUGEINT)
+                  ELSE s END AS BIGINT) AS ahash
+      FROM hs
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ahash, c.ahash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.ahash, c.ahash)) <= 3
+    """,
+)
+def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via 64-bit average-hash + banded
+    hamming join — the IMAGE member of the dedup family (exact,
+    MinHash-LSH, SimHash, containment, embedding-cosine cover text;
+    multimodal payloads get their perceptual-hash equivalent here).
+
+    Composition of two verified operators: image_ahash (Arrow-batched
+    mapInPandas kernel, only id+payload cross the boundary, real-codec
+    plug point marked) → hamming_neardup_pairs (4x16-bit pigeonhole
+    banding — COMPLETE for hamming ≤ 3, so the banded join equals the
+    all-pairs scan the oracle runs, at candidates-per-bucket cost).
+    At 100 TB: signatures are 8 bytes/image, the band join touches only
+    colliding buckets, and the decode never re-runs — the same shape as
+    text SimHash, which is the point: one dedup engine, per-modality
+    fingerprint kernels.
+    """
+    from ..operators.dedup import hamming_neardup_pairs
+    from ..operators.multimodal import attach_fake_payload, image_ahash
+
+    d = attach_fake_payload(load_table(spark, sf_dir, "documents"))
+    sig = image_ahash(d)
+    return hamming_neardup_pairs(sig, "doc_id", "ahash", max_hamming=3)
