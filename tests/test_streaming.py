@@ -685,3 +685,122 @@ class TestStreamStaticEnrich:
         # left semantics: at least one event survived without a match OR
         # all matched — either way row counts are exactly the stream's
         assert len(got) == want_n
+
+
+class TestFinalizedSessions:
+    def test_sessions_emit_once_on_close_and_timeout_flushes_idle(
+        self, spark, tmp_path
+    ):
+        """Session 1 closes when a post-gap event arrives (emitted with
+        the closing batch); session 2 closes by EventTimeTimeout once
+        clock events from ANOTHER user advance the watermark — the idle
+        user never returns, the session still flushes."""
+        from file_stream_import_spark.streaming.stateful import (
+            finalized_sessions,
+        )
+
+        src = str(tmp_path / "drops")
+        b1 = make_events(
+            spark,
+            [
+                (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+                (2, "2024-01-01 00:10:00", 7, "click", 2.0, "{}"),
+                (3, "2024-01-01 00:00:00", 99, "view", 0.0, "{}"),
+            ],
+        )
+        # 02:00 is > 30 min after 00:10 → closes session 1
+        b2 = make_events(
+            spark,
+            [
+                (4, "2024-01-01 02:00:00", 7, "click", 4.0, "{}"),
+                (5, "2024-01-01 02:00:00", 99, "view", 0.0, "{}"),
+            ],
+        )
+        # two clock batches: the first advances the watermark past
+        # 02:00 + gap, the second gives the timer a batch to fire in
+        b3 = make_events(
+            spark, [(6, "2024-01-01 06:00:00", 99, "view", 0.0, "{}")]
+        )
+        b4 = make_events(
+            spark, [(7, "2024-01-01 06:01:00", 99, "view", 0.0, "{}")]
+        )
+        write_events(b1, src)
+        name = qname()
+        stream = read_events_stream(spark, src).select("ts", "user_id", "value")
+        q = (
+            finalized_sessions(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for b in (b2, b3, b4):
+                write_events(b, src)
+                q.processAllAvailable()
+            rows = spark.sql(
+                f"SELECT * FROM {name} WHERE user_id = 7"
+            ).collect()
+            got = sorted(
+                (
+                    str(r.session_start),
+                    str(r.session_end),
+                    r.n_events,
+                    r.sum_value,
+                )
+                for r in rows
+            )
+            assert got == [
+                ("2024-01-01 00:00:00", "2024-01-01 00:10:00", 2, 3.0),
+                ("2024-01-01 02:00:00", "2024-01-01 02:00:00", 1, 4.0),
+            ], got
+            # each session appears exactly once (append semantics)
+            assert len(rows) == 2
+        finally:
+            q.stop()
+
+    def test_multi_session_batch_splits_inside_one_trigger(
+        self, spark, tmp_path
+    ):
+        """Three sessions arriving in ONE micro-batch: the two earlier
+        ones close immediately (split by the in-batch gap scan), the
+        last stays open in state."""
+        from file_stream_import_spark.streaming.stateful import (
+            finalized_sessions,
+        )
+
+        src = str(tmp_path / "drops")
+        b1 = make_events(
+            spark,
+            [
+                (1, "2024-01-01 00:00:00", 5, "click", 1.0, "{}"),
+                (2, "2024-01-01 01:00:00", 5, "click", 2.0, "{}"),
+                (3, "2024-01-01 01:05:00", 5, "click", 3.0, "{}"),
+                (4, "2024-01-01 03:00:00", 5, "click", 4.0, "{}"),
+            ],
+        )
+        write_events(b1, src)
+        name = qname()
+        stream = read_events_stream(spark, src).select("ts", "user_id", "value")
+        q = (
+            finalized_sessions(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            got = sorted(
+                (str(r.session_start), r.n_events, r.sum_value) for r in rows
+            )
+            assert got == [
+                ("2024-01-01 00:00:00", 1, 1.0),
+                ("2024-01-01 01:00:00", 2, 5.0),
+            ], got
+        finally:
+            q.stop()
