@@ -1024,8 +1024,9 @@ def fd_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     determining anything).
 
     Each candidate costs ONE hash aggregate on its LHS plus a 1-row
-    reduction — no joins, no sort; candidates are independent so Spark
-    runs the four aggregates as parallel stages off the shared scan. At
+    reduction — no joins, no sort; candidates are independent aggregates
+    scheduled concurrently, each scanning ONLY its (lhs, rhs) column
+    pair (column pruning — pinned in tests/test_plans.py). At
     100 TB a per-LHS COUNT(DISTINCT rhs) with a hot LHS key skews; the
     fallback is the salted two-level distinct (agg_salted_skew's
     pattern). All outputs are exact integers/booleans.

@@ -559,3 +559,78 @@ class TestRound5Plans:
         plan = physical_plan(spark, sf_dir, "leakage_safe_split")
         assert "hashpartitioning(split" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound5bPlans:
+    def test_benford_prunes_to_price_column(self, spark, sf_dir):
+        """Digit histogram reads ONE column; the total-sum window runs
+        over the 9-row digit rollup, not the fact table."""
+        plan = physical_plan(spark, sf_dir, "benford_leading_digit")
+        (cols,) = read_schema_cols(plan)
+        assert cols == ["o_totalprice"]
+        assert "Join" not in plan
+
+    def test_acf_windows_over_daily_rollup_only(self, spark, sf_dir):
+        """One fact scan reduced to days BEFORE the ordered lag window;
+        the 7 lags unfold array-locally (no self-joins)."""
+        import re
+
+        plan = physical_plan(spark, sf_dir, "daily_revenue_acf")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Join" not in plan
+        (cols,) = read_schema_cols(plan)
+        assert set(cols) == {"o_orderdate", "o_totalprice"}
+
+    def test_fd_check_prunes_each_candidate_to_two_columns(
+        self, spark, sf_dir
+    ):
+        """Each candidate FD aggregate reads exactly its (lhs, rhs)
+        column pair — four pruned scans, no joins."""
+        plan = physical_plan(spark, sf_dir, "fd_check_orders")
+        for cols in read_schema_cols(plan):
+            assert len(cols) == 2, cols
+        assert "Join" not in plan
+
+    def test_attribution_band_join_no_cartesian(self, spark, sf_dir):
+        """The touch join is keyed on user_id (time band as residual
+        predicate) — never a cartesian; n_touches window reuses the
+        join's purchase-side partitioning."""
+        plan = physical_plan(spark, sf_dir, "attribution_linear")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_logodds_single_corpus_scan_topk_pruned(self, spark, sf_dir):
+        """Marginals come from windows over the (source, token) rollup —
+        one documents scan; the per-source top-5 is a WindowGroupLimit
+        local prune."""
+        import re
+
+        plan = physical_plan(spark, sf_dir, "source_logodds_tokens")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "WindowGroupLimit" in plan
+
+    def test_bloom_predicate_reaches_fact_side(self, spark, sf_dir):
+        """The bitmap membership test is a literal-only predicate on the
+        fact key (pushable below the exchange); the dim scan keeps its
+        segment pushdown."""
+        plan = physical_plan(spark, sf_dir, "bloom_semi_filter")
+        assert "xxhash64(o_custkey" in plan
+        assert "EqualTo(c_mktsegment,BUILDING)" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_heavy_hitters_candidates_broadcast(self, spark, sf_dir):
+        """Pass 1 is the zero-shuffle mapInPandas candidate scan; the
+        recount semi-joins against BROADCAST candidates so the only
+        aggregate shuffle carries candidate keys."""
+        plan = physical_plan(spark, sf_dir, "heavy_hitters_users")
+        assert "MapInPandas" in plan
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    def test_image_ahash_banded_join_no_cartesian(self, spark, sf_dir):
+        """Signatures come from the Arrow kernel once; candidate pairs
+        only from (band, value) bucket equality — an equi-join, never a
+        cartesian scan of the signature set."""
+        plan = physical_plan(spark, sf_dir, "dedup_image_ahash")
+        assert "MapInPandas" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
