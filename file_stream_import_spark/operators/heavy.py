@@ -48,6 +48,7 @@ def heavy_hitters(
     exact counts and integer ppm share. Columns: key, n_rows, share_ppm.
     """
     keyed = df.select(key)
+    key_type = keyed.schema[key].dataType.simpleString()
 
     def local_candidates(
         batches: Iterator[pd.DataFrame],
@@ -59,10 +60,10 @@ def heavy_hitters(
             for k, c in pdf[key].value_counts().items():
                 counts[k] = counts.get(k, 0) + int(c)
         cand = [k for k, c in counts.items() if c * denom >= num * n]
-        yield pd.DataFrame({key: pd.Series(cand, dtype="int64")})
+        yield pd.DataFrame({key: pd.Series(cand, dtype="object")})
 
     candidates = keyed.mapInPandas(
-        local_candidates, schema=f"{key} long"
+        local_candidates, schema=f"{key} {key_type}"
     ).distinct()
     total = keyed.agg(F.count("*").alias("__total"))
     hits = (

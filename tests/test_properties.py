@@ -493,3 +493,86 @@ class TestHashSplitStability:
             assert split == (
                 "train" if bucket < 80 else "val" if bucket < 90 else "test"
             )
+
+
+class TestHeavyHittersProperties:
+    """Candidate pruning must be invisible: for ANY multiset and ANY
+    partitioning, the two-pass result equals the brute-force HAVING."""
+
+    @prop
+    @given(
+        counts=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(1, 30)),
+            min_size=1,
+            max_size=8,
+        ),
+        denom=st.sampled_from([4, 10, 25]),
+        parts=st.sampled_from([1, 3, 7]),
+    )
+    def test_matches_bruteforce_groupby(self, spark, counts, denom, parts):
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.operators.heavy import heavy_hitters
+
+        rows = [(k,) for k, c in counts for _ in range(c)]
+        df = spark.createDataFrame(rows, "k long").repartition(parts)
+        got = sorted(
+            (r.k, r.n_rows)
+            for r in heavy_hitters(df, "k", num=1, denom=denom).collect()
+        )
+        total = len(rows)
+        expect = sorted(
+            (r.k, r["count"])
+            for r in df.groupBy("k")
+            .count()
+            .filter(F.col("count") * denom >= total)
+            .collect()
+        )
+        assert got == expect
+
+
+class TestHammingBandingProperties:
+    """4x16-bit banding is a COMPLETE candidate generator for hamming
+    <= 3: banded pairs must equal brute-force pairs for ANY signature
+    set, including adversarial ones differing only inside one band."""
+
+    @prop
+    @given(
+        base=st.integers(-(2**63), 2**63 - 1),
+        flips=st.lists(
+            st.lists(st.integers(0, 63), min_size=0, max_size=4),
+            min_size=2,
+            max_size=8,
+        ),
+    )
+    def test_matches_bruteforce_pairs(self, spark, base, flips):
+        from file_stream_import_spark.operators.dedup import (
+            hamming_neardup_pairs,
+        )
+
+        sigs = []
+        for bits in flips:
+            h = base
+            for b in bits:
+                h ^= 1 << b
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                elif h < -(1 << 63):
+                    h += 1 << 64
+            sigs.append(h)
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sigs)], "doc_id long, sig long"
+        )
+        got = sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in hamming_neardup_pairs(
+                df, "doc_id", "sig", max_hamming=3
+            ).collect()
+        )
+        expect = []
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                d = bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+                if d <= 3:
+                    expect.append((i, j, d))
+        assert got == sorted(expect)
