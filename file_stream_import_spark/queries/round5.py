@@ -1363,3 +1363,71 @@ def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_fake_payload(load_table(spark, sf_dir, "documents"))
     sig = image_ahash(d)
     return hamming_neardup_pairs(sig, "doc_id", "ahash", max_hamming=3)
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT doc_a, doc_b FROM pairs p
+      JOIN sizes x ON p.doc_a = x.doc_id
+      JOIN sizes y ON p.doc_b = y.doc_id
+      WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM jp
+    JOIN documents da ON jp.doc_a = da.doc_id
+    JOIN documents db ON jp.doc_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate TRAFFIC between sources: for every unordered
+    source pair, how many verified near-dup document pairs (MinHash-LSH
+    candidates, exact Jaccard >= 0.8 — the dedup_minhash_lsh contract)
+    straddle them. The curation dashboard number that tells you which
+    feeds mirror each other (license leaks, scraper loops) vs which
+    only self-duplicate.
+
+    Composition on one lineage: minhash_lsh_pairs → two doc_id→source
+    lookups → a |sources|² rollup. The lookups join the PAIR frame
+    (dedup-output-sized, not corpus-sized) against a two-column
+    projection of documents, so at 100 TB the added cost over the dedup
+    itself is two id-keyed joins on the small pair set; LEAST/GREATEST
+    canonicalizes the unordered pair so each pair counts once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
