@@ -1431,3 +1431,44 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS n_distinct_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get path extraction — the modern lakehouse path for schema-
+    flexible event properties (complements json_extract, which does the
+    same work with per-access string parsing via get_json_object).
+
+    Why it matters at 100 TB: a variant column parses each props string
+    ONCE and stores a compact binary tree; ten downstream path accesses
+    are then cheap typed lookups instead of ten Jackson re-parses — the
+    difference compounds when event pipelines extract many fields. All
+    extracted values are exact integers, so the DuckDB string-path
+    oracle hash-matches.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
