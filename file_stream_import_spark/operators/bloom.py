@@ -43,6 +43,18 @@ M_BITS_DEFAULT = 1 << 16
 N_HASHES_DEFAULT = 2
 
 
+def _check_m_bits(m_bits: int) -> None:
+    """The bitmap is exactly m_bits/64 words; a non-multiple would make
+    the top positions index past the literal array — element_at then
+    returns NULL, the predicate goes NULL, and member rows get DROPPED
+    (silent false negatives, the one failure mode a Bloom filter must
+    never have). Fail loudly instead."""
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}"
+        )
+
+
 def _positions(key: Column, m_bits: int, n_hashes: int) -> list[Column]:
     """Bit positions for a key: xxhash64(key, seed_i) mod m_bits.
 
@@ -79,6 +91,7 @@ def bloom_build(
     one hash aggregate on word index (≤ m_bits/64 groups, map-side
     combinable); only the aggregated non-zero words land on the driver.
     """
+    _check_m_bits(m_bits)
     pos = F.explode(F.array(*_positions(F.col(key), m_bits, n_hashes)))
     words = (
         dim.select(pos.alias("pos"))
@@ -104,6 +117,12 @@ def bloom_might_contain(
     """True iff every probe bit is set — a pure codegen predicate over
     fact columns and the bitmap literal (element_at + AND per hash), so
     Catalyst pushes it below joins and exchanges."""
+    _check_m_bits(m_bits)
+    if len(bitmap) != m_bits // 64:
+        raise ValueError(
+            f"bitmap has {len(bitmap)} words but m_bits={m_bits} needs "
+            f"{m_bits // 64} — build and probe must use the same m_bits"
+        )
     lit_map = F.lit(bitmap)
     cond = F.lit(True)
     for pos in _positions(key, m_bits, n_hashes):

@@ -7,19 +7,26 @@ one row per DISTINCT key — at 100 TB with billions of keys that is the
 dominant exchange even though only a handful of keys can possibly
 qualify (at most 1/s of them, by definition).
 
-Two passes, both exact:
+Two fact-table passes, both exact:
 
 1. **Local candidate scan** (mapInPandas, zero shuffle): each scan
    partition counts its own keys in memory and emits only keys with
-   local_count * denom >= num * local_rows. Pigeonhole guarantees no
-   false negatives: if sum(c_i) >= s * sum(n_i) then c_i >= s * n_i in
-   at least one partition i. Each partition emits at most 1/s keys, so
-   the candidate set is <= partitions/s rows REGARDLESS of key
-   cardinality — that is the scale bound.
+   local_count * denom >= num * local_rows, plus ONE marker row
+   carrying the partition's row count (so the grand total needs no
+   extra scan). Pigeonhole guarantees no false negatives: if
+   sum(c_i) >= s * sum(n_i) then c_i >= s * n_i in at least one
+   partition i. Each partition emits at most 1/s candidate keys, so the
+   candidate set is <= partitions/s rows REGARDLESS of key cardinality
+   — that is the scale bound. The tiny output is localCheckpoint-ed so
+   its two consumers (candidate set, total) don't re-run the scan.
 2. **Exact recount** of candidates only: semi-join the fact rows down
    to candidate keys (broadcast — the candidate set is tiny by the
    bound above), one hash aggregate whose shuffle carries only
    candidate keys, then the exact global threshold test.
+
+NULL is a key like any other (groupBy/HAVING semantics): pass 1 counts
+it via value_counts(dropna=False) and pass 2 joins null-safely, so a
+frequent NULL group surfaces instead of silently vanishing.
 
 The result is deterministic and partitioning-independent (pass 1 only
 widens the candidate superset; pass 2 is exact), which is why the
@@ -50,24 +57,50 @@ def heavy_hitters(
     keyed = df.select(key)
     key_type = keyed.schema[key].dataType.simpleString()
 
-    def local_candidates(
+    def local_scan(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         counts: dict = {}
+        null_count = 0
         n = 0
         for pdf in batches:
             n += len(pdf)
+            null_count += int(pdf[key].isna().sum())
             for k, c in pdf[key].value_counts().items():
                 counts[k] = counts.get(k, 0) + int(c)
         cand = [k for k, c in counts.items() if c * denom >= num * n]
-        yield pd.DataFrame({key: pd.Series(cand, dtype="object")})
+        # NULL is a key too (groupBy semantics); pandas value_counts
+        # drops it, so threshold it separately
+        rows = [(k, None) for k in cand]
+        if null_count * denom >= num * n:
+            rows.append((None, None))
+        # marker row: this partition's size (key slot unused)
+        rows.append((None, n))
+        yield pd.DataFrame(
+            {
+                key: pd.Series([r[0] for r in rows], dtype="object"),
+                "__local_n": pd.Series(
+                    [r[1] for r in rows], dtype="object"
+                ),
+            }
+        )
 
-    candidates = keyed.mapInPandas(
-        local_candidates, schema=f"{key} {key_type}"
-    ).distinct()
-    total = keyed.agg(F.count("*").alias("__total"))
+    # tiny by the pigeonhole bound; checkpoint so candidate-set and
+    # total don't each re-run the fact scan
+    scan = keyed.mapInPandas(
+        local_scan, schema=f"{key} {key_type}, __local_n long"
+    ).localCheckpoint()
+    candidates = (
+        scan.filter(F.col("__local_n").isNull()).select(key).distinct()
+    )
+    total = scan.agg(F.sum("__local_n").alias("__total"))
+    cand_keyed = candidates.select(F.col(key).alias("__cand_key"))
     hits = (
-        keyed.join(F.broadcast(candidates), key, "left_semi")
+        keyed.join(
+            F.broadcast(cand_keyed),
+            F.col(key).eqNullSafe(F.col("__cand_key")),
+            "left_semi",
+        )
         .groupBy(key)
         .agg(F.count("*").alias("n_rows"))
         .crossJoin(F.broadcast(total))

@@ -276,6 +276,13 @@ def image_ahash(
         for pdf in batches:
             ids, hashes = [], []
             for did, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None or len(p) == 0:
+                    # no pixels → no signature; a NULL hash joins no
+                    # band bucket, so empty media never pairs (matches
+                    # the oracle, where the empty-list fold yields NULL)
+                    ids.append(did)
+                    hashes.append(None)
+                    continue
                 b = np.frombuffer(bytes(p)[:64], dtype=np.uint8)
                 m = int(b.sum()) // len(b)
                 h = 0
@@ -289,7 +296,7 @@ def image_ahash(
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "ahash": pd.Series(hashes, dtype="int64"),
+                    "ahash": pd.array(hashes, dtype="Int64"),
                 }
             )
 

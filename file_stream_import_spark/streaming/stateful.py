@@ -80,10 +80,8 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
 
 SESSION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_us", T.LongType()),
-        T.StructField("end_us", T.LongType()),
-        T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -93,25 +91,31 @@ def finalized_sessions(
     gap: str = "30 minutes",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Emit each user session exactly ONCE, when it closes — either a
-    later event arrives beyond the inactivity gap (closed by data) or
-    the watermark passes session_end + gap (closed by EventTimeTimeout,
-    so the last session of an idle user still flushes without waiting
-    for that user to return).
+    """Emit each user session exactly ONCE, when the watermark proves it
+    can no longer change — the contract F.session_window cannot express
+    (update mode re-emits on every change and never says "final"; append
+    mode only emits windowed AGGREGATES, not an arbitrary state-machine
+    payload).
 
-    This is the custom-stateful shape F.session_window cannot express:
-    session_window in update mode re-emits a session on every change and
-    never signals "final"; the append-mode variant only emits windowed
-    AGGREGATES, while here the state machine owns an arbitrary payload
-    and the emit-on-close contract downstream sinks (e.g. a billing
-    pipeline charging per completed session) need.
+    Events BUFFER in per-user state until the watermark passes
+    session_end + gap; only then is the session sessionized-and-emitted.
+    Buffering (rather than folding eagerly into an open session) is what
+    makes the stream output EQUAL batch sessionization under
+    out-of-order arrival: a late event still above the watermark can
+    extend a session backward or split in between — decisions that are
+    only safe to freeze once the watermark passes, because every future
+    event is at-or-after the watermark by the late-row filter. Idle
+    users flush by EventTimeTimeout without waiting for their next
+    event.
 
-    Scale: state is one 4-field row per ACTIVE user (the state store
-    shuffles on user_id), timeouts evict idle keys, and each micro-batch
-    touches only keys with new data or expired timers. The batch twin is
-    sessionize_events (queries/analytics.py) — stream-final output must
-    equal the batch sessionization of the same data once the watermark
-    passes everything (asserted in tests/test_streaming.py).
+    Scale: state per user is the events of the open horizon only
+    (bounded by watermark delay + gap, not stream length), shuffled on
+    user_id across the state store; each micro-batch touches only keys
+    with new data or expired timers. The batch twin is sessionize_events
+    (queries/analytics.py) — stream-final output equals the batch
+    sessionization of the same data once the watermark passes it
+    (asserted, including an out-of-order arrival, in
+    tests/test_streaming.py).
     """
     n, unit = gap.split()
     gap_us = int(n) * {
@@ -128,42 +132,61 @@ def finalized_sessions(
         batches: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        done: list[tuple[int, int, int, float]] = []
-        if state.hasTimedOut:
-            done.append(tuple(state.get))
-            state.remove()
+        if state.exists:
+            ts_buf, val_buf = (list(x) for x in state.get)
         else:
-            rows: list[tuple[int, float]] = []
+            ts_buf, val_buf = [], []
+        if not state.hasTimedOut:
             for pdf in batches:
                 us = (
                     pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
                 )
-                rows.extend(zip(us.tolist(), pdf["value"].tolist()))
-            rows.sort()
-            cur = list(state.get) if state.exists else None
-            for ts, v in rows:
-                if cur is not None and ts - cur[1] > gap_us:
-                    done.append(tuple(cur))
-                    cur = None
-                if cur is None:
-                    cur = [ts, ts, 0, 0.0]
-                cur[1] = max(cur[1], ts)
-                cur[2] += 1
-                cur[3] += float(v)
-            if cur is not None:
-                state.update(tuple(cur))
-                # fire when the watermark passes end + gap; the +1 guard
-                # keeps the timestamp strictly ahead of the current
-                # watermark as the API requires
-                fire_ms = cur[1] // 1000 + gap_us // 1000
-                state.setTimeoutTimestamp(
-                    max(fire_ms, state.getCurrentWatermarkMs() + 1)
+                ts_buf.extend(us.tolist())
+                val_buf.extend(float(v) for v in pdf["value"])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        order = sorted(range(len(ts_buf)), key=lambda i: ts_buf[i])
+        sessions: list[list[int]] = []  # index runs into `order`
+        for pos, i in enumerate(order):
+            if pos and ts_buf[i] - ts_buf[order[pos - 1]] <= gap_us:
+                sessions[-1].append(i)
+            else:
+                sessions.append([i])
+
+        done: list[tuple[int, int, int, float]] = []
+        keep: list[int] = []
+        open_ends: list[int] = []
+        for idxs in sessions:
+            end = ts_buf[idxs[-1]]
+            if end + gap_us < wm_us:
+                done.append(
+                    (
+                        ts_buf[idxs[0]],
+                        end,
+                        len(idxs),
+                        sum(val_buf[i] for i in idxs),
+                    )
                 )
+            else:
+                keep.extend(idxs)
+                open_ends.append(end)
+
+        if keep:
+            state.update(
+                ([ts_buf[i] for i in keep], [val_buf[i] for i in keep])
+            )
+            # earliest instant any open session becomes final; keep the
+            # timer strictly ahead of the current watermark as required
+            fire_ms = min(open_ends) // 1000 + gap_us // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(fire_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+
         yield pd.DataFrame(
             {
-                "user_id": pd.Series(
-                    [key[0]] * len(done), dtype="int64"
-                ),
+                "user_id": pd.Series([key[0]] * len(done), dtype="int64"),
                 "session_start": pd.to_datetime(
                     [s for s, _, _, _ in done], unit="us"
                 ),
@@ -171,7 +194,7 @@ def finalized_sessions(
                     [e for _, e, _, _ in done], unit="us"
                 ),
                 "n_events": pd.Series(
-                    [n for _, _, n, _ in done], dtype="int64"
+                    [c for _, _, c, _ in done], dtype="int64"
                 ),
                 "sum_value": [round(t, 2) for _, _, _, t in done],
             }

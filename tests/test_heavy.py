@@ -51,3 +51,30 @@ def test_exact_threshold_boundary(spark):
     )
     got = heavy_hitters(df, "k", num=1, denom=10).collect()
     assert [(r.k, r.n_rows, r.share_ppm) for r in got] == [(99, 4, 100000)]
+
+
+def test_null_keys_count_as_a_group(spark):
+    """NULL is a group under groupBy/HAVING semantics: a frequent NULL
+    key must surface, and other keys' shares use the full row count."""
+    rows = [(None,)] * 30 + [(1,)] * 15 + [(2,)] * 5 + [(i,) for i in range(100, 150)]
+    df = spark.createDataFrame(rows, "k int").repartition(5)
+    got = sorted(
+        (
+            (r.k, r.n_rows, r.share_ppm)
+            for r in heavy_hitters(df, "k", num=1, denom=10).collect()
+        ),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    # total = 100 rows; threshold 10% → null (30) and 1 (15)
+    assert got == [(1, 15, 150000), (None, 30, 300000)]
+
+
+def test_two_fact_scans_only(spark, skewed):
+    """The docstring claims two passes over the fact input: the final
+    plan must contain exactly one MapInPandas (pass 1, checkpointed)
+    and one recount aggregate — the total must NOT add a third scan."""
+    df = skewed
+    out = heavy_hitters(df, "k", num=5, denom=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 0  # pass 1 already materialized
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan

@@ -804,3 +804,71 @@ class TestFinalizedSessions:
             ], got
         finally:
             q.stop()
+
+    def test_out_of_order_event_extends_session_backward(
+        self, spark, tmp_path
+    ):
+        """A late-but-above-watermark event must land INSIDE the session
+        exactly as batch sessionization would place it (extending the
+        start backward) — the buffering contract; an eager fold would
+        have frozen start at the first-seen event."""
+        from file_stream_import_spark.streaming.stateful import (
+            finalized_sessions,
+        )
+
+        src = str(tmp_path / "drops")
+        b1 = make_events(
+            spark,
+            [
+                (1, "2024-01-01 00:20:00", 7, "click", 2.0, "{}"),
+                (2, "2024-01-01 00:21:00", 99, "view", 0.0, "{}"),
+            ],
+        )
+        # 00:13 is BEFORE the buffered 00:20 but above the watermark
+        # (00:21 - 10 min = 00:11) → must merge and extend the start
+        b2 = make_events(
+            spark,
+            [
+                (3, "2024-01-01 00:13:00", 7, "click", 1.0, "{}"),
+                (4, "2024-01-01 00:22:00", 99, "view", 0.0, "{}"),
+            ],
+        )
+        b3 = make_events(
+            spark, [(5, "2024-01-01 01:30:00", 99, "view", 0.0, "{}")]
+        )
+        b4 = make_events(
+            spark, [(6, "2024-01-01 01:31:00", 99, "view", 0.0, "{}")]
+        )
+        write_events(b1, src)
+        name = qname()
+        stream = read_events_stream(spark, src).select("ts", "user_id", "value")
+        q = (
+            finalized_sessions(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for b in (b2, b3, b4):
+                write_events(b, src)
+                q.processAllAvailable()
+            rows = spark.sql(
+                f"SELECT * FROM {name} WHERE user_id = 7"
+            ).collect()
+            got = [
+                (
+                    str(r.session_start),
+                    str(r.session_end),
+                    r.n_events,
+                    r.sum_value,
+                )
+                for r in rows
+            ]
+            assert got == [
+                ("2024-01-01 00:13:00", "2024-01-01 00:20:00", 2, 3.0)
+            ], got
+        finally:
+            q.stop()
