@@ -364,6 +364,7 @@ def ivf_centroids(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt: str = "",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic coarse-quantizer centroids: the ``n_centroids``
     vectors that sort first by ``md5(id)`` — a uniform pseudo-random
@@ -382,7 +383,9 @@ def ivf_centroids(
             F.col(id_col).alias("cid"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
-        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+        .orderBy(
+            F.md5(F.concat(F.lit(salt), F.col("cid").cast("string"))), "cid"
+        )
         .limit(n_centroids)
         .collect()
     )
@@ -559,3 +562,188 @@ def ivf_quantization_cosine(
     scores = _centroid_scores(_centroid_lit(cents), F.col("vv"))
     best = F.array_min(scores)["negcos"]
     return float(v.agg(F.avg(-best)).first()[0])
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the full compressed ANN index read path: IVF list restriction
+# composed with product-quantization asymmetric-distance ranking.
+# ---------------------------------------------------------------------------
+
+
+def _sub_d2(a: Column, b: Column, start: Column | int, width: int) -> Column:
+    """Exact squared L2 between aligned slices — the fixed-order fold
+    both the PQ write side (embedding_pq_codes) and ADC read side use."""
+    if isinstance(start, int):
+        start = F.lit(start)
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, start, width),
+            F.slice(b, start, width),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    vec_col: str = "v",
+    m_subvectors: int = 8,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Append the m-byte PQ code array: per subvector, the id of the
+    nearest sub-codeword. Pure projection over the literal codebook —
+    zero shuffle; this is the write side of the index (the corpus then
+    persists codes, not vectors: m bytes instead of 8*dim)."""
+    cb = _centroid_lit(codebook)
+    dim = len(codebook[0][1])
+    width = dim // m_subvectors
+
+    def best(si: int) -> Column:
+        return F.array_min(
+            F.transform(
+                cb,
+                lambda c: F.struct(
+                    _sub_d2(
+                        F.col(vec_col), c.getField("cv"), si * width + 1, width
+                    ).alias("d"),
+                    c.getField("cid").alias("cid"),
+                ),
+            )
+        ).getField("cid")
+
+    return df.withColumn(
+        out_col, F.array(*[best(si) for si in range(m_subvectors)])
+    )
+
+
+def ivfpq_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    cents: list[tuple[int, list[float]]] | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Full IVF-PQ top-k: candidates come only from the query's
+    ``nprobe`` nearest inverted lists (IVF), and candidate ranking reads
+    only the m-byte PQ codes via asymmetric distance (exact
+    query-subvector → sub-codeword L2, summed in fixed order) — the
+    architecture of every production billion-vector index (FAISS
+    IVFx,PQy) as one declarative lineage.
+
+    Scale: the corpus side carries (list id + m bytes)/vector; the query
+    side (queries × probed lists × codebook distance table) folds into
+    the broadcast; scoring is a codegen projection and the only shuffle
+    is the per-query top-k window over candidates — ~nprobe/C of the
+    corpus per query. The PQ codebook is md5-salt-sampled (decorrelated
+    from the coarse quantizer's sample) for cross-engine determinism;
+    swap in ivf_train_kmeans output via ``cents`` for trained lists.
+
+    Ranking is by ADC distance ascending (id tiebreak): the compressed
+    index deliberately trades exact cosine order for 64x less candidate
+    I/O — measured on planted clusters, pure ADC recall@5 is ~0.3
+    because 16 codewords cannot resolve WITHIN-cluster order. That is
+    why every production deployment runs two stages: pass ``rerank=R``
+    to take the PQ top-R shortlist per query and re-rank just those R
+    by exact cosine (fetching full vectors only for the shortlist — a
+    candidate-sized join, not a corpus scan); output columns then
+    include cos_sim instead of adc_dist. Recall floors for both modes
+    are asserted in tests/test_llm_ops.py.
+    """
+    if cents is None:
+        cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    codebook = ivf_centroids(vectors, n_codes, id_col, vec_col, salt="pq:")
+    cb = _centroid_lit(codebook)
+    dim = len(codebook[0][1])
+    width = dim // m_subvectors
+
+    v = ivf_assign(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("vv"),
+        ),
+        cents,
+        vec_col="vv",
+        out_col="vcid",
+    )
+    coded = pq_encode(v, codebook, "vv", m_subvectors).select(
+        "neighbor_id", "vcid", "codes"
+    )
+
+    lit = _centroid_lit(cents)
+    probe_cids = F.slice(
+        F.array_sort(_centroid_scores(lit, F.col("qv"))), 1, nprobe
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "pcid",
+        F.explode(F.transform(probe_cids, lambda s: s.getField("cid"))),
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m_subvectors - 1)),
+            lambda code, si: F.struct(code.alias("code"), si.alias("si")),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc
+        + _sub_d2(
+            F.col("qv"),
+            F.filter(cb, lambda c: c.getField("cid") == z.getField("code"))[
+                0
+            ].getField("cv"),
+            z.getField("si") * width + 1,
+            width,
+        ),
+    )
+    scored = (
+        coded.join(
+            F.broadcast(q),
+            (F.col("vcid") == F.col("pcid"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("adc", adc)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    if rerank is None:
+        return ranked.filter(F.col("rk") <= k).select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).alias("adc_dist"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    shortlist = ranked.filter(F.col("rk") <= rerank).select(
+        "query_id", "neighbor_id", "qv"
+    )
+    full = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vv"),
+    )
+    rescored = shortlist.join(full, "neighbor_id").withColumn(
+        "cos", cosine(F.col("qv"), F.col("vv"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

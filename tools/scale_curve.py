@@ -33,6 +33,10 @@ SHIFT = {
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
     "documents": ["doc_id"],
+    # user_id shifts too: per-user event density then matches sf0.1, so
+    # per-user joins (attribution) scale linearly instead of
+    # quadratically on 10 stacked copies of the same users
+    "events": ["event_id", "user_id"],
 }
 COPY_AS_IS = ["region", "nation"]
 
@@ -92,6 +96,17 @@ def main() -> None:
         "price_trend_by_priority",
         "retention_cohorts_monthly",
         "schema_profile",
+        # round-5b additions (events scaled; near-dup PAIR queries are
+        # deliberately absent — a corpus of 10 key-shifted copies
+        # genuinely contains ~copies^2 near-dup pairs, so their growth
+        # measures the duplicated corpus, not the operator)
+        "daily_revenue_acf",
+        "benford_leading_digit",
+        "attribution_linear",
+        "source_logodds_tokens",
+        "heavy_hitters_users",
+        "bloom_semi_filter",
+        "variant_props_stats",
     ]
     results = {}
     for name in names:
