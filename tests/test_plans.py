@@ -619,11 +619,14 @@ class TestRound5bPlans:
         assert "CartesianProduct" not in plan
 
     def test_heavy_hitters_candidates_broadcast(self, spark, sf_dir):
-        """Pass 1 is the zero-shuffle mapInPandas candidate scan; the
-        recount semi-joins against BROADCAST candidates so the only
-        aggregate shuffle carries candidate keys."""
+        """Pass 1 (the zero-shuffle mapInPandas candidate scan) is
+        localCheckpoint-materialized, so the final plan reads its tiny
+        RDD instead of re-running the scan; the recount semi-joins
+        against BROADCAST candidates so the only aggregate shuffle
+        carries candidate keys."""
         plan = physical_plan(spark, sf_dir, "heavy_hitters_users")
-        assert "MapInPandas" in plan
+        assert "MapInPandas" not in plan  # pass 1 already materialized
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
     def test_image_ahash_banded_join_no_cartesian(self, spark, sf_dir):
