@@ -688,3 +688,16 @@ class TestIvfPq:
             truth,
         )
         assert reranked >= 0.8, reranked
+
+
+def test_image_ahash_strict_marks_codec_plug_point(spark):
+    from file_stream_import_spark.operators.multimodal import (
+        attach_fake_payload,
+        image_ahash,
+    )
+
+    df = attach_fake_payload(
+        spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|aHash"):
+        image_ahash(df, strict=True).collect()

@@ -872,3 +872,117 @@ class TestFinalizedSessions:
             ], got
         finally:
             q.stop()
+
+    def test_fixture_agreement_with_batch_sessionization(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Stream the real fixture events of three users (chronological
+        file drops) + a final clock far past everything: the finalized
+        sessions must EQUAL batch gap-sessionization of the same rows —
+        the operator's contract on real data, not hand-built cases."""
+        from pyspark.sql import Window as W
+
+        from file_stream_import_spark.streaming.stateful import (
+            finalized_sessions,
+        )
+
+        users = [1, 2, 3]
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isin(users))
+            .select("ts", "user_id", "value")
+            .orderBy("ts")
+        )
+        rows = ev.collect()
+        assert len(rows) > 50
+        terciles = [
+            rows[: len(rows) // 3],
+            rows[len(rows) // 3 : 2 * len(rows) // 3],
+            rows[2 * len(rows) // 3 :],
+        ]
+        src = str(tmp_path / "drops")
+        for chunk in terciles:
+            spark.createDataFrame(
+                [(r.ts, r.user_id, float(r.value)) for r in chunk],
+                "ts timestamp, user_id long, value double",
+            ).coalesce(1).write.mode("append").parquet(src)
+        max_ts = rows[-1].ts
+        name = qname()
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            finalized_sessions(stream, gap="30 minutes", watermark="5 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # clock drops (user 999) push the watermark past every
+            # session's end + gap, then give the timers a batch to fire
+            import datetime
+
+            for mins in (120, 121):
+                spark.createDataFrame(
+                    [
+                        (
+                            max_ts + datetime.timedelta(minutes=mins),
+                            999,
+                            0.0,
+                        )
+                    ],
+                    "ts timestamp, user_id long, value double",
+                ).coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+            got = sorted(
+                (
+                    r.user_id,
+                    str(r.session_start),
+                    str(r.session_end),
+                    r.n_events,
+                    round(r.sum_value, 2),
+                )
+                for r in spark.sql(
+                    f"SELECT * FROM {name} WHERE user_id != 999"
+                ).collect()
+            )
+            w = W.partitionBy("user_id").orderBy("ts")
+            batch = (
+                ev.withColumn("prev", F.lag("ts").over(w))
+                .withColumn(
+                    "new_s",
+                    (
+                        F.col("prev").isNull()
+                        | (
+                            F.unix_timestamp("ts")
+                            - F.unix_timestamp("prev")
+                            > 1800
+                        )
+                    ).cast("int"),
+                )
+                .withColumn(
+                    "sid",
+                    F.sum("new_s").over(
+                        w.rowsBetween(W.unboundedPreceding, 0)
+                    ),
+                )
+                .groupBy("user_id", "sid")
+                .agg(
+                    F.min("ts").alias("s"),
+                    F.max("ts").alias("e"),
+                    F.count("*").alias("n"),
+                    F.round(F.sum("value"), 2).alias("v"),
+                )
+            )
+            expect = sorted(
+                (r.user_id, str(r.s), str(r.e), r.n, round(r.v, 2))
+                for r in batch.collect()
+            )
+            assert got == expect, (got[:3], expect[:3])
+        finally:
+            q.stop()
