@@ -334,3 +334,45 @@ class TestGenerator:
             assert row["locname"] == want["locname"]
             assert row["business"] == want["business"]
             assert row["id"] is not None
+
+
+class TestPythonDataSource:
+    """The Spark 4 Python DataSource form of the generator (O13):
+    registration, planned partitions, Arrow-batch reads, and
+    byte-identity with the spark.range implementation."""
+
+    def test_equals_generator_dataframe_form(self, spark):
+        from file_stream_import_spark.io.generator import generate_locations
+        from file_stream_import_spark.io.pysource import LocationsDataSource
+
+        spark.dataSource.register(LocationsDataSource)
+        via_source = (
+            spark.read.format("locations_gen")
+            .option("rows", 3000)
+            .option("seed", 7)
+            .option("numpartitions", 5)
+            .load()
+        )
+        via_range = generate_locations(spark, n_rows=3000, seed=7)
+        a = sorted(tuple(r) for r in via_source.collect())
+        b = sorted(tuple(r) for r in via_range.collect())
+        assert a == b
+        assert via_source.rdd.getNumPartitions() == 5
+
+    def test_partitioning_does_not_change_content(self, spark):
+        from file_stream_import_spark.io.pysource import LocationsDataSource
+
+        spark.dataSource.register(LocationsDataSource)
+
+        def load(parts):
+            return sorted(
+                tuple(r)
+                for r in spark.read.format("locations_gen")
+                .option("rows", 1000)
+                .option("seed", 3)
+                .option("numpartitions", parts)
+                .load()
+                .collect()
+            )
+
+        assert load(1) == load(7)
