@@ -30,7 +30,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .generator import BUSINESSES, COUNTRIES, LOCNAMES, TIMEZONES
 
@@ -114,3 +119,84 @@ class LocationsDataSource(DataSource):
 
     def reader(self, schema) -> LocationsReader:
         return LocationsReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource — a deterministic synthetic event feed
+# through the SimpleDataSourceStreamReader contract.
+# ---------------------------------------------------------------------------
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double"
+)
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+_BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z — fixed, deterministic
+
+
+def _event_row(i: int, seed: int, n_users: int):
+    import datetime
+
+    return (
+        i,
+        datetime.datetime.utcfromtimestamp(_BASE_EPOCH + i),
+        _h60("user", i, seed) % n_users,
+        EVENT_TYPES[_h60("type", i, seed) % len(EVENT_TYPES)],
+        (_h60("value", i, seed) % 10_000) / 100.0,
+        )
+
+
+class EventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset = one monotonically increasing row index. ``read`` emits
+    the next ``rows_per_batch`` rows; ``readBetweenOffsets`` regenerates
+    any committed range bit-identically (every row is a pure function of
+    (seed, index)), which is what makes the source exactly-once
+    replayable after a failure — the whole point of the offset contract.
+    """
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rowsperbatch", 100))
+        self.seed = int(options.get("seed", 0))
+        self.n_users = int(options.get("nusers", 10))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        lo = start["idx"]
+        hi = lo + self.rows_per_batch
+        return (
+            iter(
+                [
+                    _event_row(i, self.seed, self.n_users)
+                    for i in range(lo, hi)
+                ]
+            ),
+            {"idx": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                _event_row(i, self.seed, self.n_users)
+                for i in range(start["idx"], end["idx"])
+            ]
+        )
+
+
+class EventsStreamDataSource(DataSource):
+    """``spark.dataSource.register(EventsStreamDataSource)`` then
+    ``spark.readStream.format("events_gen").load()`` — the synthetic
+    analog of a message-bus source (Kafka-shaped: offset-tracked,
+    replayable, schema-stable), for exercising streaming operators
+    without external infrastructure."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_gen"
+
+    def schema(self) -> str:
+        return EVENTS_SCHEMA
+
+    def simpleStreamReader(self, schema) -> EventsStreamReader:
+        return EventsStreamReader(self.options)

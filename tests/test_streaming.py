@@ -986,3 +986,63 @@ class TestFinalizedSessions:
             assert got == expect, (got[:3], expect[:3])
         finally:
             q.stop()
+
+
+class TestPythonStreamSource:
+    """The events_gen streaming Python DataSource: micro-batches advance
+    the offset without gaps or duplicates, rows are deterministic in
+    (seed, index), and readBetweenOffsets replays a committed range
+    identically (the failure-recovery contract)."""
+
+    def test_microbatches_contiguous_and_deterministic(
+        self, spark, tmp_path
+    ):
+        import time
+
+        from file_stream_import_spark.io.pysource import (
+            EventsStreamDataSource,
+            _event_row,
+        )
+
+        spark.dataSource.register(EventsStreamDataSource)
+        name = qname()
+        q = (
+            spark.readStream.format("events_gen")
+            .option("rowsperbatch", 50)
+            .option("seed", 11)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline:
+                n = spark.sql(f"SELECT COUNT(*) c FROM {name}").first().c
+                if n >= 100:
+                    break
+                time.sleep(0.5)
+            rows = spark.sql(
+                f"SELECT * FROM {name} ORDER BY event_id LIMIT 100"
+            ).collect()
+            assert len(rows) == 100
+            ids = [r.event_id for r in rows]
+            assert ids == list(range(100))  # no gaps, no duplicates
+            for r in rows[:5]:
+                expect = _event_row(r.event_id, 11, 10)
+                assert (
+                    r.user_id, r.event_type, r.value
+                ) == (expect[2], expect[3], expect[4])
+        finally:
+            q.stop()
+
+    def test_read_between_offsets_replays_identically(self):
+        from file_stream_import_spark.io.pysource import EventsStreamReader
+
+        r = EventsStreamReader({"rowsperbatch": "25", "seed": "3"})
+        first, nxt = r.read(r.initialOffset())
+        live = list(first)
+        assert nxt == {"idx": 25}
+        replay = list(r.readBetweenOffsets({"idx": 0}, {"idx": 25}))
+        assert live == replay
