@@ -30,11 +30,15 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from .generator import BUSINESSES, COUNTRIES, LOCNAMES, TIMEZONES
@@ -200,3 +204,92 @@ class EventsStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> EventsStreamReader:
         return EventsStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER — the sink-side extension point, with the
+# task-commit / driver-commit protocol made visible.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ShardCommit(WriterCommitMessage):
+    shard: str
+    n_rows: int
+
+
+class JsonlShardWriter(DataSourceWriter):
+    """Each task writes ONE gzip JSONL shard named by (task partition,
+    uuid) and returns a ShardCommit; the DRIVER, only after every task
+    succeeds, writes _MANIFEST.json listing the committed shards + row
+    counts. Readers that honor the manifest never see a partially
+    written dataset — the same two-phase contract parquet jobs get from
+    the Hadoop output committer, here made explicit in ~30 lines.
+
+    This mirrors the reference's at-least-once ingest semantics
+    (internal/db/db.go:74 commits per-chunk with no wrapping txn): task
+    shards may exist from failed attempts, but only manifest-listed
+    shards are the dataset.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shard writer requires path option")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import gzip
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        shard = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl.gz"
+        n = 0
+        with gzip.open(os.path.join(self.path, shard), "wt") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return ShardCommit(shard=shard, n_rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "shards": sorted(
+                (
+                    {"shard": m.shard, "n_rows": m.n_rows}
+                    for m in messages
+                    if m is not None
+                ),
+                key=lambda s: s["shard"],
+            ),
+            "total_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    def abort(self, messages):
+        # leave shards for forensics; absence of _MANIFEST.json is what
+        # marks the dataset uncommitted
+        pass
+
+
+class JsonlShardDataSource(DataSource):
+    """``df.write.format("jsonl_shard").option("path", dir).save()`` —
+    O8's JSONL wire format as a custom sink with an explicit manifest."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shard"
+
+    def schema(self) -> str:  # pragma: no cover — writer-only source
+        return "value string"
+
+    def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
+        return JsonlShardWriter(self.options, overwrite)

@@ -376,3 +376,41 @@ class TestPythonDataSource:
             )
 
         assert load(1) == load(7)
+
+
+class TestJsonlShardWriter:
+    """Custom Python DataSource WRITER: per-task shard + driver-side
+    manifest commit — data round-trips and the manifest is the
+    authoritative shard list."""
+
+    def test_write_manifest_roundtrip(self, spark, tmp_path):
+        import glob
+        import gzip
+        import json
+        import os
+
+        from file_stream_import_spark.io.pysource import JsonlShardDataSource
+
+        spark.dataSource.register(JsonlShardDataSource)
+        out = str(tmp_path / "shards")
+        df = spark.range(0, 500).selectExpr(
+            "id", "CAST(id % 7 AS STRING) AS grp"
+        ).repartition(4)
+        df.write.format("jsonl_shard").option("path", out).mode(
+            "append"
+        ).save()
+
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert manifest["total_rows"] == 500
+        listed = {s["shard"] for s in manifest["shards"]}
+        on_disk = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(out, "part-*.jsonl.gz"))
+        }
+        assert listed == on_disk and len(listed) == 4
+        rows = []
+        for s in sorted(listed):
+            with gzip.open(os.path.join(out, s), "rt") as f:
+                rows += [json.loads(line) for line in f]
+        assert sorted(r["id"] for r in rows) == list(range(500))
+        assert sum(s["n_rows"] for s in manifest["shards"]) == 500
