@@ -77,3 +77,20 @@ def test_prefilter_is_projection_before_join(spark, keyed):
         "bloom filter should appear BELOW the semi join in the plan tree "
         f"(printed after it):\n{plan}"
     )
+
+
+def test_empty_dim_yields_empty_result(spark, keyed):
+    """An empty build side → all-zero bitmap → every probe misses; the
+    composition returns the plain semi-join's (empty) answer without
+    errors."""
+    dim, fact = keyed
+    empty = dim.filter(F.lit(False))
+    assert bloom_filtered_semi_join(fact, empty, "k", "k").count() == 0
+
+
+def test_bad_m_bits_fails_loudly(spark, keyed):
+    import pytest as _pytest
+
+    dim, _ = keyed
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(dim, "k", m_bits=1000)

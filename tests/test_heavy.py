@@ -78,3 +78,8 @@ def test_two_fact_scans_only(spark, skewed):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 0  # pass 1 already materialized
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_empty_input_yields_empty_result(spark):
+    df = spark.createDataFrame([], "k long")
+    assert heavy_hitters(df, "k", num=1, denom=10).collect() == []
