@@ -48,15 +48,26 @@ def build(spark: SparkSession) -> None:
         if os.path.exists(f"{DST}/{t}.parquet"):
             continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
+
+        def offset_key(c: str) -> str:
+            # TPC-H columns share offsets across tables via their
+            # single-letter-prefix stem (l_orderkey/o_orderkey ->
+            # 'orderkey'); multi-letter prefixes (doc_id, event_id,
+            # user_id) are DISTINCT keys — collapsing them to 'id'
+            # would shift events by the documents offset and collide
+            # event_ids across copies.
+            head, _, tail = c.partition("_")
+            return tail if len(head) == 1 else c
+
         for c in cols:
-            key = c.split("_", 1)[1]  # l_orderkey/o_orderkey share 'orderkey'
+            key = offset_key(c)
             if key not in offsets:
                 offsets[key] = df.agg(F.max(c)).first()[0] + 1
         parts = []
         for i in range(COPIES):
             cp = df
             for c in cols:
-                off = offsets[c.split("_", 1)[1]]
+                off = offsets[offset_key(c)]
                 cp = cp.withColumn(c, F.col(c) + F.lit(i * off))
             parts.append(cp)
         out = parts[0]
