@@ -90,6 +90,9 @@ class LocationsReader(DataSourceReader):
         self.num_partitions = int(options.get("numpartitions", 8))
 
     def partitions(self) -> list[InputPartition]:
+        if self.n_rows <= 0:
+            # one empty range — an empty dataset, not a planning crash
+            return [_IdRange(1, 1, self.seed)]
         per = -(-self.n_rows // self.num_partitions)
         return [
             _IdRange(lo, min(lo + per, self.n_rows + 1), self.seed)
@@ -141,9 +144,15 @@ _BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z — fixed, deterministic
 def _event_row(i: int, seed: int, n_users: int):
     import datetime
 
+    # timezone-AWARE UTC: a naive datetime would be reinterpreted in the
+    # session timezone, so a restart under a different TZ would replay
+    # committed offset ranges with shifted instants — breaking the
+    # bit-identical-replay contract below
     return (
         i,
-        datetime.datetime.utcfromtimestamp(_BASE_EPOCH + i),
+        datetime.datetime.fromtimestamp(
+            _BASE_EPOCH + i, tz=datetime.timezone.utc
+        ),
         _h60("user", i, seed) % n_users,
         EVENT_TYPES[_h60("type", i, seed) % len(EVENT_TYPES)],
         (_h60("value", i, seed) % 10_000) / 100.0,
@@ -233,10 +242,21 @@ class JsonlShardWriter(DataSourceWriter):
     """
 
     def __init__(self, options: dict, overwrite: bool):
+        import glob
+        import os
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_shard writer requires path option")
-        self.overwrite = overwrite
+        if overwrite and os.path.isdir(self.path):
+            # honor mode('overwrite') at the FILE level too: stale
+            # shards from a previous dataset must not survive for
+            # glob-based readers, manifest-honoring or not
+            for p in glob.glob(os.path.join(self.path, "part-*.jsonl.gz")):
+                os.remove(p)
+            m = os.path.join(self.path, "_MANIFEST.json")
+            if os.path.exists(m):
+                os.remove(m)
 
     def write(self, iterator):
         import gzip

@@ -414,3 +414,35 @@ class TestJsonlShardWriter:
                 rows += [json.loads(line) for line in f]
         assert sorted(r["id"] for r in rows) == list(range(500))
         assert sum(s["n_rows"] for s in manifest["shards"]) == 500
+
+    def test_overwrite_removes_stale_shards(self, spark, tmp_path):
+        import glob
+        import json
+        import os
+
+        from file_stream_import_spark.io.pysource import JsonlShardDataSource
+
+        spark.dataSource.register(JsonlShardDataSource)
+        out = str(tmp_path / "shards2")
+        for n in (300, 100):
+            spark.range(0, n).repartition(3).write.format(
+                "jsonl_shard"
+            ).option("path", out).mode("overwrite").save()
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert manifest["total_rows"] == 100
+        on_disk = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(out, "part-*.jsonl.gz"))
+        }
+        assert on_disk == {s["shard"] for s in manifest["shards"]}
+
+    def test_zero_rows_source_is_empty_not_crash(self, spark):
+        from file_stream_import_spark.io.pysource import LocationsDataSource
+
+        spark.dataSource.register(LocationsDataSource)
+        df = (
+            spark.read.format("locations_gen")
+            .option("rows", 0)
+            .load()
+        )
+        assert df.count() == 0
