@@ -9,7 +9,7 @@ qualify (at most 1/s of them, by definition).
 
 Two fact-table passes, both exact:
 
-1. **Local candidate scan** (mapInPandas, zero shuffle): each scan
+1. **Local candidate scan** (mapInArrow, zero shuffle): each scan
    partition counts its own keys in memory and emits only keys with
    local_count * denom >= num * local_rows, plus ONE marker row
    carrying the partition's row count (so the grand total needs no
@@ -25,8 +25,13 @@ Two fact-table passes, both exact:
    candidate keys, then the exact global threshold test.
 
 NULL is a key like any other (groupBy/HAVING semantics): pass 1 counts
-it via value_counts(dropna=False) and pass 2 joins null-safely, so a
-frequent NULL group surfaces instead of silently vanishing.
+the column's null mask explicitly and pass 2 joins null-safely, so a
+frequent NULL group surfaces instead of silently vanishing. Pass 1 is
+mapInArrow, not mapInPandas, deliberately: Arrow keeps an int64 column
+with nulls as int64 + validity mask, whereas the pandas conversion
+would widen it to float64 and silently round keys above 2^53 — a
+rounded candidate would never match in the exact recount (a false
+negative on the one guarantee this operator makes).
 
 The result is deterministic and partitioning-independent (pass 1 only
 widens the candidate superset; pass 2 is exact), which is why the
@@ -38,9 +43,6 @@ both passes — no float boundary can flip a key in one engine only.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -57,37 +59,41 @@ def heavy_hitters(
     keyed = df.select(key)
     key_type = keyed.schema[key].dataType.simpleString()
 
-    def local_scan(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
+    def local_scan(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         counts: dict = {}
         null_count = 0
         n = 0
-        for pdf in batches:
-            n += len(pdf)
-            null_count += int(pdf[key].isna().sum())
-            for k, c in pdf[key].value_counts().items():
-                counts[k] = counts.get(k, 0) + int(c)
-        cand = [k for k, c in counts.items() if c * denom >= num * n]
-        # NULL is a key too (groupBy semantics); pandas value_counts
-        # drops it, so threshold it separately
-        rows = [(k, None) for k in cand]
-        if null_count * denom >= num * n:
-            rows.append((None, None))
-        # marker row: this partition's size (key slot unused)
-        rows.append((None, n))
-        yield pd.DataFrame(
-            {
-                key: pd.Series([r[0] for r in rows], dtype="object"),
-                "__local_n": pd.Series(
-                    [r[1] for r in rows], dtype="object"
-                ),
-            }
+        arrow_type = None
+        for batch in batches:
+            col = batch.column(0)
+            arrow_type = col.type
+            n += len(col)
+            null_count += col.null_count
+            for entry in pc.value_counts(col.drop_null()):
+                k = entry["values"].as_py()
+                counts[k] = counts.get(k, 0) + entry["counts"].as_py()
+        cand = [k for k, c in counts.items() if n and c * denom >= num * n]
+        # NULL is a key too (Arrow's value_counts skips the null mask,
+        # so threshold the mask count separately); n > 0 guards an
+        # empty partition from emitting a spurious NULL candidate
+        if n and null_count * denom >= num * n:
+            cand.append(None)
+        key_vals = cand + [None]
+        local_ns = [None] * len(cand) + [n]  # marker row: partition size
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(key_vals, type=arrow_type or pa.int64()),
+                pa.array(local_ns, type=pa.int64()),
+            ],
+            names=[key, "__local_n"],
         )
 
     # tiny by the pigeonhole bound; checkpoint so candidate-set and
     # total don't each re-run the fact scan
-    scan = keyed.mapInPandas(
+    scan = keyed.mapInArrow(
         local_scan, schema=f"{key} {key_type}, __local_n long"
     ).localCheckpoint()
     candidates = (

@@ -83,3 +83,17 @@ def test_two_fact_scans_only(spark, skewed):
 def test_empty_input_yields_empty_result(spark):
     df = spark.createDataFrame([], "k long")
     assert heavy_hitters(df, "k", num=1, denom=10).collect() == []
+
+
+def test_snowflake_scale_keys_with_nulls_survive(spark):
+    """Keys above 2^53 alongside NULLs in the same partition: the Arrow
+    pass must keep exact int64 identity (a pandas conversion would
+    widen to float64 and round the key away)."""
+    big = (1 << 60) + 12345  # not representable in float64
+    rows = [(big,)] * 20 + [(None,)] * 20 + [(i,) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long").coalesce(1)
+    got = {
+        r.k: r.n_rows
+        for r in heavy_hitters(df, "k", num=1, denom=10).collect()
+    }
+    assert got == {big: 20, None: 20}
