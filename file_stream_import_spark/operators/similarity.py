@@ -593,26 +593,35 @@ def pq_encode(
     m_subvectors: int = 8,
     out_col: str = "codes",
 ) -> DataFrame:
-    """Append the m-byte PQ code array: per subvector, the id of the
-    nearest sub-codeword. Pure projection over the literal codebook —
+    """Append the m-byte PQ code array: per subvector, the POSITION
+    (0-based index into the codebook list) of the nearest sub-codeword —
+    positional codes are what let the ADC read path address a
+    precomputed distance table by element_at instead of searching the
+    codebook per candidate. Pure projection over the literal codebook —
     zero shuffle; this is the write side of the index (the corpus then
-    persists codes, not vectors: m bytes instead of 8*dim)."""
-    cb = _centroid_lit(codebook)
+    persists codes, not vectors: m bytes instead of 8*dim). Ties break
+    toward the lower position (codebook list order)."""
     dim = len(codebook[0][1])
+    if dim % m_subvectors:
+        raise ValueError(
+            f"dim={dim} not divisible by m_subvectors={m_subvectors}: "
+            "trailing dimensions would silently drop from every distance"
+        )
+    cb = _centroid_lit(codebook)
     width = dim // m_subvectors
 
     def best(si: int) -> Column:
         return F.array_min(
             F.transform(
                 cb,
-                lambda c: F.struct(
+                lambda c, i: F.struct(
                     _sub_d2(
                         F.col(vec_col), c.getField("cv"), si * width + 1, width
                     ).alias("d"),
-                    c.getField("cid").alias("cid"),
+                    i.alias("pos"),
                 ),
             )
-        ).getField("cid")
+        ).getField("pos")
 
     return df.withColumn(
         out_col, F.array(*[best(si) for si in range(m_subvectors)])
@@ -661,8 +670,12 @@ def ivfpq_knn(
     if cents is None:
         cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
     codebook = ivf_centroids(vectors, n_codes, id_col, vec_col, salt="pq:")
-    cb = _centroid_lit(codebook)
     dim = len(codebook[0][1])
+    if dim % m_subvectors:
+        raise ValueError(
+            f"dim={dim} not divisible by m_subvectors={m_subvectors}: "
+            "trailing dimensions would silently drop from every distance"
+        )
     width = dim // m_subvectors
 
     v = ivf_assign(
@@ -682,12 +695,36 @@ def ivfpq_knn(
     probe_cids = F.slice(
         F.array_sort(_centroid_scores(lit, F.col("qv"))), 1, nprobe
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn(
-        "pcid",
-        F.explode(F.transform(probe_cids, lambda s: s.getField("cid"))),
+    # the per-query ADC DISTANCE TABLE (m x n_codes), computed ONCE per
+    # query row before the candidate join: dtab[si][pos] = exact d2 of
+    # the query's si-th subvector to codeword pos — each candidate then
+    # costs m table lookups, never a codebook search
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    _sub_d2(
+                        F.col("qv"),
+                        F.array(*[F.lit(x) for x in cv]),
+                        si * width + 1,
+                        width,
+                    )
+                    for _cid, cv in codebook
+                ]
+            )
+            for si in range(m_subvectors)
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("dtab", dtab)
+        .withColumn(
+            "pcid",
+            F.explode(F.transform(probe_cids, lambda s: s.getField("cid"))),
+        )
     )
 
     adc = F.aggregate(
@@ -698,13 +735,9 @@ def ivfpq_knn(
         ),
         F.lit(0.0),
         lambda acc, z: acc
-        + _sub_d2(
-            F.col("qv"),
-            F.filter(cb, lambda c: c.getField("cid") == z.getField("code"))[
-                0
-            ].getField("cv"),
-            z.getField("si") * width + 1,
-            width,
+        + F.element_at(
+            F.element_at(F.col("dtab"), (z.getField("si") + 1).cast("int")),
+            (z.getField("code") + 1).cast("int"),
         ),
     )
     scored = (

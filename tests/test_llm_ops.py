@@ -606,24 +606,26 @@ class TestIvfPq:
         ).collect()
         codebook = similarity.ivf_centroids(df, 16, salt="pq:")
         vecs = {r.vec_id: np.array(r.embedding) for r in df.collect()}
-        cb = {cid: np.array(cv) for cid, cv in codebook}
+        # positional codes: index into the codebook LIST, tie toward
+        # the lower position — mirror pq_encode exactly
+        cb = [np.array(cv) for _cid, cv in codebook]
         width = 64 // 8
 
         def codes(v):
             return [
                 min(
-                    cb,
-                    key=lambda cid: (
+                    range(len(cb)),
+                    key=lambda pos: (
                         float(
                             np.sum(
                                 (
                                     v[s * width : (s + 1) * width]
-                                    - cb[cid][s * width : (s + 1) * width]
+                                    - cb[pos][s * width : (s + 1) * width]
                                 )
                                 ** 2
                             )
                         ),
-                        cid,
+                        pos,
                     ),
                 )
                 for s in range(8)
