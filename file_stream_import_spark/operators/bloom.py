@@ -29,6 +29,17 @@ reorder ABOVE the verify join (observed: the semi-join got pushed under
 the bloom stage, inverting the pipeline). Same driver-side-fetch budget
 as the C-row centroid fetch in operators/similarity.py.
 
+When to use — measured (r5, 2026-08-14, sf0.1 local[32], interleaved
+best-of-4): plain broadcast semi-join 0.325 s vs this form 1.117 s. In
+the BROADCAST regime the bloom stage is pure overhead (the bitmap build
+is its own job + driver fetch) — Spark already probes a hash map per
+row. The technique pays in the regime it was built for: the dim key set
+too large to broadcast (the verify join becomes a shuffle join, and the
+scan-side predicate cuts what crosses that exchange), or one bitmap
+REUSED across many queries/batches (build once, filter every
+micro-batch — the incremental-ingest shape). The operator is the
+mechanism; the regime choice belongs to the caller.
+
 Reference parity: the reference's only read-side filter is Postgres
 B-tree index lookup (internal/db/db.go:97-103); this is the
 shared-nothing substitute for "probe the index before touching the heap".
