@@ -150,9 +150,19 @@ def attribution_join(
     The watermark is applied to ``ts`` BEFORE the event-type filters:
     with per-side watermarks (filter-then-watermark) a side whose event
     type goes idle never advances its watermark, the global minimum
-    stalls, and join state grows without bound — any event must move
-    both sides' clocks. Verified by the state-metric assertions in
-    tests/test_streaming.py::TestStateCleanup.
+    stalls, and join state grows without bound — a click OR a purchase
+    must move both sides' clocks. Verified by the state-metric
+    assertions in tests/test_streaming.py::TestStateCleanup.
+
+    Known residual hazard (measured, r5): watermark-before-filter does
+    NOT protect against event types outside {click, purchase} — Catalyst
+    pushes each side's deterministic type filter below the duplicated
+    watermark operator, so e.g. a views-only stretch of traffic advances
+    NEITHER side's clock and eviction stalls until the next click or
+    purchase arrives. If the feed can go click/purchase-silent for long
+    periods, pre-split the topic (or ingest a heartbeat of a joined
+    type); there is no DataFrame-level optimizer barrier to pin the
+    filter above the watermark.
     """
     if events.isStreaming:
         events = events.withWatermark("ts", watermark)
@@ -180,6 +190,55 @@ def attribution_join(
             "lag_us"
         ),
         F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+def attribution_join_outer(
+    events: DataFrame,
+    within: str = "4 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, attributed
+    to a purchase when one follows within ``within`` — and emitted with
+    NULL purchase columns otherwise. The outer side is the semantics
+    inner attribution_join cannot give: "which clicks did NOT convert"
+    is the campaign-health question.
+
+    Streaming mechanics worth knowing: the null-extended row for an
+    unmatched click is NOT emitted when the click arrives — Spark must
+    first be SURE no matching purchase can still come, which is only
+    true once the purchase-side watermark passes click_ts + within. So
+    unmatched results trail the data by the watermark delay, and (the
+    subtle part) the state eviction that triggers them runs lazily at
+    the start of a LATER micro-batch — both behaviors pinned in
+    tests/test_streaming.py. State stays bounded exactly as in the
+    inner form (same condition, same eviction clock); batch frames get
+    ordinary left-outer semantics with no delay.
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+        (F.col("purchase_id").isNotNull()).alias("converted"),
     )
 
 

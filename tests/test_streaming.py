@@ -1046,3 +1046,85 @@ class TestPythonStreamSource:
         assert nxt == {"idx": 25}
         replay = list(r.readBetweenOffsets({"idx": 0}, {"idx": 25}))
         assert live == replay
+
+
+class TestOuterAttributionJoin:
+    def test_unmatched_clicks_emit_nulls_after_watermark(
+        self, spark, tmp_path
+    ):
+        """Converted clicks emit as matches arrive; a click with no
+        purchase inside the window emits its null-extended row only
+        after the watermark proves no purchase can still come."""
+        from file_stream_import_spark.streaming.windows import (
+            attribution_join_outer,
+        )
+
+        src = str(tmp_path / "drops")
+        b1 = make_events(
+            spark,
+            [
+                (1, "2024-01-01 00:00:00", 7, "click", 0.0, "{}"),
+                (2, "2024-01-01 00:05:00", 8, "click", 0.0, "{}"),
+                (3, "2024-01-01 00:30:00", 7, "purchase", 9.5, "{}"),
+            ],
+        )
+        # clocks: push the watermark (2h delay) past click@00:05 + 4h
+        # window = 04:05 → user 8's click is provably unconvertible;
+        # extra batches let the lazy eviction run. Clocks must be
+        # click/purchase-typed: Catalyst pushes each side's event-type
+        # filter below the watermark operator, so rows of OTHER types
+        # never reach it and a views-only stream stalls the clock (the
+        # pushdown-stall hazard documented on attribution_join).
+        b2 = make_events(
+            spark, [(4, "2024-01-01 06:30:00", 99, "purchase", 1.0, "{}")]
+        )
+        b3 = make_events(
+            spark, [(5, "2024-01-01 06:31:00", 99, "purchase", 1.0, "{}")]
+        )
+        b4 = make_events(
+            spark, [(6, "2024-01-01 06:32:00", 99, "purchase", 1.0, "{}")]
+        )
+        write_events(b1, src)
+        name = qname()
+        stream = read_events_stream(spark, src)
+        q = (
+            attribution_join_outer(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            matched = spark.sql(f"SELECT * FROM {name}").collect()
+            # inner match can emit in the arrival batch; the unmatched
+            # click must NOT have emitted yet (watermark still at 0)
+            assert all(r.converted for r in matched)
+            for b in (b2, b3, b4):
+                write_events(b, src)
+                q.processAllAvailable()
+            rows = {
+                r.click_id: (r.purchase_id, r.converted, r.purchase_value)
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+            assert rows[1] == (3, True, 9.5)
+            assert rows[2] == (None, False, None)
+            assert len(rows) == 2
+        finally:
+            q.stop()
+
+    def test_batch_twin_is_plain_left_outer(self, spark, sf_dir):
+        from file_stream_import_spark.streaming.windows import (
+            attribution_join,
+            attribution_join_outer,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        outer = attribution_join_outer(ev)
+        inner = attribution_join(ev)
+        n_clicks = ev.filter(F.col("event_type") == "click").count()
+        assert outer.filter(F.col("converted")).count() == inner.count()
+        assert (
+            outer.select("click_id").distinct().count() == n_clicks
+        )
