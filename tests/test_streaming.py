@@ -1128,3 +1128,67 @@ class TestOuterAttributionJoin:
         assert (
             outer.select("click_id").distinct().count() == n_clicks
         )
+
+    def test_state_survives_query_restart(self, spark, tmp_path):
+        """Stop the query mid-session and restart from the same
+        checkpoint: the buffered events recover from the state store, so
+        the session that closes AFTER the restart still carries the
+        pre-restart events — the exactly-once resumption contract."""
+        from file_stream_import_spark.streaming.stateful import (
+            finalized_sessions,
+        )
+
+        src = str(tmp_path / "drops")
+        ckpt = str(tmp_path / "ckpt")
+        write_events(
+            make_events(
+                spark,
+                [
+                    (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+                    (2, "2024-01-01 00:05:00", 7, "click", 2.0, "{}"),
+                ],
+            ),
+            src,
+        )
+
+        out = str(tmp_path / "sessions_out")
+
+        def start():
+            stream = read_events_stream(spark, src).select(
+                "ts", "user_id", "value"
+            )
+            return (
+                finalized_sessions(
+                    stream, gap="30 minutes", watermark="10 minutes"
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q1 = start()
+        q1.processAllAvailable()
+        q1.stop()
+
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+            # one more event in the SAME session, then clocks to close it
+            for rows in (
+                [(3, "2024-01-01 00:10:00", 7, "click", 4.0, "{}")],
+                [(4, "2024-01-01 02:00:00", 99, "click", 0.0, "{}")],
+                [(5, "2024-01-01 02:01:00", 99, "click", 0.0, "{}")],
+            ):
+                write_events(make_events(spark, rows), src)
+                q2.processAllAvailable()
+        finally:
+            q2.stop()
+        got = [
+            (str(r.session_start), r.n_events, r.sum_value)
+            for r in spark.read.parquet(out)
+            .filter(F.col("user_id") == 7)
+            .collect()
+        ]
+        assert got == [("2024-01-01 00:00:00", 3, 7.0)], got
