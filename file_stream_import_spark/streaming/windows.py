@@ -154,12 +154,14 @@ def attribution_join(
     must move both sides' clocks. Verified by the state-metric
     assertions in tests/test_streaming.py::TestStateCleanup.
 
-    Known residual hazard (measured, r5): watermark-before-filter does
-    NOT protect against event types outside {click, purchase} — Catalyst
-    pushes each side's deterministic type filter below the duplicated
-    watermark operator, so e.g. a views-only stretch of traffic advances
-    NEITHER side's clock and eviction stalls until the next click or
-    purchase arrives. If the feed can go click/purchase-silent for long
+    Known residual hazard (measured, r5; pinned in
+    tests/test_streaming.py::TestWatermarkPushdownPin): watermark-
+    before-filter does NOT protect against event types outside
+    {click, purchase} — Catalyst pushes each side's deterministic type
+    predicate all the way into the file SOURCE, so e.g. a views-only
+    stretch of traffic is read as 0 rows, reaches no watermark
+    operator, and eviction stalls until the next click or purchase
+    arrives. If the feed can go click/purchase-silent for long
     periods, pre-split the topic (or ingest a heartbeat of a joined
     type); there is no DataFrame-level optimizer barrier to pin the
     filter above the watermark.

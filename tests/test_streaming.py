@@ -1192,3 +1192,124 @@ class TestOuterAttributionJoin:
             .collect()
         ]
         assert got == [("2024-01-01 00:00:00", 3, 7.0)], got
+
+
+class TestWatermarkPushdownPin:
+    def test_other_event_types_do_not_advance_watermark(
+        self, spark, tmp_path
+    ):
+        """Pins the measured stall hazard documented on
+        attribution_join: the per-side event-type predicates are pushed
+        into the file SOURCE (below the watermark operator), so batches
+        containing only OTHER event types are read as 0 rows and the
+        watermark does not move — while a click/purchase batch advances
+        it. If a Spark upgrade changes this, this test fails — then
+        update the docstring hazard paragraph accordingly."""
+        from file_stream_import_spark.streaming.windows import (
+            attribution_join,
+        )
+
+        src = str(tmp_path / "events")
+        write_events(
+            make_events(
+                spark,
+                [
+                    (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+                    (2, "2024-01-01 11:00:00", 1, "purchase", 5.0, "{}"),
+                ],
+            ),
+            src,
+        )
+        name = qname()
+        q = (
+            attribution_join(read_events_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+
+            def wm():
+                return q.lastProgress["eventTime"].get("watermark")
+
+            write_events(
+                make_events(
+                    spark,
+                    [(3, "2024-01-02 00:00:00", 9, "view", 0.0, "{}")],
+                ),
+                src,
+            )
+            q.processAllAvailable()
+            stalled = wm()
+            # the view file is filtered at the scan: watermark still at
+            # 11:00 - 2h, NOT 2024-01-01T22:00
+            assert stalled == "2024-01-01T09:00:00.000Z", stalled
+            write_events(
+                make_events(
+                    spark,
+                    [(4, "2024-01-02 00:00:00", 9, "purchase", 1.0, "{}")],
+                ),
+                src,
+            )
+            q.processAllAvailable()
+            assert wm() == "2024-01-01T22:00:00.000Z", wm()
+        finally:
+            q.stop()
+
+
+class TestFinalizedSessionsStateBound:
+    def test_state_rows_plateau_as_sessions_close(self, spark, tmp_path):
+        """Stream several times the session horizon for one user: state
+        holds only the OPEN session's buffer, so numRowsTotal plateaus
+        at ~1 user instead of growing with the number of past
+        sessions."""
+        from file_stream_import_spark.streaming.stateful import (
+            finalized_sessions,
+        )
+
+        src = str(tmp_path / "drops")
+        name = qname()
+        # 6 well-separated sessions, one event each, hours apart
+        write_events(
+            make_events(
+                spark, [(0, "2024-01-01 00:00:00", 7, "click", 1.0, "{}")]
+            ),
+            src,
+        )
+        stream = read_events_stream(spark, src).select(
+            "ts", "user_id", "value"
+        )
+        q = (
+            finalized_sessions(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for h in range(1, 7):
+                write_events(
+                    make_events(
+                        spark,
+                        [(h, f"2024-01-01 {h + 2:02d}:00:00", 7, "click", 1.0, "{}")],
+                    ),
+                    src,
+                )
+                q.processAllAvailable()
+            totals = [
+                r["total"]
+                for r in state_metrics(q)
+                if r["op"] and "applyInPandasWithState" in r["op"]
+            ]
+            assert totals, "no state metrics captured"
+            # bounded by open sessions (1 user), never accumulating
+            # one row per CLOSED session
+            assert max(totals[-3:]) <= 2, totals
+            closed = spark.sql(f"SELECT COUNT(*) c FROM {name}").first().c
+            assert closed >= 4  # most sessions emitted exactly once
+        finally:
+            q.stop()
