@@ -1472,3 +1472,387 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "hll_mergeable_union",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(DISTINCT month(o_orderdate)) AS BIGINT) AS n_partials,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_bound
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog rollup: per-month HLL sketches of distinct
+    customers, union-merged into yearly estimates WITHOUT rescanning the
+    raw rows — the incremental-rollup architecture that replaces
+    COUNT(DISTINCT) at 100 TB (store a ~4 KB sketch per partition/day,
+    answer any coarser distinct query by merging sketches).
+
+    Differs from approx_distinct_sketch (one-shot approx_count_distinct):
+    this exercises the MERGE path — hll_sketch_agg produces reusable
+    binary sketches, hll_union_agg combines them across an arbitrary
+    regrouping. At scale the monthly sketch table is the materialization;
+    the yearly merge touches |months| rows, not the fact table.
+
+    Cross-engine parity: sketch estimates differ per engine, so the
+    output carries the EXACT yearly distinct (affordable at test SF)
+    plus a Spark-side bound check — default lgConfigK=12 gives rsd
+    ~1.6%, so |est-exact|/exact <= 6% is a ~3.7 sigma contract; the
+    oracle hash-checks exact values and an all-TRUE bound column.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    )
+    monthly = o.groupBy("yr", "mo").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = monthly.groupBy("yr").agg(
+        F.count("*").alias("n_partials"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = o.groupBy("yr").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return (
+        merged.join(exact, "yr")
+        .select(
+            F.col("yr").cast("bigint").alias("yr"),
+            F.col("n_partials").cast("bigint").alias("n_partials"),
+            "exact_customers",
+            (
+                F.abs(F.col("_est") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= F.lit(0.06)
+            ).alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT isodow(o_orderdate) AS isodow,
+             COUNT(*) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT CAST(isodow AS BIGINT) AS isodow,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(rev AS BIGINT) AS rev_cents,
+           CAST((rev * 1000000) // SUM(rev) OVER () AS BIGINT) AS share_ppm,
+           CAST((rev * 7000000) // SUM(rev) OVER () AS BIGINT)
+             AS seasonal_index_ppm
+    FROM d
+    """,
+)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of order revenue — the first probe a
+    forecaster runs before fitting anything: share of weekly revenue per
+    ISO weekday and the seasonal index (share x 7; 1,000,000 ppm = flat).
+
+    Scale: one map-side-combinable aggregate to a 7-row table; the
+    window runs over those 7 rows only. Parity: revenue is exact integer
+    cents; shares are integer floor-division on a DECIMAL(38,0)/HUGEINT
+    grid (bigint cents * 1e6 would overflow at ~sf1, so both engines
+    widen before multiplying). Spark weekday() is Mon=0, DuckDB
+    isodow is Mon=1 — the +1 aligns them.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            (F.weekday("o_orderdate") + 1).alias("isodow"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_c"),
+        )
+        .groupBy("isodow")
+        .agg(F.count("*").alias("n_orders"), F.sum("_c").alias("rev"))
+        .withColumn(
+            "_tot",
+            F.sum(F.col("rev").cast("decimal(38,0)")).over(W.partitionBy()),
+        )
+    )
+    return d.select(
+        F.col("isodow").cast("bigint").alias("isodow"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("rev").alias("rev_cents"),
+        F.expr(
+            "CAST((CAST(rev AS DECIMAL(38,0)) * 1000000) DIV _tot AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            "CAST((CAST(rev AS DECIMAL(38,0)) * 7000000) DIV _tot AS BIGINT)"
+        ).alias("seasonal_index_ppm"),
+    )
+
+
+@register(
+    "cusum_daily_orders",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT day, n,
+             SUM(n) OVER (ORDER BY day) AS cum,
+             COUNT(*) OVER () AS nd,
+             SUM(n) OVER () AS tot,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM d
+    )
+    SELECT day,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(cum * nd - rn * tot AS BIGINT) AS cusum_scaled,
+           CAST(ABS(cum * nd - rn * tot)
+                = MAX(ABS(cum * nd - rn * tot)) OVER () AS BOOLEAN) AS is_peak
+    FROM c
+    """,
+)
+def cusum_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily order-count series: the
+    cumulative deviation from the series mean, scaled to stay in exact
+    integers — cusum_t = sum_{i<=t}(c_i - T/D) is rescaled by D to
+    cusum_t * D = cum_t*D - t*T (cum = running count, T total, D #days).
+    The day where |CUSUM| peaks is the maximum-likelihood single
+    changepoint of a mean-shift model — the first drift probe an
+    ingest-monitoring pipeline runs on arrival volumes.
+
+    Scale: the fact scan collapses to one map-side-combinable aggregate
+    with |days| rows; every window (ordered cumulative, global count,
+    global max) runs over that ~2.4k-row rollup, never the fact table —
+    the orders_backlog_daily precedent. All arithmetic is BIGINT
+    products of exact counts, so the hash cannot float-flip.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    c = d.select(
+        "day",
+        "n",
+        F.sum("n").over(wcum).alias("cum"),
+        F.count("*").over(wall).alias("nd"),
+        F.sum("n").over(wall).alias("tot"),
+        F.row_number().over(W.orderBy("day")).alias("rn"),
+    )
+    cusum = F.col("cum") * F.col("nd") - F.col("rn") * F.col("tot")
+    return c.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_orders"),
+        cusum.cast("bigint").alias("cusum_scaled"),
+        (F.abs(cusum) == F.max(F.abs(cusum)).over(wall)).alias("is_peak"),
+    )
+
+
+@register(
+    "asof_tolerance_lookup",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey, o_orderdate, o_orderstatus FROM (
+        SELECT o_custkey, o_orderdate, o_orderstatus,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    ), ev AS (
+      SELECT event_id, user_id, ts FROM events WHERE user_id % 50 = 1
+    ), j AS (
+      SELECT e.event_id, e.user_id, e.ts, ch.o_orderstatus, ch.o_orderdate
+      FROM ev e ASOF LEFT JOIN ch
+        ON e.user_id = ch.o_custkey AND ch.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id,
+      STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      CASE WHEN o_orderdate IS NOT NULL
+             AND date_diff('day', o_orderdate, ts) <= 90
+           THEN o_orderstatus END AS status_fresh,
+      CASE WHEN o_orderdate IS NOT NULL
+             AND date_diff('day', o_orderdate, ts) <= 90
+           THEN CAST(date_diff('day', o_orderdate, ts) AS BIGINT)
+           END AS staleness_days
+    FROM j
+    """,
+)
+def asof_tolerance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup with a max-staleness tolerance — the feature-store
+    contract ('use the latest feature value, but only if computed within
+    the last 90 days; otherwise treat as missing'). A plain as-of join
+    silently serves arbitrarily stale features; the tolerance bound is
+    what online/offline feature parity audits actually enforce.
+
+    Same single-shuffle union+window as-of core as pit_status_lookup
+    (operators/asof.py — no range join, per-key state only); the
+    tolerance is a pure post-projection, so the 100 TB plan is
+    unchanged. Staleness is whole calendar days (the right side is
+    midnight-dated), identical in both engines since day-boundary
+    counting equals date subtraction for midnight anchors.
+    """
+    from ..operators.asof import asof_join
+
+    o = load_table(spark, sf_dir, "orders")
+    wch = W.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    ch = (
+        o.withColumn("rn", F.row_number().over(wch))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderstatus"),
+            F.col("o_orderdate").alias("o_date"),
+        )
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 1)
+        .select("event_id", "user_id", "ts")
+    )
+    j = asof_join(ev, ch, on="ts", by="user_id",
+                  right_cols=["o_orderstatus", "o_date"])
+    stale = F.datediff(F.to_date("ts"), F.to_date("o_date_right"))
+    fresh = F.col("o_date_right").isNotNull() & (stale <= 90)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.when(fresh, F.col("o_orderstatus_right")).alias("status_fresh"),
+        F.when(fresh, stale.cast("bigint")).alias("staleness_days"),
+    )
+
+
+# Poisson(1) CDF thresholds: weight k iff u falls in [P(<k), P(<=k)).
+# Written as exact double literals so both engines compare the SAME
+# doubles against the SAME md5-derived uniform — weights match exactly.
+_POIS_CDF = (
+    0.36787944117144233,  # P(X<=0)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,  # P(X<=6); tail mass 8.3e-5 -> weight 7 cap
+)
+
+
+@register(
+    "bootstrap_ci_revenue",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), reps AS (SELECT unnest(generate_series(0, 31)) AS k),
+    u AS (
+      SELECT r.k, o.cents,
+        CAST(('0x' || substr(md5('boot:' || CAST(r.k AS VARCHAR) || ':'
+              || CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 AS u
+      FROM o, reps r
+    ), w AS (
+      SELECT k, cents,
+        CASE
+          WHEN u < {_POIS_CDF[0]} THEN 0
+          WHEN u < {_POIS_CDF[1]} THEN 1
+          WHEN u < {_POIS_CDF[2]} THEN 2
+          WHEN u < {_POIS_CDF[3]} THEN 3
+          WHEN u < {_POIS_CDF[4]} THEN 4
+          WHEN u < {_POIS_CDF[5]} THEN 5
+          WHEN u < {_POIS_CDF[6]} THEN 6
+          ELSE 7 END AS w
+      FROM u
+    ), t AS (SELECT k, SUM(w * cents) AS bt FROM w GROUP BY k),
+    s AS (
+      SELECT COUNT(*) AS b,
+             SUM(CAST(bt AS HUGEINT)) AS sx,
+             SUM(CAST(bt AS HUGEINT) * CAST(bt AS HUGEINT)) AS sxx
+      FROM t
+    ), obs AS (SELECT SUM(cents) AS oc FROM o)
+    SELECT CAST(t.k AS BIGINT) AS replicate,
+           CAST(t.bt AS BIGINT) AS boot_total_cents,
+           CAST(obs.oc AS BIGINT) AS obs_total_cents,
+           CAST(FLOOR(sqrt(CAST(b * sxx - sx * sx AS DOUBLE)
+                           / (b * (b - 1.0))) + 0.5) AS BIGINT)
+             AS boot_se_cents
+    FROM t, s, obs
+    """,
+)
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of total revenue: 32 resampled replicate totals
+    plus the bootstrap standard error — the distributed-bootstrap
+    technique for putting a confidence interval on any corpus-level
+    metric WITHOUT sampling with replacement (impossible to coordinate
+    across executors). Each row independently draws a Poisson(1) weight
+    per replicate from a seeded md5 uniform, so replicate b's total is
+    sum(w_bi * x_i): ONE scan computes all 32 replicates as 32
+    map-side-combinable aggregate columns — no row duplication, no
+    shuffle of the fact table, the exact shape this runs at 100 TB.
+
+    Parity: weights come from CASE over identical double literals
+    against an identical md5-derived u (exact in both engines);
+    replicate totals are BIGINT cents; the SE's moment sums are
+    HUGEINT/DECIMAL(38,0) exact, divided once into a double whose
+    IEEE sqrt is correctly rounded identically, then snapped to whole
+    cents.
+    """
+    B = 32
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def weight(k: int):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"boot:{k}:"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        )
+        w = F.lit(7)
+        for wk in range(6, -1, -1):
+            w = F.when(u < F.lit(_POIS_CDF[wk]), F.lit(wk)).otherwise(w)
+        return w
+
+    aggs = [
+        F.sum(weight(k) * F.col("cents")).alias(f"bt_{k}") for k in range(B)
+    ]
+    row = o.agg(*aggs, F.sum("cents").alias("oc"))
+    stack_args = ", ".join(f"{k}, bt_{k}" for k in range(B))
+    t = row.select(
+        F.expr(f"stack({B}, {stack_args}) AS (replicate, bt)"),
+        F.col("oc"),
+    )
+    wall = W.partitionBy()
+    btd = F.col("bt").cast("decimal(19,0)")
+    sx = F.sum(btd).over(wall)
+    sxx = F.sum(btd * btd).over(wall)
+    var = (
+        (F.lit(B) * sxx - sx * sx).cast("double")
+        / F.lit(float(B * (B - 1)))
+    )
+    return t.select(
+        F.col("replicate").cast("bigint").alias("replicate"),
+        F.col("bt").cast("bigint").alias("boot_total_cents"),
+        F.col("oc").cast("bigint").alias("obs_total_cents"),
+        F.floor(F.sqrt(var) + F.lit(0.5)).cast("bigint").alias(
+            "boot_se_cents"
+        ),
+    )

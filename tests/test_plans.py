@@ -637,3 +637,54 @@ class TestRound5bPlans:
         assert "MapInPandas" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound5cPlans:
+    def test_bootstrap_single_scan_all_replicates(self, spark, sf_dir):
+        """All 32 Poisson replicates are columns of ONE map-side
+        aggregate over ONE pruned scan — no row duplication, no joins;
+        the SE windows run over the 32-row stack."""
+        import re
+
+        plan = physical_plan(spark, sf_dir, "bootstrap_ci_revenue")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Join" not in plan
+        (cols,) = read_schema_cols(plan)
+        assert set(cols) == {"o_orderkey", "o_totalprice"}
+
+    def test_cusum_windows_over_daily_rollup(self, spark, sf_dir):
+        """The fact scan reduces to the ~2.4k-row daily rollup before
+        any ordered window touches it; one pruned column, no joins."""
+        import re
+
+        plan = physical_plan(spark, sf_dir, "cusum_daily_orders")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Join" not in plan
+        (cols,) = read_schema_cols(plan)
+        assert cols == ["o_orderdate"]
+
+    def test_dow_seasonality_single_scan_seven_row_window(
+        self, spark, sf_dir
+    ):
+        plan = physical_plan(spark, sf_dir, "dow_seasonality")
+        assert "Join" not in plan
+        (cols,) = read_schema_cols(plan)
+        assert set(cols) == {"o_orderdate", "o_totalprice"}
+
+    def test_hll_union_no_cartesian_and_pruned(self, spark, sf_dir):
+        """Sketch build + exact check are two pruned scans of the same
+        two columns; the yearly merge joins 7-row sides — never a
+        cartesian."""
+        plan = physical_plan(spark, sf_dir, "hll_mergeable_union")
+        assert "CartesianProduct" not in plan
+        for cols in read_schema_cols(plan):
+            assert set(cols) <= {"o_custkey", "o_orderdate"}
+
+    def test_asof_tolerance_same_core_as_pit(self, spark, sf_dir):
+        """Tolerance is a post-projection: the plan must stay the
+        union+window as-of shape — one shuffle on the key, no range or
+        cartesian join."""
+        plan = physical_plan(spark, sf_dir, "asof_tolerance_lookup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Union" in plan
