@@ -1313,3 +1313,90 @@ class TestFinalizedSessionsStateBound:
             assert closed >= 4  # most sessions emitted exactly once
         finally:
             q.stop()
+
+
+class TestThresholdAlerts:
+    def test_emit_once_across_batches_and_batch_twin_parity(
+        self, spark, tmp_path
+    ):
+        """Crossings emit exactly once even when the running total grows
+        over several micro-batches; the union of emissions equals the
+        batch twin's (user, level) set, and a level never re-emits."""
+        from file_stream_import_spark.streaming.tws import (
+            threshold_alerts,
+            threshold_alerts_batch,
+        )
+
+        src = str(tmp_path / "drops")
+        batches = [
+            [(7, 300.0), (7, 150.0), (8, 499.0)],  # nobody crosses 500
+            [(7, 60.0), (8, 2.0), (9, 1700.0)],  # 7->1, 8->1, 9->1..3
+            [(8, 0.5), (9, 1.0)],  # no new level for anyone
+            [(7, 990.0)],  # 7 jumps levels 2..3 in one batch
+        ]
+
+        def mk(rows):
+            return spark.createDataFrame(rows, "user_id long, value double")
+
+        mk(batches[0]).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = qname()
+        q = (
+            threshold_alerts(stream, threshold_cents=50_000)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.sql(f"SELECT * FROM {name}").count() == 0
+            for b in batches[1:]:
+                mk(b).coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+            emitted = [
+                (r.user_id, r.level, r.total_cents)
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            ]
+        finally:
+            q.stop()
+
+        # each (user, level) exactly once
+        keys = [(u, lv) for u, lv, _ in emitted]
+        assert len(keys) == len(set(keys)), emitted
+        twin = threshold_alerts_batch(
+            mk([r for b in batches for r in b]), 50_000
+        )
+        twin_keys = {(r.user_id, r.level) for r in twin.collect()}
+        assert set(keys) == twin_keys, (sorted(keys), sorted(twin_keys))
+        # totals-at-crossing are the running total of the emitting batch:
+        # user 7 crossed level 1 at 51000 cents, levels 2-3 at 150000
+        by7 = {lv: t for u, lv, t in emitted if u == 7}
+        assert by7 == {1: 51000, 2: 150000, 3: 150000}
+
+    def test_tws_form_fail_fasts_without_protobuf(self, spark):
+        """The transformWithStateInPandas twin is environment-gated: on
+        a container without google.protobuf it must raise the remedy
+        message at call time, not crash the stream at runtime."""
+        import importlib.util
+
+        from file_stream_import_spark.streaming.tws import (
+            threshold_alerts_tws,
+        )
+
+        try:
+            # find_spec imports the parent package, so a missing
+            # 'google' namespace raises instead of returning None
+            have_pb = importlib.util.find_spec("google.protobuf") is not None
+        except ModuleNotFoundError:
+            have_pb = False
+        if have_pb:
+            pytest.skip("protobuf present — gate inactive here")
+        df = spark.createDataFrame([], "user_id long, value double")
+        with pytest.raises(ImportError, match="protobuf"):
+            threshold_alerts_tws(df)
