@@ -2,11 +2,13 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side architecture is real and tested — schemas, batch
-iteration, partition sizing; the actual media decode is STUBBED (the
-image/audio libraries are not in this container): ``decode_fn=None``
-uses a deterministic fake decoder, and passing ``strict=True`` raises
-NotImplementedError exactly where a real decoder (PIL/ffmpeg) would
-plug in.
+iteration, partition sizing. Codec status: WAV (RIFF) and PNG (zlib
+IDAT + CRC chunks) are REAL, implemented on the stdlib and round-trip
+verified (see the real-container section at the bottom); JPEG/video
+decode is STUBBED (PIL/ffmpeg are not in this container):
+``decode_fn=None`` uses a deterministic fake decoder, and passing
+``strict=True`` raises NotImplementedError exactly where a real decoder
+would plug in.
 
 Scale notes: media payloads dominate row size, so
   * metadata extraction projects ONLY the binary column (column pruning
@@ -302,4 +304,212 @@ def image_ahash(
 
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=AHASH_SCHEMA
+    )
+
+
+# --- Real-container codecs (stdlib) -----------------------------------
+#
+# The PIL/ffmpeg decode paths stay environment-gated (strict=True above),
+# but two REAL media containers are fully implementable with the
+# standard library, so those paths run genuine encode→decode round
+# trips rather than stand-ins:
+#   * WAV  — RIFF/WAVE via the `wave` module (real container parser);
+#   * PNG  — 8-bit grayscale, zlib-compressed IDAT with CRC-verified
+#            chunks (real compression, real chunk grammar).
+# Payloads are the deterministic fixture bytes, so after decode the PCM
+# frames / pixel bytes EQUAL the payload (plus known padding) — which is
+# exactly what makes every decoded feature oracle-checkable from
+# hex(payload) in SQL while the codec itself genuinely runs.
+
+WAV_META_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_frames bigint, "
+    "container_bytes bigint, energy bigint, peak int"
+)
+
+
+def wav_encode(payload: bytes, sample_rate: int = 8000) -> bytes:
+    """Wrap raw bytes as genuine 8-bit mono PCM WAV (RIFF container)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(payload)
+    return buf.getvalue()
+
+
+def wav_decode(container: bytes) -> tuple[int, int, bytes]:
+    """Parse a WAV container; returns (sample_rate, n_frames, pcm)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(container), "rb") as r:
+        if r.getnchannels() != 1 or r.getsampwidth() != 1:
+            raise ValueError("expected 8-bit mono PCM")
+        return r.getframerate(), r.getnframes(), r.readframes(r.getnframes())
+
+
+def extract_wav_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Whole-clip audio features through a REAL WAV round trip: each
+    payload is encoded into a RIFF/WAVE container and decoded back with
+    the stdlib `wave` parser inside the Arrow batch kernel; features
+    (integer energy/peak over centered samples) are computed from the
+    DECODED frames. Complements extract_audio_features (windowed
+    fan-out over raw bytes) by exercising the container layer."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                container = wav_encode(bytes(p), sample_rate)
+                rate, n, pcm = wav_decode(container)
+                s = [b - 128 for b in pcm]
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        n,
+                        len(container),
+                        sum(v * v for v in s),
+                        max((abs(v) for v in s), default=0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_frames",
+                    "container_bytes",
+                    "energy",
+                    "peak",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, schema=WAV_META_SCHEMA
+    )
+
+
+PNG_META_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pad int, "
+    "mean_pixel_ppm bigint, px_checksum bigint"
+)
+
+
+def png_encode(payload: bytes, width: int = 32) -> bytes:
+    """Encode raw bytes as a genuine 8-bit grayscale PNG: row-major
+    pixels padded with zeros to the last scanline, filter type 0 per
+    scanline, one zlib-compressed IDAT, CRC32 on every chunk."""
+    import struct
+
+    h = max(1, (len(payload) + width - 1) // width)
+    padded = payload.ljust(width * h, b"\x00")
+    raw = b"".join(
+        b"\x00" + padded[r * width : (r + 1) * width] for r in range(h)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(container: bytes) -> tuple[int, int, bytes]:
+    """Parse a PNG (signature, chunk grammar, CRC verification), inflate
+    IDAT, strip per-scanline filter bytes (type 0 only). Returns
+    (width, height, pixel_bytes)."""
+    import struct
+
+    if container[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, w, h = 8, b"", None, None
+    while pos < len(container):
+        (ln,) = struct.unpack(">I", container[pos : pos + 4])
+        tag = container[pos + 4 : pos + 8]
+        data = container[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", container[pos + 8 + ln : pos + 12 + ln]
+        )
+        if crc != zlib.crc32(tag + data):
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+            if depth != 8 or ctype != 0:
+                raise ValueError("expected 8-bit grayscale")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (w + 1):
+        raise ValueError("scanline size mismatch")
+    px = b"".join(raw[r * (w + 1) + 1 : (r + 1) * (w + 1)] for r in range(h))
+    for r in range(h):
+        if raw[r * (w + 1)] != 0:
+            raise ValueError("unsupported filter type")
+    return w, h, px
+
+
+def png_roundtrip_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    width: int = 32,
+) -> DataFrame:
+    """Image features through a REAL PNG round trip: encode each payload
+    as a genuine zlib-compressed grayscale PNG, decode it back (CRC and
+    grammar verified), then compute features from the DECODED pixels —
+    dimensions, zero-padding count, integer mean-pixel ppm, and the
+    portable hex-md5 checksum of the pixel bytes."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = png_decode(png_encode(bytes(p), width))
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        w * h - len(bytes(p)),
+                        sum(px) * 1_000_000 // (w * h),
+                        _frame_checksum(px),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_pad",
+                    "mean_pixel_ppm",
+                    "px_checksum",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, schema=PNG_META_SCHEMA
     )

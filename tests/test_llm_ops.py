@@ -4,6 +4,8 @@ inputs with known answers (complementing the fixture-scale oracle tests)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from file_stream_import_spark.operators import dedup, similarity, text
@@ -703,3 +705,68 @@ def test_image_ahash_strict_marks_codec_plug_point(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|aHash"):
         image_ahash(df, strict=True).collect()
+
+
+class TestRealContainerCodecs:
+    """WAV (RIFF via stdlib wave) and PNG (zlib IDAT + CRC chunks) are
+    REAL codecs — these pin the round-trip contract the oracle queries
+    rely on: decode(encode(x)) == x for arbitrary bytes, and corrupted
+    containers are rejected, not silently mis-decoded."""
+
+    def test_wav_roundtrip_arbitrary_bytes(self):
+        from file_stream_import_spark.operators.multimodal import (
+            wav_decode,
+            wav_encode,
+        )
+
+        for payload in [b"", b"\x00", bytes(range(256)), b"x" * 12345]:
+            rate, n, pcm = wav_decode(wav_encode(payload, 16000))
+            assert (rate, n, pcm) == (16000, len(payload), payload)
+            assert len(wav_encode(payload, 16000)) == len(payload) + 44
+
+    def test_png_roundtrip_and_padding(self):
+        from file_stream_import_spark.operators.multimodal import (
+            png_decode,
+            png_encode,
+        )
+
+        for payload in [b"\x07", bytes(range(256)), b"z" * 31, b"q" * 32]:
+            w, h, px = png_decode(png_encode(payload, width=32))
+            assert w == 32 and h == max(1, -(-len(payload) // 32))
+            assert px[: len(payload)] == payload
+            assert set(px[len(payload):]) <= {0}
+
+    def test_png_crc_tamper_detected(self):
+        from file_stream_import_spark.operators.multimodal import (
+            png_decode,
+            png_encode,
+        )
+
+        c = bytearray(png_encode(b"hello png", width=32))
+        # flip one byte inside the IDAT payload (after sig+IHDR chunk)
+        idat_at = bytes(c).index(b"IDAT") + 4
+        c[idat_at] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            png_decode(bytes(c))
+
+    def test_png_rejects_non_png(self):
+        from file_stream_import_spark.operators.multimodal import png_decode
+
+        with pytest.raises(ValueError, match="not a PNG"):
+            png_decode(b"GIF89a....")
+
+    @given(payload=st.binary(min_size=0, max_size=500))
+    @settings(max_examples=60, deadline=None)
+    def test_codec_roundtrip_property(self, payload):
+        from file_stream_import_spark.operators.multimodal import (
+            png_decode,
+            png_encode,
+            wav_decode,
+            wav_encode,
+        )
+
+        _, n, pcm = wav_decode(wav_encode(payload))
+        assert pcm == payload and n == len(payload)
+        w, h, px = png_decode(png_encode(payload))
+        assert px[: len(payload)] == payload
+        assert w * h == len(px) and len(px) >= max(1, len(payload))
