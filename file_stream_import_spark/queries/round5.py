@@ -1749,24 +1749,25 @@ _POIS_CDF = (
       SELECT o_orderkey,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
-    ), reps AS (SELECT unnest(generate_series(0, 31)) AS k),
+    ), reps AS (
+      SELECT k, k // 4 AS g, k % 4 AS slot
+      FROM (SELECT unnest(generate_series(0, 31)) AS k)
+    ),
     u AS (
       SELECT r.k, o.cents,
-        CAST(('0x' || substr(md5('boot:' || CAST(r.k AS VARCHAR) || ':'
-              || CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
-          / 4294967296.0 AS u
+        CAST(('0x' || substr(md5('boot:' || CAST(r.g AS VARCHAR) || ':'
+              || CAST(o.o_orderkey AS VARCHAR)), 1 + 8 * r.slot, 8))
+             AS BIGINT) / 4294967296.0 AS u
       FROM o, reps r
     ), w AS (
       SELECT k, cents,
-        CASE
-          WHEN u < {_POIS_CDF[0]} THEN 0
-          WHEN u < {_POIS_CDF[1]} THEN 1
-          WHEN u < {_POIS_CDF[2]} THEN 2
-          WHEN u < {_POIS_CDF[3]} THEN 3
-          WHEN u < {_POIS_CDF[4]} THEN 4
-          WHEN u < {_POIS_CDF[5]} THEN 5
-          WHEN u < {_POIS_CDF[6]} THEN 6
-          ELSE 7 END AS w
+          CAST(u >= {_POIS_CDF[0]} AS INT)
+        + CAST(u >= {_POIS_CDF[1]} AS INT)
+        + CAST(u >= {_POIS_CDF[2]} AS INT)
+        + CAST(u >= {_POIS_CDF[3]} AS INT)
+        + CAST(u >= {_POIS_CDF[4]} AS INT)
+        + CAST(u >= {_POIS_CDF[5]} AS INT)
+        + CAST(u >= {_POIS_CDF[6]} AS INT) AS w
       FROM u
     ), t AS (SELECT k, SUM(w * cents) AS bt FROM w GROUP BY k),
     s AS (
@@ -1795,50 +1796,26 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregate columns — no row duplication, no
     shuffle of the fact table, the exact shape this runs at 100 TB.
 
-    Parity: weights come from CASE over identical double literals
-    against an identical md5-derived u (exact in both engines);
-    replicate totals are BIGINT cents; the SE's moment sums are
-    HUGEINT/DECIMAL(38,0) exact, divided once into a double whose
+    Parity: weights come from summed threshold comparisons of identical
+    double literals against an identical md5-sliced u (exact in both
+    engines — one md5 feeds four replicates, the hash floor for 128-bit
+    digests); replicate totals are BIGINT cents; the SE's moment sums
+    are HUGEINT/DECIMAL(38,0) exact, divided once into a double whose
     IEEE sqrt is correctly rounded identically, then snapped to whole
-    cents.
+    cents. The comparison-sum weight form and sliced hashing are
+    measured choices — see operators/bootstrap.py for the A/B numbers
+    (CASE-chain 9.1s / per-replicate md5 5.3s / this form 4.0s /
+    xxhash64 production mode 2.0s at sf0.1).
     """
+    from ..operators.bootstrap import poisson_bootstrap_totals
+
     B = 32
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-
-    def weight(k: int):
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"boot:{k}:"),
-                            F.col("o_orderkey").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            / F.lit(4294967296.0)
-        )
-        w = F.lit(7)
-        for wk in range(6, -1, -1):
-            w = F.when(u < F.lit(_POIS_CDF[wk]), F.lit(wk)).otherwise(w)
-        return w
-
-    aggs = [
-        F.sum(weight(k) * F.col("cents")).alias(f"bt_{k}") for k in range(B)
-    ]
-    row = o.agg(*aggs, F.sum("cents").alias("oc"))
-    stack_args = ", ".join(f"{k}, bt_{k}" for k in range(B))
-    t = row.select(
-        F.expr(f"stack({B}, {stack_args}) AS (replicate, bt)"),
-        F.col("oc"),
+    t = poisson_bootstrap_totals(
+        o, key_col="o_orderkey", value_col="cents", n_replicates=B, rng="md5"
     )
     wall = W.partitionBy()
     btd = F.col("bt").cast("decimal(19,0)")

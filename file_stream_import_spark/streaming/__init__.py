@@ -1,5 +1,6 @@
 from .ingest import latest_state, stream_csv_upsert
-from .stateful import user_running_totals
+from .stateful import finalized_sessions, user_running_totals
+from .tws import threshold_alerts, threshold_alerts_batch, threshold_alerts_tws
 from .windows import (
     attribution_join,
     read_events_stream,
@@ -18,6 +19,10 @@ __all__ = [
     "sliding_counts",
     "stream_dedup",
     "user_running_totals",
+    "finalized_sessions",
+    "threshold_alerts",
+    "threshold_alerts_batch",
+    "threshold_alerts_tws",
     "latest_state",
     "stream_csv_upsert",
     "tumbling_counts",

@@ -9,6 +9,7 @@ because JVM warmup makes the first example slow.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -576,3 +577,40 @@ class TestHammingBandingProperties:
                 if d <= 3:
                     expect.append((i, j, d))
         assert got == sorted(expect)
+
+
+class TestPoissonBootstrap:
+    def test_replicate_totals_center_on_observed(self, spark):
+        """Poisson(1) weights have mean 1, so replicate totals must
+        center on the observed total (loose 10% band at n=2000) in BOTH
+        rng modes, and the portable md5 mode must be deterministic."""
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.operators.bootstrap import (
+            poisson_bootstrap_totals,
+        )
+
+        df = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("cents")
+        )
+        obs = df.agg(F.sum("cents")).first()[0]
+        for rng in ("md5", "xxhash64"):
+            out = poisson_bootstrap_totals(
+                df, "k", "cents", n_replicates=16, rng=rng
+            ).collect()
+            assert len(out) == 16
+            assert all(r["oc"] == obs for r in out)
+            mean_bt = sum(r["bt"] for r in out) / 16
+            assert abs(mean_bt - obs) / obs < 0.10, (rng, mean_bt, obs)
+        a = poisson_bootstrap_totals(df, "k", "cents", 8, "md5").collect()
+        b = poisson_bootstrap_totals(df, "k", "cents", 8, "md5").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_unknown_rng_rejected(self, spark):
+        from file_stream_import_spark.operators.bootstrap import (
+            poisson_bootstrap_totals,
+        )
+
+        df = spark.range(1).selectExpr("id AS k", "id AS cents")
+        with pytest.raises(KeyError):
+            poisson_bootstrap_totals(df, "k", "cents", 4, rng="lcg")

@@ -118,7 +118,19 @@ def main() -> None:
         "heavy_hitters_users",
         "bloom_semi_filter",
         "variant_props_stats",
+        # round-5c additions
+        "hll_mergeable_union",
+        "dow_seasonality",
+        "cusum_daily_orders",
+        "asof_tolerance_lookup",
+        "bootstrap_ci_revenue",
+        "multimodal_wav_decode",
+        "multimodal_png_roundtrip",
     ]
+    # optional: restrict to names passed on the command line (re-running
+    # the full list re-measures queries whose curve is already recorded)
+    if len(sys.argv) > 1:
+        names = [n for n in names if n in sys.argv[1:]]
     results = {}
     for name in names:
         fn = qs[name]
