@@ -1915,3 +1915,64 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return png_roundtrip_features(attach_fake_payload(d))
+
+
+def _pca_oracle() -> str:
+    """Unrolled 3-iteration power-iteration oracle (same grid/centering
+    as operators/pca.py — see its docstring for the exactness rules)."""
+    iters = ""
+    prev = "v0"
+    for i in (1, 2, 3):
+        iters += f"""
+    s{i} AS (
+      SELECT vec_id, SUM(xc * v) AS s
+      FROM xc JOIN {prev} USING (dim) GROUP BY vec_id
+    ),
+    w{i} AS (
+      SELECT dim, SUM(CAST(xc AS HUGEINT) * s) AS w
+      FROM xc JOIN s{i} USING (vec_id) GROUP BY dim
+    ),
+    v{i} AS (
+      SELECT dim,
+        CAST(FLOOR(CAST(w AS DOUBLE)
+             / CAST((SELECT MAX(ABS(w)) FROM w{i}) AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS v
+      FROM w{i}
+    ),"""
+        prev = f"v{i}"
+    return f"""
+    WITH x AS (
+      SELECT vec_id, i AS dim,
+        CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+             AS BIGINT) AS xq
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM x),
+    s0 AS (SELECT dim, SUM(xq) AS sd FROM x GROUP BY dim),
+    xc AS (
+      SELECT vec_id, x.dim, (SELECT n FROM n) * xq - sd AS xc
+      FROM x JOIN s0 ON x.dim = s0.dim
+    ),
+    v0 AS (SELECT dim, CAST(1000000 AS BIGINT) AS v FROM s0),{iters}
+    fin AS (SELECT * FROM v3)
+    SELECT CAST(dim AS INT) AS dim, v AS pc1_ppm FROM fin
+    """
+
+
+@register("embedding_top_pc", oracle=_pca_oracle())
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the centered embedding corpus by
+    3-iteration distributed power iteration
+    (operators/pca.py::top_pc_power_iteration) — the PCA primitive
+    behind whitening, drift directions, and projection-axis selection
+    for ANN partitioning. Matrix-free: two join+aggregate matvec rounds
+    per iteration, never a dim x dim Gram materialization; all
+    arithmetic on exact integer grids (see the operator docstring), so
+    the DuckDB oracle unrolls the identical 3 iterations and the final
+    64 coordinates hash-match bit-for-bit.
+    """
+    from ..operators.pca import top_pc_power_iteration
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return top_pc_power_iteration(e)

@@ -770,3 +770,52 @@ class TestRealContainerCodecs:
         w, h, px = png_decode(png_encode(payload))
         assert px[: len(payload)] == payload
         assert w * h == len(px) and len(px) >= max(1, len(payload))
+
+
+class TestTopPcPowerIteration:
+    def test_recovers_planted_direction(self, spark):
+        """Vectors drawn along a planted axis u plus small noise: three
+        power iterations must align with u (|cos| > 0.95) — the
+        eigenvector claim, not just determinism."""
+        import math
+        import random
+
+        from file_stream_import_spark.operators.pca import (
+            top_pc_power_iteration,
+        )
+
+        rnd = random.Random(7)
+        dim = 16
+        u = [rnd.gauss(0, 1) for _ in range(dim)]
+        nu = math.sqrt(sum(c * c for c in u))
+        u = [c / nu for c in u]
+        rows = []
+        for i in range(300):
+            a = rnd.gauss(0, 3.0)  # strong signal along u
+            vec = [
+                a * u[d] + rnd.gauss(0, 0.3) for d in range(dim)
+            ]
+            rows.append((i, [float(c) for c in vec]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = top_pc_power_iteration(df).collect()
+        v = {r["dim"]: r["pc1_ppm"] for r in out}
+        vv = [v[d + 1] for d in range(dim)]
+        dot = sum(a * b for a, b in zip(vv, u))
+        cos = dot / math.sqrt(sum(c * c for c in vv))
+        assert abs(cos) > 0.95, cos
+
+    def test_deterministic_across_partitionings(self, spark):
+        from file_stream_import_spark.operators.pca import (
+            top_pc_power_iteration,
+        )
+
+        rows = [
+            (i, [float((i * 31 + d * 7) % 13 - 6) for d in range(8)])
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = sorted(map(tuple, top_pc_power_iteration(df.repartition(1)).collect()))
+        b = sorted(map(tuple, top_pc_power_iteration(df.repartition(7)).collect()))
+        assert a == b
