@@ -444,7 +444,11 @@ def png_decode(container: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a PNG")
     pos, idat, w, h = 8, b"", None, None
     while pos < len(container):
+        if pos + 12 > len(container):
+            raise ValueError("truncated chunk header")
         (ln,) = struct.unpack(">I", container[pos : pos + 4])
+        if pos + 12 + ln > len(container):
+            raise ValueError("truncated chunk payload")
         tag = container[pos + 4 : pos + 8]
         data = container[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(
@@ -461,6 +465,8 @@ def png_decode(container: bytes) -> tuple[int, int, bytes]:
         elif tag == b"IEND":
             break
         pos += 12 + ln
+    if w is None or h is None:
+        raise ValueError("missing IHDR chunk")
     raw = zlib.decompress(idat)
     if len(raw) != h * (w + 1):
         raise ValueError("scanline size mismatch")

@@ -70,7 +70,16 @@ def top_pc_power_iteration(
         s = (
             xc.join(F.broadcast(v), "dim")
             .groupBy("vec_id")
-            .agg(F.sum(F.col("xc") * F.col("v")).alias("s"))
+            # widened: xc scales with N (centering multiplies through by
+            # the corpus size), so the raw BIGINT product overflows
+            # int64 around N ~ 1e5 vectors; DECIMAL(38,0) carries the
+            # exact value to N ~ 1e6 (beyond that, drop the grid a
+            # decade per 100x rows — eigenvectors are scale-invariant)
+            .agg(
+                F.sum(
+                    F.col("xc").cast("decimal(38,0)") * F.col("v")
+                ).alias("s")
+            )
         )
         w = (
             xc.join(s, "vec_id")

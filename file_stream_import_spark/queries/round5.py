@@ -1728,18 +1728,11 @@ def asof_tolerance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Poisson(1) CDF thresholds: weight k iff u falls in [P(<k), P(<=k)).
-# Written as exact double literals so both engines compare the SAME
-# doubles against the SAME md5-derived uniform — weights match exactly.
-_POIS_CDF = (
-    0.36787944117144233,  # P(X<=0)
-    0.7357588823428847,
-    0.9196986029286058,
-    0.9810118431238462,
-    0.9963401531726563,
-    0.9994058151824183,
-    0.9999167588507119,  # P(X<=6); tail mass 8.3e-5 -> weight 7 cap
-)
+# Poisson(1) CDF thresholds — the SINGLE source of truth lives in
+# operators/bootstrap.py (the Spark side reads it there); importing it
+# keeps the oracle SQL below bit-identical to the weights the Spark
+# path computes — a drifted copy would silently desynchronize engines.
+from ..operators.bootstrap import POIS1_CDF as _POIS_CDF  # noqa: E402
 
 
 @register(
@@ -1840,6 +1833,7 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT doc_id, hex(encode(text)) AS hx FROM documents
+      WHERE length(text) > 0
     ), b AS (
       SELECT doc_id,
              CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT) - 128 AS s
@@ -1871,7 +1865,14 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.multimodal import attach_fake_payload, extract_wav_features
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # symmetric with the oracle's WHERE length(text) > 0: a byte-
+        # level UNNEST yields no rows for an empty payload, so the
+        # oracle would silently drop the doc the kernel still emits
+        .filter(F.length("text") > 0)
+    )
     return extract_wav_features(attach_fake_payload(d))
 
 
@@ -1881,7 +1882,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              length(hex(encode(text))) // 2 AS n
-      FROM documents
+      FROM documents WHERE length(text) > 0
     ), g AS (
       SELECT doc_id, hx, n, (n + 31) // 32 AS hh FROM h
     ), s AS (
@@ -1913,7 +1914,11 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.multimodal import attach_fake_payload, png_roundtrip_features
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)  # symmetric with the oracle WHERE
+    )
     return png_roundtrip_features(attach_fake_payload(d))
 
 
@@ -1925,7 +1930,7 @@ def _pca_oracle() -> str:
     for i in (1, 2, 3):
         iters += f"""
     s{i} AS (
-      SELECT vec_id, SUM(xc * v) AS s
+      SELECT vec_id, SUM(CAST(xc AS HUGEINT) * v) AS s
       FROM xc JOIN {prev} USING (dim) GROUP BY vec_id
     ),
     w{i} AS (

@@ -68,9 +68,11 @@ def _advance(
     total and return (new_cents, new_level, alerts-or-None). Crossings
     are defined on the running total, so the whole batch accumulates
     before levels are diffed (intra-batch order is meaningless for a
-    sum)."""
+    sum). The stored level is MONOTONE — a refund batch can lower the
+    running total below an already-alerted threshold, and emit-once
+    means that level must not re-fire when the total crosses it again."""
     cents += batch_cents
-    new_level = cents // threshold_cents
+    new_level = max(level, cents // threshold_cents)
     out = None
     if new_level > level:
         out = pd.DataFrame(
@@ -87,7 +89,15 @@ def _advance(
 
 
 def _batch_cents(pdf: pd.DataFrame) -> int:
-    return int((pdf["value"] * 100).round().astype("int64").sum())
+    # floor(x*100 + 0.5), NOT pandas .round(): pandas rounds half-to-
+    # even while the Spark batch twin rounds half-up — a half-cent value
+    # (0.125 * 100 = 12.5 exactly) would otherwise cross a threshold in
+    # one path but not the other.
+    import numpy as np
+
+    return int(
+        np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+    )
 
 
 def threshold_alerts(
@@ -187,17 +197,22 @@ def threshold_alerts_batch(
     after all batches. total_cents is the final total (the stream
     reports the total AT crossing time, which depends on batch
     boundaries, so parity tests compare (user_id, level) sets and the
-    terminal totals separately)."""
+    terminal totals separately). Parity additionally assumes totals are
+    non-decreasing: after a refund the stream retains levels it already
+    emitted (monotone state) while this twin only sees the final total —
+    the stream is authoritative there by design."""
     totals = (
         events.groupBy("user_id")
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
-                "cents"
-            )
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
         )
         .withColumn(
+            # integer DIV, not double /: exact for totals beyond 2^53
+            # cents, symmetric with _advance's Python floor-division
             "max_level",
-            F.floor(F.col("cents") / F.lit(threshold_cents)).cast("bigint"),
+            F.expr(f"cents DIV {int(threshold_cents)}"),
         )
         # sequence(1, 0) would generate DESCENDING [1, 0]; users below
         # the first threshold must drop out before the explode.

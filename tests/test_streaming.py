@@ -1400,3 +1400,150 @@ class TestThresholdAlerts:
         df = spark.createDataFrame([], "user_id long, value double")
         with pytest.raises(ImportError, match="protobuf"):
             threshold_alerts_tws(df)
+
+
+class TestThresholdAlertsStateMachine:
+    """Unit-level pins on the shared transition function for the two
+    review-confirmed hazards: refunds must never un-emit a level, and
+    cent rounding must match the Spark twin's half-up convention."""
+
+    def test_refund_never_reemits_a_level(self):
+        from file_stream_import_spark.streaming.tws import _advance
+
+        cents, level, out = _advance(0, 0, 60_000, 50_000)
+        assert [tuple(r) for r in out.itertuples(index=False)] == [(1, 60_000)]
+        # refund drops the total below the threshold — level is monotone
+        cents, level, out = _advance(cents, level, -20_000, 50_000)
+        assert (cents, level, out) == (40_000, 1, None)
+        # re-crossing the same threshold must NOT re-emit level 1
+        cents, level, out = _advance(cents, level, 20_000, 50_000)
+        assert (cents, level, out) == (60_000, 1, None)
+        # but a genuinely new level still fires
+        cents, level, out = _advance(cents, level, 50_000, 50_000)
+        assert [tuple(r) for r in out.itertuples(index=False)] == [(2, 110_000)]
+
+    def test_half_cent_rounds_half_up_like_spark_twin(self, spark):
+        import pandas as pd
+
+        from file_stream_import_spark.streaming.tws import (
+            _batch_cents,
+            threshold_alerts_batch,
+        )
+
+        # 0.125 * 100 = 12.5 exactly in binary; both paths must say 13
+        assert _batch_cents(pd.DataFrame({"value": [0.125]})) == 13
+        df = spark.createDataFrame(
+            [(1, 0.125), (1, 499.87)], "user_id long, value double"
+        )
+        row = threshold_alerts_batch(df, 50_000).collect()
+        assert [(r.user_id, r.level, r.total_cents) for r in row] == [
+            (1, 1, 50_000)
+        ]
+
+
+class TestPngDecodeRobustness:
+    def test_missing_ihdr_and_truncation_raise_valueerror(self):
+        import struct
+        import zlib
+
+        from file_stream_import_spark.operators.multimodal import (
+            png_decode,
+            png_encode,
+        )
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data))
+            )
+
+        no_ihdr = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IDAT", zlib.compress(b"\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="IHDR"):
+            png_decode(no_ihdr)
+        with pytest.raises(ValueError, match="truncated"):
+            png_decode(png_encode(b"hello")[:-7])
+
+
+class TestExactlyOnceJdbcSink:
+    """The staged idempotent foreachBatch sink against embedded Derby:
+    a real stream lands every row exactly once, replayed batch_ids are
+    no-ops, and both crash windows (before promote; after commit but
+    before staging cleanup) converge to exactly-once on retry."""
+
+    def _url(self, tmp_path):
+        return f"jdbc:derby:{tmp_path}/eo_db;create=true"
+
+    def test_stream_lands_exactly_once_with_replay_and_crashes(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.jdbc import read_jdbc
+        from file_stream_import_spark.streaming.exactly_once import (
+            _connect,
+            _table_exists,
+            make_idempotent_jdbc_writer,
+        )
+
+        url = self._url(tmp_path)
+        w = make_idempotent_jdbc_writer(url, "t_target", "q_eo")
+
+        # real stream: two micro-batches through foreachBatch
+        src = str(tmp_path / "drops")
+        spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(w)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            spark.range(10, 25).selectExpr(
+                "id", "id * 2 AS v"
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert read_jdbc(spark, url, "t_target").count() == 25
+
+        # replay of an already-committed epoch: no duplicates
+        b1 = spark.range(10, 25).selectExpr("id", "id * 2 AS v")
+        w(b1, 1)
+        assert read_jdbc(spark, url, "t_target").count() == 25
+
+        # crash BEFORE promote: staging exists, no ledger row — retry
+        # must land the batch exactly once
+        b2 = spark.range(25, 30).selectExpr("id", "id * 2 AS v")
+        b2.write.jdbc(url, "t_target_stg_2", mode="overwrite")
+        w(b2, 2)
+        assert read_jdbc(spark, url, "t_target").count() == 30
+
+        # crash AFTER commit, before staging drop: orphan staging plus
+        # committed ledger row — retry skips and cleans the orphan
+        b3 = spark.range(30, 33).selectExpr("id", "id * 2 AS v")
+        w(b3, 3)
+        b3.write.jdbc(url, "t_target_stg_3", mode="overwrite")
+        w(b3, 3)
+        assert read_jdbc(spark, url, "t_target").count() == 33
+        conn = _connect(spark, url)
+        try:
+            assert not _table_exists(conn, "t_target_stg_3")
+        finally:
+            conn.close()
+
+        # per-row integrity, not just counts
+        got = sorted(
+            r["id"] for r in read_jdbc(spark, url, "t_target").collect()
+        )
+        assert got == list(range(33))

@@ -130,6 +130,9 @@ def main() -> None:
     # optional: restrict to names passed on the command line (re-running
     # the full list re-measures queries whose curve is already recorded)
     if len(sys.argv) > 1:
+        unknown = sorted(set(sys.argv[1:]) - set(names))
+        if unknown:
+            raise SystemExit(f"unknown query name(s): {unknown}")
         names = [n for n in names if n in sys.argv[1:]]
     results = {}
     for name in names:
