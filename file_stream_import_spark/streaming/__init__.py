@@ -1,3 +1,4 @@
+from .exactly_once import make_idempotent_jdbc_writer
 from .ingest import latest_state, stream_csv_upsert
 from .stateful import finalized_sessions, user_running_totals
 from .tws import threshold_alerts, threshold_alerts_batch, threshold_alerts_tws
@@ -24,6 +25,7 @@ __all__ = [
     "threshold_alerts_batch",
     "threshold_alerts_tws",
     "latest_state",
+    "make_idempotent_jdbc_writer",
     "stream_csv_upsert",
     "tumbling_counts",
 ]
