@@ -1,0 +1,208 @@
+"""Snapshot-versioned parquet table: manifest-listed data files with
+atomic commits, time travel, and rollback — the Iceberg/Delta core
+mechanic (a table IS its manifest; data files are immutable) built on
+nothing but parquet + atomic rename, since the real table formats are
+classpath-blocked here (README "Lakehouse ACID MERGE INTO" note).
+
+Layout:
+
+    table/
+      data/<uuid>/part-*.parquet   immutable file groups, one per commit
+      _manifests/v00000001.json    ordered snapshots; each lists the
+                                   FULL set of data files it reads
+
+Protocol (the invariants that give snapshot isolation):
+
+* Data files are written FIRST, under a fresh uuid directory. A crash
+  after the data write but before the manifest rename leaves orphan
+  files that no manifest references — invisible to every reader,
+  reclaimable by vacuum().
+* A commit is ONE atomic ``os.rename`` of a temp manifest to the next
+  version slot. POSIX rename fails if the target exists (ln semantics
+  via O_EXCL staging here: we create the target with os.link/rename
+  after an existence check, and a lost race surfaces as
+  CommitConflictError) — concurrent writers serialize optimistically,
+  the loser retries on a fresh version.
+* ``append`` reuses the parent snapshot's file list plus the new group
+  (no rewrite — O(delta) commit cost); ``overwrite`` starts an empty
+  list. ``rollback`` is a NEW commit whose file list equals an old
+  snapshot's — history is never mutated, exactly like Iceberg's
+  rollback-as-new-snapshot.
+* Readers resolve a version (default: latest) to its manifest and read
+  exactly that file list — a reader mid-query never sees a half commit.
+
+Schema contract: the manifest records the commit's schema JSON; append
+requires an identical schema (schema evolution would relax this to
+unionByName compatibility — out of scope, fail loudly instead).
+
+At 100 TB the manifest lists file GROUPS (one directory per commit),
+so manifest size grows with commit count, not file count; the
+data-file listing inside a group is delegated to the parquet reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the version this commit targeted."""
+
+
+class SchemaMismatchError(ValueError):
+    """Append schema differs from the table's current schema."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version:08d}.json")
+
+
+class VersionedTable:
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    # -- introspection ------------------------------------------------
+
+    def versions(self) -> list[int]:
+        d = _manifest_dir(self.path)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _load_manifest(self, version: int) -> dict:
+        with open(_manifest_path(self.path, version)) as f:
+            return json.load(f)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    # -- commit -------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as a new snapshot; returns the version number.
+        ``mode='append'`` adds to the parent snapshot's files,
+        ``'overwrite'`` replaces them. Raises CommitConflictError if a
+        concurrent writer takes the target version first."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown mode {mode!r}")
+        parent = self.latest_version()
+        schema_json = df.schema.json()
+        groups: list[str] = []
+        if mode == "append" and parent is not None:
+            m = self._load_manifest(parent)
+            if m["schema"] != schema_json:
+                raise SchemaMismatchError(
+                    "append schema differs from table schema; use "
+                    "overwrite or migrate explicitly"
+                )
+            groups = list(m["groups"])
+        # (1) immutable data files first, invisible until the manifest
+        group = os.path.join("data", uuid.uuid4().hex)
+        df.write.parquet(os.path.join(self.path, group))
+        groups.append(group)
+        # (2) atomic manifest publish
+        return self._publish(
+            parent, {"schema": schema_json, "groups": groups, "mode": mode}
+        )
+
+    def _publish(self, parent: int | None, manifest: dict) -> int:
+        os.makedirs(_manifest_dir(self.path), exist_ok=True)
+        version = (parent if parent is not None else -1) + 1
+        manifest["version"] = version
+        manifest["parent"] = parent
+        tmp = _manifest_path(self.path, version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        target = _manifest_path(self.path, version)
+        try:
+            # link+unlink = atomic create-if-absent (rename would
+            # silently REPLACE an existing target and clobber the
+            # concurrent winner's manifest)
+            os.link(tmp, target)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version {version} was committed concurrently; retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return version
+
+    # -- read / time travel ------------------------------------------
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load_manifest(version)
+        paths = [os.path.join(self.path, g) for g in m["groups"]]
+        if not paths:
+            return spark.createDataFrame(
+                [], schema=_schema_from_json(m["schema"])
+            )
+        return spark.read.parquet(*paths)
+
+    # -- rollback / vacuum -------------------------------------------
+
+    def rollback(self, to_version: int) -> int:
+        """Publish a NEW snapshot with ``to_version``'s file list —
+        history stays intact, time travel to the bad version still
+        works, exactly like Iceberg's rollback."""
+        m = self._load_manifest(to_version)
+        return self._publish(
+            self.latest_version(),
+            {
+                "schema": m["schema"],
+                "groups": list(m["groups"]),
+                "mode": f"rollback:{to_version}",
+            },
+        )
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Iceberg's expire-snapshots + orphan cleanup: drop manifests
+        older than the newest ``keep_versions``, then delete every data
+        group no REMAINING manifest references — which also reclaims
+        crash orphans (data written, manifest never published). Time
+        travel keeps working for retained versions only. Returns the
+        removed group dirs."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        import shutil
+
+        vs = self.versions()
+        expired, keep = vs[:-keep_versions], vs[-keep_versions:]
+        for v in expired:
+            os.unlink(_manifest_path(self.path, v))
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._load_manifest(v)["groups"])
+        removed = []
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                g = os.path.join("data", d)
+                if g not in live:
+                    shutil.rmtree(os.path.join(self.path, g))
+                    removed.append(g)
+        return removed
+
+
+def _schema_from_json(schema_json: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(schema_json))

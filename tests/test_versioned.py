@@ -1,0 +1,107 @@
+"""Snapshot-versioned parquet table (io/versioned.py): atomic commits,
+time travel, rollback-as-new-snapshot, optimistic-concurrency conflict,
+crash-orphan invisibility, and vacuum reclamation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from file_stream_import_spark.io.versioned import (
+    CommitConflictError,
+    SchemaMismatchError,
+    VersionedTable,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 10 AS v")
+
+
+class TestVersionedTable:
+    def test_append_overwrite_and_time_travel(self, spark, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        assert t.versions() == []
+        v0 = t.commit(_df(spark, 0, 5))
+        v1 = t.commit(_df(spark, 5, 8))
+        assert (v0, v1) == (0, 1)
+        assert t.read(spark).count() == 8
+        assert sorted(r["id"] for r in t.read(spark, 0).collect()) == [
+            0, 1, 2, 3, 4,
+        ]
+        v2 = t.commit(_df(spark, 100, 102), mode="overwrite")
+        assert t.read(spark).count() == 2
+        # every historical version still readable
+        assert t.read(spark, v1).count() == 8
+        assert t.read(spark, v2).count() == 2
+
+    def test_rollback_is_a_new_snapshot(self, spark, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 5))
+        t.commit(_df(spark, 5, 9))
+        bad = t.commit(_df(spark, 1000, 2000))  # the bad deploy
+        v = t.rollback(1)
+        assert v == bad + 1
+        assert t.read(spark).count() == 9
+        # history intact: the bad snapshot is still time-travelable
+        # (append mode: 9 good rows + the 1000 bad ones)
+        assert t.read(spark, bad).count() == 1009
+
+    def test_append_schema_mismatch_fails_loudly(self, spark, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 3))
+        other = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS v")
+        with pytest.raises(SchemaMismatchError):
+            t.commit(other)
+        # overwrite is the explicit migration path
+        t.commit(other, mode="overwrite")
+        assert dict(t.read(spark).dtypes)["v"] == "string"
+
+    def test_concurrent_commit_conflict(self, spark, tmp_path):
+        """The optimistic-concurrency race: this writer read parent=0,
+        then another writer published version 1 first. The stale-parent
+        publish must fail atomically, and a retry (which re-reads the
+        new latest) succeeds on version 2."""
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 3))
+        loser_parent = t.latest_version()  # == 0, read BEFORE the race
+        # concurrent winner publishes version 1
+        winner = t._load_manifest(0)
+        path = os.path.join(str(tmp_path / "t"), "_manifests", "v00000001.json")
+        with open(path, "w") as f:
+            json.dump({**winner, "version": 1, "parent": 0}, f)
+        with pytest.raises(CommitConflictError):
+            t._publish(
+                loser_parent,
+                {"schema": winner["schema"], "groups": [], "mode": "append"},
+            )
+        # retry re-reads latest and lands on version 2
+        assert t.commit(_df(spark, 3, 6)) == 2
+
+    def test_crash_orphan_is_invisible_and_vacuumed(self, spark, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 4))
+        # crash between data write and manifest publish: data group
+        # exists, no manifest references it
+        orphan = str(tmp_path / "t" / "data" / "deadbeef")
+        _df(spark, 50, 60).write.parquet(orphan)
+        assert t.read(spark).count() == 4  # invisible to readers
+        removed = t.vacuum(keep_versions=1)
+        assert ["data/deadbeef"] == removed
+        assert t.read(spark).count() == 4
+
+    def test_vacuum_expires_old_snapshots_and_their_files(
+        self, spark, tmp_path
+    ):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 4))
+        t.commit(_df(spark, 100, 104), mode="overwrite")
+        removed = t.vacuum(keep_versions=1)
+        assert len(removed) == 1  # v0's group reclaimed
+        assert t.versions() == [1]
+        assert t.read(spark).count() == 4
+        # appends continue from the retained lineage
+        v = t.commit(_df(spark, 104, 106))
+        assert v == 2 and t.read(spark).count() == 6
