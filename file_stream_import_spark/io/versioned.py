@@ -17,12 +17,12 @@ Protocol (the invariants that give snapshot isolation):
   after the data write but before the manifest rename leaves orphan
   files that no manifest references — invisible to every reader,
   reclaimable by vacuum().
-* A commit is ONE atomic ``os.rename`` of a temp manifest to the next
-  version slot. POSIX rename fails if the target exists (ln semantics
-  via O_EXCL staging here: we create the target with os.link/rename
-  after an existence check, and a lost race surfaces as
-  CommitConflictError) — concurrent writers serialize optimistically,
-  the loser retries on a fresh version.
+* A commit is ONE atomic create of the next version's manifest —
+  ``os.link`` of a temp file into the slot, which fails with
+  FileExistsError if another writer got there first (rename would
+  silently REPLACE the winner). Concurrent writers serialize
+  optimistically; the loser surfaces CommitConflictError and retries
+  on a fresh version.
 * ``append`` reuses the parent snapshot's file list plus the new group
   (no rewrite — O(delta) commit cost); ``overwrite`` starts an empty
   list. ``rollback`` is a NEW commit whose file list equals an old
@@ -47,6 +47,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflictError(RuntimeError):
@@ -206,3 +207,50 @@ def _schema_from_json(schema_json: str):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(schema_json))
+
+
+def merge_into(
+    table: VersionedTable,
+    spark: SparkSession,
+    updates: DataFrame,
+    key: str | list[str],
+) -> int:
+    """MERGE INTO the versioned table: WHEN MATCHED THEN UPDATE SET *,
+    WHEN NOT MATCHED THEN INSERT * — the lakehouse upsert (README
+    design note), committed as a new snapshot so the pre-merge state
+    stays time-travelable.
+
+    Like SQL MERGE (and the Derby staging path in io/jdbc.py), the
+    source must be unique per key — duplicate source keys would make
+    the result order-dependent, so they fail loudly; callers resolve
+    them first (operators/upsert.py::merge_upsert is the
+    last-writer-wins resolver).
+
+    Copy-on-write granularity: this rewrites the WHOLE snapshot (one
+    anti-join + union + commit). Iceberg/Delta rewrite only files
+    containing matched keys; with manifest-listed groups the same
+    optimization would track min/max key per group and union untouched
+    groups by reference — noted, not implemented.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    dup = (
+        updates.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE source has duplicate keys; resolve last-writer-wins "
+            "first (operators/upsert.py::merge_upsert)"
+        )
+    if table.latest_version() is None:
+        return table.commit(updates, mode="overwrite")
+    current = table.read(spark)
+    if current.schema != updates.schema:
+        raise SchemaMismatchError(
+            "MERGE source schema differs from table schema"
+        )
+    merged = current.join(updates, keys, "left_anti").unionByName(updates)
+    return table.commit(merged, mode="overwrite")

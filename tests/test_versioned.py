@@ -105,3 +105,43 @@ class TestVersionedTable:
         # appends continue from the retained lineage
         v = t.commit(_df(spark, 104, 106))
         assert v == 2 and t.read(spark).count() == 6
+
+
+class TestMergeInto:
+    def test_merge_updates_and_inserts_with_history(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "t"))
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        v0 = t.commit(base)
+        upd = spark.createDataFrame(
+            [(2, "B2"), (4, "d")], "k long, v string"
+        )
+        v1 = merge_into(t, spark, upd, key="k")
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+        # pre-merge state time-travelable
+        pre = sorted((r.k, r.v) for r in t.read(spark, v0).collect())
+        assert pre == [(1, "a"), (2, "b"), (3, "c")]
+        assert v1 == v0 + 1
+
+    def test_merge_duplicate_source_keys_rejected(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+        dup = spark.createDataFrame(
+            [(2, "x"), (2, "y")], "k long, v string"
+        )
+        with pytest.raises(ValueError, match="duplicate keys"):
+            merge_into(t, spark, dup, key="k")
+
+    def test_merge_into_empty_table_bootstraps(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "t"))
+        upd = spark.createDataFrame([(1, "a")], "k long, v string")
+        assert merge_into(t, spark, upd, key="k") == 0
+        assert t.read(spark).count() == 1
