@@ -32,8 +32,9 @@ Protocol (the invariants that give snapshot isolation):
   exactly that file list — a reader mid-query never sees a half commit.
 
 Schema contract: the manifest records the commit's schema JSON; append
-requires an identical schema (schema evolution would relax this to
-unionByName compatibility — out of scope, fail loudly instead).
+requires an identical schema unless ``allow_evolution=True``, which
+permits ADDITIVE columns (old groups read them as NULL via parquet
+schema merging — unionByName semantics); type changes always fail.
 
 At 100 TB the manifest lists file GROUPS (one directory per commit),
 so manifest size grows with commit count, not file count; the
@@ -92,11 +93,23 @@ class VersionedTable:
 
     # -- commit -------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        allow_evolution: bool = False,
+    ) -> int:
         """Write ``df`` as a new snapshot; returns the version number.
         ``mode='append'`` adds to the parent snapshot's files,
         ``'overwrite'`` replaces them. Raises CommitConflictError if a
-        concurrent writer takes the target version first."""
+        concurrent writer takes the target version first.
+
+        ``allow_evolution=True`` permits ADDITIVE schema evolution on
+        append: new columns join the table schema (old rows read them
+        as NULL via parquet schema merging — unionByName semantics, the
+        same by-NAME resolution rule as the reference's header map,
+        writer.go:86-91); changing an existing column's type stays an
+        error in every mode."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown mode {mode!r}")
         parent = self.latest_version()
@@ -105,10 +118,13 @@ class VersionedTable:
         if mode == "append" and parent is not None:
             m = self._load_manifest(parent)
             if m["schema"] != schema_json:
-                raise SchemaMismatchError(
-                    "append schema differs from table schema; use "
-                    "overwrite or migrate explicitly"
-                )
+                if not allow_evolution:
+                    raise SchemaMismatchError(
+                        "append schema differs from table schema; pass "
+                        "allow_evolution=True for additive columns, or "
+                        "overwrite to migrate explicitly"
+                    )
+                schema_json = _evolve_schema(m["schema"], df.schema)
             groups = list(m["groups"])
         # (1) immutable data files first, invisible until the manifest
         group = os.path.join("data", uuid.uuid4().hex)
@@ -156,7 +172,9 @@ class VersionedTable:
             return spark.createDataFrame(
                 [], schema=_schema_from_json(m["schema"])
             )
-        return spark.read.parquet(*paths)
+        # mergeSchema: groups written before an additive evolution lack
+        # the new columns; the merged read fills them with NULL
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- rollback / vacuum -------------------------------------------
 
@@ -207,6 +225,30 @@ def _schema_from_json(schema_json: str):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(schema_json))
+
+
+def _evolve_schema(table_schema_json: str, incoming) -> str:
+    """Additive-only evolution: incoming may ADD columns; every column
+    shared with the table must keep its exact type. Returns the evolved
+    schema JSON (table columns first, then the new ones — stable order
+    so repeated evolutions are deterministic)."""
+    from pyspark.sql.types import StructType
+
+    table = StructType.fromJson(json.loads(table_schema_json))
+    by_name = {f.name: f for f in table.fields}
+    for f in incoming.fields:
+        old = by_name.get(f.name)
+        if old is not None and old.dataType != f.dataType:
+            raise SchemaMismatchError(
+                f"column {f.name!r} changes type "
+                f"{old.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()}; type changes need an "
+                "explicit overwrite migration"
+            )
+    evolved = list(table.fields) + [
+        f for f in incoming.fields if f.name not in by_name
+    ]
+    return StructType(evolved).json()
 
 
 def merge_into(

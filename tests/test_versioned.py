@@ -145,3 +145,33 @@ class TestMergeInto:
         upd = spark.createDataFrame([(1, "a")], "k long, v string")
         assert merge_into(t, spark, upd, key="k") == 0
         assert t.read(spark).count() == 1
+
+
+class TestSchemaEvolution:
+    def test_additive_append_evolves_and_backfills_null(
+        self, spark, tmp_path
+    ):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+        evolved = spark.createDataFrame(
+            [(2, "b", 9.5)], "k long, v string, score double"
+        )
+        with pytest.raises(SchemaMismatchError):
+            t.commit(evolved)  # still opt-in
+        t.commit(evolved, allow_evolution=True)
+        got = {r.k: (r.v, r.score) for r in t.read(spark).collect()}
+        assert got == {1: ("a", None), 2: ("b", 9.5)}
+        # next plain append must match the EVOLVED schema
+        t.commit(
+            spark.createDataFrame(
+                [(3, "c", 1.0)], "k long, v string, score double"
+            )
+        )
+        assert t.read(spark).count() == 3
+
+    def test_type_change_rejected_even_with_evolution(self, spark, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+        bad = spark.createDataFrame([(2, 5)], "k long, v long")
+        with pytest.raises(SchemaMismatchError, match="changes type"):
+            t.commit(bad, allow_evolution=True)

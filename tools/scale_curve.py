@@ -37,6 +37,10 @@ SHIFT = {
     # per-user joins (attribution) scale linearly instead of
     # quadratically on 10 stacked copies of the same users
     "events": ["event_id", "user_id"],
+    # 10 key-shifted copies keep the VALUE distribution identical, so
+    # corpus-level spectra (PCA) are the same problem at 10x rows —
+    # unlike near-dup pair queries, which this recipe can't scale
+    "embeddings": ["vec_id"],
 }
 COPY_AS_IS = ["region", "nation"]
 
@@ -126,6 +130,7 @@ def main() -> None:
         "bootstrap_ci_revenue",
         "multimodal_wav_decode",
         "multimodal_png_roundtrip",
+        "embedding_top_pc",
     ]
     # optional: restrict to names passed on the command line (re-running
     # the full list re-measures queries whose curve is already recorded)
