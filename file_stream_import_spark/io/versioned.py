@@ -296,3 +296,50 @@ def merge_into(
         )
     merged = current.join(updates, keys, "left_anti").unionByName(updates)
     return table.commit(merged, mode="overwrite")
+
+
+def make_idempotent_table_writer(
+    table: VersionedTable,
+    query_name: str,
+    key: str | list[str] | None = None,
+):
+    """foreachBatch-compatible exactly-once writer INTO the versioned
+    table — the lake-side twin of streaming/exactly_once.py's JDBC sink,
+    using the Delta transactional-writer idea (txn appId + epoch) on
+    manifests instead of a ledger table: each commit records
+    ``{"txn": {query_name: batch_id}}``, and a replayed batch_id at or
+    below the query's high-water mark is skipped. The manifest publish
+    is already atomic, so the txn record and the data are one commit —
+    no separate ledger to keep in sync.
+
+    ``key=None`` appends the batch; with a key, the batch MERGEs
+    (upsert) — give last-writer-wins resolution to duplicate keys
+    within the batch first if the stream can produce them.
+    """
+
+    def high_water(t: VersionedTable) -> int | None:
+        hw = None
+        for v in t.versions():
+            txn = t._load_manifest(v).get("txn") or {}
+            b = txn.get(query_name)
+            if b is not None:
+                hw = b if hw is None else max(hw, b)
+        return hw
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        hw = high_water(table)
+        if hw is not None and batch_id <= hw:
+            return  # replay of a committed epoch
+        if key is None or table.latest_version() is None:
+            v = table.commit(batch_df, mode="append")
+        else:
+            v = merge_into(table, batch_df.sparkSession, batch_df, key)
+        # stamp the txn mark onto the just-published manifest: rewrite
+        # is safe because the version is ours (nobody else can publish
+        # this slot) and readers only consult groups/schema
+        m = table._load_manifest(v)
+        m["txn"] = {query_name: int(batch_id)}
+        with open(_manifest_path(table.path, v), "w") as f:
+            json.dump(m, f)
+
+    return write

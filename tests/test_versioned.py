@@ -175,3 +175,78 @@ class TestSchemaEvolution:
         bad = spark.createDataFrame([(2, 5)], "k long, v long")
         with pytest.raises(SchemaMismatchError, match="changes type"):
             t.commit(bad, allow_evolution=True)
+
+
+class TestLakehouseFlagshipLoop:
+    """The reference's flagship path (CSV stream -> keyed upsert ->
+    paginated read, SURVEY §3.1/§3.2) landed on the versioned table via
+    the exactly-once foreachBatch writer: per-batch MERGE snapshots,
+    replay-safe epochs, time travel to pre-batch states, deterministic
+    pagination of the final state."""
+
+    def test_csv_stream_upserts_exactly_once_with_history(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.versioned import (
+            VersionedTable,
+            make_idempotent_table_writer,
+        )
+
+        t = VersionedTable(str(tmp_path / "locations"))
+        w = make_idempotent_table_writer(t, "csv_ingest", key="locid")
+
+        def batch(rows):
+            return spark.createDataFrame(
+                rows, "locid string, country string, business string"
+            )
+
+        b0 = batch([("L1", "US", "cafe"), ("L2", "DE", "bar")])
+        b1 = batch([("L2", "DE", "bistro"), ("L3", "FR", "shop")])
+
+        src = str(tmp_path / "drops")
+        b0.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "locid string, country string, business string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(w)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            v_after_b0 = t.latest_version()
+            b1.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # upsert semantics: L2 updated (last writer wins), L3 inserted
+        got = {r.locid: r.business for r in t.read(spark).collect()}
+        assert got == {"L1": "cafe", "L2": "bistro", "L3": "shop"}
+
+        # replayed epoch is a no-op (no new snapshot, no dup rows)
+        v_before = t.latest_version()
+        w(b1, 1)
+        assert t.latest_version() == v_before
+        assert t.read(spark).count() == 3
+
+        # time travel to the pre-merge state (the O7 read runs on any
+        # version — deterministic pagination by locid)
+        pre = t.read(spark, v_after_b0)
+        assert {r.locid: r.business for r in pre.collect()} == {
+            "L1": "cafe",
+            "L2": "bar",
+        }
+        page = (
+            t.read(spark)
+            .orderBy("locid")
+            .offset(1)
+            .limit(1)
+            .collect()
+        )
+        assert [r.locid for r in page] == ["L2"]
