@@ -98,6 +98,8 @@ class VersionedTable:
         df: DataFrame,
         mode: str = "append",
         allow_evolution: bool = False,
+        expected_parent: int | None | str = "any",
+        txn: dict[str, int] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the version number.
         ``mode='append'`` adds to the parent snapshot's files,
@@ -109,15 +111,34 @@ class VersionedTable:
         as NULL via parquet schema merging — unionByName semantics, the
         same by-NAME resolution rule as the reference's header map,
         writer.go:86-91); changing an existing column's type stays an
-        error in every mode."""
+        error in every mode. Schema equality is nullability-insensitive
+        (parquet reads resolve everything nullable, so flags drift).
+
+        ``expected_parent`` pins the snapshot this commit was computed
+        FROM: read-modify-write callers (MERGE, rollback) pass the
+        version they read, and a concurrent commit landing in between
+        surfaces as CommitConflictError instead of silently vanishing
+        under the overwrite. The default "any" keeps blind appends
+        race-free (the publish itself is atomic either way).
+
+        ``txn`` merges ``{writer_name: epoch}`` into the manifest's txn
+        map ATOMICALLY with the data (the exactly-once contract for
+        make_idempotent_table_writer); parent txn marks are carried
+        forward on every commit so the LATEST manifest always holds
+        each writer's high-water mark."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown mode {mode!r}")
         parent = self.latest_version()
+        if expected_parent != "any" and parent != expected_parent:
+            raise CommitConflictError(
+                f"table advanced to {parent} since this commit read "
+                f"{expected_parent}; recompute and retry"
+            )
         schema_json = df.schema.json()
         groups: list[str] = []
         if mode == "append" and parent is not None:
             m = self._load_manifest(parent)
-            if m["schema"] != schema_json:
+            if _schema_key(m["schema"]) != _schema_key(schema_json):
                 if not allow_evolution:
                     raise SchemaMismatchError(
                         "append schema differs from table schema; pass "
@@ -132,14 +153,35 @@ class VersionedTable:
         groups.append(group)
         # (2) atomic manifest publish
         return self._publish(
-            parent, {"schema": schema_json, "groups": groups, "mode": mode}
+            parent,
+            {"schema": schema_json, "groups": groups, "mode": mode},
+            txn=txn,
         )
 
-    def _publish(self, parent: int | None, manifest: dict) -> int:
+    def _publish(
+        self,
+        parent: int | None,
+        manifest: dict,
+        txn: dict[str, int] | None = None,
+    ) -> int:
         os.makedirs(_manifest_dir(self.path), exist_ok=True)
         version = (parent if parent is not None else -1) + 1
         manifest["version"] = version
         manifest["parent"] = parent
+        # txn watermarks ride every manifest: start from the parent's
+        # map so vacuum (which always retains the latest) never loses a
+        # writer's high-water mark, then fold in this commit's epochs
+        inherited = (
+            dict(self._load_manifest(parent).get("txn") or {})
+            if parent is not None
+            else {}
+        )
+        for name, epoch in (txn or {}).items():
+            prev = inherited.get(name)
+            inherited[name] = (
+                int(epoch) if prev is None else max(int(prev), int(epoch))
+            )
+        manifest["txn"] = inherited
         tmp = _manifest_path(self.path, version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -183,6 +225,9 @@ class VersionedTable:
         history stays intact, time travel to the bad version still
         works, exactly like Iceberg's rollback."""
         m = self._load_manifest(to_version)
+        # read-modify-write: the parent read here IS the base; if a
+        # concurrent commit lands before the publish, the version slot
+        # collision inside _publish raises CommitConflictError
         return self._publish(
             self.latest_version(),
             {
@@ -192,16 +237,26 @@ class VersionedTable:
             },
         )
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Iceberg's expire-snapshots + orphan cleanup: drop manifests
         older than the newest ``keep_versions``, then delete every data
         group no REMAINING manifest references — which also reclaims
         crash orphans (data written, manifest never published). Time
         travel keeps working for retained versions only. Returns the
-        removed group dirs."""
+        removed group dirs.
+
+        ``min_age_seconds`` guards the commit-in-flight race: a writer
+        legitimately writes its data group BEFORE publishing the
+        manifest, so a brand-new unreferenced group may be a commit
+        about to land, not an orphan. Only groups older than the
+        threshold are reclaimed (Iceberg's orphan-file retention age);
+        pass 0 only when no writer can be active."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         import shutil
+        import time
 
         vs = self.versions()
         expired, keep = vs[:-keep_versions], vs[-keep_versions:]
@@ -211,12 +266,14 @@ class VersionedTable:
         for v in keep:
             live.update(self._load_manifest(v)["groups"])
         removed = []
+        cutoff = time.time() - min_age_seconds
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             for d in sorted(os.listdir(data_root)):
                 g = os.path.join("data", d)
-                if g not in live:
-                    shutil.rmtree(os.path.join(self.path, g))
+                full = os.path.join(self.path, g)
+                if g not in live and os.path.getmtime(full) <= cutoff:
+                    shutil.rmtree(full)
                     removed.append(g)
         return removed
 
@@ -225,6 +282,18 @@ def _schema_from_json(schema_json: str):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(schema_json))
+
+
+def _schema_key(schema) -> list[tuple[str, str]]:
+    """Nullability- and metadata-insensitive schema identity: parquet
+    reads resolve every column nullable, so flags drift between a
+    source DataFrame and the same data read back — (name, type) pairs
+    are the stable comparison."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromJson(json.loads(schema))
+    return [(f.name, f.dataType.json()) for f in schema.fields]
 
 
 def _evolve_schema(table_schema_json: str, incoming) -> str:
@@ -256,6 +325,7 @@ def merge_into(
     spark: SparkSession,
     updates: DataFrame,
     key: str | list[str],
+    txn: dict[str, int] | None = None,
 ) -> int:
     """MERGE INTO the versioned table: WHEN MATCHED THEN UPDATE SET *,
     WHEN NOT MATCHED THEN INSERT * — the lakehouse upsert (README
@@ -287,15 +357,20 @@ def merge_into(
             "MERGE source has duplicate keys; resolve last-writer-wins "
             "first (operators/upsert.py::merge_upsert)"
         )
-    if table.latest_version() is None:
-        return table.commit(updates, mode="overwrite")
-    current = table.read(spark)
-    if current.schema != updates.schema:
+    base = table.latest_version()
+    if base is None:
+        return table.commit(updates, mode="overwrite", txn=txn)
+    current = table.read(spark, base)
+    if _schema_key(current.schema) != _schema_key(updates.schema):
         raise SchemaMismatchError(
             "MERGE source schema differs from table schema"
         )
     merged = current.join(updates, keys, "left_anti").unionByName(updates)
-    return table.commit(merged, mode="overwrite")
+    # pin the base: a concurrent commit between our read and this
+    # overwrite must CONFLICT, not silently disappear under the rewrite
+    return table.commit(
+        merged, mode="overwrite", expected_parent=base, txn=txn
+    )
 
 
 def make_idempotent_table_writer(
@@ -306,40 +381,34 @@ def make_idempotent_table_writer(
     """foreachBatch-compatible exactly-once writer INTO the versioned
     table — the lake-side twin of streaming/exactly_once.py's JDBC sink,
     using the Delta transactional-writer idea (txn appId + epoch) on
-    manifests instead of a ledger table: each commit records
-    ``{"txn": {query_name: batch_id}}``, and a replayed batch_id at or
-    below the query's high-water mark is skipped. The manifest publish
-    is already atomic, so the txn record and the data are one commit —
-    no separate ledger to keep in sync.
+    manifests instead of a ledger table: each commit carries
+    ``{"txn": {query_name: batch_id}}`` ATOMICALLY in its manifest
+    publish (no post-commit stamping — a crash can't separate data from
+    its epoch mark), and a replayed batch_id at or below the writer's
+    high-water mark is skipped. Watermarks inherit parent-to-child on
+    every commit, so the check reads ONE manifest (the latest) and
+    survives vacuum, which always retains the latest snapshot.
 
     ``key=None`` appends the batch; with a key, the batch MERGEs
     (upsert) — give last-writer-wins resolution to duplicate keys
     within the batch first if the stream can produce them.
     """
 
-    def high_water(t: VersionedTable) -> int | None:
-        hw = None
-        for v in t.versions():
-            txn = t._load_manifest(v).get("txn") or {}
-            b = txn.get(query_name)
-            if b is not None:
-                hw = b if hw is None else max(hw, b)
-        return hw
-
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        hw = high_water(table)
-        if hw is not None and batch_id <= hw:
+        latest = table.latest_version()
+        hw = None
+        if latest is not None:
+            hw = (table._load_manifest(latest).get("txn") or {}).get(
+                query_name
+            )
+        if hw is not None and int(batch_id) <= int(hw):
             return  # replay of a committed epoch
-        if key is None or table.latest_version() is None:
-            v = table.commit(batch_df, mode="append")
+        stamp = {query_name: int(batch_id)}
+        if key is None or latest is None:
+            table.commit(batch_df, mode="append", txn=stamp)
         else:
-            v = merge_into(table, batch_df.sparkSession, batch_df, key)
-        # stamp the txn mark onto the just-published manifest: rewrite
-        # is safe because the version is ours (nobody else can publish
-        # this slot) and readers only consult groups/schema
-        m = table._load_manifest(v)
-        m["txn"] = {query_name: int(batch_id)}
-        with open(_manifest_path(table.path, v), "w") as f:
-            json.dump(m, f)
+            merge_into(
+                table, batch_df.sparkSession, batch_df, key, txn=stamp
+            )
 
     return write

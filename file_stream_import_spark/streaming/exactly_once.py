@@ -60,7 +60,20 @@ def _connect(spark, url: str):
 
 
 def _table_exists(conn, table: str) -> bool:
-    rs = conn.getMetaData().getTables(None, None, table.upper(), None)
+    """Metadata existence check that honors schema qualification and
+    escapes JDBC LIKE metacharacters: getTables' arguments are
+    PATTERNS, so a bare '_' in a table name is a single-char wildcard
+    and a dotted 'schema.table' would be matched as one (never-found)
+    name."""
+    md = conn.getMetaData()
+    esc = md.getSearchStringEscape()
+
+    def pat(s: str) -> str:
+        s = s.replace(esc, esc + esc)
+        return s.upper().replace("_", esc + "_").replace("%", esc + "%")
+
+    schema, _, name = table.rpartition(".")
+    rs = md.getTables(None, pat(schema) if schema else None, pat(name), None)
     try:
         return rs.next()
     finally:
@@ -138,7 +151,20 @@ def make_idempotent_jdbc_writer(
                     f"CREATE TABLE {_table_ident(table)} AS SELECT * "
                     f"FROM {_table_ident(staging)} WITH NO DATA",
                 )
-            n = batch_df.count()
+            # row count from the staging table the executors just
+            # wrote — batch_df.count() would re-run the whole upstream
+            # micro-batch computation a second time just for ledger
+            # bookkeeping
+            st = conn.createStatement()
+            try:
+                rs = st.executeQuery(
+                    f"SELECT COUNT(*) FROM {_table_ident(staging)}"
+                )
+                rs.next()
+                n = rs.getLong(1)
+                rs.close()
+            finally:
+                st.close()
             # (3) atomic promote + ledger record
             conn.setAutoCommit(False)
             cols = ", ".join(_qcol(c) for c in batch_df.columns)

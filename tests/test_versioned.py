@@ -88,7 +88,10 @@ class TestVersionedTable:
         orphan = str(tmp_path / "t" / "data" / "deadbeef")
         _df(spark, 50, 60).write.parquet(orphan)
         assert t.read(spark).count() == 4  # invisible to readers
-        removed = t.vacuum(keep_versions=1)
+        # default min_age protects a commit-in-flight's fresh data
+        # group (written before its manifest publishes) from deletion
+        assert t.vacuum(keep_versions=1) == []
+        removed = t.vacuum(keep_versions=1, min_age_seconds=0)
         assert ["data/deadbeef"] == removed
         assert t.read(spark).count() == 4
 
@@ -98,7 +101,7 @@ class TestVersionedTable:
         t = VersionedTable(str(tmp_path / "t"))
         t.commit(_df(spark, 0, 4))
         t.commit(_df(spark, 100, 104), mode="overwrite")
-        removed = t.vacuum(keep_versions=1)
+        removed = t.vacuum(keep_versions=1, min_age_seconds=0)
         assert len(removed) == 1  # v0's group reclaimed
         assert t.versions() == [1]
         assert t.read(spark).count() == 4
@@ -250,3 +253,127 @@ class TestLakehouseFlagshipLoop:
             .collect()
         )
         assert [r.locid for r in page] == ["L2"]
+
+
+class TestReviewHardening:
+    """Pins for the second review pass: atomic txn stamping, lost-update
+    detection, and nullability-insensitive schema identity."""
+
+    def test_merge_conflicts_when_table_advances_mid_merge(
+        self, spark, tmp_path
+    ):
+        """Read-modify-write race: merge computed against version 0
+        must NOT silently erase a concurrent version-1 commit."""
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+        upd = spark.createDataFrame([(1, "A")], "k long, v string"
+                                    ).repartition(1)
+        # interleave: another writer lands between our read and commit
+        with pytest.raises(CommitConflictError):
+            base = t.latest_version()
+            current = t.read(spark, base)
+            t.commit(
+                spark.createDataFrame([(9, "z")], "k long, v string")
+            )  # the concurrent writer
+            merged = current.join(upd, ["k"], "left_anti").unionByName(upd)
+            t.commit(merged, mode="overwrite", expected_parent=base)
+
+    def test_nullability_drift_does_not_block_append_or_merge(
+        self, spark, tmp_path
+    ):
+        """spark.range columns are nullable=false; parquet reads come
+        back nullable=true. Appends and merges across that drift must
+        work (same logical schema)."""
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "t"))
+        src = spark.range(3).selectExpr("id AS k", "id * 2 AS v")
+        assert not src.schema["k"].nullable
+        t.commit(src)
+        # overwrite with the read-back (all-nullable) frame, then
+        # append the non-nullable source again
+        t.commit(t.read(spark), mode="overwrite")
+        t.commit(src)
+        assert t.read(spark).count() == 6
+        merge_into(t, spark, spark.range(3, 5).selectExpr(
+            "id AS k", "id * 2 AS v"), key="k")
+        # 6 existing rows (keys 0-2 doubled by the append) + 2 inserts
+        assert t.read(spark).count() == 8
+
+    def test_txn_mark_is_atomic_with_commit_and_survives_vacuum(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.versioned import (
+            make_idempotent_table_writer,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        w = make_idempotent_table_writer(t, "q", key=None)
+        b = spark.createDataFrame([(1, "a")], "k long, v string")
+        w(b, 0)
+        # the txn mark is IN the committed manifest (no separate stamp)
+        assert t._load_manifest(t.latest_version())["txn"] == {"q": 0}
+        # a manual commit without txn still carries the watermark
+        t.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+        assert t._load_manifest(t.latest_version())["txn"] == {"q": 0}
+        # vacuum away history; replay of epoch 0 must STILL be skipped
+        t.vacuum(keep_versions=1, min_age_seconds=0)
+        before = t.read(spark).count()
+        w(b, 0)
+        assert t.read(spark).count() == before
+        # and a genuinely new epoch lands
+        w(spark.createDataFrame([(3, "c")], "k long, v string"), 1)
+        assert t.read(spark).count() == before + 1
+
+
+class TestTableWriterRestartRecovery:
+    def test_checkpoint_restart_continues_epochs_without_duplicates(
+        self, spark, tmp_path
+    ):
+        """Real restart-from-checkpoint: a NEW query instance over the
+        same checkpoint must neither duplicate the already-committed
+        epoch nor miss new data."""
+        from file_stream_import_spark.io.versioned import (
+            VersionedTable,
+            make_idempotent_table_writer,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        src = str(tmp_path / "drops")
+        ckpt = str(tmp_path / "ckpt")
+
+        def mk(rows):
+            return spark.createDataFrame(rows, "k long, v string")
+
+        def start():
+            stream = (
+                spark.readStream.schema("k long, v string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            w = make_idempotent_table_writer(t, "q_restart", key="k")
+            return (
+                stream.writeStream.foreachBatch(w)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        mk([(1, "a"), (2, "b")]).coalesce(1).write.mode("append").parquet(src)
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert t.read(spark).count() == 2
+
+        # restart: fresh query, same checkpoint; add one more file
+        mk([(2, "B"), (3, "c")]).coalesce(1).write.mode("append").parquet(src)
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.k: r.v for r in t.read(spark).collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
