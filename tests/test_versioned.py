@@ -377,3 +377,69 @@ class TestTableWriterRestartRecovery:
             q.stop()
         got = {r.k: r.v for r in t.read(spark).collect()}
         assert got == {1: "a", 2: "B", 3: "c"}
+
+
+class TestModelBasedSequences:
+    """Model-based check: random operation sequences applied to BOTH the
+    VersionedTable and a trivial in-memory model must agree at every
+    version — the snapshot-isolation claim as a property, not an
+    example. Deterministic seeds keep it reproducible without
+    hypothesis's per-example Spark-session cost."""
+
+    def _run_sequence(self, spark, tmp_path, seed):
+        import random
+
+        from file_stream_import_spark.io.versioned import merge_into
+
+        rnd = random.Random(seed)
+        t = VersionedTable(str(tmp_path / f"t{seed}"))
+        model_history = []  # model_history[v] = dict(k -> v)
+        state: dict[int, int] = {}
+
+        def frame(d):
+            return spark.createDataFrame(
+                sorted(d.items()), "k long, v long"
+            )
+
+        n_keys = 6
+        for step in range(6):
+            op = rnd.choice(["append", "overwrite", "merge", "rollback"])
+            batch = {
+                rnd.randrange(n_keys): rnd.randrange(100)
+                for _ in range(rnd.randint(1, 3))
+            }
+            if op == "append" and state:
+                # append duplicates keys in the model too: represent the
+                # model as a multiset via counts — simplify by only
+                # appending DISJOINT keys so the model stays a dict
+                batch = {
+                    k: v for k, v in batch.items() if k not in state
+                }
+                if not batch:
+                    continue
+                t.commit(frame(batch))
+                state = {**state, **batch}
+            elif op == "overwrite" or not state:
+                t.commit(frame(batch), mode="overwrite")
+                state = dict(batch)
+            elif op == "merge":
+                merge_into(t, spark, frame(batch), key="k")
+                state = {**state, **batch}
+            else:  # rollback
+                target = rnd.randrange(len(model_history))
+                t.rollback(target)
+                state = dict(model_history[target])
+            model_history.append(dict(state))
+            got = {
+                r.k: r.v
+                for r in t.read(spark).collect()
+            }
+            assert got == state, (seed, step, op)
+        # final sweep: EVERY historical version still matches the model
+        for v, expect in enumerate(model_history):
+            got = {r.k: r.v for r in t.read(spark, v).collect()}
+            assert got == expect, (seed, "history", v)
+
+    def test_random_sequences_match_model(self, spark, tmp_path):
+        for seed in (11, 23, 47):
+            self._run_sequence(spark, tmp_path, seed)
