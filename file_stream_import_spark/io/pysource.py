@@ -313,3 +313,124 @@ class JsonlShardDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
         return JsonlShardWriter(self.options, overwrite)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource STREAM over the versioned table — the table
+# changefeed (Delta's "streaming source on a table"): snapshot versions
+# are the offsets, so a stream tails commits exactly-once.
+# ---------------------------------------------------------------------------
+
+
+class TableChangefeedReader(SimpleDataSourceStreamReader):
+    """Offset = ``{"next_version": v}`` — snapshots < v are consumed.
+    Each micro-batch emits the rows of data groups ADDED by snapshots
+    [v, latest]; committed ranges replay bit-identically because
+    manifests and data groups are immutable (io/versioned.py's core
+    invariant) — the same property the synthetic events source proves
+    via pure functions, here provided by storage immutability.
+
+    Append-only contract (Delta-identical): an overwrite or rollback in
+    the tailed range raises unless ``ignorechanges=true``, in which
+    case only NEW groups are emitted and removed data is never
+    retracted (Delta's ignoreChanges). Rollbacks add no groups, so they
+    emit nothing.
+
+    Scale note: SimpleDataSourceStreamReader materializes batches on
+    the driver — right for modest commit sizes (this is the simple
+    contract); a partition-planned DataSourceStreamReader emitting one
+    InputPartition per new group is the executor-parallel upgrade path.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+
+    def _table(self):
+        from .versioned import VersionedTable
+
+        return VersionedTable(self.path)
+
+    def initialOffset(self) -> dict:
+        return {"next_version": 0}
+
+    def _rows_for_versions(self, lo: int, hi: int):
+        """Rows added by snapshots [lo, hi], in (version, group) order."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = self._table()
+        rows: list[tuple] = []
+        for v in range(lo, hi + 1):
+            m = t._load_manifest(v)
+            mode = str(m.get("mode", ""))
+            if not (
+                mode == "append" or (mode == "overwrite" and v == 0)
+            ) and not self.ignore_changes:
+                raise ValueError(
+                    f"snapshot {v} is {mode!r}, not an append; the "
+                    "changefeed is append-only — pass "
+                    "ignorechanges=true to tail only added groups "
+                    "(removed data is never retracted)"
+                )
+            prev = set(
+                t._load_manifest(v - 1)["groups"] if v > 0 else []
+            )
+            for g in m["groups"]:
+                if g in prev:
+                    continue
+                table = pq.read_table(os.path.join(self.path, g))
+                for row in table.to_pylist():
+                    rows.append(tuple(row.values()))
+        return rows
+
+    def read(self, start: dict):
+        lo = int(start["next_version"])
+        latest = self._table().latest_version()
+        if latest is None or latest < lo:
+            return iter([]), start
+        return (
+            iter(self._rows_for_versions(lo, latest)),
+            {"next_version": latest + 1},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            self._rows_for_versions(
+                int(start["next_version"]), int(end["next_version"]) - 1
+            )
+        )
+
+
+class TableChangefeedDataSource(DataSource):
+    """``spark.readStream.format("table_changefeed")
+    .option("path", table_dir).load()`` — tail a VersionedTable's
+    commits as a stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "table_changefeed"
+
+    def schema(self):
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from .versioned import VersionedTable
+
+        t = VersionedTable(self.options["path"])
+        latest = t.latest_version()
+        if latest is None:
+            raise FileNotFoundError(
+                "table has no snapshots yet — the changefeed needs the "
+                "schema from a first commit"
+            )
+        return StructType.fromJson(
+            _json.loads(t._load_manifest(latest)["schema"])
+        )
+
+    def simpleStreamReader(self, schema) -> TableChangefeedReader:
+        return TableChangefeedReader(self.options)

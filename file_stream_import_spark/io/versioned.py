@@ -237,6 +237,36 @@ class VersionedTable:
             },
         )
 
+    def history(self) -> list[dict]:
+        """Audit view: one row per snapshot (version, parent, mode,
+        n_groups, txn marks) — the DESCRIBE HISTORY analog."""
+        out = []
+        for v in self.versions():
+            m = self._load_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "parent": m.get("parent"),
+                    "mode": m.get("mode"),
+                    "n_groups": len(m.get("groups", [])),
+                    "txn": m.get("txn") or {},
+                }
+            )
+        return out
+
+    def optimize(self, spark: SparkSession, target_partitions: int = 1) -> int:
+        """Compaction (OPTIMIZE): rewrite the current snapshot's many
+        small groups into one coalesced group and publish it as a new
+        snapshot — same rows, fewer files. History keeps the fragmented
+        versions (vacuum reclaims them later); the read-modify-write is
+        parent-pinned so a concurrent commit conflicts instead of being
+        silently dropped."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        df = self.read(spark, base).coalesce(target_partitions)
+        return self.commit(df, mode="overwrite", expected_parent=base)
+
     def vacuum(
         self, keep_versions: int = 1, min_age_seconds: float = 3600.0
     ) -> list[str]:

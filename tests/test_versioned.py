@@ -443,3 +443,137 @@ class TestModelBasedSequences:
     def test_random_sequences_match_model(self, spark, tmp_path):
         for seed in (11, 23, 47):
             self._run_sequence(spark, tmp_path, seed)
+
+
+class TestOptimizeAndHistory:
+    def test_optimize_compacts_preserving_rows_and_history(
+        self, spark, tmp_path
+    ):
+        t = VersionedTable(str(tmp_path / "t"))
+        for i in range(4):
+            t.commit(_df(spark, i * 10, i * 10 + 10))
+        pre = sorted(r["id"] for r in t.read(spark).collect())
+        v = t.optimize(spark)
+        assert sorted(r["id"] for r in t.read(spark).collect()) == pre
+        h = t.history()
+        assert h[-1]["mode"] == "overwrite" and h[-1]["n_groups"] == 1
+        assert h[-2]["n_groups"] == 4  # fragmented version retained
+        # vacuum now reclaims the 4 small groups
+        removed = t.vacuum(keep_versions=1, min_age_seconds=0)
+        assert len(removed) == 4
+        assert sorted(r["id"] for r in t.read(spark).collect()) == pre
+
+
+class TestTableChangefeed:
+    """Streaming source over the versioned table: snapshot versions are
+    offsets, commits become micro-batches exactly-once, the append-only
+    contract rejects overwrites unless ignorechanges opts in."""
+
+    def _start(self, spark, t, ckpt, name, **opts):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        reader = spark.readStream.format("table_changefeed").option(
+            "path", t.path
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def test_commits_tail_as_batches_and_survive_restart(
+        self, spark, tmp_path
+    ):
+        """File sink + checkpoint: commits stream out exactly once, and
+        a restart from the checkpoint neither re-emits consumed
+        snapshots nor misses new ones (memory sinks can't recover, so
+        the durable-sink path is the one worth proving)."""
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            mode="overwrite",
+        )
+        ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+        def start():
+            return (
+                spark.readStream.format("table_changefeed")
+                .option("path", t.path)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start()
+        try:
+            q.processAllAvailable()
+            t.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (r.k, r.v) for r in spark.read.parquet(out).collect()
+        )
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+        # restart from the same checkpoint: already-consumed snapshots
+        # must NOT re-emit; the new commit must arrive exactly once
+        t.commit(spark.createDataFrame([(4, "d")], "k long, v string"))
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (r.k, r.v) for r in spark.read.parquet(out).collect()
+        )
+        assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    def test_overwrite_rejected_unless_ignorechanges(self, spark, tmp_path):
+        import uuid as _uuid
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            mode="overwrite",
+        )
+        t.commit(
+            spark.createDataFrame([(9, "z")], "k long, v string"),
+            mode="overwrite",
+        )
+        name = "cf" + _uuid.uuid4().hex[:8]
+        q = self._start(spark, t, str(tmp_path / "c1"), name)
+        try:
+            with pytest.raises(Exception, match="append"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        # ignorechanges tails only ADDED groups (no retraction)
+        name2 = "cf" + _uuid.uuid4().hex[:8]
+        q = self._start(
+            spark, t, str(tmp_path / "c2"), name2, ignorechanges="true"
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                (r.k, r.v)
+                for r in spark.sql(f"SELECT * FROM {name2}").collect()
+            )
+            assert got == [(1, "a"), (9, "z")]
+        finally:
+            q.stop()
