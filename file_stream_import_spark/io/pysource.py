@@ -325,16 +325,27 @@ class JsonlShardDataSource(DataSource):
 class TableChangefeedReader(SimpleDataSourceStreamReader):
     """Offset = ``{"next_version": v}`` — snapshots < v are consumed.
     Each micro-batch emits the rows of data groups ADDED by snapshots
-    [v, latest]; committed ranges replay bit-identically because
-    manifests and data groups are immutable (io/versioned.py's core
-    invariant) — the same property the synthetic events source proves
-    via pure functions, here provided by storage immutability.
+    [v, latest] (each manifest records its own ``added`` delta, so the
+    feed never needs a parent manifest that vacuum may have expired);
+    committed ranges replay bit-identically because manifests and data
+    groups are immutable (io/versioned.py's core invariant).
 
-    Append-only contract (Delta-identical): an overwrite or rollback in
-    the tailed range raises unless ``ignorechanges=true``, in which
-    case only NEW groups are emitted and removed data is never
-    retracted (Delta's ignoreChanges). Rollbacks add no groups, so they
-    emit nothing.
+    Append-only contract (Delta-identical): an overwrite in the tailed
+    range raises unless ``ignorechanges=true``, in which case only NEW
+    groups are emitted and removed data is never retracted — including
+    OPTIMIZE rewrites, which (like Delta's ignoreChanges) re-emit the
+    rewritten rows. Rollbacks add no groups and emit nothing in either
+    mode.
+
+    ``startingversion`` option: "earliest" (default — version 0),
+    "latest" (only commits AFTER stream start), or a number. Tailing a
+    range whose manifests vacuum has expired raises with the remedy
+    (fresh checkpoint + startingversion) instead of a bare
+    FileNotFoundError.
+
+    Rows are aligned to the declared schema BY NAME per group, so
+    snapshots written before an additive evolution yield NULL for the
+    new columns and column reorders cannot silently transpose values.
 
     Scale note: SimpleDataSourceStreamReader materializes batches on
     the driver — right for modest commit sizes (this is the simple
@@ -347,6 +358,19 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        self.starting = str(options.get("startingversion", "earliest"))
+        t = self._table()
+        latest = t.latest_version()
+        if latest is None:
+            raise FileNotFoundError(
+                "table has no snapshots yet — commit once before tailing"
+            )
+        from .versioned import _schema_from_json
+
+        self._fields = [
+            f.name
+            for f in _schema_from_json(t._load_manifest(latest)["schema"])
+        ]
 
     def _table(self):
         from .versioned import VersionedTable
@@ -354,37 +378,64 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         return VersionedTable(self.path)
 
     def initialOffset(self) -> dict:
-        return {"next_version": 0}
+        if self.starting == "earliest":
+            return {"next_version": 0}
+        t = self._table()
+        if self.starting == "latest":
+            return {"next_version": (t.latest_version() or -1) + 1}
+        return {"next_version": int(self.starting)}
+
+    def _manifest_or_expired(self, t, v: int) -> dict:
+        try:
+            return t._load_manifest(v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {v} has been expired by vacuum(); restart "
+                "the stream from a fresh checkpoint with "
+                "startingversion=latest (or a retained version)"
+            ) from None
 
     def _rows_for_versions(self, lo: int, hi: int):
-        """Rows added by snapshots [lo, hi], in (version, group) order."""
+        """Rows added by snapshots [lo, hi], in (version, group) order,
+        aligned by NAME to the declared schema."""
         import os
 
         import pyarrow.parquet as pq
 
         t = self._table()
         rows: list[tuple] = []
+        prev_groups: set | None = None
         for v in range(lo, hi + 1):
-            m = t._load_manifest(v)
+            m = self._manifest_or_expired(t, v)
             mode = str(m.get("mode", ""))
-            if not (
-                mode == "append" or (mode == "overwrite" and v == 0)
-            ) and not self.ignore_changes:
+            append_like = mode == "append" or (
+                mode == "overwrite" and v == 0
+            )
+            if not append_like and not self.ignore_changes:
                 raise ValueError(
                     f"snapshot {v} is {mode!r}, not an append; the "
                     "changefeed is append-only — pass "
                     "ignorechanges=true to tail only added groups "
                     "(removed data is never retracted)"
                 )
-            prev = set(
-                t._load_manifest(v - 1)["groups"] if v > 0 else []
-            )
-            for g in m["groups"]:
-                if g in prev:
-                    continue
+            added = m.get("added")
+            if added is None:
+                # legacy manifest without the explicit delta: fall back
+                # to the parent diff (requires the parent manifest)
+                if prev_groups is None:
+                    prev_groups = (
+                        set(self._manifest_or_expired(t, v - 1)["groups"])
+                        if v > 0
+                        else set()
+                    )
+                added = [g for g in m["groups"] if g not in prev_groups]
+            prev_groups = set(m["groups"])
+            for g in added:
                 table = pq.read_table(os.path.join(self.path, g))
                 for row in table.to_pylist():
-                    rows.append(tuple(row.values()))
+                    rows.append(
+                        tuple(row.get(name) for name in self._fields)
+                    )
         return rows
 
     def read(self, start: dict):
@@ -415,11 +466,7 @@ class TableChangefeedDataSource(DataSource):
         return "table_changefeed"
 
     def schema(self):
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
-        from .versioned import VersionedTable
+        from .versioned import VersionedTable, _schema_from_json
 
         t = VersionedTable(self.options["path"])
         latest = t.latest_version()
@@ -428,9 +475,7 @@ class TableChangefeedDataSource(DataSource):
                 "table has no snapshots yet — the changefeed needs the "
                 "schema from a first commit"
             )
-        return StructType.fromJson(
-            _json.loads(t._load_manifest(latest)["schema"])
-        )
+        return _schema_from_json(t._load_manifest(latest)["schema"])
 
     def simpleStreamReader(self, schema) -> TableChangefeedReader:
         return TableChangefeedReader(self.options)

@@ -151,10 +151,17 @@ class VersionedTable:
         group = os.path.join("data", uuid.uuid4().hex)
         df.write.parquet(os.path.join(self.path, group))
         groups.append(group)
-        # (2) atomic manifest publish
+        # (2) atomic manifest publish; "added" records THIS commit's
+        # delta explicitly so consumers (the changefeed) never need the
+        # parent manifest — which vacuum may have expired
         return self._publish(
             parent,
-            {"schema": schema_json, "groups": groups, "mode": mode},
+            {
+                "schema": schema_json,
+                "groups": groups,
+                "mode": mode,
+                "added": [group],
+            },
             txn=txn,
         )
 
@@ -234,6 +241,7 @@ class VersionedTable:
                 "schema": m["schema"],
                 "groups": list(m["groups"]),
                 "mode": f"rollback:{to_version}",
+                "added": [],
             },
         )
 

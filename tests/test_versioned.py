@@ -577,3 +577,101 @@ class TestTableChangefeed:
             assert got == [(1, "a"), (9, "z")]
         finally:
             q.stop()
+
+
+class TestChangefeedHardening:
+    """Regressions for the changefeed review pass: vacuum expiry,
+    schema evolution alignment, and rollback re-emission."""
+
+    def _collect(self, spark, t, tmp_path, tag, **opts):
+        import uuid as _uuid
+
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        name = "cf" + _uuid.uuid4().hex[:8]
+        reader = spark.readStream.format("table_changefeed").option(
+            "path", t.path
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return spark.sql(f"SELECT * FROM {name}").collect()
+        finally:
+            q.stop()
+
+    def test_vacuumed_history_raises_remedy_and_latest_works(
+        self, spark, tmp_path
+    ):
+        t = VersionedTable(str(tmp_path / "t"))
+        for i in range(3):
+            t.commit(
+                spark.createDataFrame([(i, "x")], "k long, v string"),
+                mode="append" if i else "overwrite",
+            )
+        t.commit(
+            spark.createDataFrame([(9, "z")], "k long, v string"),
+            mode="overwrite",
+        )
+        t.vacuum(keep_versions=1, min_age_seconds=0)
+        # earliest tails into expired manifests: clear remedy, not a
+        # bare FileNotFoundError
+        with pytest.raises(Exception, match="vacuum"):
+            self._collect(
+                spark, t, tmp_path, "a", ignorechanges="true"
+            )
+        # startingversion=latest only sees post-start commits
+        assert (
+            self._collect(
+                spark, t, tmp_path, "b", startingversion="latest"
+            )
+            == []
+        )
+
+    def test_evolved_history_aligns_by_name_with_nulls(
+        self, spark, tmp_path
+    ):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame([(1,)], "k long"), mode="overwrite"
+        )
+        t.commit(
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+            allow_evolution=True,
+        )
+        rows = self._collect(spark, t, tmp_path, "evo")
+        got = sorted((r.k, r.v) for r in rows)
+        # pre-evolution snapshot yields NULL for the added column
+        assert got == [(1, None), (2, "b")]
+
+    def test_rollback_after_overwrite_does_not_reemit(
+        self, spark, tmp_path
+    ):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            mode="overwrite",
+        )
+        t.commit(
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+            mode="overwrite",
+        )
+        t.rollback(0)  # groups revert to v0's — NOT new data
+        rows = self._collect(
+            spark, t, tmp_path, "rb", ignorechanges="true"
+        )
+        got = sorted((r.k, r.v) for r in rows)
+        # each group's rows exactly once: g0 (from v0) + g1 (from v1);
+        # the rollback emits nothing
+        assert got == [(1, "a"), (2, "b")]
