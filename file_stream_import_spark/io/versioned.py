@@ -126,8 +126,10 @@ class VersionedTable:
         make_idempotent_table_writer); parent txn marks are carried
         forward on every commit so the LATEST manifest always holds
         each writer's high-water mark."""
-        if mode not in ("append", "overwrite"):
+        if mode not in ("append", "overwrite", "delete"):
             raise ValueError(f"unknown mode {mode!r}")
+        # "delete" is an overwrite with intent recorded in history (and
+        # surfaced to the changefeed's append-only contract)
         parent = self.latest_version()
         if expected_parent != "any" and parent != expected_parent:
             raise CommitConflictError(
@@ -274,6 +276,20 @@ class VersionedTable:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         df = self.read(spark, base).coalesce(target_partitions)
         return self.commit(df, mode="overwrite", expected_parent=base)
+
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Row-level DELETE: publish a new snapshot without the rows
+        matching ``condition`` (a Column predicate). Copy-on-write at
+        snapshot granularity like merge_into; parent-pinned so a
+        concurrent commit conflicts; history records mode "delete" and
+        the removed rows stay time-travelable until vacuum."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        kept = self.read(spark, base).filter(~condition)
+        return self.commit(
+            kept, mode="delete", expected_parent=base
+        )
 
     def vacuum(
         self, keep_versions: int = 1, min_age_seconds: float = 3600.0

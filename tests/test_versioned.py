@@ -675,3 +675,44 @@ class TestChangefeedHardening:
         # each group's rows exactly once: g0 (from v0) + g1 (from v1);
         # the rollback emits nothing
         assert got == [(1, "a"), (2, "b")]
+
+
+class TestDeleteWhere:
+    def test_delete_rows_with_history_and_changefeed_contract(
+        self, spark, tmp_path
+    ):
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 10), mode="overwrite")
+        v = t.delete_where(spark, F.col("id") >= 7)
+        assert sorted(r["id"] for r in t.read(spark).collect()) == list(
+            range(7)
+        )
+        assert t.history()[-1]["mode"] == "delete"
+        # deleted rows remain time-travelable
+        assert t.read(spark, v - 1).count() == 10
+        # the strict changefeed refuses to silently skip a delete
+        spark.dataSource.register(TableChangefeedDataSource)
+        name = "cf" + _uuid.uuid4().hex[:8]
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            with pytest.raises(Exception, match="append"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
