@@ -138,6 +138,7 @@ class VersionedTable:
             )
         schema_json = df.schema.json()
         groups: list[str] = []
+        delete_entries: list[dict] = []
         if mode == "append" and parent is not None:
             m = self._load_manifest(parent)
             if _schema_key(m["schema"]) != _schema_key(schema_json):
@@ -149,6 +150,10 @@ class VersionedTable:
                     )
                 schema_json = _evolve_schema(m["schema"], df.schema)
             groups = list(m["groups"])
+            # pending merge-on-read deletes stay scoped to the OLD
+            # groups; the new group is younger than every delete and
+            # must not be touched by them
+            delete_entries = list(m.get("delete_entries") or [])
         # (1) immutable data files first, invisible until the manifest
         group = os.path.join("data", uuid.uuid4().hex)
         df.write.parquet(os.path.join(self.path, group))
@@ -163,6 +168,7 @@ class VersionedTable:
                 "groups": groups,
                 "mode": mode,
                 "added": [group],
+                "delete_entries": delete_entries,
             },
             txn=txn,
         )
@@ -223,9 +229,38 @@ class VersionedTable:
             return spark.createDataFrame(
                 [], schema=_schema_from_json(m["schema"])
             )
-        # mergeSchema: groups written before an additive evolution lack
-        # the new columns; the merged read fills them with NULL
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        dels = m.get("delete_entries") or []
+        if not dels:
+            # mergeSchema: groups written before an additive evolution
+            # lack the new columns; the merged read fills them with NULL
+            return spark.read.option("mergeSchema", "true").parquet(*paths)
+        # merge-on-read: each equality-delete file applies ONLY to the
+        # data groups that existed when the delete committed (Iceberg
+        # sequence-number semantics) — a key re-inserted later survives
+        per_group = {
+            g: spark.read.parquet(os.path.join(self.path, g))
+            for g in m["groups"]
+        }
+        for e in dels:
+            ddf = spark.read.parquet(
+                os.path.join(self.path, e["file"])
+            ).distinct()
+            for g in e["applies_to"]:
+                if g in per_group:
+                    per_group[g] = per_group[g].join(
+                        ddf, e["key"], "left_anti"
+                    )
+        from functools import reduce
+
+        df = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            per_group.values(),
+        )
+        declared = _schema_from_json(m["schema"])
+        for f in declared.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df.select(*[f.name for f in declared.fields])
 
     # -- rollback / vacuum -------------------------------------------
 
@@ -277,18 +312,65 @@ class VersionedTable:
         df = self.read(spark, base).coalesce(target_partitions)
         return self.commit(df, mode="overwrite", expected_parent=base)
 
-    def delete_where(self, spark: SparkSession, condition) -> int:
-        """Row-level DELETE: publish a new snapshot without the rows
-        matching ``condition`` (a Column predicate). Copy-on-write at
-        snapshot granularity like merge_into; parent-pinned so a
-        concurrent commit conflicts; history records mode "delete" and
-        the removed rows stay time-travelable until vacuum."""
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        strategy: str = "copy-on-write",
+        key_cols: list[str] | None = None,
+    ) -> int:
+        """Row-level DELETE. ``strategy="copy-on-write"`` rewrites the
+        snapshot without the matching rows (read-optimized).
+        ``strategy="merge-on-read"`` writes only the matched KEYS as an
+        equality-delete sidecar (Iceberg equality deletes / Delta
+        deletion vectors): O(matched) commit cost, the anti-join is
+        paid at read time, and the delete is SCOPED to the data groups
+        present at delete time — a key re-inserted by a later append
+        survives. ``optimize()`` materializes pending deletes.
+        Either way: parent-pinned, mode "delete" in history, the
+        removed rows stay time-travelable until vacuum."""
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
-        kept = self.read(spark, base).filter(~condition)
-        return self.commit(
-            kept, mode="delete", expected_parent=base
+        if strategy == "copy-on-write":
+            kept = self.read(spark, base).filter(~condition)
+            return self.commit(kept, mode="delete", expected_parent=base)
+        if strategy != "merge-on-read":
+            raise ValueError(f"unknown strategy {strategy!r}")
+        if not key_cols:
+            raise ValueError(
+                "merge-on-read needs key_cols identifying rows to drop"
+            )
+        m = self._load_manifest(base)
+        matched = (
+            self.read(spark, base)
+            .filter(condition)
+            .select(*key_cols)
+            .distinct()
+        )
+        dfile = os.path.join("data", uuid.uuid4().hex)
+        matched.write.parquet(os.path.join(self.path, dfile))
+        entries = list(m.get("delete_entries") or [])
+        entries.append(
+            {
+                "file": dfile,
+                "key": list(key_cols),
+                "applies_to": list(m["groups"]),
+            }
+        )
+        if self.latest_version() != base:
+            raise CommitConflictError(
+                f"table advanced past {base} during delete; retry"
+            )
+        return self._publish(
+            base,
+            {
+                "schema": m["schema"],
+                "groups": list(m["groups"]),
+                "mode": "delete",
+                "added": [],
+                "delete_entries": entries,
+            },
         )
 
     def vacuum(
@@ -318,7 +400,11 @@ class VersionedTable:
             os.unlink(_manifest_path(self.path, v))
         live: set[str] = set()
         for v in keep:
-            live.update(self._load_manifest(v)["groups"])
+            mk = self._load_manifest(v)
+            live.update(mk["groups"])
+            live.update(
+                e["file"] for e in (mk.get("delete_entries") or [])
+            )
         removed = []
         cutoff = time.time() - min_age_seconds
         data_root = os.path.join(self.path, "data")

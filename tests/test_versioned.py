@@ -716,3 +716,69 @@ class TestDeleteWhere:
                 q.processAllAvailable()
         finally:
             q.stop()
+
+
+class TestMergeOnReadDeletes:
+    def test_equality_delete_scoped_to_existing_groups(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 10), mode="overwrite")
+        v = t.delete_where(
+            spark,
+            F.col("id") >= 7,
+            strategy="merge-on-read",
+            key_cols=["id"],
+        )
+        # rows hidden at read; data files untouched (O(matched) commit)
+        assert sorted(r["id"] for r in t.read(spark).collect()) == list(
+            range(7)
+        )
+        h = t.history()
+        assert h[-1]["mode"] == "delete" and h[-1]["n_groups"] == 1
+        assert t.read(spark, v - 1).count() == 10  # time travel intact
+        # a key RE-INSERTED after the delete must survive: the delete
+        # is scoped to the groups that existed when it committed
+        t.commit(
+            spark.range(8, 9).selectExpr("id", "id * 10 AS v")
+        )
+        assert sorted(r["id"] for r in t.read(spark).collect()) == [
+            0, 1, 2, 3, 4, 5, 6, 8,
+        ]
+
+    def test_optimize_materializes_pending_deletes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 10), mode="overwrite")
+        t.delete_where(
+            spark, F.col("id") % 2 == 0,
+            strategy="merge-on-read", key_cols=["id"],
+        )
+        t.optimize(spark)
+        m = t._load_manifest(t.latest_version())
+        assert not m.get("delete_entries")
+        assert sorted(r["id"] for r in t.read(spark).collect()) == [
+            1, 3, 5, 7, 9,
+        ]
+        # after compaction the delete sidecar becomes vacuumable, but
+        # while any retained manifest references it, it survives
+        t2_removed = t.vacuum(keep_versions=3, min_age_seconds=0)
+        assert t2_removed == []
+        removed = t.vacuum(keep_versions=1, min_age_seconds=0)
+        assert len(removed) == 2  # original group + delete sidecar
+        assert sorted(r["id"] for r in t.read(spark).collect()) == [
+            1, 3, 5, 7, 9,
+        ]
+
+    def test_mor_requires_key_cols(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 3), mode="overwrite")
+        with pytest.raises(ValueError, match="key_cols"):
+            t.delete_where(
+                spark, F.col("id") > 0, strategy="merge-on-read"
+            )
