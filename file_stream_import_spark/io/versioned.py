@@ -236,31 +236,60 @@ class VersionedTable:
             return spark.read.option("mergeSchema", "true").parquet(*paths)
         # merge-on-read: each equality-delete file applies ONLY to the
         # data groups that existed when the delete committed (Iceberg
-        # sequence-number semantics) — a key re-inserted later survives
-        per_group = {
-            g: spark.read.parquet(os.path.join(self.path, g))
-            for g in m["groups"]
-        }
-        for e in dels:
-            ddf = spark.read.parquet(
-                os.path.join(self.path, e["file"])
-            ).distinct()
-            for g in e["applies_to"]:
-                if g in per_group:
-                    per_group[g] = per_group[g].join(
-                        ddf, e["key"], "left_anti"
+        # sequence-number semantics) — a key re-inserted later survives.
+        declared = _schema_from_json(m["schema"])
+
+        def align(df):
+            # by-name alignment BEFORE any key join: a delete keyed on
+            # an evolution-added column must see NULL (not a missing
+            # column) in pre-evolution groups
+            for f in declared.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
                     )
+            return df.select(*[f.name for f in declared.fields])
+
+        touched = {
+            g
+            for e in dels
+            for g in e["applies_to"]
+            if g in set(m["groups"])
+        }
+        parts = []
+        untouched = [g for g in m["groups"] if g not in touched]
+        if untouched:
+            # the untouched majority stays ONE multi-path scan
+            parts.append(
+                align(
+                    spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.path, g) for g in untouched]
+                    )
+                )
+            )
         from functools import reduce
 
-        df = reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True),
-            per_group.values(),
-        )
-        declared = _schema_from_json(m["schema"])
-        for f in declared.fields:
-            if f.name not in df.columns:
-                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        return df.select(*[f.name for f in declared.fields])
+        for g in (g for g in m["groups"] if g in touched):
+            dfg = align(
+                spark.read.parquet(os.path.join(self.path, g))
+            )
+            for e in dels:
+                if g not in e["applies_to"]:
+                    continue
+                # sidecar rows are distinct by construction
+                # (delete_where writes .distinct()); the join is
+                # NULL-SAFE so a delete keyed on a NULL value removes
+                # the row, matching the copy-on-write strategy
+                ddf = spark.read.parquet(
+                    os.path.join(self.path, e["file"])
+                )
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [dfg[k].eqNullSafe(ddf[k]) for k in e["key"]],
+                )
+                dfg = dfg.join(ddf, cond, "left_anti")
+            parts.append(dfg)
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     # -- rollback / vacuum -------------------------------------------
 
@@ -279,6 +308,9 @@ class VersionedTable:
                 "groups": list(m["groups"]),
                 "mode": f"rollback:{to_version}",
                 "added": [],
+                # pending merge-on-read deletes are part of the state
+                # being reproduced — dropping them would resurrect rows
+                "delete_entries": list(m.get("delete_entries") or []),
             },
         )
 
@@ -348,6 +380,10 @@ class VersionedTable:
             .select(*key_cols)
             .distinct()
         )
+        if matched.limit(1).count() == 0:
+            # nothing to delete: publishing an empty sidecar would tax
+            # every later read with a no-op anti-join forever
+            return base
         dfile = os.path.join("data", uuid.uuid4().hex)
         matched.write.parquet(os.path.join(self.path, dfile))
         entries = list(m.get("delete_entries") or [])
@@ -358,10 +394,8 @@ class VersionedTable:
                 "applies_to": list(m["groups"]),
             }
         )
-        if self.latest_version() != base:
-            raise CommitConflictError(
-                f"table advanced past {base} during delete; retry"
-            )
+        # concurrency: _publish targets base+1 atomically — a commit
+        # landing after our read surfaces as CommitConflictError there
         return self._publish(
             base,
             {

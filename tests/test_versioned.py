@@ -782,3 +782,57 @@ class TestMergeOnReadDeletes:
             t.delete_where(
                 spark, F.col("id") > 0, strategy="merge-on-read"
             )
+
+
+class TestMergeOnReadHardening:
+    """Regressions for the MoR review pass: rollback preserves pending
+    deletes, evolution-keyed and NULL-keyed deletes work, and empty
+    deletes are no-ops."""
+
+    def test_rollback_preserves_pending_deletes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 10), mode="overwrite")
+        v1 = t.delete_where(
+            spark, F.col("id") >= 7,
+            strategy="merge-on-read", key_cols=["id"],
+        )
+        t.commit(_df(spark, 100, 101))  # some later append
+        t.rollback(v1)
+        assert sorted(r["id"] for r in t.read(spark).collect()) == list(
+            range(7)
+        )
+
+    def test_delete_keyed_on_evolved_column(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame([(1,), (2,)], "k long"),
+            mode="overwrite",
+        )
+        t.commit(
+            spark.createDataFrame([(3, "x")], "k long, w string"),
+            allow_evolution=True,
+        )
+        # key on the evolved column: pre-evolution rows read w as NULL
+        # and the NULL-safe join deletes exactly them
+        t.delete_where(
+            spark, F.col("w").isNull(),
+            strategy="merge-on-read", key_cols=["w"],
+        )
+        assert [r.k for r in t.read(spark).collect()] == [3]
+
+    def test_empty_delete_is_noop(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        v0 = t.commit(_df(spark, 0, 5), mode="overwrite")
+        v = t.delete_where(
+            spark, F.col("id") > 10**9,
+            strategy="merge-on-read", key_cols=["id"],
+        )
+        assert v == v0  # no new snapshot published
+        assert not t._load_manifest(v0).get("delete_entries")
+        assert t.read(spark).count() == 5
