@@ -183,6 +183,12 @@ class VersionedTable:
         version = (parent if parent is not None else -1) + 1
         manifest["version"] = version
         manifest["parent"] = parent
+        import time as _time
+
+        # wall-clock commit instant for TIMESTAMP AS OF resolution; the
+        # ORDER of versions is authoritative (monotone by construction),
+        # the timestamp is best-effort metadata like Delta's
+        manifest.setdefault("committed_at", _time.time())
         # txn watermarks ride every manifest: start from the parent's
         # map so vacuum (which always retains the latest) never loses a
         # writer's high-water mark, then fold in this commit's epochs
@@ -216,9 +222,30 @@ class VersionedTable:
 
     # -- read / time travel ------------------------------------------
 
+    def version_as_of(self, timestamp: float) -> int:
+        """TIMESTAMP AS OF: the newest version committed at or before
+        the given epoch seconds."""
+        best = None
+        for v in self.versions():
+            ts = self._load_manifest(v).get("committed_at")
+            if ts is not None and ts <= timestamp:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no snapshot at or before {timestamp} in {self.path}"
+            )
+        return best
+
     def read(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_timestamp: float | None = None,
     ) -> DataFrame:
+        if version is not None and as_of_timestamp is not None:
+            raise ValueError("pass version OR as_of_timestamp, not both")
+        if as_of_timestamp is not None:
+            version = self.version_as_of(as_of_timestamp)
         if version is None:
             version = self.latest_version()
         if version is None:

@@ -836,3 +836,20 @@ class TestMergeOnReadHardening:
         assert v == v0  # no new snapshot published
         assert not t._load_manifest(v0).get("delete_entries")
         assert t.read(spark).count() == 5
+
+
+class TestTimestampAsOf:
+    def test_reads_resolve_by_commit_instant(self, spark, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 3), mode="overwrite")
+        t.commit(_df(spark, 3, 6))
+        ts0 = t._load_manifest(0)["committed_at"]
+        ts1 = t._load_manifest(1)["committed_at"]
+        assert ts0 <= ts1
+        # between the two commits -> version 0's state
+        assert t.read(spark, as_of_timestamp=ts0).count() == 3
+        assert t.read(spark, as_of_timestamp=ts1 + 1).count() == 6
+        with pytest.raises(FileNotFoundError, match="no snapshot"):
+            t.read(spark, as_of_timestamp=ts0 - 10)
+        with pytest.raises(ValueError, match="not both"):
+            t.read(spark, version=0, as_of_timestamp=ts0)
