@@ -164,7 +164,8 @@ def dedup_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c.vec_id <> qd.query_id
       GROUP BY 1, 2
     )
-    SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc_dist,
+    SELECT query_id, neighbor_id,
+           FLOOR(adc * 1e6 + 0.5) / 1e6 + 0.0 AS adc_dist,
            CAST(rk AS BIGINT) AS rk
     FROM (
       SELECT query_id, neighbor_id, adc,
@@ -269,7 +270,7 @@ def ann_cosine_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round("adc", 6).alias("adc_dist"),
+            _q6(F.col("adc")).alias("adc_dist"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
@@ -295,13 +296,14 @@ def ann_cosine_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            CAST(n AS BIGINT) AS n_orders,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
-             AS slope_cents_per_day,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 + 0.0 AS slope_cents_per_day,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
                  * CAST(n * sxy - sx * sy AS DOUBLE)
                  / (CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+                    * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5)
+             / 1e6 + 0.0 AS r2
     FROM s
     """,
 )
@@ -348,8 +350,8 @@ def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "o_orderpriority",
         F.col("n").cast("bigint").alias("n_orders"),
-        F.round(cov / varx, 6).alias("slope_cents_per_day"),
-        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+        _q6(cov / varx).alias("slope_cents_per_day"),
+        _q6(cov * cov / (varx * vary)).alias("r2"),
     )
 
 
@@ -640,9 +642,11 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     ),
     t AS (SELECT SUM(n1v) AS n1, SUM(n2v) AS n2 FROM v)
-    SELECT t.n1 AS n_building, t.n2 AS n_machinery,
-           ROUND(MAX(ABS(CAST(c.c1 AS DOUBLE) / t.n1
-                         - CAST(c.c2 AS DOUBLE) / t.n2)), 6) AS ks_d
+    SELECT CAST(t.n1 AS BIGINT) AS n_building,
+           CAST(t.n2 AS BIGINT) AS n_machinery,
+           FLOOR(MAX(ABS(CAST(c.c1 AS DOUBLE) / t.n1
+                         - CAST(c.c2 AS DOUBLE) / t.n2)) * 1e6 + 0.5)
+             / 1e6 + 0.0 AS ks_d
     FROM c, t
     GROUP BY t.n1, t.n2
     """,
@@ -690,14 +694,13 @@ def segment_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(t))
         .groupBy("n1", "n2")
         .agg(
-            F.round(
+            _q6(
                 F.max(
                     F.abs(
                         F.col("c1").cast("double") / F.col("n1")
                         - F.col("c2").cast("double") / F.col("n2")
                     )
-                ),
-                6,
+                )
             ).alias("ks_d")
         )
         .select(
@@ -736,16 +739,16 @@ def segment_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(cnt * cnt * cnt - cnt) AS tie3
       FROM r
     )
-    SELECT n1, n2,
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
-           ROUND(
+           FLOOR(
              (CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) / 2
               - CAST(n1 * n2 AS DOUBLE) / 2)
              / sqrt(CAST(n1 * n2 AS DOUBLE) / 12
                     * (CAST(n + 1 AS DOUBLE)
                        - CAST(tie3 AS DOUBLE)
-                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))),
-             6) AS z
+                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+             * 1e6 + 0.5) / 1e6 + 0.0 AS z
     FROM s
     """,
 )
@@ -815,7 +818,7 @@ def segment_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         u1.alias("u1"),
-        F.round((u1 - mu) / sigma, 6).alias("z"),
+        _q6((u1 - mu) / sigma).alias("z"),
     )
 
 

@@ -386,10 +386,10 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH qs AS (
       SELECT l_returnflag,
-             ROUND(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 4)
-               AS q1,
-             ROUND(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 4)
-               AS q3
+             FLOOR(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE)
+                   * 1e4 + 0.5) / 1e4 + 0.0 AS q1,
+             FLOOR(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE)
+                   * 1e4 + 0.5) / 1e4 + 0.0 AS q3
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT li.l_returnflag, MAX(q1) AS q1, MAX(q3) AS q3,
@@ -421,8 +421,8 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_extendedprice"
     )
     qs = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("q1"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("q3"),
+        _q(F.percentile("l_extendedprice", F.lit(0.25)), 1e4).alias("q1"),
+        _q(F.percentile("l_extendedprice", F.lit(0.75)), 1e4).alias("q3"),
     )
     lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
@@ -451,8 +451,10 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
       CAST(COUNT(*) AS BIGINT) AS n_keys,
       CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
-      ROUND(CAST(quantile_cont(cnt, 0.50) AS DOUBLE), 4) AS p50_key_rows,
-      ROUND(CAST(quantile_cont(cnt, 0.99) AS DOUBLE), 4) AS p99_key_rows,
+      FLOOR(CAST(quantile_cont(cnt, 0.50) AS DOUBLE) * 1e4 + 0.5)
+        / 1e4 + 0.0 AS p50_key_rows,
+      FLOOR(CAST(quantile_cont(cnt, 0.99) AS DOUBLE) * 1e4 + 0.5)
+        / 1e4 + 0.0 AS p99_key_rows,
       FLOOR(CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5)
         / 1e4 + 0.0 AS avg_key_rows,
       FLOOR(CAST(MAX(cnt) AS DOUBLE)
@@ -485,8 +487,8 @@ def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("n_rows"),
         keys.alias("n_keys"),
         mx.alias("max_key_rows"),
-        F.round(F.percentile("cnt", F.lit(0.50)), 4).alias("p50_key_rows"),
-        F.round(F.percentile("cnt", F.lit(0.99)), 4).alias("p99_key_rows"),
+        _q(F.percentile("cnt", F.lit(0.50)), 1e4).alias("p50_key_rows"),
+        _q(F.percentile("cnt", F.lit(0.99)), 1e4).alias("p99_key_rows"),
         _q(avg, 1e4).alias("avg_key_rows"),
         _q(mx.cast("double") / avg, 1e4).alias("skew_ratio"),
     )
@@ -820,10 +822,14 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     ), th AS (
       SELECT
-        ROUND(CAST(quantile_cont(rev, 0.99) AS DOUBLE), 4) AS t99,
-        ROUND(CAST(quantile_cont(rev, 0.95) AS DOUBLE), 4) AS t95,
-        ROUND(CAST(quantile_cont(rev, 0.90) AS DOUBLE), 4) AS t90,
-        ROUND(CAST(quantile_cont(rev, 0.80) AS DOUBLE), 4) AS t80
+        FLOOR(CAST(quantile_cont(rev, 0.99) AS DOUBLE) * 1e4 + 0.5)
+          / 1e4 + 0.0 AS t99,
+        FLOOR(CAST(quantile_cont(rev, 0.95) AS DOUBLE) * 1e4 + 0.5)
+          / 1e4 + 0.0 AS t95,
+        FLOOR(CAST(quantile_cont(rev, 0.90) AS DOUBLE) * 1e4 + 0.5)
+          / 1e4 + 0.0 AS t90,
+        FLOOR(CAST(quantile_cont(rev, 0.80) AS DOUBLE) * 1e4 + 0.5)
+          / 1e4 + 0.0 AS t80
       FROM cr
     ), agg AS (
       SELECT
@@ -888,7 +894,7 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     th = cr.agg(
         *[
-            F.round(F.percentile("rev", F.lit(p)), 4).alias(t)
+            _q(F.percentile("rev", F.lit(p)), 1e4).alias(t)
             for p, t in [(0.99, "t99"), (0.95, "t95"), (0.90, "t90"), (0.80, "t80")]
         ]
     )

@@ -43,9 +43,13 @@ def main() -> None:
             if name not in reg.QUERIES:
                 continue
             # A failed row is not evidence — leave the query at rank 0.
-            ok = row.get("err") in (None, "no_oracle") and row.get(
-                "rows_match"
-            ) in (True, None)
+            # hash_match must pass too: a hash-FAIL whose code is never
+            # edited would otherwise be sorted away and never rechecked.
+            ok = (
+                row.get("err") in (None, "no_oracle")
+                and row.get("rows_match") in (True, None)
+                and row.get("hash_match") in (True, None)
+            )
             if not ok:
                 evidence.pop(name, None)
                 continue
