@@ -55,6 +55,138 @@ class CommitConflictError(RuntimeError):
     """Another writer committed the version this commit targeted."""
 
 
+# -- per-group column statistics (the Iceberg manifest-stats analog) ----
+#
+# Each commit records min/max/null-count per stats-eligible column for
+# the group it writes, collected with DataFrame.observe() in the SAME
+# job as the parquet write (no second scan). Readers and MERGE use the
+# stats to prune whole groups without listing or opening their files —
+# at 100 TB that is the difference between an O(delta) incremental
+# merge and an O(table) rewrite (Iceberg/Delta data skipping;
+# reference's read-side acceleration is "index every payload column",
+# internal/db/db.go:97-103 — group stats are the lake-scale analog).
+
+_STATS_ATOMIC = (
+    "byte", "short", "integer", "long", "float", "double",
+    "string", "date", "boolean",
+)
+
+
+def _stats_eligible(dtype) -> bool:
+    name = dtype.typeName()
+    return (
+        name in _STATS_ATOMIC
+        or name.startswith("decimal")
+        or name in ("timestamp", "timestamp_ntz")
+    )
+
+
+def _json_safe(v, dtype):
+    """Convert an observed min/max to a JSON value whose ORDER survives
+    the round trip: dates/timestamps → ISO strings (lexicographic ==
+    chronological), decimals → str (re-parsed as Decimal on compare),
+    non-finite floats → None (no stats → conservative)."""
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, str)):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None  # unexpected type: no stats, conservative
+
+
+def _stat_lit(value, dtype):
+    """Rebuild a Spark literal of the column's type from a JSON-safe
+    stats value (the inverse of _json_safe) — comparisons during MERGE
+    pruning happen JVM-side in the column's own type semantics."""
+    name = dtype.typeName()
+    if name in ("date", "timestamp", "timestamp_ntz") or name.startswith(
+        "decimal"
+    ):
+        return F.lit(value).cast(dtype)
+    return F.lit(value)
+
+
+def _stat_lt(a, b) -> bool:
+    """Order stats values; ``False`` on any doubt (caller treats
+    not-provably-less as non-prunable — conservative)."""
+    import decimal
+
+    try:
+        if isinstance(a, str) != isinstance(b, str):
+            # mixed domain (decimal-as-str vs a numeric bound)
+            a, b = decimal.Decimal(str(a)), decimal.Decimal(str(b))
+        return a < b
+    except (ValueError, TypeError, decimal.InvalidOperation):
+        return False
+
+
+def _group_may_match(gstats: dict | None, where: dict) -> bool:
+    """Can any row of a group satisfy every [lo, hi] bound? Missing
+    stats → True (scan it); an all-NULL column can satisfy no bound →
+    prunable, matching SQL comparison-with-NULL semantics."""
+    if not gstats:
+        return True
+    for col, (lo, hi) in where.items():
+        st = gstats.get(col)
+        if not st:
+            continue  # no stats for this column in this group
+        mn, mx = st.get("min"), st.get("max")
+        if mn is None or mx is None:
+            if lo is not None or hi is not None:
+                return False  # no non-null values: no row can compare
+            continue
+        if lo is not None and _stat_lt(mx, lo):
+            return False
+        if hi is not None and _stat_lt(hi, mn):
+            return False
+    return True
+
+
+def _write_group_with_stats(df: DataFrame, full_path: str) -> dict | None:
+    """Write ``df`` as a parquet group, observing per-column min/max +
+    null counts in the SAME job (Observation piggybacks on the write —
+    no second scan, which matters when the group is TBs). Returns
+    ``{col: {"min": v, "max": v, "nulls": n}, "_rows": n}`` or None if
+    nothing is stats-eligible."""
+    from pyspark.sql import Observation
+
+    cols = [f for f in df.schema.fields if _stats_eligible(f.dataType)]
+    if not cols:
+        df.write.parquet(full_path)
+        return None
+    exprs = [F.count(F.lit(1)).alias("rows")]
+    for i, f in enumerate(cols):
+        exprs.append(F.min(f.name).alias(f"mn_{i}"))
+        exprs.append(F.max(f.name).alias(f"mx_{i}"))
+        exprs.append(
+            F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0)).alias(
+                f"nu_{i}"
+            )
+        )
+    obs = Observation()
+    df.observe(obs, *exprs).write.parquet(full_path)
+    got = obs.get
+    out: dict = {"_rows": int(got["rows"] or 0)}
+    for i, f in enumerate(cols):
+        out[f.name] = {
+            "min": _json_safe(got[f"mn_{i}"], f.dataType),
+            "max": _json_safe(got[f"mx_{i}"], f.dataType),
+            "nulls": int(got[f"nu_{i}"] or 0),
+        }
+    return out
+
+
 class SchemaMismatchError(ValueError):
     """Append schema differs from the table's current schema."""
 
@@ -154,9 +286,24 @@ class VersionedTable:
             # groups; the new group is younger than every delete and
             # must not be touched by them
             delete_entries = list(m.get("delete_entries") or [])
-        # (1) immutable data files first, invisible until the manifest
+        # stats for RETAINED groups carry forward by reference
+        stats = (
+            {
+                g: s
+                for g, s in (self._load_manifest(parent).get("stats") or {}).items()
+                if g in set(groups)
+            }
+            if parent is not None and groups
+            else {}
+        )
+        # (1) immutable data files first, invisible until the manifest;
+        # per-column min/max observed in the SAME job as the write
         group = os.path.join("data", uuid.uuid4().hex)
-        df.write.parquet(os.path.join(self.path, group))
+        group_stats = _write_group_with_stats(
+            df, os.path.join(self.path, group)
+        )
+        if group_stats is not None:
+            stats[group] = group_stats
         groups.append(group)
         # (2) atomic manifest publish; "added" records THIS commit's
         # delta explicitly so consumers (the changefeed) never need the
@@ -169,6 +316,7 @@ class VersionedTable:
                 "mode": mode,
                 "added": [group],
                 "delete_entries": delete_entries,
+                "stats": stats,
             },
             txn=txn,
         )
@@ -185,18 +333,23 @@ class VersionedTable:
         manifest["parent"] = parent
         import time as _time
 
+        parent_manifest = (
+            self._load_manifest(parent) if parent is not None else {}
+        )
         # wall-clock commit instant for TIMESTAMP AS OF resolution; the
         # ORDER of versions is authoritative (monotone by construction),
-        # the timestamp is best-effort metadata like Delta's
+        # the timestamp is best-effort metadata like Delta's — and, like
+        # Delta, clamped to >= the parent's instant so clock skew across
+        # writers can never make TIMESTAMP AS OF resolve to a state
+        # inconsistent with version order
         manifest.setdefault("committed_at", _time.time())
+        parent_ts = parent_manifest.get("committed_at")
+        if parent_ts is not None and manifest["committed_at"] < parent_ts:
+            manifest["committed_at"] = parent_ts
         # txn watermarks ride every manifest: start from the parent's
         # map so vacuum (which always retains the latest) never loses a
         # writer's high-water mark, then fold in this commit's epochs
-        inherited = (
-            dict(self._load_manifest(parent).get("txn") or {})
-            if parent is not None
-            else {}
-        )
+        inherited = dict(parent_manifest.get("txn") or {})
         for name, epoch in (txn or {}).items():
             prev = inherited.get(name)
             inherited[name] = (
@@ -241,7 +394,14 @@ class VersionedTable:
         spark: SparkSession,
         version: int | None = None,
         as_of_timestamp: float | None = None,
+        where: dict | None = None,
     ) -> DataFrame:
+        """Read a snapshot. ``where={col: (lo, hi)}`` (either bound may
+        be None) prunes whole file GROUPS via the manifest column stats
+        before Spark lists a single file — the lake-scale analog of the
+        reference's per-column indexes (internal/db/db.go:97-103) — and
+        applies the equivalent row filter for exactness. Groups without
+        stats for a referenced column are scanned (conservative)."""
         if version is not None and as_of_timestamp is not None:
             raise ValueError("pass version OR as_of_timestamp, not both")
         if as_of_timestamp is not None:
@@ -251,20 +411,48 @@ class VersionedTable:
         if version is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         m = self._load_manifest(version)
-        paths = [os.path.join(self.path, g) for g in m["groups"]]
-        if not paths:
-            return spark.createDataFrame(
-                [], schema=_schema_from_json(m["schema"])
-            )
-        dels = m.get("delete_entries") or []
+        groups = list(m["groups"])
+        if where:
+            stats = m.get("stats") or {}
+            groups = [
+                g for g in groups if _group_may_match(stats.get(g), where)
+            ]
+        out = self._read_groups(spark, m, groups)
+        if where:
+            declared = _schema_from_json(m["schema"])
+            types = {f.name: f.dataType for f in declared.fields}
+            for col, (lo, hi) in where.items():
+                if lo is not None:
+                    out = out.filter(
+                        F.col(col) >= _stat_lit(lo, types[col])
+                    )
+                if hi is not None:
+                    out = out.filter(
+                        F.col(col) <= _stat_lit(hi, types[col])
+                    )
+        return out
+
+    def _read_groups(
+        self, spark: SparkSession, m: dict, groups: list[str]
+    ) -> DataFrame:
+        """DataFrame over a subset of a manifest's groups, with that
+        manifest's merge-on-read delete entries applied (scoped to the
+        groups each entry covers — Iceberg sequence-number semantics:
+        a key re-inserted by a later append survives)."""
+        declared = _schema_from_json(m["schema"])
+        if not groups:
+            return spark.createDataFrame([], schema=declared)
+        dels = [
+            e
+            for e in (m.get("delete_entries") or [])
+            if set(e["applies_to"]) & set(groups)
+        ]
         if not dels:
             # mergeSchema: groups written before an additive evolution
             # lack the new columns; the merged read fills them with NULL
-            return spark.read.option("mergeSchema", "true").parquet(*paths)
-        # merge-on-read: each equality-delete file applies ONLY to the
-        # data groups that existed when the delete committed (Iceberg
-        # sequence-number semantics) — a key re-inserted later survives.
-        declared = _schema_from_json(m["schema"])
+            return spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, g) for g in groups]
+            )
 
         def align(df):
             # by-name alignment BEFORE any key join: a delete keyed on
@@ -278,13 +466,10 @@ class VersionedTable:
             return df.select(*[f.name for f in declared.fields])
 
         touched = {
-            g
-            for e in dels
-            for g in e["applies_to"]
-            if g in set(m["groups"])
+            g for e in dels for g in e["applies_to"] if g in set(groups)
         }
         parts = []
-        untouched = [g for g in m["groups"] if g not in touched]
+        untouched = [g for g in groups if g not in touched]
         if untouched:
             # the untouched majority stays ONE multi-path scan
             parts.append(
@@ -296,7 +481,7 @@ class VersionedTable:
             )
         from functools import reduce
 
-        for g in (g for g in m["groups"] if g in touched):
+        for g in (g for g in groups if g in touched):
             dfg = align(
                 spark.read.parquet(os.path.join(self.path, g))
             )
@@ -338,6 +523,7 @@ class VersionedTable:
                 # pending merge-on-read deletes are part of the state
                 # being reproduced — dropping them would resurrect rows
                 "delete_entries": list(m.get("delete_entries") or []),
+                "stats": dict(m.get("stats") or {}),
             },
         )
 
@@ -392,7 +578,13 @@ class VersionedTable:
         if base is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         if strategy == "copy-on-write":
-            kept = self.read(spark, base).filter(~condition)
+            # keep rows where the condition is NOT TRUE: a predicate
+            # evaluating to NULL (comparison on a NULL column) must KEEP
+            # the row, matching SQL DELETE and the merge-on-read branch
+            # (which deletes only TRUE matches)
+            kept = self.read(spark, base).filter(
+                ~F.coalesce(condition, F.lit(False))
+            )
             return self.commit(kept, mode="delete", expected_parent=base)
         if strategy != "merge-on-read":
             raise ValueError(f"unknown strategy {strategy!r}")
@@ -431,6 +623,7 @@ class VersionedTable:
                 "mode": "delete",
                 "added": [],
                 "delete_entries": entries,
+                "stats": dict(m.get("stats") or {}),
             },
         )
 
@@ -527,6 +720,7 @@ def merge_into(
     updates: DataFrame,
     key: str | list[str],
     txn: dict[str, int] | None = None,
+    expected_parent: int | None | str = "any",
 ) -> int:
     """MERGE INTO the versioned table: WHEN MATCHED THEN UPDATE SET *,
     WHEN NOT MATCHED THEN INSERT * — the lakehouse upsert (README
@@ -539,11 +733,21 @@ def merge_into(
     them first (operators/upsert.py::merge_upsert is the
     last-writer-wins resolver).
 
-    Copy-on-write granularity: this rewrites the WHOLE snapshot (one
-    anti-join + union + commit). Iceberg/Delta rewrite only files
-    containing matched keys; with manifest-listed groups the same
-    optimization would track min/max key per group and union untouched
-    groups by reference — noted, not implemented.
+    FILE-PRUNED copy-on-write (the Iceberg/Delta granularity): using
+    the manifest's per-group key min/max stats, only groups whose key
+    range actually CONTAINS an update key are rewritten; every other
+    group is carried into the new snapshot BY REFERENCE — its files are
+    not read, not rewritten, not even listed. The touch test is one
+    small aggregate over the updates (per candidate group: does any
+    update row fall inside the group's key box?), so merge cost is
+    O(updates + touched groups), not O(table) — the property that keeps
+    an incremental 100 TB pipeline alive. Groups without stats (legacy
+    manifests, all-stats-ineligible key types) are rewritten
+    conservatively.
+
+    ``expected_parent`` pins the snapshot the caller's decision was
+    based on (exactly-once writers pass the version their watermark
+    was read from); the default "any" merges onto the current latest.
     """
     keys = [key] if isinstance(key, str) else list(key)
     dup = (
@@ -559,18 +763,125 @@ def merge_into(
             "first (operators/upsert.py::merge_upsert)"
         )
     base = table.latest_version()
+    if expected_parent != "any" and base != expected_parent:
+        raise CommitConflictError(
+            f"table advanced to {base} since this merge read "
+            f"{expected_parent}; recompute and retry"
+        )
     if base is None:
         return table.commit(updates, mode="overwrite", txn=txn)
-    current = table.read(spark, base)
-    if _schema_key(current.schema) != _schema_key(updates.schema):
+    m = table._load_manifest(base)
+    declared = _schema_from_json(m["schema"])
+    if _schema_key(declared) != _schema_key(updates.schema):
         raise SchemaMismatchError(
             "MERGE source schema differs from table schema"
         )
+    types = {f.name: f.dataType for f in declared.fields}
+    touched, untouched = _split_touched_groups(
+        m, updates, keys, types
+    )
+    current = table._read_groups(spark, m, touched)
     merged = current.join(updates, keys, "left_anti").unionByName(updates)
-    # pin the base: a concurrent commit between our read and this
-    # overwrite must CONFLICT, not silently disappear under the rewrite
-    return table.commit(
-        merged, mode="overwrite", expected_parent=base, txn=txn
+
+    # write the rewritten delta as ONE new group, then publish a
+    # manifest carrying the untouched groups (and their stats) by
+    # reference; base-pinned so a concurrent commit conflicts instead
+    # of silently disappearing under the rewrite
+    group = os.path.join("data", uuid.uuid4().hex)
+    group_stats = _write_group_with_stats(
+        merged, os.path.join(table.path, group)
+    )
+    stats = {
+        g: s
+        for g, s in (m.get("stats") or {}).items()
+        if g in set(untouched)
+    }
+    if group_stats is not None:
+        stats[group] = group_stats
+    # delete entries survive only where their groups do: touched groups
+    # were rewritten with deletes applied; an entry scoped solely to
+    # touched groups is fully materialized and dropped
+    entries = []
+    for e in m.get("delete_entries") or []:
+        applies = [g for g in e["applies_to"] if g in set(untouched)]
+        if applies:
+            entries.append({**e, "applies_to": applies})
+    return table._publish(
+        base,
+        {
+            "schema": m["schema"],
+            "groups": untouched + [group],
+            "mode": "overwrite",
+            "added": [group],
+            "delete_entries": entries,
+            "stats": stats,
+        },
+        txn=txn,
+    )
+
+
+def _split_touched_groups(
+    m: dict, updates: DataFrame, keys: list[str], types: dict
+) -> tuple[list[str], list[str]]:
+    """Partition a manifest's groups into (touched, untouched) by the
+    update keys. One aggregate pass over the updates answers, per
+    candidate group, "does any update row fall inside this group's
+    per-key-column min/max box?" — exact row-level evidence, not just
+    range overlap, all JVM-side. NULL update keys never join-match any
+    row, and NULL current keys never match an update, so key-box
+    pruning on non-null values is lossless."""
+    groups = list(m["groups"])
+    stats = m.get("stats") or {}
+    candidates: list[tuple[str, object]] = []  # (group, box condition)
+    touched: list[str] = []
+    for g in groups:
+        st = stats.get(g)
+        box = None
+        prunable_empty = False
+        if st is not None:
+            conds = []
+            for k in keys:
+                cs = st.get(k)
+                if not isinstance(cs, dict):
+                    conds = None
+                    break
+                mn, mx = cs.get("min"), cs.get("max")
+                if mn is None or mx is None:
+                    # no non-null key values in this group: nothing to
+                    # match — provably untouched
+                    prunable_empty = True
+                    break
+                conds.append(
+                    F.col(k).between(
+                        _stat_lit(mn, types[k]), _stat_lit(mx, types[k])
+                    )
+                )
+            if prunable_empty:
+                continue  # untouched by proof
+            if conds is not None:
+                from functools import reduce
+
+                box = reduce(lambda a, b: a & b, conds)
+        if box is None:
+            touched.append(g)  # no usable stats: rewrite conservatively
+        else:
+            candidates.append((g, box))
+    if candidates:
+        hit = (
+            updates.select(
+                *[
+                    F.max(F.when(box, 1).otherwise(0)).alias(f"g{i}")
+                    for i, (_, box) in enumerate(candidates)
+                ]
+            ).first()
+        )
+        for i, (g, _) in enumerate(candidates):
+            if hit[f"g{i}"] == 1:
+                touched.append(g)
+    touched_set = set(touched)
+    return (
+        [g for g in groups if g in touched_set],
+        [g for g in groups if g not in touched_set],
     )
 
 
@@ -596,20 +907,41 @@ def make_idempotent_table_writer(
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        latest = table.latest_version()
-        hw = None
-        if latest is not None:
-            hw = (table._load_manifest(latest).get("txn") or {}).get(
-                query_name
-            )
-        if hw is not None and int(batch_id) <= int(hw):
-            return  # replay of a committed epoch
-        stamp = {query_name: int(batch_id)}
-        if key is None or latest is None:
-            table.commit(batch_df, mode="append", txn=stamp)
-        else:
-            merge_into(
-                table, batch_df.sparkSession, batch_df, key, txn=stamp
-            )
+        # The replay check must be ATOMIC with the commit (Delta
+        # validates txn versions inside the commit protocol): the
+        # commit is pinned to the exact version the watermark was read
+        # from, so two concurrent deliveries of the same batch_id
+        # (zombie driver / speculative retry) cannot both land — the
+        # loser conflicts, re-reads the watermark, and skips.
+        while True:
+            latest = table.latest_version()
+            hw = None
+            if latest is not None:
+                hw = (table._load_manifest(latest).get("txn") or {}).get(
+                    query_name
+                )
+            if hw is not None and int(batch_id) <= int(hw):
+                return  # replay of a committed epoch
+            stamp = {query_name: int(batch_id)}
+            try:
+                if key is None or latest is None:
+                    table.commit(
+                        batch_df,
+                        mode="append",
+                        txn=stamp,
+                        expected_parent=latest,
+                    )
+                else:
+                    merge_into(
+                        table,
+                        batch_df.sparkSession,
+                        batch_df,
+                        key,
+                        txn=stamp,
+                        expected_parent=latest,
+                    )
+                return
+            except CommitConflictError:
+                continue  # table advanced: re-read the watermark
 
     return write

@@ -853,3 +853,214 @@ class TestTimestampAsOf:
             t.read(spark, as_of_timestamp=ts0 - 10)
         with pytest.raises(ValueError, match="not both"):
             t.read(spark, version=0, as_of_timestamp=ts0)
+
+
+class TestRound6Stats:
+    """Round-6: manifest column stats, file-pruned MERGE, stats-pruned
+    reads, NULL-safe copy-on-write DELETE, clamped commit instants, and
+    the atomic exactly-once replay check."""
+
+    def _kv(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def _group_mtimes(self, t, groups):
+        out = {}
+        for g in groups:
+            d = os.path.join(t.path, g)
+            out[g] = sorted(
+                (f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d)
+            )
+        return out
+
+    def test_commit_records_column_stats(self, spark, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(1, "a"), (10, "b")]))
+        m = t._load_manifest(0)
+        (g,) = m["groups"]
+        st = m["stats"][g]
+        assert st["_rows"] == 2
+        assert st["k"] == {"min": 1, "max": 10, "nulls": 0}
+        assert st["v"] == {"min": "a", "max": "b", "nulls": 0}
+        # append carries the old group's stats forward by reference
+        t.commit(self._kv(spark, [(20, "z")]))
+        m1 = t._load_manifest(1)
+        assert m1["stats"][g] == st and len(m1["stats"]) == 2
+
+    def test_merge_rewrites_only_touched_groups(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(1, "a"), (10, "b")]))
+        t.commit(self._kv(spark, [(11, "c"), (20, "d")]))
+        t.commit(self._kv(spark, [(21, "e"), (30, "f")]))
+        g1, g2, g3 = t._load_manifest(2)["groups"]
+        before = self._group_mtimes(t, [g1, g3])
+        # touches only the middle group's [11, 20] key range + an insert
+        upd = self._kv(spark, [(15, "C2"), (35, "new")])
+        merge_into(t, spark, upd, key="k")
+        m = t._load_manifest(t.latest_version())
+        # untouched groups carried BY REFERENCE: same dirs, same files,
+        # same mtimes — they were never read or rewritten
+        assert g1 in m["groups"] and g3 in m["groups"]
+        assert g2 not in m["groups"]
+        assert self._group_mtimes(t, [g1, g3]) == before
+        # their stats carried forward too; the new group has fresh stats
+        assert m["stats"][g1]["k"] == {"min": 1, "max": 10, "nulls": 0}
+        new = [g for g in m["groups"] if g not in (g1, g3)]
+        assert len(new) == 1
+        assert m["stats"][new[0]]["k"]["max"] == 35
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == [
+            (1, "a"), (10, "b"), (11, "c"), (15, "C2"), (20, "d"),
+            (21, "e"), (30, "f"), (35, "new"),
+        ]
+
+    def test_merge_insert_only_touches_nothing(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(1, "a"), (10, "b")]))
+        t.commit(self._kv(spark, [(11, "c"), (20, "d")]))
+        olds = t._load_manifest(1)["groups"]
+        merge_into(t, spark, self._kv(spark, [(100, "x")]), key="k")
+        m = t._load_manifest(t.latest_version())
+        # both existing groups referenced untouched; insert-only merge
+        # is a pure O(delta) append-shaped commit
+        assert [g for g in m["groups"][:2]] == olds
+        assert t.read(spark).count() == 5
+
+    def test_merge_legacy_manifest_without_stats_is_conservative(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(1, "a"), (10, "b")]))
+        # simulate a pre-stats manifest
+        mp = os.path.join(t.path, "_manifests", "v00000000.json")
+        m = json.load(open(mp))
+        m.pop("stats", None)
+        json.dump(m, open(mp, "w"))
+        merge_into(t, spark, self._kv(spark, [(100, "x")]), key="k")
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == [(1, "a"), (10, "b"), (100, "x")]
+
+    def test_read_where_prunes_groups_by_stats(self, spark, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(1, "a"), (10, "b")]))
+        t.commit(self._kv(spark, [(11, "c"), (20, "d")]))
+        t.commit(self._kv(spark, [(21, "e"), (30, "f")]))
+        g1, g2, g3 = t._load_manifest(2)["groups"]
+        df = t.read(spark, where={"k": (12, 19)})
+        # only the matching group's files are in the scan at all
+        files = df.inputFiles()
+        assert files and all(g2 in f for f in files)
+        assert sorted(r.k for r in df.collect()) == []
+        df2 = t.read(spark, where={"k": (10, 11)})
+        assert sorted(r.k for r in df2.collect()) == [10, 11]
+        assert not any(g3 in f for f in df2.inputFiles())
+        # open-ended bound
+        df3 = t.read(spark, where={"k": (21, None)})
+        assert sorted(r.k for r in df3.collect()) == [21, 30]
+        assert all(g3 in f for f in df3.inputFiles())
+
+    def test_cow_delete_null_predicate_matches_mor(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        rows = [(1, "a"), (2, None), (3, "c")]
+        schema = "k long, v string"
+        cond = F.col("v") == "a"  # NULL for k=2 — must KEEP that row
+        t1 = VersionedTable(str(tmp_path / "cow"))
+        t1.commit(spark.createDataFrame(rows, schema))
+        t1.delete_where(spark, cond, strategy="copy-on-write")
+        t2 = VersionedTable(str(tmp_path / "mor"))
+        t2.commit(spark.createDataFrame(rows, schema))
+        t2.delete_where(
+            spark, cond, strategy="merge-on-read", key_cols=["k"]
+        )
+        got1 = sorted((r.k, r.v) for r in t1.read(spark).collect())
+        got2 = sorted((r.k, r.v) for r in t2.read(spark).collect())
+        assert got1 == got2 == [(2, None), (3, "c")]
+
+    def test_committed_at_clamped_monotone(self, spark, tmp_path, monkeypatch):
+        import time as time_mod
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(1, "a")]))
+        ts0 = t._load_manifest(0)["committed_at"]
+        # a skewed writer whose clock is an hour behind
+        real = time_mod.time
+        monkeypatch.setattr(time_mod, "time", lambda: real() - 3600)
+        t.commit(self._kv(spark, [(2, "b")]))
+        ts1 = t._load_manifest(1)["committed_at"]
+        assert ts1 >= ts0  # clamped to parent's instant
+        # TIMESTAMP AS OF at ts1 resolves to the NEWEST version at that
+        # instant — consistent with version order despite the skew
+        assert t.version_as_of(ts1) == 1
+
+    def test_idempotent_writer_conflict_replay_skips(self, spark, tmp_path):
+        """Zombie-driver race: writer A reads the watermark, then the
+        same batch lands via another instance before A commits. A's
+        pinned commit conflicts, A re-reads the watermark, and skips —
+        no double append."""
+        from file_stream_import_spark.io.versioned import (
+            make_idempotent_table_writer,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        w = make_idempotent_table_writer(t, "q")
+        w(self._kv(spark, [(1, "a")]), 0)
+        # interleave: patch latest_version to simulate A reading version
+        # 0, while batch 1 is committed concurrently before A publishes
+        orig_latest = t.latest_version
+        calls = {"n": 0}
+
+        def racy_latest():
+            v = orig_latest()
+            if calls["n"] == 0:
+                calls["n"] += 1
+                # competing instance lands batch 1 AFTER our read
+                t.commit(
+                    self._kv(spark, [(2, "b")]), txn={"q": 1}
+                )
+            return v
+
+        t.latest_version = racy_latest
+        w(self._kv(spark, [(2, "b")]), 1)  # zombie redelivery of batch 1
+        t.latest_version = orig_latest
+        assert t.read(spark).count() == 2  # not 3: the replay was skipped
+        hw = t._load_manifest(t.latest_version())["txn"]["q"]
+        assert hw == 1
+
+    def test_merge_materializes_deletes_on_touched_groups_only(
+        self, spark, tmp_path
+    ):
+        """Pending equality deletes: a touched group is rewritten WITH
+        its deletes applied (the entry is dropped for it); an untouched
+        group keeps its entry — and the deleted row stays deleted."""
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(1, "a"), (10, "b")]))
+        t.commit(self._kv(spark, [(11, "c"), (20, "d")]))
+        # MOR-delete one row in EACH group
+        t.delete_where(
+            spark,
+            F.col("k").isin(1, 20),
+            strategy="merge-on-read",
+            key_cols=["k"],
+        )
+        g1, g2 = t._load_manifest(0)["groups"] + t._load_manifest(1)[
+            "added"
+        ]
+        # merge touches only group 2 (keys 11..20)
+        merge_into(t, spark, self._kv(spark, [(11, "C2")]), key="k")
+        m = t._load_manifest(t.latest_version())
+        entries = m["delete_entries"]
+        # entry survives only for the untouched group 1
+        assert len(entries) == 1 and entries[0]["applies_to"] == [g1]
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == [(10, "b"), (11, "C2")]
