@@ -19,9 +19,11 @@ one double op on identical exact integers, snapped back to the 1e6
 grid). Fixed iteration count, fixed init (all-ones) — fully
 deterministic, sign convention included.
 
-At 100 TB: the exploded frame is (rows x dim); production would persist
-it across the 3 iterations instead of recomputing lineage (6 scans) —
-one .persist() at the call site, same plan otherwise.
+At 100 TB: the exploded frame is (rows x dim) and feeds TWO matvecs per
+iteration — it is materialized once (localCheckpoint) so the 3
+iterations run 6 matvecs against the materialized frame instead of
+re-exploding and re-centering the source 6 times; the checkpoint also
+truncates the compounding iteration lineage.
 """
 
 from __future__ import annotations
@@ -61,6 +63,9 @@ def top_pc_power_iteration(
             "dim",
             (F.col("n") * F.col("xq") - F.col("sd")).alias("xc"),
         )
+        # materialize: every iteration's two matvecs re-read this frame;
+        # without the cut, 3 iterations re-scan the source lineage 6x
+        .localCheckpoint(eager=True)
     )
 
     v = col_sums.select(

@@ -63,16 +63,18 @@ def trending_stream(
     ``store`` is a plain dict standing in for the serving store
     (Redis/RDBMS in production): ``store['counts']`` maps
     window_start -> {event_type: count} for LIVE windows only,
-    ``store['top']`` holds {window_start: [(event_type, n), ...]}.
-    Per batch, the merge is proportional to the micro-batch's updated
-    keys: only windows TOUCHED by the batch are re-ranked, and windows
-    that have passed the stream's own watermark horizon (their state is
-    already evicted upstream, so update mode can never emit them again)
-    are dropped from ``counts`` — the mutable store plateaus at
-    (watermark + window) / window live windows x |keys| regardless of
-    stream lifetime. Their final ranking stays frozen in ``top``, which
-    is the serving OUTPUT (append-only by window, like the downstream
-    table it stands in for).
+    ``store['top']`` holds {window_start: [(event_type, n), ...]} for
+    live windows. Per batch, the merge is proportional to the
+    micro-batch's updated keys: only windows TOUCHED by the batch are
+    re-ranked, and windows that have passed the stream's own watermark
+    horizon (their state is already evicted upstream, so update mode
+    can never emit them again) are FLUSHED: their final ranking is
+    handed to ``store['flush']`` (a callable ``(window_start, ranking)``
+    — the serving-sink write; defaults to recording into
+    ``store['flushed']``) and then deleted from BOTH dicts. Every
+    driver-side dict therefore plateaus at (watermark + window)/window
+    live windows x |keys| regardless of stream lifetime — on a
+    months-long stream nothing in the driver grows.
     """
     wm_secs = _duration_seconds(watermark)
     size_secs = _duration_seconds(size)
@@ -106,15 +108,24 @@ def trending_stream(
             )[:k]
         # evict windows past the watermark horizon: the stream's own
         # state for them is gone, so update mode can never emit them
-        # again — mirror that eviction so the mutable store is bounded.
+        # again — mirror that eviction so the mutable store is bounded,
+        # and FLUSH each closed window's final ranking to the serving
+        # sink before dropping it (in production: the DB upsert).
         if counts:
             high = max(counts)
             horizon = (
                 _dt.datetime.strptime(high, "%Y-%m-%d %H:%M:%S")
                 - _dt.timedelta(seconds=wm_secs + size_secs)
             ).strftime("%Y-%m-%d %H:%M:%S")
+            flush = store.get("flush") or (
+                lambda ws, ranking: store.setdefault("flushed", {})
+                .__setitem__(ws, ranking)
+            )
             for ws in [w for w in counts if w < horizon]:
                 del counts[ws]
+            for ws in [w for w in top if w < horizon]:
+                flush(ws, top[ws])
+                del top[ws]
 
     return (
         counts.writeStream.outputMode("update")

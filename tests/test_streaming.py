@@ -575,6 +575,7 @@ class TestTrendingForeachBatch:
             size="1 minute", watermark="2 minutes",
         )
         max_live = 0
+        max_top = 0
         try:
             for b, rows in enumerate(batches):
                 mk(rows).coalesce(1).write.mode("append").parquet(str(drop))
@@ -586,15 +587,20 @@ class TestTrendingForeachBatch:
                     _t.sleep(0.5)
                 assert last_ws in store["top"], f"batch {b} never surfaced"
                 max_live = max(max_live, len(store["counts"]))
+                max_top = max(max_top, len(store["top"]))
         finally:
             q.stop()
 
-        # plateau: mutable store never exceeds the watermark horizon's
-        # live-window count, despite 12 windows having streamed through
+        # plateau: EVERY driver-side dict stays at the watermark
+        # horizon's live-window count, despite 12 windows streaming
+        # through — closed windows were flushed to the serving sink
         assert max_live <= 4, f"counts store grew to {max_live} windows"
-        assert len(store["counts"]) <= 4
-        # serving output covers every window and equals the batch rank
-        assert len(store["top"]) == 12
+        assert max_top <= 4, f"top store grew to {max_top} windows"
+        assert len(store["counts"]) <= 4 and len(store["top"]) <= 4
+        # serving output = flushed finals + live windows: covers every
+        # window exactly once and equals the batch rank
+        served = {**store.get("flushed", {}), **store["top"]}
+        assert len(served) == 12
         all_counts = (
             mk([r for rows in batches for r in rows])
             .groupBy(
@@ -613,10 +619,10 @@ class TestTrendingForeachBatch:
                      if r["window_start"] == ws],
                     key=lambda r: r["rk"],
                 ))
-                for ws in store["top"]
+                for ws in served
             )
         }
-        assert store["top"] == expect
+        assert served == expect
 
 
 class TestStreamStaticEnrich:
