@@ -22,17 +22,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession, functions as F  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from file_stream_import_spark.io.versioned import (  # noqa: E402
     VersionedTable,
     _manifest_path,
     merge_into,
 )
+from file_stream_import_spark.session import get_spark  # noqa: E402
 
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_GROUPS = 16
-ROWS_PER_GROUP = 250_000
+ROWS_PER_GROUP = int(os.environ.get("MERGE_AB_ROWS", "1000000"))
 UPDATE_ROWS = 1_000
 
 
@@ -79,18 +80,24 @@ def run_merge(spark, t: VersionedTable) -> tuple[float, int]:
 
 
 def main() -> None:
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+    spark = get_spark(
+        "ab_merge_pruned",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="merge_ab_")
     try:
+        # JIT/shuffle warmup on a throwaway table so the first measured
+        # arm doesn't absorb one-time session costs
+        global ROWS_PER_GROUP
+        real_rows = ROWS_PER_GROUP
+        ROWS_PER_GROUP = 10_000
+        tw = build(spark, os.path.join(work, "warm"))
+        run_merge(spark, tw)
+        ROWS_PER_GROUP = real_rows
+
         results = {}
-        for arm in ("pruned", "full"):
+        for arm in ("full", "pruned"):
             path = os.path.join(work, arm)
             t = build(spark, path)
             if arm == "full":
