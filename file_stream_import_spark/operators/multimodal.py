@@ -519,3 +519,118 @@ def png_roundtrip_features(
     return df.select(id_col, payload_col).mapInPandas(
         feats, schema=PNG_META_SCHEMA
     )
+
+
+BMP_META_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pad int, "
+    "mean_pixel_ppm bigint, px_checksum bigint"
+)
+
+
+def bmp_encode(payload: bytes, width: int = 30) -> bytes:
+    """Encode raw bytes as a genuine 8-bit palettized grayscale BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER + 256-entry BGRA palette),
+    with the format's two real quirks intact: scanlines are stored
+    BOTTOM-UP and padded to a 4-byte stride (width 30 -> stride 32, so
+    the padding path is actually exercised, unlike a multiple-of-4
+    width)."""
+    import struct
+
+    h = max(1, (len(payload) + width - 1) // width)
+    padded = payload.ljust(width * h, b"\x00")
+    stride = (width + 3) & ~3
+    rows = [
+        padded[r * width : (r + 1) * width].ljust(stride, b"\x00")
+        for r in range(h)
+    ]
+    pixel_data = b"".join(reversed(rows))  # bottom-up
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, h, 1, 8, 0, len(pixel_data),
+        2835, 2835, 256, 0,
+    )
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset
+    )
+    return file_header + info + palette + pixel_data
+
+
+def bmp_decode(container: bytes) -> tuple[int, int, bytes]:
+    """Parse a BMP (magic, header sizes, 8-bit uncompressed, grayscale
+    palette verified), undo the bottom-up row order and per-row stride
+    padding. Returns (width, height, pixel_bytes)."""
+    import struct
+
+    if container[:2] != b"BM":
+        raise ValueError("not a BMP")
+    if len(container) < 54:
+        raise ValueError("truncated header")
+    _, fsize, _, _, offset = struct.unpack("<2sIHHI", container[:14])
+    (
+        hsize, width, height, planes, bitcount, compression,
+        _img_size, _xppm, _yppm, ncolors, _imp,
+    ) = struct.unpack("<IiiHHIIiiII", container[14:54])
+    if hsize != 40 or planes != 1:
+        raise ValueError("unsupported DIB header")
+    if bitcount != 8 or compression != 0:
+        raise ValueError("expected 8-bit uncompressed")
+    if height <= 0:
+        raise ValueError("expected bottom-up rows")
+    pal = container[54 : 54 + 4 * (ncolors or 256)]
+    for i in range(ncolors or 256):
+        b, g, r = pal[4 * i], pal[4 * i + 1], pal[4 * i + 2]
+        if not (b == g == r == i):
+            raise ValueError("expected identity grayscale palette")
+    stride = (width + 3) & ~3
+    need = offset + stride * height
+    if len(container) < need or fsize != need:
+        raise ValueError("pixel data size mismatch")
+    rows = [
+        container[offset + r * stride : offset + r * stride + width]
+        for r in range(height)
+    ]
+    return width, height, b"".join(reversed(rows))
+
+
+def bmp_roundtrip_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    width: int = 30,
+) -> DataFrame:
+    """Image features through a REAL BMP round trip — same feature set
+    as png_roundtrip_features but exercising the OTHER container
+    grammar (little-endian headers, palette, bottom-up stride-padded
+    rows instead of chunks+CRC+zlib)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = bmp_decode(bmp_encode(bytes(p), width))
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        w * h - len(bytes(p)),
+                        sum(px) * 1_000_000 // (w * h),
+                        _frame_checksum(px),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_pad",
+                    "mean_pixel_ppm",
+                    "px_checksum",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, schema=BMP_META_SCHEMA
+    )

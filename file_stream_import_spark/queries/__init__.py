@@ -69,6 +69,7 @@ def load_all() -> None:
         stats,
         round4,
         round5,
+        round6,
     )
 
 

@@ -1,0 +1,999 @@
+"""Round-6 surface widening: FULL OUTER stream-stream attribution (the
+batch mirror of streaming/windows.py::attribution_join_full_outer),
+Spearman rank correlation, the Wald-Wolfowitz runs test, a 2-D skyline
+(Pareto front), the Gini concentration coefficient, and the
+hashing-trick vectorizer.
+
+The reference delegates every read-side computation to Postgres SQL
+(internal/db/db.go:112-124); these shapes extend the analytics surface
+a training-data / BI user runs downstream. Engine-stability rules
+follow round5.py: cross-engine doubles are single divisions (or short
+identical IEEE folds) of EXACT integer sums, snapped onto the _q6
+floor grid; every hash is the portable md5-hex-prefix integer both
+engines compute identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io.tables import load_table
+from . import register
+
+
+def _q6(col: Column) -> Column:
+    """Floor-quantize onto the 1e-6 grid with the -0.0 guard."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6) + F.lit(0.0)
+
+
+@register(
+    "stream_attribution_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id AS click_id,
+           COALESCE(c.user_id, p.user_id) AS user_id,
+           p.event_id AS purchase_id,
+           ROUND(p.value, 2) AS purchase_value,
+           CASE WHEN c.event_id IS NULL THEN 'purchase_only'
+                WHEN p.event_id IS NULL THEN 'click_only'
+                ELSE 'matched' END AS status
+    FROM c FULL OUTER JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 4 HOUR
+    """,
+)
+def stream_attribution_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch form of the FULL OUTER stream-stream interval join:
+    matched click→purchase pairs PLUS unconverted clicks PLUS orphan
+    purchases with no attributable click (the attribution-gap signal
+    left-outer attribution cannot see). The streaming twin with
+    watermark-bounded state on both sides is
+    streaming/windows.py::attribution_join_full_outer, exercised with
+    real streams in tests/test_streaming.py."""
+    from ..streaming.windows import attribution_join_full_outer
+
+    return attribution_join_full_outer(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "spearman_daily_corr",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day, COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    rx AS (
+      SELECT n AS v, COUNT(*) AS cnt,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY n
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM d GROUP BY n
+    ),
+    ry AS (
+      SELECT rev AS v, COUNT(*) AS cnt,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY rev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM d GROUP BY rev
+    ),
+    r AS (
+      SELECT (2 * rx.cb + rx.cnt + 1) AS x2, (2 * ry.cb + ry.cnt + 1) AS y2
+      FROM d JOIN rx ON d.n = rx.v JOIN ry ON d.rev = ry.v
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x2) AS sx, SUM(y2) AS sy,
+             SUM(x2 * x2) AS sxx, SUM(y2 * y2) AS syy,
+             SUM(x2 * y2) AS sxy
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 + 0.0 AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order COUNT and daily
+    REVENUE — the nonparametric monotone-association measure that
+    completes the correlation toolkit (corr_matrix_lineitem is Pearson
+    on raw values; this is Pearson on ranks, robust to outliers and
+    nonlinearity).
+
+    Tie-averaged ranks are the cross-engine hazard (arbitrary
+    rationals); the doubled-rank identity from segment_mannwhitney_u
+    removes it: 2*avg_rank of a tied value = 2*cum_before + cnt + 1,
+    an INTEGER, and Pearson is scale-invariant so rho over doubled
+    ranks equals rho over ranks. All five moment sums are exact BIGINT
+    (days are calendar-bounded; ranks <= 2*days), leaving one identical
+    IEEE division+sqrt on both engines. Scale: the fact table reduces
+    to |days| rows in one keyed aggregate; everything after is
+    grid-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev"),
+    )
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return (
+            d.groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                col,
+                (
+                    2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                    + F.col("cnt")
+                    + 1
+                ).alias(out),
+            )
+        )
+
+    rx = doubled_ranks("n", "x2")
+    ry = doubled_ranks("rev", "y2")
+    r = d.join(rx, "n").join(ry, "rev").select("x2", "y2")
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("x2").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+        F.sum(F.col("x2") * F.col("y2")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        _q6(num / den).alias("spearman_rho"),
+    )
+
+
+@register(
+    "runs_test_daily_revenue",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT CAST(quantile_cont(rev, 0.5) AS DOUBLE) AS med FROM d),
+    sgn AS (
+      SELECT day, (rev > med) AS above
+      FROM d CROSS JOIN m
+      WHERE CAST(rev AS DOUBLE) <> med
+    ),
+    seq AS (
+      SELECT above,
+             LAG(above) OVER (ORDER BY day) AS prev
+      FROM sgn
+    ),
+    s AS (
+      SELECT SUM(CASE WHEN above THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN above THEN 0 ELSE 1 END) AS n2,
+             1 + SUM(CASE WHEN prev IS NOT NULL AND above <> prev
+                     THEN 1 ELSE 0 END) AS runs
+      FROM seq
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS n_runs,
+           FLOOR((CAST(runs AS DOUBLE)
+                  - (CAST(2 * n1 * n2 AS DOUBLE)
+                     / CAST(n1 + n2 AS DOUBLE) + 1))
+                 / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                        * CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE)
+                        / (CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 - 1 AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 + 0.0 AS z
+    FROM s
+    """,
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue sequence vs its
+    median — the classic randomness/trend check (too FEW runs = sticky
+    regimes/trend, too MANY = oscillation), completing the stats
+    battery's drift tools with a SEQUENCE-order test (KS/MWU/t are all
+    order-blind).
+
+    Days equal to the median are excluded (standard treatment). The
+    median is one interpolated division of exact integer cents; runs,
+    n1, n2 are integers from one lag comparison over the day-ordered
+    grid; z applies identical IEEE ops on both engines. Scale: the
+    fact table reduces to |days| rows first; the single-partition lag
+    window is calendar-bounded (<= tens of thousands of rows for
+    decades), never fact-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev")
+    )
+    m = d.agg(F.percentile("rev", F.lit(0.5)).alias("med"))
+    sgn = (
+        d.crossJoin(F.broadcast(m))
+        .filter(F.col("rev").cast("double") != F.col("med"))
+        .select("day", (F.col("rev") > F.col("med")).alias("above"))
+    )
+    seq = sgn.select(
+        "above", F.lag("above").over(W.orderBy("day")).alias("prev")
+    )
+    s = seq.agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("above") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    n = F.col("n1") + F.col("n2")
+    two = 2 * F.col("n1") * F.col("n2")
+    mu = two.cast("double") / n.cast("double") + 1
+    var = (
+        two.cast("double")
+        * (two - n).cast("double")
+        / (n.cast("double") * n.cast("double") * (n - 1).cast("double"))
+    )
+    return s.select(
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("runs").cast("bigint").alias("n_runs"),
+        _q6((F.col("runs").cast("double") - mu) / F.sqrt(var)).alias("z"),
+    )
+
+
+@register(
+    "skyline_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    dm AS (SELECT o_orderdate, MAX(cents) AS dmax FROM o GROUP BY 1),
+    rb AS (
+      SELECT o_orderdate, dmax,
+             MAX(dmax) OVER (ORDER BY o_orderdate
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS run_before
+      FROM dm
+    )
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.cents AS price_cents
+    FROM o JOIN rb USING (o_orderdate)
+    WHERE o.cents = rb.dmax
+      AND (rb.run_before IS NULL OR o.cents > rb.run_before)
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of orders: maximize price, minimize
+    date — an order survives iff no other order is at least as early
+    AND at least as expensive (strictly better in one dimension). The
+    multi-criteria "best offers" operator BI tools call SKYLINE.
+
+    The O(n^2) dominance definition collapses to two grid passes: per
+    date the max price (only a date's max can be undominated within
+    the date), then a running max over the DATE grid — an order is on
+    the skyline iff it ties its date's max and strictly beats every
+    earlier date's. Ties on (date, price) are all kept (neither
+    dominates — strictness fails in both dimensions). Scale: one
+    map-side-combined aggregate to |dates| rows, one calendar-bounded
+    window, one broadcast join back — the fact table is never
+    shuffled whole."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    dm = o.groupBy("o_orderdate").agg(F.max("cents").alias("dmax"))
+    rb = dm.select(
+        "o_orderdate",
+        "dmax",
+        F.max("dmax")
+        .over(W.orderBy("o_orderdate").rowsBetween(W.unboundedPreceding, -1))
+        .alias("run_before"),
+    )
+    return (
+        o.join(F.broadcast(rb), "o_orderdate")
+        .filter(
+            (F.col("cents") == F.col("dmax"))
+            & (
+                F.col("run_before").isNull()
+                | (F.col("cents") > F.col("run_before"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("cents").alias("price_cents"),
+        )
+    )
+
+
+@register(
+    "gini_customer_revenue",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    rk AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+      FROM cr
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(rev AS HUGEINT)) AS t,
+             SUM(CAST(i AS HUGEINT) * rev) AS w
+      FROM rk
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(t AS BIGINT) AS total_rev_cents,
+           FLOOR(CAST(2 * w - (n + 1) * t AS DOUBLE)
+                 / CAST(n * t AS DOUBLE) * 1e6 + 0.5) / 1e6 + 0.0 AS gini
+    FROM s
+    """,
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the single
+    inequality number (0 = uniform, ->1 = one whale) completing
+    pareto_revenue_share's tier view.
+
+    Uses the rank identity G = (2*SUM(i*x_i) - (n+1)*SUM(x)) /
+    (n*SUM(x)) over revenues sorted ascending: every term is an exact
+    integer (DECIMAL(38,0) / HUGEINT — i*x_i sums reach ~n^2*avg past
+    int64 at warehouse scale), one identical IEEE division at the end.
+    The deterministic (rev, custkey) order makes row_number identical
+    across engines, and ties contribute the same SUM(i*x) under any
+    permutation WITHIN a tie class (equal x). Scale: the global sort
+    runs over the CUSTOMER rollup (dimension-sized, one keyed shuffle
+    from the fact table), not over orders; for fact-sized Gini use the
+    grouped value-grid form (sort distinct values, not rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev")
+    )
+    dec = "decimal(38,0)"
+    rk = cr.select(
+        "rev",
+        F.row_number().over(W.orderBy("rev", "o_custkey")).alias("i"),
+    )
+    s = rk.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rev").cast(dec)).alias("t"),
+        F.sum(F.col("i").cast(dec) * F.col("rev")).alias("w"),
+    )
+    num = (
+        2 * F.col("w") - (F.col("n") + 1).cast(dec) * F.col("t")
+    ).cast("double")
+    den = (F.col("n").cast(dec) * F.col("t")).cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("t").cast("bigint").alias("total_rev_cents"),
+        _q6(num / den).alias("gini"),
+    )
+
+
+@register(
+    "text_hashing_vectorizer",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64
+               AS bucket,
+             CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(sgn) AS BIGINT) AS feat
+    FROM h GROUP BY 1, 2
+    """,
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick (feature-hashing) vectorizer: tokens hashed into a
+    FIXED 64-bucket space with a +/-1 sign hash (Weinberger et al.'s
+    signed hashing kernel — the sign makes collisions cancel in
+    expectation), emitted sparse as (doc_id, bucket, count, feat).
+
+    This is THE vocabulary-free vectorizer for 100 TB corpora: no
+    vocabulary build pass, no dictionary broadcast, memory fixed by
+    the bucket count — one narrow projection plus one (doc, bucket)
+    aggregate, both map-side combinable. The md5-prefix hash is the
+    portable cross-engine idiom (operators/text.py), so the oracle
+    reproduces buckets and signs bit-identically."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    h = F.md5("tok")
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 64
+    sgn = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("sgn").cast("bigint").alias("feat"),
+        )
+        .select("doc_id", F.col("bucket").cast("bigint"), "n_tokens", "feat")
+    )
+
+
+@register(
+    "segment_priority_association",
+    oracle="""
+    WITH cnt AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rm AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS r FROM cnt GROUP BY seg),
+    cm AS (SELECT pri, CAST(SUM(obs) AS BIGINT) AS c FROM cnt GROUP BY pri),
+    nn AS (
+      SELECT CAST(SUM(obs) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT seg) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT pri) AS BIGINT) AS nc
+      FROM cnt
+    ),
+    terms AS (
+      SELECT
+        CAST(FLOOR(
+          (CAST(obs AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(obs AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+          * 1e6 + 0.5) AS BIGINT) AS chi_q,
+        obs * (CAST(FLOOR(ln(CAST(n * obs AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               - CAST(FLOOR(ln(CAST(r * c AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+          AS mi_q
+      FROM cnt JOIN rm USING (seg) JOIN cm USING (pri) CROSS JOIN nn
+    )
+    SELECT nn.n AS n_orders,
+           CAST(SUM(chi_q) AS DOUBLE) / 1e6 + 0.0 AS chi2,
+           FLOOR(sqrt((CAST(SUM(chi_q) AS DOUBLE) / 1e6)
+                      / (CAST(nn.n AS DOUBLE)
+                         * CAST(LEAST(nn.nr - 1, nn.nc - 1) AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 + 0.0 AS cramers_v,
+           FLOOR(CAST(SUM(mi_q) AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e9
+                 * 1e6 + 0.5) / 1e6 + 0.0 AS mi_nats
+    FROM terms CROSS JOIN nn
+    GROUP BY nn.n, nn.nr, nn.nc
+    """,
+)
+def segment_priority_association(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Categorical-association battery over one contingency table
+    (c_mktsegment x o_orderpriority): chi-square statistic, Cramér's V
+    effect size, and mutual information in nats — the three numbers a
+    feature-selection / drift pass wants about a pair of categorical
+    columns (chi2 answers "dependent?", V answers "how strongly,
+    scale-free", MI answers "how many nats shared").
+
+    Cross-engine exactness via the two established grid idioms: each
+    chi2 term floor-quantized to 1e-6 BEFORE the integer sum
+    (priority_drift_chi2), and MI as obs * (ln_q(n*obs) - ln_q(r*c))
+    over the 1e-9 integer ln grid (source_token_divergence), leaving
+    only identical IEEE divisions/sqrt at the end. Scale: the fact
+    table reduces to a |segments|x|priorities| cell table in one
+    broadcast-join + map-side-combined aggregate; everything after is
+    cell-grid-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    cseg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cnt = (
+        o.join(F.broadcast(cseg), "o_custkey")
+        .groupBy("seg", F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").alias("obs"))
+    )
+    rm = cnt.groupBy("seg").agg(F.sum("obs").alias("r"))
+    cm = cnt.groupBy("pri").agg(F.sum("obs").alias("c"))
+    nn = cnt.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("seg").alias("nr"),
+        F.countDistinct("pri").alias("nc"),
+    )
+
+    def lnq(x: Column) -> Column:
+        return F.floor(F.log(x) * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+    chi_q = F.floor(
+        (F.col("obs").cast("double") - e)
+        * (F.col("obs").cast("double") - e)
+        / e
+        * 1e6
+        + 0.5
+    ).cast("bigint")
+    mi_q = F.col("obs") * (
+        lnq((F.col("n") * F.col("obs")).cast("double"))
+        - lnq((F.col("r") * F.col("c")).cast("double"))
+    )
+    terms = (
+        cnt.join(F.broadcast(rm), "seg")
+        .join(F.broadcast(cm), "pri")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "n", "nr", "nc", chi_q.alias("chi_q"), mi_q.alias("mi_q")
+        )
+    )
+    chi2 = F.sum("chi_q").cast("double") / F.lit(1e6) + F.lit(0.0)
+    return terms.groupBy("n", "nr", "nc").agg(
+        chi2.alias("chi2"),
+        _q6(
+            F.sqrt(
+                (F.sum("chi_q").cast("double") / F.lit(1e6))
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1).cast(
+                        "double"
+                    )
+                )
+            )
+        ).alias("cramers_v"),
+        _q6(
+            F.sum("mi_q").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1e9)
+        ).alias("mi_nats"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        "chi2",
+        "cramers_v",
+        "mi_nats",
+    )
+
+
+@register(
+    "cms_event_counts",
+    oracle="""
+    WITH rows_h AS (
+      SELECT e.event_type, d.d,
+             CAST(('0x' || substr(md5('cms' || CAST(d.d AS VARCHAR) || ':'
+                                      || e.event_type), 1, 8)) AS BIGINT)
+               % 64 AS col
+      FROM events e CROSS JOIN (SELECT UNNEST(range(4)) AS d) d
+    ),
+    sketch AS (
+      SELECT d, col, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM rows_h GROUP BY d, col
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    ),
+    probe AS (
+      SELECT x.event_type, d.d,
+             CAST(('0x' || substr(md5('cms' || CAST(d.d AS VARCHAR) || ':'
+                                      || x.event_type), 1, 8)) AS BIGINT)
+               % 64 AS col
+      FROM exact x CROSS JOIN (SELECT UNNEST(range(4)) AS d) d
+    )
+    SELECT p.event_type, MAX(x.n_exact) AS n_exact,
+           CAST(MIN(s.cnt) AS BIGINT) AS cms_est
+    FROM probe p
+    JOIN sketch s ON p.d = s.d AND p.col = s.col
+    JOIN exact x ON p.event_type = x.event_type
+    GROUP BY p.event_type
+    """,
+)
+def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 4 x width 64) over event types, probed
+    against exact counts — the mergeable point-frequency sketch
+    completing the sketch family (HLL = distinct cardinality,
+    approx_percentile = quantiles, CMS = per-key frequency). The
+    estimate is an upper bound (est >= exact, equality without
+    collisions) — visible in the output pairs.
+
+    Scale story: the sketch IS the aggregate — 256 integer cells built
+    in one map-side-combinable pass regardless of key cardinality or
+    row count (each mapper fills a local 4x64 grid; merge is cellwise
+    +). Probing is a broadcast join of the probe keys' 4 cells against
+    the cell table with a MIN fold. Hashes are the portable md5-prefix
+    idiom, so both engines place every row in identical cells."""
+    e = load_table(spark, sf_dir, "events").select("event_type")
+
+    def col_for(d: int, key: Column) -> Column:
+        h = F.md5(F.concat(F.lit(f"cms{d}:"), key))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 64
+
+    rows_h = e.select(
+        "event_type",
+        F.posexplode(
+            F.array(*[col_for(d, F.col("event_type")) for d in range(4)])
+        ).alias("d", "col"),
+    )
+    sketch = rows_h.groupBy("d", "col").agg(F.count("*").alias("cnt"))
+    exact = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    probe = exact.select(
+        "event_type",
+        "n_exact",
+        F.posexplode(
+            F.array(*[col_for(d, F.col("event_type")) for d in range(4)])
+        ).alias("d", "col"),
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["d", "col"])
+        .groupBy("event_type")
+        .agg(
+            F.max("n_exact").alias("n_exact"),
+            F.min("cnt").cast("bigint").alias("cms_est"),
+        )
+    )
+
+
+@register(
+    "theil_sen_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.ym - a.ym AS DOUBLE)
+               AS slope
+      FROM m a JOIN m b ON a.ym < b.ym
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(CAST(quantile_cont(slope, 0.5) AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 + 0.0 AS theil_sen_slope
+    FROM pairs
+    """,
+)
+def theil_sen_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator on monthly revenue: the median
+    of all pairwise slopes — the breakdown-point-0.29 alternative to
+    price_trend_by_priority's OLS (one wild month cannot move it).
+
+    Each slope is ONE IEEE division of exact integers (cents delta /
+    month delta), identical on both engines, and the median
+    interpolates identically-ordered identical doubles. Scale: the
+    fact table first reduces to the MONTH grid, so the quadratic pair
+    join is over calendar-bounded rows (84 months -> 3.5k pairs; 30
+    years -> 65k pairs) — the classic way Theil-Sen stays viable on
+    warehouse data; for fact-sized series use the repeated-median
+    variant per bounded partition."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev")
+    )
+    a = m.select(F.col("ym").alias("ym_a"), F.col("rev").alias("rev_a"))
+    b = m.select(F.col("ym").alias("ym_b"), F.col("rev").alias("rev_b"))
+    pairs = a.join(b, F.col("ym_a") < F.col("ym_b")).select(
+        (
+            (F.col("rev_b") - F.col("rev_a")).cast("double")
+            / (F.col("ym_b") - F.col("ym_a")).cast("double")
+        ).alias("slope")
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        _q6(F.percentile("slope", F.lit(0.5))).alias("theil_sen_slope"),
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT SUM(CASE WHEN b.rev > a.rev THEN 1
+                      WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS s_stat
+      FROM m a JOIN m b ON a.ym < b.ym
+    ),
+    n AS (SELECT COUNT(*) AS n FROM m),
+    ties AS (
+      SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+      FROM (SELECT COUNT(*) AS t FROM m GROUP BY rev HAVING COUNT(*) > 1)
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_months,
+           CAST(s.s_stat AS BIGINT) AS s_stat,
+           FLOOR((CAST(s.s_stat AS DOUBLE)
+                  - CAST(CASE WHEN s.s_stat > 0 THEN 1
+                              WHEN s.s_stat < 0 THEN -1 ELSE 0 END
+                         AS DOUBLE))
+                 / sqrt((CAST(n.n * (n.n - 1) * (2 * n.n + 5) AS DOUBLE)
+                         - CAST(ties.tie_term AS DOUBLE)) / 18)
+                 * 1e6 + 0.5) / 1e6 + 0.0 AS z
+    FROM s CROSS JOIN n CROSS JOIN ties
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on monthly revenue: S = sum of pairwise
+    signs with the tie-corrected normal approximation and continuity
+    correction — THE standard monotonic-trend detector for time series
+    (pairs with Theil-Sen, which estimates the slope this test
+    decides the significance of).
+
+    S and the tie term are exact integers from the calendar-bounded
+    month grid (same quadratic-on-the-grid scale argument as
+    theil_sen_monthly); z is identical IEEE arithmetic on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev")
+    )
+    a = m.select(F.col("ym").alias("ym_a"), F.col("rev").alias("rev_a"))
+    b = m.select(F.col("ym").alias("ym_b"), F.col("rev").alias("rev_b"))
+    s = a.join(b, F.col("ym_a") < F.col("ym_b")).agg(
+        F.sum(
+            F.when(F.col("rev_b") > F.col("rev_a"), 1)
+            .when(F.col("rev_b") < F.col("rev_a"), -1)
+            .otherwise(0)
+        ).alias("s_stat")
+    )
+    n = m.agg(F.count("*").alias("n"))
+    ties = (
+        m.groupBy("rev")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
+    cc = (
+        F.when(F.col("s_stat") > 0, 1)
+        .when(F.col("s_stat") < 0, -1)
+        .otherwise(0)
+    )
+    var = (
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        ).cast("double")
+        - F.col("tie_term").cast("double")
+    ) / 18
+    return j.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        _q6(
+            (F.col("s_stat").cast("double") - cc.cast("double"))
+            / F.sqrt(var)
+        ).alias("z"),
+    )
+
+
+@register(
+    "asof_nearest_purchase",
+    oracle="""
+    WITH cu AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    pu AS (
+      SELECT event_id, user_id, ts FROM (
+        SELECT event_id, user_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    ),
+    bwd AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             p.event_id AS b_id, p.ts AS b_ts
+      FROM cu c ASOF LEFT JOIN pu p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+    ),
+    fn AS (
+      SELECT c.event_id, p.event_id AS f_id, p.ts AS f_ts
+      FROM (SELECT event_id, user_id, -epoch_us(ts) AS nts FROM cu) c
+      ASOF LEFT JOIN
+           (SELECT event_id, user_id, ts, -epoch_us(ts) AS nts FROM pu) p
+        ON c.user_id = p.user_id AND p.nts <= c.nts
+    )
+    SELECT b.event_id AS click_id, b.user_id,
+           CASE WHEN b.b_id IS NULL AND f.f_id IS NULL THEN NULL
+                WHEN f.f_id IS NULL THEN b.b_id
+                WHEN b.b_id IS NULL THEN f.f_id
+                WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                     <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_id
+                ELSE f.f_id END AS purchase_id,
+           CASE WHEN b.b_id IS NULL AND f.f_id IS NULL THEN NULL
+                WHEN f.f_id IS NULL THEN 'before'
+                WHEN b.b_id IS NULL THEN 'after'
+                WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                     <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN 'before'
+                ELSE 'after' END AS direction,
+           CASE WHEN b.b_id IS NULL AND f.f_id IS NULL THEN NULL
+                WHEN f.f_id IS NULL
+                  THEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                WHEN b.b_id IS NULL
+                  THEN epoch_us(f.f_ts) - epoch_us(b.ts)
+                ELSE LEAST(epoch_us(b.ts) - epoch_us(b.b_ts),
+                           epoch_us(f.f_ts) - epoch_us(b.ts))
+                END AS gap_us
+    FROM bwd b JOIN fn f USING (event_id)
+    """,
+)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: for each click, the temporally closest
+    purchase in EITHER direction (tie -> the earlier one) — pandas'
+    merge_asof(direction='nearest'), completing the as-of family
+    (backward asof_last_purchase, forward asof_next_purchase,
+    tolerance asof_tolerance_lookup).
+
+    Composed from the two directional union+window as-of passes
+    (operators/asof.py — one keyed shuffle each, no join, the 100 TB
+    shape) with a projection picking the closer side. Purchases are
+    deduplicated per (user, ts) first (max event_id) so equal-timestamp
+    ties are deterministic in both engines."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    w = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bwd = asof_join(
+        clicks, purchases, on="ts", by="user_id", right_cols=["event_id"],
+        suffix="_b",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_b").alias("b_id"),
+    )
+    # recover the matched backward ts via the purchase table (id is
+    # unique), keeping the operator's one-payload-column contract
+    bts = purchases.select(
+        F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    bwd = bwd.join(F.broadcast(bts), "b_id", "left")
+    neg = (F.unix_micros(F.col("ts")) * -1).alias("nts")
+    fwd = asof_join(
+        clicks.select("event_id", "user_id", neg),
+        purchases.select("event_id", "user_id", "ts", neg),
+        on="nts",
+        by="user_id",
+        right_cols=["event_id", "ts"],
+        suffix="_f",
+    ).select(
+        "event_id",
+        F.col("event_id_f").alias("f_id"),
+        F.col("ts_f").alias("f_ts"),
+    )
+    j = bwd.join(fwd, "event_id")
+    bgap = F.unix_micros("ts") - F.unix_micros("b_ts")
+    fgap = F.unix_micros("f_ts") - F.unix_micros("ts")
+    prefer_b = F.col("f_id").isNull() | (
+        F.col("b_id").isNotNull() & (bgap <= fgap)
+    )
+    none = F.col("b_id").isNull() & F.col("f_id").isNull()
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.when(none, F.lit(None).cast("long"))
+        .when(prefer_b, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+        .alias("purchase_id"),
+        F.when(none, F.lit(None).cast("string"))
+        .when(prefer_b, F.lit("before"))
+        .otherwise(F.lit("after"))
+        .alias("direction"),
+        F.when(none, F.lit(None).cast("long"))
+        .when(prefer_b, bgap)
+        .otherwise(fgap)
+        .alias("gap_us"),
+    )
+
+
+@register(
+    "multimodal_bmp_roundtrip",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             length(hex(encode(text))) // 2 AS n
+      FROM documents WHERE length(text) > 0
+    ), g AS (
+      SELECT doc_id, hx, n, (n + 29) // 30 AS hh FROM h
+    ), s AS (
+      SELECT doc_id,
+             SUM(CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT)) AS sum_px
+      FROM g, UNNEST(generate_series(1, n)) AS t(i)
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+      CAST(30 AS INT) AS width,
+      CAST(hh AS INT) AS height,
+      CAST(30 * hh - n AS INT) AS n_pad,
+      CAST(sum_px * 1000000 // (30 * hh) AS BIGINT) AS mean_pixel_ppm,
+      CAST(('0x' || substr(md5(hx ||
+             repeat('00', CAST(30 * hh - n AS INT))), 1, 15)) AS BIGINT)
+        AS px_checksum
+    FROM g JOIN s ON g.doc_id = s.doc_id
+    """,
+)
+def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through a REAL BMP encode→decode round trip
+    (operators/multimodal.py::bmp_roundtrip_features): little-endian
+    dual headers, 256-entry grayscale palette verification, bottom-up
+    rows, and 4-byte stride padding (width 30 → stride 32, so the
+    padding path genuinely runs) — the third real container codec
+    beside WAV and PNG.
+
+    The payload is the deterministic fake (UTF-8 bytes of text), so
+    DuckDB reproduces every decoded pixel from hex(encode(text)) and
+    the WHOLE pipeline — headers, palette, row inversion, de-padding —
+    is value-checked: a single byte misplaced by the row-order or
+    stride logic changes px_checksum. Only doc_id + payload cross the
+    Arrow boundary; all emitted features are integers."""
+    from ..operators.multimodal import (
+        attach_fake_payload,
+        bmp_roundtrip_features,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    return bmp_roundtrip_features(attach_fake_payload(d))

@@ -244,6 +244,65 @@ def attribution_join_outer(
     )
 
 
+def attribution_join_full_outer(
+    events: DataFrame,
+    within: str = "4 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join: one row per click AND
+    per purchase — matched pairs, unconverted clicks (NULL purchase
+    side), and ORPHAN purchases with no attributable click in the
+    preceding ``within`` (NULL click side). The orphan-purchase side is
+    what left-outer attribution cannot see: conversions arriving with
+    no tracked touchpoint — the attribution-gap / broken-tracking /
+    fraud signal.
+
+    This also subsumes the RIGHT OUTER form (project the purchase-side
+    rows): Spark supports rightOuter stream-stream joins, but the full
+    outer costs the same state (both sides are already retained to
+    answer the inner match) and yields both unmatched sets in one
+    query, so it is the variant worth running.
+
+    Same mechanics as attribution_join_outer: null-extended rows for
+    EITHER side are emitted only once the opposite side's watermark
+    proves no match can still arrive, so unmatched results trail the
+    stream by the watermark delay and surface on a later micro-batch's
+    state eviction. State is bounded by the same interval + watermark
+    clock on both sides; batch frames get ordinary full-outer semantics
+    immediately.
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "full_outer").select(
+        "click_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+        F.when(
+            F.col("click_id").isNull(), F.lit("purchase_only")
+        )
+        .when(F.col("purchase_id").isNull(), F.lit("click_only"))
+        .otherwise(F.lit("matched"))
+        .alias("status"),
+    )
+
+
 def enrich_with_dimension(
     events: DataFrame,
     dim: DataFrame,

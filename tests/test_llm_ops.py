@@ -755,6 +755,37 @@ class TestRealContainerCodecs:
         with pytest.raises(ValueError, match="not a PNG"):
             png_decode(b"GIF89a....")
 
+    def test_bmp_roundtrip_stride_and_row_order(self):
+        from file_stream_import_spark.operators.multimodal import (
+            bmp_decode,
+            bmp_encode,
+        )
+
+        for payload in [b"\x07", bytes(range(256)), b"z" * 29, b"q" * 30]:
+            w, h, px = bmp_decode(bmp_encode(payload, width=30))
+            assert w == 30 and h == max(1, -(-len(payload) // 30))
+            # row order and stride de-padding must reconstruct exactly
+            assert px[: len(payload)] == payload
+            assert set(px[len(payload):]) <= {0}
+
+    def test_bmp_rejects_malformed(self):
+        from file_stream_import_spark.operators.multimodal import (
+            bmp_decode,
+            bmp_encode,
+        )
+
+        with pytest.raises(ValueError, match="not a BMP"):
+            bmp_decode(b"PNG?" + b"\x00" * 60)
+        good = bytearray(bmp_encode(b"hello bmp"))
+        # corrupt a palette entry: grayscale identity check must fire
+        bad_pal = bytearray(good)
+        bad_pal[14 + 40 + 4 * 10] ^= 0x01
+        with pytest.raises(ValueError, match="palette"):
+            bmp_decode(bytes(bad_pal))
+        # truncate pixel data: size consistency check must fire
+        with pytest.raises(ValueError, match="size mismatch"):
+            bmp_decode(bytes(good[:-3]))
+
     @given(payload=st.binary(min_size=0, max_size=500))
     @settings(max_examples=60, deadline=None)
     def test_codec_roundtrip_property(self, payload):

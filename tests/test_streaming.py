@@ -1120,6 +1120,75 @@ class TestOuterAttributionJoin:
         finally:
             q.stop()
 
+    def test_full_outer_emits_orphan_purchases_after_watermark(
+        self, spark, tmp_path
+    ):
+        """FULL OUTER twin: a purchase with no preceding click (user 9)
+        must surface as a purchase_only row — but only after the
+        click-side watermark proves no click could still precede it;
+        the unconverted click (user 8) emits click_only as in the
+        left-outer test."""
+        from file_stream_import_spark.streaming.windows import (
+            attribution_join_full_outer,
+        )
+
+        src = str(tmp_path / "drops")
+        b1 = make_events(
+            spark,
+            [
+                (1, "2024-01-01 00:00:00", 7, "click", 0.0, "{}"),
+                (2, "2024-01-01 00:05:00", 8, "click", 0.0, "{}"),
+                (3, "2024-01-01 00:30:00", 7, "purchase", 9.5, "{}"),
+                (4, "2024-01-01 00:40:00", 9, "purchase", 3.25, "{}"),
+            ],
+        )
+        # watermark clocks, click/purchase-typed (the pushdown-stall
+        # hazard documented on attribution_join)
+        later = [
+            make_events(
+                spark,
+                [(10 + i, f"2024-01-01 06:3{i}:00", 99, "click", 0.0, "{}")],
+            )
+            for i in range(3)
+        ]
+        write_events(b1, src)
+        name = qname()
+        stream = read_events_stream(spark, src)
+        q = (
+            attribution_join_full_outer(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            first = spark.sql(f"SELECT * FROM {name}").collect()
+            # only the inner match can emit before the watermark moves
+            assert all(r.status == "matched" for r in first)
+            for b in later:
+                write_events(b, src)
+                q.processAllAvailable()
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            by_status = {}
+            for r in rows:
+                by_status.setdefault(r.status, []).append(r)
+            assert [
+                (r.click_id, r.purchase_id, r.user_id, r.purchase_value)
+                for r in by_status["matched"]
+            ] == [(1, 3, 7, 9.5)]
+            assert [
+                (r.click_id, r.user_id) for r in by_status["click_only"]
+            ] == [(2, 8)]
+            # the orphan purchase — the row left outer cannot produce
+            assert [
+                (r.purchase_id, r.user_id, r.purchase_value)
+                for r in by_status["purchase_only"]
+            ] == [(4, 9, 3.25)]
+        finally:
+            q.stop()
+
     def test_batch_twin_is_plain_left_outer(self, spark, sf_dir):
         from file_stream_import_spark.streaming.windows import (
             attribution_join,
