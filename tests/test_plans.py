@@ -688,3 +688,58 @@ class TestRound5cPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Union" in plan
+
+
+class TestRound6Plans:
+    def test_skyline_prunes_and_broadcasts_date_grid(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "skyline_orders")
+        # only the 3 needed order columns reach the scan
+        for cols in read_schema_cols(plan):
+            assert set(cols) <= {"o_orderkey", "o_orderdate", "o_totalprice"}
+        # the date-grid running-max side broadcasts back onto the fact
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_hashing_vectorizer_partial_aggregates(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "text_hashing_vectorizer")
+        # map-side combine on (doc_id, bucket) before the one exchange
+        assert "partial_count" in plan or "partial_sum" in plan
+        for cols in read_schema_cols(plan):
+            assert set(cols) <= {"doc_id", "text"}
+
+    def test_cms_sketch_probe_is_broadcast(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "cms_event_counts")
+        # the 256-cell sketch joins the probes via broadcast, and the
+        # events scan carries only the key column
+        assert "BroadcastHashJoin" in plan
+        for cols in read_schema_cols(plan):
+            assert set(cols) <= {"event_type"}
+
+    def test_association_broadcasts_dimension(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "segment_priority_association")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "partial_count" in plan  # cell counts map-side combine
+
+    def test_full_outer_stream_mirror_is_equi_join(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "stream_attribution_full_outer")
+        # FullOuter on the user_id equi key — NOT a nested-loop product
+        assert "FullOuter" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_asof_nearest_has_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "asof_nearest_purchase")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_gini_reads_two_columns(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "gini_customer_revenue")
+        for cols in read_schema_cols(plan):
+            assert set(cols) <= {"o_custkey", "o_totalprice"}
+
+    def test_spearman_reads_two_columns_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "spearman_daily_corr")
+        for cols in read_schema_cols(plan):
+            assert set(cols) <= {"o_orderdate", "o_totalprice"}
+        assert "CartesianProduct" not in plan

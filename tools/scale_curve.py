@@ -131,6 +131,20 @@ def main() -> None:
         "multimodal_wav_decode",
         "multimodal_png_roundtrip",
         "embedding_top_pc",
+        # round-6 additions (near-dup pair caveat does not apply: none
+        # of these are pair queries over the duplicated corpus)
+        "stream_attribution_full_outer",
+        "spearman_daily_corr",
+        "runs_test_daily_revenue",
+        "skyline_orders",
+        "gini_customer_revenue",
+        "text_hashing_vectorizer",
+        "segment_priority_association",
+        "cms_event_counts",
+        "theil_sen_monthly",
+        "mann_kendall_trend",
+        "asof_nearest_purchase",
+        "multimodal_bmp_roundtrip",
     ]
     # optional: restrict to names passed on the command line (re-running
     # the full list re-measures queries whose curve is already recorded)
