@@ -544,18 +544,104 @@ class VersionedTable:
             )
         return out
 
-    def optimize(self, spark: SparkSession, target_partitions: int = 1) -> int:
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_partitions: int = 1,
+        cluster_by: str | None = None,
+        target_groups: int = 4,
+    ) -> int:
         """Compaction (OPTIMIZE): rewrite the current snapshot's many
-        small groups into one coalesced group and publish it as a new
-        snapshot — same rows, fewer files. History keeps the fragmented
-        versions (vacuum reclaims them later); the read-modify-write is
+        small groups and publish the result as a new snapshot — same
+        rows, fewer files. History keeps the fragmented versions
+        (vacuum reclaims them later); the read-modify-write is
         parent-pinned so a concurrent commit conflicts instead of being
-        silently dropped."""
+        silently dropped.
+
+        ``cluster_by`` is Delta's OPTIMIZE ZORDER idea restricted to
+        one dimension: rows are RANGE-clustered on the column into
+        ``target_groups`` groups, so each group's manifest min/max for
+        that column covers a narrow, non-overlapping slice — which is
+        what makes ``read(where=...)`` group pruning and the
+        file-pruned MERGE actually selective. Compaction is the moment
+        to buy data skipping: it is already O(table), and the clustered
+        layout pays that cost back on every subsequent read/merge.
+        Implementation: one range-shuffled write into bucket
+        subdirectories (one job), renamed into per-bucket groups, plus
+        one aggregate pass for per-group stats — two table scans total,
+        the floor for any clustering compaction."""
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
-        df = self.read(spark, base).coalesce(target_partitions)
-        return self.commit(df, mode="overwrite", expected_parent=base)
+        if cluster_by is None:
+            df = self.read(spark, base).coalesce(target_partitions)
+            return self.commit(df, mode="overwrite", expected_parent=base)
+
+        m = self._load_manifest(base)
+        df = self.read(spark, base)
+        # range-cluster in one shuffle; spark assigns contiguous value
+        # ranges to partitions, which the bucket column then names (NULLs
+        # sort first — they land in bucket 0 and leave its min/max NULL-
+        # insensitive, matching the stats contract)
+        k = max(1, target_groups)
+        staged = os.path.join(self.path, "data", f"opt-{uuid.uuid4().hex}")
+        clustered = (
+            df.repartitionByRange(k, F.col(cluster_by))
+            .withColumn("__bucket", F.spark_partition_id())
+        )
+        clustered.write.partitionBy("__bucket").parquet(staged)
+        # per-group stats in ONE aggregate pass over the staged data
+        # (cheaper than k footer scans, exact by construction)
+        staged_df = spark.read.parquet(staged)
+        cols = [
+            f
+            for f in df.schema.fields
+            if _stats_eligible(f.dataType)
+        ]
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for i, f in enumerate(cols):
+            aggs += [
+                F.min(f.name).alias(f"mn_{i}"),
+                F.max(f.name).alias(f"mx_{i}"),
+                F.sum(
+                    F.when(F.col(f.name).isNull(), 1).otherwise(0)
+                ).alias(f"nu_{i}"),
+            ]
+        per_bucket = {
+            int(r["__bucket"]): r
+            for r in staged_df.groupBy("__bucket").agg(*aggs).collect()
+        }
+        groups, stats = [], {}
+        for b in sorted(per_bucket):
+            g = os.path.join("data", uuid.uuid4().hex)
+            os.rename(
+                os.path.join(staged, f"__bucket={b}"),
+                os.path.join(self.path, g),
+            )
+            groups.append(g)
+            r = per_bucket[b]
+            st: dict = {"_rows": int(r["rows"] or 0)}
+            for i, f in enumerate(cols):
+                st[f.name] = {
+                    "min": _json_safe(r[f"mn_{i}"], f.dataType),
+                    "max": _json_safe(r[f"mx_{i}"], f.dataType),
+                    "nulls": int(r[f"nu_{i}"] or 0),
+                }
+            stats[g] = st
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)  # _SUCCESS marker etc.
+        return self._publish(
+            base,
+            {
+                "schema": m["schema"],
+                "groups": groups,
+                "mode": f"optimize:cluster_by={cluster_by}",
+                "added": groups,
+                "delete_entries": [],
+                "stats": stats,
+            },
+        )
 
     def delete_where(
         self,

@@ -1064,3 +1064,73 @@ class TestRound6Stats:
         assert len(entries) == 1 and entries[0]["applies_to"] == [g1]
         got = sorted((r.k, r.v) for r in t.read(spark).collect())
         assert got == [(10, "b"), (11, "C2")]
+
+    def test_optimize_cluster_by_enables_pruning(self, spark, tmp_path):
+        """Delta's OPTIMIZE ZORDER story end-to-end: interleaved-key
+        appends make every group's key range overlap (nothing prunable);
+        clustering compaction rewrites into disjoint key ranges, after
+        which stats-pruned reads scan one group and a selective MERGE
+        rewrites one group."""
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "t"))
+        # interleaved appends: each group spans nearly the full range
+        t.commit(self._kv(spark, [(1, "a"), (40, "h"), (20, "d")]))
+        t.commit(self._kv(spark, [(2, "b"), (39, "g"), (21, "e")]))
+        t.commit(self._kv(spark, [(3, "c"), (38, "f"), (22, "x")]))
+        # overlapping ranges: a narrow read must scan EVERY group
+        assert len({f.split("/data/")[1].split("/")[0]
+                    for f in t.read(spark, where={"k": (20, 22)}).inputFiles()}) == 3
+        v = t.optimize(spark, cluster_by="k", target_groups=3)
+        m = t._load_manifest(v)
+        assert len(m["groups"]) == 3
+        # ranges now disjoint: consecutive groups' k-stats don't overlap
+        ranges = [
+            (m["stats"][g]["k"]["min"], m["stats"][g]["k"]["max"])
+            for g in m["groups"]
+        ]
+        assert ranges == sorted(ranges)
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2
+        # same narrow read now touches only range-intersecting groups
+        # (sampling decides exact boundaries, so compute from stats)
+        expect = {
+            g.split("/")[-1]
+            for g in m["groups"]
+            if not (m["stats"][g]["k"]["max"] < 20
+                    or m["stats"][g]["k"]["min"] > 22)
+        }
+        assert len(expect) < 3
+        pruned = t.read(spark, where={"k": (20, 22)})
+        assert sorted(r.k for r in pruned.collect()) == [20, 21, 22]
+        assert {
+            f.split("/data/")[1].split("/")[0] for f in pruned.inputFiles()
+        } == expect
+        # and a selective MERGE rewrites only the touched group
+        before = self._group_mtimes(
+            t, [g for g in m["groups"]
+                if m["stats"][g]["k"]["max"] < 20
+                or m["stats"][g]["k"]["min"] > 22]
+        )
+        merge_into(t, spark, self._kv(spark, [(21, "UPD")]), key="k")
+        assert self._group_mtimes(t, list(before)) == before
+        got = dict((r.k, r.v) for r in t.read(spark).collect())
+        assert got[21] == "UPD" and len(got) == 9
+
+    def test_optimize_cluster_by_preserves_rows_and_deletes(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(i, f"v{i}") for i in range(10)]))
+        t.delete_where(
+            spark, F.col("k") == 5, strategy="merge-on-read", key_cols=["k"]
+        )
+        v = t.optimize(spark, cluster_by="k", target_groups=2)
+        m = t._load_manifest(v)
+        assert m["delete_entries"] == []  # materialized by the rewrite
+        got = sorted(r.k for r in t.read(spark).collect())
+        assert got == [0, 1, 2, 3, 4, 6, 7, 8, 9]
+        # history intact: pre-optimize state still time-travelable
+        assert sorted(r.k for r in t.read(spark, v - 1).collect()) == got
