@@ -997,3 +997,30 @@ def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") > 0)
     )
     return bmp_roundtrip_features(attach_fake_payload(d))
+
+
+@register(
+    "stream_attribution_semi",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts > c.ts
+          AND p.ts <= c.ts + INTERVAL 4 HOUR
+      )
+    """,
+)
+def stream_attribution_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the LEFT SEMI stream-stream interval join: clicks
+    that converted, each AT MOST ONCE regardless of how many purchases
+    followed — conversion counting with no downstream dedup. Streaming
+    twin: streaming/windows.py::attribution_join_semi (emits on FIRST
+    match, no watermark wait), real-stream tested."""
+    from ..streaming.windows import attribution_join_semi
+
+    return attribution_join_semi(load_table(spark, sf_dir, "events"))

@@ -303,6 +303,48 @@ def attribution_join_full_outer(
     )
 
 
+def attribution_join_semi(
+    events: DataFrame,
+    within: str = "4 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT SEMI stream-stream interval join: each click emitted AT MOST
+    ONCE if any purchase follows within ``within`` — the existence check
+    ("did this click convert at all?"). Unlike the inner join, a click
+    with three matching purchases produces ONE row, so downstream
+    conversion counts need no dedup; unlike the outer join, nothing
+    waits for the watermark — the row emits as soon as the FIRST match
+    arrives.
+
+    Completes the stream-stream join matrix (inner / left outer / full
+    outer / semi); the anti form ("clicks that did NOT convert") is the
+    click_only projection of attribution_join_full_outer, since
+    streaming must prove the negative via the watermark anyway. State
+    is bounded by the same interval + watermark clock.
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "left_semi").select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
 def enrich_with_dimension(
     events: DataFrame,
     dim: DataFrame,

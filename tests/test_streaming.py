@@ -1189,6 +1189,48 @@ class TestOuterAttributionJoin:
         finally:
             q.stop()
 
+    def test_semi_emits_each_converted_click_once(self, spark, tmp_path):
+        """LEFT SEMI twin: a click with TWO matching purchases emits
+        exactly once (on the first match, no watermark wait); an
+        unconverted click never emits; a second purchase arriving in a
+        later batch must not re-emit the click."""
+        from file_stream_import_spark.streaming.windows import (
+            attribution_join_semi,
+        )
+
+        src = str(tmp_path / "drops")
+        b1 = make_events(
+            spark,
+            [
+                (1, "2024-01-01 00:00:00", 7, "click", 0.0, "{}"),
+                (2, "2024-01-01 00:05:00", 8, "click", 0.0, "{}"),
+                (3, "2024-01-01 00:30:00", 7, "purchase", 9.5, "{}"),
+            ],
+        )
+        b2 = make_events(
+            spark, [(4, "2024-01-01 01:00:00", 7, "purchase", 1.0, "{}")]
+        )
+        write_events(b1, src)
+        name = qname()
+        q = (
+            attribution_join_semi(read_events_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            assert [(r.click_id, r.user_id) for r in rows] == [(1, 7)]
+            write_events(b2, src)  # second match for the SAME click
+            q.processAllAvailable()
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            assert [(r.click_id, r.user_id) for r in rows] == [(1, 7)]
+        finally:
+            q.stop()
+
     def test_batch_twin_is_plain_left_outer(self, spark, sf_dir):
         from file_stream_import_spark.streaming.windows import (
             attribution_join,
