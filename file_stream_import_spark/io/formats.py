@@ -76,3 +76,57 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
         (F.row_number().over(w) - 1).cast("bigint").alias("line_no"),
         "text",
     )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 built-in, the former Databricks spark-xml
+    merged upstream): one element per row under ``root_tag``."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema=None,
+) -> DataFrame:
+    """XML scan. Pass an explicit ``schema`` in production: inference
+    costs a full extra pass over the data (same rule as JSON/CSV), and
+    XML's text-only leaves otherwise all infer as permissive types.
+    Splittability caveat vs the columnar formats: one XML FILE is one
+    input split (the parser can't start mid-document), so shard size —
+    not block size — bounds parallelism; keep shards in the 100s of MB
+    like the reference's CSV chunks (writer.go chunking)."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file scan (built-in ``binaryFile`` source): one row per
+    file — (path, modificationTime, length, content) — THE ingestion
+    path for multimodal payloads (images/audio/video as opaque bytes):
+    feed ``content`` straight into operators/multimodal.py's
+    Arrow-batched kernels. Reads are lazy per file and column-pruned
+    (selecting only ``length`` never loads content); pair with
+    spark.sql.files.maxPartitionBytes so a partition of media files
+    fits executor memory at 100 TB."""
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

@@ -386,3 +386,66 @@ class TestJdbcDerbyRoundTrip:
             ("L2", "JP", "mart"),
             ("L3", "BR", "kiosk"),
         ]
+
+
+class TestXmlAndBinary:
+    def test_xml_round_trip_with_schema(self, spark, sf_dir, tmp_path):
+        from file_stream_import_spark.io.formats import read_xml, write_xml
+        from file_stream_import_spark.io.tables import load_table
+
+        src = load_table(spark, sf_dir, "region").select(
+            "r_regionkey", "r_name"
+        )
+        path = str(tmp_path / "regions_xml")
+        write_xml(src, path, row_tag="region", root_tag="regions")
+        back = read_xml(
+            spark, path, row_tag="region",
+            schema="r_regionkey bigint, r_name string",
+        )
+        assert sorted(
+            (r.r_regionkey, r.r_name) for r in back.collect()
+        ) == sorted((r.r_regionkey, r.r_name) for r in src.collect())
+
+    def test_binary_files_feed_multimodal_kernels(self, spark, tmp_path):
+        """The multimodal ingestion path end-to-end: real files on disk
+        -> binaryFile scan -> BMP round-trip features, with the content
+        column renamed into the kernels' payload contract."""
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.formats import read_binary_files
+        from file_stream_import_spark.operators.multimodal import (
+            bmp_roundtrip_features,
+        )
+
+        d = tmp_path / "blobs"
+        d.mkdir()
+        payloads = {0: b"alpha blob", 1: b"b" * 61, 2: bytes(range(64))}
+        for i, p in payloads.items():
+            (d / f"{i:04d}.bin").write_bytes(p)
+        (d / "ignore.txt").write_text("not a blob")
+        bf = read_binary_files(spark, str(d), glob="*.bin")
+        df = bf.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+        feats = {
+            r.doc_id: (r.width, r.height, r.n_pad)
+            for r in bmp_roundtrip_features(df).collect()
+        }
+        assert set(feats) == {0, 1, 2}
+        for i, p in payloads.items():
+            h = max(1, -(-len(p) // 30))
+            assert feats[i] == (30, h, 30 * h - len(p))
+
+    def test_binary_length_only_read_prunes_content(self, spark, tmp_path):
+        from file_stream_import_spark.io.formats import read_binary_files
+
+        d = tmp_path / "blobs2"
+        d.mkdir()
+        (d / "x.bin").write_bytes(b"12345")
+        df = read_binary_files(spark, str(d)).select("length")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "content" not in plan  # column pruned at the source
+        assert df.collect()[0].length == 5
