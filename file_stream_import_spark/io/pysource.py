@@ -479,3 +479,201 @@ class TableChangefeedDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> TableChangefeedReader:
         return TableChangefeedReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Batch Python DataSource over the VersionedTable with manifest-stats
+# GROUP PRUNING via load-time bound options:
+#
+#   spark.read.format("versioned_table").option("path", p)
+#        .option("min.k", "11").option("max.k", "20").load()
+#
+# Bounds are part of the load() options — immutable per DataFrame — so
+# a pruned scan is a VIEW DEFINITION, never cross-query state. We
+# deliberately do NOT implement Spark 4.1's pushFilters() here:
+# measured on 4.1.2, the JVM caches the planned read (reader +
+# partitions) on the shared relation node, so a filtered query's
+# pushdown-pruned partitions leak into later queries on the same
+# load() DataFrame — an unfiltered df.count() after
+# df.filter(...).collect() silently returned the pruned count. With
+# group-granular (partial) pruning that caching is a silent-wrong-
+# results hazard; explicit options give the same data skipping with
+# per-DataFrame semantics instead.
+# ---------------------------------------------------------------------------
+
+
+class _GroupFile(InputPartition):
+    def __init__(self, file_path: str, schema_json: str):
+        self.file_path = file_path
+        self.schema_json = schema_json
+
+
+class VersionedTableReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("versioned_table requires .option('path', ...)")
+        self.path = path
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+        # load-time bounds: min.<col> / max.<col> option pairs
+        self.bounds: dict[str, list] = {}
+        for k, v in options.items():
+            for pre in ("min.", "max."):
+                if k.startswith(pre):
+                    lo_hi = self.bounds.setdefault(k[4:], [None, None])
+                    lo_hi[0 if pre == "min." else 1] = v
+
+    # -- planning ------------------------------------------------------
+    def _manifest(self) -> dict:
+        from .versioned import VersionedTable
+
+        t = VersionedTable(self.path)
+        version = self.version
+        if version is None:
+            version = t.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        return t._load_manifest(version)
+
+    @staticmethod
+    def _parse_bound(s: str | None, dtype):
+        if s is None:
+            return None
+        name = dtype.typeName()
+        if name in ("byte", "short", "integer", "long"):
+            return int(s)
+        if name in ("float", "double"):
+            return float(s)
+        if name == "boolean":
+            return s.lower() == "true"
+        return s  # string / date / timestamp / decimal: compared as text
+
+    def partitions(self) -> list[InputPartition]:
+        from .versioned import _group_may_match, _schema_from_json
+
+        m = self._manifest()
+        declared = _schema_from_json(m["schema"])
+        types = {f.name: f.dataType for f in declared.fields}
+        where = {
+            c: (
+                self._parse_bound(lo, types[c]),
+                self._parse_bound(hi, types[c]),
+            )
+            for c, (lo, hi) in self.bounds.items()
+            if c in types
+        }
+        stats = m.get("stats") or {}
+        groups = [
+            g
+            for g in m["groups"]
+            if not where or _group_may_match(stats.get(g), where)
+        ]
+        dels = m.get("delete_entries") or []
+        if any(set(e["applies_to"]) & set(groups) for e in dels):
+            raise NotImplementedError(
+                "versioned_table DataSource cannot apply pending "
+                "merge-on-read deletes; run VersionedTable.optimize() "
+                "to materialize them first (or read via "
+                "VersionedTable.read)"
+            )
+        import os
+
+        parts: list[InputPartition] = []
+        for g in groups:
+            d = os.path.join(self.path, g)
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".parquet"):
+                    parts.append(
+                        _GroupFile(os.path.join(d, name), m["schema"])
+                    )
+        # zero surviving files: one sentinel partition yielding nothing
+        # (Spark requires >= 1 partition)
+        return parts or [_GroupFile("", m["schema"])]
+
+    # -- execution -----------------------------------------------------
+    def read(self, partition: _GroupFile):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from .versioned import _schema_from_json
+
+        if not partition.file_path:
+            return
+        declared = _schema_from_json(partition.schema_json)
+        table = pq.read_table(partition.file_path)
+        n = table.num_rows
+        arrays, names = [], []
+        for f in declared.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name in table.column_names:
+                arrays.append(table.column(f.name).cast(at))
+            else:
+                # additive evolution: pre-evolution groups read NULLs
+                arrays.append(pa.nulls(n, type=at))
+            names.append(f.name)
+        out = pa.table(dict(zip(names, arrays)))
+        # bounds are an exact view, not advisory: apply the same [lo, hi]
+        # row filter that pruned the groups (NULLs fail bounds, as in
+        # SQL comparisons and VersionedTable.read(where=...))
+        types = {f.name: f.dataType for f in declared.fields}
+        import pyarrow.compute as pc
+
+        for c, (lo, hi) in self.bounds.items():
+            if c not in types:
+                continue
+
+            def cmp_col():
+                col = out.column(c)
+                # ISO text: lexicographic order == chronological
+                if types[c].typeName() == "date":
+                    col = col.cast(pa.string())
+                return col
+
+            if lo is not None:
+                out = out.filter(
+                    pc.fill_null(
+                        pc.greater_equal(
+                            cmp_col(), self._parse_bound(lo, types[c])
+                        ),
+                        False,
+                    )
+                )
+            if hi is not None:
+                out = out.filter(
+                    pc.fill_null(
+                        pc.less_equal(
+                            cmp_col(), self._parse_bound(hi, types[c])
+                        ),
+                        False,
+                    )
+                )
+        yield from out.to_batches(max_chunksize=65536)
+
+
+class VersionedTableDataSource(DataSource):
+    """``spark.dataSource.register(VersionedTableDataSource)`` then
+    ``spark.read.format("versioned_table").option("path", p).load()``.
+    Options: ``version`` (time travel), and ``min.<col>`` /
+    ``max.<col>`` bound pairs — an EXACT range view whose groups are
+    pruned via the manifest's commit-time column stats before a single
+    file is opened (option keys arrive lowercased, so bound columns
+    must be lower-case — all fixture schemas are). Bounds live in the
+    load() options rather than Catalyst pushFilters deliberately; see
+    the module comment for the measured scan-caching hazard."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_table"
+
+    def schema(self):
+        from .versioned import _schema_from_json
+
+        return _schema_from_json(
+            VersionedTableReader(self.options)._manifest()["schema"]
+        )
+
+    def reader(self, schema) -> VersionedTableReader:
+        return VersionedTableReader(self.options)

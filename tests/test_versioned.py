@@ -1134,3 +1134,104 @@ class TestRound6Stats:
         assert got == [0, 1, 2, 3, 4, 6, 7, 8, 9]
         # history intact: pre-optimize state still time-travelable
         assert sorted(r.k for r in t.read(spark, v - 1).collect()) == got
+
+
+class TestVersionedDataSource:
+    """Batch Python DataSource over the versioned table with Catalyst
+    filter pushdown pruning manifest groups (Spark 4.1 pushFilters)."""
+
+    def _build(self, spark, path):
+        t = VersionedTable(path)
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        t.commit(mk([(1, "a"), (10, "b")]))
+        t.commit(mk([(11, "c"), (20, "d")]))
+        t.commit(mk([(21, "e"), (30, "f")]))
+        return t
+
+    def test_reader_prunes_partitions_by_bound_options(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableReader,
+        )
+
+        p = str(tmp_path / "t")
+        self._build(spark, p)
+        n_all = len(VersionedTableReader({"path": p}).partitions())
+        r = VersionedTableReader({"path": p, "min.k": "11", "max.k": "20"})
+        n_pruned = len(r.partitions())
+        assert 0 < n_pruned < n_all  # only the middle group's files
+
+    def test_end_to_end_bounds_and_time_travel(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableDataSource,
+        )
+
+        p = str(tmp_path / "t")
+        self._build(spark, p)
+        spark.dataSource.register(VersionedTableDataSource)
+        ranged = (
+            spark.read.format("versioned_table")
+            .option("path", p)
+            .option("min.k", "11")
+            .option("max.k", "20")
+            .load()
+        )
+        assert sorted((r.k, r.v) for r in ranged.collect()) == [
+            (11, "c"), (20, "d"),
+        ]
+        # bounds are per-load options: an unbounded load is unaffected
+        df = spark.read.format("versioned_table").option("path", p).load()
+        assert df.count() == 6
+        # exactness: a bound INSIDE a surviving group's range filters
+        # rows, not just groups
+        narrow = (
+            spark.read.format("versioned_table")
+            .option("path", p)
+            .option("min.k", "12")
+            .option("max.k", "20")
+            .load()
+        )
+        assert sorted(r.k for r in narrow.collect()) == [20]
+        # time travel via option
+        v0 = (
+            spark.read.format("versioned_table")
+            .option("path", p)
+            .option("version", 0)
+            .load()
+        )
+        assert sorted(r.k for r in v0.collect()) == [1, 10]
+
+    def test_evolved_groups_read_nulls(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableDataSource,
+        )
+
+        p = str(tmp_path / "t")
+        t = VersionedTable(p)
+        t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+        t.commit(
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "k long, v string, score double"
+            ),
+            allow_evolution=True,
+        )
+        spark.dataSource.register(VersionedTableDataSource)
+        df = spark.read.format("versioned_table").option("path", p).load()
+        got = sorted(
+            (r.k, r.v, r.score) for r in df.collect()
+        )
+        assert got == [(1, "a", None), (2, "b", 9.5)]
+
+    def test_pending_mor_deletes_fail_fast(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableReader,
+        )
+
+        p = str(tmp_path / "t")
+        t = self._build(spark, p)
+        t.delete_where(
+            spark, F.col("k") == 1, strategy="merge-on-read", key_cols=["k"]
+        )
+        with pytest.raises(NotImplementedError, match="optimize"):
+            VersionedTableReader({"path": p}).partitions()
