@@ -614,3 +614,116 @@ class TestPoissonBootstrap:
         df = spark.range(1).selectExpr("id AS k", "id AS cents")
         with pytest.raises(KeyError):
             poisson_bootstrap_totals(df, "k", "cents", 4, rng="lcg")
+
+
+class TestRound6Properties:
+    @prop
+    @given(
+        base=st.lists(
+            st.tuples(st.integers(0, 60), st.text("ab", max_size=2)),
+            min_size=1,
+            max_size=14,
+            unique_by=lambda t: t[0],
+        ),
+        splits=st.integers(1, 3),
+        upd=st.lists(
+            st.tuples(st.integers(0, 80), st.text("cd", max_size=2)),
+            min_size=1,
+            max_size=6,
+            unique_by=lambda t: t[0],
+        ),
+    )
+    def test_pruned_merge_equals_full_rewrite(
+        self, spark, tmp_path_factory, base, splits, upd
+    ):
+        """File-pruned MERGE must be RESULT-identical to the
+        conservative full rewrite for ANY key layout — including
+        updates straddling group boundaries, pure inserts, and
+        all-groups-touched cases."""
+        import json as _json
+        import os as _os
+
+        from file_stream_import_spark.io.versioned import (
+            VersionedTable,
+            _manifest_path,
+            merge_into,
+        )
+
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        tmp = tmp_path_factory.mktemp("pm")
+        results = []
+        for arm in ("pruned", "full"):
+            t = VersionedTable(str(tmp / arm))
+            # commit the base in `splits` chunks -> several groups
+            chunk = -(-len(base) // splits)
+            for i in range(0, len(base), chunk):
+                t.commit(mk(base[i : i + chunk]))
+            if arm == "full":
+                mp = _manifest_path(t.path, t.latest_version())
+                m = _json.load(open(mp))
+                m.pop("stats", None)
+                _json.dump(m, open(mp, "w"))
+            merge_into(t, spark, mk(upd), key="k")
+            results.append(
+                sorted((r.k, r.v) for r in t.read(spark).collect())
+            )
+        assert results[0] == results[1]
+        # and both equal the model: update overlays base
+        model = dict(base)
+        model.update(dict(upd))
+        assert results[0] == sorted(model.items())
+
+    @prop
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(-50, 50),
+                st.one_of(st.none(), st.integers(-50, 50)),
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        lo=st.one_of(st.none(), st.integers(-40, 40)),
+        hi=st.one_of(st.none(), st.integers(-40, 40)),
+    )
+    def test_stats_pruned_read_equals_filtered_read(
+        self, spark, tmp_path_factory, rows, lo, hi
+    ):
+        """read(where=...) group pruning must NEVER change results vs
+        the unpruned read + the same filter — for any data (including
+        NULL key values) and any half-open or closed bound."""
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.versioned import VersionedTable
+
+        tmp = tmp_path_factory.mktemp("pr")
+        t = VersionedTable(str(tmp / "t"))
+        mk = lambda rs: spark.createDataFrame(rs, "i long, k long")
+        half = len(rows) // 2 or 1
+        t.commit(mk([(i, k) for i, (_, k) in enumerate(rows[:half])]))
+        if rows[half:]:
+            t.commit(
+                mk([(half + i, k) for i, (_, k) in enumerate(rows[half:])])
+            )
+        pruned = t.read(spark, where={"k": (lo, hi)})
+        plain = t.read(spark)
+        if lo is not None:
+            plain = plain.filter(F.col("k") >= lo)
+        if hi is not None:
+            plain = plain.filter(F.col("k") <= hi)
+        assert sorted(
+            (r.i, r.k) for r in pruned.collect()
+        ) == sorted((r.i, r.k) for r in plain.collect())
+
+    @prop
+    @given(payload=st.binary(min_size=0, max_size=400))
+    def test_bmp_roundtrip_any_bytes(self, payload):
+        from file_stream_import_spark.operators.multimodal import (
+            bmp_decode,
+            bmp_encode,
+        )
+
+        p = payload or b"\x00"
+        w, h, px = bmp_decode(bmp_encode(p, width=30))
+        assert (w, h) == (30, max(1, -(-len(p) // 30)))
+        assert px[: len(p)] == p and set(px[len(p):]) <= {0}

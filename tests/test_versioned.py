@@ -1235,3 +1235,67 @@ class TestVersionedDataSource:
         )
         with pytest.raises(NotImplementedError, match="optimize"):
             VersionedTableReader({"path": p}).partitions()
+
+
+class TestRealConcurrency:
+    def test_two_threads_race_one_commit_wins(self, spark, tmp_path):
+        """REAL race, not a simulation: two threads, released by a
+        barrier, publish against the same parent version. The os.link
+        create-if-absent protocol guarantees exactly one wins; the
+        loser gets CommitConflictError and its retry lands on the next
+        version. No manifest is ever overwritten."""
+        import threading
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame([(0, "base")], "k long, v string")
+        )
+        m0 = t._load_manifest(0)
+        barrier = threading.Barrier(2)
+        outcomes: dict[str, object] = {}
+
+        def writer(name: str) -> None:
+            barrier.wait()
+            try:
+                v = t._publish(
+                    0,
+                    {
+                        "schema": m0["schema"],
+                        "groups": list(m0["groups"]),
+                        "mode": f"append-{name}",
+                        "added": [],
+                        "delete_entries": [],
+                        "stats": {},
+                    },
+                )
+                outcomes[name] = ("ok", v)
+            except CommitConflictError:
+                # loser retries against the NEW latest
+                v = t._publish(
+                    t.latest_version(),
+                    {
+                        "schema": m0["schema"],
+                        "groups": list(m0["groups"]),
+                        "mode": f"retry-{name}",
+                        "added": [],
+                        "delete_entries": [],
+                        "stats": {},
+                    },
+                )
+                outcomes[name] = ("retried", v)
+
+        threads = [
+            threading.Thread(target=writer, args=(n,)) for n in ("a", "b")
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        kinds = sorted(k for k, _ in outcomes.values())
+        assert kinds == ["ok", "retried"], outcomes
+        assert sorted(v for _, v in outcomes.values()) == [1, 2]
+        # lineage is a clean chain; no version was clobbered
+        assert t.versions() == [0, 1, 2]
+        modes = [t._load_manifest(v)["mode"] for v in (1, 2)]
+        assert modes[0].startswith("append-")
+        assert modes[1].startswith("retry-")
