@@ -548,7 +548,7 @@ class VersionedTable:
         self,
         spark: SparkSession,
         target_partitions: int = 1,
-        cluster_by: str | None = None,
+        cluster_by: str | list[str] | None = None,
         target_groups: int = 4,
     ) -> int:
         """Compaction (OPTIMIZE): rewrite the current snapshot's many
@@ -558,18 +558,22 @@ class VersionedTable:
         parent-pinned so a concurrent commit conflicts instead of being
         silently dropped.
 
-        ``cluster_by`` is Delta's OPTIMIZE ZORDER idea restricted to
-        one dimension: rows are RANGE-clustered on the column into
-        ``target_groups`` groups, so each group's manifest min/max for
-        that column covers a narrow, non-overlapping slice — which is
-        what makes ``read(where=...)`` group pruning and the
-        file-pruned MERGE actually selective. Compaction is the moment
-        to buy data skipping: it is already O(table), and the clustered
+        ``cluster_by`` is Delta's OPTIMIZE ZORDER idea: with ONE
+        column, rows are RANGE-clustered on it into ``target_groups``
+        groups; with SEVERAL columns, rows are range-clustered on the
+        Morton (Z-order) interleaving of the columns
+        (io/layout.py::add_zorder_key), so each group's manifest
+        min/max box is tight in EVERY clustered dimension at once —
+        which is what makes ``read(where=...)`` group pruning and the
+        file-pruned MERGE actually selective (on any of the clustered
+        columns, not just a primary one). Compaction is the moment to
+        buy data skipping: it is already O(table), and the clustered
         layout pays that cost back on every subsequent read/merge.
         Implementation: one range-shuffled write into bucket
         subdirectories (one job), renamed into per-bucket groups, plus
         one aggregate pass for per-group stats — two table scans total,
-        the floor for any clustering compaction."""
+        the floor for any clustering compaction (the z-key adds one
+        broadcast of a 1-row extrema aggregate)."""
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
@@ -579,6 +583,16 @@ class VersionedTable:
 
         m = self._load_manifest(base)
         df = self.read(spark, base)
+        cluster_cols = (
+            [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        )
+        if len(cluster_cols) == 1:
+            keyed, key, drop = df, F.col(cluster_cols[0]), []
+        else:
+            from .layout import add_zorder_key
+
+            keyed = add_zorder_key(df, cluster_cols)
+            key, drop = F.col("__zkey"), ["__zkey"]
         # range-cluster in one shuffle; spark assigns contiguous value
         # ranges to partitions, which the bucket column then names (NULLs
         # sort first — they land in bucket 0 and leave its min/max NULL-
@@ -586,8 +600,9 @@ class VersionedTable:
         k = max(1, target_groups)
         staged = os.path.join(self.path, "data", f"opt-{uuid.uuid4().hex}")
         clustered = (
-            df.repartitionByRange(k, F.col(cluster_by))
+            keyed.repartitionByRange(k, key)
             .withColumn("__bucket", F.spark_partition_id())
+            .drop(*drop)
         )
         clustered.write.partitionBy("__bucket").parquet(staged)
         # per-group stats in ONE aggregate pass over the staged data

@@ -1299,3 +1299,81 @@ class TestRealConcurrency:
         modes = [t._load_manifest(v)["mode"] for v in (1, 2)]
         assert modes[0].startswith("append-")
         assert modes[1].startswith("retry-")
+
+    def test_optimize_zorder_prunes_both_dimensions(self, spark, tmp_path):
+        """Multi-column clustering: after OPTIMIZE CLUSTER BY (x, y)
+        via the Morton key, a narrow predicate on EITHER dimension
+        prunes groups — the multi-dimensional data-skipping claim."""
+        t = VersionedTable(str(tmp_path / "t"))
+        rows = [(i, i % 16, i // 16) for i in range(256)]
+        # interleaved appends: every group spans the full x/y space
+        mk = lambda rs: spark.createDataFrame(rs, "i long, x long, y long")
+        t.commit(mk(rows[0::2]))
+        t.commit(mk(rows[1::2]))
+        v = t.optimize(spark, cluster_by=["x", "y"], target_groups=4)
+        m = t._load_manifest(v)
+        assert len(m["groups"]) == 4
+
+        def scanned(where):
+            df = t.read(spark, where=where)
+            return {f.split("/data/")[1].split("/")[0] for f in df.inputFiles()}
+
+        all_groups = {g.split("/")[-1] for g in m["groups"]}
+        x_narrow = scanned({"x": (0, 3)})
+        y_narrow = scanned({"y": (0, 3)})
+        assert x_narrow < all_groups  # strict subset: x prunes
+        assert y_narrow < all_groups  # and so does y
+        # correctness unchanged
+        assert sorted(
+            r.i for r in t.read(spark, where={"x": (0, 3)}).collect()
+        ) == sorted(i for i, x, _ in rows if x <= 3)
+
+
+class TestTableReplication:
+    def test_changefeed_replicates_exactly_once_across_restart(
+        self, spark, tmp_path
+    ):
+        """The lakehouse pieces COMPOSED: table A's changefeed streams
+        into table B through the idempotent writer — then the stream
+        restarts from its checkpoint and replays. B must equal A with
+        no duplicates (exactly-once replication, Delta's
+        table-to-table streaming pattern)."""
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+        from file_stream_import_spark.io.versioned import (
+            make_idempotent_table_writer,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        a = VersionedTable(str(tmp_path / "a"))
+        b = VersionedTable(str(tmp_path / "b"))
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        a.commit(mk([(1, "a"), (2, "b")]))
+        a.commit(mk([(3, "c")]))
+        ckpt = str(tmp_path / "ckpt")
+        writer = make_idempotent_table_writer(b, "replicate")
+
+        def run_stream():
+            q = (
+                spark.readStream.format("table_changefeed")
+                .option("path", str(tmp_path / "a"))
+                .load()
+                .writeStream.foreachBatch(writer)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_stream()
+        assert sorted((r.k, r.v) for r in b.read(spark).collect()) == [
+            (1, "a"), (2, "b"), (3, "c"),
+        ]
+        # more commits land on A; the stream restarts from checkpoint
+        # (foreachBatch replays the last batch at-least-once — the
+        # idempotent writer must absorb it)
+        a.commit(mk([(4, "d")]))
+        run_stream()
+        got = sorted((r.k, r.v) for r in b.read(spark).collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
