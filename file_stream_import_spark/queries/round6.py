@@ -1024,3 +1024,203 @@ def stream_attribution_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import attribution_join_semi
 
     return attribution_join_semi(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "window_funnel_levels",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    l1 AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ),
+    l2 AS (
+      SELECT DISTINCT v.user_id
+      FROM events v JOIN events c
+        ON v.user_id = c.user_id
+       AND v.event_type = 'view' AND c.event_type = 'click'
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+    ),
+    l3 AS (
+      SELECT DISTINCT v.user_id
+      FROM events v
+      JOIN events c
+        ON v.user_id = c.user_id
+       AND v.event_type = 'view' AND c.event_type = 'click'
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+      JOIN events p
+        ON p.user_id = v.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+    )
+    SELECT * FROM (
+      SELECT 0 AS level,
+             CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_users
+      UNION ALL SELECT 1, CAST((SELECT COUNT(*) FROM l1) AS BIGINT)
+      UNION ALL SELECT 2, CAST((SELECT COUNT(*) FROM l2) AS BIGINT)
+      UNION ALL SELECT 3, CAST((SELECT COUNT(*) FROM l3) AS BIGINT))
+    """,
+)
+def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-windowFunnel semantics: a user reaches level k if ANY
+    ordered chain view→click→purchase exists with every step inside a
+    4-hour window anchored at the CHAIN'S OWN first event — the
+    existence form. `funnel_conversion` is the greedy earliest-event
+    funnel (anchored at each user's MIN timestamps), which can MISS
+    chains this finds: a user whose first view never converts but whose
+    later view does counts here and not there. Both semantics ship
+    because product analytics tools disagree on exactly this point.
+
+    Plan: the chain joins are all user_id-equi joins with interval
+    predicates — one shared hash partitioning, per-user bounded work
+    (heavy users are the skew hazard; AQE skew-join or salting applies
+    as with any self-join). Levels aggregate to 4 rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("vt")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("ct")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("pt")
+    )
+    win = F.expr("INTERVAL 4 HOUR")
+    vc = v.join(
+        c,
+        (v["u"] == c["u"])
+        & (F.col("ct") > F.col("vt"))
+        & (F.col("ct") <= F.col("vt") + win),
+    ).select(v["u"].alias("u"), "vt", "ct")
+    vcp = vc.join(
+        p,
+        (vc["u"] == p["u"])
+        & (F.col("pt") > F.col("ct"))
+        & (F.col("pt") <= F.col("vt") + win),
+    ).select(vc["u"].alias("u"))
+    counts = [
+        e.select("user_id").distinct().count(),
+        v.select("u").distinct().count(),
+        vc.select("u").distinct().count(),
+        vcp.select("u").distinct().count(),
+    ]
+    return spark.createDataFrame(
+        [(lvl, n) for lvl, n in enumerate(counts)], "level int, n_users long"
+    ).select(F.col("level").cast("int"), F.col("n_users").cast("bigint"))
+
+
+@register(
+    "survival_km_reorder",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS next_date
+      FROM orders
+    ),
+    horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+    dur AS (
+      SELECT CASE WHEN next_date IS NULL
+                  THEN date_diff('day', o_orderdate, h)
+                  ELSE date_diff('day', o_orderdate, next_date) END AS t,
+             CASE WHEN next_date IS NULL THEN 0 ELSE 1 END AS ev
+      FROM o CROSS JOIN horizon
+    ),
+    grid AS (
+      SELECT t, SUM(ev) AS d, COUNT(*) AS c FROM dur GROUP BY t
+    ),
+    km AS (
+      SELECT t, d,
+        SUM(c) OVER (ORDER BY t DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS n_risk
+      FROM grid
+    )
+    SELECT CAST(t AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN n_risk = d THEN NULL ELSE
+           FLOOR(CAST(SUM(CASE WHEN d > 0 AND n_risk > d THEN
+                     (CAST(FLOOR(ln(CAST(n_risk - d AS DOUBLE))
+                                    * 1e9 + 0.5) AS BIGINT)
+                              - CAST(FLOOR(ln(CAST(n_risk AS DOUBLE))
+                                     * 1e9 + 0.5) AS BIGINT))
+                     ELSE 0 END)
+                 OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 + 0.0
+           END AS log_survival
+    FROM km
+    WHERE d > 0
+    """,
+)
+def survival_km_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer reorder time: duration =
+    days to the next order; a customer's LAST order is right-censored
+    at the corpus horizon — the churn-analysis estimator that plain
+    "average gap" statistics get wrong precisely because of censoring.
+
+    Emitted in the LOG domain: S(t) = prod(1 - d/n) is a float product
+    whose association order differs per engine, but ln S(t) is a
+    CUMULATIVE SUM of per-step integers on the 1e-9 ln grid
+    (ln_q(n-d) - ln_q(n)), exact cross-engine like the KL/entropy
+    batteries — exp() is deliberately NOT applied (libm vs JVM exp can
+    differ in the last ulp). Scale: one keyed window for durations, a
+    duration-grid aggregate, and a grid-sized reverse cumulative sum
+    for the at-risk counts — the fact table shuffles once on customer.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("next_date"),
+    )
+    h = o.agg(F.max("o_orderdate").alias("h"))
+    dur = nxt.crossJoin(F.broadcast(h)).select(
+        F.when(
+            F.col("next_date").isNull(),
+            F.datediff(F.col("h"), F.col("o_orderdate")),
+        )
+        .otherwise(F.datediff(F.col("next_date"), F.col("o_orderdate")))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("next_date").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    grid = dur.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("c")
+    )
+    wdesc = W.orderBy(F.col("t").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    km = grid.select(
+        "t", "d", F.sum("c").over(wdesc).alias("n_risk")
+    )
+
+    def lnq(x: Column) -> Column:
+        return F.floor(F.log(x) * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+
+    # n_risk == d means S(t) hits exactly 0 (everyone at risk exits):
+    # its log is -inf, emitted as NULL on both sides
+    step = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
+        lnq((F.col("n_risk") - F.col("d")).cast("double"))
+        - lnq(F.col("n_risk").cast("double")),
+    ).otherwise(F.lit(0).cast("bigint"))
+    wasc = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        km.withColumn("lsq", F.sum(step).over(wasc))
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("bigint").alias("duration_days"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("n_events"),
+            F.when(
+                F.col("n_risk") == F.col("d"), F.lit(None).cast("double")
+            )
+            .otherwise(_q6(F.col("lsq").cast("double") / F.lit(1e9)))
+            .alias("log_survival"),
+        )
+    )
