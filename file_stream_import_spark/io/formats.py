@@ -41,12 +41,20 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Explicitly unsupported here: spark-avro is an external module not
-    present on this container. Fails fast with the standard remedy."""
+    """The JVM (vectorized, full-type-matrix) Avro path: unsupported
+    here because spark-avro is an external module not on this
+    container's classpath. Fails fast with the standard remedy — and
+    points at the working fallback: io/avro_local.py reads real Avro
+    container files (records of primitives, nullable unions,
+    date/timestamp-micros; null+deflate codecs) through a stdlib codec
+    whose spec compliance is proven BOTH directions against the
+    reference Java implementation in tests/test_layout.py."""
     raise NotImplementedError(
-        "Avro requires the external spark-avro package "
+        "JVM Avro requires the external spark-avro package "
         "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
-        "it is not on this container's classpath."
+        "it is not on this container's classpath. For common record "
+        "shapes use spark.read.format('avro_local') after "
+        "spark.dataSource.register(io.avro_local.AvroLocalDataSource)."
     )
 
 

@@ -4,6 +4,7 @@ the distributed stand-ins for the reference's five B-tree indexes
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from file_stream_import_spark.io.layout import (
@@ -449,3 +450,111 @@ class TestXmlAndBinary:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "content" not in plan  # column pruned at the source
         assert df.collect()[0].length == 5
+
+
+class TestAvroLocal:
+    SCHEMA = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+        ],
+    }
+    ROWS = [(1, "alpha", 1.5), (2, None, -2.25), (-3, "zz", 0.0)]
+
+    def test_datasource_reads_container_files(self, spark, tmp_path):
+        from file_stream_import_spark.io.avro_local import (
+            AvroLocalDataSource,
+            write_container,
+        )
+
+        d = tmp_path / "av"
+        d.mkdir()
+        write_container(str(d / "a.avro"), self.SCHEMA, self.ROWS[:2])
+        write_container(str(d / "b.avro"), self.SCHEMA, self.ROWS[2:])
+        spark.dataSource.register(AvroLocalDataSource)
+        df = (
+            spark.read.format("avro_local")
+            .option("path", str(d))
+            .load()
+        )
+        assert dict(df.dtypes) == {
+            "id": "bigint", "name": "string", "score": "double",
+        }
+        got = sorted((r.id, r.name, r.score) for r in df.collect())
+        assert got == sorted(self.ROWS)
+
+    def test_interop_jvm_reference_reads_our_files(self, spark, tmp_path):
+        """Spec-compliance proof: the Apache Avro REFERENCE Java
+        implementation (avro-1.12.1.jar, on the Spark classpath) must
+        parse a container written by our stdlib codec — magic,
+        metadata, sync markers, deflate blocks, zigzag varints and
+        union branches all verified by the implementation that defines
+        the format."""
+        from file_stream_import_spark.io.avro_local import write_container
+
+        p = str(tmp_path / "ours.avro")
+        write_container(p, self.SCHEMA, self.ROWS, codec="deflate")
+        jvm = spark.sparkContext._jvm
+        reader = jvm.org.apache.avro.generic.GenericDatumReader()
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p), reader
+        )
+        got = []
+        while dfr.hasNext():
+            rec = dfr.next()
+            name = rec.get("name")
+            got.append(
+                (rec.get("id"), None if name is None else str(name),
+                 rec.get("score"))
+            )
+        dfr.close()
+        assert got == self.ROWS
+
+    def test_interop_we_read_jvm_reference_files(self, spark, tmp_path):
+        """And the reverse: a container written by the reference Java
+        implementation round-trips through our reader."""
+        import json as _json
+
+        from file_stream_import_spark.io.avro_local import read_container
+
+        jvm = spark.sparkContext._jvm
+        sch = jvm.org.apache.avro.Schema.Parser().parse(
+            _json.dumps(self.SCHEMA)
+        )
+        p = str(tmp_path / "theirs.avro")
+        writer = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+        )
+        writer.setCodec(
+            jvm.org.apache.avro.file.CodecFactory.deflateCodec(6)
+        )
+        writer.create(sch, jvm.java.io.File(p))
+        for rid, name, score in self.ROWS:
+            rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+            rec.put("id", rid)
+            rec.put("name", name)
+            rec.put("score", score)
+            writer.append(rec)
+        writer.close()
+        _, got = read_container(p)
+        assert got == self.ROWS
+
+    def test_unsupported_shapes_fail_fast_with_remedy(self, tmp_path):
+        from file_stream_import_spark.io.avro_local import (
+            schema_to_ddl,
+        )
+
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            schema_to_ddl(
+                {
+                    "type": "record",
+                    "name": "r",
+                    "fields": [
+                        {"name": "xs",
+                         "type": {"type": "array", "items": "long"}}
+                    ],
+                }
+            )
