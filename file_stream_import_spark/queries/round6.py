@@ -1224,3 +1224,95 @@ def survival_km_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("log_survival"),
         )
     )
+
+
+@register(
+    "lakehouse_upsert_lifecycle",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 10 < 3
+    ),
+    upd AS (
+      SELECT o_orderkey AS k, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             'UPDATED' AS status
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    merged AS (
+      SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+      UNION ALL SELECT * FROM upd
+    ),
+    final AS (
+      SELECT * FROM merged
+      WHERE NOT (status = 'F' AND k % 7 = 0)
+    )
+    SELECT k AS o_orderkey, o_custkey, cents, status
+    FROM final WHERE k BETWEEN 1 AND 2000
+    """,
+)
+def lakehouse_upsert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table's WHOLE lifecycle as one hash-checked query:
+    three interleaved-key commits → file-pruned MERGE (updates of the
+    k%10=0 keys + inserts of the k%10=3 keys) → merge-on-read equality
+    DELETE → OPTIMIZE CLUSTER BY (materializes the delete, range-
+    clusters the groups) → a stats-PRUNED read of one key range. The
+    oracle recomputes the same overlay/delete/range relationally, so
+    every mechanism in io/versioned.py — manifest stats, pruned
+    rewrite, delete scoping, clustering, group skipping — is
+    value-verified by the driver, not just by local tests.
+
+    The table is built in a throwaway temp dir; the result is
+    localCheckpointed so the dir can be removed before returning (the
+    driver collects lazily). Row volume is the k%10<4 subset of
+    orders — bounded, and every step is the operator's real code
+    path, not a simulation."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, merge_into
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_lifecycle_"))
+    try:
+        base = o.filter(F.col("k") % 10 < 3)
+        for i in range(3):
+            t.commit(
+                base.filter(F.col("k") % 3 == i),
+                mode="append" if i else "overwrite",
+            )
+        upd = (
+            o.filter(F.col("k") % 10 == 0)
+            .withColumn("status", F.lit("UPDATED"))
+            .unionByName(o.filter(F.col("k") % 10 == 3))
+        )
+        merge_into(t, spark, upd, key="k")
+        t.delete_where(
+            spark,
+            (F.col("status") == "F") & (F.col("k") % 7 == 0),
+            strategy="merge-on-read",
+            key_cols=["k"],
+        )
+        t.optimize(spark, cluster_by="k", target_groups=4)
+        out = (
+            t.read(spark, where={"k": (1, 2000)})
+            .select(
+                F.col("k").alias("o_orderkey"), "o_custkey", "cents",
+                "status",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
