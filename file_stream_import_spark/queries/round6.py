@@ -1,16 +1,27 @@
-"""Round-6 surface widening: FULL OUTER stream-stream attribution (the
-batch mirror of streaming/windows.py::attribution_join_full_outer),
-Spearman rank correlation, the Wald-Wolfowitz runs test, a 2-D skyline
-(Pareto front), the Gini concentration coefficient, and the
-hashing-trick vectorizer.
+"""Round-6 surface widening.
+
+Stream-stream join matrix completion: FULL OUTER and LEFT SEMI batch
+mirrors (streaming twins in streaming/windows.py, real-stream tested).
+Statistics: Spearman (doubled-rank identity), Wald-Wolfowitz runs
+test, chi2 + Cramér's V + mutual information over one contingency
+table, Theil-Sen and Mann-Kendall robust trend on the calendar-bounded
+month grid, Kaplan-Meier reorder survival with right-censoring.
+Analytics: 2-D skyline (Pareto front), Gini concentration, the
+Count-Min frequency sketch, ClickHouse-windowFunnel EXISTS-chain
+levels. LLM-pipeline: the signed hashing-trick vectorizer, the BMP
+round-trip codec, nearest-direction as-of. Lakehouse:
+lakehouse_upsert_lifecycle drives io/versioned.py's real
+commit/merge/delete/cluster-optimize/pruned-read paths under the
+driver's hash check.
 
 The reference delegates every read-side computation to Postgres SQL
 (internal/db/db.go:112-124); these shapes extend the analytics surface
 a training-data / BI user runs downstream. Engine-stability rules
 follow round5.py: cross-engine doubles are single divisions (or short
 identical IEEE folds) of EXACT integer sums, snapped onto the _q6
-floor grid; every hash is the portable md5-hex-prefix integer both
-engines compute identically.
+floor grid; entropy/survival terms ride the 1e-9 integer ln grid;
+every hash is the portable md5-hex-prefix integer both engines
+compute identically.
 """
 
 from __future__ import annotations
@@ -1315,4 +1326,126 @@ def lakehouse_upsert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "xml_roundtrip_source",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 20 = 0
+    GROUP BY 1
+    """,
+)
+def xml_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink under the driver's hash check: a deterministic
+    orders subset is written as an XML document collection
+    (io/formats.py::write_xml — Spark 4's built-in source), read back
+    with a PINNED schema (the production rule: inference costs a full
+    extra pass), and aggregated; the oracle computes the same rollup
+    straight from parquet, so a single attribute lost or retyped by
+    the XML round trip breaks the hash."""
+    import shutil
+    import tempfile
+
+    from ..io.formats import read_xml, write_xml
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    ).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    d = tempfile.mkdtemp(prefix="xml_rt_")
+    try:
+        write_xml(o, d, row_tag="order", root_tag="orders")
+        back = read_xml(
+            spark, d, row_tag="order",
+            schema="o_orderkey bigint, status string, cents bigint",
+        )
+        out = (
+            back.groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+@register(
+    "avro_roundtrip_source",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey <= 3000
+    GROUP BY 1
+    """,
+)
+def avro_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source under the driver's hash check: a FIXED-SIZE orders
+    subset (o_orderkey <= 3000 — constant-bounded at every scale
+    factor, so the driver-side container write stays O(1)) goes
+    through io/avro_local.py's REAL container codec — deflate blocks,
+    sync markers, nullable-union field — into two .avro shards, is
+    read back via the avro_local Python DataSource, and aggregated
+    against the parquet-direct oracle. At scale the write side is
+    spark-avro (README deploy note); this pins the reader's spec
+    compliance into the driver's correctness ledger alongside the
+    JVM-reference interop tests."""
+    import shutil
+    import tempfile
+
+    from ..io.avro_local import AvroLocalDataSource, write_container
+
+    spark.dataSource.register(AvroLocalDataSource)
+    rows = [
+        (r.k, r.status, r.cents)
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()
+    ]
+    schema = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "status", "type": ["null", "string"]},
+            {"name": "cents", "type": "long"},
+        ],
+    }
+    d = tempfile.mkdtemp(prefix="avro_rt_")
+    try:
+        half = len(rows) // 2 or 1
+        write_container(
+            f"{d}/a.avro", schema, rows[:half], codec="deflate"
+        )
+        write_container(f"{d}/b.avro", schema, rows[half:], codec="null")
+        back = spark.read.format("avro_local").option("path", d).load()
+        out = (
+            back.groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return out
