@@ -1377,3 +1377,41 @@ class TestTableReplication:
         run_stream()
         got = sorted((r.k, r.v) for r in b.read(spark).collect())
         assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    def test_merge_composite_key_box_pruning(self, spark, tmp_path):
+        """Multi-column merge keys prune on the PER-COLUMN box: a group
+        is touched only if some update row falls inside its (k1, k2)
+        stats box — range overlap in one dimension alone is not
+        enough."""
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(
+            rows, "k1 long, k2 long, v string"
+        )
+        def mtimes(groups):
+            out = {}
+            for g in groups:
+                d = os.path.join(t.path, g)
+                out[g] = sorted(
+                    (f, os.path.getmtime(os.path.join(d, f)))
+                    for f in os.listdir(d)
+                )
+            return out
+
+        t.commit(mk([(1, 100, "a"), (5, 200, "b")]))    # k2 in [100,200]
+        t.commit(mk([(1, 900, "c"), (5, 950, "d")]))    # k2 in [900,950]
+        g1, g2 = t._load_manifest(1)["groups"]
+        before = mtimes([g2])
+        # k1=1 overlaps BOTH groups, but k2=150 only the first's box
+        merge_into(
+            t, spark, mk([(1, 150, "UPD")]), key=["k1", "k2"]
+        )
+        m = t._load_manifest(t.latest_version())
+        assert g2 in m["groups"] and g1 not in m["groups"]
+        assert mtimes([g2]) == before
+        got = sorted((r.k1, r.k2, r.v) for r in t.read(spark).collect())
+        assert got == [
+            (1, 100, "a"), (1, 150, "UPD"), (1, 900, "c"),
+            (5, 200, "b"), (5, 950, "d"),
+        ]
