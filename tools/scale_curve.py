@@ -145,6 +145,10 @@ def main() -> None:
         "mann_kendall_trend",
         "asof_nearest_purchase",
         "multimodal_bmp_roundtrip",
+        "window_funnel_levels",
+        "survival_km_reorder",
+        "lakehouse_upsert_lifecycle",
+        "stream_attribution_semi",
     ]
     # optional: restrict to names passed on the command line (re-running
     # the full list re-measures queries whose curve is already recorded)
