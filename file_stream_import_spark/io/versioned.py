@@ -921,6 +921,11 @@ def merge_into(
     )
 
 
+# max candidate-group boxes tested per aggregate pass in the MERGE
+# touch test (module-level so tests can lower it)
+_TOUCH_CHUNK = 256
+
+
 def _split_touched_groups(
     m: dict, updates: DataFrame, keys: list[str], types: dict
 ) -> tuple[list[str], list[str]]:
@@ -967,16 +972,20 @@ def _split_touched_groups(
             touched.append(g)  # no usable stats: rewrite conservatively
         else:
             candidates.append((g, box))
-    if candidates:
-        hit = (
-            updates.select(
-                *[
-                    F.max(F.when(box, 1).otherwise(0)).alias(f"g{i}")
-                    for i, (_, box) in enumerate(candidates)
-                ]
-            ).first()
-        )
-        for i, (g, _) in enumerate(candidates):
+    # chunked so a many-commit table (thousands of candidate groups)
+    # never builds one giant aggregate expression tree — each pass
+    # tests <= _TOUCH_CHUNK boxes; passes share the cached updates scan
+    if len(candidates) > _TOUCH_CHUNK:
+        updates = updates.localCheckpoint(eager=True)
+    for lo in range(0, len(candidates), _TOUCH_CHUNK):
+        chunk = candidates[lo : lo + _TOUCH_CHUNK]
+        hit = updates.select(
+            *[
+                F.max(F.when(box, 1).otherwise(0)).alias(f"g{i}")
+                for i, (_, box) in enumerate(chunk)
+            ]
+        ).first()
+        for i, (g, _) in enumerate(chunk):
             if hit[f"g{i}"] == 1:
                 touched.append(g)
     touched_set = set(touched)

@@ -1415,3 +1415,24 @@ class TestTableReplication:
             (1, 100, "a"), (1, 150, "UPD"), (1, 900, "c"),
             (5, 200, "b"), (5, 950, "d"),
         ]
+
+    def test_touch_test_chunks_many_groups(self, spark, tmp_path, monkeypatch):
+        """Many-commit tables: the merge touch test must not build one
+        aggregate over every candidate group — with the chunk size
+        forced to 2, six groups take three passes and the pruning
+        result is unchanged."""
+        from file_stream_import_spark.io import versioned as V
+
+        monkeypatch.setattr(V, "_TOUCH_CHUNK", 2)
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        for g in range(6):
+            t.commit(mk([(10 * g, f"a{g}"), (10 * g + 5, f"b{g}")]))
+        olds = t._load_manifest(5)["groups"]
+        V.merge_into(t, spark, mk([(25, "UPD")]), key="k")
+        m = t._load_manifest(t.latest_version())
+        # only group 2 (keys 20..25) rewritten; the other five by ref
+        survivors = [g for g in olds if g in m["groups"]]
+        assert len(survivors) == 5 and olds[2] not in m["groups"]
+        got = dict((r.k, r.v) for r in t.read(spark).collect())
+        assert got[25] == "UPD" and len(got) == 12
