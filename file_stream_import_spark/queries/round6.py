@@ -1449,3 +1449,192 @@ def avro_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+@register(
+    "forecast_backtest_metrics",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             date_diff('day', DATE '1970-01-01', o_orderdate) % 7 AS dow,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT dow, SUM(rev) AS s, COUNT(*) AS c
+      FROM d WHERE day < DATE '1997-01-01' GROUP BY dow
+    ),
+    test AS (
+      SELECT d.rev, CAST(m.s AS DOUBLE) / CAST(m.c AS DOUBLE) AS pred
+      FROM d JOIN model m USING (dow)
+      WHERE d.day >= DATE '1997-01-01'
+    ),
+    terms AS (
+      SELECT
+        CAST(FLOOR(ABS((CAST(rev AS DOUBLE) - pred) / 100) * 1e2 + 0.5)
+             AS BIGINT) AS ae_q,
+        CAST(FLOOR((CAST(rev AS DOUBLE) - pred) / 100
+                   * ((CAST(rev AS DOUBLE) - pred) / 100) + 0.5)
+             AS BIGINT) AS se_q,
+        CAST(FLOOR(ABS(CAST(rev AS DOUBLE) - pred)
+                   / CAST(rev AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS ape_q
+      FROM test
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_days,
+      FLOOR(CAST(SUM(ae_q) AS DOUBLE) / COUNT(*) + 0.5)
+        / 1e2 + 0.0 AS mae_dollars,
+      FLOOR(sqrt(CAST(SUM(se_q) AS DOUBLE) / COUNT(*))
+            * 1e2 + 0.5) / 1e2 + 0.0 AS rmse_dollars,
+      FLOOR(CAST(SUM(ape_q) AS DOUBLE) / COUNT(*) / 1e9 * 100
+            * 1e4 + 0.5) / 1e4 + 0.0 AS mape_pct
+    FROM terms
+    """,
+)
+def forecast_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: fit a day-of-week seasonal-mean model on
+    pre-1997 daily revenue, score 1997+ days, and report MAE / RMSE /
+    MAPE — the evaluation loop every demand-forecasting pipeline runs,
+    as pure aggregation (fit = one grouped mean, score = one broadcast
+    join; no iteration, no ML library).
+
+    Day-of-week is epoch_days % 7 — engine-portable, unlike
+    dayofweek() whose week origin differs between engines. Each error
+    term is floor-quantized onto an integer grid BEFORE the sum (the
+    per-term idiom from priority_drift_chi2), so the error aggregates
+    are reduction-order-immune; the final divisions/sqrt are identical
+    IEEE ops. Grids are sized for magnitude: absolute errors in
+    DOLLARS on a 1e-2 grid (cent precision, int64-safe past daily
+    revenues of 1e10 $), squared errors on the 1-dollar^2 grid
+    (int64-safe to ~3e9 $/day errors; at larger scale widen the term
+    to DECIMAL as the sums already are). Scale: fact -> |days| rows in
+    one aggregate, model is 7 rows broadcast, everything after is
+    day-grid-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderdate").alias("day"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) % 7).alias(
+            "dow"
+        ),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev")
+    )
+    cut = F.lit("1997-01-01").cast("date")
+    model = (
+        d.filter(F.col("day") < cut)
+        .groupBy("dow")
+        .agg(F.sum("rev").alias("s"), F.count("*").alias("c"))
+    )
+    test = (
+        d.filter(F.col("day") >= cut)
+        .join(F.broadcast(model), "dow")
+        .select(
+            "rev",
+            (F.col("s").cast("double") / F.col("c").cast("double")).alias(
+                "pred"
+            ),
+        )
+    )
+    err = F.col("rev").cast("double") - F.col("pred")
+    err_d = err / 100  # dollars: keeps the squared grid inside int64
+    terms = test.select(
+        F.floor(F.abs(err_d) * 1e2 + 0.5).cast("bigint").alias("ae_q"),
+        F.floor(err_d * err_d + 0.5).cast("bigint").alias("se_q"),
+        F.floor(
+            F.abs(err) / F.col("rev").cast("double") * 1e9 + 0.5
+        ).cast("bigint").alias("ape_q"),
+    )
+    n = F.count("*")
+    # grid sums go through DECIMAL(38,0): se_q reaches ~1e18 per term
+    # (daily-revenue cents squared on the 1e2 grid), past int64 when
+    # summed — DuckDB's SUM is HUGEINT already
+    dec = "decimal(38,0)"
+    return terms.agg(
+        n.cast("bigint").alias("n_test_days"),
+        (
+            F.floor(
+                F.sum(F.col("ae_q").cast(dec)).cast("double") / n + 0.5
+            ) / 1e2 + 0.0
+        ).alias("mae_dollars"),
+        (
+            F.floor(
+                F.sqrt(F.sum(F.col("se_q").cast(dec)).cast("double") / n)
+                * 1e2 + 0.5
+            ) / 1e2 + 0.0
+        ).alias("rmse_dollars"),
+        (
+            F.floor(
+                F.sum(F.col("ape_q").cast(dec)).cast("double")
+                / n / 1e9 * 100 * 1e4 + 0.5
+            ) / 1e4 + 0.0
+        ).alias("mape_pct"),
+    )
+
+
+@register(
+    "part_cooccurrence_topk",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT p1 AS part, p2 AS other, cnt FROM pairs
+      UNION ALL
+      SELECT p2, p1, cnt FROM pairs
+    ),
+    rk AS (
+      SELECT part, other, cnt,
+             ROW_NUMBER() OVER (PARTITION BY part
+                                ORDER BY cnt DESC, other) AS rk
+      FROM sym
+    )
+    SELECT part, other, cnt, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= 5 AND cnt >= 2
+    """,
+)
+def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence recommender: for each part, the top-5
+    parts most often bought in the SAME order (co-purchase counts with
+    the deterministic (cnt DESC, other ASC) tie-break; singleton pairs
+    dropped) — the classic "customers also bought" candidate generator.
+
+    Scale: the self-join explodes per-ORDER pairs, bounded by order
+    size squared (TPC-H ~7 lines/order -> <=21 pairs), never by corpus
+    size — the same per-container bound that keeps basket_type_pairs
+    safe; one orderkey-equi join, one pair aggregate, one per-part
+    top-k window over the pair table (WindowGroupLimit prunes
+    locally). A production recsys adds a df-cap on ubiquitous parts,
+    as inverted_index_postings does for hot terms."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sym = pairs.select(
+        F.col("p1").alias("part"), F.col("p2").alias("other"), "cnt"
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("part"), F.col("p1").alias("other"), "cnt"
+        )
+    )
+    w = W.partitionBy("part").orderBy(F.col("cnt").desc(), F.col("other"))
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 5) & (F.col("cnt") >= 2))
+        .select("part", "other", "cnt", F.col("rk").cast("bigint"))
+    )
