@@ -1638,3 +1638,91 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rk") <= 5) & (F.col("cnt") >= 2))
         .select("part", "other", "cnt", F.col("rk").cast("bigint"))
     )
+
+
+@register(
+    "rolling_corr_30d",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS ed,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT ed,
+        COUNT(*) OVER win AS n,
+        SUM(CAST(x AS HUGEINT)) OVER win AS sx,
+        SUM(CAST(y AS HUGEINT)) OVER win AS sy,
+        SUM(CAST(x AS HUGEINT) * x) OVER win AS sxx,
+        SUM(CAST(y AS HUGEINT) * y) OVER win AS syy,
+        SUM(CAST(x AS HUGEINT) * y) OVER win AS sxy
+      FROM d
+      WINDOW win AS (ORDER BY ed RANGE BETWEEN 29 PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(ed AS BIGINT) AS epoch_day,
+      CAST(n AS BIGINT) AS n_days,
+      FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE))
+            * 1e6 + 0.5) / 1e6 + 0.0 AS corr_count_rev
+    FROM w
+    WHERE n >= 20
+      AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def rolling_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day rolling Pearson correlation between daily order
+    count and daily revenue — the windowed drift probe ("is volume
+    decoupling from value?") composing a time-RANGE frame with the
+    moment-sum correlation identity.
+
+    All six rolling moments are exact integer sums inside ONE RANGE
+    window over the epoch-day grid (a trailing-interval frame ROWS
+    can't express — same mechanism as trailing_hour_window), so each
+    day's correlation is identical IEEE arithmetic on identical
+    integers. Degenerate windows (fewer than 20 observed days, or
+    zero variance in either series) are excluded on both sides.
+    Scale: the fact table reduces to the day grid first; the window
+    touches |days| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("ed")
+    ).agg(
+        F.count("*").alias("x"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("y"),
+    )
+    # moment products through DECIMAL(38,0)/HUGEINT: y^2 (daily cents
+    # squared) passes int64 around sf1 — the price_trend_by_priority
+    # widening rule
+    dec = "decimal(38,0)"
+    win = W.orderBy("ed").rangeBetween(-29, 0)
+    w = d.select(
+        "ed",
+        F.count("*").over(win).alias("n"),
+        F.sum(F.col("x").cast(dec)).over(win).alias("sx"),
+        F.sum(F.col("y").cast(dec)).over(win).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).over(win).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return (
+        w.filter(
+            (F.col("n") >= 20) & (varx > 0) & (vary > 0)
+        )
+        .select(
+            F.col("ed").cast("bigint").alias("epoch_day"),
+            F.col("n").cast("bigint").alias("n_days"),
+            _q6(
+                num / F.sqrt(varx.cast("double") * vary.cast("double"))
+            ).alias("corr_count_rev"),
+        )
+    )
