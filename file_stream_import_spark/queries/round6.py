@@ -1726,3 +1726,108 @@ def rolling_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr_count_rev"),
         )
     )
+
+
+@register(
+    "cdc_apply_into_lake",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 10 < 3
+    ),
+    chg AS (
+      SELECT o_orderkey AS k, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             'CHANGED' AS status, 'U' AS op
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT),
+             o_orderstatus, 'D'
+      FROM orders WHERE o_orderkey % 10 = 1 AND o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT),
+             o_orderstatus, 'I'
+      FROM orders WHERE o_orderkey % 10 = 4
+    ),
+    applied AS (
+      SELECT * FROM base WHERE k NOT IN (SELECT k FROM chg)
+      UNION ALL
+      SELECT k, o_custkey, cents, status FROM chg WHERE op <> 'D'
+    )
+    SELECT k AS o_orderkey, o_custkey, cents, status FROM applied
+    """,
+)
+def cdc_apply_into_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES INTO under the driver's hash check: a
+    deterministic I/U/D changelog derived from orders — updates of the
+    k%10=0 keys, deletes of the failed k%10=1 orders, inserts of the
+    k%10=4 keys, PLUS a stale duplicate change per k%50=0 key that the
+    seq_col last-writer-wins resolution must discard — lands on a
+    3-commit versioned table through io/versioned.py::apply_changes
+    (one file-pruned rewrite for the whole batch). The oracle
+    recomputes the applied state relationally, so op routing, LWW
+    resolution, delete-of-absent-key no-ops, and the pruned rewrite
+    are all value-verified."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, apply_changes
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="cdc_apply_"))
+    try:
+        base = o.filter(F.col("k") % 10 < 3)
+        for i in range(3):
+            t.commit(
+                base.filter(F.col("k") % 3 == i),
+                mode="append" if i else "overwrite",
+            )
+        final = (
+            o.filter(F.col("k") % 10 == 0)
+            .withColumn("status", F.lit("CHANGED"))
+            .withColumn("op", F.lit("U"))
+            .unionByName(
+                o.filter(
+                    (F.col("k") % 10 == 1) & (F.col("status") == "F")
+                ).withColumn("op", F.lit("D"))
+            )
+            .unionByName(
+                o.filter(F.col("k") % 10 == 4).withColumn(
+                    "op", F.lit("I")
+                )
+            )
+            .withColumn("seq", F.lit(2))
+        )
+        stale = (
+            final.filter(F.col("k") % 50 == 0)
+            .withColumn("status", F.lit("STALE"))
+            .withColumn("seq", F.lit(1))
+        )
+        apply_changes(
+            t,
+            spark,
+            final.unionByName(stale),
+            key="k",
+            op_col="op",
+            seq_col="seq",
+        )
+        out = (
+            t.read(spark)
+            .select(
+                F.col("k").alias("o_orderkey"), "o_custkey", "cents",
+                "status",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out

@@ -1436,3 +1436,70 @@ class TestTableReplication:
         assert len(survivors) == 5 and olds[2] not in m["groups"]
         got = dict((r.k, r.v) for r in t.read(spark).collect())
         assert got[25] == "UPD" and len(got) == 12
+
+
+class TestApplyChanges:
+    def test_mixed_changelog_applies_with_lww_and_pruning(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.versioned import apply_changes
+
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        t.commit(mk([(1, "a"), (10, "b")]))
+        t.commit(mk([(11, "c"), (20, "d")]))
+        g1 = t._load_manifest(1)["groups"][0]
+
+        def mtimes(g):
+            d = os.path.join(t.path, g)
+            return sorted(
+                (f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d)
+            )
+
+        before = mtimes(g1)
+        ch = spark.createDataFrame(
+            [
+                # two changes to key 11: seq resolves to the UPDATE
+                (11, "stale", "U", 1),
+                (11, "C2", "U", 2),
+                (20, None, "D", 1),     # delete
+                (25, "e", "I", 1),      # insert
+                (30, None, "D", 1),     # delete of a nonexistent key
+            ],
+            "k long, v string, op string, seq long",
+        )
+        apply_changes(t, spark, ch, key="k", seq_col="seq")
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == [(1, "a"), (10, "b"), (11, "C2"), (25, "e")]
+        # group 1 (keys 1..10, untouched by any change key) by reference
+        m = t._load_manifest(t.latest_version())
+        assert g1 in m["groups"] and mtimes(g1) == before
+
+    def test_bad_ops_and_duplicate_keys_fail(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import apply_changes
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+        bad = spark.createDataFrame(
+            [(1, "x", "UPSERT")], "k long, v string, op string"
+        )
+        with pytest.raises(ValueError, match="unknown changelog op"):
+            apply_changes(t, spark, bad, key="k")
+        dup = spark.createDataFrame(
+            [(1, "x", "U"), (1, "y", "U")], "k long, v string, op string"
+        )
+        with pytest.raises(ValueError, match="seq_col"):
+            apply_changes(t, spark, dup, key="k")
+
+    def test_bootstraps_empty_table_with_upserts_only(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import apply_changes
+
+        t = VersionedTable(str(tmp_path / "t"))
+        ch = spark.createDataFrame(
+            [(1, "a", "I"), (2, None, "D")], "k long, v string, op string"
+        )
+        apply_changes(t, spark, ch, key="k")
+        assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [
+            (1, "a")
+        ]
