@@ -1057,7 +1057,10 @@ def apply_changes(
             f"{expected_parent}; recompute and retry"
         )
     if base is None:
-        return table.commit(upserts, mode="overwrite", txn=txn)
+        return table.commit(
+            upserts, mode="overwrite", txn=txn,
+            expected_parent=expected_parent,
+        )
     m = table._load_manifest(base)
     declared = _schema_from_json(m["schema"])
     if _schema_key(declared) != _schema_key(upserts.schema):
@@ -1159,5 +1162,48 @@ def make_idempotent_table_writer(
                 return
             except CommitConflictError:
                 continue  # table advanced: re-read the watermark
+
+    return write
+
+
+def make_idempotent_cdc_writer(
+    table: VersionedTable,
+    query_name: str,
+    key: str | list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+):
+    """foreachBatch exactly-once CDC sink: each micro-batch is an I/U/D
+    changelog applied via ``apply_changes`` (one file-pruned rewrite),
+    with the same atomic txn-epoch replay protection as
+    make_idempotent_table_writer — a replayed or concurrently-delivered
+    batch_id is skipped, pinned to the version the watermark was read
+    from. This is the streaming half of APPLY CHANGES INTO: a Debezium/
+    CDC topic lands on the lake table exactly once."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        while True:
+            latest = table.latest_version()
+            hw = None
+            if latest is not None:
+                hw = (table._load_manifest(latest).get("txn") or {}).get(
+                    query_name
+                )
+            if hw is not None and int(batch_id) <= int(hw):
+                return
+            try:
+                apply_changes(
+                    table,
+                    batch_df.sparkSession,
+                    batch_df,
+                    key,
+                    op_col=op_col,
+                    seq_col=seq_col,
+                    txn={query_name: int(batch_id)},
+                    expected_parent=latest,
+                )
+                return
+            except CommitConflictError:
+                continue
 
     return write

@@ -1503,3 +1503,72 @@ class TestApplyChanges:
         assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [
             (1, "a")
         ]
+
+    def test_streaming_cdc_writer_exactly_once_across_restart(
+        self, spark, tmp_path
+    ):
+        """CDC stream -> lake: JSONL changelog files stream through
+        foreachBatch apply_changes; a checkpoint restart replays the
+        last batch and the txn watermark must absorb it — final state
+        equals the ordered application of all change files, once."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from file_stream_import_spark.io.versioned import (
+            make_idempotent_cdc_writer,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+            )
+        )
+        drop = tmp_path / "cdc"
+        drop.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+        writer = make_idempotent_cdc_writer(
+            t, "cdc", key="k", seq_col="seq"
+        )
+
+        def run():
+            q = (
+                spark.readStream.schema(schema)
+                .json(str(drop))
+                .writeStream.foreachBatch(writer)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        (drop / "b1.json").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"k": 2, "v": "B2", "op": "U", "seq": 1},
+                    {"k": 3, "v": None, "op": "D", "seq": 1},
+                ]
+            )
+        )
+        run()
+        assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [
+            (1, "a"), (2, "B2"),
+        ]
+        (drop / "b2.json").write_text(
+            _json.dumps({"k": 4, "v": "d", "op": "I", "seq": 1})
+        )
+        run()  # restart from checkpoint: b1's epoch must not re-apply
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == [(1, "a"), (2, "B2"), (4, "d")]
+        hw = t._load_manifest(t.latest_version())["txn"]["cdc"]
+        assert hw >= 1
