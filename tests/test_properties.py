@@ -727,3 +727,63 @@ class TestRound6Properties:
         w, h, px = bmp_decode(bmp_encode(p, width=30))
         assert (w, h) == (30, max(1, -(-len(p) // 30)))
         assert px[: len(p)] == p and set(px[len(p):]) <= {0}
+
+    @prop
+    @given(
+        base=st.lists(
+            st.tuples(st.integers(0, 30), st.text("ab", max_size=2)),
+            min_size=1,
+            max_size=10,
+            unique_by=lambda t: t[0],
+        ),
+        changes=st.lists(
+            st.tuples(
+                st.integers(0, 40),
+                st.text("cd", max_size=2),
+                st.sampled_from(["I", "U", "D"]),
+            ),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        ),
+    )
+    def test_snapshot_diff_reconstructs_applied_changelog(
+        self, spark, tmp_path_factory, base, changes
+    ):
+        """diff(v, apply(v, changelog)) must equal the EFFECTIVE
+        changelog: deletes of absent keys and upserts equal to the old
+        value are no-ops; everything else comes back with the correct
+        I/U/D tag and payloads — for ANY base/changelog."""
+        from file_stream_import_spark.io.versioned import (
+            VersionedTable,
+            apply_changes,
+            snapshot_diff,
+        )
+
+        tmp = tmp_path_factory.mktemp("sd")
+        t = VersionedTable(str(tmp / "t"))
+        t.commit(spark.createDataFrame(base, "k long, v string"))
+        v0 = t.latest_version()
+        v1 = apply_changes(
+            t,
+            spark,
+            spark.createDataFrame(changes, "k long, v string, op string"),
+            key="k",
+        )
+        got = {
+            r.k: (r.change,
+                  None if r.old is None else r.old.v,
+                  None if r.new is None else r.new.v)
+            for r in snapshot_diff(t, spark, v0, v1, key="k").collect()
+        }
+        model_base = dict(base)
+        expect = {}
+        for k, v, op in changes:
+            if op == "D":
+                if k in model_base:
+                    expect[k] = ("D", model_base[k], None)
+            elif k not in model_base:
+                expect[k] = ("I", None, v)
+            elif model_base[k] != v:
+                expect[k] = ("U", model_base[k], v)
+        assert got == expect

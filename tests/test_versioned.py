@@ -1572,3 +1572,79 @@ class TestApplyChanges:
         assert got == [(1, "a"), (2, "B2"), (4, "d")]
         hw = t._load_manifest(t.latest_version())["txn"]["cdc"]
         assert hw >= 1
+
+
+class TestSnapshotDiff:
+    def test_diff_reports_iud_and_skips_shared_groups(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import (
+            apply_changes,
+            snapshot_diff,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        t.commit(mk([(1, "a"), (10, "b")]))      # group A
+        t.commit(mk([(11, "c"), (20, "d")]))     # group B
+        v0 = t.latest_version()
+        ch = spark.createDataFrame(
+            [(11, "C2", "U"), (20, None, "D"), (25, "e", "I")],
+            "k long, v string, op string",
+        )
+        v1 = apply_changes(t, spark, ch, key="k")
+        d = snapshot_diff(t, spark, v0, v1, key="k")
+        got = sorted(
+            (r.k, r.change,
+             None if r.old is None else r.old.v,
+             None if r.new is None else r.new.v)
+            for r in d.collect()
+        )
+        assert got == [
+            (11, "U", "c", "C2"),
+            (20, "D", "d", None),
+            (25, "I", None, "e"),
+        ]
+        # manifest-aware: group A is shared between the snapshots and
+        # must not be scanned by either side
+        ga = t._load_manifest(0)["groups"][0]
+        assert not any(ga in f for f in d.inputFiles())
+
+    def test_diff_sees_mor_delete_on_shared_group(self, spark, tmp_path):
+        """A merge-on-read DELETE changes no group list — only the
+        delete entries. The shared-group skip must notice the entry
+        difference and still report the deletion."""
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.versioned import snapshot_diff
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "k long, v string"
+            )
+        )
+        v0 = t.latest_version()
+        v1 = t.delete_where(
+            spark, F.col("k") == 2, strategy="merge-on-read",
+            key_cols=["k"],
+        )
+        d = snapshot_diff(t, spark, v0, v1, key="k")
+        got = [(r.k, r.change) for r in d.collect()]
+        assert got == [(2, "D")]
+
+    def test_diff_across_evolution_aligns_columns(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import snapshot_diff
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+        v0 = t.latest_version()
+        v1 = t.commit(
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "k long, v string, score double"
+            ),
+            allow_evolution=True,
+        )
+        d = snapshot_diff(t, spark, v0, v1, key="k")
+        got = sorted((r.k, r.change, r.new.score if r.new else None)
+                     for r in d.collect())
+        # key 1 lives in a shared group -> unchanged, not emitted
+        assert got == [(2, "I", 9.5)]
