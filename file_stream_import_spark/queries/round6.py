@@ -1831,3 +1831,88 @@ def cdc_apply_into_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 10 < 3
+    ),
+    chg AS (
+      SELECT o_orderkey AS k, 'CHANGED' AS status, 'U' AS op
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, 'D'
+      FROM orders WHERE o_orderkey % 10 = 1 AND o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, 'I'
+      FROM orders WHERE o_orderkey % 10 = 4
+    )
+    SELECT c.k AS o_orderkey,
+           CASE WHEN b.k IS NULL THEN 'I'
+                WHEN c.op = 'D' THEN 'D'
+                ELSE 'U' END AS change,
+           b.status AS old_status,
+           CASE WHEN c.op = 'D' THEN NULL ELSE c.status END AS new_status
+    FROM chg c LEFT JOIN base b ON c.k = b.k
+    WHERE NOT (c.op = 'D' AND b.k IS NULL)          -- no-op delete
+      -- equal-value upsert (b.k guard keeps the predicate FALSE, not
+      -- NULL, for inserts — WHERE NULL would silently drop them)
+      AND NOT (c.op <> 'D' AND b.k IS NOT NULL
+               AND b.status = c.status)
+    """,
+)
+def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff under the driver's hash check: apply a
+    deterministic I/U/D changelog to a versioned table and diff the
+    before/after versions; the oracle derives the EFFECTIVE changelog
+    relationally (no-op deletes and equal-value upserts excluded) —
+    so the manifest-aware shared-group skip, the full-outer key
+    reconciliation, and the null-safe payload comparison are all
+    value-verified. 'U' rows whose CHANGED value coincidentally equals
+    the old status are excluded on both sides (the diff's unchanged
+    cancellation)."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, apply_changes, snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_diff_"))
+    try:
+        t.commit(o.filter(F.col("k") % 10 < 3))
+        v0 = t.latest_version()
+        ch = (
+            o.filter(F.col("k") % 10 == 0)
+            .withColumn("status", F.lit("CHANGED"))
+            .withColumn("op", F.lit("U"))
+            .unionByName(
+                o.filter(
+                    (F.col("k") % 10 == 1) & (F.col("status") == "F")
+                ).withColumn("op", F.lit("D"))
+            )
+            .unionByName(
+                o.filter(F.col("k") % 10 == 4).withColumn(
+                    "op", F.lit("I")
+                )
+            )
+        )
+        v1 = apply_changes(t, spark, ch, key="k")
+        out = (
+            snapshot_diff(t, spark, v0, v1, key="k")
+            .select(
+                F.col("k").alias("o_orderkey"),
+                "change",
+                F.col("old").getField("status").alias("old_status"),
+                F.col("new").getField("status").alias("new_status"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
