@@ -729,6 +729,78 @@ class VersionedTable:
             },
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        assignments: dict,
+        prune_where: dict | None = None,
+    ) -> int:
+        """Row-level UPDATE (Delta's UPDATE table SET ... WHERE ...):
+        rows where ``condition`` is TRUE get each ``assignments`` column
+        replaced by its expression; everything else is carried
+        unchanged. NULL-evaluating conditions leave the row unchanged
+        (SQL UPDATE semantics, matching delete_where's fix).
+
+        ``prune_where`` ({col: (lo, hi)}, same form as read()) bounds
+        WHERE matching rows can live: groups outside those stats boxes
+        are carried into the new snapshot BY REFERENCE instead of
+        rewritten — the caller asserts the condition cannot match
+        outside the boxes (e.g. updating one day's partition). Without
+        it the whole snapshot rewrites (predicate → stats-box
+        extraction for arbitrary expressions is Delta's file-skipping
+        planner; out of scope here, so pruning is explicit and
+        honest). Completes the DML matrix: MERGE / DELETE /
+        apply_changes / UPDATE."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load_manifest(base)
+        groups = list(m["groups"])
+        if prune_where:
+            stats = m.get("stats") or {}
+            touched = [
+                g for g in groups
+                if _group_may_match(stats.get(g), prune_where)
+            ]
+        else:
+            touched = groups
+        untouched = [g for g in groups if g not in set(touched)]
+        cur = self._read_groups(spark, m, touched)
+        cond = F.coalesce(condition, F.lit(False))
+        updated = cur
+        for col, expr in assignments.items():
+            updated = updated.withColumn(
+                col, F.when(cond, expr).otherwise(F.col(col))
+            )
+        group = os.path.join("data", uuid.uuid4().hex)
+        group_stats = _write_group_with_stats(
+            updated, os.path.join(self.path, group)
+        )
+        stats_out = {
+            g: s
+            for g, s in (m.get("stats") or {}).items()
+            if g in set(untouched)
+        }
+        if group_stats is not None:
+            stats_out[group] = group_stats
+        entries = []
+        for e in m.get("delete_entries") or []:
+            applies = [g for g in e["applies_to"] if g in set(untouched)]
+            if applies:
+                entries.append({**e, "applies_to": applies})
+        return self._publish(
+            base,
+            {
+                "schema": m["schema"],
+                "groups": untouched + [group],
+                "mode": "update",
+                "added": [group],
+                "delete_entries": entries,
+                "stats": stats_out,
+            },
+        )
+
     def vacuum(
         self, keep_versions: int = 1, min_age_seconds: float = 3600.0
     ) -> list[str]:

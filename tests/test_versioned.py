@@ -1648,3 +1648,40 @@ class TestSnapshotDiff:
                      for r in d.collect())
         # key 1 lives in a shared group -> unchanged, not emitted
         assert got == [(2, "I", 9.5)]
+
+
+class TestUpdateWhere:
+    def test_update_with_pruning_and_null_condition(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        t.commit(mk([(1, "a"), (10, None)]))
+        t.commit(mk([(11, "c"), (20, "d")]))
+        g1 = t._load_manifest(1)["groups"][0]
+
+        def mtimes(g):
+            d = os.path.join(t.path, g)
+            return sorted(
+                (f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d)
+            )
+
+        before = mtimes(g1)
+        # condition references v: NULL for k=10 -> row must stay
+        t.update_where(
+            spark,
+            (F.col("v") < "d") & (F.col("k") >= 11),
+            {"v": F.upper("v")},
+            prune_where={"k": (11, None)},
+        )
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == [(1, "a"), (10, None), (11, "C"), (20, "d")]
+        # group 1 pruned by the caller's bound: carried by reference
+        m = t._load_manifest(t.latest_version())
+        assert g1 in m["groups"] and mtimes(g1) == before
+        assert m["mode"] == "update"
+        # pre-update state still time-travelable
+        assert sorted(
+            (r.k, r.v) for r in t.read(spark, 1).collect()
+        ) == [(1, "a"), (10, None), (11, "c"), (20, "d")]
