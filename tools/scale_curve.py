@@ -149,6 +149,11 @@ def main() -> None:
         "survival_km_reorder",
         "lakehouse_upsert_lifecycle",
         "stream_attribution_semi",
+        "forecast_backtest_metrics",
+        "part_cooccurrence_topk",
+        "rolling_corr_30d",
+        "cdc_apply_into_lake",
+        "lake_snapshot_diff",
     ]
     # optional: restrict to names passed on the command line (re-running
     # the full list re-measures queries whose curve is already recorded)
