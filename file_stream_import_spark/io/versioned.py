@@ -154,16 +154,25 @@ def _group_may_match(gstats: dict | None, where: dict) -> bool:
     return True
 
 
-def _write_group_with_stats(df: DataFrame, full_path: str) -> dict | None:
+def _write_group_with_stats(
+    df: DataFrame, full_path: str, checks: dict | None = None
+) -> dict | None:
     """Write ``df`` as a parquet group, observing per-column min/max +
-    null counts in the SAME job (Observation piggybacks on the write —
-    no second scan, which matters when the group is TBs). Returns
-    ``{col: {"min": v, "max": v, "nulls": n}, "_rows": n}`` or None if
-    nothing is stats-eligible."""
+    null counts — and CHECK-constraint violation counts — in the SAME
+    job (Observation piggybacks on the write: no extra scan, which
+    matters when the group is TBs). Raises ConstraintViolationError
+    AFTER the write if any check fails — the data files become orphans
+    that no manifest references (the standard crash-window shape,
+    reclaimed by vacuum), so atomicity is preserved without a separate
+    validation pass. Returns ``{col: {"min": v, "max": v, "nulls": n},
+    "_rows": n}`` or None if nothing is stats-eligible and no checks
+    exist. CHECK semantics are SQL's: a NULL-evaluating condition
+    PASSES (only FALSE violates)."""
     from pyspark.sql import Observation
 
+    checks = checks or {}
     cols = [f for f in df.schema.fields if _stats_eligible(f.dataType)]
-    if not cols:
+    if not cols and not checks:
         df.write.parquet(full_path)
         return None
     exprs = [F.count(F.lit(1)).alias("rows")]
@@ -175,9 +184,30 @@ def _write_group_with_stats(df: DataFrame, full_path: str) -> dict | None:
                 f"nu_{i}"
             )
         )
+    check_names = sorted(checks)
+    for i, name in enumerate(check_names):
+        bad = ~F.coalesce(F.expr(checks[name]), F.lit(True))
+        exprs.append(
+            F.sum(F.when(bad, 1).otherwise(0)).alias(f"ck_{i}")
+        )
     obs = Observation()
     df.observe(obs, *exprs).write.parquet(full_path)
     got = obs.get
+    violated = {
+        name: int(got[f"ck_{i}"] or 0)
+        for i, name in enumerate(check_names)
+        if int(got[f"ck_{i}"] or 0) > 0
+    }
+    if violated:
+        raise ConstraintViolationError(
+            f"CHECK constraint(s) violated: "
+            + ", ".join(
+                f"{n} ({c} rows, condition: {checks[n]!r})"
+                for n, c in violated.items()
+            )
+            + "; the rejected data group is unreferenced and will be "
+            "vacuumed"
+        )
     out: dict = {"_rows": int(got["rows"] or 0)}
     for i, f in enumerate(cols):
         out[f.name] = {
@@ -190,6 +220,10 @@ def _write_group_with_stats(df: DataFrame, full_path: str) -> dict | None:
 
 class SchemaMismatchError(ValueError):
     """Append schema differs from the table's current schema."""
+
+
+class ConstraintViolationError(ValueError):
+    """Incoming rows violate a table CHECK constraint."""
 
 
 def _manifest_dir(path: str) -> str:
@@ -298,10 +332,16 @@ class VersionedTable:
             else {}
         )
         # (1) immutable data files first, invisible until the manifest;
-        # per-column min/max observed in the SAME job as the write
+        # per-column min/max + CHECK validation observed in the SAME
+        # job as the write
+        checks = (
+            self._load_manifest(parent).get("constraints") or {}
+            if parent is not None
+            else {}
+        )
         group = os.path.join("data", uuid.uuid4().hex)
         group_stats = _write_group_with_stats(
-            df, os.path.join(self.path, group)
+            df, os.path.join(self.path, group), checks=checks
         )
         if group_stats is not None:
             stats[group] = group_stats
@@ -347,6 +387,11 @@ class VersionedTable:
         parent_ts = parent_manifest.get("committed_at")
         if parent_ts is not None and manifest["committed_at"] < parent_ts:
             manifest["committed_at"] = parent_ts
+        # CHECK constraints ride every manifest like txn marks, unless
+        # the commit explicitly sets them (add/drop constraint)
+        manifest.setdefault(
+            "constraints", dict(parent_manifest.get("constraints") or {})
+        )
         # txn watermarks ride every manifest: start from the parent's
         # map so vacuum (which always retains the latest) never loses a
         # writer's high-water mark, then fold in this commit's epochs
@@ -729,6 +774,79 @@ class VersionedTable:
             },
         )
 
+    # -- CHECK constraints ---------------------------------------------
+
+    def constraints(self) -> dict[str, str]:
+        """The table's active CHECK constraints (name -> SQL condition)."""
+        v = self.latest_version()
+        if v is None:
+            return {}
+        return dict(self._load_manifest(v).get("constraints") or {})
+
+    def add_check_constraint(
+        self, spark: SparkSession, name: str, condition: str
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (condition): existing
+        data is validated first (one scan — Delta does the same), then
+        a metadata-only snapshot records the constraint; every later
+        commit / MERGE / APPLY CHANGES / UPDATE validates incoming rows
+        inside its write job and rejects the whole batch on violation.
+        SQL CHECK semantics: NULL-evaluating conditions pass."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load_manifest(base)
+        cons = dict(m.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        bad = (
+            self.read(spark, base)
+            .filter(~F.coalesce(F.expr(condition), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ConstraintViolationError(
+                f"existing rows violate {name!r} ({condition!r}); "
+                "clean the data before adding the constraint"
+            )
+        cons[name] = condition
+        return self._publish(
+            base,
+            {
+                "schema": m["schema"],
+                "groups": list(m["groups"]),
+                "mode": f"add_constraint:{name}",
+                "added": [],
+                "delete_entries": list(m.get("delete_entries") or []),
+                "stats": dict(m.get("stats") or {}),
+                "constraints": cons,
+            },
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT: metadata-only snapshot."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load_manifest(base)
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint named {name!r}")
+        del cons[name]
+        return self._publish(
+            base,
+            {
+                "schema": m["schema"],
+                "groups": list(m["groups"]),
+                "mode": f"drop_constraint:{name}",
+                "added": [],
+                "delete_entries": list(m.get("delete_entries") or []),
+                "stats": dict(m.get("stats") or {}),
+                "constraints": cons,
+            },
+        )
+
     def update_where(
         self,
         spark: SparkSession,
@@ -775,7 +893,8 @@ class VersionedTable:
             )
         group = os.path.join("data", uuid.uuid4().hex)
         group_stats = _write_group_with_stats(
-            updated, os.path.join(self.path, group)
+            updated, os.path.join(self.path, group),
+            checks=m.get("constraints") or {},
         )
         stats_out = {
             g: s
@@ -963,7 +1082,8 @@ def merge_into(
     # of silently disappearing under the rewrite
     group = os.path.join("data", uuid.uuid4().hex)
     group_stats = _write_group_with_stats(
-        merged, os.path.join(table.path, group)
+        merged, os.path.join(table.path, group),
+        checks=m.get("constraints") or {},
     )
     stats = {
         g: s
@@ -1148,7 +1268,8 @@ def apply_changes(
     )
     group = os.path.join("data", uuid.uuid4().hex)
     group_stats = _write_group_with_stats(
-        rewritten, os.path.join(table.path, group)
+        rewritten, os.path.join(table.path, group),
+        checks=m.get("constraints") or {},
     )
     stats = {
         g: s

@@ -1685,3 +1685,55 @@ class TestUpdateWhere:
         assert sorted(
             (r.k, r.v) for r in t.read(spark, 1).collect()
         ) == [(1, "a"), (10, None), (11, "c"), (20, "d")]
+
+
+class TestCheckConstraints:
+    def test_add_validate_enforce_and_drop(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import (
+            ConstraintViolationError,
+            merge_into,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+        t.commit(mk([(1, 10), (2, 20)]))
+        t.add_check_constraint(spark, "v_positive", "v > 0")
+        assert t.constraints() == {"v_positive": "v > 0"}
+        # appends validate INSIDE the write job; the bad batch rejects
+        # whole and leaves the table state untouched
+        v_before = t.latest_version()
+        with pytest.raises(ConstraintViolationError, match="v_positive"):
+            t.commit(mk([(3, -5)]))
+        assert t.latest_version() == v_before
+        assert t.read(spark).count() == 2
+        # the rejected group is an unreferenced orphan: vacuum reclaims
+        assert t.vacuum(keep_versions=10, min_age_seconds=0)
+        # MERGE enforces too
+        with pytest.raises(ConstraintViolationError):
+            merge_into(t, spark, mk([(2, -1)]), key="k")
+        # good data flows; constraint survives further commits
+        t.commit(mk([(3, 30)]))
+        assert t.constraints() == {"v_positive": "v > 0"}
+        # NULL passes (SQL CHECK semantics)
+        t.commit(
+            spark.createDataFrame([(4, None)], "k long, v long")
+        )
+        assert t.read(spark).count() == 4
+        # drop: metadata-only, then negative rows are accepted again
+        t.drop_check_constraint("v_positive")
+        t.commit(mk([(5, -50)]))
+        assert t.read(spark).count() == 5
+
+    def test_add_rejects_when_existing_data_violates(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import (
+            ConstraintViolationError,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame([(1, -1)], "k long, v long")
+        )
+        with pytest.raises(ConstraintViolationError, match="existing"):
+            t.add_check_constraint(spark, "v_positive", "v > 0")
+        with pytest.raises(ValueError, match="no constraint"):
+            t.drop_check_constraint("v_positive")
