@@ -1916,3 +1916,105 @@ def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
     return out
+
+
+@register(
+    "embedding_outlier_mahalanobis",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i.i + 1 AS pos,
+             CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings CROSS JOIN (SELECT UNNEST(range(64)) AS i) i
+    ),
+    s AS (
+      SELECT pos, COUNT(*) AS n,
+             SUM(CAST(xq AS HUGEINT)) AS sd,
+             SUM(CAST(xq AS HUGEINT) * xq) AS qd
+      FROM x GROUP BY pos
+    ),
+    terms AS (
+      SELECT x.vec_id,
+        CAST(FLOOR(
+          CAST((s.n * x.xq - s.sd) * (s.n * x.xq - s.sd) AS DOUBLE)
+          / CAST(s.n * s.qd - s.sd * s.sd AS DOUBLE)
+          * 1e6 + 0.5) AS BIGINT) AS term_q
+      FROM x JOIN s USING (pos)
+      WHERE s.n * s.qd - s.sd * s.sd > 0
+    ),
+    d AS (
+      SELECT vec_id, SUM(term_q) AS dist_q FROM terms GROUP BY vec_id
+    )
+    SELECT vec_id,
+           CAST(dist_q AS DOUBLE) / 1e6 + 0.0 AS mahalanobis2,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT vec_id, dist_q,
+             ROW_NUMBER() OVER (ORDER BY dist_q DESC, vec_id) AS rk
+      FROM d
+    ) WHERE rk <= 20
+    """,
+)
+def embedding_outlier_mahalanobis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 embedding outliers by DIAGONAL Mahalanobis distance —
+    the covariance-normalized anomaly score a corpus-cleaning pass
+    runs before training (Euclidean distance over-weights
+    high-variance dimensions; the diagonal form normalizes each
+    dimension by its own variance without the d x d covariance
+    inverse, the standard at-scale compromise).
+
+    Exactness: coordinates snap to the 1e-6 integer grid (the PCA
+    idiom); per-dimension mean/variance are exact HUGEINT/decimal
+    moments; each vector's per-dimension term is one IEEE division of
+    exact integers, floor-quantized to 1e-6 BEFORE the per-vector sum
+    (order-immune integer addition). Scale: one exploded pass +
+    map-side-combined per-dimension moments (64 rows, broadcast
+    back), one (vec, dim)-bounded projection, one per-vector sum, and
+    a global top-20 TakeOrdered — no pairwise anything. Zero-variance
+    dimensions are excluded identically on both sides."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    dec = "decimal(38,0)"
+    s = x.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("xq").cast(dec)).alias("sd"),
+        F.sum(F.col("xq").cast(dec) * F.col("xq")).alias("qd"),
+    )
+    dev = F.col("n") * F.col("xq") - F.col("sd")
+    var = F.col("n") * F.col("qd") - F.col("sd") * F.col("sd")
+    terms = (
+        x.join(F.broadcast(s), "pos")
+        .filter(var > 0)
+        .select(
+            "vec_id",
+            F.floor(
+                (dev * dev).cast("double") / var.cast("double") * 1e6
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("term_q"),
+        )
+    )
+    d = terms.groupBy("vec_id").agg(F.sum("term_q").alias("dist_q"))
+    w = W.orderBy(F.col("dist_q").desc(), F.col("vec_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "vec_id",
+            (F.col("dist_q").cast("double") / 1e6 + F.lit(0.0)).alias(
+                "mahalanobis2"
+            ),
+            F.col("rk").cast("bigint"),
+        )
+    )
