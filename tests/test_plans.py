@@ -743,3 +743,33 @@ class TestRound6Plans:
         for cols in read_schema_cols(plan):
             assert set(cols) <= {"o_orderdate", "o_totalprice"}
         assert "CartesianProduct" not in plan
+
+
+class TestLateRound6Plans:
+    def test_forecast_backtest_reads_two_columns_broadcast_model(
+        self, spark, sf_dir
+    ):
+        plan = physical_plan(spark, sf_dir, "forecast_backtest_metrics")
+        for cols in read_schema_cols(plan):
+            assert set(cols) <= {"o_orderdate", "o_totalprice"}
+        assert "BroadcastHashJoin" in plan  # 7-row dow model broadcasts
+        assert "CartesianProduct" not in plan
+
+    def test_cooccurrence_is_single_equi_join(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "part_cooccurrence_topk")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        for cols in read_schema_cols(plan):
+            assert set(cols) <= {"l_orderkey", "l_partkey"}
+
+    def test_rolling_corr_prunes_and_partial_aggregates(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "rolling_corr_30d")
+        for cols in read_schema_cols(plan):
+            assert set(cols) <= {"o_orderdate", "o_totalprice"}
+        assert "partial_count" in plan or "partial_sum" in plan
+
+    def test_mahalanobis_broadcasts_dim_stats(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "embedding_outlier_mahalanobis")
+        assert "BroadcastHashJoin" in plan  # 64-row moment table
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan  # global top-20, no sort
