@@ -2018,3 +2018,97 @@ def embedding_outlier_mahalanobis(
             F.col("rk").cast("bigint"),
         )
     )
+
+
+@register(
+    "simpsons_slope_check",
+    oracle="""
+    WITH b AS (
+      SELECT c.c_mktsegment AS seg,
+             date_diff('day', DATE '1992-01-01', o.o_orderdate) AS x,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per AS (
+      SELECT seg, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM b GROUP BY seg
+    ),
+    pooled AS (
+      SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+             SUM(sxx) AS sxx, SUM(sxy) AS sxy
+      FROM per
+    )
+    SELECT p.seg,
+      FLOOR(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+            / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+            * 1e6 + 0.5) / 1e6 + 0.0 AS slope_segment,
+      FLOOR(CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+            / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+            * 1e6 + 0.5) / 1e6 + 0.0 AS slope_global,
+      (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+       * CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE) < 0) AS reverses
+    FROM per p CROSS JOIN pooled g
+    """,
+)
+def simpsons_slope_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the OLS price-over-time slope per
+    customer segment vs the pooled global slope, flagging segments
+    whose trend REVERSES sign under aggregation — the classic
+    aggregation trap every BI rollout should test for before reporting
+    a 'global trend'.
+
+    The global moments are the SUMS of the per-segment moments
+    (integer-exact, so the pooled fit costs nothing extra — one
+    grouped aggregate feeds both levels). Sign comparison uses the
+    covariance numerators (denominators are positive variances), so
+    the flag is exact integer arithmetic; displayed slopes snap to the
+    1e-6 grid. Same broadcast-dim + map-side-combined-moments shape as
+    price_trend_by_priority."""
+    o = load_table(spark, sf_dir, "orders")
+    cseg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = o.join(F.broadcast(cseg), "o_custkey").select(
+        "seg",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    per = b.groupBy("seg").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    glob = per.agg(
+        F.sum("n").alias("gn"),
+        F.sum("sx").alias("gsx"),
+        F.sum("sy").alias("gsy"),
+        F.sum("sxx").alias("gsxx"),
+        F.sum("sxy").alias("gsxy"),
+    )
+    pcov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    pvar = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    gcov = (
+        F.col("gn") * F.col("gsxy") - F.col("gsx") * F.col("gsy")
+    ).cast("double")
+    gvar = (
+        F.col("gn") * F.col("gsxx") - F.col("gsx") * F.col("gsx")
+    ).cast("double")
+    return per.crossJoin(F.broadcast(glob)).select(
+        "seg",
+        _q6(pcov / pvar).alias("slope_segment"),
+        _q6(gcov / gvar).alias("slope_global"),
+        (pcov * gcov < 0).alias("reverses"),
+    )
