@@ -787,3 +787,66 @@ class TestRound6Properties:
             elif model_base[k] != v:
                 expect[k] = ("U", model_base[k], v)
         assert got == expect
+
+    @prop
+    @given(
+        base=st.lists(
+            st.tuples(st.integers(0, 20), st.text("ab", max_size=2)),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        ),
+        changes=st.lists(
+            st.tuples(
+                st.integers(0, 25),
+                st.text("cd", max_size=2),
+                st.sampled_from(["I", "U", "D"]),
+                st.integers(0, 5),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+    )
+    def test_apply_changes_lww_matches_model(
+        self, spark, tmp_path_factory, base, changes
+    ):
+        """With duplicate keys in the changelog, seq-column
+        last-writer-wins must pick the highest-seq change per key
+        (ties broken identically to the window's deterministic order)
+        — final state equals the sequential model for ANY input."""
+        from file_stream_import_spark.io.versioned import (
+            VersionedTable,
+            apply_changes,
+        )
+
+        # make (key, seq) unique so LWW is well-defined
+        seen = set()
+        dedup = []
+        for k, v, op, seq in changes:
+            if (k, seq) not in seen:
+                seen.add((k, seq))
+                dedup.append((k, v, op, seq))
+        tmp = tmp_path_factory.mktemp("lww")
+        t = VersionedTable(str(tmp / "t"))
+        t.commit(spark.createDataFrame(base, "k long, v string"))
+        apply_changes(
+            t,
+            spark,
+            spark.createDataFrame(
+                dedup, "k long, v string, op string, seq long"
+            ),
+            key="k",
+            seq_col="seq",
+        )
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        model = dict(base)
+        final = {}
+        for k, v, op, seq in dedup:
+            if k not in final or seq > final[k][2]:
+                final[k] = (v, op, seq)
+        for k, (v, op, _) in final.items():
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        assert got == sorted(model.items())

@@ -1737,3 +1737,57 @@ class TestCheckConstraints:
             t.add_check_constraint(spark, "v_positive", "v > 0")
         with pytest.raises(ValueError, match="no constraint"):
             t.drop_check_constraint("v_positive")
+
+    def test_datasource_date_bounds_prune(self, spark, tmp_path):
+        """Date-typed bound options: ISO text comparison against the
+        ISO-stored stats prunes groups, and the Arrow row filter (date
+        cast to ISO string) keeps the view exact."""
+        import datetime
+
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableDataSource,
+            VersionedTableReader,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(rows, "d date, v string")
+        t.commit(mk([(datetime.date(2024, 1, 1), "a"),
+                     (datetime.date(2024, 1, 31), "b")]))
+        t.commit(mk([(datetime.date(2024, 6, 1), "c"),
+                     (datetime.date(2024, 6, 30), "d")]))
+        n_all = len(VersionedTableReader({"path": t.path}).partitions())
+        r = VersionedTableReader(
+            {"path": t.path, "min.d": "2024-06-01", "max.d": "2024-06-15"}
+        )
+        assert 0 < len(r.partitions()) < n_all
+        spark.dataSource.register(VersionedTableDataSource)
+        df = (
+            spark.read.format("versioned_table")
+            .option("path", t.path)
+            .option("min.d", "2024-06-01")
+            .option("max.d", "2024-06-15")
+            .load()
+        )
+        assert [(str(x.d), x.v) for x in df.collect()] == [
+            ("2024-06-01", "c")
+        ]
+
+    def test_constraints_survive_optimize_and_rollback(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import (
+            ConstraintViolationError,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame([(i, i * 10) for i in range(8)],
+                                  "k long, v long")
+        )
+        t.add_check_constraint(spark, "v_nonneg", "v >= 0")
+        t.optimize(spark, cluster_by="k", target_groups=2)
+        assert t.constraints() == {"v_nonneg": "v >= 0"}
+        t.rollback(t.latest_version() - 1)
+        assert t.constraints() == {"v_nonneg": "v >= 0"}
+        with pytest.raises(ConstraintViolationError):
+            t.commit(
+                spark.createDataFrame([(99, -1)], "k long, v long")
+            )
