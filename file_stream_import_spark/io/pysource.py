@@ -516,6 +516,12 @@ class VersionedTableReader(DataSourceReader):
         self.path = path
         v = options.get("version")
         self.version = int(v) if v is not None else None
+        ts = options.get("timestampasof")  # option keys arrive lowercased
+        self.as_of_timestamp = float(ts) if ts is not None else None
+        if self.version is not None and self.as_of_timestamp is not None:
+            raise ValueError(
+                "pass option 'version' OR 'timestampAsOf', not both"
+            )
         # load-time bounds: min.<col> / max.<col> option pairs
         self.bounds: dict[str, list] = {}
         for k, v in options.items():
@@ -530,6 +536,8 @@ class VersionedTableReader(DataSourceReader):
 
         t = VersionedTable(self.path)
         version = self.version
+        if version is None and self.as_of_timestamp is not None:
+            version = t.version_as_of(self.as_of_timestamp)
         if version is None:
             version = t.latest_version()
         if version is None:

@@ -850,3 +850,56 @@ class TestRound6Properties:
             else:
                 model[k] = v
         assert got == sorted(model.items())
+
+
+class TestAvroCodecProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(-(2**62), 2**62),
+                st.one_of(st.none(), st.text(max_size=8)),
+                st.floats(allow_nan=False, allow_infinity=False,
+                          width=64),
+                st.booleans(),
+                st.binary(max_size=16),
+            ),
+            max_size=25,
+        ),
+        codec=st.sampled_from(["null", "deflate"]),
+        block=st.integers(1, 7),
+    )
+    def test_container_roundtrip_any_rows(self, rows, codec, block):
+        """Pure-python property: any record batch survives the
+        container round trip bit-exactly under either codec and any
+        block size — zigzag extremes, NULL union branches, empty
+        strings/bytes, negative zero included."""
+        import os
+        import tempfile
+
+        from file_stream_import_spark.io.avro_local import (
+            read_container,
+            write_container,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "i", "type": "long"},
+                {"name": "s", "type": ["null", "string"]},
+                {"name": "d", "type": "double"},
+                {"name": "b", "type": "boolean"},
+                {"name": "raw", "type": "bytes"},
+            ],
+        }
+        fd, p = tempfile.mkstemp(suffix=".avro")
+        os.close(fd)
+        try:
+            write_container(
+                p, schema, rows, codec=codec, records_per_block=block
+            )
+            _, got = read_container(p)
+            assert got == rows
+        finally:
+            os.unlink(p)

@@ -1791,3 +1791,32 @@ class TestCheckConstraints:
             t.commit(
                 spark.createDataFrame([(99, -1)], "k long, v long")
             )
+
+    def test_datasource_timestamp_as_of(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableDataSource,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        t.commit(mk([(1, "a")]))
+        ts0 = t._load_manifest(0)["committed_at"]
+        t.commit(mk([(2, "b")]))
+        spark.dataSource.register(VersionedTableDataSource)
+        df = (
+            spark.read.format("versioned_table")
+            .option("path", t.path)
+            .option("timestampAsOf", str(ts0))
+            .load()
+        )
+        assert sorted(r.k for r in df.collect()) == [1]
+        import pytest as _p
+
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableReader,
+        )
+
+        with _p.raises(ValueError, match="not both"):
+            VersionedTableReader(
+                {"path": t.path, "version": "0", "timestampasof": str(ts0)}
+            )
