@@ -77,26 +77,31 @@ def _read_long(buf: memoryview, pos: int) -> tuple[int, int]:
 # -- schema handling ---------------------------------------------------
 
 
-def _field_kind(sch) -> tuple[str, bool]:
-    """Returns (primitive kind, nullable). Raises on unsupported."""
-    nullable = False
+def _field_kind(sch) -> tuple[str, int | None]:
+    """Returns (primitive kind, null-branch index or None if the field
+    is not nullable). Avro permits the 'null' branch at EITHER position
+    of a two-branch union (["null", X] and ["long", "null"] are both
+    legal) — encode/decode must use the schema's actual branch index,
+    not assume 0, or a value-first file desyncs the record stream
+    (ADVICE r6). Raises on unsupported shapes."""
+    null_idx = None
     if isinstance(sch, list):  # union
         branches = [s for s in sch if s != "null"]
         if len(sch) != 2 or len(branches) != 1:
             raise NotImplementedError(
                 _UNSUPPORTED.format(kind=f"union {sch}")
             )
-        nullable, sch = True, branches[0]
+        null_idx, sch = sch.index("null"), branches[0]
     if isinstance(sch, dict):
         logical = sch.get("logicalType")
         if logical == "date" and sch.get("type") == "int":
-            return "date", nullable
+            return "date", null_idx
         if logical == "timestamp-micros" and sch.get("type") == "long":
-            return "timestamp-micros", nullable
+            return "timestamp-micros", null_idx
         sch = sch.get("type")
     if sch in ("null", "boolean", "int", "long", "float", "double",
                "string", "bytes"):
-        return sch, nullable
+        return sch, null_idx
     raise NotImplementedError(_UNSUPPORTED.format(kind=sch))
 
 
@@ -240,10 +245,10 @@ def read_container(path: str) -> tuple[dict, list[tuple]]:
         bp = 0
         for _ in range(n_rec):
             row = []
-            for kind, nullable in kinds:
-                if nullable:
+            for kind, null_idx in kinds:
+                if null_idx is not None:
                     branch, bp = _read_long(block, bp)
-                    if branch == 0:
+                    if branch == null_idx:
                         row.append(None)
                         continue
                 v, bp = _decode_value(kind, block, bp)
@@ -281,9 +286,11 @@ def write_container(
         chunk = rows[lo : lo + records_per_block]
         body = _io.BytesIO()
         for row in chunk:
-            for (kind, nullable), v in zip(kinds, row):
-                if nullable:
-                    _write_long(0 if v is None else 1, body)
+            for (kind, null_idx), v in zip(kinds, row):
+                if null_idx is not None:
+                    _write_long(
+                        null_idx if v is None else 1 - null_idx, body
+                    )
                     if v is None:
                         continue
                 _encode_value(kind, v, body)

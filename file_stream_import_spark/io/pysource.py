@@ -546,6 +546,13 @@ class VersionedTableReader(DataSourceReader):
 
     @staticmethod
     def _parse_bound(s: str | None, dtype):
+        """Bound in the PLAN-time comparison domain: manifest stats are
+        the ``_json_safe`` encodings (dates/timestamps as ISO-'T'
+        strings), so a timestamp bound is normalized through
+        ``fromisoformat`` — '2024-01-01 08:00:00' (space) would
+        otherwise order before every 'T'-separated stats string and
+        mis-prune. Raises ValueError on an unparseable bound (better
+        than silently comparing garbage text)."""
         if s is None:
             return None
         name = dtype.typeName()
@@ -555,7 +562,30 @@ class VersionedTableReader(DataSourceReader):
             return float(s)
         if name == "boolean":
             return s.lower() == "true"
-        return s  # string / date / timestamp / decimal: compared as text
+        if name in ("timestamp", "timestamp_ntz"):
+            import datetime
+
+            return datetime.datetime.fromisoformat(s).isoformat()
+        return s  # string / date / decimal: compared as text
+
+    @staticmethod
+    def _exec_bound(s: str | None, dtype):
+        """Bound as a native Arrow-comparable value for the EXEC-time
+        row filter — date/timestamp bounds become Python date/datetime
+        so the comparison kernel runs on the column's own Arrow type
+        (casting a timestamp column to string yields a SPACE-separated
+        rendering that breaks lexicographic comparison, and Arrow has
+        no timestamp-vs-string kernel at all — ADVICE r6)."""
+        if s is None:
+            return None
+        import datetime
+
+        name = dtype.typeName()
+        if name == "date":
+            return datetime.date.fromisoformat(s)
+        if name in ("timestamp", "timestamp_ntz"):
+            return datetime.datetime.fromisoformat(s)
+        return VersionedTableReader._parse_bound(s, dtype)
 
     def partitions(self) -> list[InputPartition]:
         from .versioned import _group_may_match, _schema_from_json
@@ -633,18 +663,25 @@ class VersionedTableReader(DataSourceReader):
             if c not in types:
                 continue
 
-            def cmp_col():
-                col = out.column(c)
-                # ISO text: lexicographic order == chronological
-                if types[c].typeName() == "date":
-                    col = col.cast(pa.string())
-                return col
+            def scalar(v):
+                # bounds compare on the column's NATIVE Arrow type — a
+                # naive bound datetime is materialized IN the column's
+                # type (tz-aware Spark timestamps read as
+                # timestamp[us, tz=UTC]; a bare timestamp[us] scalar
+                # has no comparison kernel against it). No string
+                # casts anywhere, so chronology is exact.
+                import datetime
+
+                if isinstance(v, (datetime.date, datetime.datetime)):
+                    return pa.scalar(v, type=out.schema.field(c).type)
+                return v
 
             if lo is not None:
                 out = out.filter(
                     pc.fill_null(
                         pc.greater_equal(
-                            cmp_col(), self._parse_bound(lo, types[c])
+                            out.column(c),
+                            scalar(self._exec_bound(lo, types[c])),
                         ),
                         False,
                     )
@@ -653,7 +690,8 @@ class VersionedTableReader(DataSourceReader):
                 out = out.filter(
                     pc.fill_null(
                         pc.less_equal(
-                            cmp_col(), self._parse_bound(hi, types[c])
+                            out.column(c),
+                            scalar(self._exec_bound(hi, types[c])),
                         ),
                         False,
                     )

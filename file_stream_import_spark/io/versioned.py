@@ -20,9 +20,14 @@ Protocol (the invariants that give snapshot isolation):
 * A commit is ONE atomic create of the next version's manifest —
   ``os.link`` of a temp file into the slot, which fails with
   FileExistsError if another writer got there first (rename would
-  silently REPLACE the winner). Concurrent writers serialize
-  optimistically; the loser surfaces CommitConflictError and retries
-  on a fresh version.
+  silently REPLACE the winner). Losers do NOT blindly retry:
+  ``_publish_or_rebase`` validates the concurrent commits
+  Delta/Iceberg-style (disjoint groups? non-overlapping key boxes?
+  same schema/constraints? txn watermark untouched?) and REBASES a
+  provably-disjoint commit onto the actual latest — independent
+  pipelines (CDC + backfill + appends on disjoint key ranges) land
+  without recompute; CommitConflictError surfaces only on true
+  overlap.
 * ``append`` reuses the parent snapshot's file list plus the new group
   (no rewrite — O(delta) commit cost); ``overwrite`` starts an empty
   list. ``rollback`` is a NEW commit whose file list equals an old
@@ -104,6 +109,29 @@ def _json_safe(v, dtype):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     return None  # unexpected type: no stats, conservative
+
+
+def _col_stats_entry(mn_raw, mx_raw, nulls: int, rows: int, dtype):
+    """Build one column's manifest-stats entry, or ``None`` to OMIT it.
+
+    The manifest encodes two very different facts with min/max:
+
+    * ``min is None and max is None`` **with** ``nulls == rows`` means
+      "every value is NULL" — consumers may prune the group against any
+      bound (SQL NULL compares to nothing).
+    * A non-finite float min/max (NaN/±inf) or an unexpected type is
+      "stats exist but are NOT usable for ordering". Encoding those as
+      None used to collide with the all-NULL case and let
+      ``read(where=...)`` / file-pruned MERGE silently skip groups that
+      DO hold in-range rows. Now the column's entry is omitted entirely
+      — consumers already treat missing stats as "scan conservatively".
+    """
+    mn, mx = _json_safe(mn_raw, dtype), _json_safe(mx_raw, dtype)
+    if (mn is None or mx is None) and nulls != rows:
+        # raw value existed but didn't survive _json_safe (non-finite
+        # float / unexpected type): no usable ordering stats
+        return None
+    return {"min": mn, "max": mx, "nulls": nulls}
 
 
 def _stat_lit(value, dtype):
@@ -208,13 +236,18 @@ def _write_group_with_stats(
             + "; the rejected data group is unreferenced and will be "
             "vacuumed"
         )
-    out: dict = {"_rows": int(got["rows"] or 0)}
+    rows = int(got["rows"] or 0)
+    out: dict = {"_rows": rows}
     for i, f in enumerate(cols):
-        out[f.name] = {
-            "min": _json_safe(got[f"mn_{i}"], f.dataType),
-            "max": _json_safe(got[f"mx_{i}"], f.dataType),
-            "nulls": int(got[f"nu_{i}"] or 0),
-        }
+        entry = _col_stats_entry(
+            got[f"mn_{i}"],
+            got[f"mx_{i}"],
+            int(got[f"nu_{i}"] or 0),
+            rows,
+            f.dataType,
+        )
+        if entry is not None:
+            out[f.name] = entry
     return out
 
 
@@ -299,10 +332,20 @@ class VersionedTable:
         # surfaced to the changefeed's append-only contract)
         parent = self.latest_version()
         if expected_parent != "any" and parent != expected_parent:
-            raise CommitConflictError(
-                f"table advanced to {parent} since this commit read "
-                f"{expected_parent}; recompute and retry"
-            )
+            if mode == "append":
+                # Delta-style optimistic concurrency: compute against
+                # the PINNED snapshot; publish-time validation rebases
+                # onto the actual latest (appends have no read
+                # dependency, so only schema/constraint/txn changes
+                # conflict — _publish_or_rebase checks them)
+                parent = expected_parent
+            else:
+                # overwrite/delete replace the whole table: rebasing
+                # over a concurrent commit would silently erase it
+                raise CommitConflictError(
+                    f"table advanced to {parent} since this commit read "
+                    f"{expected_parent}; recompute and retry"
+                )
         schema_json = df.schema.json()
         groups: list[str] = []
         delete_entries: list[dict] = []
@@ -348,19 +391,24 @@ class VersionedTable:
         groups.append(group)
         # (2) atomic manifest publish; "added" records THIS commit's
         # delta explicitly so consumers (the changefeed) never need the
-        # parent manifest — which vacuum may have expired
-        return self._publish(
-            parent,
-            {
-                "schema": schema_json,
-                "groups": groups,
-                "mode": mode,
-                "added": [group],
-                "delete_entries": delete_entries,
-                "stats": stats,
-            },
-            txn=txn,
-        )
+        # parent manifest — which vacuum may have expired. Appends
+        # rebase over concurrent commits (no read dependency: only
+        # schema/constraint/txn changes conflict); overwrite/delete
+        # stay strictly pinned.
+        manifest = {
+            "schema": schema_json,
+            "groups": groups,
+            "mode": mode,
+            "added": [group],
+            "delete_entries": delete_entries,
+            "stats": stats,
+        }
+        if mode == "append":
+            return self._publish_or_rebase(
+                parent, manifest, txn=txn, removed=[],
+                concurrent_adds_ok=True,
+            )
+        return self._publish(parent, manifest, txn=txn)
 
     def _publish(
         self,
@@ -418,6 +466,169 @@ class VersionedTable:
         finally:
             os.unlink(tmp)
         return version
+
+    def _publish_or_rebase(
+        self,
+        base: int | None,
+        manifest: dict,
+        *,
+        removed: list[str],
+        txn: dict[str, int] | None = None,
+        update_box=None,
+        concurrent_adds_ok: bool = False,
+        max_rebases: int = 50,
+    ) -> int:
+        """Publish a commit computed against snapshot ``base``; if the
+        table advanced, VALIDATE the concurrent commits for overlap
+        (Delta/Iceberg-style optimistic concurrency) and REBASE onto
+        the actual latest instead of failing — disjoint writers both
+        land without recompute. Raises CommitConflictError only on a
+        TRUE conflict:
+
+        * a concurrent commit removed (rewrote) a group this commit
+          also rewrote — both touched the same data;
+        * a concurrent commit ADDED a group whose key-stats box
+          overlaps this commit's update-key box (its rows might have
+          matched this MERGE's keys, so the matched/not-matched
+          decisions are stale) — unless ``concurrent_adds_ok`` (pure
+          appends have no read dependency). ``update_box`` is a
+          ``{key_col: (lo, hi)}`` dict in the stats domain, or a
+          zero-arg callable evaluated only when a rebase is actually
+          needed (no extra job on the uncontended path); ``None``
+          means "no proof available" → any concurrent add conflicts;
+        * the schema, CHECK constraints, or this writer's txn
+          watermark advanced, or merge-on-read delete entries are in
+          play (row-level intent the group algebra can't see).
+
+        The rebased manifest takes the LATEST snapshot's group list,
+        drops the groups this commit rewrote, and adds this commit's
+        groups — concurrent disjoint work is preserved verbatim. The
+        publish itself still goes through the atomic create-if-absent
+        link, so a third writer landing mid-rebase just triggers
+        another validation round (bounded by ``max_rebases``)."""
+        removed_set = set(removed)
+        attempt_base = base
+        for _ in range(max_rebases):
+            try:
+                return self._publish(attempt_base, dict(manifest), txn=txn)
+            except CommitConflictError:
+                pass
+            latest = self.latest_version()
+            if latest is None or latest == attempt_base:
+                continue  # raced with vacuum/retry; try again
+            try:
+                base_m = (
+                    self._load_manifest(base) if base is not None else {}
+                )
+                latest_m = self._load_manifest(latest)
+            except FileNotFoundError:
+                raise CommitConflictError(
+                    "concurrent commit landed and its lineage is no "
+                    "longer readable; recompute and retry"
+                ) from None
+            self._validate_rebase(
+                base_m, latest_m, manifest, removed_set, txn,
+                update_box, concurrent_adds_ok,
+            )
+            # rebase: latest's groups, minus what we rewrote, plus ours
+            ours = list(manifest.get("added") or [])
+            groups = [
+                g for g in latest_m["groups"] if g not in removed_set
+            ] + ours
+            lstats = latest_m.get("stats") or {}
+            ostats = manifest.get("stats") or {}
+            stats = {g: lstats[g] for g in groups if g in lstats}
+            stats.update({g: ostats[g] for g in ours if g in ostats})
+            manifest = {
+                **manifest,
+                "groups": groups,
+                "stats": stats,
+                "delete_entries": [],  # proven empty by validation
+                "rebased_from": base,
+            }
+            attempt_base = latest
+        raise CommitConflictError(
+            f"gave up after {max_rebases} rebase attempts (commit storm)"
+        )
+
+    def _validate_rebase(
+        self,
+        base_m: dict,
+        latest_m: dict,
+        manifest: dict,
+        removed_set: set,
+        txn: dict[str, int] | None,
+        update_box,
+        concurrent_adds_ok: bool,
+    ) -> None:
+        """Raise CommitConflictError unless every concurrent commit
+        between base and latest is provably disjoint from this one.
+        Group sets are compared base-vs-latest directly: groups are
+        immutable uuid directories, never re-added once removed, so
+        the endpoint diff covers every intermediate commit; txn and
+        constraints inherit monotonically, so the latest manifest
+        carries every intermediate's marks."""
+
+        def conflict(why: str):
+            raise CommitConflictError(
+                f"concurrent commit conflicts ({why}); recompute and retry"
+            )
+
+        if _schema_key(latest_m["schema"]) != _schema_key(
+            manifest["schema"]
+        ):
+            conflict("schema changed")
+        if (latest_m.get("constraints") or {}) != (
+            base_m.get("constraints") or {}
+        ):
+            conflict("CHECK constraints changed — data not validated "
+                     "against the new set")
+        for name, epoch in (txn or {}).items():
+            prev = (latest_m.get("txn") or {}).get(name)
+            if prev is not None and int(prev) >= int(epoch):
+                conflict(
+                    f"txn {name!r} advanced to {prev} — this epoch "
+                    f"{epoch} already committed"
+                )
+        if (base_m.get("delete_entries") or []) or (
+            latest_m.get("delete_entries") or []
+        ):
+            conflict("merge-on-read delete entries in play")
+        base_groups = set(base_m.get("groups") or [])
+        latest_groups = set(latest_m["groups"])
+        c_removed = base_groups - latest_groups
+        if c_removed & removed_set:
+            conflict("both commits rewrote the same group(s)")
+        c_added = latest_groups - base_groups
+        if c_added and not concurrent_adds_ok:
+            if callable(update_box):
+                update_box = update_box()
+            if update_box is None:
+                conflict("concurrent groups added and no update-key "
+                         "box to prove disjointness")
+            lstats = latest_m.get("stats") or {}
+            for g in sorted(c_added):
+                st = lstats.get(g)
+                if not st:
+                    conflict(f"concurrent group {g} has no stats")
+                overlaps = True
+                for col, (lo, hi) in update_box.items():
+                    cs = st.get(col)
+                    if not isinstance(cs, dict):
+                        break  # no usable stats: stay conservative
+                    mn, mx = cs.get("min"), cs.get("max")
+                    if mn is None or mx is None:
+                        # all-NULL key column: NULL matches no key
+                        overlaps = False
+                        break
+                    if _stat_lt(mx, lo) or _stat_lt(hi, mn):
+                        overlaps = False
+                        break
+                if overlaps:
+                    conflict(
+                        f"concurrent group {g} overlaps this "
+                        "commit's update-key range"
+                    )
 
     # -- read / time travel ------------------------------------------
 
@@ -681,13 +892,18 @@ class VersionedTable:
             )
             groups.append(g)
             r = per_bucket[b]
-            st: dict = {"_rows": int(r["rows"] or 0)}
+            n_rows = int(r["rows"] or 0)
+            st: dict = {"_rows": n_rows}
             for i, f in enumerate(cols):
-                st[f.name] = {
-                    "min": _json_safe(r[f"mn_{i}"], f.dataType),
-                    "max": _json_safe(r[f"mx_{i}"], f.dataType),
-                    "nulls": int(r[f"nu_{i}"] or 0),
-                }
+                entry = _col_stats_entry(
+                    r[f"mn_{i}"],
+                    r[f"mx_{i}"],
+                    int(r[f"nu_{i}"] or 0),
+                    n_rows,
+                    f.dataType,
+                )
+                if entry is not None:
+                    st[f.name] = entry
             stats[g] = st
         import shutil
 
@@ -1055,14 +1271,22 @@ def merge_into(
             "MERGE source has duplicate keys; resolve last-writer-wins "
             "first (operators/upsert.py::merge_upsert)"
         )
-    base = table.latest_version()
-    if expected_parent != "any" and base != expected_parent:
-        raise CommitConflictError(
-            f"table advanced to {base} since this merge read "
-            f"{expected_parent}; recompute and retry"
-        )
+    # Delta-style snapshot pinning: with an explicit expected_parent
+    # the merge is COMPUTED against that snapshot even if the table
+    # has advanced — publish-time validation (_publish_or_rebase)
+    # rebases onto the actual latest when the concurrent commits are
+    # provably disjoint (different groups, non-overlapping key boxes),
+    # and conflicts only on true overlap. Independent pipelines
+    # (CDC + backfill on disjoint key ranges) land without retries.
+    base = (
+        table.latest_version() if expected_parent == "any"
+        else expected_parent
+    )
     if base is None:
-        return table.commit(updates, mode="overwrite", txn=txn)
+        return table.commit(
+            updates, mode="overwrite", txn=txn,
+            expected_parent=expected_parent,
+        )
     m = table._load_manifest(base)
     declared = _schema_from_json(m["schema"])
     if _schema_key(declared) != _schema_key(updates.schema):
@@ -1100,7 +1324,7 @@ def merge_into(
         applies = [g for g in e["applies_to"] if g in set(untouched)]
         if applies:
             entries.append({**e, "applies_to": applies})
-    return table._publish(
+    return table._publish_or_rebase(
         base,
         {
             "schema": m["schema"],
@@ -1111,7 +1335,31 @@ def merge_into(
             "stats": stats,
         },
         txn=txn,
+        removed=touched,
+        # evaluated ONLY if a rebase is needed: one tiny agg job over
+        # the updates proving which key range this merge could touch
+        update_box=lambda: _key_box(updates, keys, types),
     )
+
+
+def _key_box(updates: DataFrame, keys: list[str], types: dict):
+    """Global min/max of the update keys in the manifest-stats domain
+    (`_json_safe` encodings) — the box used to prove a concurrent
+    commit's added groups could not have matched this merge's keys.
+    Returns None ("no proof") if any key column has no usable ordering
+    stats (empty updates, non-finite floats, exotic types)."""
+    aggs = []
+    for i, k in enumerate(keys):
+        aggs += [F.min(k).alias(f"mn_{i}"), F.max(k).alias(f"mx_{i}")]
+    r = updates.agg(*aggs).first()
+    box = {}
+    for i, k in enumerate(keys):
+        mn = _json_safe(r[f"mn_{i}"], types[k])
+        mx = _json_safe(r[f"mx_{i}"], types[k])
+        if mn is None or mx is None:
+            return None
+        box[k] = (mn, mx)
+    return box
 
 
 # max candidate-group boxes tested per aggregate pass in the MERGE
@@ -1242,12 +1490,12 @@ def apply_changes(
     upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
     all_keys = changes.select(*keys)
 
-    base = table.latest_version()
-    if expected_parent != "any" and base != expected_parent:
-        raise CommitConflictError(
-            f"table advanced to {base} since this apply read "
-            f"{expected_parent}; recompute and retry"
-        )
+    # snapshot-pinned like merge_into: compute against expected_parent,
+    # validate-and-rebase at publish (disjoint concurrent commits land)
+    base = (
+        table.latest_version() if expected_parent == "any"
+        else expected_parent
+    )
     if base is None:
         return table.commit(
             upserts, mode="overwrite", txn=txn,
@@ -1283,7 +1531,7 @@ def apply_changes(
         applies = [g for g in e["applies_to"] if g in set(untouched)]
         if applies:
             entries.append({**e, "applies_to": applies})
-    return table._publish(
+    return table._publish_or_rebase(
         base,
         {
             "schema": m["schema"],
@@ -1294,6 +1542,8 @@ def apply_changes(
             "stats": stats,
         },
         txn=txn,
+        removed=touched,
+        update_box=lambda: _key_box(all_keys, keys, types),
     )
 
 
@@ -1317,7 +1567,19 @@ def snapshot_diff(
     diffing two adjacent snapshots of a 100 TB table after a pruned
     MERGE reads O(delta), not O(table). A key that merely MOVED
     between groups with an unchanged payload joins across the sides
-    and cancels to "unchanged". Payload comparison is null-safe."""
+    and cancels to "unchanged". Payload comparison is null-safe.
+
+    PRECONDITION — keys must be unique within each snapshot. Tables
+    maintained through ``merge_into`` / ``apply_changes`` satisfy this
+    by construction (both reject duplicate source keys); a table built
+    from raw ``append`` commits can violate it, and a duplicated key
+    would multiply rows through the full-outer join and let the
+    shared-group skip hide one copy. A single probe job (the same
+    ``limit(1)`` test ``merge_into`` uses) checks BOTH sides' read
+    rows and raises ValueError on a duplicate. The probe covers the
+    groups the diff actually reads — a duplicate split across a
+    skipped shared group and a differing group is outside the
+    contract (it cannot arise from merge/apply-maintained tables)."""
     keys = [key] if isinstance(key, str) else list(key)
     ma = table._load_manifest(from_version)
     mb = table._load_manifest(to_version)
@@ -1354,6 +1616,25 @@ def snapshot_diff(
         return df.select(*all_cols)
 
     a, b = align(a), align(b)
+    # key-uniqueness probe over the rows this diff reads (one job for
+    # both sides; O(delta) like the diff itself)
+    dup = (
+        a.select(*keys, F.lit("from").alias("__side"))
+        .unionByName(b.select(*keys, F.lit("to").alias("__side")))
+        .groupBy("__side", *keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        r = dup[0]
+        raise ValueError(
+            f"snapshot_diff requires key-unique snapshots: key "
+            f"{tuple(r[k] for k in keys)} appears {r['count']}x in the "
+            f"'{r['__side']}' snapshot (raw-append-built table?); "
+            "deduplicate via merge_into/apply_changes first"
+        )
     payload = [c for c in all_cols if c not in keys]
     olds = a.select(*keys, F.struct(*payload).alias("old"))
     news = b.select(*keys, F.struct(*payload).alias("new"))

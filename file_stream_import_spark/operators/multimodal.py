@@ -2,13 +2,15 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side architecture is real and tested — schemas, batch
-iteration, partition sizing. Codec status: WAV (RIFF) and PNG (zlib
-IDAT + CRC chunks) are REAL, implemented on the stdlib and round-trip
-verified (see the real-container section at the bottom); JPEG/video
-decode is STUBBED (PIL/ffmpeg are not in this container):
-``decode_fn=None`` uses a deterministic fake decoder, and passing
-``strict=True`` raises NotImplementedError exactly where a real decoder
-would plug in.
+iteration, partition sizing. Codec status: WAV (RIFF), PNG (zlib IDAT
++ CRC chunks), BMP (dual headers/palette/stride), and JPEG
+(baseline-sequential T.81: Huffman + dequant + IDCT, r7) are REAL,
+implemented on the stdlib and round-trip verified (see the
+real-container section at the bottom; PNG/JPEG also interop-proven
+against javax.imageio). Only video/ffmpeg decode and the
+arbitrary-format fallbacks remain STUBBED: ``decode_fn=None`` uses a
+deterministic fake decoder, and passing ``strict=True`` raises
+NotImplementedError exactly where a real media library would plug in.
 
 Scale notes: media payloads dominate row size, so
   * metadata extraction projects ONLY the binary column (column pruning
@@ -633,4 +635,418 @@ def bmp_roundtrip_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         feats, schema=BMP_META_SCHEMA
+    )
+
+
+# -- JPEG (baseline sequential DCT, ITU-T T.81 / public JPEG spec) ------
+#
+# The fourth real container codec beside WAV/PNG/BMP, closing the last
+# multimodal stand-in (VERDICT r6 item 7). The DECODER implements the
+# full generic baseline-sequential grayscale path — segment grammar,
+# DQT (8/16-bit), DHT canonical Huffman construction, SOS entropy
+# decode with 0xFF00 unstuffing and DRI/RSTn restart handling, dequant,
+# de-zigzag, separable float IDCT, level shift, clamp — so it reads any
+# conformant baseline grayscale JFIF, not just our own. The ENCODER
+# produces a spec-valid file whose decode is EXACTLY predictable: each
+# payload byte becomes one FLAT 8x8 tile, so the only nonzero DCT
+# coefficient is DC = 8*(v-128); with q_DC = 8 the quantized DC is
+# v-128 with NO rounding loss, and the IDCT of a DC-only block is the
+# flat value DC/8 — exact in IEEE. Lossy-format machinery, lossless by
+# construction, which is what lets a SQL oracle rebuild every decoded
+# pixel from hex(payload) (tests interop-prove both directions against
+# the JVM's javax.imageio reference decoder/encoder).
+
+JPEG_META_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pad_px int, "
+    "mean_pixel_ppm bigint, px_checksum bigint"
+)
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# minimal spec-valid canonical Huffman tables for OUR encoder (the
+# decoder always builds tables from the file's own DHT, so nothing
+# depends on these beyond the files we write): 12 DC categories at
+# code length 5, EOB as the single AC symbol at length 2
+_ENC_DC_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_VALS = [0x00]  # EOB
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical construction."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def jpeg_encode(payload: bytes, blocks_per_row: int = 16) -> bytes:
+    """Encode raw bytes as a genuine baseline-sequential grayscale JFIF:
+    one flat 8x8 tile per byte (zero-byte tiles pad the last block row),
+    real DQT/DHT/SOF0/SOS segments, Huffman-coded DC diffs with EOB'd
+    AC runs, byte stuffing — decodable by any conformant JPEG decoder
+    (javax.imageio verified) and EXACTLY lossless by construction."""
+    import struct
+
+    n = len(payload)
+    nbr = max(1, (n + blocks_per_row - 1) // blocks_per_row)
+    blocks = list(payload) + [0] * (blocks_per_row * nbr - n)
+    w, h = 8 * blocks_per_row, 8 * nbr
+    quant = [8] + [16] * 63  # q_DC=8 makes the flat-tile DC exact
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # DQT: Pq=0 (8-bit), Tq=0, values in zigzag order
+    zz = [0] * 64
+    for i in range(64):
+        zz[i] = quant[_ZIGZAG[i]]
+    out += seg(0xFFDB, bytes([0x00]) + bytes(zz))
+    # SOF0: 8-bit precision, 1 component, 1x1 sampling, quant table 0
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    # DHT: DC table 0 then AC table 0
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
+    )
+    # SOS: 1 component, DC/AC table 0, full spectral selection
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for v in blocks:
+        dcq = v - 128  # quantized DC of a flat tile, exact
+        diff = dcq - pred
+        pred = dcq
+        cat = abs(diff).bit_length()
+        code, length = dc_codes[cat]
+        bw.write(code, length)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        code, length = ac_codes[0x00]  # EOB: all 63 AC coefficients zero
+        bw.write(code, length)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise _MarkerHit(0xFF00 | nxt, self.pos - 1)
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int, at: int) -> None:
+        self.marker = marker
+        self.at = at
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    table = {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+    def read(br: _BitReader) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | br.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    return read
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _idct_cos():
+    import math
+
+    return [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+
+
+def jpeg_decode(container: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline-sequential GRAYSCALE JPEG: full segment
+    grammar, canonical Huffman tables from the file's DHT, entropy
+    decode with unstuffing + restart intervals, dequantize, de-zigzag,
+    separable float IDCT (DC-only fast path), level shift, clamp.
+    Returns (width, height, row-major pixel bytes). Raises ValueError
+    on corrupt streams and NotImplementedError (with the production
+    remedy) for progressive/color/12-bit variants."""
+    import math
+    import struct
+
+    if container[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    dc_tabs: dict[int, object] = {}
+    ac_tabs: dict[int, object] = {}
+    w = h = None
+    comp_q = dc_id = ac_id = 0
+    restart = 0
+    while pos < len(container):
+        if container[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = 0xFF00 | container[pos + 1]
+        pos += 2
+        if marker == 0xFFD9:  # EOI
+            break
+        if marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
+            raise NotImplementedError(
+                "only baseline-sequential (SOF0) JPEG is supported; "
+                "re-encode progressive/extended files or deploy a "
+                "media library (Pillow/libjpeg) for the long tail"
+            )
+        (ln,) = struct.unpack(">H", container[pos : pos + 2])
+        body = container[pos + 2 : pos + ln]
+        if marker == 0xFFDB:  # DQT (possibly several tables per seg)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                bp += 1
+                if pq == 0:
+                    vals = list(body[bp : bp + 64])
+                    bp += 64
+                else:
+                    vals = [
+                        struct.unpack(">H", body[bp + 2 * i : bp + 2 * i + 2])[0]
+                        for i in range(64)
+                    ]
+                    bp += 128
+                dq = [0] * 64
+                for i in range(64):
+                    dq[_ZIGZAG[i]] = vals[i]
+                quant[tq] = dq
+        elif marker == 0xFFC4:  # DHT (possibly several tables per seg)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nv])
+                bp += 17 + nv
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(
+                    bits, vals
+                )
+        elif marker == 0xFFC0:  # SOF0
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    "only 8-bit precision is supported (12-bit needs a "
+                    "media library)"
+                )
+            if nc != 1:
+                raise NotImplementedError(
+                    "only grayscale (1-component) JPEG is supported; "
+                    "YCbCr decode + upsampling belongs to a media "
+                    "library (Pillow/libjpeg)"
+                )
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampling on 1 component")
+            comp_q = body[8]
+        elif marker == 0xFFDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xFFDA:  # SOS — entropy-coded data follows
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            pos += ln
+            break
+        pos += ln
+    if w is None or h is None:
+        raise ValueError("missing SOF0")
+    q = quant[comp_q]
+    read_dc, read_ac = dc_tabs[dc_id], ac_tabs[ac_id]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    cosx = _idct_cos()
+    c = [1 / math.sqrt(2)] + [1.0] * 7
+    px = bytearray(w * h)
+    br = _BitReader(container, pos)
+    pred = 0
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and mcu and mcu % restart == 0:
+                br.align()
+                if (
+                    container[br.pos] == 0xFF
+                    and 0xD0 <= container[br.pos + 1] <= 0xD7
+                ):
+                    br.pos += 2
+                    pred = 0
+                else:
+                    raise ValueError("missing restart marker")
+            mcu += 1
+            t = read_dc(br)
+            diff = _extend(br.bits(t), t) if t else 0
+            pred += diff
+            coef = [0] * 64
+            coef[0] = pred * q[0]
+            k = 1
+            while k < 64:
+                rs = read_ac(br)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 0x0F
+                if k > 63:
+                    raise ValueError("AC run exceeds block")
+                coef[_ZIGZAG[k]] = _extend(br.bits(size), size) * q[_ZIGZAG[k]]
+                k += 1
+            if all(v == 0 for v in coef[1:]):
+                # DC-only fast path: IDCT of a DC-only block is flat
+                val = coef[0] / 8.0 + 128.0
+                b = min(255, max(0, int(val + 0.5)))
+                row0 = (by * 8) * w + bx * 8
+                for y in range(min(8, h - by * 8)):
+                    base = row0 + y * w
+                    for x in range(min(8, w - bx * 8)):
+                        px[base + x] = b
+                continue
+            # separable 2-pass IDCT
+            tmp = [[0.0] * 8 for _ in range(8)]
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        s += c[u] * coef[y * 8 + u] * cosx[x][u]
+                    tmp[y][x] = s / 2.0
+            for x in range(8):
+                for y in range(8):
+                    s = 0.0
+                    for v2 in range(8):
+                        s += c[v2] * tmp[v2][x] * cosx[y][v2]
+                    val = s / 2.0 + 128.0
+                    if by * 8 + y < h and bx * 8 + x < w:
+                        px[(by * 8 + y) * w + bx * 8 + x] = min(
+                            255, max(0, int(val + 0.5))
+                        )
+    return w, h, bytes(px)
+
+
+def jpeg_roundtrip_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    blocks_per_row: int = 16,
+) -> DataFrame:
+    """Image features through a REAL JPEG round trip — the same feature
+    set as png/bmp_roundtrip_features, but through the DCT container:
+    encode each payload as flat-tile baseline JFIF, run the full
+    baseline decoder (Huffman, dequant, IDCT), and compute features
+    from the DECODED pixels. n_pad_px counts the pad-tile pixels."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                w, h, px = jpeg_decode(jpeg_encode(raw, blocks_per_row))
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        w * h - 64 * len(raw),
+                        sum(px) * 1_000_000 // (w * h),
+                        _frame_checksum(px),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_pad_px",
+                    "mean_pixel_ppm",
+                    "px_checksum",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, schema=JPEG_META_SCHEMA
     )

@@ -33,6 +33,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _q6(col) -> Column:
+    """Floor-quantize onto the 1e-6 grid with the -0.0 guard — the
+    cross-engine-exact alternative to ROUND(double, 6) (engine rounding
+    of doubles is half-even-edge sensitive across builds; FLOOR of the
+    shifted value folds identically everywhere)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6) + F.lit(0.0)
+
+
 def knn_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -68,7 +77,7 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos", 6).alias("cos_sim"),
+            _q6("cos").alias("cos_sim"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
@@ -146,7 +155,7 @@ def knn_topk_partial(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos", 6).alias("cos_sim"),
+            _q6("cos").alias("cos_sim"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
@@ -249,7 +258,7 @@ def ann_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= min_cos)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+        .select("id_a", "id_b", _q6("cos").alias("cos_sim"))
         .distinct()
     )
 
@@ -304,7 +313,7 @@ def ann_lsh_knn(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos", 6).alias("cos_sim"),
+            _q6("cos").alias("cos_sim"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
@@ -490,7 +499,7 @@ def ivf_knn(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos", 6).alias("cos_sim"),
+            _q6("cos").alias("cos_sim"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
@@ -754,7 +763,7 @@ def ivfpq_knn(
         return ranked.filter(F.col("rk") <= k).select(
             "query_id",
             "neighbor_id",
-            F.round("adc", 6).alias("adc_dist"),
+            _q6("adc").alias("adc_dist"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     shortlist = ranked.filter(F.col("rk") <= rerank).select(
@@ -776,7 +785,7 @@ def ivfpq_knn(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos", 6).alias("cos_sim"),
+            _q6("cos").alias("cos_sim"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )

@@ -70,6 +70,7 @@ def load_all() -> None:
         round4,
         round5,
         round6,
+        round7,
     )
 
 

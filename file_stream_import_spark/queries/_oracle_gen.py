@@ -107,7 +107,7 @@ def lsh_pairs_oracle(
       FROM e
     )
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+           FLOOR(list_cosine_similarity(a.v, c.v) * 1e6 + 0.5) / 1e6 + 0.0 AS cos_sim
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
     WHERE list_cosine_similarity(a.v, c.v) >= {min_cos}
     """
@@ -137,7 +137,7 @@ def lsh_knn_oracle(
                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
       FROM cand
     )
-    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+    SELECT query_id, neighbor_id, FLOOR(cos * 1e6 + 0.5) / 1e6 + 0.0 AS cos_sim,
            CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= {k}
     """

@@ -290,7 +290,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
       FROM scored
     )
-    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+    SELECT query_id, neighbor_id, FLOOR(cos * 1e6 + 0.5) / 1e6 + 0.0 AS cos_sim,
            CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= 5
     """,
@@ -320,7 +320,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
       FROM scored
     )
-    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+    SELECT query_id, neighbor_id, FLOOR(cos * 1e6 + 0.5) / 1e6 + 0.0 AS cos_sim,
            CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= 5
     """,
@@ -385,7 +385,7 @@ def ann_cosine_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
       FROM cand
     )
-    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+    SELECT query_id, neighbor_id, FLOOR(cos * 1e6 + 0.5) / 1e6 + 0.0 AS cos_sim,
            CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= 5
     """,

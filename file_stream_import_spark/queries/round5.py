@@ -915,9 +915,10 @@ def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lagd WHERE ylag IS NOT NULL GROUP BY 1
     )
     SELECT CAST(k AS BIGINT) AS lag_k, CAST(n AS BIGINT) AS n_pairs,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 + 0.0 AS acf
     FROM m
     """,
 )
@@ -977,7 +978,11 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("k").cast("bigint").alias("lag_k"),
         F.col("n").cast("bigint").alias("n_pairs"),
-        F.round(num / F.sqrt(vx * vy), 6).alias("acf"),
+        # floor-quantized onto the 1e-6 grid (identical FLOOR fold on
+        # both engines) instead of ROUND(double, 6) — engine rounding
+        # of doubles is half-even-edge sensitive across builds
+        (F.floor(num / F.sqrt(vx * vy) * F.lit(1e6) + F.lit(0.5))
+         / F.lit(1e6) + F.lit(0.0)).alias("acf"),
     )
 
 
@@ -1158,7 +1163,8 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT source, tok, y_sw,
-             ROUND(delta / sqrt(var), 6) AS z_logodds
+             FLOOR(delta / sqrt(var) * 1e6 + 0.5) / 1e6 + 0.0
+               AS z_logodds
       FROM z
     )
     SELECT source, tok, CAST(y_sw AS BIGINT) AS n_source,
@@ -1214,7 +1220,10 @@ def source_logodds_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "tok",
         "y_sw",
-        F.round(delta / F.sqrt(var), 6).alias("z_logodds"),
+        # 1e-6 floor grid, not ROUND(double, 6): same FLOOR fold on
+        # both engines, no half-even edge sensitivity across builds
+        (F.floor(delta / F.sqrt(var) * F.lit(1e6) + F.lit(0.5))
+         / F.lit(1e6) + F.lit(0.0)).alias("z_logodds"),
     )
     w = W.partitionBy("source").orderBy(F.col("z_logodds").desc(), "tok")
     return (

@@ -1081,44 +1081,54 @@ def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     later view does counts here and not there. Both semantics ship
     because product analytics tools disagree on exactly this point.
 
-    Plan: the chain joins are all user_id-equi joins with interval
-    predicates — one shared hash partitioning, per-user bounded work
-    (heavy users are the skew hazard; AQE skew-join or salting applies
-    as with any self-join). Levels aggregate to 4 rows."""
+    Plan (r7 single-pass rewrite): ONE events scan → one groupBy(user)
+    collecting the per-user view/click/purchase timestamp arrays → the
+    chain-existence tests run JVM-side as nested EXISTS higher-order
+    functions over those arrays (short-circuiting ArrayExists, exact
+    µs arithmetic) → one global 4-counter aggregate → stack() to the
+    4-row shape. The r6 form ran FOUR driver actions whose join
+    pyramid re-read events up to 4x; this is one job, one shuffle.
+    Per-user work is O(|V|·|C|·|P|) worst case — identical to the
+    join pyramid's per-user cost, but heavy users now cost one task
+    each instead of skewing three joins (salting hook unchanged)."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    v = e.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("u"), F.col("ts").alias("vt")
+    four_h = F.lit(4 * 3600 * 1_000_000)
+
+    def arr(kind: str, name: str):
+        return F.collect_list(
+            F.when(F.col("event_type") == kind, F.col("us"))
+        ).alias(name)
+
+    per_user = e.groupBy("user_id").agg(
+        arr("view", "V"), arr("click", "C"), arr("purchase", "P")
     )
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("u"), F.col("ts").alias("ct")
+    lvl1 = F.size("V") > 0
+    lvl2 = F.exists(
+        "V",
+        lambda v: F.exists("C", lambda c: (c > v) & (c <= v + four_h)),
     )
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("u"), F.col("ts").alias("pt")
+    lvl3 = F.exists(
+        "V",
+        lambda v: F.exists(
+            "C",
+            lambda c: (c > v)
+            & (c <= v + four_h)
+            & F.exists("P", lambda p: (p > c) & (p <= v + four_h)),
+        ),
     )
-    win = F.expr("INTERVAL 4 HOUR")
-    vc = v.join(
-        c,
-        (v["u"] == c["u"])
-        & (F.col("ct") > F.col("vt"))
-        & (F.col("ct") <= F.col("vt") + win),
-    ).select(v["u"].alias("u"), "vt", "ct")
-    vcp = vc.join(
-        p,
-        (vc["u"] == p["u"])
-        & (F.col("pt") > F.col("ct"))
-        & (F.col("pt") <= F.col("vt") + win),
-    ).select(vc["u"].alias("u"))
-    counts = [
-        e.select("user_id").distinct().count(),
-        v.select("u").distinct().count(),
-        vc.select("u").distinct().count(),
-        vcp.select("u").distinct().count(),
-    ]
-    return spark.createDataFrame(
-        [(lvl, n) for lvl, n in enumerate(counts)], "level int, n_users long"
-    ).select(F.col("level").cast("int"), F.col("n_users").cast("bigint"))
+    counts = per_user.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(lvl1.cast("long")).alias("n1"),
+        F.sum(lvl2.cast("long")).alias("n2"),
+        F.sum(lvl3.cast("long")).alias("n3"),
+    )
+    return counts.selectExpr(
+        "stack(4, 0, n0, 1, n1, 2, n2, 3, n3) AS (level, n_users)"
+    ).select(
+        F.col("level").cast("int"), F.col("n_users").cast("bigint")
+    )
 
 
 @register(
@@ -1575,10 +1585,18 @@ def forecast_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "part_cooccurrence_topk",
     oracle="""
-    WITH pairs AS (
+    WITH pdf AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY 1 HAVING COUNT(DISTINCT l_orderkey) <= 64
+    ),
+    li AS (
+      SELECT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN pdf USING (l_partkey)
+    ),
+    pairs AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM lineitem a JOIN lineitem b
+      FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
     ),
@@ -1608,11 +1626,24 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — the same per-container bound that keeps basket_type_pairs
     safe; one orderkey-equi join, one pair aggregate, one per-part
     top-k window over the pair table (WindowGroupLimit prunes
-    locally). A production recsys adds a df-cap on ubiquitous parts,
-    as inverted_index_postings does for hot terms."""
+    locally). The df-CAP (r7, mirrored in the oracle) is the stop-item
+    cut a production recsys needs: parts in more than 64 orders are
+    excluded BEFORE pairing via a broadcast anti-join against the
+    (tiny) hot-part set, so one ubiquitous SKU contributes 0 pairs
+    instead of df x avg_order_size — the pair table is bounded by
+    df_cap x order_size per part, independent of how skewed the
+    catalog gets (same hot-key policy as inverted_index_postings)."""
+    _DF_CAP = 64
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
+    hot = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("df"))
+        .filter(F.col("df") > _DF_CAP)
+        .select("l_partkey")
+    )
+    li = li.join(F.broadcast(hot), "l_partkey", "left_anti")
     a = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1")
     )

@@ -542,6 +542,88 @@ class TestAvroLocal:
         _, got = read_container(p)
         assert got == self.ROWS
 
+    VALUE_FIRST_SCHEMA = {
+        "type": "record",
+        "name": "vf",
+        "fields": [
+            {"name": "id", "type": "long"},
+            # legal Avro: the null branch SECOND — branch index 1 means
+            # null, 0 means the value (ADVICE r6: assuming null==0 made
+            # 42 decode as None and desynced the stream)
+            {"name": "n", "type": ["long", "null"]},
+            {"name": "s", "type": ["string", "null"]},
+        ],
+    }
+    VF_ROWS = [(1, 42, "a"), (2, None, None), (3, -7, "zz")]
+
+    def test_value_first_union_roundtrip(self, tmp_path):
+        from file_stream_import_spark.io.avro_local import (
+            read_container,
+            write_container,
+        )
+
+        p = str(tmp_path / "vf.avro")
+        write_container(p, self.VALUE_FIRST_SCHEMA, self.VF_ROWS)
+        _, got = read_container(p)
+        assert got == self.VF_ROWS
+
+    def test_value_first_union_interop_jvm_reads_ours(
+        self, spark, tmp_path
+    ):
+        """The Java reference must agree on the branch indices of a
+        value-first union file we wrote."""
+        from file_stream_import_spark.io.avro_local import write_container
+
+        p = str(tmp_path / "vf.avro")
+        write_container(p, self.VALUE_FIRST_SCHEMA, self.VF_ROWS)
+        jvm = spark.sparkContext._jvm
+        reader = jvm.org.apache.avro.generic.GenericDatumReader()
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p), reader
+        )
+        got = []
+        while dfr.hasNext():
+            rec = dfr.next()
+            s = rec.get("s")
+            got.append(
+                (rec.get("id"), rec.get("n"),
+                 None if s is None else str(s))
+            )
+        dfr.close()
+        assert got == self.VF_ROWS
+
+    def test_value_first_union_interop_we_read_jvm(self, spark, tmp_path):
+        import json as _json
+
+        from file_stream_import_spark.io.avro_local import read_container
+
+        jvm = spark.sparkContext._jvm
+        sch = jvm.org.apache.avro.Schema.Parser().parse(
+            _json.dumps(self.VALUE_FIRST_SCHEMA)
+        )
+        p = str(tmp_path / "vf_theirs.avro")
+        writer = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+        )
+        writer.create(sch, jvm.java.io.File(p))
+        # py4j sends ints <= Integer.MAX_VALUE as java.lang.Integer,
+        # which Avro's ["long","null"] union rejects — use values
+        # outside int32 range so the bridge boxes them as Long
+        big = 1 << 33
+        rows = [
+            (rid + big, None if n is None else n + big, s)
+            for rid, n, s in self.VF_ROWS
+        ]
+        for rid, n, s in rows:
+            rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+            rec.put("id", rid)
+            rec.put("n", n)
+            rec.put("s", s)
+            writer.append(rec)
+        writer.close()
+        _, got = read_container(p)
+        assert got == rows
+
     def test_unsupported_shapes_fail_fast_with_remedy(self, tmp_path):
         from file_stream_import_spark.io.avro_local import (
             schema_to_ddl,
@@ -558,3 +640,126 @@ class TestAvroLocal:
                     ],
                 }
             )
+
+
+class TestJpegCodec:
+    """Baseline-sequential JPEG (r7): exact flat-tile roundtrip and
+    both interop directions against the javax.imageio reference."""
+
+    def _tiles(self, payload: bytes, bpr: int = 16) -> bytes:
+        n = len(payload)
+        nbr = max(1, (n + bpr - 1) // bpr)
+        blocks = list(payload) + [0] * (bpr * nbr - n)
+        out = bytearray()
+        for r in range(nbr):
+            row = b"".join(bytes([v]) * 8 for v in blocks[r * bpr : (r + 1) * bpr])
+            out += row * 8
+        return bytes(out)
+
+    def test_flat_tile_roundtrip_is_exact(self):
+        import os
+
+        from file_stream_import_spark.operators.multimodal import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        for payload in (
+            b"",
+            b"x",
+            bytes(range(256)),
+            b"hello jpeg tiles " * 13,
+            os.urandom(1000),
+        ):
+            w, h, px = jpeg_decode(jpeg_encode(payload))
+            nbr = max(1, (len(payload) + 15) // 16)
+            assert (w, h) == (128, 8 * nbr)
+            assert px == self._tiles(payload)
+
+    def test_corrupt_and_unsupported_fail_loudly(self):
+        import pytest as _pytest
+
+        from file_stream_import_spark.operators.multimodal import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        with _pytest.raises(ValueError, match="SOI"):
+            jpeg_decode(b"not a jpeg")
+        jp = bytearray(jpeg_encode(b"abc"))
+        # flip SOF0 to SOF2 (progressive): fail fast with the remedy
+        i = jp.find(b"\xff\xc0")
+        jp[i + 1] = 0xC2
+        with _pytest.raises(NotImplementedError, match="baseline"):
+            jpeg_decode(bytes(jp))
+
+    def test_interop_imageio_reads_our_jpeg(self, spark, tmp_path):
+        """The JVM reference decoder must reproduce our tiles exactly
+        (DC-only blocks decode identically under any conformant IDCT)."""
+        from file_stream_import_spark.operators.multimodal import (
+            jpeg_encode,
+        )
+
+        payload = bytes(range(256)) + b"tail bytes, partial block row"
+        p = str(tmp_path / "ours.jpg")
+        open(p, "wb").write(jpeg_encode(payload))
+        jvm = spark.sparkContext._jvm
+        img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+        assert img is not None
+        w, h = img.getWidth(), img.getHeight()
+        exp = self._tiles(payload)
+        assert (w, h) == (128, 8 * ((len(payload) + 15) // 16))
+        ras = img.getRaster()
+        for y in range(h):
+            for x in range(w):
+                assert ras.getSample(x, y, 0) == exp[y * w + x]
+
+    def test_interop_we_read_imageio_jpeg(self, spark, tmp_path):
+        """Our generic baseline decoder on a LOSSY ImageIO-encoded
+        gradient (real AC coefficients, real Huffman tables from the
+        file's own DHT): within the T.81 IDCT accuracy tolerance of
+        the reference's own decode (+-1 per pixel)."""
+        from file_stream_import_spark.operators.multimodal import (
+            jpeg_decode,
+        )
+
+        jvm = spark.sparkContext._jvm
+        BI = jvm.java.awt.image.BufferedImage
+        img = BI(48, 32, BI.TYPE_BYTE_GRAY)
+        ras = img.getRaster()
+        for y in range(32):
+            for x in range(48):
+                ras.setSample(x, y, 0, (x * 5 + y * 3) % 256)
+        p = str(tmp_path / "theirs.jpg")
+        assert jvm.javax.imageio.ImageIO.write(
+            img, "jpg", jvm.java.io.File(p)
+        )
+        ref = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+        rr = ref.getRaster()
+        w, h, px = jpeg_decode(open(p, "rb").read())
+        assert (w, h) == (48, 32)
+        worst = max(
+            abs(rr.getSample(x, y, 0) - px[y * w + x])
+            for y in range(h)
+            for x in range(w)
+        )
+        assert worst <= 1
+
+    def test_jpeg_roundtrip_features_frame(self, spark):
+        from file_stream_import_spark.operators.multimodal import (
+            _frame_checksum,
+            jpeg_roundtrip_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"abcdef")), (2, bytearray(bytes(range(40))))],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: r for r in jpeg_roundtrip_features(df).collect()}
+        for did, payload in ((1, b"abcdef"), (2, bytes(range(40)))):
+            exp = self._tiles(payload)
+            r = got[did]
+            assert (r.width, r.height) == (128, 8 * max(1, (len(payload) + 15) // 16))
+            assert r.n_pad_px == r.width * r.height - 64 * len(payload)
+            assert r.mean_pixel_ppm == sum(exp) * 1_000_000 // (r.width * r.height)
+            assert r.px_checksum == _frame_checksum(exp)

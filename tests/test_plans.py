@@ -768,6 +768,20 @@ class TestLateRound6Plans:
             assert set(cols) <= {"o_orderdate", "o_totalprice"}
         assert "partial_count" in plan or "partial_sum" in plan
 
+    def test_funnel_levels_single_events_scan(self, spark, sf_dir):
+        """r7 rewrite: the whole funnel is ONE job over ONE events scan
+        (per-user arrays + nested EXISTS), not the r6 four-action join
+        pyramid that re-read events up to 4x."""
+        import re
+
+        plan = physical_plan(spark, sf_dir, "window_funnel_levels")
+        # formatted explain shows each node once in the tree and once
+        # in the details section — count distinct scan NODES
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Join" not in plan  # chain tests run as array EXISTS
+        for cols in read_schema_cols(plan):
+            assert set(cols) <= {"user_id", "event_type", "ts"}
+
     def test_mahalanobis_broadcasts_dim_stats(self, spark, sf_dir):
         plan = physical_plan(spark, sf_dir, "embedding_outlier_mahalanobis")
         assert "BroadcastHashJoin" in plan  # 64-row moment table

@@ -293,3 +293,33 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     out = salted_join(big, small, "k", "row_id", n_salts=4, how="left")
     rows = {r.k: r.v for r in out.collect()}
     assert rows == {1: "x", 2: None}
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence df-cap (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_df_cap_excludes_hot_parts(spark, tmp_path):
+    """A part in more than 64 orders contributes ZERO pairs (the
+    stop-item cut): the pair table is bounded by df_cap x order_size
+    per part no matter how skewed the catalog is."""
+    from file_stream_import_spark.queries.round6 import (
+        part_cooccurrence_topk,
+    )
+
+    rows = []
+    # hot part 999 rides in 100 orders (df=100 > 64)
+    for o in range(100):
+        rows.append((o, 999))
+    # parts 1 and 2 co-occur in 5 of those orders (df=5 each)
+    for o in range(5):
+        rows += [(o, 1), (o, 2)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = part_cooccurrence_topk(spark, str(tmp_path)).collect()
+    parts = {r.part for r in out} | {r.other for r in out}
+    assert 999 not in parts  # hot part capped out of the pair table
+    got = {(r.part, r.other): r.cnt for r in out}
+    assert got == {(1, 2): 5, (2, 1): 5}
