@@ -1587,7 +1587,7 @@ def forecast_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pdf AS (
       SELECT l_partkey FROM lineitem
-      GROUP BY 1 HAVING COUNT(DISTINCT l_orderkey) <= 64
+      GROUP BY 1 HAVING COUNT(*) <= 64
     ),
     li AS (
       SELECT l.l_orderkey, l.l_partkey
@@ -1627,19 +1627,22 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe; one orderkey-equi join, one pair aggregate, one per-part
     top-k window over the pair table (WindowGroupLimit prunes
     locally). The df-CAP (r7, mirrored in the oracle) is the stop-item
-    cut a production recsys needs: parts in more than 64 orders are
+    cut a production recsys needs: parts on more than 64 lineitems are
     excluded BEFORE pairing via a broadcast anti-join against the
     (tiny) hot-part set, so one ubiquitous SKU contributes 0 pairs
     instead of df x avg_order_size — the pair table is bounded by
     df_cap x order_size per part, independent of how skewed the
-    catalog gets (same hot-key policy as inverted_index_postings)."""
+    catalog gets (same hot-key policy as inverted_index_postings).
+    The frequency is plain COUNT(*) per part — map-side combinable,
+    no distinct shuffle — which is the right cheap proxy for 'how
+    many pairs can this part spawn' (it IS the pair bound)."""
     _DF_CAP = 64
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     hot = (
         li.groupBy("l_partkey")
-        .agg(F.countDistinct("l_orderkey").alias("df"))
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") > _DF_CAP)
         .select("l_partkey")
     )
