@@ -697,21 +697,24 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.buf.append(self.acc)
-                if self.acc == 0xFF:
-                    self.buf.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.nbits = 0
+        # bulk append: accumulate into the int bit-buffer, emit whole
+        # bytes (with 0xFF00 stuffing) — no per-bit Python loop
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
-            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
-            self.buf.append(self.acc)
-            if self.acc == 0xFF:
+            pad = 8 - self.nbits
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
                 self.buf.append(0x00)
             self.acc = 0
             self.nbits = 0
@@ -798,9 +801,12 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        # bulk read (marker-safe: _fill still inspects every byte)
+        while self.nbits < k:
+            self._fill()
+        self.nbits -= k
+        v = (self.acc >> self.nbits) & ((1 << k) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def align(self) -> None:
@@ -977,14 +983,16 @@ def jpeg_decode(container: bytes) -> tuple[int, int, bytes]:
                 coef[_ZIGZAG[k]] = _extend(br.bits(size), size) * q[_ZIGZAG[k]]
                 k += 1
             if all(v == 0 for v in coef[1:]):
-                # DC-only fast path: IDCT of a DC-only block is flat
+                # DC-only fast path: IDCT of a DC-only block is flat;
+                # fill by row SLICES, not per-pixel assignments
                 val = coef[0] / 8.0 + 128.0
                 b = min(255, max(0, int(val + 0.5)))
+                span = min(8, w - bx * 8)
+                row = bytes([b]) * span
                 row0 = (by * 8) * w + bx * 8
                 for y in range(min(8, h - by * 8)):
                     base = row0 + y * w
-                    for x in range(min(8, w - bx * 8)):
-                        px[base + x] = b
+                    px[base : base + span] = row
                 continue
             # separable 2-pass IDCT
             tmp = [[0.0] * 8 for _ in range(8)]
@@ -1047,6 +1055,9 @@ def jpeg_roundtrip_features(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        feats, schema=JPEG_META_SCHEMA
-    )
+    # Python-heavy kernel: spread the docs over every core before the
+    # Arrow boundary (a narrow file-split layout would serialize the
+    # codec work onto a few tasks)
+    src = df.select(id_col, payload_col)
+    src = src.repartition(src.sparkSession.sparkContext.defaultParallelism)
+    return src.mapInPandas(feats, schema=JPEG_META_SCHEMA)

@@ -903,3 +903,68 @@ class TestAvroCodecProperties:
             assert got == rows
         finally:
             os.unlink(p)
+
+
+class TestRebaseProperties:
+    """Group-disjoint optimistic concurrency (r7): for ANY pair of
+    disjoint update sets computed against the same snapshot, applying
+    them in either order — the second always rebasing — yields the
+    same final table, and equals the sequential (no-pin) result."""
+
+    @prop
+    @given(
+        ups_a=st.dictionaries(
+            st.integers(min_value=0, max_value=9),
+            st.text(alphabet="AB", min_size=1, max_size=2),
+            min_size=1,
+            max_size=4,
+        ),
+        ups_b=st.dictionaries(
+            st.integers(min_value=100, max_value=109),
+            st.text(alphabet="CD", min_size=1, max_size=2),
+            min_size=1,
+            max_size=4,
+        ),
+    )
+    def test_disjoint_pinned_merges_commute(
+        self, spark, tmp_path_factory, ups_a, ups_b
+    ):
+        from file_stream_import_spark.io.versioned import (
+            VersionedTable,
+            merge_into,
+        )
+
+        def mk(rows):
+            return spark.createDataFrame(rows, "k long, v string")
+
+        def build(order):
+            t = VersionedTable(
+                str(tmp_path_factory.mktemp("rebase_prop") / "t")
+            )
+            t.commit(mk([(i, f"lo{i}") for i in range(10)]))
+            t.commit(mk([(100 + i, f"hi{i}") for i in range(10)]))
+            pinned = t.latest_version()
+            frames = {
+                "a": mk(sorted(ups_a.items())),
+                "b": mk(sorted(ups_b.items())),
+            }
+            for tag in order:
+                merge_into(
+                    t, spark, frames[tag], key="k", expected_parent=pinned
+                )
+            return dict(
+                (r.k, r.v) for r in t.read(spark).collect()
+            ), t._load_manifest(t.latest_version())
+
+        got_ab, m_ab = build("ab")
+        got_ba, m_ba = build("ba")
+        assert got_ab == got_ba
+        # the second writer really rebased (no silent recompute path)
+        assert m_ab.get("rebased_from") is not None
+        assert m_ba.get("rebased_from") is not None
+        # and equals the plain sequential result
+        expect = {i: f"lo{i}" for i in range(10)}
+        expect.update({100 + i: f"hi{i}" for i in range(10)})
+        expect.update(ups_a)
+        expect.update(ups_b)
+        assert got_ab == expect
