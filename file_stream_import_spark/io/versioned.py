@@ -968,26 +968,68 @@ class VersionedTable:
             return base
         dfile = os.path.join("data", uuid.uuid4().hex)
         matched.write.parquet(os.path.join(self.path, dfile))
-        entries = list(m.get("delete_entries") or [])
-        entries.append(
-            {
-                "file": dfile,
-                "key": list(key_cols),
-                "applies_to": list(m["groups"]),
-            }
-        )
-        # concurrency: _publish targets base+1 atomically — a commit
-        # landing after our read surfaces as CommitConflictError there
-        return self._publish(
-            base,
-            {
-                "schema": m["schema"],
-                "groups": list(m["groups"]),
+        entry = {
+            "file": dfile,
+            "key": list(key_cols),
+            "applies_to": list(m["groups"]),
+        }
+        # concurrency: _publish targets base+1 atomically; on conflict
+        # the MoR delete REBASES with its own rule set (r7): a delete
+        # sidecar composes with concurrent PURE APPENDS (the new groups
+        # are deliberately outside applies_to — re-inserted keys
+        # survive, the documented scoping semantics) and with other
+        # delete entries (independent sidecars), but NOT with commits
+        # that rewrote any of the groups it scopes to — the matched
+        # rows may have moved to files the sidecar doesn't cover, which
+        # would silently lose the delete.
+        attempt_base, manifest = base, {
+            "schema": m["schema"],
+            "groups": list(m["groups"]),
+            "mode": "delete",
+            "added": [],
+            "delete_entries": list(m.get("delete_entries") or []) + [entry],
+            "stats": dict(m.get("stats") or {}),
+        }
+        for _ in range(50):
+            try:
+                return self._publish(attempt_base, dict(manifest))
+            except CommitConflictError:
+                pass
+            latest = self.latest_version()
+            if latest is None or latest == attempt_base:
+                continue
+            latest_m = self._load_manifest(latest)
+            if _schema_key(latest_m["schema"]) != _schema_key(m["schema"]):
+                raise CommitConflictError(
+                    "concurrent commit changed the schema; recompute "
+                    "the delete"
+                )
+            if (latest_m.get("constraints") or {}) != (
+                m.get("constraints") or {}
+            ):
+                raise CommitConflictError(
+                    "concurrent commit changed CHECK constraints; "
+                    "recompute the delete"
+                )
+            rewritten = set(entry["applies_to"]) - set(latest_m["groups"])
+            if rewritten:
+                raise CommitConflictError(
+                    "concurrent commit rewrote group(s) this delete "
+                    "scopes to; recompute the delete"
+                )
+            manifest = {
+                "schema": latest_m["schema"],
+                "groups": list(latest_m["groups"]),
                 "mode": "delete",
                 "added": [],
-                "delete_entries": entries,
-                "stats": dict(m.get("stats") or {}),
-            },
+                "delete_entries": list(latest_m.get("delete_entries") or [])
+                + [entry],
+                "stats": dict(latest_m.get("stats") or {}),
+                "rebased_from": base,
+            }
+            attempt_base = latest
+        raise CommitConflictError(
+            "gave up after 50 rebase attempts (commit storm)"
         )
 
     # -- CHECK constraints ---------------------------------------------
@@ -1124,7 +1166,24 @@ class VersionedTable:
             applies = [g for g in e["applies_to"] if g in set(untouched)]
             if applies:
                 entries.append({**e, "applies_to": applies})
-        return self._publish(
+        # a PRUNED update rebases like MERGE: prune_where IS the box
+        # the caller asserts the condition lives in, so a concurrent
+        # commit whose added groups sit outside it is provably
+        # disjoint. Unpruned updates rewrite everything — any
+        # concurrent commit truly conflicts, and the validation below
+        # reaches the same verdict.
+        types = {
+            f.name: f.dataType for f in _schema_from_json(m["schema"]).fields
+        }
+        box = None
+        if prune_where:
+            box = {}
+            for col, (lo, hi) in prune_where.items():
+                box[col] = (
+                    _json_safe(lo, types.get(col)) if lo is not None else None,
+                    _json_safe(hi, types.get(col)) if hi is not None else None,
+                )
+        return self._publish_or_rebase(
             base,
             {
                 "schema": m["schema"],
@@ -1134,6 +1193,8 @@ class VersionedTable:
                 "delete_entries": entries,
                 "stats": stats_out,
             },
+            removed=touched,
+            update_box=box,
         )
 
     def vacuum(

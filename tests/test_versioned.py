@@ -1360,6 +1360,152 @@ class TestGroupDisjointConcurrency:
         assert got[2] == "A2" and 102 not in got and len(got) == 19
 
 
+class TestDmlRebase:
+    """r7 extension of validate-and-rebase beyond MERGE/APPLY/append:
+    merge-on-read DELETE composes with concurrent appends and other
+    deletes; pruned UPDATE rebases like MERGE on its prune box."""
+
+    def _kv(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def test_mor_delete_rebases_over_concurrent_append(
+        self, spark, tmp_path
+    ):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(1, "a"), (2, "b")]))
+        base = t.latest_version()
+        # interleave: appender lands between the delete's read and
+        # publish — simulate by publishing the append first, then
+        # running the delete computed against the PINNED base manifest
+        # (latest_version is patched to the stale base until the first
+        # publish attempt, which restores it — the loser then rebases)
+        t.commit(self._kv(spark, [(1, "reinserted"), (9, "z")]))
+        orig = VersionedTable.latest_version
+        real_publish = VersionedTable._publish
+        try:
+            VersionedTable.latest_version = lambda self: base
+
+            def restore_then_publish(self, parent, manifest, txn=None):
+                VersionedTable.latest_version = orig
+                return real_publish(self, parent, manifest, txn=txn)
+
+            VersionedTable._publish = restore_then_publish
+            from pyspark.sql import functions as F
+
+            v = t.delete_where(
+                spark, F.col("k") == 1, strategy="merge-on-read",
+                key_cols=["k"],
+            )
+        finally:
+            VersionedTable.latest_version = orig
+            VersionedTable._publish = real_publish
+        m = t._load_manifest(v)
+        assert m.get("rebased_from") == base
+        got = dict((r.k, r.v) for r in t.read(spark).collect())
+        # k=1 deleted from the scoped (pre-append) group; the
+        # concurrently APPENDED k=1 survives — documented MoR scoping
+        assert got == {1: "reinserted", 2: "b", 9: "z"}
+
+    def test_mor_deletes_compose(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        base = t.latest_version()
+        t.delete_where(
+            spark, F.col("k") == 2, strategy="merge-on-read",
+            key_cols=["k"],
+        )
+        # second delete computed against the PRE-delete base manifest
+        orig = VersionedTable.latest_version
+        real_publish = VersionedTable._publish
+        try:
+            VersionedTable.latest_version = lambda self: base
+
+            def restore_then_publish(self, parent, manifest, txn=None):
+                VersionedTable.latest_version = orig
+                return real_publish(self, parent, manifest, txn=txn)
+
+            VersionedTable._publish = restore_then_publish
+            v = t.delete_where(
+                spark, F.col("k") == 3, strategy="merge-on-read",
+                key_cols=["k"],
+            )
+        finally:
+            VersionedTable.latest_version = orig
+            VersionedTable._publish = real_publish
+        m = t._load_manifest(v)
+        assert m.get("rebased_from") == base
+        assert len(m["delete_entries"]) == 2  # both sidecars survive
+        assert sorted(r.k for r in t.read(spark).collect()) == [1]
+
+    def test_mor_delete_conflicts_when_group_rewritten(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.versioned import merge_into
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(1, "a"), (2, "b")]))
+        base = t.latest_version()
+        # concurrent MERGE rewrites the only group
+        merge_into(t, spark, self._kv(spark, [(2, "B2")]), key="k")
+        orig = VersionedTable.latest_version
+        real_publish = VersionedTable._publish
+        try:
+            VersionedTable.latest_version = lambda self: base
+
+            def restore_then_publish(self, parent, manifest, txn=None):
+                VersionedTable.latest_version = orig
+                return real_publish(self, parent, manifest, txn=txn)
+
+            VersionedTable._publish = restore_then_publish
+            with pytest.raises(CommitConflictError, match="rewrote"):
+                t.delete_where(
+                    spark, F.col("k") == 1, strategy="merge-on-read",
+                    key_cols=["k"],
+                )
+        finally:
+            VersionedTable.latest_version = orig
+            VersionedTable._publish = real_publish
+
+    def test_pruned_update_rebases_over_disjoint_merge(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.versioned import merge_into
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(self._kv(spark, [(i, f"lo{i}") for i in range(10)]))
+        t.commit(self._kv(spark, [(100 + i, f"hi{i}") for i in range(10)]))
+        base = t.latest_version()
+        # concurrent merge touches the LOW group
+        merge_into(t, spark, self._kv(spark, [(3, "A3")]), key="k")
+        orig = VersionedTable.latest_version
+        real_publish = VersionedTable._publish
+        try:
+            VersionedTable.latest_version = lambda self: base
+
+            def restore_then_publish(self, parent, manifest, txn=None):
+                VersionedTable.latest_version = orig
+                return real_publish(self, parent, manifest, txn=txn)
+
+            VersionedTable._publish = restore_then_publish
+            v = t.update_where(
+                spark,
+                F.col("k") == 105,
+                {"v": F.lit("UPDATED")},
+                prune_where={"k": (100, 109)},
+            )
+        finally:
+            VersionedTable.latest_version = orig
+            VersionedTable._publish = real_publish
+        m = t._load_manifest(v)
+        assert m.get("rebased_from") == base
+        got = dict((r.k, r.v) for r in t.read(spark).collect())
+        assert got[105] == "UPDATED" and got[3] == "A3"  # neither lost
+
+
 class TestNonFiniteStats:
     """Non-finite float min/max (NaN/±inf) must yield NO stats entry for
     the column — never the None/None encoding that read-side pruning
