@@ -134,6 +134,77 @@ def _col_stats_entry(mn_raw, mx_raw, nulls: int, rows: int, dtype):
     return {"min": mn, "max": mx, "nulls": nulls}
 
 
+# -- per-group Bloom filters (point-lookup data skipping) ---------------
+#
+# Range min/max stats cannot prune POINT lookups on high-cardinality
+# unordered keys (uuids, content hashes): every group's [min, max] box
+# spans the whole key space, so a MERGE of 100 keys touches every
+# group. A per-group Bloom filter answers "could this group contain
+# key X?" in O(1) bits — false positives only cost an unnecessary
+# rewrite/scan (correctness-safe); false negatives are impossible.
+# Blooms ride INSIDE the group's stats entry (key "_bloom"), so every
+# existing carry-forward/rebase path propagates them untouched.
+# Sizing: ~10 bits/key, clamped to [2^13, 2^18] bits (1-32 KiB per
+# column per group in the manifest); a saturated bloom degrades to
+# "always maybe" — never wrong, just not selective (Iceberg sizes by
+# NDV the same way).
+
+_BLOOM_K = 6
+_BLOOM_MIN_BITS = 1 << 13
+_BLOOM_MAX_BITS = 1 << 18
+
+
+def _bloom_m(rows: int) -> int:
+    m = _BLOOM_MIN_BITS
+    while m < 10 * max(1, rows) and m < _BLOOM_MAX_BITS:
+        m <<= 1
+    return m
+
+
+def _bloom_positions(col, m: int) -> list:
+    """k bit positions for a value: xxhash64 double-hashed with the
+    seed index folded in as a second hashed column (the Python API has
+    no seed parameter; hashing (value, i) is equivalent)."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_build(df: DataFrame, cols: list[str], rows: int) -> dict:
+    """One small aggregation per column over the (just-written, so
+    page-cached) group: explode the k positions, OR the bits per
+    64-bit word, collect the SPARSE word map (bounded by m/64 rows)."""
+    out: dict = {}
+    for c in cols:
+        if c not in df.columns:
+            continue
+        m = _bloom_m(rows)
+        pos = F.explode(
+            F.array(*_bloom_positions(F.col(c), m))
+        ).alias("p")
+        words = (
+            df.select(pos)
+            .groupBy(F.floor(F.col("p") / 64).cast("long").alias("w"))
+            .agg(
+                F.bit_or(
+                    # SQL form: the DSL shiftleft takes only a literal
+                    # shift count, the SQL function takes a column
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+                    )
+                ).alias("bits")
+            )
+            .collect()
+        )
+        out[c] = {
+            "m": m,
+            "k": _BLOOM_K,
+            "w": {str(int(r["w"])): int(r["bits"]) for r in words},
+        }
+    return out
+
+
 def _stat_lit(value, dtype):
     """Rebuild a Spark literal of the column's type from a JSON-safe
     stats value (the inverse of _json_safe) — comparisons during MERGE
@@ -183,7 +254,10 @@ def _group_may_match(gstats: dict | None, where: dict) -> bool:
 
 
 def _write_group_with_stats(
-    df: DataFrame, full_path: str, checks: dict | None = None
+    df: DataFrame,
+    full_path: str,
+    checks: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict | None:
     """Write ``df`` as a parquet group, observing per-column min/max +
     null counts — and CHECK-constraint violation counts — in the SAME
@@ -200,7 +274,7 @@ def _write_group_with_stats(
 
     checks = checks or {}
     cols = [f for f in df.schema.fields if _stats_eligible(f.dataType)]
-    if not cols and not checks:
+    if not cols and not checks and not bloom_cols:
         df.write.parquet(full_path)
         return None
     exprs = [F.count(F.lit(1)).alias("rows")]
@@ -248,6 +322,14 @@ def _write_group_with_stats(
         )
         if entry is not None:
             out[f.name] = entry
+    if bloom_cols:
+        # second (tiny, page-cached) pass over the group just written —
+        # Observation can't express the per-row k-position fan-out
+        blooms = _bloom_build(
+            df.sparkSession.read.parquet(full_path), bloom_cols, rows
+        )
+        if blooms:
+            out["_bloom"] = blooms
     return out
 
 
@@ -377,14 +459,12 @@ class VersionedTable:
         # (1) immutable data files first, invisible until the manifest;
         # per-column min/max + CHECK validation observed in the SAME
         # job as the write
-        checks = (
-            self._load_manifest(parent).get("constraints") or {}
-            if parent is not None
-            else {}
-        )
+        pm = self._load_manifest(parent) if parent is not None else {}
+        checks = pm.get("constraints") or {}
         group = os.path.join("data", uuid.uuid4().hex)
         group_stats = _write_group_with_stats(
-            df, os.path.join(self.path, group), checks=checks
+            df, os.path.join(self.path, group), checks=checks,
+            bloom_cols=pm.get("bloom_cols"),
         )
         if group_stats is not None:
             stats[group] = group_stats
@@ -439,6 +519,10 @@ class VersionedTable:
         # the commit explicitly sets them (add/drop constraint)
         manifest.setdefault(
             "constraints", dict(parent_manifest.get("constraints") or {})
+        )
+        # bloom-indexed column declaration inherits the same way
+        manifest.setdefault(
+            "bloom_cols", list(parent_manifest.get("bloom_cols") or [])
         )
         # txn watermarks ride every manifest: start from the parent's
         # map so vacuum (which always retains the latest) never loses a
@@ -674,6 +758,22 @@ class VersionedTable:
             groups = [
                 g for g in groups if _group_may_match(stats.get(g), where)
             ]
+            # POINT lookups (lo == hi) additionally consult per-group
+            # Bloom filters: on high-cardinality unordered keys the
+            # min/max box can't prune, the bloom can
+            eq = {
+                c: lo
+                for c, (lo, hi) in where.items()
+                if lo is not None and lo == hi
+            }
+            if eq and any(
+                (stats.get(g, {}).get("_bloom") or {}) for g in groups
+            ):
+                declared = _schema_from_json(m["schema"])
+                types = {f.name: f.dataType for f in declared.fields}
+                groups = _bloom_prune_point(
+                    spark, stats, groups, eq, types
+                )
         out = self._read_groups(spark, m, groups)
         if where:
             declared = _schema_from_json(m["schema"])
@@ -904,6 +1004,14 @@ class VersionedTable:
                 )
                 if entry is not None:
                     st[f.name] = entry
+            if m.get("bloom_cols"):
+                blooms = _bloom_build(
+                    spark.read.parquet(os.path.join(self.path, g)),
+                    m["bloom_cols"],
+                    int(st["_rows"]),
+                )
+                if blooms:
+                    st["_bloom"] = blooms
             stats[g] = st
         import shutil
 
@@ -1032,6 +1140,55 @@ class VersionedTable:
             "gave up after 50 rebase attempts (commit storm)"
         )
 
+    # -- Bloom-indexed columns -----------------------------------------
+
+    def bloom_columns(self) -> list[str]:
+        """Columns carrying per-group Bloom filters for point-lookup
+        data skipping (empty list if none declared)."""
+        v = self.latest_version()
+        if v is None:
+            return []
+        return list(self._load_manifest(v).get("bloom_cols") or [])
+
+    def set_bloom_columns(self, spark: SparkSession, cols: list[str]) -> int:
+        """Declare Bloom-indexed columns (the data-skipping move for
+        POINT lookups on high-cardinality unordered keys — uuids,
+        content hashes — where min/max boxes span everything). Builds
+        blooms for every EXISTING group (one bounded aggregation pass
+        per group) and records the declaration; every later commit /
+        MERGE / APPLY / UPDATE blooms its new groups automatically.
+        MERGE's touch test and ``read(where={col: (v, v)})`` point
+        reads then skip groups that provably lack the key."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load_manifest(base)
+        stats = {g: dict(s) for g, s in (m.get("stats") or {}).items()}
+        for g in m["groups"]:
+            st = stats.setdefault(g, {})
+            have = set((st.get("_bloom") or {}))
+            need = [c for c in cols if c not in have]
+            if not need:
+                continue
+            gdf = spark.read.parquet(os.path.join(self.path, g))
+            rows = int(st.get("_rows") or gdf.count())
+            blooms = dict(st.get("_bloom") or {})
+            blooms.update(_bloom_build(gdf, need, rows))
+            if blooms:
+                st["_bloom"] = blooms
+        return self._publish(
+            base,
+            {
+                "schema": m["schema"],
+                "groups": list(m["groups"]),
+                "mode": f"set_bloom_columns:{','.join(cols)}",
+                "added": [],
+                "delete_entries": list(m.get("delete_entries") or []),
+                "stats": stats,
+                "bloom_cols": list(cols),
+            },
+        )
+
     # -- CHECK constraints ---------------------------------------------
 
     def constraints(self) -> dict[str, str]:
@@ -1153,6 +1310,7 @@ class VersionedTable:
         group_stats = _write_group_with_stats(
             updated, os.path.join(self.path, group),
             checks=m.get("constraints") or {},
+            bloom_cols=m.get("bloom_cols"),
         )
         stats_out = {
             g: s
@@ -1369,6 +1527,7 @@ def merge_into(
     group_stats = _write_group_with_stats(
         merged, os.path.join(table.path, group),
         checks=m.get("constraints") or {},
+        bloom_cols=m.get("bloom_cols"),
     )
     stats = {
         g: s
@@ -1490,11 +1649,163 @@ def _split_touched_groups(
         for i, (g, _) in enumerate(chunk):
             if hit[f"g{i}"] == 1:
                 touched.append(g)
+    # Bloom refinement (point-lookup skipping): a box-touched group
+    # whose blooms cover EVERY key column stays touched only if some
+    # update ROW is maybe-present in all of them — on uuid-ish keys,
+    # where every box spans the whole key space, this is what turns a
+    # 100-key merge from O(table) back into O(touched). False
+    # positives cost a rewrite; false negatives cannot happen.
+    bloomable = [
+        g
+        for g in touched
+        if all(k in (stats.get(g, {}).get("_bloom") or {}) for k in keys)
+    ]
+    if bloomable:
+        passed = _bloom_touched(updates, keys, stats, bloomable)
+        bloom_set = set(bloomable)
+        touched = [
+            g for g in touched if g not in bloom_set or g in passed
+        ]
     touched_set = set(touched)
     return (
         [g for g in groups if g in touched_set],
         [g for g in groups if g not in touched_set],
     )
+
+
+def _bloom_prune_point(
+    spark: SparkSession,
+    stats: dict,
+    groups: list[str],
+    eq: dict,
+    types: dict,
+) -> list[str]:
+    """Drop groups whose Bloom filter proves a point-lookup value
+    absent. ONE tiny driver job computes the k hash positions per
+    (column, distinct m) — the literal is CAST to the column's
+    declared type first, because xxhash64 is type-sensitive and the
+    stored blooms hashed the column in its own type — then each
+    group's sparse word map is bit-tested in Python. Groups without a
+    bloom for a referenced column pass through (conservative)."""
+    need = set()
+    for g in groups:
+        bl = stats.get(g, {}).get("_bloom") or {}
+        for c in eq:
+            if c in bl:
+                need.add((c, int(bl[c]["m"])))
+    if not need:
+        return groups
+    need = sorted(need)
+    exprs = []
+    for j, (c, mval) in enumerate(need):
+        lit = F.lit(eq[c])
+        if c in types:
+            lit = lit.cast(types[c])
+        exprs.append(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(mval))
+                    for i in range(_BLOOM_K)
+                ]
+            ).alias(f"p{j}")
+        )
+    row = spark.range(1).select(*exprs).first()
+    pos = {key: [int(p) for p in row[f"p{j}"]] for j, key in enumerate(need)}
+    out = []
+    for g in groups:
+        bl = stats.get(g, {}).get("_bloom") or {}
+        keep = True
+        for c in eq:
+            if c not in bl:
+                continue
+            words = bl[c]["w"]
+            for p in pos[(c, int(bl[c]["m"]))]:
+                w = int(words.get(str(p // 64), 0))
+                if not (w >> (p % 64)) & 1:
+                    keep = False
+                    break
+            if not keep:
+                break
+        if keep:
+            out.append(g)
+    return out
+
+
+def _bloom_touched(
+    updates: DataFrame, keys: list[str], stats: dict, groups: list[str]
+) -> set:
+    """The groups (subset of ``groups``) where some update row is
+    maybe-present in EVERY key column's Bloom filter — one distributed
+    pass, no collect of keys: update-key hashes join the (broadcast)
+    sparse bloom-word table, a row needs all k seeds set per column
+    and all key columns present. Group blooms may differ in m (sized
+    by row count at write time), so the raw 64-bit hash is computed
+    once per (row, col, seed) and reduced mod each group's own m."""
+    spark = updates.sparkSession
+    word_rows, meta_rows = [], []
+    for gi, g in enumerate(groups):
+        bl = stats[g]["_bloom"]
+        for k in keys:
+            meta_rows.append((gi, k, int(bl[k]["m"])))
+            for widx, word in bl[k]["w"].items():
+                word_rows.append((gi, k, int(widx), int(word)))
+    if not word_rows:
+        return set()  # empty blooms: nothing can match
+    words = spark.createDataFrame(
+        word_rows, "gi int, c string, widx long, word long"
+    )
+    metas = spark.createDataFrame(meta_rows, "gi int, c string, m long")
+    hs = updates.select(
+        F.struct(*[F.col(k) for k in keys]).alias("kid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("c"),
+                        F.lit(i).alias("si"),
+                        F.xxhash64(F.col(k), F.lit(i)).alias("h"),
+                    )
+                    for k in keys
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("x"),
+    ).select("kid", "x.*")
+    pos = (
+        hs.join(F.broadcast(metas), "c")
+        .select(
+            "kid",
+            "gi",
+            "c",
+            "si",
+            F.pmod(F.col("h"), F.col("m")).alias("p"),
+        )
+        .select(
+            "kid",
+            "gi",
+            "c",
+            "si",
+            F.floor(F.col("p") / 64).cast("long").alias("widx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+            ).alias("bit"),
+        )
+    )
+    hits = pos.join(F.broadcast(words), ["gi", "c", "widx"]).filter(
+        F.col("word").bitwiseAND(F.col("bit")) != 0
+    )
+    per_col = (
+        hits.groupBy("kid", "gi", "c")
+        .agg(F.countDistinct("si").alias("ns"))
+        .filter(F.col("ns") == _BLOOM_K)
+    )
+    per_row = (
+        per_col.groupBy("kid", "gi")
+        .agg(F.count("*").alias("nc"))
+        .filter(F.col("nc") == len(keys))
+    )
+    gids = {r["gi"] for r in per_row.select("gi").distinct().collect()}
+    return {groups[gi] for gi in gids}
 
 
 def apply_changes(
@@ -1579,6 +1890,7 @@ def apply_changes(
     group_stats = _write_group_with_stats(
         rewritten, os.path.join(table.path, group),
         checks=m.get("constraints") or {},
+        bloom_cols=m.get("bloom_cols"),
     )
     stats = {
         g: s

@@ -1360,6 +1360,107 @@ class TestGroupDisjointConcurrency:
         assert got[2] == "A2" and 102 not in got and len(got) == 19
 
 
+class TestBloomSkipping:
+    """Per-group Bloom filters (r7): point-lookup data skipping on
+    high-cardinality unordered keys, where min/max boxes span the
+    whole key space and range pruning is blind."""
+
+    def _hash_table(self, spark, tmp_path):
+        """Two groups of md5-style string keys whose lexical ranges
+        fully overlap — box pruning can never separate them."""
+        import hashlib
+
+        t = VersionedTable(str(tmp_path / "t"))
+        keys_a = [hashlib.md5(f"a{i}".encode()).hexdigest() for i in range(40)]
+        keys_b = [hashlib.md5(f"b{i}".encode()).hexdigest() for i in range(40)]
+        mk = lambda ks, tag: spark.createDataFrame(
+            [(k, tag) for k in ks], "k string, v string"
+        )
+        t.commit(mk(keys_a, "A"))
+        t.commit(mk(keys_b, "B"))
+        t.set_bloom_columns(spark, ["k"])
+        return t, keys_a, keys_b
+
+    def test_manifest_carries_blooms(self, spark, tmp_path):
+        t, _, _ = self._hash_table(spark, tmp_path)
+        m = t._load_manifest(t.latest_version())
+        assert m["bloom_cols"] == ["k"]
+        for g in m["groups"]:
+            bl = m["stats"][g]["_bloom"]["k"]
+            assert bl["k"] == 6 and bl["m"] >= 8192 and bl["w"]
+
+    def test_point_read_prunes_by_bloom(self, spark, tmp_path):
+        t, keys_a, keys_b = self._hash_table(spark, tmp_path)
+        m = t._load_manifest(t.latest_version())
+        ga, gb = m["groups"]
+        v = keys_a[7]
+        df = t.read(spark, where={"k": (v, v)})
+        files = df.inputFiles()
+        # box pruning alone keeps BOTH groups (ranges overlap); the
+        # bloom drops the B group
+        assert files and all(ga in f for f in files)
+        assert [r.v for r in df.collect()] == ["A"]
+        # a key in NEITHER group: bloom prunes everything
+        import hashlib
+
+        ghost = hashlib.md5(b"ghost").hexdigest()
+        assert t.read(spark, where={"k": (ghost, ghost)}).inputFiles() == []
+
+    def test_merge_touch_test_uses_blooms(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t, keys_a, keys_b = self._hash_table(spark, tmp_path)
+        m0 = t._load_manifest(t.latest_version())
+        ga, gb = m0["groups"]
+        mt = lambda rows: spark.createDataFrame(rows, "k string, v string")
+        # update ONE key from group A: B must be carried by reference
+        # even though its lexical box contains the key
+        before = {g: os.listdir(os.path.join(t.path, g)) for g in (ga, gb)}
+        merge_into(t, spark, mt([(keys_a[3], "A3v2")]), key="k")
+        m1 = t._load_manifest(t.latest_version())
+        assert gb in m1["groups"] and ga not in m1["groups"]
+        # insert-only merge of a brand-new hash key: NOTHING rewrites
+        import hashlib
+
+        newk = hashlib.md5(b"brand-new").hexdigest()
+        pre_groups = list(m1["groups"])
+        merge_into(t, spark, mt([(newk, "new")]), key="k")
+        m2 = t._load_manifest(t.latest_version())
+        assert set(pre_groups) <= set(m2["groups"])  # all carried
+        # correctness end-to-end
+        got = {r.k: r.v for r in t.read(spark).collect()}
+        assert got[keys_a[3]] == "A3v2" and got[newk] == "new"
+        assert got[keys_b[5]] == "B" and len(got) == 81
+
+    def test_new_groups_bloom_automatically(self, spark, tmp_path):
+        t, _, _ = self._hash_table(spark, tmp_path)
+        import hashlib
+
+        ks = [hashlib.md5(f"c{i}".encode()).hexdigest() for i in range(10)]
+        t.commit(
+            spark.createDataFrame([(k, "C") for k in ks], "k string, v string")
+        )
+        m = t._load_manifest(t.latest_version())
+        newg = m["groups"][-1]
+        assert "k" in (m["stats"][newg].get("_bloom") or {})
+        # and the new group participates in point pruning
+        df = t.read(spark, where={"k": (ks[0], ks[0])})
+        assert df.inputFiles() and all(newg in f for f in df.inputFiles())
+
+    def test_int_key_type_sensitive_hashing(self, spark, tmp_path):
+        """xxhash64 is type-sensitive: the point-lookup literal must be
+        cast to the column's declared type or every probe misses."""
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(50)], "k int, v string"
+            )
+        )
+        t.set_bloom_columns(spark, ["k"])
+        df = t.read(spark, where={"k": (7, 7)})
+        assert [r.v for r in df.collect()] == ["v7"]  # bloom didn't lie
+
+
 class TestDmlRebase:
     """r7 extension of validate-and-rebase beyond MERGE/APPLY/append:
     merge-on-read DELETE composes with concurrent appends and other
