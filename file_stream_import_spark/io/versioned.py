@@ -151,7 +151,7 @@ def _col_stats_entry(mn_raw, mx_raw, nulls: int, rows: int, dtype):
 
 _BLOOM_K = 6
 _BLOOM_MIN_BITS = 1 << 13
-_BLOOM_MAX_BITS = 1 << 18
+_BLOOM_MAX_BITS = 1 << 23  # 1 MiB packed: ~800k keys/group at ~1% fpp
 
 
 def _bloom_m(rows: int) -> int:
@@ -171,10 +171,18 @@ def _bloom_positions(col, m: int) -> list:
     ]
 
 
-def _bloom_build(df: DataFrame, cols: list[str], rows: int) -> dict:
+def _bloom_build(
+    df: DataFrame, cols: list[str], rows: int, table_path: str, group: str
+) -> dict:
     """One small aggregation per column over the (just-written, so
     page-cached) group: explode the k positions, OR the bits per
-    64-bit word, collect the SPARSE word map (bounded by m/64 rows)."""
+    64-bit word, collect (bounded by m/64 rows), and pack the DENSE
+    bitset into a SIDECAR file inside the group dir —
+    ``<group>/_bloom_<col>.bin`` (the underscore prefix keeps Spark's
+    parquet reader from touching it; the file is immutable and travels
+    with the group through every carry/rebase/vacuum). The manifest
+    stores only {m, k, file}: 1 MiB of filter never inflates the JSON
+    (Iceberg keeps blooms in file metadata for the same reason)."""
     out: dict = {}
     for c in cols:
         if c not in df.columns:
@@ -197,12 +205,28 @@ def _bloom_build(df: DataFrame, cols: list[str], rows: int) -> dict:
             )
             .collect()
         )
+        import numpy as np
+
+        arr = np.zeros(m // 64, dtype="<u8")
+        for r in words:
+            arr[int(r["w"])] = int(r["bits"]) & 0xFFFFFFFFFFFFFFFF
+        fname = f"_bloom_{c}.bin"
+        with open(os.path.join(table_path, group, fname), "wb") as f:
+            f.write(arr.tobytes())
         out[c] = {
             "m": m,
             "k": _BLOOM_K,
-            "w": {str(int(r["w"])): int(r["bits"]) for r in words},
+            "file": os.path.join(group, fname),
         }
     return out
+
+
+def _bloom_words(table_path: str, meta: dict):
+    """Load a bloom sidecar as a little-endian uint64 numpy array."""
+    import numpy as np
+
+    with open(os.path.join(table_path, meta["file"]), "rb") as f:
+        return np.frombuffer(f.read(), dtype="<u8")
 
 
 def _stat_lit(value, dtype):
@@ -325,8 +349,14 @@ def _write_group_with_stats(
     if bloom_cols:
         # second (tiny, page-cached) pass over the group just written —
         # Observation can't express the per-row k-position fan-out
+        table_path = os.path.dirname(os.path.dirname(full_path))
+        group = os.path.join(
+            os.path.basename(os.path.dirname(full_path)),
+            os.path.basename(full_path),
+        )
         blooms = _bloom_build(
-            df.sparkSession.read.parquet(full_path), bloom_cols, rows
+            df.sparkSession.read.parquet(full_path), bloom_cols, rows,
+            table_path, group,
         )
         if blooms:
             out["_bloom"] = blooms
@@ -772,7 +802,7 @@ class VersionedTable:
                 declared = _schema_from_json(m["schema"])
                 types = {f.name: f.dataType for f in declared.fields}
                 groups = _bloom_prune_point(
-                    spark, stats, groups, eq, types
+                    spark, stats, groups, eq, types, self.path
                 )
         out = self._read_groups(spark, m, groups)
         if where:
@@ -1009,6 +1039,8 @@ class VersionedTable:
                     spark.read.parquet(os.path.join(self.path, g)),
                     m["bloom_cols"],
                     int(st["_rows"]),
+                    self.path,
+                    g,
                 )
                 if blooms:
                     st["_bloom"] = blooms
@@ -1173,7 +1205,7 @@ class VersionedTable:
             gdf = spark.read.parquet(os.path.join(self.path, g))
             rows = int(st.get("_rows") or gdf.count())
             blooms = dict(st.get("_bloom") or {})
-            blooms.update(_bloom_build(gdf, need, rows))
+            blooms.update(_bloom_build(gdf, need, rows, self.path, g))
             if blooms:
                 st["_bloom"] = blooms
         return self._publish(
@@ -1514,7 +1546,7 @@ def merge_into(
         )
     types = {f.name: f.dataType for f in declared.fields}
     touched, untouched = _split_touched_groups(
-        m, updates, keys, types
+        m, updates, keys, types, table_path=table.path
     )
     current = table._read_groups(spark, m, touched)
     merged = current.join(updates, keys, "left_anti").unionByName(updates)
@@ -1588,7 +1620,11 @@ _TOUCH_CHUNK = 256
 
 
 def _split_touched_groups(
-    m: dict, updates: DataFrame, keys: list[str], types: dict
+    m: dict,
+    updates: DataFrame,
+    keys: list[str],
+    types: dict,
+    table_path: str | None = None,
 ) -> tuple[list[str], list[str]]:
     """Partition a manifest's groups into (touched, untouched) by the
     update keys. One aggregate pass over the updates answers, per
@@ -1658,10 +1694,13 @@ def _split_touched_groups(
     bloomable = [
         g
         for g in touched
-        if all(k in (stats.get(g, {}).get("_bloom") or {}) for k in keys)
+        if table_path is not None
+        and all(k in (stats.get(g, {}).get("_bloom") or {}) for k in keys)
     ]
     if bloomable:
-        passed = _bloom_touched(updates, keys, stats, bloomable)
+        passed = _bloom_touched(
+            updates, keys, stats, bloomable, table_path
+        )
         bloom_set = set(bloomable)
         touched = [
             g for g in touched if g not in bloom_set or g in passed
@@ -1679,6 +1718,7 @@ def _bloom_prune_point(
     groups: list[str],
     eq: dict,
     types: dict,
+    table_path: str,
 ) -> list[str]:
     """Drop groups whose Bloom filter proves a point-lookup value
     absent. ONE tiny driver job computes the k hash positions per
@@ -1718,10 +1758,9 @@ def _bloom_prune_point(
         for c in eq:
             if c not in bl:
                 continue
-            words = bl[c]["w"]
+            arr = _bloom_words(table_path, bl[c])
             for p in pos[(c, int(bl[c]["m"]))]:
-                w = int(words.get(str(p // 64), 0))
-                if not (w >> (p % 64)) & 1:
+                if not (int(arr[p // 64]) >> (p % 64)) & 1:
                     keep = False
                     break
             if not keep:
@@ -1732,7 +1771,11 @@ def _bloom_prune_point(
 
 
 def _bloom_touched(
-    updates: DataFrame, keys: list[str], stats: dict, groups: list[str]
+    updates: DataFrame,
+    keys: list[str],
+    stats: dict,
+    groups: list[str],
+    table_path: str,
 ) -> set:
     """The groups (subset of ``groups``) where some update row is
     maybe-present in EVERY key column's Bloom filter — one distributed
@@ -1741,14 +1784,64 @@ def _bloom_touched(
     and all key columns present. Group blooms may differ in m (sized
     by row count at write time), so the raw 64-bit hash is computed
     once per (row, col, seed) and reduced mod each group's own m."""
+    import numpy as np
+
     spark = updates.sparkSession
+    # FAST PATH: for bounded deltas (the normal CDC batch), collect the
+    # raw 64-bit hashes — k per key column per row, NO key values — and
+    # test every group's bitset driver-side with numpy: zero extra
+    # Spark jobs beyond one bounded collect. Falls back to the
+    # distributed hash-join for oversized deltas.
+    _MAX_DRIVER_ROWS = 200_000
+    hash_arr = F.array(
+        *[
+            F.xxhash64(F.col(k), F.lit(i))
+            for k in keys
+            for i in range(_BLOOM_K)
+        ]
+    ).alias("hs")
+    head = updates.select(hash_arr).limit(_MAX_DRIVER_ROWS + 1).collect()
+    if len(head) <= _MAX_DRIVER_ROWS:
+        if not head:
+            return set()
+        # signed Spark longs reinterpret as uint64 two's-complement;
+        # (h + 2^64) mod m == pmod(h, m) BECAUSE m is a power of two
+        # (guaranteed by _bloom_m) — the modulus must stay a power of
+        # two or this fast path and the JVM-side pmod would disagree
+        H = np.array([r["hs"] for r in head], dtype=np.uint64)
+        H = H.reshape(len(head), len(keys), _BLOOM_K)
+        out = set()
+        for g in groups:
+            bl = stats[g]["_bloom"]
+            maybe = np.ones(len(head), dtype=bool)
+            for ci, k in enumerate(keys):
+                meta = bl[k]
+                arr = _bloom_words(table_path, meta)
+                pos = H[:, ci, :] % np.uint64(meta["m"])
+                bits = (
+                    arr[pos >> np.uint64(6)]
+                    >> (pos & np.uint64(63))
+                ) & np.uint64(1)
+                maybe &= bits.all(axis=1)
+                if not maybe.any():
+                    break
+            if maybe.any():
+                out.add(g)
+        return out
     word_rows, meta_rows = [], []
     for gi, g in enumerate(groups):
         bl = stats[g]["_bloom"]
         for k in keys:
             meta_rows.append((gi, k, int(bl[k]["m"])))
-            for widx, word in bl[k]["w"].items():
-                word_rows.append((gi, k, int(widx), int(word)))
+            arr = _bloom_words(table_path, bl[k])
+            # only the NONZERO words join (numpy sparse extraction —
+            # a well-filled 1 MiB bloom is mostly nonzero, an underfull
+            # one mostly zero; either way bounded by m/64 per column)
+            for widx in np.nonzero(arr)[0]:
+                word_rows.append(
+                    (gi, k, int(widx),
+                     int(np.int64(arr[widx])))  # two's-complement long
+                )
     if not word_rows:
         return set()  # empty blooms: nothing can match
     words = spark.createDataFrame(
@@ -1881,7 +1974,9 @@ def apply_changes(
         )
     types = {f.name: f.dataType for f in declared.fields}
     # a group is touched if ANY change key (upsert OR delete) hits it
-    touched, untouched = _split_touched_groups(m, all_keys, keys, types)
+    touched, untouched = _split_touched_groups(
+        m, all_keys, keys, types, table_path=table.path
+    )
     current = table._read_groups(spark, m, touched)
     rewritten = current.join(all_keys, keys, "left_anti").unionByName(
         upserts

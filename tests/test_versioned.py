@@ -1387,7 +1387,14 @@ class TestBloomSkipping:
         assert m["bloom_cols"] == ["k"]
         for g in m["groups"]:
             bl = m["stats"][g]["_bloom"]["k"]
-            assert bl["k"] == 6 and bl["m"] >= 8192 and bl["w"]
+            assert bl["k"] == 6 and bl["m"] >= 8192
+            # dense sidecar inside the group dir, Spark-invisible
+            # (underscore prefix), exactly m/8 bytes
+            p = os.path.join(t.path, bl["file"])
+            assert os.path.basename(p).startswith("_bloom_")
+            assert os.path.getsize(p) == bl["m"] // 8
+        # the sidecar does not leak into table reads
+        assert set(t.read(spark).columns) == {"k", "v"}
 
     def test_point_read_prunes_by_bloom(self, spark, tmp_path):
         t, keys_a, keys_b = self._hash_table(spark, tmp_path)
