@@ -589,6 +589,7 @@ class VersionedTable:
         removed: list[str],
         txn: dict[str, int] | None = None,
         update_box=None,
+        update_membership=None,
         concurrent_adds_ok: bool = False,
         max_rebases: int = 50,
     ) -> int:
@@ -642,7 +643,7 @@ class VersionedTable:
                 ) from None
             self._validate_rebase(
                 base_m, latest_m, manifest, removed_set, txn,
-                update_box, concurrent_adds_ok,
+                update_box, update_membership, concurrent_adds_ok,
             )
             # rebase: latest's groups, minus what we rewrote, plus ours
             ours = list(manifest.get("added") or [])
@@ -673,6 +674,7 @@ class VersionedTable:
         removed_set: set,
         txn: dict[str, int] | None,
         update_box,
+        update_membership,
         concurrent_adds_ok: bool,
     ) -> None:
         """Raise CommitConflictError unless every concurrent commit
@@ -721,6 +723,7 @@ class VersionedTable:
                 conflict("concurrent groups added and no update-key "
                          "box to prove disjointness")
             lstats = latest_m.get("stats") or {}
+            box_overlapping = []
             for g in sorted(c_added):
                 st = lstats.get(g)
                 if not st:
@@ -739,10 +742,23 @@ class VersionedTable:
                         overlaps = False
                         break
                 if overlaps:
-                    conflict(
-                        f"concurrent group {g} overlaps this "
-                        "commit's update-key range"
-                    )
+                    box_overlapping.append(g)
+            if box_overlapping:
+                # second chance for hash-keyed tables, where every box
+                # spans the whole key space: a membership probe (the
+                # Bloom test over the concurrent groups' sidecars) can
+                # still prove this commit's keys absent from them
+                maybe = None
+                if update_membership is not None:
+                    maybe = update_membership(lstats, box_overlapping)
+                if maybe is None:
+                    maybe = set(box_overlapping)
+                for g in box_overlapping:
+                    if g in maybe:
+                        conflict(
+                            f"concurrent group {g} overlaps this "
+                            "commit's update-key range"
+                        )
 
     # -- read / time travel ------------------------------------------
 
@@ -1591,6 +1607,9 @@ def merge_into(
         # evaluated ONLY if a rebase is needed: one tiny agg job over
         # the updates proving which key range this merge could touch
         update_box=lambda: _key_box(updates, keys, types),
+        update_membership=lambda lstats, gs: _rebase_bloom_membership(
+            updates, keys, lstats, gs, table.path
+        ),
     )
 
 
@@ -1770,6 +1789,26 @@ def _bloom_prune_point(
     return out
 
 
+def _rebase_bloom_membership(
+    updates: DataFrame,
+    keys: list[str],
+    lstats: dict,
+    groups: list[str],
+    table_path: str,
+):
+    """Membership probe used by rebase validation: which of the
+    concurrent commits' added ``groups`` might contain one of this
+    commit's update keys? Returns None ("no proof either way") when
+    any group lacks blooms for every key column — the caller then
+    treats all of them as overlapping (conservative)."""
+    if not all(
+        all(k in (lstats.get(g, {}).get("_bloom") or {}) for k in keys)
+        for g in groups
+    ):
+        return None
+    return _bloom_touched(updates, keys, lstats, groups, table_path)
+
+
 def _bloom_touched(
     updates: DataFrame,
     keys: list[str],
@@ -1804,12 +1843,17 @@ def _bloom_touched(
     if len(head) <= _MAX_DRIVER_ROWS:
         if not head:
             return set()
-        # signed Spark longs reinterpret as uint64 two's-complement;
-        # (h + 2^64) mod m == pmod(h, m) BECAUSE m is a power of two
-        # (guaranteed by _bloom_m) — the modulus must stay a power of
-        # two or this fast path and the JVM-side pmod would disagree
-        H = np.array([r["hs"] for r in head], dtype=np.uint64)
-        H = H.reshape(len(head), len(keys), _BLOOM_K)
+        # signed Spark longs reinterpret as uint64 two's-complement
+        # (int64 view, not a value cast — numpy deprecates implicit
+        # negative→uint64); (h + 2^64) mod m == pmod(h, m) BECAUSE m
+        # is a power of two (guaranteed by _bloom_m) — the modulus
+        # must stay a power of two or this fast path and the JVM-side
+        # pmod would disagree
+        H = (
+            np.array([r["hs"] for r in head], dtype=np.int64)
+            .view(np.uint64)
+            .reshape(len(head), len(keys), _BLOOM_K)
+        )
         out = set()
         for g in groups:
             bl = stats[g]["_bloom"]
@@ -2012,6 +2056,9 @@ def apply_changes(
         txn=txn,
         removed=touched,
         update_box=lambda: _key_box(all_keys, keys, types),
+        update_membership=lambda lstats, gs: _rebase_bloom_membership(
+            all_keys, keys, lstats, gs, table.path
+        ),
     )
 
 

@@ -1454,6 +1454,41 @@ class TestBloomSkipping:
         df = t.read(spark, where={"k": (ks[0], ks[0])})
         assert df.inputFiles() and all(newg in f for f in df.inputFiles())
 
+    def test_rebase_uses_blooms_on_hash_keys(self, spark, tmp_path):
+        """Concurrency x blooms: on md5 keys every key box spans the
+        whole hex space, so box validation alone would conflict ANY two
+        concurrent merges. The membership probe against the concurrent
+        group's bloom sidecar proves disjointness and lets the second
+        writer rebase; a genuinely shared key still conflicts."""
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t, keys_a, keys_b = self._hash_table(spark, tmp_path)
+        pinned = t.latest_version()
+        mt = lambda rows: spark.createDataFrame(rows, "k string, v string")
+        merge_into(
+            t, spark, mt([(keys_a[0], "A0v2")]), key="k",
+            expected_parent=pinned,
+        )
+        v = merge_into(
+            t, spark, mt([(keys_b[0], "B0v2")]), key="k",
+            expected_parent=pinned,
+        )
+        m = t._load_manifest(v)
+        assert m.get("rebased_from") == pinned  # bloom-proved disjoint
+        got = {r.k: r.v for r in t.read(spark).collect()}
+        assert got[keys_a[0]] == "A0v2" and got[keys_b[0]] == "B0v2"
+        # same key concurrently: true conflict survives the bloom era
+        pinned2 = t.latest_version()
+        merge_into(
+            t, spark, mt([(keys_a[1], "X")]), key="k",
+            expected_parent=pinned2,
+        )
+        with pytest.raises(CommitConflictError):
+            merge_into(
+                t, spark, mt([(keys_a[1], "Y")]), key="k",
+                expected_parent=pinned2,
+            )
+
     def test_int_key_type_sensitive_hashing(self, spark, tmp_path):
         """xxhash64 is type-sensitive: the point-lookup literal must be
         cast to the column's declared type or every probe misses."""
