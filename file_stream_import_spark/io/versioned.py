@@ -144,10 +144,13 @@ def _col_stats_entry(mn_raw, mx_raw, nulls: int, rows: int, dtype):
 # rewrite/scan (correctness-safe); false negatives are impossible.
 # Blooms ride INSIDE the group's stats entry (key "_bloom"), so every
 # existing carry-forward/rebase path propagates them untouched.
-# Sizing: ~10 bits/key, clamped to [2^13, 2^18] bits (1-32 KiB per
-# column per group in the manifest); a saturated bloom degrades to
-# "always maybe" — never wrong, just not selective (Iceberg sizes by
-# NDV the same way).
+# Sizing: ~10 bits/key, clamped to [2^13, 2^23] bits (1 KiB - 1 MiB
+# packed per column per group, stored as dense SIDECAR files in the
+# group dir — only {m, k, file} rides the manifest JSON); a saturated
+# bloom degrades to "always maybe" — never wrong, just not selective
+# (Iceberg sizes by NDV the same way). At very large group counts the
+# touch test's sidecar reads are driver-side; move them to a
+# binaryFile scan if a table accumulates thousands of bloom'd groups.
 
 _BLOOM_K = 6
 _BLOOM_MIN_BITS = 1 << 13
