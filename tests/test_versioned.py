@@ -1454,6 +1454,33 @@ class TestBloomSkipping:
         df = t.read(spark, where={"k": (ks[0], ks[0])})
         assert df.inputFiles() and all(newg in f for f in df.inputFiles())
 
+    def test_vacuum_reclaims_bloom_sidecars_with_their_groups(
+        self, spark, tmp_path
+    ):
+        """Sidecars live inside the group dir, so vacuum reclaims them
+        with the group — no orphan index files — and the surviving
+        snapshot's blooms keep working afterwards."""
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t, keys_a, keys_b = self._hash_table(spark, tmp_path)
+        mt = lambda rows: spark.createDataFrame(rows, "k string, v string")
+        merge_into(t, spark, mt([(keys_a[0], "A0v2")]), key="k")
+        removed = t.vacuum(keep_versions=1, min_age_seconds=0)
+        assert removed  # the rewritten A group (and its sidecar) went
+        for g in removed:
+            assert not os.path.exists(os.path.join(t.path, g))
+        # blooms on surviving groups still prune point reads
+        v = keys_b[2]
+        m = t._load_manifest(t.latest_version())
+        files = t.read(spark, where={"k": (v, v)}).inputFiles()
+        hit = {f.split("/data/")[1].split("/")[0] for f in files}
+        assert 1 <= len(hit) < len(m["groups"])
+        # and merges still bloom their new groups
+        merge_into(t, spark, mt([(keys_b[1], "B1v2")]), key="k")
+        m2 = t._load_manifest(t.latest_version())
+        newg = [g for g in m2["groups"] if g not in m["groups"]]
+        assert newg and "k" in (m2["stats"][newg[0]].get("_bloom") or {})
+
     def test_rebase_uses_blooms_on_hash_keys(self, spark, tmp_path):
         """Concurrency x blooms: on md5 keys every key box spans the
         whole hex space, so box validation alone would conflict ANY two
