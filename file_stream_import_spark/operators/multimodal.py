@@ -7,7 +7,9 @@ iteration, partition sizing. Codec status: WAV (RIFF), PNG (zlib IDAT
 (baseline-sequential T.81: Huffman + dequant + IDCT, r7) are REAL,
 implemented on the stdlib and round-trip verified (see the
 real-container section at the bottom; PNG/JPEG also interop-proven
-against javax.imageio). Only video/ffmpeg decode and the
+against javax.imageio), and VIDEO ships as MJPEG-in-AVI (r7: a real
+RIFF container whose frames run the full baseline JPEG decoder).
+Only foreign codecs (H.264 etc. — ffmpeg territory) and the
 arbitrary-format fallbacks remain STUBBED: ``decode_fn=None`` uses a
 deterministic fake decoder, and passing ``strict=True`` raises
 NotImplementedError exactly where a real media library would plug in.
@@ -1061,3 +1063,188 @@ def jpeg_roundtrip_features(
     src = df.select(id_col, payload_col)
     src = src.repartition(src.sparkSession.sparkContext.defaultParallelism)
     return src.mapInPandas(feats, schema=JPEG_META_SCHEMA)
+
+
+# -- MJPEG-in-AVI (RIFF container, public Microsoft AVI spec) -----------
+#
+# The video member of the codec family: a real RIFF 'AVI ' container
+# (hdrl with MainAVIHeader + one 'vids'/'MJPG' stream, movi with one
+# '00dc' chunk per frame, idx1) whose frames are the r7 baseline JPEGs.
+# Frame extraction therefore runs the FULL real path — container
+# grammar, per-frame entropy decode, IDCT — and stays exactly
+# predictable (flat tiles), so a SQL oracle can rebuild every decoded
+# frame pixel. This retires the last video stand-in: sample_frames'
+# fake checksum windows remain only as the lightweight fixture shape.
+
+AVI_FRAME_BYTES = 64  # one 64x64 flat-tile JPEG per 64 payload bytes
+
+
+def _fourcc(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(body) % 2 else b""  # RIFF chunks word-align
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def avi_encode_mjpeg(frames: list[bytes], width: int, height: int) -> bytes:
+    """Pack pre-encoded JPEG frames into a spec-valid AVI: RIFF
+    grammar, MainAVIHeader, one MJPG video stream header +
+    BITMAPINFOHEADER, movi '00dc' chunks (word-aligned), idx1."""
+    import struct
+
+    avih = struct.pack(
+        "<14I",
+        40000,  # dwMicroSecPerFrame (25 fps)
+        0, 0, 0x10,  # maxbytes, padding, AVIF_HASINDEX
+        len(frames), 0, 1,  # totalframes, initialframes, streams
+        max((len(f) for f in frames), default=0),
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<I2HI", 0, 0, 0, 0)  # flags, prio, lang, initial
+        + struct.pack("<6I", 1, 25, 0, len(frames), 0, 0xFFFFFFFF)
+        + struct.pack("<I4H", 0, 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<I2i2H4s5I",
+        40, width, height, 1, 24, b"MJPG", width * height * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = _fourcc(
+        b"LIST",
+        b"hdrl"
+        + _fourcc(b"avih", avih)
+        + _fourcc(b"LIST", b"strl" + _fourcc(b"strh", strh)
+                  + _fourcc(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    offsets = []
+    for f in frames:
+        offsets.append(len(movi_body))  # offset of the 00dc tag
+        movi_body += _fourcc(b"00dc", f)
+    movi = _fourcc(b"LIST", movi_body)
+    import struct as _s
+
+    idx = b"".join(
+        b"00dc" + _s.pack("<3I", 0x10, off, len(frames[i]))
+        for i, off in enumerate(offsets)
+    )
+    riff_body = b"AVI " + hdrl + movi + _fourcc(b"idx1", idx)
+    return _fourcc(b"RIFF", riff_body)
+
+
+def avi_decode_mjpeg(container: bytes) -> tuple[int, int, list[bytes]]:
+    """Walk a RIFF AVI: verify the grammar, read dimensions from
+    MainAVIHeader, collect the '00dc'/'00db' frame chunks from the
+    movi LIST. Returns (width, height, jpeg_frames). Raises ValueError
+    on corrupt containers and NotImplementedError (with remedy) for
+    non-MJPG streams."""
+    import struct
+
+    if container[:4] != b"RIFF" or container[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI container")
+    (riff_len,) = struct.unpack("<I", container[4:8])
+    if riff_len + 8 > len(container):
+        raise ValueError("truncated RIFF")
+    pos, end = 12, 8 + riff_len
+    width = height = None
+    frames: list[bytes] = []
+    saw_mjpg = False
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, saw_mjpg
+        import struct
+
+        while pos + 8 <= end:
+            tag = container[pos : pos + 4]
+            (ln,) = struct.unpack("<I", container[pos + 4 : pos + 8])
+            body_at = pos + 8
+            if body_at + ln > end:
+                raise ValueError(f"chunk {tag!r} overruns its parent")
+            if tag == b"LIST":
+                walk(body_at + 4, body_at + ln)
+            elif tag == b"avih":
+                hdr = struct.unpack("<14I", container[body_at : body_at + 56])
+                width, height = hdr[8], hdr[9]
+            elif tag == b"strh":
+                if container[body_at : body_at + 4] == b"vids":
+                    handler = container[body_at + 4 : body_at + 8]
+                    if handler != b"MJPG":
+                        raise NotImplementedError(
+                            f"video stream {handler!r}: only MJPG is "
+                            "supported; deploy ffmpeg for the long tail"
+                        )
+                    saw_mjpg = True
+            elif tag in (b"00dc", b"00db"):
+                frames.append(bytes(container[body_at : body_at + ln]))
+            pos = body_at + ln + (ln % 2)
+
+    walk(pos, end)
+    if width is None:
+        raise ValueError("missing avih header")
+    if not saw_mjpg:
+        raise NotImplementedError("no MJPG video stream found")
+    return width, height, frames
+
+
+MJPEG_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, "
+    "mean_pixel_ppm bigint, px_checksum bigint"
+)
+
+
+def mjpeg_video_frame_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Video frame extraction through a REAL container + REAL codec:
+    each payload becomes an MJPEG AVI (one 64x64 flat-tile JPEG per
+    64-byte slice, the last slice zero-padded), the AVI is decoded
+    back (RIFF walk, per-frame baseline JPEG decode), and per-frame
+    features come from the DECODED pixels — the 1→N fan-out shape of a
+    real frame sampler, fully oracle-checkable."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                n_frames = max(1, -(-len(raw) // AVI_FRAME_BYTES))
+                jpegs = [
+                    jpeg_encode(
+                        raw[i * AVI_FRAME_BYTES : (i + 1) * AVI_FRAME_BYTES]
+                        .ljust(AVI_FRAME_BYTES, b"\x00"),
+                        blocks_per_row=8,
+                    )
+                    for i in range(n_frames)
+                ]
+                avi = avi_encode_mjpeg(jpegs, 64, 64)
+                w, h, back = avi_decode_mjpeg(avi)
+                for idx, fr in enumerate(back):
+                    fw, fh, px = jpeg_decode(fr)
+                    assert (fw, fh) == (w, h)
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            fw,
+                            fh,
+                            sum(px) * 1_000_000 // (fw * fh),
+                            _frame_checksum(px),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "mean_pixel_ppm",
+                    "px_checksum",
+                ],
+            )
+
+    src = df.select(id_col, payload_col)
+    src = src.repartition(src.sparkSession.sparkContext.defaultParallelism)
+    return src.mapInPandas(feats, schema=MJPEG_FRAME_SCHEMA)

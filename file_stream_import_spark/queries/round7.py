@@ -824,3 +824,72 @@ def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
     return out
+
+
+@register(
+    "multimodal_mjpeg_frames",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             length(hex(encode(text))) // 2 AS n
+      FROM documents WHERE length(text) > 0
+    ), g AS (
+      SELECT doc_id, hx, n, (n + 63) // 64 AS nf FROM h
+    ), b AS (
+      SELECT doc_id, f.f AS fi, j.j AS bj,
+             CASE WHEN 64 * f.f + j.j < n
+                  THEN substr(hx, 2 * (64 * f.f + j.j) + 1, 2)
+                  ELSE '00' END AS bh
+      FROM g,
+           UNNEST(generate_series(0, nf - 1)) AS f(f),
+           UNNEST(generate_series(0, 63)) AS j(j)
+    ), rws AS (
+      SELECT doc_id, fi, bj // 8 AS br,
+             string_agg(repeat(bh, 8), '' ORDER BY bj) AS rowhex
+      FROM b GROUP BY doc_id, fi, bj // 8
+    ), px AS (
+      SELECT doc_id, fi,
+             string_agg(repeat(rowhex, 8), '' ORDER BY br) AS pxhex
+      FROM rws GROUP BY doc_id, fi
+    ), sm AS (
+      SELECT doc_id, fi, SUM(CAST(('0x' || bh) AS INT)) AS sum_b
+      FROM b GROUP BY doc_id, fi
+    )
+    SELECT p.doc_id, CAST(p.fi AS INT) AS frame_idx,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(s.sum_b * 15625 AS BIGINT) AS mean_pixel_ppm,
+           CAST(('0x' || substr(md5(p.pxhex), 1, 15)) AS BIGINT)
+             AS px_checksum
+    FROM px p JOIN sm s USING (doc_id, fi)
+    """,
+)
+def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame extraction through a REAL MJPEG-in-AVI round trip
+    (operators/multimodal.py::mjpeg_video_frame_features): each payload
+    becomes one 64x64 flat-tile baseline JPEG per 64-byte slice, the
+    frames pack into a spec-valid RIFF AVI (MainAVIHeader, MJPG stream
+    headers, word-aligned movi '00dc' chunks, idx1), and the container
+    is walked back with every frame run through the full baseline JPEG
+    decoder — the 1→N fan-out of a real frame sampler with a genuine
+    container AND a genuine codec, retiring the last video stand-in
+    (ffmpeg remains the documented plug point for foreign streams
+    only).
+
+    DuckDB rebuilds every decoded frame pixel from hex(payload) slice
+    algebra (the JPEG tile construction per 64-byte frame window, last
+    window zero-padded), so frame count, order, dimensions, means, and
+    the per-frame pixel checksums are all value-checked — a misplaced
+    movi chunk, a broken idx offset, or an off-by-one in the frame
+    slicing flips a hash. Scale: one Arrow-batched mapInPandas pass,
+    repartitioned to all cores; output rows = total frames."""
+    from ..operators.multimodal import (
+        attach_fake_payload,
+        mjpeg_video_frame_features,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    return mjpeg_video_frame_features(attach_fake_payload(d))

@@ -763,3 +763,90 @@ class TestJpegCodec:
             assert r.n_pad_px == r.width * r.height - 64 * len(payload)
             assert r.mean_pixel_ppm == sum(exp) * 1_000_000 // (r.width * r.height)
             assert r.px_checksum == _frame_checksum(exp)
+
+
+class TestMjpegAvi:
+    """MJPEG-in-AVI container (r7): RIFF grammar round trip, corrupt
+    and foreign-codec rejection, frame-feature fan-out."""
+
+    def _frames(self, payload: bytes):
+        from file_stream_import_spark.operators.multimodal import (
+            AVI_FRAME_BYTES,
+            jpeg_encode,
+        )
+
+        n = max(1, -(-len(payload) // AVI_FRAME_BYTES))
+        return [
+            jpeg_encode(
+                payload[i * AVI_FRAME_BYTES : (i + 1) * AVI_FRAME_BYTES]
+                .ljust(AVI_FRAME_BYTES, b"\x00"),
+                blocks_per_row=8,
+            )
+            for i in range(n)
+        ]
+
+    def test_container_roundtrip(self):
+        from file_stream_import_spark.operators.multimodal import (
+            avi_decode_mjpeg,
+            avi_encode_mjpeg,
+            jpeg_decode,
+        )
+
+        payload = bytes(range(256)) + b"tail"
+        frames = self._frames(payload)
+        avi = avi_encode_mjpeg(frames, 64, 64)
+        w, h, back = avi_decode_mjpeg(avi)
+        assert (w, h) == (64, 64)
+        assert back == frames  # byte-identical chunk extraction
+        # and every extracted frame decodes to the expected flat tiles
+        for i, fr in enumerate(back):
+            fw, fh, px = jpeg_decode(fr)
+            assert (fw, fh) == (64, 64)
+            sl = payload[i * 64 : (i + 1) * 64].ljust(64, b"\x00")
+            assert px[:8] == bytes([sl[0]]) * 8
+
+    def test_corrupt_and_foreign_fail_loudly(self):
+        import pytest as _pytest
+
+        from file_stream_import_spark.operators.multimodal import (
+            avi_decode_mjpeg,
+            avi_encode_mjpeg,
+        )
+
+        with _pytest.raises(ValueError, match="RIFF"):
+            avi_decode_mjpeg(b"not an avi at all")
+        avi = bytearray(avi_encode_mjpeg(self._frames(b"abc"), 64, 64))
+        # truncate inside movi: the chunk walk must notice
+        with _pytest.raises(ValueError):
+            avi_decode_mjpeg(bytes(avi[:-10]))
+        # flip the stream handler to a foreign codec: fail with remedy
+        i = avi.find(b"vids") + 4
+        avi[i : i + 4] = b"H264"
+        with _pytest.raises(NotImplementedError, match="MJPG"):
+            avi_decode_mjpeg(bytes(avi))
+
+    def test_frame_features_dataframe(self, spark):
+        from file_stream_import_spark.operators.multimodal import (
+            _frame_checksum,
+            mjpeg_video_frame_features,
+        )
+
+        payload = bytes(range(200))  # 4 frames, last zero-padded
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        got = {
+            r.frame_idx: r
+            for r in mjpeg_video_frame_features(df).collect()
+        }
+        assert sorted(got) == [0, 1, 2, 3]
+        for i in sorted(got):
+            sl = payload[i * 64 : (i + 1) * 64].ljust(64, b"\x00")
+            exp = b"".join(
+                b"".join(bytes([v]) * 8 for v in sl[r * 8 : r * 8 + 8]) * 8
+                for r in range(8)
+            )
+            r = got[i]
+            assert (r.width, r.height) == (64, 64)
+            assert r.mean_pixel_ppm == sum(exp) * 1_000_000 // 4096
+            assert r.px_checksum == _frame_checksum(exp)
