@@ -144,22 +144,31 @@ def _col_stats_entry(mn_raw, mx_raw, nulls: int, rows: int, dtype):
 # rewrite/scan (correctness-safe); false negatives are impossible.
 # Blooms ride INSIDE the group's stats entry (key "_bloom"), so every
 # existing carry-forward/rebase path propagates them untouched.
-# Sizing: ~10 bits/key, clamped to [2^13, 2^23] bits (1 KiB - 1 MiB
+# Sizing: ``bits_per_key`` bits per row (default 10, the
+# set_bloom_columns knob), clamped to [2^13, 2^24] bits (1 KiB - 2 MiB
 # packed per column per group, stored as dense SIDECAR files in the
 # group dir — only {m, k, file} rides the manifest JSON); a saturated
 # bloom degrades to "always maybe" — never wrong, just not selective
-# (Iceberg sizes by NDV the same way). At very large group counts the
-# touch test's sidecar reads are driver-side; move them to a
-# binaryFile scan if a table accumulates thousands of bloom'd groups.
+# (Iceberg sizes by NDV the same way).
+#
+# False-positive math (standard Bloom estimate, k=6 hashes, n keys,
+# m = bits_per_key * n): fpp ≈ (1 - e^(-k/bits_per_key))^k
+#     bits/key:   5        10        16        20
+#     fpp:        ~8.7%    ~0.84%    ~0.094%   ~0.030%
+# A false positive only costs an unnecessary group rewrite/scan
+# (correctness-safe), so bits_per_key trades sidecar bytes against
+# wasted I/O on point lookups and MERGE touch tests —
+# tools/ab_bloom.py --sweep-bits measures the trade on real data.
 
 _BLOOM_K = 6
 _BLOOM_MIN_BITS = 1 << 13
-_BLOOM_MAX_BITS = 1 << 23  # 1 MiB packed: ~800k keys/group at ~1% fpp
+_BLOOM_MAX_BITS = 1 << 24  # 2 MiB packed: ~800k keys/group at 20 bits/key
+_BLOOM_DEFAULT_BITS_PER_KEY = 10
 
 
-def _bloom_m(rows: int) -> int:
+def _bloom_m(rows: int, bits_per_key: int = _BLOOM_DEFAULT_BITS_PER_KEY) -> int:
     m = _BLOOM_MIN_BITS
-    while m < 10 * max(1, rows) and m < _BLOOM_MAX_BITS:
+    while m < bits_per_key * max(1, rows) and m < _BLOOM_MAX_BITS:
         m <<= 1
     return m
 
@@ -175,7 +184,12 @@ def _bloom_positions(col, m: int) -> list:
 
 
 def _bloom_build(
-    df: DataFrame, cols: list[str], rows: int, table_path: str, group: str
+    df: DataFrame,
+    cols: list[str],
+    rows: int,
+    table_path: str,
+    group: str,
+    bits_per_key: int = _BLOOM_DEFAULT_BITS_PER_KEY,
 ) -> dict:
     """One small aggregation per column over the (just-written, so
     page-cached) group: explode the k positions, OR the bits per
@@ -190,7 +204,7 @@ def _bloom_build(
     for c in cols:
         if c not in df.columns:
             continue
-        m = _bloom_m(rows)
+        m = _bloom_m(rows, bits_per_key)
         pos = F.explode(
             F.array(*_bloom_positions(F.col(c), m))
         ).alias("p")
@@ -258,19 +272,43 @@ def _stat_lt(a, b) -> bool:
         return False
 
 
+def _where_bounds(bound) -> tuple:
+    """Normalize one ``where`` entry to (lo, hi): a TUPLE is a range
+    (either side may be None); a LIST/SET is an IN-set whose box is
+    [min, max] (the per-value bloom refinement happens separately)."""
+    if isinstance(bound, (list, set, frozenset)):
+        vs = [v for v in bound if v is not None]
+        if not vs:
+            return (None, None)
+        return (min(vs), max(vs))
+    lo, hi = bound
+    return (lo, hi)
+
+
 def _group_may_match(gstats: dict | None, where: dict) -> bool:
-    """Can any row of a group satisfy every [lo, hi] bound? Missing
-    stats → True (scan it); an all-NULL column can satisfy no bound →
-    prunable, matching SQL comparison-with-NULL semantics."""
+    """Can any row of a group satisfy every [lo, hi] bound (or IN-set,
+    boxed to its [min, max])? Missing stats → True (scan it); an
+    all-NULL column can satisfy no bound → prunable, matching SQL
+    comparison-with-NULL semantics."""
     if not gstats:
         return True
-    for col, (lo, hi) in where.items():
+    for col, bound in where.items():
+        lo, hi = _where_bounds(bound)
         st = gstats.get(col)
         if not st:
             continue  # no stats for this column in this group
         mn, mx = st.get("min"), st.get("max")
         if mn is None or mx is None:
-            if lo is not None or hi is not None:
+            # all-NULL proof requires nulls == rows (legacy manifests
+            # encoded non-finite float min/max as None with non-null
+            # rows — those must scan, not prune)
+            nulls, rows = st.get("nulls"), gstats.get("_rows")
+            if (
+                (lo is not None or hi is not None)
+                and nulls is not None
+                and rows is not None
+                and int(nulls) == int(rows)
+            ):
                 return False  # no non-null values: no row can compare
             continue
         if lo is not None and _stat_lt(mx, lo):
@@ -285,6 +323,7 @@ def _write_group_with_stats(
     full_path: str,
     checks: dict | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int | None = None,
 ) -> dict | None:
     """Write ``df`` as a parquet group, observing per-column min/max +
     null counts — and CHECK-constraint violation counts — in the SAME
@@ -360,6 +399,7 @@ def _write_group_with_stats(
         blooms = _bloom_build(
             df.sparkSession.read.parquet(full_path), bloom_cols, rows,
             table_path, group,
+            bits_per_key=bloom_bits or _BLOOM_DEFAULT_BITS_PER_KEY,
         )
         if blooms:
             out["_bloom"] = blooms
@@ -380,6 +420,53 @@ def _manifest_dir(path: str) -> str:
 
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_manifest_dir(path), f"v{version:08d}.json")
+
+
+# -- metadata scaling (hint + checkpoint) --------------------------------
+#
+# At real commit volumes (~100k snapshots) three metadata walks grow
+# linearly and start to dominate the COMMIT path itself:
+#   * latest_version() listed the whole _manifests dir on every call —
+#     and optimistic-concurrency loops call it per retry;
+#   * version_as_of() loaded EVERY manifest to find a timestamp;
+#   * history() loaded every manifest.
+# The fixes are the Iceberg version-hint + metadata-checkpoint ideas:
+#   * `_latest.hint` records the newest version after each publish
+#     (best-effort, atomically replaced). latest_version() reads the
+#     hint and probes FORWARD with os.path.exists until the first gap —
+#     O(1 + commits-since-hint) file ops, no listing. A stale/missing/
+#     corrupt hint falls back to the full listing, so the hint is never
+#     load-bearing for correctness.
+#   * version_as_of() binary-searches the manifest list on committed_at
+#     (monotone by construction — _publish clamps child >= parent), so
+#     resolution loads O(log n) manifests.
+#   * `_history.ckpt.json` checkpoints the audit rows every
+#     _CKPT_EVERY commits (the incremental extension loads only the
+#     manifests since the previous checkpoint — amortized one extra
+#     load per commit); history() reads checkpoint rows + only the
+#     manifests newer than the checkpoint. vacuum() trims expired rows.
+
+_HINT_NAME = "_latest.hint"
+_CKPT_NAME = "_history.ckpt.json"
+_CKPT_EVERY = 64
+
+
+def _hint_path(path: str) -> str:
+    return os.path.join(_manifest_dir(path), _HINT_NAME)
+
+
+def _ckpt_path(path: str) -> str:
+    return os.path.join(_manifest_dir(path), _CKPT_NAME)
+
+
+def _history_row(version: int, m: dict) -> dict:
+    return {
+        "version": version,
+        "parent": m.get("parent"),
+        "mode": m.get("mode"),
+        "n_groups": len(m.get("groups", [])),
+        "txn": m.get("txn") or {},
+    }
 
 
 class VersionedTable:
@@ -403,8 +490,45 @@ class VersionedTable:
             return json.load(f)
 
     def latest_version(self) -> int | None:
+        """Newest committed version, resolved in O(1 + commits since
+        the hint was written) file operations: read `_latest.hint`,
+        verify its manifest exists, probe forward to the first gap.
+        Any hint problem (missing, corrupt, pointing at a vacuumed
+        manifest) falls back to the full listing — the hint is an
+        accelerator, never a correctness dependency."""
+        hint = self._read_hint()
+        if hint is not None and os.path.exists(
+            _manifest_path(self.path, hint)
+        ):
+            v = hint
+            while os.path.exists(_manifest_path(self.path, v + 1)):
+                v += 1
+            return v
         vs = self.versions()
         return vs[-1] if vs else None
+
+    def _read_hint(self) -> int | None:
+        try:
+            with open(_hint_path(self.path)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _write_hint(self, version: int) -> None:
+        """Best-effort, atomic (tmp + replace), and monotone: a slower
+        concurrent writer must not move the hint backwards — the
+        forward probe would still recover, but every reader would pay
+        the gap walk until the next commit."""
+        try:
+            cur = self._read_hint()
+            if cur is not None and cur >= version:
+                return
+            tmp = _hint_path(self.path) + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, _hint_path(self.path))
+        except OSError:
+            pass  # advisory only
 
     # -- commit -------------------------------------------------------
 
@@ -498,6 +622,7 @@ class VersionedTable:
         group_stats = _write_group_with_stats(
             df, os.path.join(self.path, group), checks=checks,
             bloom_cols=pm.get("bloom_cols"),
+            bloom_bits=pm.get("bloom_bits"),
         )
         if group_stats is not None:
             stats[group] = group_stats
@@ -557,6 +682,10 @@ class VersionedTable:
         manifest.setdefault(
             "bloom_cols", list(parent_manifest.get("bloom_cols") or [])
         )
+        if parent_manifest.get("bloom_bits") is not None:
+            manifest.setdefault(
+                "bloom_bits", int(parent_manifest["bloom_bits"])
+            )
         # txn watermarks ride every manifest: start from the parent's
         # map so vacuum (which always retains the latest) never loses a
         # writer's high-water mark, then fold in this commit's epochs
@@ -582,7 +711,43 @@ class VersionedTable:
             ) from None
         finally:
             os.unlink(tmp)
+        # metadata-scaling upkeep, both advisory (readers fall back to
+        # the listing / per-manifest loads if they're stale or missing)
+        self._write_hint(version)
+        if version % _CKPT_EVERY == 0:
+            self._extend_checkpoint(version)
         return version
+
+    def _read_checkpoint(self) -> dict:
+        try:
+            with open(_ckpt_path(self.path)) as f:
+                ck = json.load(f)
+            if isinstance(ck, dict) and isinstance(ck.get("rows"), list):
+                return ck
+        except (OSError, ValueError):
+            pass
+        return {"upto": -1, "rows": []}
+
+    def _extend_checkpoint(self, upto: int) -> None:
+        """Append audit rows for versions (previous upto, upto] to the
+        history checkpoint — loads only the manifests since the last
+        checkpoint (amortized one load per commit). Best-effort: a race
+        between two extenders resolves by last-writer-wins, and any
+        missing coverage is served from the manifests directly."""
+        try:
+            ck = self._read_checkpoint()
+            rows = list(ck["rows"])
+            for v in range(int(ck["upto"]) + 1, upto + 1):
+                try:
+                    rows.append(_history_row(v, self._load_manifest(v)))
+                except FileNotFoundError:
+                    continue  # expired mid-extend
+            tmp = _ckpt_path(self.path) + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"upto": upto, "rows": rows}, f)
+            os.replace(tmp, _ckpt_path(self.path))
+        except OSError:
+            pass  # advisory only
 
     def _publish_or_rebase(
         self,
@@ -626,6 +791,7 @@ class VersionedTable:
         another validation round (bounded by ``max_rebases``)."""
         removed_set = set(removed)
         attempt_base = base
+        stale_lists = 0
         for _ in range(max_rebases):
             try:
                 return self._publish(attempt_base, dict(manifest), txn=txn)
@@ -633,7 +799,25 @@ class VersionedTable:
                 pass
             latest = self.latest_version()
             if latest is None or latest == attempt_base:
-                continue  # raced with vacuum/retry; try again
+                # the target version slot exists (the publish just
+                # conflicted) yet the listing still shows attempt_base
+                # as latest — a listing race (writer mid-publish /
+                # vacuum mid-unlink). Re-list with its OWN small bound
+                # instead of burning rebase attempts on identical
+                # publishes and surfacing a misleading "commit storm".
+                stale_lists += 1
+                if stale_lists > 5:
+                    raise CommitConflictError(
+                        "version listing inconsistent: version "
+                        f"{(attempt_base if attempt_base is not None else -1) + 1} "
+                        "exists but the manifest listing does not show "
+                        "it; check _manifests/ for external interference"
+                    )
+                import time as _time
+
+                _time.sleep(0.01 * stale_lists)
+                continue
+            stale_lists = 0
             try:
                 base_m = (
                     self._load_manifest(base) if base is not None else {}
@@ -738,8 +922,19 @@ class VersionedTable:
                         break  # no usable stats: stay conservative
                     mn, mx = cs.get("min"), cs.get("max")
                     if mn is None or mx is None:
-                        # all-NULL key column: NULL matches no key
-                        overlaps = False
+                        # None min/max proves "all NULL" (NULL matches
+                        # no key) ONLY when the null count covers every
+                        # row: manifests written before _col_stats_entry
+                        # encoded non-finite float min/max as None with
+                        # non-null rows, and treating those as disjoint
+                        # would silently drop a true conflict
+                        nulls, rows = cs.get("nulls"), st.get("_rows")
+                        if (
+                            nulls is not None
+                            and rows is not None
+                            and int(nulls) == int(rows)
+                        ):
+                            overlaps = False
                         break
                     if _stat_lt(mx, lo) or _stat_lt(hi, mn):
                         overlaps = False
@@ -767,12 +962,21 @@ class VersionedTable:
 
     def version_as_of(self, timestamp: float) -> int:
         """TIMESTAMP AS OF: the newest version committed at or before
-        the given epoch seconds."""
+        the given epoch seconds. committed_at is monotone in version
+        order by construction (_publish clamps child >= parent), so
+        this binary-searches the version list and loads O(log n)
+        manifests instead of every one."""
+        vs = self.versions()
         best = None
-        for v in self.versions():
-            ts = self._load_manifest(v).get("committed_at")
+        lo, hi = 0, len(vs) - 1
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            ts = self._load_manifest(vs[mid]).get("committed_at")
             if ts is not None and ts <= timestamp:
-                best = v
+                best = vs[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
         if best is None:
             raise FileNotFoundError(
                 f"no snapshot at or before {timestamp} in {self.path}"
@@ -791,7 +995,14 @@ class VersionedTable:
         before Spark lists a single file — the lake-scale analog of the
         reference's per-column indexes (internal/db/db.go:97-103) — and
         applies the equivalent row filter for exactness. Groups without
-        stats for a referenced column are scanned (conservative)."""
+        stats for a referenced column are scanned (conservative).
+
+        ``where={col: [v1, v2, ...]}`` (a LIST instead of a 2-tuple) is
+        an IN-set point probe: the box test uses [min(vs), max(vs)] and
+        each value is additionally bit-tested against the per-group
+        Bloom filters (when declared via set_bloom_columns), so a
+        multi-key lookup on a hash-keyed table scans only the groups
+        that might hold one of the keys."""
         if version is not None and as_of_timestamp is not None:
             raise ValueError("pass version OR as_of_timestamp, not both")
         if as_of_timestamp is not None:
@@ -807,14 +1018,22 @@ class VersionedTable:
             groups = [
                 g for g in groups if _group_may_match(stats.get(g), where)
             ]
-            # POINT lookups (lo == hi) additionally consult per-group
-            # Bloom filters: on high-cardinality unordered keys the
-            # min/max box can't prune, the bloom can
-            eq = {
-                c: lo
-                for c, (lo, hi) in where.items()
-                if lo is not None and lo == hi
-            }
+            # POINT lookups (lo == hi) and IN-sets (a list of values)
+            # additionally consult per-group Bloom filters: on
+            # high-cardinality unordered keys the min/max box can't
+            # prune, the bloom can — a multi-key point probe bit-tests
+            # EACH value and keeps a group only if SOME value is
+            # maybe-present
+            eq: dict = {}
+            for c, bound in where.items():
+                if isinstance(bound, (list, set, frozenset)):
+                    vals = [v for v in bound if v is not None]
+                    if vals:
+                        eq[c] = vals
+                else:
+                    lo, hi = bound
+                    if lo is not None and lo == hi:
+                        eq[c] = [lo]
             if eq and any(
                 (stats.get(g, {}).get("_bloom") or {}) for g in groups
             ):
@@ -827,7 +1046,25 @@ class VersionedTable:
         if where:
             declared = _schema_from_json(m["schema"])
             types = {f.name: f.dataType for f in declared.fields}
-            for col, (lo, hi) in where.items():
+            from functools import reduce
+
+            for col, bound in where.items():
+                if isinstance(bound, (list, set, frozenset)):
+                    vals = [v for v in bound if v is not None]
+                    if not vals:
+                        out = out.filter(F.lit(False))  # IN () is empty
+                        continue
+                    out = out.filter(
+                        reduce(
+                            lambda a, b: a | b,
+                            [
+                                F.col(col) == _stat_lit(v, types[col])
+                                for v in vals
+                            ],
+                        )
+                    )
+                    continue
+                lo, hi = bound
                 if lo is not None:
                     out = out.filter(
                         F.col(col) >= _stat_lit(lo, types[col])
@@ -935,19 +1172,25 @@ class VersionedTable:
 
     def history(self) -> list[dict]:
         """Audit view: one row per snapshot (version, parent, mode,
-        n_groups, txn marks) — the DESCRIBE HISTORY analog."""
+        n_groups, txn marks) — the DESCRIBE HISTORY analog. Served from
+        the history checkpoint where it covers (rows for vacuumed
+        versions are filtered out); only manifests NEWER than the
+        checkpoint are loaded."""
+        vs = self.versions()
+        retained = set(vs)
+        ck = self._read_checkpoint()
+        upto = int(ck["upto"])
+        by_v = {
+            int(r["version"]): r
+            for r in ck["rows"]
+            if int(r["version"]) in retained
+        }
         out = []
-        for v in self.versions():
-            m = self._load_manifest(v)
-            out.append(
-                {
-                    "version": v,
-                    "parent": m.get("parent"),
-                    "mode": m.get("mode"),
-                    "n_groups": len(m.get("groups", [])),
-                    "txn": m.get("txn") or {},
-                }
-            )
+        for v in vs:
+            row = by_v.get(v) if v <= upto else None
+            if row is None:
+                row = _history_row(v, self._load_manifest(v))
+            out.append(row)
         return out
 
     def optimize(
@@ -1060,6 +1303,8 @@ class VersionedTable:
                     int(st["_rows"]),
                     self.path,
                     g,
+                    bits_per_key=m.get("bloom_bits")
+                    or _BLOOM_DEFAULT_BITS_PER_KEY,
                 )
                 if blooms:
                     st["_bloom"] = blooms
@@ -1085,6 +1330,8 @@ class VersionedTable:
         condition,
         strategy: str = "copy-on-write",
         key_cols: list[str] | None = None,
+        prune_where: dict | None = None,
+        expected_parent: int | str = "any",
     ) -> int:
         """Row-level DELETE. ``strategy="copy-on-write"`` rewrites the
         snapshot without the matching rows (read-optimized).
@@ -1095,8 +1342,22 @@ class VersionedTable:
         present at delete time — a key re-inserted by a later append
         survives. ``optimize()`` materializes pending deletes.
         Either way: parent-pinned, mode "delete" in history, the
-        removed rows stay time-travelable until vacuum."""
-        base = self.latest_version()
+        removed rows stay time-travelable until vacuum.
+
+        ``prune_where`` ({col: (lo, hi)}, copy-on-write only, same
+        contract as update_where's): the caller asserts the condition
+        cannot match rows outside those stats boxes, so groups whose
+        box is disjoint carry into the new snapshot BY REFERENCE —
+        an O(delta) delete instead of an O(table) rewrite — and the
+        commit gains the box-disjointness REBASE rule: two concurrent
+        pruned deletes on disjoint ranges both land; overlapping
+        ranges (or an unpruned rewrite) still conflict.
+        ``expected_parent`` pins the snapshot the delete was computed
+        against (like merge_into's)."""
+        base = (
+            self.latest_version() if expected_parent == "any"
+            else expected_parent
+        )
         if base is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         if strategy == "copy-on-write":
@@ -1104,10 +1365,25 @@ class VersionedTable:
             # evaluating to NULL (comparison on a NULL column) must KEEP
             # the row, matching SQL DELETE and the merge-on-read branch
             # (which deletes only TRUE matches)
-            kept = self.read(spark, base).filter(
-                ~F.coalesce(condition, F.lit(False))
+            keep_cond = ~F.coalesce(condition, F.lit(False))
+            if prune_where is None:
+                kept = self.read(spark, base).filter(keep_cond)
+                return self.commit(
+                    kept, mode="delete", expected_parent=base
+                )
+            return self._rewrite_pruned(
+                spark,
+                base,
+                self._load_manifest(base),
+                lambda cur: cur.filter(keep_cond),
+                "delete",
+                prune_where,
             )
-            return self.commit(kept, mode="delete", expected_parent=base)
+        if prune_where is not None:
+            raise ValueError(
+                "prune_where applies to copy-on-write deletes only "
+                "(merge-on-read is already O(matched))"
+            )
         if strategy != "merge-on-read":
             raise ValueError(f"unknown strategy {strategy!r}")
         if not key_cols:
@@ -1149,6 +1425,7 @@ class VersionedTable:
             "delete_entries": list(m.get("delete_entries") or []) + [entry],
             "stats": dict(m.get("stats") or {}),
         }
+        stale_lists = 0
         for _ in range(50):
             try:
                 return self._publish(attempt_base, dict(manifest))
@@ -1156,7 +1433,19 @@ class VersionedTable:
                 pass
             latest = self.latest_version()
             if latest is None or latest == attempt_base:
+                # same listing-race guard as _publish_or_rebase
+                stale_lists += 1
+                if stale_lists > 5:
+                    raise CommitConflictError(
+                        "version listing inconsistent: the target "
+                        "version exists but the listing does not show "
+                        "it; check _manifests/ for external interference"
+                    )
+                import time as _time
+
+                _time.sleep(0.01 * stale_lists)
                 continue
+            stale_lists = 0
             latest_m = self._load_manifest(latest)
             if _schema_key(latest_m["schema"]) != _schema_key(m["schema"]):
                 raise CommitConflictError(
@@ -1201,7 +1490,12 @@ class VersionedTable:
             return []
         return list(self._load_manifest(v).get("bloom_cols") or [])
 
-    def set_bloom_columns(self, spark: SparkSession, cols: list[str]) -> int:
+    def set_bloom_columns(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        bits_per_key: int = _BLOOM_DEFAULT_BITS_PER_KEY,
+    ) -> int:
         """Declare Bloom-indexed columns (the data-skipping move for
         POINT lookups on high-cardinality unordered keys — uuids,
         content hashes — where min/max boxes span everything). Builds
@@ -1209,7 +1503,18 @@ class VersionedTable:
         per group) and records the declaration; every later commit /
         MERGE / APPLY / UPDATE blooms its new groups automatically.
         MERGE's touch test and ``read(where={col: (v, v)})`` point
-        reads then skip groups that provably lack the key."""
+        reads then skip groups that provably lack the key.
+
+        ``bits_per_key`` sizes the filters: with k=6 hashes,
+        fpp ≈ (1 - e^(-6/bits_per_key))^6 — 10 bits/key ≈ 0.84%,
+        16 ≈ 0.094%, 20 ≈ 0.030% (see the sizing note at the top of
+        this module and tools/ab_bloom.py --sweep-bits). The value is
+        recorded in the manifest and inherited by every later commit's
+        automatic bloom builds. Re-declaring with a different value
+        rebuilds EXISTING groups' filters only where a column has no
+        filter yet; already-built sidecars keep their size (immutable
+        groups), so resize takes effect on new/rewritten groups —
+        run optimize() to rebuild everything at the new size."""
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
@@ -1224,7 +1529,12 @@ class VersionedTable:
             gdf = spark.read.parquet(os.path.join(self.path, g))
             rows = int(st.get("_rows") or gdf.count())
             blooms = dict(st.get("_bloom") or {})
-            blooms.update(_bloom_build(gdf, need, rows, self.path, g))
+            blooms.update(
+                _bloom_build(
+                    gdf, need, rows, self.path, g,
+                    bits_per_key=bits_per_key,
+                )
+            )
             if blooms:
                 st["_bloom"] = blooms
         return self._publish(
@@ -1237,6 +1547,7 @@ class VersionedTable:
                 "delete_entries": list(m.get("delete_entries") or []),
                 "stats": stats,
                 "bloom_cols": list(cols),
+                "bloom_bits": int(bits_per_key),
             },
         )
 
@@ -1319,6 +1630,7 @@ class VersionedTable:
         condition,
         assignments: dict,
         prune_where: dict | None = None,
+        expected_parent: int | str = "any",
     ) -> int:
         """Row-level UPDATE (Delta's UPDATE table SET ... WHERE ...):
         rows where ``condition`` is TRUE get each ``assignments`` column
@@ -1335,38 +1647,70 @@ class VersionedTable:
         extraction for arbitrary expressions is Delta's file-skipping
         planner; out of scope here, so pruning is explicit and
         honest). Completes the DML matrix: MERGE / DELETE /
-        apply_changes / UPDATE."""
-        base = self.latest_version()
+        apply_changes / UPDATE. ``expected_parent`` pins the snapshot
+        the update was computed against (like merge_into's)."""
+        base = (
+            self.latest_version() if expected_parent == "any"
+            else expected_parent
+        )
         if base is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
-        m = self._load_manifest(base)
+        cond = F.coalesce(condition, F.lit(False))
+
+        def transform(cur: DataFrame) -> DataFrame:
+            updated = cur
+            for col, expr in assignments.items():
+                updated = updated.withColumn(
+                    col, F.when(cond, expr).otherwise(F.col(col))
+                )
+            return updated
+
+        return self._rewrite_pruned(
+            spark, base, self._load_manifest(base), transform, "update",
+            prune_where,
+        )
+
+    def _rewrite_pruned(
+        self,
+        spark: SparkSession,
+        base: int,
+        m: dict,
+        transform,
+        mode: str,
+        prune_where: dict | None,
+    ) -> int:
+        """Shared pruned copy-on-write rewrite behind UPDATE and DELETE:
+        groups whose stats box is disjoint from ``prune_where`` carry
+        into the new snapshot by reference; the touched groups are read,
+        ``transform``ed, and rewritten as ONE new group. A PRUNED
+        rewrite rebases like MERGE — prune_where IS the box the caller
+        asserts the condition lives in, so a concurrent commit whose
+        added groups sit outside it is provably disjoint. An unpruned
+        rewrite (prune_where=None) touches everything and any
+        concurrent commit truly conflicts; the validation reaches the
+        same verdict."""
         groups = list(m["groups"])
+        stats = m.get("stats") or {}
         if prune_where:
-            stats = m.get("stats") or {}
             touched = [
                 g for g in groups
                 if _group_may_match(stats.get(g), prune_where)
             ]
         else:
             touched = groups
+        if prune_where and not touched:
+            return base  # nothing can match: metadata-only no-op
         untouched = [g for g in groups if g not in set(touched)]
-        cur = self._read_groups(spark, m, touched)
-        cond = F.coalesce(condition, F.lit(False))
-        updated = cur
-        for col, expr in assignments.items():
-            updated = updated.withColumn(
-                col, F.when(cond, expr).otherwise(F.col(col))
-            )
+        out_df = transform(self._read_groups(spark, m, touched))
         group = os.path.join("data", uuid.uuid4().hex)
         group_stats = _write_group_with_stats(
-            updated, os.path.join(self.path, group),
+            out_df, os.path.join(self.path, group),
             checks=m.get("constraints") or {},
             bloom_cols=m.get("bloom_cols"),
+            bloom_bits=m.get("bloom_bits"),
         )
         stats_out = {
-            g: s
-            for g, s in (m.get("stats") or {}).items()
-            if g in set(untouched)
+            g: s for g, s in stats.items() if g in set(untouched)
         }
         if group_stats is not None:
             stats_out[group] = group_stats
@@ -1375,12 +1719,6 @@ class VersionedTable:
             applies = [g for g in e["applies_to"] if g in set(untouched)]
             if applies:
                 entries.append({**e, "applies_to": applies})
-        # a PRUNED update rebases like MERGE: prune_where IS the box
-        # the caller asserts the condition lives in, so a concurrent
-        # commit whose added groups sit outside it is provably
-        # disjoint. Unpruned updates rewrite everything — any
-        # concurrent commit truly conflicts, and the validation below
-        # reaches the same verdict.
         types = {
             f.name: f.dataType for f in _schema_from_json(m["schema"]).fields
         }
@@ -1397,7 +1735,7 @@ class VersionedTable:
             {
                 "schema": m["schema"],
                 "groups": untouched + [group],
-                "mode": "update",
+                "mode": mode,
                 "added": [group],
                 "delete_entries": entries,
                 "stats": stats_out,
@@ -1431,6 +1769,22 @@ class VersionedTable:
         expired, keep = vs[:-keep_versions], vs[-keep_versions:]
         for v in expired:
             os.unlink(_manifest_path(self.path, v))
+        if expired:
+            # trim expired rows out of the history checkpoint (readers
+            # filter too — this just stops the file growing forever)
+            ck = self._read_checkpoint()
+            retained = set(keep)
+            kept_rows = [
+                r for r in ck["rows"] if int(r["version"]) in retained
+            ]
+            if len(kept_rows) != len(ck["rows"]):
+                try:
+                    tmp = _ckpt_path(self.path) + f".tmp-{uuid.uuid4().hex}"
+                    with open(tmp, "w") as f:
+                        json.dump({"upto": ck["upto"], "rows": kept_rows}, f)
+                    os.replace(tmp, _ckpt_path(self.path))
+                except OSError:
+                    pass
         live: set[str] = set()
         for v in keep:
             mk = self._load_manifest(v)
@@ -1579,6 +1933,7 @@ def merge_into(
         merged, os.path.join(table.path, group),
         checks=m.get("constraints") or {},
         bloom_cols=m.get("bloom_cols"),
+        bloom_bits=m.get("bloom_bits"),
     )
     stats = {
         g: s
@@ -1672,9 +2027,19 @@ def _split_touched_groups(
                     break
                 mn, mx = cs.get("min"), cs.get("max")
                 if mn is None or mx is None:
-                    # no non-null key values in this group: nothing to
-                    # match — provably untouched
-                    prunable_empty = True
+                    # provably untouched only when ALL rows are NULL in
+                    # this key column; legacy non-finite-float stats
+                    # (None min/max, non-null rows) must rewrite
+                    # conservatively instead
+                    nulls, rows = cs.get("nulls"), st.get("_rows")
+                    if (
+                        nulls is not None
+                        and rows is not None
+                        and int(nulls) == int(rows)
+                    ):
+                        prunable_empty = True
+                    else:
+                        conds = None
                     break
                 conds.append(
                     F.col(k).between(
@@ -1742,25 +2107,31 @@ def _bloom_prune_point(
     types: dict,
     table_path: str,
 ) -> list[str]:
-    """Drop groups whose Bloom filter proves a point-lookup value
-    absent. ONE tiny driver job computes the k hash positions per
-    (column, distinct m) — the literal is CAST to the column's
-    declared type first, because xxhash64 is type-sensitive and the
-    stored blooms hashed the column in its own type — then each
-    group's sparse word map is bit-tested in Python. Groups without a
-    bloom for a referenced column pass through (conservative)."""
+    """Drop groups whose Bloom filters prove every probed value
+    absent. ``eq`` maps column -> LIST of candidate values (one value
+    for a point lookup, several for an IN-set probe); a group survives
+    a column's test if ANY value is maybe-present (the IN predicate is
+    a disjunction), and survives overall only if EVERY bloom'd column's
+    test passes (the WHERE is a conjunction). ONE tiny driver job
+    computes the k hash positions per (column, value, distinct m) —
+    each literal is CAST to the column's declared type first, because
+    xxhash64 is type-sensitive and the stored blooms hashed the column
+    in its own type — then each group's word array is bit-tested in
+    Python. Groups without a bloom for a referenced column pass
+    through (conservative)."""
     need = set()
     for g in groups:
         bl = stats.get(g, {}).get("_bloom") or {}
         for c in eq:
             if c in bl:
-                need.add((c, int(bl[c]["m"])))
+                for vi in range(len(eq[c])):
+                    need.add((c, vi, int(bl[c]["m"])))
     if not need:
         return groups
     need = sorted(need)
     exprs = []
-    for j, (c, mval) in enumerate(need):
-        lit = F.lit(eq[c])
+    for j, (c, vi, mval) in enumerate(need):
+        lit = F.lit(eq[c][vi])
         if c in types:
             lit = lit.cast(types[c])
         exprs.append(
@@ -1781,11 +2152,19 @@ def _bloom_prune_point(
             if c not in bl:
                 continue
             arr = _bloom_words(table_path, bl[c])
-            for p in pos[(c, int(bl[c]["m"]))]:
-                if not (int(arr[p // 64]) >> (p % 64)) & 1:
-                    keep = False
+            mval = int(bl[c]["m"])
+            any_value = False
+            for vi in range(len(eq[c])):
+                present = True
+                for p in pos[(c, vi, mval)]:
+                    if not (int(arr[p // 64]) >> (p % 64)) & 1:
+                        present = False
+                        break
+                if present:
+                    any_value = True
                     break
-            if not keep:
+            if not any_value:
+                keep = False
                 break
         if keep:
             out.append(g)
@@ -2033,6 +2412,7 @@ def apply_changes(
         rewritten, os.path.join(table.path, group),
         checks=m.get("constraints") or {},
         bloom_cols=m.get("bloom_cols"),
+        bloom_bits=m.get("bloom_bits"),
     )
     stats = {
         g: s

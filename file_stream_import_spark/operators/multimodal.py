@@ -877,6 +877,13 @@ def jpeg_decode(container: bytes) -> tuple[int, int, bytes]:
     while pos < len(container):
         if container[pos] != 0xFF:
             raise ValueError("expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker id; conformant encoders use them for alignment, so
+        # skip them instead of misreading 0xFFFF as a marker
+        while pos + 1 < len(container) and container[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(container):
+            raise ValueError("truncated JPEG (fill bytes run to EOF)")
         marker = 0xFF00 | container[pos + 1]
         pos += 2
         if marker == 0xFFD9:  # EOI
@@ -950,6 +957,29 @@ def jpeg_decode(container: bytes) -> tuple[int, int, bytes]:
     c = [1 / math.sqrt(2)] + [1.0] * 7
     px = bytearray(w * h)
     br = _BitReader(container, pos)
+    try:
+        _decode_scan(
+            container, br, read_dc, read_ac, q, restart,
+            bw, bh, w, h, cosx, c, px,
+        )
+    except _MarkerHit as mh:
+        # a truncated/corrupt entropy stream whose Huffman walk runs
+        # into a marker must surface as the documented ValueError, not
+        # the internal signal exception
+        raise ValueError(
+            "entropy stream truncated / hit marker "
+            f"0x{mh.marker:04X} at byte {mh.at}"
+        ) from None
+    except IndexError:
+        raise ValueError("entropy stream truncated (ran past EOF)") from None
+    return w, h, bytes(px)
+
+
+def _decode_scan(
+    container, br, read_dc, read_ac, q, restart, bw, bh, w, h, cosx, c, px
+):
+    """Baseline-sequential scan decode (the MCU loop of jpeg_decode,
+    split out so the caller can normalize internal signal exceptions)."""
     pred = 0
     mcu = 0
     for by in range(bh):
@@ -1014,7 +1044,6 @@ def jpeg_decode(container: bytes) -> tuple[int, int, bytes]:
                         px[(by * 8 + y) * w + bx * 8 + x] = min(
                             255, max(0, int(val + 0.5))
                         )
-    return w, h, bytes(px)
 
 
 def jpeg_roundtrip_features(

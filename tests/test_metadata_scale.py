@@ -1,0 +1,162 @@
+"""Metadata scaling for VersionedTable at real commit volumes (round-8
+verdict item 1): with ~1k committed versions,
+
+* latest_version() resolves through the `_latest.hint` file in O(1)
+  file operations — no directory listing, no manifest walk;
+* version_as_of() binary-searches committed_at (monotone by
+  construction) and loads O(log n) manifests;
+* history() serves from the `_history.ckpt.json` checkpoint and loads
+  only the manifests newer than it;
+* vacuum() trims expired rows out of the checkpoint, and a hint
+  pointing at a vacuumed manifest falls back to the listing.
+
+These tests drive the metadata layer directly through _publish (no
+Spark jobs — the data path is covered by test_versioned.py), so a
+thousand commits stay sub-second.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql.types import LongType, StructField, StructType
+
+from file_stream_import_spark.io import versioned as V
+from file_stream_import_spark.io.versioned import VersionedTable
+
+N = 1000  # last version number (N + 1 manifests, v0..vN)
+SCHEMA = StructType([StructField("k", LongType())]).json()
+
+
+@pytest.fixture()
+def table(tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    parent = None
+    for _ in range(N + 1):
+        parent = t._publish(
+            parent,
+            {
+                "schema": SCHEMA,
+                "groups": [],
+                "mode": "append",
+                "added": [],
+                "delete_entries": [],
+                "stats": {},
+            },
+        )
+    assert parent == N
+    return t
+
+
+class TestLatestVersionHint:
+    def test_o1_resolution_without_listing(self, table, monkeypatch):
+        calls = {"listdir": 0, "exists": 0}
+        real_listdir, real_exists = os.listdir, os.path.exists
+
+        def counting_listdir(p):
+            calls["listdir"] += 1
+            return real_listdir(p)
+
+        def counting_exists(p):
+            calls["exists"] += 1
+            return real_exists(p)
+
+        monkeypatch.setattr(os, "listdir", counting_listdir)
+        monkeypatch.setattr(os.path, "exists", counting_exists)
+        assert table.latest_version() == N
+        assert calls["listdir"] == 0  # never lists the manifest dir
+        assert calls["exists"] <= 3  # hint probe + one forward miss
+
+    def test_stale_hint_probes_forward(self, table):
+        with open(V._hint_path(table.path), "w") as f:
+            f.write(str(N - 7))  # lagging hint (slow concurrent writer)
+        assert table.latest_version() == N
+
+    def test_missing_or_corrupt_hint_falls_back(self, table):
+        os.unlink(V._hint_path(table.path))
+        assert table.latest_version() == N
+        with open(V._hint_path(table.path), "w") as f:
+            f.write("not a number")
+        assert table.latest_version() == N
+
+
+class TestVersionAsOfBinarySearch:
+    def test_logarithmic_manifest_loads(self, table, monkeypatch):
+        ts_mid = table._load_manifest(500)["committed_at"]
+        ts_last = table._load_manifest(N)["committed_at"]
+        loads = {"n": 0}
+        real = VersionedTable._load_manifest
+
+        def counting(self, v):
+            loads["n"] += 1
+            return real(self, v)
+
+        monkeypatch.setattr(VersionedTable, "_load_manifest", counting)
+        got = table.version_as_of(ts_mid)
+        assert loads["n"] <= 12  # ~log2(1001) + slack, not 1001
+        assert got >= 500
+        assert table.version_as_of(ts_last) == N
+
+    def test_result_matches_linear_scan_semantics(self, table):
+        ts = table._load_manifest(500)["committed_at"]
+        got = table.version_as_of(ts)
+        assert table._load_manifest(got)["committed_at"] <= ts
+        if got < N:
+            assert table._load_manifest(got + 1)["committed_at"] > ts
+
+    def test_before_first_commit_raises(self, table):
+        first = table._load_manifest(0)["committed_at"]
+        with pytest.raises(FileNotFoundError):
+            table.version_as_of(first - 1.0)
+
+
+class TestHistoryCheckpoint:
+    def test_checkpoint_covers_multiples_of_interval(self, table):
+        ck = table._read_checkpoint()
+        assert ck["upto"] == (N // V._CKPT_EVERY) * V._CKPT_EVERY
+        assert len(ck["rows"]) == ck["upto"] + 1
+
+    def test_history_loads_only_past_checkpoint(self, table, monkeypatch):
+        loads = {"n": 0}
+        real = VersionedTable._load_manifest
+
+        def counting(self, v):
+            loads["n"] += 1
+            return real(self, v)
+
+        monkeypatch.setattr(VersionedTable, "_load_manifest", counting)
+        rows = table.history()
+        ck_upto = (N // V._CKPT_EVERY) * V._CKPT_EVERY
+        assert loads["n"] == N - ck_upto
+        assert len(rows) == N + 1
+        assert rows[0]["version"] == 0 and rows[-1]["version"] == N
+        assert rows[500]["parent"] == 499
+
+    def test_history_correct_without_checkpoint(self, table):
+        os.unlink(V._ckpt_path(table.path))
+        rows = table.history()
+        assert len(rows) == N + 1
+        assert [r["version"] for r in rows] == list(range(N + 1))
+
+
+class TestVacuumWindowing:
+    def test_vacuum_trims_checkpoint_and_keeps_hint_valid(self, table):
+        table.vacuum(keep_versions=10, min_age_seconds=0)
+        assert table.versions() == list(range(N - 9, N + 1))
+        ck = table._read_checkpoint()
+        assert all(int(r["version"]) > N - 10 for r in ck["rows"])
+        assert table.latest_version() == N
+        assert len(table.history()) == 10
+
+    def test_hint_at_vacuumed_version_falls_back(self, table):
+        table.vacuum(keep_versions=5, min_age_seconds=0)
+        with open(V._hint_path(table.path), "w") as f:
+            f.write("3")  # points at an expired manifest
+        assert table.latest_version() == N
+
+    def test_checkpoint_file_is_json(self, table):
+        with open(V._ckpt_path(table.path)) as f:
+            ck = json.load(f)
+        assert set(ck) == {"upto", "rows"}

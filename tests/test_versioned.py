@@ -2499,3 +2499,228 @@ class TestCheckConstraints:
             VersionedTableReader(
                 {"path": t.path, "version": "0", "timestampasof": str(ts0)}
             )
+
+
+class TestPrunedCopyOnWriteDelete:
+    """Round-8: delete_where(prune_where=...) — O(delta) copy-on-write
+    DELETE with the same box-disjointness rebase rule as UPDATE/MERGE:
+    concurrent pruned deletes on disjoint ranges both land; overlap
+    (or an unpruned full rewrite) still conflicts."""
+
+    def _kv(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def _two_group_table(self, spark, tmp_path, name="t"):
+        t = VersionedTable(str(tmp_path / name))
+        t.commit(self._kv(spark, [(i, f"a{i}") for i in range(10)]))
+        t.commit(self._kv(spark, [(100 + i, f"b{i}") for i in range(10)]))
+        return t
+
+    def test_untouched_groups_carry_by_reference(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = self._two_group_table(spark, tmp_path)
+        base = t.latest_version()
+        groups_before = t._load_manifest(base)["groups"]
+        v = t.delete_where(
+            spark, F.col("k") <= 5, prune_where={"k": (0, 5)}
+        )
+        m = t._load_manifest(v)
+        # the 100s group was outside the box: same path, not rewritten
+        assert groups_before[1] in m["groups"]
+        assert groups_before[0] not in m["groups"]
+        got = sorted(r.k for r in t.read(spark, v).collect())
+        assert got == [6, 7, 8, 9] + list(range(100, 110))
+
+    def test_disjoint_pruned_deletes_both_land(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = self._two_group_table(spark, tmp_path)
+        base = t.latest_version()  # both writers pin the same snapshot
+        v_a = t.delete_where(
+            spark, F.col("k") <= 5, prune_where={"k": (0, 5)},
+            expected_parent=base,
+        )
+        assert v_a == base + 1
+        v_b = t.delete_where(
+            spark, F.col("k").between(100, 105),
+            prune_where={"k": (100, 105)}, expected_parent=base,
+        )
+        assert v_b == base + 2
+        assert t._load_manifest(v_b).get("rebased_from") == base
+        got = sorted(r.k for r in t.read(spark).collect())
+        assert got == [6, 7, 8, 9, 106, 107, 108, 109]
+
+    def test_threaded_disjoint_deletes_both_land(self, spark, tmp_path):
+        import threading
+
+        from pyspark.sql import functions as F
+
+        t = self._two_group_table(spark, tmp_path, name="tt")
+        base = t.latest_version()
+        errs = []
+
+        def run(lo, hi):
+            try:
+                t.delete_where(
+                    spark, F.col("k").between(lo, hi),
+                    prune_where={"k": (lo, hi)}, expected_parent=base,
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        th_a = threading.Thread(target=run, args=(0, 5))
+        th_b = threading.Thread(target=run, args=(100, 105))
+        th_a.start(); th_b.start(); th_a.join(); th_b.join()
+        assert errs == []
+        got = sorted(r.k for r in t.read(spark).collect())
+        assert got == [6, 7, 8, 9, 106, 107, 108, 109]
+
+    def test_overlapping_pruned_deletes_conflict(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = self._two_group_table(spark, tmp_path)
+        base = t.latest_version()
+        t.delete_where(
+            spark, F.col("k") <= 5, prune_where={"k": (0, 5)},
+            expected_parent=base,
+        )
+        with pytest.raises(CommitConflictError):
+            t.delete_where(
+                spark, F.col("k").between(3, 8),
+                prune_where={"k": (3, 8)}, expected_parent=base,
+            )
+
+    def test_unpruned_delete_still_conflicts(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = self._two_group_table(spark, tmp_path)
+        base = t.latest_version()
+        t.commit(self._kv(spark, [(200, "c")]))  # concurrent append
+        with pytest.raises(CommitConflictError):
+            t.delete_where(spark, F.col("k") <= 5, expected_parent=base)
+
+    def test_prune_touching_nothing_is_a_noop(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = self._two_group_table(spark, tmp_path)
+        base = t.latest_version()
+        v = t.delete_where(
+            spark, F.col("k") == 55, prune_where={"k": (55, 55)}
+        )
+        assert v == base  # no snapshot published
+        assert t.read(spark).count() == 20
+
+    def test_merge_on_read_rejects_prune_where(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = self._two_group_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="copy-on-write"):
+            t.delete_where(
+                spark, F.col("k") <= 5, strategy="merge-on-read",
+                key_cols=["k"], prune_where={"k": (0, 5)},
+            )
+
+    def test_null_condition_keeps_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "tn"))
+        t.commit(
+            spark.createDataFrame(
+                [(1, "a"), (2, None), (3, "c")], "k long, v string"
+            )
+        )
+        t.delete_where(
+            spark, F.col("v") == "a", prune_where={"k": (0, 10)}
+        )
+        got = sorted(r.k for r in t.read(spark).collect())
+        assert got == [2, 3]  # NULL-evaluating condition keeps the row
+
+
+class TestBloomBitsPerKey:
+    """Round-8: the set_bloom_columns(bits_per_key=...) fpp knob —
+    recorded in the manifest, inherited by later commits' automatic
+    bloom builds, and actually moving the false-positive rate."""
+
+    def _hash_table(self, spark, tmp_path, name):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / name))
+        df = spark.range(0, 100).select(
+            F.md5(F.col("id").cast("string")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        t.commit(df)
+        return t
+
+    def test_bits_recorded_and_inherited(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io import versioned as V
+
+        t = self._hash_table(spark, tmp_path, "t16")
+        v = t.set_bloom_columns(spark, ["k"], bits_per_key=16)
+        assert t._load_manifest(v)["bloom_bits"] == 16
+        # a later commit inherits the declaration AND the sizing
+        df2 = spark.range(100, 200).select(
+            F.md5(F.col("id").cast("string")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        v2 = t.commit(df2)
+        m2 = t._load_manifest(v2)
+        assert m2["bloom_bits"] == 16
+        new_group = m2["added"][0]
+        meta = m2["stats"][new_group]["_bloom"]["k"]
+        assert meta["m"] == V._bloom_m(100, 16)
+
+    def test_higher_bits_prune_low_bits_false_positive(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Find a probe key that FALSELY passes the low-bits filter,
+        then show the high-bits table prunes that same key. The min-m
+        clamp is lowered so sizing is row-driven at this tiny scale
+        (production groups are large enough that the clamp never
+        binds the knob)."""
+        from file_stream_import_spark.io import versioned as V
+
+        monkeypatch.setattr(V, "_BLOOM_MIN_BITS", 64)
+        t_lo = self._hash_table(spark, tmp_path, "lo")
+        t_hi = self._hash_table(spark, tmp_path, "hi")
+        t_lo.set_bloom_columns(spark, ["k"], bits_per_key=2)
+        t_hi.set_bloom_columns(spark, ["k"], bits_per_key=64)
+
+        def probe(t, value):
+            m = t._load_manifest(t.latest_version())
+            stats = m.get("stats") or {}
+            types = {
+                f.name: f.dataType
+                for f in V._schema_from_json(m["schema"]).fields
+            }
+            return V._bloom_prune_point(
+                spark, stats, list(m["groups"]), {"k": [value]}, types,
+                t.path,
+            )
+
+        # absent keys: md5 of ids far outside the committed range
+        fp = None
+        for i in range(500):
+            import hashlib
+
+            v = hashlib.md5(str(10_000 + i).encode()).hexdigest()
+            if probe(t_lo, v):  # maybe-present though absent: a FP
+                if not probe(t_hi, v):
+                    fp = v
+                    break
+        assert fp is not None, (
+            "no low-bits false positive found in 500 probes — with "
+            "~55% fpp at 2 bits/key this is a ~1e-170 event"
+        )
+        # and the knob changed the sidecar size accordingly
+        m_lo = t_lo._load_manifest(t_lo.latest_version())
+        m_hi = t_hi._load_manifest(t_hi.latest_version())
+        g_lo = m_lo["groups"][0]
+        g_hi = m_hi["groups"][0]
+        assert (
+            m_hi["stats"][g_hi]["_bloom"]["k"]["m"]
+            > m_lo["stats"][g_lo]["_bloom"]["k"]["m"]
+        )

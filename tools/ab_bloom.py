@@ -8,7 +8,12 @@ the update keys rewrite. Build N_GROUPS groups of ROWS_PER_GROUP
 hash-keyed rows, merge N_UPDATES point updates drawn from ONE group,
 and report wall time, groups rewritten, and bytes written.
 
-Run: python tools/ab_bloom.py
+`--sweep-bits` additionally sweeps the r8 bits-per-key knob
+(set_bloom_columns(bits_per_key=...)): lower bits -> smaller sidecars
+but more false positives (unnecessary group rewrites); the standard
+estimate with k=6 hashes is fpp ~ (1 - e^(-6/bits_per_key))^6.
+
+Run: python tools/ab_bloom.py [--sweep-bits]
 """
 from __future__ import annotations
 
@@ -37,7 +42,7 @@ def group_bytes(path: str, groups: list[str]) -> int:
     return total
 
 
-def run(spark: SparkSession, with_bloom: bool) -> dict:
+def run(spark: SparkSession, with_bloom: bool, bits_per_key: int = 10) -> dict:
     from file_stream_import_spark.io.versioned import VersionedTable, merge_into
 
     t = VersionedTable(tempfile.mkdtemp(prefix="ab_bloom_"))
@@ -53,7 +58,7 @@ def run(spark: SparkSession, with_bloom: bool) -> dict:
             t.commit(df, mode="append")
         if with_bloom:
             t0 = time.time()
-            t.set_bloom_columns(spark, ["k"])
+            t.set_bloom_columns(spark, ["k"], bits_per_key=bits_per_key)
             build_s = time.time() - t0
         else:
             build_s = 0.0
@@ -71,8 +76,18 @@ def run(spark: SparkSession, with_bloom: bool) -> dict:
         m = t._load_manifest(t.latest_version())
         rewritten = pre - set(m["groups"])
         added = [g for g in m["groups"] if g not in pre]
+        sidecar = 0
+        for g in m["groups"]:
+            d = os.path.join(t.path, g)
+            sidecar += sum(
+                os.path.getsize(os.path.join(d, n))
+                for n in os.listdir(d)
+                if n.startswith("_bloom_")
+            )
         return {
             "bloom": with_bloom,
+            "bits_per_key": bits_per_key,
+            "sidecar_bytes": sidecar,
             "bloom_build_s": round(build_s, 2),
             "merge_s": round(merge_s, 2),
             "groups_rewritten": len(rewritten),
@@ -93,6 +108,19 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if "--sweep-bits" in sys.argv:
+        print("| bits/key | est. fpp | bloom build | merge wall | groups rewritten | sidecar bytes |")
+        print("|---|---|---|---|---|---|")
+        import math
+        for bits in (5, 10, 16, 20):
+            r = run(spark, with_bloom=True, bits_per_key=bits)
+            est = (1 - math.exp(-6 / bits)) ** 6
+            print(
+                f"| {bits} | {est:.2%} | {r['bloom_build_s']}s |"
+                f" {r['merge_s']}s | {r['groups_rewritten']}/{N_GROUPS} |"
+                f" {r['sidecar_bytes'] / 1e6:.2f} MB |"
+            )
+        return
     a = run(spark, with_bloom=False)
     b = run(spark, with_bloom=True)
     print("| variant | bloom build | merge wall | groups rewritten | bytes written |")
