@@ -965,14 +965,27 @@ class VersionedTable:
         the given epoch seconds. committed_at is monotone in version
         order by construction (_publish clamps child >= parent), so
         this binary-searches the version list and loads O(log n)
-        manifests instead of every one."""
+        manifests instead of every one.
+
+        A probe landing on a manifest with NO committed_at (a legacy or
+        externally authored manifest — self-written ones always record
+        it) breaks the monotonicity assumption the search rests on, so
+        the whole resolution falls back to the pre-r8 linear scan,
+        which skips timestamp-less entries — same answer, just O(n)."""
         vs = self.versions()
         best = None
         lo, hi = 0, len(vs) - 1
         while lo <= hi:
             mid = (lo + hi) // 2
             ts = self._load_manifest(vs[mid]).get("committed_at")
-            if ts is not None and ts <= timestamp:
+            if ts is None:
+                best = None
+                for v in vs:
+                    t = self._load_manifest(v).get("committed_at")
+                    if t is not None and t <= timestamp:
+                        best = v
+                break
+            if ts <= timestamp:
                 best = vs[mid]
                 lo = mid + 1
             else:
@@ -1692,6 +1705,18 @@ class VersionedTable:
         groups = list(m["groups"])
         stats = m.get("stats") or {}
         if prune_where:
+            # validate EVERY bound before any data write: a malformed
+            # entry (scalar, 3-tuple) used to pass the touch computation
+            # and crash only at box serialization — after the new group
+            # was already on disk (an orphan until vacuum)
+            for col, bound in prune_where.items():
+                try:
+                    _where_bounds(bound)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"prune_where[{col!r}] must be a (lo, hi) "
+                        f"2-tuple or a list/set of values; got {bound!r}"
+                    ) from None
             touched = [
                 g for g in groups
                 if _group_may_match(stats.get(g), prune_where)
@@ -1725,7 +1750,11 @@ class VersionedTable:
         box = None
         if prune_where:
             box = {}
-            for col, (lo, hi) in prune_where.items():
+            for col, bound in prune_where.items():
+                # _where_bounds normalizes both forms — a (lo, hi) range
+                # and an IN-set list, whose box is [min, max] (the rebase
+                # disjointness proof only needs the conservative hull)
+                lo, hi = _where_bounds(bound)
                 box[col] = (
                     _json_safe(lo, types.get(col)) if lo is not None else None,
                     _json_safe(hi, types.get(col)) if hi is not None else None,
@@ -1794,6 +1823,22 @@ class VersionedTable:
             )
         removed = []
         cutoff = time.time() - min_age_seconds
+        # sweep orphaned tmp files in _manifests/: _publish, _write_hint,
+        # and _extend_checkpoint all write `<name>.tmp-<uuid>` then
+        # link/replace — a crash in between leaves litter nothing else
+        # reclaims. Age-gated by the same threshold as data orphans (a
+        # fresh tmp may belong to a publish in flight right now).
+        mdir = _manifest_dir(self.path)
+        if os.path.isdir(mdir):
+            for name in os.listdir(mdir):
+                if ".tmp-" not in name:
+                    continue
+                full = os.path.join(mdir, name)
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        os.unlink(full)
+                except OSError:
+                    pass  # already gone / racing writer — advisory
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             for d in sorted(os.listdir(data_root)):
@@ -2144,6 +2189,14 @@ def _bloom_prune_point(
         )
     row = spark.range(1).select(*exprs).first()
     pos = {key: [int(p) for p in row[f"p{j}"]] for j, key in enumerate(need)}
+    if len(groups) > _BLOOM_DRIVER_MAX_GROUPS:
+        # many candidate groups: test each sidecar where it lives
+        # (executor-side scan + Arrow kernel) instead of serializing
+        # O(groups) sidecar reads on the driver — same regime split as
+        # the MERGE touch test's _bloom_touched
+        return _bloom_prune_point_distributed(
+            spark, stats, groups, eq, pos, table_path
+        )
     out = []
     for g in groups:
         bl = stats.get(g, {}).get("_bloom") or {}
@@ -2171,6 +2224,67 @@ def _bloom_prune_point(
     return out
 
 
+def _bloom_prune_point_distributed(
+    spark: SparkSession,
+    stats: dict,
+    groups: list[str],
+    eq: dict,
+    pos: dict,
+    table_path: str,
+) -> list[str]:
+    """Executor-side variant of _bloom_prune_point's bit test for MANY
+    candidate groups: the precomputed (column, value-index, m) → k-bit-
+    positions map ships in the task closure (a few ints per probed
+    value), each sidecar is read and tested where it lives, and only a
+    per-(group, column) pass/fail boolean comes back. Semantics match
+    the driver loop exactly: a group is dropped iff SOME probed column
+    has a bloom there and NO probed value is maybe-present in it."""
+    paths, gi_of = [], {}
+    for gi, g in enumerate(groups):
+        bl = stats.get(g, {}).get("_bloom") or {}
+        gi_of[os.path.basename(g)] = gi
+        for c in eq:
+            if c in bl:
+                paths.append(os.path.join(table_path, bl[c]["file"]))
+    if not paths:
+        return groups
+    par = min(len(paths), spark.sparkContext.defaultParallelism)
+    bf = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(par)
+    nvals = {c: len(vs) for c, vs in eq.items()}
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                gi, c = _sidecar_gi_col(path, gi_of)
+                with open(path, "rb") as f:
+                    arr = np.frombuffer(f.read(), dtype="<u8")
+                m = arr.size * 64
+                any_v = False
+                for vi in range(nvals[c]):
+                    ps = pos.get((c, vi, m))
+                    if ps is None:
+                        # sidecar size disagrees with the manifest's m
+                        # (foreign/corrupt): no positions for it — stay
+                        # conservative, the group scans
+                        any_v = True
+                        break
+                    if all(
+                        (int(arr[p // 64]) >> (p % 64)) & 1 for p in ps
+                    ):
+                        any_v = True
+                        break
+                yield pd.DataFrame({"gi": [gi], "passed": [bool(any_v)]})
+
+    rows = bf.mapInPandas(probe, "gi int, passed boolean").collect()
+    dropped = {int(r["gi"]) for r in rows if not r["passed"]}
+    return [g for gi, g in enumerate(groups) if gi not in dropped]
+
+
 def _rebase_bloom_membership(
     updates: DataFrame,
     keys: list[str],
@@ -2191,6 +2305,155 @@ def _rebase_bloom_membership(
     return _bloom_touched(updates, keys, lstats, groups, table_path)
 
 
+# group-count ceiling for DRIVER-side sidecar reads in the bloom touch
+# test: below it, looping _bloom_words on the driver beats any Spark
+# job; above it, driver I/O serializes (thousands of groups × up to
+# 2 MiB each) and the binaryFile-scan paths below read and bit-test the
+# sidecars on EXECUTORS instead. Module-level so tests can lower it.
+_BLOOM_DRIVER_MAX_GROUPS = 64
+
+# update-row ceiling for collecting the raw key-hash matrix to the
+# driver (k int64 per key column per row — NO key values); larger
+# deltas take the fully distributed hash-join path. Module-level so
+# tests can lower it.
+_BLOOM_DRIVER_MAX_ROWS = 200_000
+
+
+def _bloom_sidecar_scan(
+    spark: SparkSession,
+    stats: dict,
+    groups: list[str],
+    keys: list[str],
+    table_path: str,
+):
+    """Distributed scan over the (group × key-column) bloom sidecars:
+    a DataFrame of sidecar PATHS spread across executors (one task
+    opens and decodes each file where it runs), plus the
+    {group-dir-name: group-index} map the kernels use to label
+    results. The driver never opens a sidecar. A ``binaryFile`` read
+    would be the idiomatic route, but Hadoop's hidden-file filter
+    silently drops ``_``-prefixed paths — and the sidecars are named
+    ``_bloom_<col>.bin`` precisely so the parquet reader ignores them
+    — so the kernels open the files directly; the table already
+    requires a shared POSIX-semantics filesystem (the manifest
+    protocol's atomic os.link), so every executor can. The column
+    name and m are recovered from the file itself (name suffix;
+    m = filesize × 8), so no manifest metadata ships with the scan."""
+    paths, gi_of = [], {}
+    for gi, g in enumerate(groups):
+        bl = stats[g]["_bloom"]
+        gi_of[os.path.basename(g)] = gi
+        for k in keys:
+            paths.append((os.path.join(table_path, bl[k]["file"]),))
+    par = min(len(paths), spark.sparkContext.defaultParallelism)
+    bf = spark.createDataFrame(paths, "path string").repartition(par)
+    return bf, gi_of
+
+
+def _sidecar_gi_col(path: str, gi_of: dict) -> tuple:
+    """(group index, column name) from a sidecar path
+    ``.../data/<uuid>/_bloom_<col>.bin`` (URI or plain)."""
+    parts = path.rstrip("/").split("/")
+    return gi_of[parts[-2]], parts[-1][len("_bloom_"):-len(".bin")]
+
+
+def _bloom_words_df(
+    spark: SparkSession,
+    stats: dict,
+    groups: list[str],
+    keys: list[str],
+    table_path: str,
+) -> DataFrame:
+    """(gi, c, widx, word) over the NONZERO sidecar words — the sparse
+    bloom-word table for the distributed hash-join path, produced by
+    the executor-side sidecar scan + Arrow kernel instead of a driver
+    read loop."""
+    bf, gi_of = _bloom_sidecar_scan(spark, stats, groups, keys, table_path)
+
+    def extract(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                gi, c = _sidecar_gi_col(path, gi_of)
+                with open(path, "rb") as f:
+                    arr = np.frombuffer(f.read(), dtype="<u8")
+                nz = np.nonzero(arr)[0]
+                if not len(nz):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "gi": np.full(len(nz), gi, dtype="int32"),
+                        "c": c,
+                        "widx": nz.astype("int64"),
+                        "word": arr[nz].view(np.int64),
+                    }
+                )
+
+    return bf.mapInPandas(extract, "gi int, c string, widx long, word long")
+
+
+def _bloom_touched_distributed_probe(
+    spark: SparkSession,
+    H,
+    keys: list[str],
+    stats: dict,
+    groups: list[str],
+    table_path: str,
+) -> set:
+    """Bounded delta × MANY groups: broadcast the update-key hash
+    matrix (rows × keys × k int64 — no key values, bounded by
+    _BLOOM_DRIVER_MAX_ROWS) and bit-test each sidecar where it lives —
+    one executor kernel per sidecar file via the distributed path scan
+    + mapInPandas, emitting a packed per-row maybe-bitmap per
+    (group, column). The
+    driver only ANDs the tiny bitmaps across key columns (rows/8 bytes
+    per sidecar), never touches sidecar bytes — the touch test stays
+    O(delta) driver work at any group count."""
+    import numpy as np
+
+    bf, gi_of = _bloom_sidecar_scan(spark, stats, groups, keys, table_path)
+    ci_of = {k: ci for ci, k in enumerate(keys)}
+    bH = spark.sparkContext.broadcast(H)
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        Hv = bH.value
+        for pdf in batches:
+            for path in pdf["path"]:
+                gi, c = _sidecar_gi_col(path, gi_of)
+                with open(path, "rb") as f:
+                    arr = np.frombuffer(f.read(), dtype="<u8")
+                m = np.uint64(arr.size * 64)
+                pos = Hv[:, ci_of[c], :] % m
+                bits = (
+                    arr[pos >> np.uint64(6)] >> (pos & np.uint64(63))
+                ) & np.uint64(1)
+                maybe = bits.all(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "gi": [gi],
+                        "bitmap": [np.packbits(maybe).tobytes()],
+                    }
+                )
+
+    rows = bf.mapInPandas(probe, "gi int, bitmap binary").collect()
+    n = H.shape[0]
+    per_group: dict[int, object] = {}
+    for r in rows:
+        bm = np.unpackbits(
+            np.frombuffer(r["bitmap"], dtype=np.uint8), count=n
+        ).astype(bool)
+        gi = int(r["gi"])
+        per_group[gi] = bm if gi not in per_group else per_group[gi] & bm
+    return {
+        groups[gi] for gi, bm in per_group.items() if bm.any()
+    }
+
+
 def _bloom_touched(
     updates: DataFrame,
     keys: list[str],
@@ -2199,21 +2462,26 @@ def _bloom_touched(
     table_path: str,
 ) -> set:
     """The groups (subset of ``groups``) where some update row is
-    maybe-present in EVERY key column's Bloom filter — one distributed
-    pass, no collect of keys: update-key hashes join the (broadcast)
-    sparse bloom-word table, a row needs all k seeds set per column
-    and all key columns present. Group blooms may differ in m (sized
-    by row count at write time), so the raw 64-bit hash is computed
-    once per (row, col, seed) and reduced mod each group's own m."""
+    maybe-present in EVERY key column's Bloom filter. Three regimes:
+
+    * bounded delta × few groups — collect the raw 64-bit key hashes
+      (k per column per row, NO key values) and bit-test each sidecar
+      driver-side with numpy: zero extra Spark jobs;
+    * bounded delta × many groups — same collected hash matrix, but
+      BROADCAST it and test each sidecar where it lives (executor-side
+      scan + Arrow kernel): the driver never reads a sidecar, so the
+      touch test no longer serializes on O(groups) driver I/O;
+    * oversized delta — fully distributed hash-join: update-key hashes
+      join the sparse bloom-word table (itself produced by the
+      executor-side scan). Group blooms may differ in m (sized by row
+      count at write time), so the raw hash is computed once per
+      (row, col, seed) and reduced mod each group's own m."""
     import numpy as np
 
     spark = updates.sparkSession
-    # FAST PATH: for bounded deltas (the normal CDC batch), collect the
-    # raw 64-bit hashes — k per key column per row, NO key values — and
-    # test every group's bitset driver-side with numpy: zero extra
-    # Spark jobs beyond one bounded collect. Falls back to the
-    # distributed hash-join for oversized deltas.
-    _MAX_DRIVER_ROWS = 200_000
+    # k raw hashes per key column per row, NO key values — bounded
+    # collect; oversized deltas fall through to the join path
+    _MAX_DRIVER_ROWS = _BLOOM_DRIVER_MAX_ROWS
     hash_arr = F.array(
         *[
             F.xxhash64(F.col(k), F.lit(i))
@@ -2229,13 +2497,17 @@ def _bloom_touched(
         # (int64 view, not a value cast — numpy deprecates implicit
         # negative→uint64); (h + 2^64) mod m == pmod(h, m) BECAUSE m
         # is a power of two (guaranteed by _bloom_m) — the modulus
-        # must stay a power of two or this fast path and the JVM-side
+        # must stay a power of two or these paths and the JVM-side
         # pmod would disagree
         H = (
             np.array([r["hs"] for r in head], dtype=np.int64)
             .view(np.uint64)
             .reshape(len(head), len(keys), _BLOOM_K)
         )
+        if len(groups) > _BLOOM_DRIVER_MAX_GROUPS:
+            return _bloom_touched_distributed_probe(
+                spark, H, keys, stats, groups, table_path
+            )
         out = set()
         for g in groups:
             bl = stats[g]["_bloom"]
@@ -2254,25 +2526,12 @@ def _bloom_touched(
             if maybe.any():
                 out.add(g)
         return out
-    word_rows, meta_rows = [], []
-    for gi, g in enumerate(groups):
-        bl = stats[g]["_bloom"]
-        for k in keys:
-            meta_rows.append((gi, k, int(bl[k]["m"])))
-            arr = _bloom_words(table_path, bl[k])
-            # only the NONZERO words join (numpy sparse extraction —
-            # a well-filled 1 MiB bloom is mostly nonzero, an underfull
-            # one mostly zero; either way bounded by m/64 per column)
-            for widx in np.nonzero(arr)[0]:
-                word_rows.append(
-                    (gi, k, int(widx),
-                     int(np.int64(arr[widx])))  # two's-complement long
-                )
-    if not word_rows:
-        return set()  # empty blooms: nothing can match
-    words = spark.createDataFrame(
-        word_rows, "gi int, c string, widx long, word long"
-    )
+    meta_rows = [
+        (gi, k, int(stats[g]["_bloom"][k]["m"]))
+        for gi, g in enumerate(groups)
+        for k in keys
+    ]
+    words = _bloom_words_df(spark, stats, groups, keys, table_path)
     metas = spark.createDataFrame(meta_rows, "gi int, c string, m long")
     hs = updates.select(
         F.struct(*[F.col(k) for k in keys]).alias("kid"),
@@ -2310,7 +2569,10 @@ def _bloom_touched(
             ).alias("bit"),
         )
     )
-    hits = pos.join(F.broadcast(words), ["gi", "c", "widx"]).filter(
+    # no broadcast hint on words: it is now produced by a distributed
+    # sidecar scan (groups × m/64 nonzero words can exceed driver
+    # memory at thousands of groups); AQE picks broadcast when small
+    hits = pos.join(words, ["gi", "c", "widx"]).filter(
         F.col("word").bitwiseAND(F.col("bit")) != 0
     )
     per_col = (

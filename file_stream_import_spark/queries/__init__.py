@@ -71,6 +71,7 @@ def load_all() -> None:
         round5,
         round6,
         round7,
+        round9,
     )
 
 

@@ -1,0 +1,249 @@
+"""Round-9 queries: the versioned table's newest surfaces under the
+driver's value-hash gate.
+
+* lake_pruned_delete — the r8 pruned copy-on-write DELETE as a driver
+  query (VERDICT r8 item 2's missing piece): the O(delta) property is
+  itself value-checked, because the number of groups carried BY
+  REFERENCE into the post-delete snapshot is emitted as a column the
+  oracle pins to its exact expected value (manifest min/max stats are
+  exact, so box pruning has no false positives — the count is
+  deterministic).
+* lake_in_set_read — the r8 IN-set read surface (where={col: [v1,
+  v2, ...]}) with per-value Bloom refinement on a hash key.
+* lake_many_groups_bloom_merge — MERGE through the r9 EXECUTOR-SIDE
+  bloom touch test (_bloom_touched_distributed_probe): the
+  many-groups regime is forced via its module knob so the driver
+  exercises the distributed kernel, not the driver numpy loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.tables import load_table
+from . import register
+
+
+@register(
+    "lake_pruned_delete",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 4000
+    ),
+    final AS (
+      SELECT * FROM base
+      WHERE NOT (k BETWEEN 1200 AND 1800 AND status = 'F')
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(3 AS INT) AS n_groups_carried
+    FROM final GROUP BY status
+    """,
+)
+def lake_pruned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned copy-on-write DELETE (io/versioned.py::delete_where with
+    prune_where): four commits hold disjoint contiguous key ranges, so
+    each group's manifest min/max box is tight; the delete's condition
+    lives entirely inside (1200, 1800), so exactly ONE group rewrites
+    and the other THREE carry into the new snapshot by reference — an
+    O(delta) delete, not an O(table) rewrite. That carried-group count
+    is computed from the two manifests and emitted as a column the
+    oracle pins to 3: if pruning ever regresses to rewriting
+    everything (or skips a group it must touch), the driver's hash
+    breaks — the scale property is value-checked, not just asserted in
+    tests. Cites reference internal/db/db.go:105-137 (the reference's
+    DELETE is a full-table TRUNCATE+reload; the lake form is the
+    incremental analog)."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 4000
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_pruned_del_"))
+    try:
+        for i, (lo, hi) in enumerate(
+            # orders keys start at 0 in this corpus — the first range
+            # must include it or the table under-covers the oracle base
+            [(0, 1000), (1001, 2000), (2001, 3000), (3001, 4000)]
+        ):
+            t.commit(
+                o.filter(F.col("k").between(lo, hi)),
+                mode="append" if i else "overwrite",
+            )
+        base = t.latest_version()
+        groups_before = set(t._load_manifest(base)["groups"])
+        v = t.delete_where(
+            spark,
+            F.col("k").between(1200, 1800) & (F.col("status") == "F"),
+            prune_where={"k": (1200, 1800)},
+        )
+        carried = len(set(t._load_manifest(v)["groups"]) & groups_before)
+        out = (
+            t.read(spark, version=v)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn("n_groups_carried", F.lit(carried).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_in_set_read",
+    oracle="""
+    SELECT md5(CAST(o_orderkey AS VARCHAR)) AS uid,
+           CAST(o_orderkey AS BIGINT) AS k,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey <= 3000
+      AND o_orderkey IN (7, 32, 2977)
+    """,
+)
+def lake_in_set_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IN-set point-probe read surface (read(where={col: [v1,
+    ...]})): a three-commit table keyed by md5(o_orderkey) — every
+    group's lexical box spans the hex space, so ONLY the per-group
+    Bloom filters (per-value bit tests, r8) can prune — probed with a
+    three-key IN-set. The oracle recomputes the probe relationally;
+    matching hashes prove the bloom path returns exactly the right
+    rows (a false NEGATIVE — the only wrong-answer failure a bloom
+    can have — would drop a row and break the hash)."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 3000
+    ).select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("uid"),
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_inset_"))
+    try:
+        for i in range(3):
+            t.commit(
+                o.filter(F.col("k") % 3 == i),
+                mode="append" if i else "overwrite",
+            )
+        t.set_bloom_columns(spark, ["uid"])
+        import hashlib
+
+        probe = [
+            hashlib.md5(str(k).encode()).hexdigest() for k in (7, 32, 2977)
+        ]
+        out = t.read(spark, where={"uid": probe}).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_many_groups_bloom_merge",
+    oracle="""
+    WITH base AS (
+      SELECT md5(CAST(o_orderkey AS VARCHAR)) AS uid,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 2400
+    ),
+    upd AS (
+      SELECT md5(CAST(o_orderkey AS VARCHAR)) AS uid,
+             CAST(-1 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey IN (11, 1207, 2390)
+      UNION ALL
+      SELECT 'not-a-hash-brand-new-key', CAST(-2 AS BIGINT)
+    ),
+    merged AS (
+      SELECT * FROM base WHERE uid NOT IN (SELECT uid FROM upd)
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated
+    FROM merged
+    """,
+)
+def lake_many_groups_bloom_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE through the round-9 DISTRIBUTED bloom touch test: an
+    8-group hash-keyed table (every box spans the key space — only
+    blooms prune) merged with 3 updates + 1 insert while the
+    many-groups knob (_BLOOM_DRIVER_MAX_GROUPS) is pinned to 0, so the
+    touch test runs _bloom_touched_distributed_probe — sidecars are
+    read and bit-tested in EXECUTOR kernels, never on the driver. The
+    oracle recomputes the merge relationally; the hash check proves
+    the executor kernel's bit math agrees with the JVM-side hashing
+    that built the filters (one wrong bit → a missed update → broken
+    hash). The knob is restored in a finally."""
+    import shutil
+    import tempfile
+
+    from ..io import versioned as V
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2400
+    ).select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("uid"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderkey").alias("k0"),
+    )
+    t = V.VersionedTable(tempfile.mkdtemp(prefix="lake_mgb_"))
+    saved = V._BLOOM_DRIVER_MAX_GROUPS
+    try:
+        for i in range(8):
+            t.commit(
+                o.filter(F.col("k0") % 8 == i).drop("k0"),
+                mode="append" if i else "overwrite",
+            )
+        t.set_bloom_columns(spark, ["uid"])
+        # updates derive FROM the table (like the oracle's) so a key
+        # absent at some scale factor contributes no phantom insert
+        upd = (
+            o.filter(F.col("k0").isin(11, 1207, 2390))
+            .select("uid", F.lit(-1).cast("bigint").alias("cents"))
+            .unionByName(
+                spark.createDataFrame(
+                    [("not-a-hash-brand-new-key", -2)],
+                    "uid string, cents bigint",
+                )
+            )
+        )
+        V._BLOOM_DRIVER_MAX_GROUPS = 0  # force the executor-side probe
+        V.merge_into(t, spark, upd, key="uid")
+        V._BLOOM_DRIVER_MAX_GROUPS = saved
+        out = (
+            t.read(spark)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+                F.sum((F.col("cents") < 0).cast("bigint"))
+                .cast("bigint")
+                .alias("n_updated"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        V._BLOOM_DRIVER_MAX_GROUPS = saved
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
