@@ -137,6 +137,60 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # --- lakehouse hot path: file-pruned MERGE INTO (r9 tripwire) ---
+    # The versioned-table MERGE is the engine's incremental-pipeline
+    # workhorse (io/versioned.py::merge_into); until r9 a slowdown there
+    # was invisible to BENCH_r*.json. Setup (untimed, like the ingest
+    # CSVs): an 8-group range-committed orders table. Timed: one
+    # 5k-row merge touching ~2 of 8 groups — the touch test + pruned
+    # rewrite + stats-observed write, the O(delta) path end to end.
+    # Each pass adds one snapshot (that's what a MERGE is); group count
+    # grows by 1/pass so pass-to-pass timing stays comparable.
+    from pyspark.sql import functions as F
+
+    from file_stream_import_spark.io.versioned import (
+        VersionedTable,
+        merge_into,
+    )
+
+    tmp2 = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        orders = spark.read.parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        kmax = orders.agg(F.max("k")).first()[0]
+        step = (int(kmax) + 8) // 8
+        t = VersionedTable(os.path.join(tmp2, "t"))
+        for i in range(8):
+            t.commit(
+                orders.filter(
+                    F.col("k").between(i * step, (i + 1) * step - 1)
+                ),
+                mode="append" if i else "overwrite",
+            )
+        upd = (
+            orders.filter(
+                F.col("k").between(step, step + 5_000 * 4)
+                & (F.col("k") % 4 == 0)
+            )
+            .withColumn("status", F.lit("MERGED"))
+            .localCheckpoint(eager=True)
+        )
+        bench_one(
+            "lake_merge_upsert",
+            lambda: merge_into(t, spark, upd, key="k"),
+            timings,
+            history,
+        )
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
+
     for name in PANDAS_BACKED:
         if name in qs:
             bench_one(
