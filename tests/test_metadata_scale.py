@@ -160,3 +160,136 @@ class TestVacuumWindowing:
         with open(V._ckpt_path(table.path)) as f:
             ck = json.load(f)
         assert set(ck) == {"upto", "rows"}
+
+
+class TestRealDataMetadataScale:
+    """Round-9 (r8 VERDICT item 4): the hint/checkpoint layer proven
+    against REAL manifests — ~100 commits carrying actual data groups,
+    column stats, and bloom sidecars (the synthetic _publish fixture
+    above has empty groups) — and the data-path operations that ride
+    on them staying O(right thing) at that commit volume."""
+
+    N_COMMITS = 100
+    ROWS = 20
+
+    @pytest.fixture(scope="class")
+    def real_table(self, spark, tmp_path_factory):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(
+            str(tmp_path_factory.mktemp("meta_real") / "t")
+        )
+        mk = lambda lo: spark.range(lo, lo + self.ROWS).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("uid"),
+        )
+        t.commit(mk(0), mode="overwrite")
+        t.set_bloom_columns(spark, ["uid"])
+        for i in range(1, self.N_COMMITS):
+            t.commit(mk(i * self.ROWS), mode="append")
+        return t
+
+    def test_manifests_are_real(self, real_table):
+        m = real_table._load_manifest(real_table.latest_version())
+        # +1: set_bloom_columns publishes a metadata-only snapshot
+        assert real_table.latest_version() == self.N_COMMITS
+        assert len(m["groups"]) == self.N_COMMITS
+        for g in m["groups"]:
+            st = m["stats"][g]
+            assert st["_rows"] == self.ROWS
+            assert st["k"]["min"] is not None
+            assert "uid" in st["_bloom"]
+
+    def test_latest_version_is_o1(self, real_table, monkeypatch):
+        calls = {"listdir": 0}
+        real_listdir = os.listdir
+
+        def counting(p):
+            calls["listdir"] += 1
+            return real_listdir(p)
+
+        monkeypatch.setattr(os, "listdir", counting)
+        assert real_table.latest_version() == self.N_COMMITS
+        assert calls["listdir"] == 0  # hint + forward probe only
+
+    def test_read_loads_one_manifest_and_prunes_groups(
+        self, spark, real_table, monkeypatch
+    ):
+        loads = {"n": 0}
+        real = VersionedTable._load_manifest
+
+        def counting(self, v):
+            loads["n"] += 1
+            return real(self, v)
+
+        monkeypatch.setattr(VersionedTable, "_load_manifest", counting)
+        df = real_table.read(spark, where={"k": (1005, 1015)})
+        assert loads["n"] == 1  # resolve latest, nothing else
+        # contiguous ranges: stats boxes confine the scan to <= 2 groups
+        files = df.inputFiles()
+        dirs = {os.path.basename(os.path.dirname(f)) for f in files}
+        assert 1 <= len(dirs) <= 2
+        assert sorted(r["k"] for r in df.collect()) == list(
+            range(1005, 1016)
+        )
+
+    def test_version_as_of_logarithmic_on_real_manifests(
+        self, real_table, monkeypatch
+    ):
+        ts = real_table._load_manifest(50)["committed_at"]
+        loads = {"n": 0}
+        real = VersionedTable._load_manifest
+
+        def counting(self, v):
+            loads["n"] += 1
+            return real(self, v)
+
+        monkeypatch.setattr(VersionedTable, "_load_manifest", counting)
+        got = real_table.version_as_of(ts)
+        assert loads["n"] <= 9  # ~log2(101) + slack
+        assert got >= 50
+
+    def test_history_serves_from_checkpoint(self, real_table, monkeypatch):
+        loads = {"n": 0}
+        real = VersionedTable._load_manifest
+
+        def counting(self, v):
+            loads["n"] += 1
+            return real(self, v)
+
+        monkeypatch.setattr(VersionedTable, "_load_manifest", counting)
+        rows = real_table.history()
+        n_versions = self.N_COMMITS + 1
+        ck_upto = (self.N_COMMITS // V._CKPT_EVERY) * V._CKPT_EVERY
+        assert loads["n"] == self.N_COMMITS - ck_upto
+        assert len(rows) == n_versions
+        assert rows[-1]["n_groups"] == self.N_COMMITS
+
+    def test_merge_into_stays_o_delta_at_100_groups(
+        self, spark, real_table
+    ):
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.versioned import merge_into
+
+        base = real_table.latest_version()
+        m_before = real_table._load_manifest(base)
+        upd = spark.range(500, 505).select(
+            F.col("id").alias("k"),
+            F.lit("updated").alias("uid"),
+        )
+        v = merge_into(real_table, spark, upd, key="k")
+        m_after = real_table._load_manifest(v)
+        carried = set(m_after["groups"]) & set(m_before["groups"])
+        # 5 contiguous keys live in ONE group; 99 carry by reference
+        assert len(carried) >= self.N_COMMITS - 1
+        got = {
+            r["k"]: r["uid"]
+            for r in real_table.read(
+                spark, version=v, where={"k": (499, 506)}
+            ).collect()
+        }
+        assert all(got[k] == "updated" for k in range(500, 505))
+        assert got[499] != "updated" and got[505] != "updated"
