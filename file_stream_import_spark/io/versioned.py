@@ -144,12 +144,14 @@ def _col_stats_entry(mn_raw, mx_raw, nulls: int, rows: int, dtype):
 # rewrite/scan (correctness-safe); false negatives are impossible.
 # Blooms ride INSIDE the group's stats entry (key "_bloom"), so every
 # existing carry-forward/rebase path propagates them untouched.
-# Sizing: ``bits_per_key`` bits per row (default 10, the
-# set_bloom_columns knob), clamped to [2^13, 2^24] bits (1 KiB - 2 MiB
+# Sizing: ``bits_per_key`` bits per DISTINCT key (default 10, the
+# set_bloom_columns knob; NDV observed via approx_count_distinct in
+# the same job as the stats — Iceberg's rule, since fpp depends only
+# on distinct insertions and row-count sizing wastes bits on
+# duplicated keys), clamped to [2^13, 2^24] bits (1 KiB - 2 MiB
 # packed per column per group, stored as dense SIDECAR files in the
 # group dir — only {m, k, file} rides the manifest JSON); a saturated
-# bloom degrades to "always maybe" — never wrong, just not selective
-# (Iceberg sizes by NDV the same way).
+# bloom degrades to "always maybe" — never wrong, just not selective.
 #
 # False-positive math (standard Bloom estimate, k=6 hashes, n keys,
 # m = bits_per_key * n): fpp ≈ (1 - e^(-k/bits_per_key))^k
@@ -190,6 +192,7 @@ def _bloom_build(
     table_path: str,
     group: str,
     bits_per_key: int = _BLOOM_DEFAULT_BITS_PER_KEY,
+    ndv: dict | None = None,
 ) -> dict:
     """One small aggregation per column over the (just-written, so
     page-cached) group: explode the k positions, OR the bits per
@@ -199,12 +202,22 @@ def _bloom_build(
     parquet reader from touching it; the file is immutable and travels
     with the group through every carry/rebase/vacuum). The manifest
     stores only {m, k, file}: 1 MiB of filter never inflates the JSON
-    (Iceberg keeps blooms in file metadata for the same reason)."""
+    (Iceberg keeps blooms in file metadata for the same reason).
+
+    ``ndv`` ({col: approx distinct count}) sizes each filter by the
+    column's DISTINCT key count instead of the row count (Iceberg's
+    rule): a bloom's fpp depends only on how many distinct values are
+    inserted, so on a low-cardinality or heavily duplicated key,
+    row-count sizing wastes bits_per_key × (rows − ndv) bits per
+    group. approx_count_distinct's few-percent error only moves fpp
+    marginally (correctness-safe either way). Columns absent from the
+    dict fall back to row-count sizing (a strict upper bound)."""
     out: dict = {}
     for c in cols:
         if c not in df.columns:
             continue
-        m = _bloom_m(rows, bits_per_key)
+        n_keys = int((ndv or {}).get(c) or rows)
+        m = _bloom_m(n_keys, bits_per_key)
         pos = F.explode(
             F.array(*_bloom_positions(F.col(c), m))
         ).alias("p")
@@ -358,6 +371,11 @@ def _write_group_with_stats(
         exprs.append(
             F.sum(F.when(bad, 1).otherwise(0)).alias(f"ck_{i}")
         )
+    # approx NDV per bloom column observed in the SAME job — sizes the
+    # filters by distinct keys, not rows (see _bloom_build's ndv note)
+    ndv_cols = [c for c in (bloom_cols or []) if c in df.columns]
+    for i, c in enumerate(ndv_cols):
+        exprs.append(F.approx_count_distinct(c).alias(f"nd_{i}"))
     obs = Observation()
     df.observe(obs, *exprs).write.parquet(full_path)
     got = obs.get
@@ -400,6 +418,10 @@ def _write_group_with_stats(
             df.sparkSession.read.parquet(full_path), bloom_cols, rows,
             table_path, group,
             bits_per_key=bloom_bits or _BLOOM_DEFAULT_BITS_PER_KEY,
+            ndv={
+                c: int(got[f"nd_{i}"] or 0)
+                for i, c in enumerate(ndv_cols)
+            },
         )
         if blooms:
             out["_bloom"] = blooms
@@ -1284,6 +1306,11 @@ class VersionedTable:
                     F.when(F.col(f.name).isNull(), 1).otherwise(0)
                 ).alias(f"nu_{i}"),
             ]
+        opt_bloom_cols = [
+            c for c in (m.get("bloom_cols") or []) if c in df.columns
+        ]
+        for i, c in enumerate(opt_bloom_cols):
+            aggs.append(F.approx_count_distinct(c).alias(f"nd_{i}"))
         per_bucket = {
             int(r["__bucket"]): r
             for r in staged_df.groupBy("__bucket").agg(*aggs).collect()
@@ -1318,6 +1345,10 @@ class VersionedTable:
                     g,
                     bits_per_key=m.get("bloom_bits")
                     or _BLOOM_DEFAULT_BITS_PER_KEY,
+                    ndv={
+                        c: int(r[f"nd_{i}"] or 0)
+                        for i, c in enumerate(opt_bloom_cols)
+                    },
                 )
                 if blooms:
                     st["_bloom"] = blooms
@@ -1541,11 +1572,26 @@ class VersionedTable:
                 continue
             gdf = spark.read.parquet(os.path.join(self.path, g))
             rows = int(st.get("_rows") or gdf.count())
+            present = [c for c in need if c in gdf.columns]
+            ndv_row = (
+                gdf.agg(
+                    *[
+                        F.approx_count_distinct(c).alias(f"nd_{i}")
+                        for i, c in enumerate(present)
+                    ]
+                ).first()
+                if present
+                else None
+            )
+            ndv = {
+                c: int(ndv_row[f"nd_{i}"] or 0)
+                for i, c in enumerate(present)
+            }
             blooms = dict(st.get("_bloom") or {})
             blooms.update(
                 _bloom_build(
                     gdf, need, rows, self.path, g,
-                    bits_per_key=bits_per_key,
+                    bits_per_key=bits_per_key, ndv=ndv,
                 )
             )
             if blooms:

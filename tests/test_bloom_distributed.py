@@ -218,3 +218,72 @@ class TestRegimeParity:
         monkeypatch.setattr(V, "_BLOOM_DRIVER_MAX_ROWS", -1)
         # oversized-delta path with an empty hash side: empty result
         assert V._bloom_touched(empty, ["k"], stats, groups, t.path) == set()
+
+
+class TestNdvSizing:
+    """Round-9: bloom filters size by DISTINCT keys, not rows — a
+    duplicated-key column gets a smaller sidecar at the SAME fpp
+    behavior (fpp depends only on distinct insertions)."""
+
+    def test_duplicated_key_gets_smaller_sidecar(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        n = 40_000
+        uniq = spark.range(n).select(
+            F.md5(F.col("id").cast("string")).alias("k")
+        )
+        dup = spark.range(n).select(
+            F.md5((F.col("id") % 100).cast("string")).alias("k")
+        )
+        tu = VersionedTable(str(tmp_path / "uniq"))
+        tu.commit(uniq, mode="overwrite")
+        tu.set_bloom_columns(spark, ["k"])
+        td = VersionedTable(str(tmp_path / "dup"))
+        td.commit(dup, mode="overwrite")
+        td.set_bloom_columns(spark, ["k"])
+
+        def m_of(t):
+            m = t._load_manifest(t.latest_version())
+            (g,) = m["groups"]
+            return int(m["stats"][g]["_bloom"]["k"]["m"])
+
+        m_uniq, m_dup = m_of(tu), m_of(td)
+        # 40k distinct keys at 10 bits/key -> 2^19; 100 distinct keys
+        # -> the 2^13 floor: sizing followed NDV, not the row count
+        assert m_uniq >= (1 << 19)
+        assert m_dup == V._BLOOM_MIN_BITS
+        # and the small filter is exact on its key set: every present
+        # key is found, absent keys are (near-always) pruned
+        import hashlib
+
+        present = hashlib.md5(b"42").hexdigest()
+        got = td.read(spark, where={"k": (present, present)})
+        assert got.count() == n // 100
+        absent = hashlib.md5(b"ghost").hexdigest()
+        assert (
+            td.read(spark, where={"k": (absent, absent)}).count() == 0
+        )
+
+    def test_commit_path_sizes_by_ndv_too(self, spark, tmp_path):
+        """Automatic bloom builds on commit (bloom_cols inherited from
+        the parent manifest) also observe NDV in the write job."""
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.range(10).select(
+                F.md5(F.col("id").cast("string")).alias("k")
+            ),
+            mode="overwrite",
+        )
+        t.set_bloom_columns(spark, ["k"])
+        # 50k rows, 50 distinct keys: NDV sizing -> the floor
+        t.commit(
+            spark.range(50_000).select(
+                F.md5((F.col("id") % 50).cast("string")).alias("k")
+            ),
+            mode="append",
+        )
+        m = t._load_manifest(t.latest_version())
+        g_new = m["added"][0]
+        assert int(m["stats"][g_new]["_bloom"]["k"]["m"]) == V._BLOOM_MIN_BITS

@@ -13,7 +13,14 @@ and report wall time, groups rewritten, and bytes written.
 but more false positives (unnecessary group rewrites); the standard
 estimate with k=6 hashes is fpp ~ (1 - e^(-6/bits_per_key))^6.
 
-Run: python tools/ab_bloom.py [--sweep-bits]
+`--dup` measures the r9 NDV sizing (filters sized by
+approx_count_distinct, not row count — Iceberg's rule): same 60k-row
+group at 60000/10000/1000/100 distinct keys. Measured (2026-08-14):
+sidecar shrinks 128 KiB -> 16 -> 2 -> 1 while fpp stays 0.00-0.21%
+against 20k absent-key probes and present keys hit 100% (false
+negatives impossible by construction).
+
+Run: python tools/ab_bloom.py [--sweep-bits | --dup]
 """
 from __future__ import annotations
 
@@ -98,6 +105,76 @@ def run(spark: SparkSession, with_bloom: bool, bits_per_key: int = 10) -> dict:
         shutil.rmtree(t.path, ignore_errors=True)
 
 
+def run_dup(spark: SparkSession, n_distinct: int) -> dict:
+    """NDV-sizing A/B (r9): same ROW count per group, varying DISTINCT
+    key count. Sizing by NDV (approx_count_distinct in the stats job)
+    should shrink the sidecar on duplicated keys while keeping point
+    probes exact — fpp depends only on distinct insertions."""
+    from file_stream_import_spark.io.versioned import VersionedTable
+
+    t = VersionedTable(tempfile.mkdtemp(prefix="ab_bloom_dup_"))
+    try:
+        df = spark.range(ROWS_PER_GROUP).select(
+            F.md5((F.col("id") % n_distinct).cast("string")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        t.commit(df, mode="overwrite")
+        t0 = time.time()
+        t.set_bloom_columns(spark, ["k"])
+        build_s = time.time() - t0
+        m = t._load_manifest(t.latest_version())
+        (g,) = m["groups"]
+        meta = m["stats"][g]["_bloom"]["k"]
+        # measured fpp: hash 20k absent keys in ONE job (the same
+        # xxhash64 form the filters were built with), bit-test the
+        # sidecar with numpy
+        import numpy as np
+
+        from file_stream_import_spark.io.versioned import (
+            _BLOOM_K,
+            _bloom_words,
+        )
+
+        def maybe_count(keys_df) -> int:
+            rows = keys_df.select(
+                F.array(
+                    *[F.xxhash64(F.col("k"), F.lit(i)) for i in range(_BLOOM_K)]
+                ).alias("hs")
+            ).collect()
+            H = (
+                np.array([r["hs"] for r in rows], dtype=np.int64)
+                .view(np.uint64)
+                .reshape(len(rows), _BLOOM_K)
+            )
+            arr = _bloom_words(t.path, meta)
+            pos = H % np.uint64(meta["m"])
+            bits = (
+                arr[pos >> np.uint64(6)] >> (pos & np.uint64(63))
+            ) & np.uint64(1)
+            return int(bits.all(axis=1).sum())
+
+        n_probe = 20_000
+        ghosts = spark.range(n_probe).select(
+            F.md5(F.concat(F.lit("ghost-"), F.col("id"))).alias("k")
+        )
+        fp = maybe_count(ghosts)
+        # present keys must ALWAYS hit (no false negatives)
+        present = spark.range(n_distinct).select(
+            F.md5(F.col("id").cast("string")).alias("k")
+        )
+        hits = maybe_count(present)
+        return {
+            "n_distinct": n_distinct,
+            "m_bits": int(meta["m"]),
+            "sidecar_bytes": int(meta["m"]) // 8,
+            "fpp": fp / n_probe,
+            "present_hits": f"{hits}/{n_distinct}",
+            "build_s": round(build_s, 2),
+        }
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -108,6 +185,18 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if "--dup" in sys.argv:
+        print(f"{ROWS_PER_GROUP} rows/group, varying distinct keys (10 bits/key):")
+        print("| distinct keys | m (bits) | sidecar | measured fpp | present hits |")
+        print("|---|---|---|---|---|")
+        for nd in (ROWS_PER_GROUP, 10_000, 1_000, 100):
+            r = run_dup(spark, nd)
+            print(
+                f"| {r['n_distinct']} | {r['m_bits']} |"
+                f" {r['sidecar_bytes'] / 1024:.0f} KiB | {r['fpp']:.2%} |"
+                f" {r['present_hits']} |"
+            )
+        return
     if "--sweep-bits" in sys.argv:
         print("| bits/key | est. fpp | bloom build | merge wall | groups rewritten | sidecar bytes |")
         print("|---|---|---|---|---|---|")
