@@ -498,14 +498,51 @@ class VersionedTable:
     # -- introspection ------------------------------------------------
 
     def versions(self) -> list[int]:
+        """Retained versions WITHOUT listing the directory when an
+        anchor exists: versions are allocated contiguously (_publish's
+        atomic create of parent+1) and vacuum expires a strict PREFIX
+        (oldest first), so the retained set is always one contiguous
+        range [first, latest]. From an anchor (the hint, else the
+        history checkpoint's upto) the probe finds latest by walking
+        forward and first by binary-searching the lower boundary —
+        O(log n) exists() calls against a ~100k-entry directory whose
+        full listing used to dominate version_as_of and vacuum. No
+        anchor (fresh clone, both advisory files missing) falls back
+        to the listing, which is also the authority the anchors are
+        validated against (a stale anchor = its manifest is gone =
+        fall back)."""
         d = _manifest_dir(self.path)
         if not os.path.isdir(d):
             return []
-        out = []
-        for name in os.listdir(d):
-            if name.startswith("v") and name.endswith(".json"):
-                out.append(int(name[1:-5]))
-        return sorted(out)
+        anchor = self._read_hint()
+        if anchor is None or not os.path.exists(
+            _manifest_path(self.path, anchor)
+        ):
+            ck_upto = int(self._read_checkpoint().get("upto", -1))
+            anchor = ck_upto if ck_upto >= 0 else None
+            if anchor is not None and not os.path.exists(
+                _manifest_path(self.path, anchor)
+            ):
+                anchor = None
+        if anchor is None:
+            out = []
+            for name in os.listdir(d):
+                if name.startswith("v") and name.endswith(".json"):
+                    out.append(int(name[1:-5]))
+            return sorted(out)
+        latest = anchor
+        while os.path.exists(_manifest_path(self.path, latest + 1)):
+            latest += 1
+        # smallest retained version at or below the anchor (contiguity:
+        # exists() is monotone over [first, latest])
+        lo, hi = 0, anchor
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if os.path.exists(_manifest_path(self.path, mid)):
+                hi = mid
+            else:
+                lo = mid + 1
+        return list(range(lo, latest + 1))
 
     def _load_manifest(self, version: int) -> dict:
         with open(_manifest_path(self.path, version)) as f:
@@ -1040,13 +1077,27 @@ class VersionedTable:
         that might hold one of the keys."""
         if version is not None and as_of_timestamp is not None:
             raise ValueError("pass version OR as_of_timestamp, not both")
-        if as_of_timestamp is not None:
-            version = self.version_as_of(as_of_timestamp)
-        if version is None:
-            version = self.latest_version()
-        if version is None:
-            raise FileNotFoundError(f"no snapshots at {self.path}")
-        m = self._load_manifest(version)
+        pinned = version is not None
+        for attempt in range(3):
+            v = version
+            if as_of_timestamp is not None:
+                v = self.version_as_of(as_of_timestamp)
+            if v is None:
+                v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(f"no snapshots at {self.path}")
+            try:
+                m = self._load_manifest(v)
+                break
+            except FileNotFoundError:
+                # vacuum-vs-reader race: a concurrent commit + vacuum
+                # (keep_versions=1) can expire the version resolved a
+                # moment ago before its manifest is opened. A PINNED
+                # version is genuinely gone — surface it; a resolved
+                # one re-resolves against the new latest.
+                if pinned or attempt == 2:
+                    raise
+        version = v
         groups = list(m["groups"])
         if where:
             stats = m.get("stats") or {}

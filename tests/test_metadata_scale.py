@@ -293,3 +293,105 @@ class TestRealDataMetadataScale:
         }
         assert all(got[k] == "updated" for k in range(500, 505))
         assert got[499] != "updated" and got[505] != "updated"
+
+
+class TestWindowedVersionListing:
+    """Round-9 (r8 ledger item 7): versions() resolves from an anchor
+    (hint, else checkpoint upto) with O(log n) exists() probes — no
+    directory listing — exploiting the contiguity invariant (_publish
+    allocates sequentially, vacuum expires a strict prefix)."""
+
+    def _count_listdir(self, monkeypatch):
+        calls = {"n": 0}
+        real = os.listdir
+
+        def counting(p):
+            calls["n"] += 1
+            return real(p)
+
+        monkeypatch.setattr(os, "listdir", counting)
+        return calls
+
+    def test_no_listing_with_hint(self, table, monkeypatch):
+        calls = self._count_listdir(monkeypatch)
+        assert table.versions() == list(range(N + 1))
+        assert calls["n"] == 0
+
+    def test_checkpoint_anchor_when_hint_missing(self, table, monkeypatch):
+        os.unlink(V._hint_path(table.path))
+        calls = self._count_listdir(monkeypatch)
+        assert table.versions() == list(range(N + 1))
+        assert calls["n"] == 0  # ckpt upto (960) anchors the probe
+
+    def test_fallback_listing_without_anchors(self, table):
+        os.unlink(V._hint_path(table.path))
+        os.unlink(V._ckpt_path(table.path))
+        assert table.versions() == list(range(N + 1))
+
+    def test_contiguous_suffix_after_vacuum(self, table, monkeypatch):
+        table.vacuum(keep_versions=7, min_age_seconds=0)
+        calls = self._count_listdir(monkeypatch)
+        assert table.versions() == list(range(N - 6, N + 1))
+        assert calls["n"] == 0
+        # version_as_of rides the bounded listing too
+        ts = table._load_manifest(N)["committed_at"]
+        assert table.version_as_of(ts) == N
+
+
+class TestVacuumReaderRace:
+    """Round-9 (r8 ledger item 6): read() re-resolves when the version
+    it just resolved is vacuumed before its manifest opens; a PINNED
+    version surfaces the FileNotFoundError (it is genuinely gone)."""
+
+    def _spark_table(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.range(5).select(F.col("id").alias("k")),
+            mode="overwrite",
+        )
+        t.commit(
+            spark.range(5, 10).select(F.col("id").alias("k")),
+            mode="append",
+        )
+        return t
+
+    def test_resolved_read_retries_after_vacuum(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = self._spark_table(spark, tmp_path)
+        real = VersionedTable._load_manifest
+        state = {"raised": False}
+
+        def racing(self, v):
+            # simulate vacuum landing between resolution and open:
+            # the FIRST manifest open fails as if just unlinked
+            if not state["raised"]:
+                state["raised"] = True
+                raise FileNotFoundError(V._manifest_path(self.path, v))
+            return real(self, v)
+
+        monkeypatch.setattr(VersionedTable, "_load_manifest", racing)
+        got = sorted(r["k"] for r in t.read(spark).collect())
+        assert got == list(range(10))
+        assert state["raised"]  # the race actually fired
+
+    def test_pinned_read_surfaces_vacuumed_version(self, spark, tmp_path):
+        t = self._spark_table(spark, tmp_path)
+        t.commit(
+            t.read(spark).limit(1), mode="overwrite"
+        )
+        t.vacuum(keep_versions=1, min_age_seconds=0)
+        with pytest.raises(FileNotFoundError):
+            t.read(spark, version=0)
+
+    def test_exhausted_retries_raise(self, spark, tmp_path, monkeypatch):
+        t = self._spark_table(spark, tmp_path)
+
+        def always(self, v):
+            raise FileNotFoundError("gone")
+
+        monkeypatch.setattr(VersionedTable, "_load_manifest", always)
+        with pytest.raises(FileNotFoundError):
+            t.read(spark)
