@@ -298,6 +298,157 @@ def _where_bounds(bound) -> tuple:
     return (lo, hi)
 
 
+def derive_prune_bounds(condition) -> dict:
+    """Delta-file-skipping-style predicate analysis: the per-column
+    bounds IMPLIED by a DataFrame predicate, in prune_where form —
+    ``{col: (lo, hi)}`` ranges and ``{col: [v1, ...]}`` IN-sets. The
+    contract is one-directional soundness: condition TRUE for a row ⇒
+    every bound in the returned dict holds for that row (so a group
+    whose stats box is disjoint from the bounds provably holds no
+    matching row). An EMPTY dict means "nothing derivable — scan
+    everything"; it never guesses.
+
+    Walks the Spark 4 ColumnNode tree (UnresolvedFunction /
+    UnresolvedAttribute / Literal) via the column's JVM handle:
+
+    * comparisons (=, >, >=, <, <=) between a BARE column and a
+      int/float/str/bool literal (either side) → a range;
+    * IN over literals → a value list (read()'s bloom refinement form);
+    * AND → per-column interval intersection;
+    * OR  → per-column hull, and only for columns bounded on BOTH
+      branches (a column bounded on one branch only is unconstrained);
+    * anything else (NOT, isNull, UDFs, col-vs-col, non-primitive
+      literals, compound names) contributes nothing — conservative.
+
+    NULL semantics make comparison-derived bounds safe: a comparison
+    never evaluates TRUE on a NULL operand, so "condition TRUE ⇒ col
+    in range" includes "col is non-null" for free — exactly the
+    guarantee _group_may_match's all-NULL pruning relies on.
+    """
+    try:
+        return _node_bounds(condition._jc.node()) or {}
+    except Exception:
+        return {}  # unexpected tree shape: no pruning, never wrong
+
+
+_RANGE_OPS = {
+    ">": lambda v: (v, None),
+    ">=": lambda v: (v, None),
+    "<": lambda v: (None, v),
+    "<=": lambda v: (None, v),
+    "=": lambda v: (v, v),
+    "==": lambda v: (v, v),
+}
+_FLIPPED = {">": "<", ">=": "<=", "<": ">", "<=": ">=", "=": "=", "==": "=="}
+
+
+def _node_attr_name(node) -> str | None:
+    """Bare column name of an UnresolvedAttribute node (None for
+    compound a.b names — those are never stats columns)."""
+    if node.getClass().getSimpleName() != "UnresolvedAttribute":
+        return None
+    parts = node.nameParts()
+    if parts.size() != 1:
+        return None
+    return parts.apply(0)
+
+
+def _node_literal(node):
+    """(ok, value) for a Literal node holding a primitive py4j value."""
+    if node.getClass().getSimpleName() != "Literal":
+        return False, None
+    v = node.value()
+    if isinstance(v, bool) or v is None:
+        return False, None  # bool ranges are useless; NULL never matches
+    if isinstance(v, (int, float, str)):
+        return True, v
+    return False, None  # java BigDecimal / datetime micros / binary ...
+
+
+def _bounds_intersect(a, b):
+    """AND of two per-column bounds (each a (lo,hi) tuple or a list)."""
+    if isinstance(a, list) and isinstance(b, list):
+        sa = [v for v in a if v in set(b)]
+        return sa if sa else a  # empty intersection: keep either (sound)
+    if isinstance(a, list) or isinstance(b, list):
+        vs, (lo, hi) = (a, b) if isinstance(a, list) else (b, a)
+        kept = [
+            v
+            for v in vs
+            if not (lo is not None and _stat_lt(v, lo))
+            and not (hi is not None and _stat_lt(hi, v))
+        ]
+        return kept if kept else vs
+    (alo, ahi), (blo, bhi) = a, b
+    lo = alo if blo is None else blo if alo is None else max(alo, blo) \
+        if type(alo) == type(blo) else alo
+    hi = ahi if bhi is None else bhi if ahi is None else min(ahi, bhi) \
+        if type(ahi) == type(bhi) else ahi
+    return (lo, hi)
+
+
+def _bounds_hull(a, b):
+    """OR of two per-column bounds: the convex hull."""
+    if isinstance(a, list) and isinstance(b, list):
+        return a + [v for v in b if v not in set(a)]
+    alo, ahi = _where_bounds(a)
+    blo, bhi = _where_bounds(b)
+    if alo is None or blo is None or ahi is None or bhi is None:
+        lo = None if (alo is None or blo is None) else min(alo, blo)
+        hi = None if (ahi is None or bhi is None) else max(ahi, bhi)
+        return (lo, hi)
+    if type(alo) != type(blo) or type(ahi) != type(bhi):
+        return (None, None)
+    return (min(alo, blo), max(ahi, bhi))
+
+
+def _node_bounds(node) -> dict:
+    if node.getClass().getSimpleName() != "UnresolvedFunction":
+        return {}
+    fn = node.functionName()
+    args = node.arguments()
+    n = args.size()
+    if fn == "and" and n == 2:
+        left = _node_bounds(args.apply(0))
+        right = _node_bounds(args.apply(1))
+        out = dict(left)
+        for c, b in right.items():
+            out[c] = _bounds_intersect(out[c], b) if c in out else b
+        return out
+    if fn == "or" and n == 2:
+        left = _node_bounds(args.apply(0))
+        right = _node_bounds(args.apply(1))
+        return {
+            c: _bounds_hull(left[c], right[c])
+            for c in set(left) & set(right)
+        }
+    if fn == "in" and n >= 2:
+        col = _node_attr_name(args.apply(0))
+        if col is None:
+            return {}
+        vals = []
+        for i in range(1, n):
+            ok, v = _node_literal(args.apply(i))
+            if not ok:
+                return {}  # a non-literal member: can't bound the set
+            vals.append(v)
+        return {col: vals} if vals else {}
+    if fn in _RANGE_OPS and n == 2:
+        col = _node_attr_name(args.apply(0))
+        lit_side = 1
+        if col is None:
+            col = _node_attr_name(args.apply(1))
+            lit_side = 0
+            fn = _FLIPPED[fn]
+        if col is None:
+            return {}
+        ok, v = _node_literal(args.apply(lit_side))
+        if not ok:
+            return {}
+        return {col: _RANGE_OPS[fn](v)}
+    return {}
+
+
 def _group_may_match(gstats: dict | None, where: dict) -> bool:
     """Can any row of a group satisfy every [lo, hi] bound (or IN-set,
     boxed to its [min, max])? Missing stats → True (scan it); an
@@ -1447,6 +1598,11 @@ class VersionedTable:
         commit gains the box-disjointness REBASE rule: two concurrent
         pruned deletes on disjoint ranges both land; overlapping
         ranges (or an unpruned rewrite) still conflict.
+        ``prune_where="auto"`` DERIVES the boxes from the condition
+        itself (derive_prune_bounds — the Delta file-skipping-planner
+        move), falling back to the full rewrite when nothing is
+        derivable; explicit boxes remain for predicates the analyzer
+        can't see through (UDFs, expressions over columns).
         ``expected_parent`` pins the snapshot the delete was computed
         against (like merge_into's)."""
         base = (
@@ -1455,6 +1611,13 @@ class VersionedTable:
         )
         if base is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
+        if isinstance(prune_where, str):
+            if prune_where != "auto":
+                raise ValueError(
+                    f"prune_where must be a dict or 'auto', got "
+                    f"{prune_where!r}"
+                )
+            prune_where = derive_prune_bounds(condition) or None
         if strategy == "copy-on-write":
             # keep rows where the condition is NOT TRUE: a predicate
             # evaluating to NULL (comparison on a NULL column) must KEEP
@@ -1753,18 +1916,28 @@ class VersionedTable:
         are carried into the new snapshot BY REFERENCE instead of
         rewritten — the caller asserts the condition cannot match
         outside the boxes (e.g. updating one day's partition). Without
-        it the whole snapshot rewrites (predicate → stats-box
-        extraction for arbitrary expressions is Delta's file-skipping
-        planner; out of scope here, so pruning is explicit and
-        honest). Completes the DML matrix: MERGE / DELETE /
-        apply_changes / UPDATE. ``expected_parent`` pins the snapshot
-        the update was computed against (like merge_into's)."""
+        it the whole snapshot rewrites. ``prune_where="auto"`` derives
+        the boxes from the condition (derive_prune_bounds — the Delta
+        file-skipping-planner move: comparisons/IN over bare columns
+        and literals, AND-intersected, OR-hulled), falling back to the
+        full rewrite when nothing is derivable; explicit boxes remain
+        for predicates the analyzer can't see through. Completes the
+        DML matrix: MERGE / DELETE / apply_changes / UPDATE.
+        ``expected_parent`` pins the snapshot the update was computed
+        against (like merge_into's)."""
         base = (
             self.latest_version() if expected_parent == "any"
             else expected_parent
         )
         if base is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
+        if isinstance(prune_where, str):
+            if prune_where != "auto":
+                raise ValueError(
+                    f"prune_where must be a dict or 'auto', got "
+                    f"{prune_where!r}"
+                )
+            prune_where = derive_prune_bounds(condition) or None
         cond = F.coalesce(condition, F.lit(False))
 
         def transform(cur: DataFrame) -> DataFrame:

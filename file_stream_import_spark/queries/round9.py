@@ -14,6 +14,9 @@ driver's value-hash gate.
   bloom touch test (_bloom_touched_distributed_probe): the
   many-groups regime is forced via its module knob so the driver
   exercises the distributed kernel, not the driver numpy loop.
+* lake_auto_pruned_update — UPDATE through the r9 predicate planner
+  (prune_where="auto" → derive_prune_bounds), with the carried-group
+  count value-checked like lake_pruned_delete's.
 """
 
 from __future__ import annotations
@@ -245,5 +248,83 @@ def lake_many_groups_bloom_merge(
         )
     finally:
         V._BLOOM_DRIVER_MAX_GROUPS = saved
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_auto_pruned_update",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 4000
+    ),
+    upd AS (
+      SELECT k,
+             CASE WHEN k BETWEEN 200 AND 800 AND status = 'F'
+                  THEN 'PRIORITY' ELSE status END AS status,
+             cents
+      FROM base
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(3 AS INT) AS n_groups_carried
+    FROM upd GROUP BY status
+    """,
+)
+def lake_auto_pruned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE through the round-9 predicate planner: the condition
+    ``k BETWEEN 200 AND 800 AND status = 'F'`` is handed to
+    update_where with ``prune_where="auto"`` — derive_prune_bounds
+    extracts {k: (200, 800), status: ('F','F')} from the ColumnNode
+    tree itself (Delta's file-skipping-planner move), so exactly ONE of
+    the four range-committed groups rewrites. As in lake_pruned_delete,
+    the carried-group count is emitted as a column the oracle pins to
+    3: a planner that derives an UNSOUND box would break the value
+    hash (skipped rows), and one that derives nothing would break the
+    pinned carry count (full rewrite)."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 4000
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_auto_upd_"))
+    try:
+        for i, (lo, hi) in enumerate(
+            [(0, 1000), (1001, 2000), (2001, 3000), (3001, 4000)]
+        ):
+            t.commit(
+                o.filter(F.col("k").between(lo, hi)),
+                mode="append" if i else "overwrite",
+            )
+        base = t.latest_version()
+        groups_before = set(t._load_manifest(base)["groups"])
+        v = t.update_where(
+            spark,
+            F.col("k").between(200, 800) & (F.col("status") == "F"),
+            {"status": F.lit("PRIORITY")},
+            prune_where="auto",
+        )
+        carried = len(set(t._load_manifest(v)["groups"]) & groups_before)
+        out = (
+            t.read(spark, version=v)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn("n_groups_carried", F.lit(carried).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
         shutil.rmtree(t.path, ignore_errors=True)
     return out
