@@ -1212,6 +1212,7 @@ class VersionedTable:
         version: int | None = None,
         as_of_timestamp: float | None = None,
         where: dict | None = None,
+        where_expr=None,
     ) -> DataFrame:
         """Read a snapshot. ``where={col: (lo, hi)}`` (either bound may
         be None) prunes whole file GROUPS via the manifest column stats
@@ -1225,7 +1226,16 @@ class VersionedTable:
         each value is additionally bit-tested against the per-group
         Bloom filters (when declared via set_bloom_columns), so a
         multi-key lookup on a hash-keyed table scans only the groups
-        that might hold one of the keys."""
+        that might hold one of the keys.
+
+        ``where_expr`` takes an arbitrary Column PREDICATE instead of a
+        bounds dict: derive_prune_bounds extracts whatever per-column
+        boxes/IN-sets the predicate implies (same pruning machinery,
+        including bloom point refinement), and the predicate itself is
+        applied as the exact row filter — so pruning quality degrades
+        gracefully from "skips like the dict form" (comparisons over
+        stats columns) to "full scan, still exact" (opaque
+        expressions). Both forms compose (AND)."""
         if version is not None and as_of_timestamp is not None:
             raise ValueError("pass version OR as_of_timestamp, not both")
         pinned = version is not None
@@ -1250,10 +1260,15 @@ class VersionedTable:
                     raise
         version = v
         groups = list(m["groups"])
-        if where:
+        prune_maps = [w for w in (where,) if w]
+        if where_expr is not None:
+            derived = derive_prune_bounds(where_expr)
+            if derived:
+                prune_maps.append(derived)
+        for wmap in prune_maps:
             stats = m.get("stats") or {}
             groups = [
-                g for g in groups if _group_may_match(stats.get(g), where)
+                g for g in groups if _group_may_match(stats.get(g), wmap)
             ]
             # POINT lookups (lo == hi) and IN-sets (a list of values)
             # additionally consult per-group Bloom filters: on
@@ -1262,7 +1277,7 @@ class VersionedTable:
             # EACH value and keeps a group only if SOME value is
             # maybe-present
             eq: dict = {}
-            for c, bound in where.items():
+            for c, bound in wmap.items():
                 if isinstance(bound, (list, set, frozenset)):
                     vals = [v for v in bound if v is not None]
                     if vals:
@@ -1280,6 +1295,8 @@ class VersionedTable:
                     spark, stats, groups, eq, types, self.path
                 )
         out = self._read_groups(spark, m, groups)
+        if where_expr is not None:
+            out = out.filter(where_expr)
         if where:
             declared = _schema_from_json(m["schema"])
             types = {f.name: f.dataType for f in declared.fields}
@@ -1568,6 +1585,89 @@ class VersionedTable:
                 "delete_entries": [],
                 "stats": stats,
             },
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        min_bytes: int = 32 << 20,
+        target_partitions: int = 1,
+    ) -> int:
+        """Incremental bin-packing compaction (Delta's OPTIMIZE
+        bin-pack, as opposed to optimize()'s full clustering rewrite):
+        coalesce only the groups SMALLER than ``min_bytes`` into one
+        new group; every group already at a healthy size carries into
+        the new snapshot by reference. Cost is O(small groups), so the
+        streaming-ingest pattern (exactly-once writer → one small
+        group per micro-batch) can compact continuously without ever
+        paying an O(table) rewrite — and because compaction reads only
+        the groups it rewrites, it REBASES over concurrent appends and
+        over rewrites of OTHER groups (only a concurrent rewrite of a
+        group being compacted truly conflicts).
+
+        Pending merge-on-read deletes scoped to compacted groups are
+        materialized by the rewrite (same scoping rule as MERGE);
+        entries on surviving groups carry. Group sizes come from one
+        driver-side directory walk — a metadata operation on the same
+        filesystem the manifest protocol already requires.
+
+        Returns the new version, or the current one if fewer than two
+        groups are under the threshold (nothing to pack)."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load_manifest(base)
+        small: list[str] = []
+        for g in m["groups"]:
+            d = os.path.join(self.path, g)
+            size = sum(
+                os.path.getsize(os.path.join(d, n))
+                for n in os.listdir(d)
+                if not n.startswith("_bloom_")
+            )
+            if size < min_bytes:
+                small.append(g)
+        if len(small) < 2:
+            return base
+        out_df = self._read_groups(spark, m, small).coalesce(
+            max(1, target_partitions)
+        )
+        group = os.path.join("data", uuid.uuid4().hex)
+        group_stats = _write_group_with_stats(
+            out_df,
+            os.path.join(self.path, group),
+            checks=m.get("constraints") or {},
+            bloom_cols=m.get("bloom_cols"),
+            bloom_bits=m.get("bloom_bits"),
+        )
+        small_set = set(small)
+        untouched = [g for g in m["groups"] if g not in small_set]
+        stats_out = {
+            g: s
+            for g, s in (m.get("stats") or {}).items()
+            if g in set(untouched)
+        }
+        if group_stats is not None:
+            stats_out[group] = group_stats
+        entries = []
+        for e in m.get("delete_entries") or []:
+            applies = [g for g in e["applies_to"] if g in set(untouched)]
+            if applies:
+                entries.append({**e, "applies_to": applies})
+        return self._publish_or_rebase(
+            base,
+            {
+                "schema": m["schema"],
+                "groups": untouched + [group],
+                "mode": f"compact:{len(small)}",
+                "added": [group],
+                "delete_entries": entries,
+                "stats": stats_out,
+            },
+            removed=small,
+            # no read dependency on concurrent adds: compaction only
+            # rewrites what it read, so pure appends rebase cleanly
+            concurrent_adds_ok=True,
         )
 
     def delete_where(
