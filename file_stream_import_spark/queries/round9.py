@@ -17,6 +17,8 @@ driver's value-hash gate.
 * lake_auto_pruned_update — UPDATE through the r9 predicate planner
   (prune_where="auto" → derive_prune_bounds), with the carried-group
   count value-checked like lake_pruned_delete's.
+* lake_compact_small_groups — the r9 incremental bin-packing
+  compaction, post-compaction group count pinned in the value hash.
 """
 
 from __future__ import annotations
@@ -323,6 +325,72 @@ def lake_auto_pruned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cents").cast("bigint").alias("cents"),
             )
             .withColumn("n_groups_carried", F.lit(carried).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_compact_small_groups",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 1800
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(2 AS INT) AS n_groups_after
+    FROM base GROUP BY status
+    """,
+)
+def lake_compact_small_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental bin-packing compaction (r9 VersionedTable.compact):
+    one healthy group (k <= 1000, written as a single commit) plus
+    EIGHT tiny commits (100-key slices of (1000, 1800]) — the exact
+    shape a streaming exactly-once writer leaves behind — compacted
+    with a threshold that catches only the tiny groups. The oracle
+    pins the post-compaction group count to 2 (big + one packed): a
+    compaction that degrades to an O(table) rewrite (1 group) or that
+    fails to pack (9 groups) breaks the value hash, and any row lost
+    or duplicated in the pack breaks the per-status rollup."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 1800
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_compact_"))
+    try:
+        t.commit(o.filter(F.col("k") <= 1000), mode="overwrite")
+        for i in range(8):
+            lo = 1001 + i * 100
+            t.commit(
+                o.filter(F.col("k").between(lo, lo + 99)),
+                mode="append",
+            )
+        # threshold between tiny-group and big-group parquet sizes:
+        # measured the big group at >= 20 KiB for sf >= 0.001 and each
+        # tiny slice well under 10 KiB
+        v = t.compact(spark, min_bytes=10 << 10)
+        n_groups = len(t._load_manifest(v)["groups"])
+        out = (
+            t.read(spark, version=v)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn("n_groups_after", F.lit(n_groups).cast("int"))
             .localCheckpoint(eager=True)
         )
     finally:
