@@ -2559,11 +2559,11 @@ def _bloom_prune_point(
         )
     row = spark.range(1).select(*exprs).first()
     pos = {key: [int(p) for p in row[f"p{j}"]] for j, key in enumerate(need)}
-    if len(groups) > _BLOOM_DRIVER_MAX_GROUPS:
-        # many candidate groups: test each sidecar where it lives
-        # (executor-side scan + Arrow kernel) instead of serializing
-        # O(groups) sidecar reads on the driver — same regime split as
-        # the MERGE touch test's _bloom_touched
+    if _bloom_distributed_regime(stats, groups, list(eq)):
+        # large candidate sidecar set: test each sidecar where it
+        # lives (executor-side scan + Arrow kernel) instead of
+        # serializing O(groups × sidecar bytes) reads on the driver —
+        # same regime split as the MERGE touch test's _bloom_touched
         return _bloom_prune_point_distributed(
             spark, stats, groups, eq, pos, table_path
         )
@@ -2675,12 +2675,30 @@ def _rebase_bloom_membership(
     return _bloom_touched(updates, keys, lstats, groups, table_path)
 
 
-# group-count ceiling for DRIVER-side sidecar reads in the bloom touch
-# test: below it, looping _bloom_words on the driver beats any Spark
-# job; above it, driver I/O serializes (thousands of groups × up to
-# 2 MiB each) and the binaryFile-scan paths below read and bit-test the
-# sidecars on EXECUTORS instead. Module-level so tests can lower it.
+# Regime split for bloom probes: the driver numpy loop wins while the
+# sidecar set is small (zero Spark jobs; measured 3x faster than the
+# executor probe at 128 page-cached 8 KiB sidecars — tools/ab_bloom.py
+# --many-groups), and the executor-side scan wins when driver I/O
+# would serialize — thousands of groups × up to 2 MiB each through one
+# process, which on object storage is the MERGE touch test's wall
+# clock. The distributed path therefore triggers only when BOTH hold:
+# more groups than _BLOOM_DRIVER_MAX_GROUPS AND more planned sidecar
+# bytes than _BLOOM_DRIVER_MAX_BYTES (computed from the manifests' m
+# values — no file I/O). Module-level so tests can pin the regimes.
 _BLOOM_DRIVER_MAX_GROUPS = 64
+_BLOOM_DRIVER_MAX_BYTES = 64 << 20
+
+
+def _bloom_distributed_regime(stats: dict, groups: list, cols) -> bool:
+    if len(groups) <= _BLOOM_DRIVER_MAX_GROUPS:
+        return False
+    total = 0
+    for g in groups:
+        bl = stats.get(g, {}).get("_bloom") or {}
+        for c in cols:
+            if c in bl:
+                total += int(bl[c]["m"]) // 8
+    return total > _BLOOM_DRIVER_MAX_BYTES
 
 # update-row ceiling for collecting the raw key-hash matrix to the
 # driver (k int64 per key column per row — NO key values); larger
@@ -2874,7 +2892,7 @@ def _bloom_touched(
             .view(np.uint64)
             .reshape(len(head), len(keys), _BLOOM_K)
         )
-        if len(groups) > _BLOOM_DRIVER_MAX_GROUPS:
+        if _bloom_distributed_regime(stats, groups, keys):
             return _bloom_touched_distributed_probe(
                 spark, H, keys, stats, groups, table_path
             )

@@ -194,7 +194,8 @@ def lake_many_groups_bloom_merge(
     """MERGE through the round-9 DISTRIBUTED bloom touch test: an
     8-group hash-keyed table (every box spans the key space — only
     blooms prune) merged with 3 updates + 1 insert while the
-    many-groups knob (_BLOOM_DRIVER_MAX_GROUPS) is pinned to 0, so the
+    many-groups regime knobs (_BLOOM_DRIVER_MAX_GROUPS/_BYTES) are
+    pinned to 0, so the
     touch test runs _bloom_touched_distributed_probe — sidecars are
     read and bit-tested in EXECUTOR kernels, never on the driver. The
     oracle recomputes the merge relationally; the hash check proves
@@ -214,7 +215,7 @@ def lake_many_groups_bloom_merge(
         F.col("o_orderkey").alias("k0"),
     )
     t = V.VersionedTable(tempfile.mkdtemp(prefix="lake_mgb_"))
-    saved = V._BLOOM_DRIVER_MAX_GROUPS
+    saved = (V._BLOOM_DRIVER_MAX_GROUPS, V._BLOOM_DRIVER_MAX_BYTES)
     try:
         for i in range(8):
             t.commit(
@@ -234,9 +235,10 @@ def lake_many_groups_bloom_merge(
                 )
             )
         )
-        V._BLOOM_DRIVER_MAX_GROUPS = 0  # force the executor-side probe
+        # force the executor-side probe regime (both knobs)
+        V._BLOOM_DRIVER_MAX_GROUPS, V._BLOOM_DRIVER_MAX_BYTES = 0, 0
         V.merge_into(t, spark, upd, key="uid")
-        V._BLOOM_DRIVER_MAX_GROUPS = saved
+        V._BLOOM_DRIVER_MAX_GROUPS, V._BLOOM_DRIVER_MAX_BYTES = saved
         out = (
             t.read(spark)
             .agg(
@@ -249,7 +251,7 @@ def lake_many_groups_bloom_merge(
             .localCheckpoint(eager=True)
         )
     finally:
-        V._BLOOM_DRIVER_MAX_GROUPS = saved
+        V._BLOOM_DRIVER_MAX_GROUPS, V._BLOOM_DRIVER_MAX_BYTES = saved
         shutil.rmtree(t.path, ignore_errors=True)
     return out
 

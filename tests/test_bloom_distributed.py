@@ -50,6 +50,7 @@ def _forbid_driver_sidecar_reads(monkeypatch):
         )
 
     monkeypatch.setattr(V, "_BLOOM_DRIVER_MAX_GROUPS", 0)
+    monkeypatch.setattr(V, "_BLOOM_DRIVER_MAX_BYTES", 0)
     monkeypatch.setattr(V, "_bloom_words", boom)
 
 
@@ -193,6 +194,7 @@ class TestRegimeParity:
         )
         ref = V._bloom_touched(upd, ["k"], stats, groups, t.path)
         monkeypatch.setattr(V, "_BLOOM_DRIVER_MAX_GROUPS", 0)
+        monkeypatch.setattr(V, "_BLOOM_DRIVER_MAX_BYTES", 0)
         via_probe = V._bloom_touched(upd, ["k"], stats, groups, t.path)
         monkeypatch.setattr(V, "_BLOOM_DRIVER_MAX_ROWS", 1)
         via_join = V._bloom_touched(upd, ["k"], stats, groups, t.path)

@@ -20,7 +20,15 @@ sidecar shrinks 128 KiB -> 16 -> 2 -> 1 while fpp stays 0.00-0.21%
 against 20k absent-key probes and present keys hit 100% (false
 negatives impossible by construction).
 
-Run: python tools/ab_bloom.py [--sweep-bits | --dup]
+`--many-groups` times the touch test's driver numpy loop vs the r9
+executor-side probe at 128 bloom'd groups. Measured (2026-08-14, local
+page-cached 8 KiB sidecars): driver 1.73s vs executor 5.22s, identical
+10/128 touched — which is WHY the regime split keys on total sidecar
+BYTES (_BLOOM_DRIVER_MAX_BYTES, 64 MiB) and not group count alone: the
+executor path pays one Spark job of overhead and only wins when driver
+I/O would serialize real volume (object storage, MiB-scale sidecars).
+
+Run: python tools/ab_bloom.py [--sweep-bits | --dup | --many-groups]
 """
 from __future__ import annotations
 
@@ -175,6 +183,78 @@ def run_dup(spark: SparkSession, n_distinct: int) -> dict:
         shutil.rmtree(t.path, ignore_errors=True)
 
 
+def run_many_groups(spark: SparkSession, n_groups: int) -> None:
+    """r9 A/B: the MERGE touch test's bloom probe at MANY groups —
+    driver numpy loop vs the executor-side distributed probe
+    (_bloom_touched_distributed_probe). On local disk with a warm page
+    cache the driver loop is hard to beat in absolute terms; the point
+    of the distributed path is that its cost stays FLAT per-executor
+    while the driver loop serializes O(groups × sidecar_bytes) through
+    one process — this A/B pins the local crossover and shows the
+    distributed path's constant overhead is small (one Spark job)."""
+    import file_stream_import_spark.io.versioned as V
+    from file_stream_import_spark.io.versioned import (
+        VersionedTable,
+        _split_touched_groups,
+    )
+
+    t = VersionedTable(tempfile.mkdtemp(prefix="ab_bloom_many_"))
+    try:
+        rows_per = 4000
+        df0 = spark.range(rows_per).select(
+            F.md5(F.col("id").cast("string")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        t.commit(df0, mode="overwrite")
+        t.set_bloom_columns(spark, ["k"])
+        for i in range(1, n_groups):
+            t.commit(
+                spark.range(i * rows_per, (i + 1) * rows_per).select(
+                    F.md5(F.col("id").cast("string")).alias("k"),
+                    F.col("id").alias("payload"),
+                ),
+                mode="append",
+            )
+        m = t._load_manifest(t.latest_version())
+        types = {
+            "k": t.read(spark).schema["k"].dataType,
+            "payload": t.read(spark).schema["payload"].dataType,
+        }
+        upd = (
+            spark.range(0, 100 * 13, 13)
+            .select(
+                F.md5(F.col("id").cast("string")).alias("k"),
+                (F.col("id") + 1_000_000).alias("payload"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        results = []
+        saved = (V._BLOOM_DRIVER_MAX_GROUPS, V._BLOOM_DRIVER_MAX_BYTES)
+        for tag, knob in (("driver loop", 10**9), ("executor probe", 0)):
+            V._BLOOM_DRIVER_MAX_GROUPS = knob
+            V._BLOOM_DRIVER_MAX_BYTES = knob
+            try:
+                # warm-up + best of 3
+                _split_touched_groups(m, upd, ["k"], types, table_path=t.path)
+                best, touched = None, None
+                for _ in range(3):
+                    t0 = time.time()
+                    touched, _u = _split_touched_groups(
+                        m, upd, ["k"], types, table_path=t.path
+                    )
+                    best = min(best or 9e9, time.time() - t0)
+                results.append((tag, best, len(touched)))
+            finally:
+                V._BLOOM_DRIVER_MAX_GROUPS, V._BLOOM_DRIVER_MAX_BYTES = saved
+        print(f"{n_groups} bloom'd groups x {rows_per} rows, 100-key touch test:")
+        print("| path | wall (best of 3) | groups touched |")
+        print("|---|---|---|")
+        for tag, w, nt in results:
+            print(f"| {tag} | {w:.2f}s | {nt}/{n_groups} |")
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -185,6 +265,9 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if "--many-groups" in sys.argv:
+        run_many_groups(spark, n_groups=128)
+        return
     if "--dup" in sys.argv:
         print(f"{ROWS_PER_GROUP} rows/group, varying distinct keys (10 bits/key):")
         print("| distinct keys | m (bits) | sidecar | measured fpp | present hits |")
