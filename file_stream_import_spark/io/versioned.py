@@ -312,12 +312,14 @@ def derive_prune_bounds(condition) -> dict:
     UnresolvedAttribute / Literal) via the column's JVM handle:
 
     * comparisons (=, >, >=, <, <=) between a BARE column and a
-      int/float/str/bool literal (either side) → a range;
+      literal (either side) → a range; literals may be int/float/str,
+      Decimal, or date/timestamp (converted to the stats domain's ISO
+      encodings, where lexicographic order == time order);
     * IN over literals → a value list (read()'s bloom refinement form);
     * AND → per-column interval intersection;
     * OR  → per-column hull, and only for columns bounded on BOTH
       branches (a column bounded on one branch only is unconstrained);
-    * anything else (NOT, isNull, UDFs, col-vs-col, non-primitive
+    * anything else (NOT, isNull, UDFs, col-vs-col, binary/array
       literals, compound names) contributes nothing — conservative.
 
     NULL semantics make comparison-derived bounds safe: a comparison
@@ -354,15 +356,46 @@ def _node_attr_name(node) -> str | None:
 
 
 def _node_literal(node):
-    """(ok, value) for a Literal node holding a primitive py4j value."""
+    """(ok, value) for a Literal node, converted into the manifest
+    STATS domain (the _json_safe encodings) so derived bounds compare
+    directly against group min/max:
+
+    * Python primitives (int/float/str) pass through;
+    * decimal.Decimal passes through (_stat_lt compares decimal-vs-str
+      numerically, and _json_safe re-encodes it for the rebase box);
+    * java.sql.Date → its ISO yyyy-mm-dd toString, the same encoding
+      _json_safe gives observed date stats;
+    * java.sql.Timestamp → isoformat-canonical form: 'T' separator and
+      the fraction normalized to isoformat's convention (exactly six
+      digits when nonzero, absent when zero) — Timestamp.toString says
+      "…:45.0" where datetime.isoformat says "…:45", and a mixed
+      encoding would make lexicographic comparison disagree with time
+      order exactly at whole-second boundaries (a wrong prune).
+
+    bool and NULL literals yield no bound (bool ranges are useless;
+    a comparison with NULL never evaluates TRUE)."""
+    import decimal
+
     if node.getClass().getSimpleName() != "Literal":
         return False, None
     v = node.value()
     if isinstance(v, bool) or v is None:
-        return False, None  # bool ranges are useless; NULL never matches
-    if isinstance(v, (int, float, str)):
+        return False, None
+    if isinstance(v, (int, float, str, decimal.Decimal)):
         return True, v
-    return False, None  # java BigDecimal / datetime micros / binary ...
+    cls = v.getClass().getName() if hasattr(v, "getClass") else None
+    if cls == "java.sql.Date":
+        return True, str(v.toString())
+    if cls == "java.sql.Timestamp":
+        s = str(v.toString())
+        date_part, _, time_part = s.partition(" ")
+        base, _, frac = time_part.partition(".")
+        # Spark timestamps are microsecond precision, so padding /
+        # truncating the printed fraction to 6 digits is lossless
+        micros = int((frac + "000000")[:6]) if frac else 0
+        time_part = base + (f".{micros:06d}" if micros else "")
+        return True, f"{date_part}T{time_part}"
+    return False, None  # binary / array / struct / unknown JVM object
 
 
 def _bounds_intersect(a, b):

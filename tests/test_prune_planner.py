@@ -12,6 +12,8 @@ literals) must yield NO bound for the affected column.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -212,3 +214,119 @@ class TestAutoPrunedDml:
             t.delete_where(
                 spark, F.col("k") > 5, prune_where="automatic"
             )
+
+
+class TestTypedLiterals:
+    """Round-9b: date / timestamp / Decimal literals reach the stats
+    domain (ISO encodings) so time-partitioned DML auto-prunes — the
+    most common production shape."""
+
+    def test_date_bounds_are_iso_strings(self, spark):
+        import datetime
+
+        b = derive_prune_bounds(
+            F.col("d").between(
+                datetime.date(2020, 1, 10), datetime.date(2020, 2, 5)
+            )
+        )
+        assert b == {"d": ("2020-01-10", "2020-02-05")}
+
+    def test_timestamp_bounds_isoformat_canonical(self, spark):
+        import datetime
+
+        b = derive_prune_bounds(
+            F.col("ts") >= datetime.datetime(2020, 1, 15, 10, 30, 45)
+        )
+        # whole seconds: NO fraction (isoformat convention), 'T' sep
+        assert b == {"ts": ("2020-01-15T10:30:45", None)}
+        b = derive_prune_bounds(
+            F.col("ts") <= datetime.datetime(2020, 1, 15, 10, 30, 45, 500000)
+        )
+        assert b == {"ts": (None, "2020-01-15T10:30:45.500000")}
+
+    def test_decimal_bounds_pass_through(self, spark):
+        import decimal
+
+        b = derive_prune_bounds(
+            F.col("price") > decimal.Decimal("12.34")
+        )
+        assert b == {"price": (decimal.Decimal("12.34"), None)}
+
+    def test_date_partitioned_auto_delete(self, spark, tmp_path):
+        """The production shape: one group per day-range, DELETE WHERE
+        a date window — only the overlapping groups rewrite."""
+        import datetime
+
+        t = VersionedTable(str(tmp_path / "t"))
+        for gi in range(4):
+            df = spark.range(gi * 25, gi * 25 + 25).select(
+                F.col("id").alias("k"),
+                F.date_add(F.lit("2020-01-01"), F.col("id").cast("int"))
+                .alias("d"),
+            )
+            t.commit(df, mode="append" if gi else "overwrite")
+        base = t.latest_version()
+        before = set(t._load_manifest(base)["groups"])
+        v = t.delete_where(
+            spark,
+            F.col("d").between(
+                datetime.date(2020, 1, 31), datetime.date(2020, 2, 9)
+            ),
+            prune_where="auto",
+        )
+        carried = set(t._load_manifest(v)["groups"]) & before
+        assert len(carried) == 3  # days 30-39 live in group 1 only
+        got = t.read(spark).count()
+        assert got == 100 - 10
+
+    def test_timestamp_boundary_not_overpruned(self, spark, tmp_path):
+        """A row at EXACTLY the whole-second bound must survive a
+        >=/<= window — the mixed-encoding trap ('…:45.0' vs '…:45')
+        would prune it."""
+        import datetime
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.sql(
+                "SELECT 1 AS k, TIMESTAMP '2020-01-15 10:30:45' AS ts"
+            ),
+            mode="overwrite",
+        )
+        t.commit(
+            spark.sql(
+                "SELECT 2 AS k, TIMESTAMP '2020-06-01 00:00:00' AS ts"
+            ),
+            mode="append",
+        )
+        bound = datetime.datetime(2020, 1, 15, 10, 30, 45)
+        v = t.delete_where(
+            spark,
+            (F.col("ts") >= bound) & (F.col("ts") <= bound),
+            prune_where="auto",
+        )
+        got = [r["k"] for r in t.read(spark, version=v).collect()]
+        assert got == [2]  # the boundary row was found and deleted
+
+    def test_timestamp_expr_read_prunes(self, spark, tmp_path):
+        import datetime
+
+        t = VersionedTable(str(tmp_path / "t"))
+        for mo in (1, 2, 3):
+            t.commit(
+                spark.sql(
+                    f"SELECT id AS k, TIMESTAMP '2020-{mo:02d}-01 00:00:00'"
+                    " + make_interval(0, 0, 0, 0, 0, CAST(id AS INT), 0)"
+                    " AS ts FROM range(10)"
+                ),
+                mode="append" if mo > 1 else "overwrite",
+            )
+        df = t.read(
+            spark,
+            where_expr=F.col("ts")
+            >= datetime.datetime(2020, 3, 1),
+        )
+        dirs = {
+            os.path.basename(os.path.dirname(f)) for f in df.inputFiles()
+        }
+        assert len(dirs) == 1  # only the March group scans
+        assert df.count() == 10
