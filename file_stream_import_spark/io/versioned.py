@@ -580,6 +580,18 @@ def _write_group_with_stats(
         )
     rows = int(got["rows"] or 0)
     out: dict = {"_rows": rows}
+    try:
+        # data bytes of the group just written (one listdir — O(files
+        # in this group), at commit time, never again): compact() sizes
+        # groups from this manifest field instead of walking the data
+        # tree, making bin-packing selection metadata-only
+        out["_bytes"] = sum(
+            os.path.getsize(os.path.join(full_path, n))
+            for n in os.listdir(full_path)
+            if not n.startswith(("_", "."))
+        )
+    except OSError:
+        pass  # advisory; compact() falls back to a directory walk
     for i, f in enumerate(cols):
         entry = _col_stats_entry(
             got[f"mn_{i}"],
@@ -1578,6 +1590,15 @@ class VersionedTable:
             r = per_bucket[b]
             n_rows = int(r["rows"] or 0)
             st: dict = {"_rows": n_rows}
+            try:
+                gd = os.path.join(self.path, g)
+                st["_bytes"] = sum(
+                    os.path.getsize(os.path.join(gd, n))
+                    for n in os.listdir(gd)
+                    if not n.startswith(("_", "."))
+                )
+            except OSError:
+                pass
             for i, f in enumerate(cols):
                 entry = _col_stats_entry(
                     r[f"mn_{i}"],
@@ -1640,9 +1661,10 @@ class VersionedTable:
 
         Pending merge-on-read deletes scoped to compacted groups are
         materialized by the rewrite (same scoping rule as MERGE);
-        entries on surviving groups carry. Group sizes come from one
-        driver-side directory walk — a metadata operation on the same
-        filesystem the manifest protocol already requires.
+        entries on surviving groups carry. Group sizes come from the
+        manifest's ``_bytes`` stats field (recorded once at write
+        time), so selection is METADATA-ONLY; groups from legacy
+        manifests without the field fall back to a directory walk.
 
         Returns the new version, or the current one if fewer than two
         groups are under the threshold (nothing to pack)."""
@@ -1650,15 +1672,18 @@ class VersionedTable:
         if base is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         m = self._load_manifest(base)
+        stats = m.get("stats") or {}
         small: list[str] = []
         for g in m["groups"]:
-            d = os.path.join(self.path, g)
-            size = sum(
-                os.path.getsize(os.path.join(d, n))
-                for n in os.listdir(d)
-                if not n.startswith("_bloom_")
-            )
-            if size < min_bytes:
+            size = (stats.get(g) or {}).get("_bytes")
+            if size is None:
+                d = os.path.join(self.path, g)
+                size = sum(
+                    os.path.getsize(os.path.join(d, n))
+                    for n in os.listdir(d)
+                    if not n.startswith(("_", "."))
+                )
+            if int(size) < min_bytes:
                 small.append(g)
         if len(small) < 2:
             return base
@@ -2302,11 +2327,32 @@ def merge_into(
     key: str | list[str],
     txn: dict[str, int] | None = None,
     expected_parent: int | None | str = "any",
+    when_matched: str | dict | None = "update_all",
+    matched_condition=None,
+    when_not_matched: str | None = "insert_all",
 ) -> int:
-    """MERGE INTO the versioned table: WHEN MATCHED THEN UPDATE SET *,
-    WHEN NOT MATCHED THEN INSERT * — the lakehouse upsert (README
-    design note), committed as a new snapshot so the pre-merge state
-    stays time-travelable.
+    """MERGE INTO the versioned table. Default clauses: WHEN MATCHED
+    THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * — the lakehouse
+    upsert (README design note), committed as a new snapshot so the
+    pre-merge state stays time-travelable.
+
+    Full clause matrix (Delta's MERGE surface; r9):
+
+    * ``when_matched="update_all"`` — replace the whole matched row
+      with the source row (default);
+    * ``when_matched="delete"`` — WHEN MATCHED THEN DELETE;
+    * ``when_matched={col: expr}`` — UPDATE SET a SUBSET: each expr is
+      a Column over the aliases ``t`` (target row) and ``s`` (source
+      row), e.g. ``{"cents": F.col("s.cents"),
+      "n_updates": F.col("t.n_updates") + 1}``; unassigned columns
+      keep their target values;
+    * ``when_matched=None`` — matched rows stay untouched (an
+      insert-only merge);
+    * ``matched_condition`` — optional Column over t/s gating the
+      matched action (WHEN MATCHED AND cond THEN ...); matched rows
+      failing it keep their target values;
+    * ``when_not_matched="insert_all"`` (default) or ``None`` — WHEN
+      NOT MATCHED THEN INSERT * or no insert clause.
 
     Like SQL MERGE (and the Derby staging path in io/jdbc.py), the
     source must be unique per key — duplicate source keys would make
@@ -2350,13 +2396,28 @@ def merge_into(
     # provably disjoint (different groups, non-overlapping key boxes),
     # and conflicts only on true overlap. Independent pipelines
     # (CDC + backfill on disjoint key ranges) land without retries.
+    if isinstance(when_matched, str) and when_matched not in (
+        "update_all", "delete"
+    ):
+        raise ValueError(
+            f"when_matched must be 'update_all', 'delete', a "
+            f"{{col: expr}} dict, or None; got {when_matched!r}"
+        )
+    if when_not_matched not in ("insert_all", None):
+        raise ValueError(
+            f"when_not_matched must be 'insert_all' or None; got "
+            f"{when_not_matched!r}"
+        )
     base = (
         table.latest_version() if expected_parent == "any"
         else expected_parent
     )
     if base is None:
         return table.commit(
-            updates, mode="overwrite", txn=txn,
+            updates
+            if when_not_matched == "insert_all"
+            else updates.filter(F.lit(False)),
+            mode="overwrite", txn=txn,
             expected_parent=expected_parent,
         )
     m = table._load_manifest(base)
@@ -2370,7 +2431,21 @@ def merge_into(
         m, updates, keys, types, table_path=table.path
     )
     current = table._read_groups(spark, m, touched)
-    merged = current.join(updates, keys, "left_anti").unionByName(updates)
+    if (
+        when_matched == "update_all"
+        and matched_condition is None
+        and when_not_matched == "insert_all"
+    ):
+        # default clauses: the classic anti-join + union upsert (no
+        # per-column conditionals, narrower shuffle)
+        merged = current.join(updates, keys, "left_anti").unionByName(
+            updates
+        )
+    else:
+        merged = _merge_clauses(
+            current, updates, keys, declared,
+            when_matched, matched_condition, when_not_matched,
+        )
 
     # write the rewritten delta as ONE new group, then publish a
     # manifest carrying the untouched groups (and their stats) by
@@ -2417,6 +2492,82 @@ def merge_into(
             updates, keys, lstats, gs, table.path
         ),
     )
+
+
+def _merge_clauses(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    declared,
+    when_matched,
+    matched_condition,
+    when_not_matched,
+) -> DataFrame:
+    """Non-default MERGE clause construction over the touched groups:
+    one left-outer join of target ``t`` against source ``s`` resolves
+    every matched action (delete / full replace / subset assignments /
+    keep, each optionally gated by ``matched_condition``), then the
+    not-matched inserts arrive via an anti-join. All clause logic is
+    per-row JVM-side CASE WHEN — the join on the merge keys is the
+    only shuffle, same as the default path."""
+    out_cols = [f.name for f in declared.fields]
+    t = current.alias("t")
+    s = updates.select(
+        *updates.columns, F.lit(True).alias("__s_present")
+    ).alias("s")
+    joined = t.join(
+        s,
+        # plain equality, like the default path's name-join: a NULL
+        # key never matches (SQL MERGE ON semantics)
+        [t[k] == F.col(f"s.{k}") for k in keys],
+        "left_outer",
+    )
+    present = F.coalesce(F.col("s.__s_present"), F.lit(False))
+    gate = (
+        present
+        if matched_condition is None
+        else present & F.coalesce(matched_condition, F.lit(False))
+    )
+    if when_matched == "delete":
+        kept = joined.filter(~gate).select(
+            *[F.col(f"t.{c}").alias(c) for c in out_cols]
+        )
+    elif when_matched == "update_all":
+        kept = joined.select(
+            *[
+                F.when(gate, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in out_cols
+            ]
+        )
+    elif isinstance(when_matched, dict):
+        unknown = set(when_matched) - set(out_cols)
+        if unknown:
+            raise ValueError(
+                f"when_matched assigns unknown column(s): {sorted(unknown)}"
+            )
+        kept = joined.select(
+            *[
+                (
+                    F.when(gate, when_matched[c])
+                    .otherwise(F.col(f"t.{c}"))
+                    if c in when_matched
+                    else F.col(f"t.{c}")
+                ).alias(c)
+                for c in out_cols
+            ]
+        )
+    elif when_matched is None:
+        kept = current
+    else:  # pragma: no cover - validated at entry
+        raise ValueError(f"bad when_matched {when_matched!r}")
+    if when_not_matched == "insert_all":
+        inserts = updates.join(current, keys, "left_anti").select(
+            *out_cols
+        )
+        kept = kept.unionByName(inserts)
+    return kept
 
 
 def _key_box(updates: DataFrame, keys: list[str], types: dict):

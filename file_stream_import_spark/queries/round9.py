@@ -19,6 +19,8 @@ driver's value-hash gate.
   count value-checked like lake_pruned_delete's.
 * lake_compact_small_groups — the r9 incremental bin-packing
   compaction, post-compaction group count pinned in the value hash.
+* lake_merge_clauses — the r9 MERGE clause matrix (conditional subset
+  assignment + insert) against a relational clause-algebra oracle.
 """
 
 from __future__ import annotations
@@ -393,6 +395,90 @@ def lake_compact_small_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cents").cast("bigint").alias("cents"),
             )
             .withColumn("n_groups_after", F.lit(n_groups).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_merge_clauses",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    src AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             'NEW' AS status
+      FROM orders WHERE o_orderkey <= 2500 AND o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT b.k,
+        CASE WHEN s.k IS NOT NULL AND s.cents > 5000000
+             THEN b.cents + s.cents ELSE b.cents END AS cents,
+        CASE WHEN s.k IS NOT NULL AND s.cents > 5000000
+             THEN 'MERGED' ELSE b.status END AS status
+      FROM base b LEFT JOIN src s USING (k)
+      UNION ALL
+      SELECT s.k, s.cents, s.status FROM src s
+      WHERE s.k NOT IN (SELECT k FROM base)
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM merged GROUP BY status
+    """,
+)
+def lake_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 MERGE clause matrix end to end: WHEN MATCHED AND
+    s.cents > 5000000 THEN UPDATE SET cents = t.cents + s.cents,
+    status = 'MERGED' (a SUBSET assignment over both aliases), WHEN
+    NOT MATCHED THEN INSERT * — run through merge_into's clause path
+    (io/versioned.py::_merge_clauses: one left-outer join + CASE WHEN,
+    the same single shuffle as the classic upsert). The oracle
+    recomputes the clause algebra relationally, so a wrong gate (a
+    matched-but-condition-false row mutated, an insert dropped, a
+    subset assignment leaking into unassigned columns) breaks the
+    per-status value hash."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, merge_into
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_clauses_"))
+    try:
+        base = o.filter(F.col("k") <= 2000)
+        t.commit(base.filter(F.col("k") <= 1000), mode="overwrite")
+        t.commit(base.filter(F.col("k") > 1000), mode="append")
+        src = (
+            o.filter((F.col("k") <= 2500) & (F.col("k") % 7 == 0))
+            .withColumn("status", F.lit("NEW"))
+        )
+        v = merge_into(
+            t, spark, src, key="k",
+            when_matched={
+                "cents": F.col("t.cents") + F.col("s.cents"),
+                "status": F.lit("MERGED"),
+            },
+            matched_condition=F.col("s.cents") > 5_000_000,
+        )
+        out = (
+            t.read(spark, version=v)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
             .localCheckpoint(eager=True)
         )
     finally:

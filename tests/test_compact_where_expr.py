@@ -250,3 +250,58 @@ class TestWhereExpr:
             os.path.basename(os.path.dirname(f)) for f in df.inputFiles()
         }
         assert len(dirs) == 1
+
+
+class TestMetadataOnlySizing:
+    """Round-9b: group sizes ride the manifest (stats._bytes, recorded
+    once at write time), so compact()'s selection never walks the data
+    tree; legacy manifests without the field fall back to the walk."""
+
+    def test_manifest_records_bytes(self, spark, tmp_path):
+        t = _mixed_table(spark, tmp_path)
+        m = t._load_manifest(t.latest_version())
+        for g in m["groups"]:
+            recorded = m["stats"][g]["_bytes"]
+            d = os.path.join(t.path, g)
+            actual = sum(
+                os.path.getsize(os.path.join(d, n))
+                for n in os.listdir(d)
+                if not n.startswith(("_", "."))
+            )
+            assert recorded == actual > 0
+
+    def test_compact_selection_is_metadata_only(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = _mixed_table(spark, tmp_path)
+        calls = {"n": 0}
+        real = os.listdir
+
+        def counting(p):
+            # only data-group walks count; _manifests probes are exists()
+            if os.path.join(t.path, "data") in str(p):
+                calls["n"] += 1
+            return real(p)
+
+        monkeypatch.setattr(os, "listdir", counting)
+        v = t.compact(spark, min_bytes=64 << 10)
+        # the one listdir allowed is _write_group_with_stats sizing the
+        # NEW packed group; the 5 existing groups were sized from stats
+        assert calls["n"] <= 1
+        assert len(t._load_manifest(v)["groups"]) == 2
+
+    def test_legacy_manifest_falls_back_to_walk(self, spark, tmp_path):
+        import json
+
+        from file_stream_import_spark.io.versioned import _manifest_path
+
+        t = _mixed_table(spark, tmp_path)
+        v = t.latest_version()
+        p = _manifest_path(t.path, v)
+        m = json.load(open(p))
+        for g in m["groups"]:
+            m["stats"][g].pop("_bytes", None)
+        json.dump(m, open(p, "w"))
+        v2 = t.compact(spark, min_bytes=64 << 10)
+        assert len(t._load_manifest(v2)["groups"]) == 2
+        assert t.read(spark).count() == 100_000 + 80

@@ -1,0 +1,185 @@
+"""Round-9: the full MERGE clause matrix (Delta's surface) on
+io/versioned.py::merge_into — WHEN MATCHED [AND cond] THEN
+DELETE / UPDATE SET * / UPDATE SET subset / no-op, WHEN NOT MATCHED
+THEN INSERT * / no clause. Defaults stay byte-identical to the classic
+upsert (the anti-join fast path); every non-default combination is
+checked against a relationally computed ground truth, and the pruned
+O(delta) property holds for clause merges too.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_stream_import_spark.io.versioned import (
+    VersionedTable,
+    merge_into,
+)
+
+
+def _table(spark, tmp_path):
+    """Four range-partitioned groups of (k, cents, status)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    for gi in range(4):
+        lo = gi * 100
+        t.commit(
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("cents"),
+                F.lit("old").alias("status"),
+            ),
+            mode="append" if gi else "overwrite",
+        )
+    return t
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, "k long, cents long, status string")
+
+
+class TestMatchedClauses:
+    def test_matched_delete(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        src = _src(spark, [(150, 0, "x"), (151, 0, "x"), (999_999, 1, "new")])
+        v = merge_into(
+            t, spark, src, key="k",
+            when_matched="delete", when_not_matched="insert_all",
+        )
+        got = {r["k"] for r in t.read(spark, version=v).collect()}
+        assert 150 not in got and 151 not in got
+        assert 999_999 in got
+        assert len(got) == 400 - 2 + 1
+
+    def test_matched_delete_with_condition(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        src = _src(spark, [(150, 0, "x"), (151, 0, "x")])
+        v = merge_into(
+            t, spark, src, key="k",
+            when_matched="delete",
+            matched_condition=F.col("t.k") % 2 == 0,
+            when_not_matched=None,
+        )
+        got = {r["k"] for r in t.read(spark, version=v).collect()}
+        assert 150 not in got     # matched AND even -> deleted
+        assert 151 in got         # matched but condition false -> kept
+        assert len(got) == 399
+
+    def test_matched_subset_assignment(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        src = _src(spark, [(42, 777, "ignored"), (43, 888, "ignored")])
+        v = merge_into(
+            t, spark, src, key="k",
+            when_matched={
+                "cents": F.col("s.cents") + F.col("t.cents"),
+                "status": F.lit("merged"),
+            },
+            when_not_matched=None,
+        )
+        got = {
+            r["k"]: (r["cents"], r["status"])
+            for r in t.read(spark, version=v).collect()
+        }
+        assert got[42] == (777 + 420, "merged")
+        assert got[43] == (888 + 430, "merged")
+        assert got[44] == (440, "old")  # untouched
+
+    def test_conditional_update_all(self, spark, tmp_path):
+        """WHEN MATCHED AND s.cents > t.cents THEN UPDATE SET * — the
+        only-raise-prices merge."""
+        t = _table(spark, tmp_path)
+        src = _src(
+            spark,
+            [(10, 999_999, "up"), (11, 1, "down"), (500, 5, "new")],
+        )
+        v = merge_into(
+            t, spark, src, key="k",
+            matched_condition=F.col("s.cents") > F.col("t.cents"),
+        )
+        got = {
+            r["k"]: (r["cents"], r["status"])
+            for r in t.read(spark, version=v).collect()
+        }
+        assert got[10] == (999_999, "up")  # raised
+        assert got[11] == (110, "old")     # lower offer ignored
+        assert got[500] == (5, "new")      # inserted regardless
+        assert len(got) == 401
+
+    def test_insert_only_merge(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        src = _src(spark, [(42, 1, "dup"), (500, 2, "new")])
+        v = merge_into(
+            t, spark, src, key="k", when_matched=None,
+        )
+        got = {
+            r["k"]: r["status"] for r in t.read(spark, version=v).collect()
+        }
+        assert got[42] == "old"   # existing row untouched
+        assert got[500] == "new"
+        assert len(got) == 401
+
+    def test_no_insert_clause(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        src = _src(spark, [(42, 1, "upd"), (500, 2, "new")])
+        v = merge_into(
+            t, spark, src, key="k", when_not_matched=None,
+        )
+        got = {
+            r["k"]: r["status"] for r in t.read(spark, version=v).collect()
+        }
+        assert got[42] == "upd"
+        assert 500 not in got
+        assert len(got) == 400
+
+
+class TestClauseMergePruning:
+    def test_clause_merge_stays_o_delta(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        base = t.latest_version()
+        before = set(t._load_manifest(base)["groups"])
+        src = _src(spark, [(150, 0, "x"), (160, 0, "x")])
+        v = merge_into(
+            t, spark, src, key="k", when_matched="delete",
+            when_not_matched=None,
+        )
+        carried = set(t._load_manifest(v)["groups"]) & before
+        assert len(carried) == 3  # keys 150/160 live in ONE group
+
+    def test_validation_rejects_bad_clauses(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        src = _src(spark, [(1, 1, "x")])
+        with pytest.raises(ValueError, match="when_matched"):
+            merge_into(t, spark, src, key="k", when_matched="upsert")
+        with pytest.raises(ValueError, match="when_not_matched"):
+            merge_into(
+                t, spark, src, key="k", when_not_matched="ignore"
+            )
+        with pytest.raises(ValueError, match="unknown column"):
+            merge_into(
+                t, spark, src, key="k",
+                when_matched={"nope": F.lit(1)},
+            )
+
+    def test_empty_table_respects_insert_clause(self, spark, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        src = _src(spark, [(1, 1, "x")])
+        merge_into(t, spark, src, key="k", when_not_matched=None)
+        assert t.read(spark).count() == 0
+        t2 = VersionedTable(str(tmp_path / "t2"))
+        merge_into(t2, spark, src, key="k")
+        assert t2.read(spark).count() == 1
+
+    def test_default_path_unchanged(self, spark, tmp_path):
+        """Defaults still take the classic anti-join upsert and give
+        the same result as an explicit update_all+insert_all."""
+        ta, tb = _table(spark, tmp_path / "a"), _table(spark, tmp_path / "b")
+        src = _src(spark, [(42, 1, "u"), (500, 2, "n")])
+        merge_into(ta, spark, src, key="k")
+        merge_into(
+            tb, spark, src, key="k",
+            when_matched="update_all", when_not_matched="insert_all",
+            matched_condition=F.lit(True),
+        )
+        a = sorted(map(tuple, ta.read(spark).collect()))
+        b = sorted(map(tuple, tb.read(spark).collect()))
+        assert a == b
