@@ -2330,6 +2330,8 @@ def merge_into(
     when_matched: str | dict | None = "update_all",
     matched_condition=None,
     when_not_matched: str | None = "insert_all",
+    when_not_matched_by_source: str | dict | None = None,
+    not_matched_by_source_condition=None,
 ) -> int:
     """MERGE INTO the versioned table. Default clauses: WHEN MATCHED
     THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * — the lakehouse
@@ -2352,7 +2354,20 @@ def merge_into(
       matched action (WHEN MATCHED AND cond THEN ...); matched rows
       failing it keep their target values;
     * ``when_not_matched="insert_all"`` (default) or ``None`` — WHEN
-      NOT MATCHED THEN INSERT * or no insert clause.
+      NOT MATCHED THEN INSERT * or no insert clause;
+    * ``when_not_matched_by_source`` — the target-side sweep (Delta's
+      WHEN NOT MATCHED BY SOURCE): ``"delete"`` removes target rows
+      with no source match, ``{col: expr}`` updates them (exprs over
+      BARE target column names — only the target row exists for this
+      clause), ``None`` (default) leaves them untouched;
+      ``not_matched_by_source_condition`` gates it (a Column over
+      bare target columns). NOTE the cost model: this clause concerns
+      rows whose keys are ABSENT from the source, so it touches every
+      group the condition cannot prune — pass a condition the planner
+      can bound (derive_prune_bounds) to keep the rewrite O(delta),
+      otherwise the whole table rewrites; and because the decision
+      depends on key NON-existence, a commit carrying this clause
+      does not rebase over concurrent adds (they truly conflict).
 
     Like SQL MERGE (and the Derby staging path in io/jdbc.py), the
     source must be unique per key — duplicate source keys would make
@@ -2408,6 +2423,14 @@ def merge_into(
             f"when_not_matched must be 'insert_all' or None; got "
             f"{when_not_matched!r}"
         )
+    if isinstance(when_not_matched_by_source, str) and (
+        when_not_matched_by_source != "delete"
+    ):
+        raise ValueError(
+            f"when_not_matched_by_source must be 'delete', a "
+            f"{{col: expr}} dict, or None; got "
+            f"{when_not_matched_by_source!r}"
+        )
     base = (
         table.latest_version() if expected_parent == "any"
         else expected_parent
@@ -2430,11 +2453,33 @@ def merge_into(
     touched, untouched = _split_touched_groups(
         m, updates, keys, types, table_path=table.path
     )
+    if when_not_matched_by_source is not None and untouched:
+        # the BY SOURCE clause concerns target rows whose keys are
+        # ABSENT from the source — they live in any group, so groups
+        # escape the rewrite only when the clause's own condition
+        # provably can't match them (the planner's bounds vs their
+        # stats box); no condition or no derivable bounds → full sweep
+        bys_bounds = (
+            derive_prune_bounds(not_matched_by_source_condition)
+            if not_matched_by_source_condition is not None
+            else {}
+        )
+        gstats = m.get("stats") or {}
+        extra = [
+            g
+            for g in untouched
+            if not bys_bounds
+            or _group_may_match(gstats.get(g), bys_bounds)
+        ]
+        extra_set = set(extra)
+        touched = [g for g in m["groups"] if g in set(touched) | extra_set]
+        untouched = [g for g in untouched if g not in extra_set]
     current = table._read_groups(spark, m, touched)
     if (
         when_matched == "update_all"
         and matched_condition is None
         and when_not_matched == "insert_all"
+        and when_not_matched_by_source is None
     ):
         # default clauses: the classic anti-join + union upsert (no
         # per-column conditionals, narrower shuffle)
@@ -2445,6 +2490,7 @@ def merge_into(
         merged = _merge_clauses(
             current, updates, keys, declared,
             when_matched, matched_condition, when_not_matched,
+            when_not_matched_by_source, not_matched_by_source_condition,
         )
 
     # write the rewritten delta as ONE new group, then publish a
@@ -2486,10 +2532,23 @@ def merge_into(
         txn=txn,
         removed=touched,
         # evaluated ONLY if a rebase is needed: one tiny agg job over
-        # the updates proving which key range this merge could touch
-        update_box=lambda: _key_box(updates, keys, types),
-        update_membership=lambda lstats, gs: _rebase_bloom_membership(
-            updates, keys, lstats, gs, table.path
+        # the updates proving which key range this merge could touch.
+        # A BY SOURCE clause depends on key NON-existence, so no box
+        # can prove a concurrent add disjoint — rebase is disabled
+        # (update_box=None → any concurrent add truly conflicts).
+        update_box=(
+            None
+            if when_not_matched_by_source is not None
+            else (lambda: _key_box(updates, keys, types))
+        ),
+        update_membership=(
+            None
+            if when_not_matched_by_source is not None
+            else (
+                lambda lstats, gs: _rebase_bloom_membership(
+                    updates, keys, lstats, gs, table.path
+                )
+            )
         ),
     )
 
@@ -2502,13 +2561,17 @@ def _merge_clauses(
     when_matched,
     matched_condition,
     when_not_matched,
+    when_not_matched_by_source=None,
+    not_matched_by_source_condition=None,
 ) -> DataFrame:
     """Non-default MERGE clause construction over the touched groups:
     one left-outer join of target ``t`` against source ``s`` resolves
     every matched action (delete / full replace / subset assignments /
-    keep, each optionally gated by ``matched_condition``), then the
-    not-matched inserts arrive via an anti-join. All clause logic is
-    per-row JVM-side CASE WHEN — the join on the merge keys is the
+    keep, each optionally gated by ``matched_condition``), the
+    unmatched target side peels off the same join for the BY SOURCE
+    sweep (bare column names — only the target row exists there), and
+    the not-matched inserts arrive via an anti-join. All clause logic
+    is per-row JVM-side CASE WHEN — the join on the merge keys is the
     only shuffle, same as the default path."""
     out_cols = [f.name for f in declared.fields]
     t = current.alias("t")
@@ -2528,12 +2591,12 @@ def _merge_clauses(
         if matched_condition is None
         else present & F.coalesce(matched_condition, F.lit(False))
     )
+    bare_t = [F.col(f"t.{c}").alias(c) for c in out_cols]
+    matched_side = joined.filter(present)
     if when_matched == "delete":
-        kept = joined.filter(~gate).select(
-            *[F.col(f"t.{c}").alias(c) for c in out_cols]
-        )
+        kept = matched_side.filter(~gate).select(*bare_t)
     elif when_matched == "update_all":
-        kept = joined.select(
+        kept = matched_side.select(
             *[
                 F.when(gate, F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}"))
@@ -2547,7 +2610,7 @@ def _merge_clauses(
             raise ValueError(
                 f"when_matched assigns unknown column(s): {sorted(unknown)}"
             )
-        kept = joined.select(
+        kept = matched_side.select(
             *[
                 (
                     F.when(gate, when_matched[c])
@@ -2559,9 +2622,51 @@ def _merge_clauses(
             ]
         )
     elif when_matched is None:
-        kept = current
+        kept = matched_side.select(*bare_t)
     else:  # pragma: no cover - validated at entry
         raise ValueError(f"bad when_matched {when_matched!r}")
+    # the target rows with NO source match, back on bare names so the
+    # BY SOURCE condition/assignments resolve unambiguously
+    unmatched = joined.filter(~present).select(*bare_t)
+    if when_not_matched_by_source is None:
+        kept = kept.unionByName(unmatched)
+    else:
+        bys_gate = (
+            F.lit(True)
+            if not_matched_by_source_condition is None
+            else F.coalesce(
+                not_matched_by_source_condition, F.lit(False)
+            )
+        )
+        if when_not_matched_by_source == "delete":
+            kept = kept.unionByName(unmatched.filter(~bys_gate))
+        elif isinstance(when_not_matched_by_source, dict):
+            unknown = set(when_not_matched_by_source) - set(out_cols)
+            if unknown:
+                raise ValueError(
+                    f"when_not_matched_by_source assigns unknown "
+                    f"column(s): {sorted(unknown)}"
+                )
+            kept = kept.unionByName(
+                unmatched.select(
+                    *[
+                        (
+                            F.when(
+                                bys_gate,
+                                when_not_matched_by_source[c],
+                            ).otherwise(F.col(c))
+                            if c in when_not_matched_by_source
+                            else F.col(c)
+                        ).alias(c)
+                        for c in out_cols
+                    ]
+                )
+            )
+        else:  # pragma: no cover - validated at entry
+            raise ValueError(
+                f"bad when_not_matched_by_source "
+                f"{when_not_matched_by_source!r}"
+            )
     if when_not_matched == "insert_all":
         inserts = updates.join(current, keys, "left_anti").select(
             *out_cols

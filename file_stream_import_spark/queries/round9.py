@@ -21,6 +21,8 @@ driver's value-hash gate.
   compaction, post-compaction group count pinned in the value hash.
 * lake_merge_clauses — the r9 MERGE clause matrix (conditional subset
   assignment + insert) against a relational clause-algebra oracle.
+* lake_merge_sync_by_source — the full-sync MERGE: WHEN NOT MATCHED
+  BY SOURCE DELETE gated by a planner-boundable window.
 """
 
 from __future__ import annotations
@@ -471,6 +473,81 @@ def lake_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "status": F.lit("MERGED"),
             },
             matched_condition=F.col("s.cents") > 5_000_000,
+        )
+        out = (
+            t.read(spark, version=v)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_merge_sync_by_source",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey <= 1500
+    ),
+    src AS (
+      SELECT k, cents, 'SYNCED' AS status FROM base WHERE k % 3 <> 0
+    ),
+    merged AS (
+      SELECT s.k, s.cents, s.status FROM src s            -- matched: update *
+      UNION ALL
+      SELECT b.k, b.cents, b.status FROM base b           -- unmatched kept
+      WHERE b.k % 3 = 0 AND NOT b.k BETWEEN 400 AND 1100  -- bys delete window
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM merged GROUP BY status
+    """,
+)
+def lake_merge_sync_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN NOT MATCHED BY SOURCE under the driver gate (r9b): the
+    full-sync MERGE — source rows update their matches (UPDATE SET *),
+    and target rows with NO source match inside the k∈[400,1100]
+    window are swept (BY SOURCE DELETE gated by a planner-boundable
+    condition, so groups outside the window's box AND the update-key
+    box carry by reference; the group algebra is covered by
+    tests/test_merge_clauses.py — here the driver value-checks the
+    CLAUSE SEMANTICS: which rows survived, which updated, none
+    double-counted)."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, merge_into
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 1500
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_sync_"))
+    try:
+        for i, (lo, hi) in enumerate([(0, 500), (501, 1000), (1001, 1500)]):
+            t.commit(
+                o.filter(F.col("k").between(lo, hi)),
+                mode="append" if i else "overwrite",
+            )
+        src = o.filter(F.col("k") % 3 != 0).withColumn(
+            "status", F.lit("SYNCED")
+        )
+        v = merge_into(
+            t, spark, src, key="k",
+            when_not_matched_by_source="delete",
+            not_matched_by_source_condition=F.col("k").between(400, 1100),
         )
         out = (
             t.read(spark, version=v)

@@ -183,3 +183,123 @@ class TestClauseMergePruning:
         a = sorted(map(tuple, ta.read(spark).collect()))
         b = sorted(map(tuple, tb.read(spark).collect()))
         assert a == b
+
+
+class TestNotMatchedBySource:
+    """WHEN NOT MATCHED BY SOURCE — the target-side sweep (r9b)."""
+
+    def test_bys_delete_syncs_target_to_source(self, spark, tmp_path):
+        """The classic full-sync: source is the truth; target rows
+        absent from it are swept away."""
+        t = _table(spark, tmp_path)
+        src = _src(
+            spark,
+            [(k, k * 100, "synced") for k in range(0, 400, 2)],
+        )
+        v = merge_into(
+            t, spark, src, key="k",
+            when_not_matched_by_source="delete",
+        )
+        got = {
+            r["k"]: (r["cents"], r["status"])
+            for r in t.read(spark, version=v).collect()
+        }
+        assert set(got) == set(range(0, 400, 2))  # odds swept
+        assert got[10] == (1000, "synced")        # evens updated
+
+    def test_bys_delete_with_condition_prunes_groups(
+        self, spark, tmp_path
+    ):
+        """A planner-boundable BY SOURCE condition keeps the sweep
+        O(delta): only groups overlapping the condition's box (plus
+        the update-key groups) rewrite."""
+        t = _table(spark, tmp_path)
+        base = t.latest_version()
+        before = set(t._load_manifest(base)["groups"])
+        src = _src(spark, [(150, 1, "u")])
+        v = merge_into(
+            t, spark, src, key="k",
+            when_not_matched_by_source="delete",
+            not_matched_by_source_condition=F.col("k").between(120, 180),
+        )
+        carried = set(t._load_manifest(v)["groups"]) & before
+        assert len(carried) == 3  # both clauses confined to group 1
+        got = {r["k"] for r in t.read(spark, version=v).collect()}
+        # 120..180 absent from source -> deleted; 150 updated (matched)
+        assert got & set(range(120, 181)) == {150}
+        assert set(range(0, 120)) <= got and set(range(181, 400)) <= got
+
+    def test_bys_update_assignment(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        src = _src(spark, [(42, 1, "seen")])
+        v = merge_into(
+            t, spark, src, key="k",
+            when_matched={"status": F.lit("seen")},
+            when_not_matched_by_source={"status": F.lit("stale")},
+            when_not_matched=None,
+        )
+        got = {
+            r["k"]: r["status"] for r in t.read(spark, version=v).collect()
+        }
+        assert got[42] == "seen"
+        assert all(v == "stale" for k, v in got.items() if k != 42)
+        assert len(got) == 400
+
+    def test_bys_unconditioned_touches_everything(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        base = t.latest_version()
+        before = set(t._load_manifest(base)["groups"])
+        src = _src(spark, [(1, 1, "u")])
+        v = merge_into(
+            t, spark, src, key="k",
+            when_not_matched_by_source={"status": F.lit("swept")},
+        )
+        carried = set(t._load_manifest(v)["groups"]) & before
+        assert carried == set()  # no condition: honest full sweep
+
+    def test_bys_conflicts_with_concurrent_append(self, spark, tmp_path):
+        """BY SOURCE decisions depend on key NON-existence, so a
+        concurrent append cannot be rebased over — it conflicts."""
+        from file_stream_import_spark.io.versioned import (
+            CommitConflictError,
+        )
+
+        t = _table(spark, tmp_path)
+        real_publish = VersionedTable._publish
+        state = {"fired": False}
+
+        def racing(self, parent, manifest, txn=None):
+            if not state["fired"] and manifest["mode"] == "overwrite":
+                state["fired"] = True
+                t2 = VersionedTable(self.path)
+                t2.commit(
+                    _src(spark, [(9999, 1, "late")]), mode="append"
+                )
+            return real_publish(self, parent, manifest, txn=txn)
+
+        VersionedTable._publish = racing
+        try:
+            with pytest.raises(CommitConflictError):
+                merge_into(
+                    t, spark, _src(spark, [(1, 1, "u")]), key="k",
+                    when_not_matched_by_source="delete",
+                )
+        finally:
+            VersionedTable._publish = real_publish
+        assert state["fired"]
+        # the late append survived; the sweep lost cleanly
+        got = {r["k"] for r in t.read(spark).collect()}
+        assert 9999 in got and len(got) == 401
+
+    def test_bys_validation(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        with pytest.raises(ValueError, match="when_not_matched_by_source"):
+            merge_into(
+                t, spark, _src(spark, [(1, 1, "x")]), key="k",
+                when_not_matched_by_source="update_all",
+            )
+        with pytest.raises(ValueError, match="unknown"):
+            merge_into(
+                t, spark, _src(spark, [(1, 1, "x")]), key="k",
+                when_not_matched_by_source={"nope": F.lit(1)},
+            )
