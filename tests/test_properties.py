@@ -968,3 +968,107 @@ class TestRebaseProperties:
         expect.update(ups_a)
         expect.update(ups_b)
         assert got_ab == expect
+
+
+class TestPrunePlannerProperties:
+    """Round-9: derive_prune_bounds soundness for ARBITRARY predicate
+    trees — condition TRUE for a row ⇒ every derived bound holds for
+    that row. Random trees mix derivable leaves (comparisons, IN),
+    opaque leaves (modulo arithmetic — the planner must yield nothing
+    for them), and AND/OR/NOT combinators; Spark's own filter is the
+    ground truth."""
+
+    LEAF = st.one_of(
+        st.tuples(
+            st.just("cmp"),
+            st.sampled_from(["k", "m"]),
+            st.sampled_from(["<", "<=", ">", ">=", "=="]),
+            st.integers(min_value=-5, max_value=65),
+        ),
+        st.tuples(
+            st.just("cmp"),
+            st.just("v"),
+            st.sampled_from(["<", "<=", ">", ">=", "=="]),
+            st.sampled_from(["v0", "v2", "v4", "zz"]),
+        ),
+        st.tuples(
+            st.just("in"),
+            st.just("k"),
+            st.lists(
+                st.integers(min_value=-2, max_value=62),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        st.tuples(
+            st.just("opaque"),
+            st.just("k"),
+            st.integers(min_value=2, max_value=7),
+            st.integers(min_value=0, max_value=6),
+        ),
+    )
+    TREE = st.recursive(
+        LEAF,
+        lambda sub: st.one_of(
+            st.tuples(st.just("and"), sub, sub),
+            st.tuples(st.just("or"), sub, sub),
+            st.tuples(st.just("not"), sub),
+        ),
+        max_leaves=6,
+    )
+
+    @staticmethod
+    def _to_column(spec):
+        from pyspark.sql import functions as F
+
+        tag = spec[0]
+        if tag == "cmp":
+            _, col, op, val = spec
+            c = F.col(col)
+            return {
+                "<": c < val, "<=": c <= val, ">": c > val,
+                ">=": c >= val, "==": c == val,
+            }[op]
+        if tag == "in":
+            return F.col(spec[1]).isin(*spec[2])
+        if tag == "opaque":
+            _, col, mod, rem = spec
+            return F.col(col) % mod == rem
+        if tag == "and":
+            return TestPrunePlannerProperties._to_column(spec[1]) & (
+                TestPrunePlannerProperties._to_column(spec[2])
+            )
+        if tag == "or":
+            return TestPrunePlannerProperties._to_column(spec[1]) | (
+                TestPrunePlannerProperties._to_column(spec[2])
+            )
+        return ~TestPrunePlannerProperties._to_column(spec[1])
+
+    @prop
+    @given(spec=TREE)
+    def test_derived_bounds_are_implied(self, spark, spec):
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.versioned import (
+            derive_prune_bounds,
+        )
+
+        cond = self._to_column(spec)
+        bounds = derive_prune_bounds(cond)
+        df = spark.range(60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 9).alias("m"),
+            F.concat(F.lit("v"), F.col("id") % 5).alias("v"),
+        )
+        for r in df.filter(cond).collect():
+            for col, b in bounds.items():
+                val = r[col]
+                assert val is not None, (spec, col)
+                if isinstance(b, list):
+                    assert val in b, (spec, col, val, b)
+                else:
+                    lo, hi = b
+                    if lo is not None and type(lo) == type(val):
+                        assert val >= lo, (spec, col, val, b)
+                    if hi is not None and type(hi) == type(val):
+                        assert val <= hi, (spec, col, val, b)
