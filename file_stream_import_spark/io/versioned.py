@@ -794,11 +794,20 @@ class VersionedTable:
         allow_evolution: bool = False,
         expected_parent: int | None | str = "any",
         txn: dict[str, int] | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the version number.
         ``mode='append'`` adds to the parent snapshot's files,
         ``'overwrite'`` replaces them. Raises CommitConflictError if a
         concurrent writer takes the target version first.
+
+        ``partition_by`` splits the commit into ONE GROUP PER
+        PARTITION VALUE (_write_partitioned_groups): each group's
+        stats box for a partition column is a point, so reads, MERGE
+        touch tests, and auto-pruned DML on that column skip exactly —
+        the Iceberg/Delta partitioned-table layout without needing a
+        clustering OPTIMIZE. Many tiny partitions per commit are the
+        compact() use case.
 
         ``allow_evolution=True`` permits ADDITIVE schema evolution on
         append: new columns join the table schema (old rows read them
@@ -873,15 +882,24 @@ class VersionedTable:
         # job as the write
         pm = self._load_manifest(parent) if parent is not None else {}
         checks = pm.get("constraints") or {}
-        group = os.path.join("data", uuid.uuid4().hex)
-        group_stats = _write_group_with_stats(
-            df, os.path.join(self.path, group), checks=checks,
-            bloom_cols=pm.get("bloom_cols"),
-            bloom_bits=pm.get("bloom_bits"),
-        )
-        if group_stats is not None:
-            stats[group] = group_stats
-        groups.append(group)
+        if partition_by:
+            added, new_stats = self._write_partitioned_groups(
+                df, list(partition_by), checks,
+                pm.get("bloom_cols"), pm.get("bloom_bits"),
+            )
+            stats.update(new_stats)
+            groups.extend(added)
+        else:
+            group = os.path.join("data", uuid.uuid4().hex)
+            group_stats = _write_group_with_stats(
+                df, os.path.join(self.path, group), checks=checks,
+                bloom_cols=pm.get("bloom_cols"),
+                bloom_bits=pm.get("bloom_bits"),
+            )
+            if group_stats is not None:
+                stats[group] = group_stats
+            groups.append(group)
+            added = [group]
         # (2) atomic manifest publish; "added" records THIS commit's
         # delta explicitly so consumers (the changefeed) never need the
         # parent manifest — which vacuum may have expired. Appends
@@ -892,7 +910,7 @@ class VersionedTable:
             "schema": schema_json,
             "groups": groups,
             "mode": mode,
-            "added": [group],
+            "added": added,
             "delete_entries": delete_entries,
             "stats": stats,
         }
@@ -902,6 +920,169 @@ class VersionedTable:
                 concurrent_adds_ok=True,
             )
         return self._publish(parent, manifest, txn=txn)
+
+    def _write_partitioned_groups(
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        checks: dict | None,
+        bloom_cols: list[str] | None,
+        bloom_bits: int | None,
+    ) -> tuple[list[str], dict]:
+        """Write ``df`` as ONE GROUP PER PARTITION VALUE (the
+        Iceberg/Delta partitioned-table layout, applied per commit):
+        a single hash shuffle on the partition columns co-locates each
+        value, a staged ``partitionBy`` write lays the values out as
+        directories — partitioning on DUPLICATED columns (``__p_<c>``)
+        so the originals stay inside the data files and every reader
+        sees the full schema — and each leaf directory is renamed into
+        an immutable group. Because a group then holds exactly one
+        partition value, its stats box for that column is a POINT:
+        read()/MERGE/DML pruning on the partition column is exact, no
+        clustering pass needed. One combined aggregation over the new
+        groups (keyed by input_file_name's group id) produces stats,
+        NDV for bloom sizing, and CHECK validation counts; violations
+        raise AFTER the write, leaving only vacuum-reclaimable orphans
+        (same atomicity shape as _write_group_with_stats)."""
+        import shutil
+
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by column(s) not in data: {missing}"
+            )
+        spark = df.sparkSession
+        checks = checks or {}
+        staged = os.path.join(
+            self.path, "data", f"pt-{uuid.uuid4().hex}"
+        )
+        pcols = [f"__p_{c}" for c in partition_by]
+        (
+            df.select("*", *[
+                F.col(c).alias(p) for c, p in zip(partition_by, pcols)
+            ])
+            .repartition(*[F.col(p) for p in pcols])
+            .write.partitionBy(*pcols)
+            .parquet(staged)
+        )
+        leaf_dirs: list[str] = []
+
+        def walk(d: str, depth: int) -> None:
+            if depth == 0:
+                leaf_dirs.append(d)
+                return
+            for name in sorted(os.listdir(d)):
+                sub = os.path.join(d, name)
+                if os.path.isdir(sub):
+                    walk(sub, depth - 1)
+
+        walk(staged, len(partition_by))
+        groups: list[str] = []
+        for d in leaf_dirs:
+            g = os.path.join("data", uuid.uuid4().hex)
+            os.rename(d, os.path.join(self.path, g))
+            groups.append(g)
+        shutil.rmtree(staged, ignore_errors=True)
+        if not groups:
+            return [], {}
+        gdf = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, g) for g in groups]
+        )
+        gcol = F.regexp_extract(
+            F.input_file_name(), "data/([0-9a-f]{32})/", 1
+        )
+        cols = [
+            f for f in df.schema.fields if _stats_eligible(f.dataType)
+        ]
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for i, f in enumerate(cols):
+            aggs += [
+                F.min(f.name).alias(f"mn_{i}"),
+                F.max(f.name).alias(f"mx_{i}"),
+                F.sum(
+                    F.when(F.col(f.name).isNull(), 1).otherwise(0)
+                ).alias(f"nu_{i}"),
+            ]
+        check_names = sorted(checks)
+        for i, name in enumerate(check_names):
+            bad = ~F.coalesce(F.expr(checks[name]), F.lit(True))
+            aggs.append(
+                F.sum(F.when(bad, 1).otherwise(0)).alias(f"ck_{i}")
+            )
+        ndv_cols = [
+            c for c in (bloom_cols or []) if c in gdf.columns
+        ]
+        for i, c in enumerate(ndv_cols):
+            aggs.append(F.approx_count_distinct(c).alias(f"nd_{i}"))
+        per = {
+            r["__g"]: r
+            for r in gdf.withColumn("__g", gcol)
+            .groupBy("__g")
+            .agg(*aggs)
+            .collect()
+        }
+        violated = {
+            name: sum(
+                int(r[f"ck_{i}"] or 0) for r in per.values()
+            )
+            for i, name in enumerate(check_names)
+        }
+        violated = {n: c for n, c in violated.items() if c > 0}
+        if violated:
+            raise ConstraintViolationError(
+                "CHECK constraint(s) violated: "
+                + ", ".join(
+                    f"{n} ({c} rows, condition: {checks[n]!r})"
+                    for n, c in violated.items()
+                )
+                + "; the rejected data groups are unreferenced and "
+                "will be vacuumed"
+            )
+        stats: dict = {}
+        for g in groups:
+            gid = os.path.basename(g)
+            r = per.get(gid)
+            if r is None:
+                continue  # empty leaf (cannot normally happen)
+            n_rows = int(r["rows"] or 0)
+            st: dict = {"_rows": n_rows}
+            try:
+                gd = os.path.join(self.path, g)
+                st["_bytes"] = sum(
+                    os.path.getsize(os.path.join(gd, n))
+                    for n in os.listdir(gd)
+                    if not n.startswith(("_", "."))
+                )
+            except OSError:
+                pass
+            for i, f in enumerate(cols):
+                entry = _col_stats_entry(
+                    r[f"mn_{i}"],
+                    r[f"mx_{i}"],
+                    int(r[f"nu_{i}"] or 0),
+                    n_rows,
+                    f.dataType,
+                )
+                if entry is not None:
+                    st[f.name] = entry
+            if bloom_cols:
+                blooms = _bloom_build(
+                    spark.read.parquet(os.path.join(self.path, g)),
+                    bloom_cols,
+                    n_rows,
+                    self.path,
+                    g,
+                    bits_per_key=bloom_bits
+                    or _BLOOM_DEFAULT_BITS_PER_KEY,
+                    ndv={
+                        c: int(r[f"nd_{i}"] or 0)
+                        for i, c in enumerate(ndv_cols)
+                    },
+                )
+                if blooms:
+                    st["_bloom"] = blooms
+            stats[g] = st
+        return groups, stats
 
     def _publish(
         self,
@@ -3492,6 +3673,9 @@ def make_idempotent_table_writer(
     table: VersionedTable,
     query_name: str,
     key: str | list[str] | None = None,
+    partition_by: list[str] | None = None,
+    auto_compact_every: int | None = None,
+    compact_min_bytes: int = 32 << 20,
 ):
     """foreachBatch-compatible exactly-once writer INTO the versioned
     table — the lake-side twin of streaming/exactly_once.py's JDBC sink,
@@ -3507,6 +3691,14 @@ def make_idempotent_table_writer(
     ``key=None`` appends the batch; with a key, the batch MERGEs
     (upsert) — give last-writer-wins resolution to duplicate keys
     within the batch first if the stream can produce them.
+
+    ``partition_by`` (append mode only) lands each micro-batch as one
+    group per partition value — exact partition pruning from the first
+    commit. ``auto_compact_every=N`` runs compact(min_bytes=
+    ``compact_min_bytes``) after every Nth snapshot, bin-packing the
+    small groups a stream inevitably accumulates; a lost compaction
+    race is silently skipped (the NEXT trigger packs), so exactly-once
+    never depends on maintenance.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -3528,14 +3720,15 @@ def make_idempotent_table_writer(
             stamp = {query_name: int(batch_id)}
             try:
                 if key is None or latest is None:
-                    table.commit(
+                    v = table.commit(
                         batch_df,
                         mode="append",
                         txn=stamp,
                         expected_parent=latest,
+                        partition_by=partition_by,
                     )
                 else:
-                    merge_into(
+                    v = merge_into(
                         table,
                         batch_df.sparkSession,
                         batch_df,
@@ -3543,6 +3736,23 @@ def make_idempotent_table_writer(
                         txn=stamp,
                         expected_parent=latest,
                     )
+                # continuous maintenance (r9): every Nth snapshot,
+                # bin-pack the small groups this stream keeps landing
+                # (one per micro-batch / per partition value). Losing
+                # a compaction race to another writer is FINE - the
+                # data is committed, a later trigger packs it; the
+                # exactly-once guarantee never depends on compaction.
+                if (
+                    auto_compact_every
+                    and v % int(auto_compact_every) == 0
+                ):
+                    try:
+                        table.compact(
+                            batch_df.sparkSession,
+                            min_bytes=compact_min_bytes,
+                        )
+                    except CommitConflictError:
+                        pass
                 return
             except CommitConflictError:
                 continue  # table advanced: re-read the watermark

@@ -23,6 +23,9 @@ driver's value-hash gate.
   assignment + insert) against a relational clause-algebra oracle.
 * lake_merge_sync_by_source — the full-sync MERGE: WHEN NOT MATCHED
   BY SOURCE DELETE gated by a planner-boundable window.
+* lake_partitioned_commit — commit(partition_by=...): per-partition
+  groups with point stats boxes; split count AND one-group point-read
+  scan count pinned in the value hash.
 """
 
 from __future__ import annotations
@@ -556,6 +559,67 @@ def lake_merge_sync_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").cast("bigint").alias("n_orders"),
                 F.sum("cents").cast("bigint").alias("cents"),
             )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_partitioned_commit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(3 AS INT) AS n_groups_total,
+           CAST(1 AS INT) AS n_groups_scanned
+    FROM orders
+    WHERE o_orderkey <= 3000 AND o_orderstatus = 'F'
+    """,
+)
+def lake_partitioned_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-aware commit (r9b: commit(partition_by=...)): one
+    commit of the k<=3000 orders slice lands as ONE GROUP PER
+    o_orderstatus VALUE (F/O/P — three groups), each group's status
+    box a point. The driver then value-checks BOTH the layout and the
+    pruning: n_groups_total pins the per-partition split (3), and
+    n_groups_scanned pins that a point read of the 'F' partition
+    touches exactly one group — deterministic because a point box has
+    no false positives, unlike bloom pruning. The rollup over the
+    scanned partition catches any row misrouted between partitions."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 3000
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_part_"))
+    try:
+        v = t.commit(o, mode="overwrite", partition_by=["status"])
+        n_total = len(t._load_manifest(v)["groups"])
+        df = t.read(spark, where={"status": ("F", "F")})
+        import os as _os
+
+        n_scanned = len(
+            {
+                _os.path.basename(_os.path.dirname(f))
+                for f in df.inputFiles()
+            }
+        )
+        out = (
+            df.agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn("n_groups_total", F.lit(n_total).cast("int"))
+            .withColumn("n_groups_scanned", F.lit(n_scanned).cast("int"))
             .localCheckpoint(eager=True)
         )
     finally:
