@@ -1,0 +1,260 @@
+"""Model-based fuzz test for the versioned table's FULL DML surface.
+
+Hypothesis generates random linear op sequences — append / overwrite /
+MERGE upsert / MERGE delete / copy-on-write DELETE / merge-on-read
+DELETE / UPDATE / compact / optimize / rollback / vacuum — and every
+committed version's visible rows are checked against a plain-Python
+reference model (a list of (id, val) rows mutated by the same
+semantics). This is the one test that exercises the INTERACTIONS the
+per-feature suites can't enumerate: a merge-on-read delete followed by
+a re-insert followed by optimize(), a rollback across a pruned UPDATE,
+compaction over a snapshot carrying pending equality deletes, time
+travel after vacuum trimmed the prefix, and so on.
+
+Semantics encoded in the model (each is individually documented on the
+corresponding method in io/versioned.py):
+
+* append keeps duplicate keys (it is a file op, not an upsert);
+* MERGE replaces EVERY target row matching a source key (duplicate
+  target keys both rewrite), inserts unmatched source rows;
+* merge-on-read DELETE is scoped to rows present at delete time — a
+  key re-appended later survives; with id-only conditions the
+  equality-delete key granularity equals row granularity;
+* UPDATE / CoW DELETE are exact row-level ops (prune_where="auto" is
+  an optimization, never a semantic change — asserted here);
+* compact / optimize never change visible rows;
+* rollback(v) publishes a NEW version whose visible rows equal v's;
+* vacuum never changes the latest snapshot; historical reads are
+  checked only for versions the table still retains.
+
+Runtime is bounded: few examples, short sequences, tiny frames — the
+value is in the INTERLEAVINGS, not the data volume.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from file_stream_import_spark.io.versioned import (
+    VersionedTable,
+    merge_into,
+)
+
+SCHEMA = "id bigint, val bigint"
+
+rows_st = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(-50, 50)),
+    min_size=1,
+    max_size=6,
+)
+# MERGE sources must be unique per key (duplicate source keys fail
+# loudly by contract), so draw ids without replacement.
+unique_rows_st = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(-50, 50)),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda r: r[0],
+)
+range_st = st.tuples(st.integers(0, 15), st.integers(0, 15))
+
+op_st = st.one_of(
+    st.tuples(st.just("append"), rows_st),
+    st.tuples(st.just("overwrite"), rows_st),
+    st.tuples(st.just("merge"), unique_rows_st),
+    st.tuples(st.just("merge_del"), unique_rows_st),
+    st.tuples(st.just("delete_cow"), range_st, st.booleans()),
+    st.tuples(st.just("delete_mor"), range_st),
+    st.tuples(
+        st.just("update"), range_st, st.integers(-9, 9), st.booleans()
+    ),
+    st.just(("compact",)),
+    st.just(("optimize",)),
+    # operand is an index into the retained-versions list at exec time
+    st.tuples(st.just("rollback"), st.integers(0, 30)),
+    st.just(("vacuum",)),
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), int(v)) for i, v in rows], SCHEMA
+    )
+
+
+def _read_sorted(table, spark, version=None):
+    df = table.read(spark, version=version)
+    return sorted(
+        (r["id"], r["val"]) for r in df.select("id", "val").collect()
+    )
+
+
+def _apply_model(state: list, op: tuple) -> list:
+    """Pure-Python twin of each table op over a list of (id, val)."""
+    kind = op[0]
+    if kind == "append":
+        return state + list(op[1])
+    if kind == "overwrite":
+        return list(op[1])
+    if kind == "merge":
+        src = dict(op[1])
+        out = [
+            (i, src[i]) if i in src else (i, v) for i, v in state
+        ]
+        present = {i for i, _ in state}
+        out += [(i, v) for i, v in op[1] if i not in present]
+        return out
+    if kind == "merge_del":
+        keys = {i for i, _ in op[1]}
+        return [(i, v) for i, v in state if i not in keys]
+    if kind in ("delete_cow", "delete_mor"):
+        lo, hi = op[1]
+        return [(i, v) for i, v in state if not (lo <= i <= hi)]
+    if kind == "update":
+        (lo, hi), delta = op[1], op[2]
+        return [
+            (i, v + delta) if lo <= i <= hi else (i, v)
+            for i, v in state
+        ]
+    raise AssertionError(kind)
+
+
+def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
+    table = VersionedTable(f"{tmp_base}/{uuid.uuid4().hex}")
+    v0 = table.commit(_df(spark, init_rows), mode="overwrite")
+    model = list(init_rows)
+    # visible rows per version, for time-travel and rollback checks
+    states: dict[int, list] = {v0: sorted(model)}
+
+    for op in ops:
+        kind = op[0]
+        before = table.latest_version()
+        if kind == "append":
+            table.commit(_df(spark, op[1]), mode="append")
+        elif kind == "overwrite":
+            table.commit(_df(spark, op[1]), mode="overwrite")
+        elif kind == "merge":
+            merge_into(table, spark, _df(spark, op[1]), key="id")
+        elif kind == "merge_del":
+            merge_into(
+                table,
+                spark,
+                _df(spark, op[1]),
+                key="id",
+                when_matched="delete",
+                when_not_matched=None,
+            )
+        elif kind == "delete_cow":
+            lo, hi = op[1]
+            table.delete_where(
+                spark,
+                F.col("id").between(lo, hi),
+                prune_where="auto" if op[2] else None,
+            )
+        elif kind == "delete_mor":
+            lo, hi = op[1]
+            table.delete_where(
+                spark,
+                F.col("id").between(lo, hi),
+                strategy="merge-on-read",
+                key_cols=["id"],
+            )
+        elif kind == "update":
+            lo, hi = op[1]
+            table.update_where(
+                spark,
+                F.col("id").between(lo, hi),
+                {"val": F.col("val") + F.lit(op[2])},
+                prune_where="auto" if op[3] else None,
+            )
+        elif kind == "compact":
+            table.compact(spark, min_bytes=1 << 30)
+        elif kind == "optimize":
+            table.optimize(spark, target_partitions=1)
+        elif kind == "rollback":
+            vs = table.versions()
+            target = vs[op[1] % len(vs)]
+            table.rollback(target)
+            model = list(states[target])
+        elif kind == "vacuum":
+            table.vacuum(keep_versions=3, min_age_seconds=0)
+        else:
+            raise AssertionError(kind)
+
+        if kind in (
+            "append",
+            "overwrite",
+            "merge",
+            "merge_del",
+            "delete_cow",
+            "delete_mor",
+            "update",
+        ):
+            model = _apply_model(model, op)
+
+        got = _read_sorted(table, spark)
+        want = sorted(model)
+        assert got == want, (
+            f"after {op} (parent v{before}): table={got} model={want}"
+        )
+        states[table.latest_version()] = want
+
+    # time travel: every RETAINED version still reproduces the rows
+    # the model saw when that version was latest (vacuum may have
+    # trimmed the prefix; compact/optimize versions share the prior
+    # state and are covered by the post-op check that recorded them)
+    for v in table.versions():
+        if v in states:
+            assert _read_sorted(table, spark, version=v) == states[v], (
+                f"time travel to v{v} diverged"
+            )
+
+
+class TestModelFuzz:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.data_too_large,
+        ],
+        derandomize=True,
+    )
+    @given(
+        init=rows_st,
+        ops=st.lists(op_st, min_size=3, max_size=9),
+    )
+    def test_random_dml_sequences_match_model(
+        self, spark, tmp_path_factory, init, ops
+    ):
+        base = tmp_path_factory.mktemp("model_fuzz")
+        _run_sequence(spark, str(base), init, ops)
+
+    def test_soak_sequence_every_op_kind(self, spark, tmp_path):
+        """One deterministic long interleaving that provably hits
+        every op kind at least once (the hypothesis examples above are
+        random draws and may not), including the adversarial
+        orderings: MoR delete → re-append same key → optimize;
+        rollback across a pruned update; vacuum then time travel."""
+        ops = [
+            ("append", [(1, 10), (2, 20), (1, 11)]),
+            ("merge", [(2, 99), (5, 50)]),
+            ("delete_mor", (1, 1)),
+            ("append", [(1, 12)]),  # re-insert a MoR-deleted key
+            ("optimize",),  # materializes the pending delete
+            ("update", (2, 5), 7, True),
+            ("rollback", 2),
+            ("merge_del", [(5, 0)]),
+            ("compact",),
+            ("delete_cow", (0, 3), True),
+            ("overwrite", [(8, 80)]),
+            ("vacuum",),
+            ("append", [(9, 90), (9, 91)]),
+            ("update", (9, 9), -1, False),
+        ]
+        _run_sequence(spark, str(tmp_path), [(0, 0), (3, 30)], ops)
