@@ -625,3 +625,93 @@ def lake_partitioned_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_zorder_pruning",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 6000
+    ),
+    hit AS (
+      SELECT * FROM base
+      WHERE k BETWEEN 100 AND 600 AND ck BETWEEN 1 AND 400
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(4 AS INT) AS n_scanned_unclustered,
+           TRUE AS zorder_pruned
+    FROM hit
+    """,
+)
+def lake_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY (k, ck) as a driver query: the layout
+    rewrite is what BUYS data skipping, and this value-checks both
+    sides of that bargain. Four modulo-sliced commits give every group
+    a box covering the FULL (k, ck) rectangle, so a 2-D box read must
+    scan all 4 groups — n_scanned_unclustered pins that exact count
+    (modulo slices have no box false negatives, the count is
+    deterministic). optimize(cluster_by=["k", "ck"]) then
+    range-clusters on the Morton interleaving (io/layout.py::
+    add_zorder_key), tightening every group's box in BOTH dimensions
+    at once; zorder_pruned pins that the SAME read now skips at least
+    one group (a boolean, not the exact clustered count — range
+    boundaries come from repartitionByRange's sampler and the exact
+    split is not contractually deterministic, but a small 2-D box
+    failing to prune ANY of 8 z-clustered groups means clustering is
+    broken). The row aggregates over the clustered read catch rows
+    lost or duplicated by the rewrite. Cites reference
+    internal/db/db.go:97-103 (per-column indexes — the reference's
+    only data-skipping device; Z-order is its multi-column lake
+    analog)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 6000
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_zorder_"))
+    try:
+        for i in range(4):
+            t.commit(
+                o.filter(F.col("k") % 4 == i),
+                mode="append" if i else "overwrite",
+            )
+        box = {"k": (100, 600), "ck": (1, 400)}
+
+        def scanned(df) -> int:
+            return len(
+                {
+                    _os.path.basename(_os.path.dirname(f))
+                    for f in df.inputFiles()
+                }
+            )
+
+        n_uncl = scanned(t.read(spark, where=box))
+        v = t.optimize(spark, cluster_by=["k", "ck"], target_groups=8)
+        n_total = len(t._load_manifest(v)["groups"])
+        clustered = t.read(spark, version=v, where=box)
+        pruned = scanned(clustered) < n_total
+        out = (
+            clustered.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn(
+                "n_scanned_unclustered", F.lit(n_uncl).cast("int")
+            )
+            .withColumn("zorder_pruned", F.lit(bool(pruned)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
