@@ -35,6 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -322,6 +323,57 @@ class JsonlShardDataSource(DataSource):
 # ---------------------------------------------------------------------------
 
 
+def _changefeed_added_groups(
+    path: str, lo: int, hi: int, ignore_changes: bool
+) -> list[tuple[int, str]]:
+    """(version, group-relpath) pairs ADDED by snapshots [lo, hi], in
+    commit order — the one walk both changefeed readers share, so the
+    append-only contract and the vacuum-expiry remedy behave
+    identically whether batches materialize on the driver (simple
+    reader) or on executors (partitioned reader)."""
+    from .versioned import VersionedTable
+
+    t = VersionedTable(path)
+
+    def manifest_or_expired(v: int) -> dict:
+        try:
+            return t._load_manifest(v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {v} has been expired by vacuum(); restart "
+                "the stream from a fresh checkpoint with "
+                "startingversion=latest (or a retained version)"
+            ) from None
+
+    out: list[tuple[int, str]] = []
+    prev_groups: set | None = None
+    for v in range(lo, hi + 1):
+        m = manifest_or_expired(v)
+        mode = str(m.get("mode", ""))
+        append_like = mode == "append" or (mode == "overwrite" and v == 0)
+        if not append_like and not ignore_changes:
+            raise ValueError(
+                f"snapshot {v} is {mode!r}, not an append; the "
+                "changefeed is append-only — pass "
+                "ignorechanges=true to tail only added groups "
+                "(removed data is never retracted)"
+            )
+        added = m.get("added")
+        if added is None:
+            # legacy manifest without the explicit delta: fall back
+            # to the parent diff (requires the parent manifest)
+            if prev_groups is None:
+                prev_groups = (
+                    set(manifest_or_expired(v - 1)["groups"])
+                    if v > 0
+                    else set()
+                )
+            added = [g for g in m["groups"] if g not in prev_groups]
+        prev_groups = set(m["groups"])
+        out.extend((v, g) for g in added)
+    return out
+
+
 class TableChangefeedReader(SimpleDataSourceStreamReader):
     """Offset = ``{"next_version": v}`` — snapshots < v are consumed.
     Each micro-batch emits the rows of data groups ADDED by snapshots
@@ -348,9 +400,11 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
     new columns and column reorders cannot silently transpose values.
 
     Scale note: SimpleDataSourceStreamReader materializes batches on
-    the driver — right for modest commit sizes (this is the simple
-    contract); a partition-planned DataSourceStreamReader emitting one
-    InputPartition per new group is the executor-parallel upgrade path.
+    the driver — this class is the contract-reference form, selected
+    via ``.option("reader", "simple")``; the default plan goes through
+    TableChangefeedPartitionedReader below, which ships one
+    InputPartition per added parquet file to executors and never moves
+    data through the driver.
     """
 
     def __init__(self, options: dict):
@@ -385,16 +439,6 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
             return {"next_version": (t.latest_version() or -1) + 1}
         return {"next_version": int(self.starting)}
 
-    def _manifest_or_expired(self, t, v: int) -> dict:
-        try:
-            return t._load_manifest(v)
-        except FileNotFoundError:
-            raise ValueError(
-                f"snapshot {v} has been expired by vacuum(); restart "
-                "the stream from a fresh checkpoint with "
-                "startingversion=latest (or a retained version)"
-            ) from None
-
     def _rows_for_versions(self, lo: int, hi: int):
         """Rows added by snapshots [lo, hi], in (version, group) order,
         aligned by NAME to the declared schema."""
@@ -402,40 +446,15 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
 
         import pyarrow.parquet as pq
 
-        t = self._table()
         rows: list[tuple] = []
-        prev_groups: set | None = None
-        for v in range(lo, hi + 1):
-            m = self._manifest_or_expired(t, v)
-            mode = str(m.get("mode", ""))
-            append_like = mode == "append" or (
-                mode == "overwrite" and v == 0
-            )
-            if not append_like and not self.ignore_changes:
-                raise ValueError(
-                    f"snapshot {v} is {mode!r}, not an append; the "
-                    "changefeed is append-only — pass "
-                    "ignorechanges=true to tail only added groups "
-                    "(removed data is never retracted)"
+        for _v, g in _changefeed_added_groups(
+            self.path, lo, hi, self.ignore_changes
+        ):
+            table = pq.read_table(os.path.join(self.path, g))
+            for row in table.to_pylist():
+                rows.append(
+                    tuple(row.get(name) for name in self._fields)
                 )
-            added = m.get("added")
-            if added is None:
-                # legacy manifest without the explicit delta: fall back
-                # to the parent diff (requires the parent manifest)
-                if prev_groups is None:
-                    prev_groups = (
-                        set(self._manifest_or_expired(t, v - 1)["groups"])
-                        if v > 0
-                        else set()
-                    )
-                added = [g for g in m["groups"] if g not in prev_groups]
-            prev_groups = set(m["groups"])
-            for g in added:
-                table = pq.read_table(os.path.join(self.path, g))
-                for row in table.to_pylist():
-                    rows.append(
-                        tuple(row.get(name) for name in self._fields)
-                    )
         return rows
 
     def read(self, start: dict):
@@ -456,10 +475,127 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         )
 
 
+class _ChangeFile(InputPartition):
+    """One parquet file of one ADDED group — the unit of executor
+    parallelism in the partitioned changefeed. Carries the declared
+    schema JSON so the executor can align columns by name without a
+    driver round-trip."""
+
+    def __init__(self, file_path: str, schema_json):
+        self.file_path = file_path
+        self.schema_json = schema_json
+
+
+class TableChangefeedPartitionedReader(DataSourceStreamReader):
+    """The executor-parallel changefeed (the scale path; the simple
+    reader above is the driver-materialized contract reference). Same
+    offsets (``{"next_version": v}``), same append-only contract, same
+    vacuum-expiry remedy — all enforced at PLANNING time in
+    ``partitions()``, which is driver-side metadata work only: it
+    walks the manifests of [start, end) and emits one InputPartition
+    per parquet file of each ADDED group. The DATA never touches the
+    driver: ``read(partition)`` runs on executors and yields Arrow
+    record batches (the same align-by-name kernel as the
+    versioned_table batch source), so a commit of N files fans out to
+    N parallel tasks — a large micro-batch costs what any parquet scan
+    costs, instead of serializing through the driver as Python rows.
+
+    Replay is bit-identical because partitions are a pure function of
+    the immutable manifest range — exactly-once through a sink
+    checkpoint holds exactly as it does for the simple reader.
+
+    Schema is pinned at stream start (latest manifest): groups written
+    before an additive evolution align by name and read NULL for the
+    new columns; groups written AFTER the pinned schema would silently
+    drop the new column until restart, same as the simple reader (and
+    Delta's semantics — restart picks up the evolved schema)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.starting = str(options.get("startingversion", "earliest"))
+        t = self._table()
+        latest = t.latest_version()
+        if latest is None:
+            raise FileNotFoundError(
+                "table has no snapshots yet — commit once before tailing"
+            )
+        self._schema_json = t._load_manifest(latest)["schema"]
+
+    def _table(self):
+        from .versioned import VersionedTable
+
+        return VersionedTable(self.path)
+
+    def initialOffset(self) -> dict:
+        if self.starting == "earliest":
+            return {"next_version": 0}
+        t = self._table()
+        if self.starting == "latest":
+            return {"next_version": (t.latest_version() or -1) + 1}
+        return {"next_version": int(self.starting)}
+
+    def latestOffset(self) -> dict:
+        latest = self._table().latest_version()
+        return {"next_version": (latest if latest is not None else -1) + 1}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        import os
+
+        lo = int(start["next_version"])
+        hi = int(end["next_version"]) - 1
+        parts: list[InputPartition] = []
+        for _v, g in _changefeed_added_groups(
+            self.path, lo, hi, self.ignore_changes
+        ):
+            d = os.path.join(self.path, g)
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".parquet"):
+                    parts.append(
+                        _ChangeFile(os.path.join(d, name), self._schema_json)
+                    )
+        # a planned batch can still add zero groups (rollback/compact
+        # under ignorechanges); Spark requires >= 1 partition
+        return parts or [_ChangeFile("", self._schema_json)]
+
+    def read(self, partition: _ChangeFile):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from .versioned import _schema_from_json
+
+        if not partition.file_path:
+            return
+        declared = _schema_from_json(partition.schema_json)
+        table = pq.read_table(partition.file_path)
+        n = table.num_rows
+        arrays, names = [], []
+        for f in declared.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name in table.column_names:
+                arrays.append(table.column(f.name).cast(at))
+            else:
+                arrays.append(pa.nulls(n, type=at))
+            names.append(f.name)
+        yield from pa.table(dict(zip(names, arrays))).to_batches(
+            max_chunksize=65536
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the sink checkpoint; nothing to ack
+
+
 class TableChangefeedDataSource(DataSource):
     """``spark.readStream.format("table_changefeed")
     .option("path", table_dir).load()`` — tail a VersionedTable's
-    commits as a stream."""
+    commits as a stream. Plans through the executor-parallel
+    partitioned reader; ``.option("reader", "simple")`` selects the
+    driver-materialized SimpleDataSourceStreamReader form (the
+    contract-reference implementation, and a debugging aid: one
+    process to breakpoint)."""
 
     @classmethod
     def name(cls) -> str:
@@ -476,6 +612,18 @@ class TableChangefeedDataSource(DataSource):
                 "schema from a first commit"
             )
         return _schema_from_json(t._load_manifest(latest)["schema"])
+
+    def streamReader(self, schema) -> TableChangefeedPartitionedReader:
+        if str(self.options.get("reader", "")).lower() == "simple":
+            # raising NotImplementedError here makes Spark fall back
+            # to simpleStreamReader (datasource_internal._streamReader)
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return TableChangefeedPartitionedReader(self.options)
 
     def simpleStreamReader(self, schema) -> TableChangefeedReader:
         return TableChangefeedReader(self.options)

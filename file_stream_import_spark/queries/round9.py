@@ -715,3 +715,83 @@ def lake_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_changefeed_catchup",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey <= 3000
+    GROUP BY o_orderstatus
+    """,
+)
+def stream_changefeed_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run over the table changefeed
+    (io/pysource.py::TableChangefeedPartitionedReader — the r9
+    executor-parallel plan, one InputPartition per added parquet
+    file): three commits land in a versioned table, then
+    ``readStream.format("table_changefeed")`` tails them from
+    startingversion=earliest into a memory sink and the aggregate over
+    the drained sink is oracle-checked. This is the lake-to-stream
+    composition the reference's §3.1 loop approximates with polling
+    (internal/writer/writer.go:47-109 re-reads the whole table per
+    request); here each commit is consumed exactly once, and the
+    driver's value hash proves the stream delivered every committed
+    row — not just that a stream ran."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..io.pysource import TableChangefeedDataSource
+    from ..io.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 3000
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    spark.dataSource.register(TableChangefeedDataSource)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_cf_"))
+    ckpt = tempfile.mkdtemp(prefix="lake_cf_ck_")
+    name = "cf_catchup_" + _uuid.uuid4().hex[:8]
+    try:
+        for i, (lo, hi) in enumerate(
+            [(0, 1000), (1001, 2000), (2001, 3000)]
+        ):
+            t.commit(
+                o.filter(F.col("k").between(lo, hi)),
+                mode="append" if i else "overwrite",
+            )
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("startingversion", "earliest")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.table(name)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -718,6 +718,105 @@ class TestDeleteWhere:
             q.stop()
 
 
+class TestChangefeedPartitionedReader:
+    """The executor-parallel changefeed plan (r9:
+    TableChangefeedPartitionedReader — the default since this round;
+    the 7 semantic tests above now route through it). These pin the
+    PLANNING shape and the simple-reader fallback."""
+
+    def test_partitions_are_per_added_file_and_metadata_only(
+        self, spark, tmp_path
+    ):
+        """One InputPartition per parquet file of each ADDED group in
+        the offset range — and none for groups outside it (carried
+        groups are the parent's, not this commit's delta)."""
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedPartitionedReader,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            _df(spark, 0, 10).repartition(3), mode="overwrite"
+        )  # v0: one group, 3 files
+        t.commit(_df(spark, 10, 14).coalesce(1))  # v1: one group, 1 file
+        r = TableChangefeedPartitionedReader({"path": t.path})
+        full = r.partitions(
+            {"next_version": 0}, {"next_version": 2}
+        )
+        assert len([p for p in full if p.file_path]) == 4
+        tail = r.partitions(
+            {"next_version": 1}, {"next_version": 2}
+        )
+        assert len([p for p in tail if p.file_path]) == 1
+        # the empty range still satisfies Spark's >=1-partition rule
+        # with a sentinel that reads nothing
+        sentinel = r.partitions(
+            {"next_version": 2}, {"next_version": 2}
+        )
+        assert len(sentinel) == 1 and not sentinel[0].file_path
+        assert list(r.read(sentinel[0])) == []
+
+    def test_executor_read_aligns_and_batches(self, spark, tmp_path):
+        """read(partition) yields Arrow batches matching the declared
+        schema order regardless of the file's column order."""
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedPartitionedReader,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            mode="overwrite",
+        )
+        r = TableChangefeedPartitionedReader({"path": t.path})
+        parts = r.partitions({"next_version": 0}, {"next_version": 1})
+        batches = [b for p in parts for b in r.read(p)]
+        assert [b.schema.names for b in batches] == [["k", "v"]]
+        assert batches[0].to_pylist() == [{"k": 1, "v": "a"}]
+
+    def test_simple_reader_option_falls_back_and_agrees(
+        self, spark, tmp_path
+    ):
+        """.option('reader', 'simple') routes through the
+        SimpleDataSourceStreamReader contract form and produces the
+        same rows as the default partitioned plan."""
+        import uuid as _uuid
+
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 5), mode="overwrite")
+        t.commit(_df(spark, 5, 9))
+
+        def run(tag, **opts):
+            name = "cf" + _uuid.uuid4().hex[:8]
+            reader = spark.readStream.format("table_changefeed").option(
+                "path", t.path
+            )
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            q = (
+                reader.load()
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return sorted(
+                r["id"] for r in spark.sql(f"SELECT * FROM {name}").collect()
+            )
+
+        assert run("part") == run("simple", reader="simple") == list(range(9))
+
+
 class TestMergeOnReadDeletes:
     def test_equality_delete_scoped_to_existing_groups(
         self, spark, tmp_path
