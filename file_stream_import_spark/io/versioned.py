@@ -1683,9 +1683,15 @@ class VersionedTable:
         """Compaction (OPTIMIZE): rewrite the current snapshot's many
         small groups and publish the result as a new snapshot — same
         rows, fewer files. History keeps the fragmented versions
-        (vacuum reclaims them later); the read-modify-write is
-        parent-pinned so a concurrent commit conflicts instead of being
-        silently dropped.
+        (vacuum reclaims them later). Concurrency (r9b, Delta's
+        OPTIMIZE-vs-append rule): the clustered form REBASES over
+        commits that only APPENDED groups — continuous ingest and
+        periodic clustering compose without stop-the-world — while any
+        concurrent rewrite of a base group (merge/delete/update/
+        compact), schema or constraint change, or merge-on-read delete
+        entry still conflicts; the plain coalesce form (cluster_by
+        None) routes through commit(mode="overwrite") and stays
+        strictly parent-pinned.
 
         ``cluster_by`` is Delta's OPTIMIZE ZORDER idea: with ONE
         column, rows are RANGE-clustered on it into ``target_groups``
@@ -1810,7 +1816,16 @@ class VersionedTable:
         import shutil
 
         shutil.rmtree(staged, ignore_errors=True)  # _SUCCESS marker etc.
-        return self._publish(
+        # Delta's OPTIMIZE-vs-append concurrency: clustering is an
+        # O(table) rewrite, so forcing a full redo because an ingest
+        # appended mid-flight would make continuous ingest + periodic
+        # clustering mutually exclusive. removed = EVERY base group, so
+        # the shared-group rule still conflicts with any concurrent
+        # rewrite (merge/delete/update/compact rebased or not), and
+        # validation conflicts when merge-on-read delete entries are in
+        # play; pure appends carry into the clustered snapshot verbatim
+        # (their rows simply stay unclustered until the next optimize).
+        return self._publish_or_rebase(
             base,
             {
                 "schema": m["schema"],
@@ -1820,6 +1835,8 @@ class VersionedTable:
                 "delete_entries": [],
                 "stats": stats,
             },
+            removed=list(m["groups"]),
+            concurrent_adds_ok=True,
         )
 
     def compact(
