@@ -515,6 +515,37 @@ def _group_may_match(gstats: dict | None, where: dict) -> bool:
     return True
 
 
+def _group_fully_contained(gstats: dict | None, where: dict) -> bool:
+    """Does EVERY row of the group provably satisfy every bound — the
+    stats box fully inside the where box, with ZERO nulls in each
+    referenced column (NULL rows live in ``_rows`` but fail any SQL
+    comparison, so one null breaks the proof)? IN-set bounds are never
+    provable by a box (the box says values lie in [min, max], not that
+    each equals a member). The dual of _group_may_match: may_match
+    False ⇒ count 0, fully_contained True ⇒ count ``_rows``, anything
+    between ⇒ scan."""
+    if not gstats:
+        return False
+    for col, bound in where.items():
+        if isinstance(bound, (list, set, frozenset)):
+            return False
+        lo, hi = bound
+        st = gstats.get(col)
+        if not isinstance(st, dict):
+            return False
+        mn, mx = st.get("min"), st.get("max")
+        if mn is None or mx is None:
+            return False
+        nulls = st.get("nulls")
+        if nulls is None or int(nulls) > 0:
+            return False
+        if lo is not None and _stat_lt(mn, lo):
+            return False
+        if hi is not None and _stat_lt(hi, mx):
+            return False
+    return True
+
+
 def _write_group_with_stats(
     df: DataFrame,
     full_path: str,
@@ -1524,36 +1555,114 @@ class VersionedTable:
         if where_expr is not None:
             out = out.filter(where_expr)
         if where:
-            declared = _schema_from_json(m["schema"])
-            types = {f.name: f.dataType for f in declared.fields}
-            from functools import reduce
-
-            for col, bound in where.items():
-                if isinstance(bound, (list, set, frozenset)):
-                    vals = [v for v in bound if v is not None]
-                    if not vals:
-                        out = out.filter(F.lit(False))  # IN () is empty
-                        continue
-                    out = out.filter(
-                        reduce(
-                            lambda a, b: a | b,
-                            [
-                                F.col(col) == _stat_lit(v, types[col])
-                                for v in vals
-                            ],
-                        )
-                    )
-                    continue
-                lo, hi = bound
-                if lo is not None:
-                    out = out.filter(
-                        F.col(col) >= _stat_lit(lo, types[col])
-                    )
-                if hi is not None:
-                    out = out.filter(
-                        F.col(col) <= _stat_lit(hi, types[col])
-                    )
+            out = self._apply_where_rowfilter(out, m, where)
         return out
+
+    def _apply_where_rowfilter(
+        self, out: DataFrame, m: dict, where: dict
+    ) -> DataFrame:
+        """The exact row filter a ``where`` bounds dict means — the
+        semantics the group pruning approximates. Shared by read() and
+        count_where()'s boundary scans so the two can never drift."""
+        declared = _schema_from_json(m["schema"])
+        types = {f.name: f.dataType for f in declared.fields}
+        from functools import reduce
+
+        for col, bound in where.items():
+            if isinstance(bound, (list, set, frozenset)):
+                vals = [v for v in bound if v is not None]
+                if not vals:
+                    out = out.filter(F.lit(False))  # IN () is empty
+                    continue
+                out = out.filter(
+                    reduce(
+                        lambda a, b: a | b,
+                        [
+                            F.col(col) == _stat_lit(v, types[col])
+                            for v in vals
+                        ],
+                    )
+                )
+                continue
+            lo, hi = bound
+            if lo is not None:
+                out = out.filter(
+                    F.col(col) >= _stat_lit(lo, types[col])
+                )
+            if hi is not None:
+                out = out.filter(
+                    F.col(col) <= _stat_lit(hi, types[col])
+                )
+        return out
+
+    def count_where(
+        self,
+        spark: SparkSession,
+        where: dict | None = None,
+        version: int | None = None,
+        detail: bool = False,
+    ):
+        """COUNT(*) answered from manifest METADATA wherever provable
+        (Iceberg's snapshot-summary / min-max trick — the reference's
+        row counting, internal/writer/writer.go:96-109, re-done at
+        lake scale): per group, a stats box DISJOINT from the bounds
+        counts 0 without touching a file; a box FULLY INSIDE with zero
+        nulls in the referenced columns counts its manifest ``_rows``;
+        only BOUNDARY groups scan (with the exact row filter). On a
+        clustered table the boundary is O(groups the cutoff line
+        crosses), so a 100 TB COUNT costs a metadata walk plus a scan
+        of the edge groups — and COUNT(*) with no predicate is pure
+        metadata, zero Spark jobs.
+
+        Exactness guards: groups covered by pending merge-on-read
+        delete entries scan (their ``_rows`` overstate; the anti-join
+        applies), IN-set bounds scan every may-match group (a box
+        can't prove each value is a member), and groups without stats
+        scan. ``detail=True`` additionally returns the classification
+        counts ``{"pruned", "metadata", "scanned"}`` — tests pin the
+        classification, not just totals, because a misclassified group
+        is silently wrong at any scale."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load_manifest(v)
+        where = where or {}
+        stats = m.get("stats") or {}
+        del_groups: set[str] = set()
+        for e in m.get("delete_entries") or []:
+            del_groups.update(e["applies_to"])
+        pruned, metadata, scan = 0, 0, []
+        total = 0
+        for g in m["groups"]:
+            st = stats.get(g)
+            # pruning stays sound under pending deletes: an equality
+            # delete only REMOVES rows, so a box disjoint from the
+            # bounds still counts exactly 0
+            if where and not _group_may_match(st, where):
+                pruned += 1
+                continue
+            rows = (st or {}).get("_rows")
+            if (
+                g not in del_groups
+                and rows is not None
+                and (not where or _group_fully_contained(st, where))
+            ):
+                metadata += 1
+                total += int(rows)
+                continue
+            scan.append(g)
+        if scan:
+            df = self._read_groups(spark, m, scan)
+            if where:
+                df = self._apply_where_rowfilter(df, m, where)
+            total += df.count()
+        if detail:
+            return total, {
+                "pruned": pruned,
+                "metadata": metadata,
+                "scanned": len(scan),
+            }
+        return total
 
     def _read_groups(
         self, spark: SparkSession, m: dict, groups: list[str]

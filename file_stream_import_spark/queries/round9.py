@@ -795,3 +795,82 @@ def stream_changefeed_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(t.path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_metadata_count",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k FROM orders
+    ),
+    p AS (
+      SELECT COUNT(*) AS n, COUNT(*) // 4 AS q FROM base
+    )
+    SELECT
+      CAST(p.n AS BIGINT) AS n_total,
+      CAST((SELECT COUNT(*) FROM base, p
+            WHERE k BETWEEN p.q // 2 + 1 AND 2 * p.q + p.q // 2)
+        AS BIGINT) AS n_window,
+      CAST(4 AS INT) AS total_metadata_groups,
+      CAST(1 AS INT) AS window_pruned,
+      CAST(1 AS INT) AS window_metadata,
+      CAST(2 AS INT) AS window_scanned
+    FROM p
+    """,
+)
+def lake_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT (VersionedTable.count_where — Iceberg's
+    snapshot-summary/min-max trick; the reference's row counting,
+    internal/writer/writer.go:96-109, at lake granularity): orders'
+    keys are densified with row_number so the same quartile split
+    works at EVERY scale factor, four commits hold the quartiles, and
+    the [q/2+1, 2q+q/2] window splits them exactly one-pruned /
+    one-contained / two-boundary. COUNT(*) with no predicate is
+    answered purely from manifest _rows (all four groups metadata,
+    zero Spark jobs — the assert pins it); the driver pins BOTH counts
+    and the full classification, so a group ever miscounted as
+    metadata (or a boundary scan skipped) breaks the value hash, not
+    just a unit test."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..io.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.row_number().over(W.orderBy("o_orderkey")).alias("k")
+    )
+    n = o.count()
+    q = n // 4
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_cnt_"))
+    try:
+        for i, (lo, hi) in enumerate(
+            [(1, q), (q + 1, 2 * q), (2 * q + 1, 3 * q), (3 * q + 1, n)]
+        ):
+            t.commit(
+                o.filter(F.col("k").between(lo, hi)),
+                mode="append" if i else "overwrite",
+            )
+        n_total, d_total = t.count_where(spark, detail=True)
+        n_win, d_win = t.count_where(
+            spark, where={"k": (q // 2 + 1, 2 * q + q // 2)}, detail=True
+        )
+        assert d_total["scanned"] == 0 and d_total["pruned"] == 0
+        out = spark.createDataFrame(
+            [
+                (
+                    n_total,
+                    n_win,
+                    d_total["metadata"],
+                    d_win["pruned"],
+                    d_win["metadata"],
+                    d_win["scanned"],
+                )
+            ],
+            "n_total bigint, n_window bigint, total_metadata_groups int,"
+            " window_pruned int, window_metadata int, window_scanned int",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out

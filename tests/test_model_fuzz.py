@@ -202,6 +202,15 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             f"after {op} (parent v{before}): table={got} model={want}"
         )
         states[table.latest_version()] = want
+        # metadata-count cross-check: count_where's pruned/contained/
+        # scan classification must agree with the row model through
+        # every DML interleaving (stats boxes, MoR deletes, rebases)
+        assert table.count_where(spark) == len(model)
+        lo, hi = (3, 11)
+        n_box = table.count_where(spark, where={"id": (lo, hi)})
+        assert n_box == sum(1 for i, _ in model if lo <= i <= hi), (
+            f"count_where box diverged after {op}"
+        )
 
     # time travel: every RETAINED version still reproduces the rows
     # the model saw when that version was latest (vacuum may have
