@@ -350,7 +350,13 @@ def _changefeed_added_groups(
     for v in range(lo, hi + 1):
         m = manifest_or_expired(v)
         mode = str(m.get("mode", ""))
-        append_like = mode == "append" or (mode == "overwrite" and v == 0)
+        # metadata-only evolution commits add no groups and retract
+        # nothing — they pass the append-only contract by construction
+        append_like = (
+            mode == "append"
+            or (mode == "overwrite" and v == 0)
+            or mode.startswith(("rename_column:", "drop_column:"))
+        )
         if not append_like and not ignore_changes:
             raise ValueError(
                 f"snapshot {v} is {mode!r}, not an append; the "
@@ -372,6 +378,62 @@ def _changefeed_added_groups(
         prev_groups = set(m["groups"])
         out.extend((v, g) for g in added)
     return out
+
+
+def _admitted_end(
+    path: str, lo: int, head: int, max_versions: int, max_files: int
+) -> int:
+    """Admission control for changefeed catch-up (Delta's
+    maxFilesPerTrigger / Iceberg's max-files-per-micro-batch): bound
+    one micro-batch's END offset so a stream starting at
+    ``startingversion=earliest`` on a long history plans MANY bounded
+    batches instead of ONE backlog-sized batch — checkpoint granularity
+    and retry cost stay proportional to the trigger, not the backlog.
+    Driver-side metadata walk only (manifest 'added' lists + a listdir
+    per added group); always admits at least one version so the stream
+    can't stall. A vacuum-expired manifest in the range stops the walk
+    early — partitions() raises the documented remedy for it."""
+    import os
+
+    from .versioned import VersionedTable
+
+    end = head
+    if max_versions > 0:
+        end = min(end, lo + max_versions)
+    if max_files > 0 and end > lo:
+        t = VersionedTable(path)
+        files, admitted, v = 0, lo, lo
+        while v < end:
+            try:
+                m = t._load_manifest(v)
+            except FileNotFoundError:
+                break  # expired range: partitions() raises the remedy
+            cnt = 0
+            for g in m.get("added") or []:
+                d = os.path.join(path, g)
+                try:
+                    cnt += sum(
+                        1
+                        for n in os.listdir(d)
+                        if n.endswith(".parquet")
+                    )
+                except FileNotFoundError:
+                    pass
+            if files and files + cnt > max_files:
+                break
+            files += cnt
+            admitted = v + 1
+            v += 1
+        end = max(admitted, lo + 1)
+    return max(end, lo)
+
+
+def _trigger_limits(options: dict) -> tuple[int, int]:
+    """(max_versions, max_files) per micro-batch; 0 = unbounded."""
+    return (
+        int(options.get("maxversionspertrigger", 0) or 0),
+        int(options.get("maxfilespertrigger", 0) or 0),
+    )
 
 
 class TableChangefeedReader(SimpleDataSourceStreamReader):
@@ -409,6 +471,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.path = options["path"]
+        self._options = dict(options)
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
@@ -441,20 +504,41 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
 
     def _rows_for_versions(self, lo: int, hi: int):
         """Rows added by snapshots [lo, hi], in (version, group) order,
-        aligned by NAME to the declared schema."""
+        aligned by NAME to the declared schema (through the hi
+        manifest's column name maps, so pre-rename groups still route
+        their file columns to the pinned names)."""
         import os
 
         import pyarrow.parquet as pq
 
+        try:
+            colmap = (
+                self._table()._load_manifest(hi).get("colmap") or {}
+            )
+        except FileNotFoundError:
+            colmap = {}
         rows: list[tuple] = []
         for _v, g in _changefeed_added_groups(
             self.path, lo, hi, self.ignore_changes
         ):
+            mapping = colmap.get(g) or {}
+            current = {
+                fc: cur for fc, cur in mapping.items() if cur is not None
+            }
+            dropped = {fc for fc, cur in mapping.items() if cur is None}
+            file_of = {cur: fc for fc, cur in current.items()}
             table = pq.read_table(os.path.join(self.path, g))
             for row in table.to_pylist():
-                rows.append(
-                    tuple(row.get(name) for name in self._fields)
-                )
+                vals = []
+                for name in self._fields:
+                    fcol = file_of.get(name, name)
+                    if fcol in dropped or (
+                        fcol in current and current[fcol] != name
+                    ):
+                        vals.append(None)
+                    else:
+                        vals.append(row.get(fcol))
+                rows.append(tuple(vals))
         return rows
 
     def read(self, start: dict):
@@ -462,9 +546,15 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         latest = self._table().latest_version()
         if latest is None or latest < lo:
             return iter([]), start
+        mv, mf = _trigger_limits(self._options)
+        end = (
+            _admitted_end(self.path, lo, latest + 1, mv, mf)
+            if (mv or mf)
+            else latest + 1
+        )
         return (
-            iter(self._rows_for_versions(lo, latest)),
-            {"next_version": latest + 1},
+            iter(self._rows_for_versions(lo, end - 1)),
+            {"next_version": end},
         )
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -478,12 +568,14 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
 class _ChangeFile(InputPartition):
     """One parquet file of one ADDED group — the unit of executor
     parallelism in the partitioned changefeed. Carries the declared
-    schema JSON so the executor can align columns by name without a
-    driver round-trip."""
+    schema JSON (and the group's column name map, if any, after a
+    RENAME/DROP evolution) so the executor can align columns by name
+    without a driver round-trip."""
 
-    def __init__(self, file_path: str, schema_json):
+    def __init__(self, file_path: str, schema_json, mapping=None):
         self.file_path = file_path
         self.schema_json = schema_json
+        self.mapping = mapping
 
 
 class TableChangefeedPartitionedReader(DataSourceStreamReader):
@@ -516,6 +608,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self.starting = str(options.get("startingversion", "earliest"))
+        self.max_versions, self.max_files = _trigger_limits(options)
         t = self._table()
         latest = t.latest_version()
         if latest is None:
@@ -523,29 +616,63 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
                 "table has no snapshots yet — commit once before tailing"
             )
         self._schema_json = t._load_manifest(latest)["schema"]
+        # the next-unplanned-version floor latestOffset() caps against
+        # (the Python DataSourceStreamReader API gives latestOffset no
+        # start argument, so the reader tracks it). Seeded from
+        # startingversion because on a FRESH stream Spark calls
+        # latestOffset() BEFORE initialOffset() (observed call order);
+        # on a RESTART Spark replays the checkpointed last batch via
+        # partitions(start, end) before asking for a new offset, which
+        # raises the floor to the checkpoint — so a stale seed can
+        # never regress a restarted stream's offsets.
+        self._floor: int = self._starting_offset()
 
     def _table(self):
         from .versioned import VersionedTable
 
         return VersionedTable(self.path)
 
-    def initialOffset(self) -> dict:
+    def _starting_offset(self) -> int:
         if self.starting == "earliest":
-            return {"next_version": 0}
-        t = self._table()
+            return 0
         if self.starting == "latest":
-            return {"next_version": (t.latest_version() or -1) + 1}
-        return {"next_version": int(self.starting)}
+            return (self._table().latest_version() or -1) + 1
+        return int(self.starting)
+
+    def initialOffset(self) -> dict:
+        off = {"next_version": self._starting_offset()}
+        self._floor = max(self._floor, off["next_version"])
+        return off
 
     def latestOffset(self) -> dict:
         latest = self._table().latest_version()
-        return {"next_version": (latest if latest is not None else -1) + 1}
+        head = (latest if latest is not None else -1) + 1
+        lo = self._floor
+        if (self.max_versions <= 0 and self.max_files <= 0) or head <= lo:
+            return {"next_version": head}
+        end = _admitted_end(
+            self.path, lo, head, self.max_versions, self.max_files
+        )
+        self._floor = end
+        return {"next_version": end}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         import os
 
         lo = int(start["next_version"])
         hi = int(end["next_version"]) - 1
+        self._floor = max(self._floor, hi + 1)
+        # the END manifest's column name maps cover every group alive
+        # there: a group added pre-rename reads through its map so the
+        # pinned-at-stream-start schema sees the file's data, not NULLs
+        colmap = {}
+        if hi >= lo:
+            try:
+                colmap = (
+                    self._table()._load_manifest(hi).get("colmap") or {}
+                )
+            except FileNotFoundError:
+                pass  # expired: the walk below raises the remedy
         parts: list[InputPartition] = []
         for _v, g in _changefeed_added_groups(
             self.path, lo, hi, self.ignore_changes
@@ -554,7 +681,11 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
             for name in sorted(os.listdir(d)):
                 if name.endswith(".parquet"):
                     parts.append(
-                        _ChangeFile(os.path.join(d, name), self._schema_json)
+                        _ChangeFile(
+                            os.path.join(d, name),
+                            self._schema_json,
+                            colmap.get(g),
+                        )
                     )
         # a planned batch can still add zero groups (rollback/compact
         # under ignorechanges); Spark requires >= 1 partition
@@ -572,11 +703,25 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         declared = _schema_from_json(partition.schema_json)
         table = pq.read_table(partition.file_path)
         n = table.num_rows
+        mapping = getattr(partition, "mapping", None) or {}
+        # file name -> current name (tombstoned file columns excluded)
+        current = {
+            fc: cur for fc, cur in mapping.items() if cur is not None
+        }
+        dropped = {fc for fc, cur in mapping.items() if cur is None}
+        file_of = {cur: fc for fc, cur in current.items()}
         arrays, names = [], []
         for f in declared.fields:
             at = to_arrow_type(f.dataType)
-            if f.name in table.column_names:
-                arrays.append(table.column(f.name).cast(at))
+            fcol = file_of.get(f.name, f.name)
+            # a file column is unusable for this field when it's
+            # tombstoned (DROPped, possibly re-added under the same
+            # name) or routed to a DIFFERENT current name by a rename
+            routed_away = fcol in dropped or (
+                fcol in current and current[fcol] != f.name
+            )
+            if fcol in table.column_names and not routed_away:
+                arrays.append(table.column(fcol).cast(at))
             else:
                 arrays.append(pa.nulls(n, type=at))
             names.append(f.name)
@@ -595,7 +740,17 @@ class TableChangefeedDataSource(DataSource):
     partitioned reader; ``.option("reader", "simple")`` selects the
     driver-materialized SimpleDataSourceStreamReader form (the
     contract-reference implementation, and a debugging aid: one
-    process to breakpoint)."""
+    process to breakpoint).
+
+    Catch-up admission control (Delta's maxFilesPerTrigger analog):
+    ``.option("maxversionspertrigger", n)`` bounds each micro-batch to
+    n snapshots, ``.option("maxfilespertrigger", n)`` to ~n added
+    parquet files (always at least one version) — so starting at
+    ``startingversion=earliest`` on a long history plans MANY bounded
+    batches instead of one backlog-sized batch, keeping checkpoint
+    granularity and retry cost proportional to the trigger. Both
+    readers honor both options; unset = unbounded (the old behavior).
+    """
 
     @classmethod
     def name(cls) -> str:

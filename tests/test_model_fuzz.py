@@ -15,8 +15,13 @@ Semantics encoded in the model (each is individually documented on the
 corresponding method in io/versioned.py):
 
 * append keeps duplicate keys (it is a file op, not an upsert);
-* MERGE replaces EVERY target row matching a source key (duplicate
-  target keys both rewrite), inserts unmatched source rows;
+* default-clause MERGE is the lakehouse UPSERT: duplicate target
+  rows sharing a matched key COLLAPSE to the single source row
+  (Postgres ON CONFLICT semantics — the r10-pinned contract);
+  unmatched source rows insert;
+* conditional MERGE (merge_cond, matched_condition=TRUE) engages the
+  SQL-MERGE clause engine: EVERY duplicate target row is updated and
+  kept;
 * merge-on-read DELETE is scoped to rows present at delete time — a
   key re-appended later survives; with id-only conditions the
   equality-delete key granularity equals row granularity;
@@ -66,6 +71,7 @@ op_st = st.one_of(
     st.tuples(st.just("append"), rows_st),
     st.tuples(st.just("overwrite"), rows_st),
     st.tuples(st.just("merge"), unique_rows_st),
+    st.tuples(st.just("merge_cond"), unique_rows_st),
     st.tuples(st.just("merge_del"), unique_rows_st),
     st.tuples(st.just("delete_cow"), range_st, st.booleans()),
     st.tuples(st.just("delete_mor"), range_st),
@@ -77,19 +83,24 @@ op_st = st.one_of(
     # operand is an index into the retained-versions list at exec time
     st.tuples(st.just("rollback"), st.integers(0, 30)),
     st.just(("vacuum",)),
+    # metadata-only column rename (r10): flips the value column between
+    # 'val' and 'w'; every later op must keep working through the
+    # colmap routing, and rollback must restore the OLD name
+    st.just(("rename",)),
 )
 
 
-def _df(spark, rows):
+def _df(spark, rows, valcol="val"):
     return spark.createDataFrame(
-        [(int(i), int(v)) for i, v in rows], SCHEMA
+        [(int(i), int(v)) for i, v in rows],
+        f"id bigint, {valcol} bigint",
     )
 
 
-def _read_sorted(table, spark, version=None):
+def _read_sorted(table, spark, version=None, valcol="val"):
     df = table.read(spark, version=version)
     return sorted(
-        (r["id"], r["val"]) for r in df.select("id", "val").collect()
+        (r["id"], r[valcol]) for r in df.select("id", valcol).collect()
     )
 
 
@@ -101,6 +112,21 @@ def _apply_model(state: list, op: tuple) -> list:
     if kind == "overwrite":
         return list(op[1])
     if kind == "merge":
+        # upsert semantics: matched duplicates collapse to ONE row
+        src = dict(op[1])
+        out, seen = [], set()
+        for i, v in state:
+            if i in src:
+                if i not in seen:
+                    out.append((i, src[i]))
+                    seen.add(i)
+            else:
+                out.append((i, v))
+        present = {i for i, _ in state}
+        out += [(i, v) for i, v in op[1] if i not in present]
+        return out
+    if kind == "merge_cond":
+        # SQL MERGE semantics: every matched duplicate row updates
         src = dict(op[1])
         out = [
             (i, src[i]) if i in src else (i, v) for i, v in state
@@ -127,23 +153,39 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
     table = VersionedTable(f"{tmp_base}/{uuid.uuid4().hex}")
     v0 = table.commit(_df(spark, init_rows), mode="overwrite")
     model = list(init_rows)
-    # visible rows per version, for time-travel and rollback checks
-    states: dict[int, list] = {v0: sorted(model)}
+    valcol = "val"
+    # (visible rows, value-column name) per version, for time-travel
+    # and rollback checks across renames
+    states: dict[int, tuple] = {v0: (sorted(model), valcol)}
 
     for op in ops:
         kind = op[0]
         before = table.latest_version()
-        if kind == "append":
-            table.commit(_df(spark, op[1]), mode="append")
+        if kind == "rename":
+            new = "w" if valcol == "val" else "val"
+            table.rename_column(valcol, new)
+            valcol = new
+        elif kind == "append":
+            table.commit(_df(spark, op[1], valcol), mode="append")
         elif kind == "overwrite":
-            table.commit(_df(spark, op[1]), mode="overwrite")
+            table.commit(_df(spark, op[1], valcol), mode="overwrite")
         elif kind == "merge":
-            merge_into(table, spark, _df(spark, op[1]), key="id")
+            merge_into(
+                table, spark, _df(spark, op[1], valcol), key="id"
+            )
+        elif kind == "merge_cond":
+            merge_into(
+                table,
+                spark,
+                _df(spark, op[1], valcol),
+                key="id",
+                matched_condition=F.lit(True),
+            )
         elif kind == "merge_del":
             merge_into(
                 table,
                 spark,
-                _df(spark, op[1]),
+                _df(spark, op[1], valcol),
                 key="id",
                 when_matched="delete",
                 when_not_matched=None,
@@ -168,7 +210,7 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             table.update_where(
                 spark,
                 F.col("id").between(lo, hi),
-                {"val": F.col("val") + F.lit(op[2])},
+                {valcol: F.col(valcol) + F.lit(op[2])},
                 prune_where="auto" if op[3] else None,
             )
         elif kind == "compact":
@@ -179,7 +221,7 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             vs = table.versions()
             target = vs[op[1] % len(vs)]
             table.rollback(target)
-            model = list(states[target])
+            model, valcol = list(states[target][0]), states[target][1]
         elif kind == "vacuum":
             table.vacuum(keep_versions=3, min_age_seconds=0)
         else:
@@ -189,6 +231,7 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             "append",
             "overwrite",
             "merge",
+            "merge_cond",
             "merge_del",
             "delete_cow",
             "delete_mor",
@@ -196,12 +239,12 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
         ):
             model = _apply_model(model, op)
 
-        got = _read_sorted(table, spark)
+        got = _read_sorted(table, spark, valcol=valcol)
         want = sorted(model)
         assert got == want, (
             f"after {op} (parent v{before}): table={got} model={want}"
         )
-        states[table.latest_version()] = want
+        states[table.latest_version()] = (want, valcol)
         # metadata-count cross-check: count_where's pruned/contained/
         # scan classification must agree with the row model through
         # every DML interleaving (stats boxes, MoR deletes, rebases)
@@ -218,9 +261,10 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
     # state and are covered by the post-op check that recorded them)
     for v in table.versions():
         if v in states:
-            assert _read_sorted(table, spark, version=v) == states[v], (
-                f"time travel to v{v} diverged"
-            )
+            rows_v, col_v = states[v]
+            assert _read_sorted(
+                table, spark, version=v, valcol=col_v
+            ) == rows_v, f"time travel to v{v} diverged"
 
 
 class TestModelFuzz:
@@ -249,16 +293,20 @@ class TestModelFuzz:
         every op kind at least once (the hypothesis examples above are
         random draws and may not), including the adversarial
         orderings: MoR delete → re-append same key → optimize;
-        rollback across a pruned update; vacuum then time travel."""
+        rollback across a pruned update; vacuum then time travel;
+        RENAME between a MoR delete and its materialization, and a
+        rollback ACROSS a rename (old name must come back)."""
         ops = [
             ("append", [(1, 10), (2, 20), (1, 11)]),
             ("merge", [(2, 99), (5, 50)]),
             ("delete_mor", (1, 1)),
+            ("rename",),  # rename UNDER a pending MoR delete
             ("append", [(1, 12)]),  # re-insert a MoR-deleted key
             ("optimize",),  # materializes the pending delete
             ("update", (2, 5), 7, True),
-            ("rollback", 2),
+            ("rollback", 2),  # back across the rename: old name returns
             ("merge_del", [(5, 0)]),
+            ("rename",),
             ("compact",),
             ("delete_cow", (0, 3), True),
             ("overwrite", [(8, 80)]),
