@@ -46,7 +46,10 @@ HEADLINE = [
     "json_extract",
     "dedup_last_writer_wins",
 ]
-PANDAS_BACKED = ["topk_per_group"]  # runs last — see module docstring
+# pandas-backed queries run LAST (see module docstring); the wav decode
+# entry (r10) puts a media-codec kernel on the bench tripwire the
+# relational and lake paths already have
+PANDAS_BACKED = ["multimodal_wav_decode", "topk_per_group"]
 
 
 def bench_one(

@@ -111,6 +111,122 @@ def _json_safe(v, dtype):
     return None  # unexpected type: no stats, conservative
 
 
+import re as _re
+
+_TRANSFORM_RE = _re.compile(
+    r"^\s*(years|months|days|hours)\s*\(\s*([A-Za-z_][\w]*)\s*\)\s*$"
+)
+_PARAM_TRANSFORM_RE = _re.compile(
+    r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_][\w]*)\s*\)\s*$"
+)
+
+
+def _partition_transform(spec: str, schema):
+    """Parse one ``partition_by`` entry into (source_column,
+    hidden_partition_expr) — Iceberg's HIDDEN PARTITIONING transforms,
+    so users partition a timestamp table by ``days(ts)`` instead of
+    hand-materializing a date column:
+
+    * ``years(c)`` / ``months(c)`` / ``days(c)`` / ``hours(c)`` —
+      temporal truncations (each group then spans one bucket of time,
+      so its SOURCE-column stats box is a tight interval and range
+      pruning on ``c`` works with no extra machinery);
+    * ``bucket(n, c)`` — xxhash64 mod n (point lookups prune via the
+      per-group blooms if declared; the box can't help on hashes);
+    * ``truncate(w, c)`` — width-w value truncation (ints) or prefix
+      (strings);
+    * a bare column name — partition by the raw value (the pre-r10
+      form, unchanged).
+    """
+    types = {f.name: f.dataType for f in schema.fields}
+
+    def temporal(col, name):
+        if types[col].typeName() not in (
+            "timestamp", "timestamp_ntz", "date"
+        ):
+            raise ValueError(
+                f"{name}() needs a date/timestamp column, got "
+                f"{types[col].typeName()} for {col!r}"
+            )
+
+    mt = _TRANSFORM_RE.match(spec)
+    if mt:
+        fn, col = mt.group(1), mt.group(2)
+        if col not in types:
+            raise ValueError(f"partition_by column not in data: {col!r}")
+        temporal(col, fn)
+        expr = {
+            "years": lambda c: F.year(c),
+            "months": lambda c: F.date_format(c, "yyyy-MM"),
+            "days": lambda c: F.to_date(c),
+            "hours": lambda c: F.date_format(c, "yyyy-MM-dd-HH"),
+        }[fn](F.col(col))
+        return col, expr
+    mp = _PARAM_TRANSFORM_RE.match(spec)
+    if mp:
+        fn, n, col = mp.group(1), int(mp.group(2)), mp.group(3)
+        if col not in types:
+            raise ValueError(f"partition_by column not in data: {col!r}")
+        if n <= 0:
+            raise ValueError(f"{fn}() width must be positive: {spec!r}")
+        if fn == "bucket":
+            return col, F.pmod(F.xxhash64(F.col(col)), F.lit(n))
+        tname = types[col].typeName()
+        if tname in ("byte", "short", "integer", "long"):
+            return col, F.col(col) - F.pmod(F.col(col), F.lit(n))
+        if tname == "string":
+            return col, F.substring(F.col(col), 1, n)
+        raise ValueError(
+            f"truncate() supports int/string columns, got {tname} "
+            f"for {col!r}"
+        )
+    if spec not in types:
+        raise ValueError(
+            f"partition_by column not in data: {spec!r} (transforms: "
+            f"years/months/days/hours(col), bucket(n, col), "
+            f"truncate(w, col))"
+        )
+    return spec, F.col(spec)
+
+
+def _sum_stat_expr(f, alias: str):
+    """SUM observation for a numeric column (rides the same write job
+    as min/max — powers agg_where's metadata-only SUM): integral types
+    sum in decimal(38,0) so a 100 TB group can't overflow under ANSI,
+    decimals sum natively (Spark widens precision), floats as double.
+    None for non-numeric columns (no SUM semantics)."""
+    name = f.dataType.typeName()
+    if name in ("byte", "short", "integer", "long"):
+        return F.sum(F.col(f.name).cast("decimal(38,0)")).alias(alias)
+    if name.startswith("decimal") or name in ("double", "float"):
+        return F.sum(F.col(f.name)).alias(alias)
+    return None
+
+
+def _stat_unjson(v, dtype):
+    """Decode a manifest stats value back into the column's Python
+    domain (the inverse of _json_safe): ISO strings → datetime/date,
+    decimal-as-str → Decimal (collapsed to int for integral columns),
+    numerics pass through."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    name = dtype.typeName()
+    if name == "date":
+        return datetime.date.fromisoformat(v)
+    if name in ("timestamp", "timestamp_ntz"):
+        return datetime.datetime.fromisoformat(v)
+    if name.startswith("decimal"):
+        return decimal.Decimal(str(v))
+    if name in ("byte", "short", "integer", "long") and isinstance(
+        v, str
+    ):
+        return int(decimal.Decimal(v))
+    return v
+
+
 def _col_stats_entry(mn_raw, mx_raw, nulls: int, rows: int, dtype):
     """Build one column's manifest-stats entry, or ``None`` to OMIT it.
 
@@ -709,6 +825,7 @@ def _write_group_with_stats(
         df.write.parquet(full_path)
         return None
     exprs = [F.count(F.lit(1)).alias("rows")]
+    summable: set = set()
     for i, f in enumerate(cols):
         exprs.append(F.min(f.name).alias(f"mn_{i}"))
         exprs.append(F.max(f.name).alias(f"mx_{i}"))
@@ -717,6 +834,10 @@ def _write_group_with_stats(
                 f"nu_{i}"
             )
         )
+        se = _sum_stat_expr(f, f"sm_{i}")
+        if se is not None:
+            exprs.append(se)
+            summable.add(i)
     check_names = sorted(checks)
     for i, name in enumerate(check_names):
         bad = ~F.coalesce(F.expr(checks[name]), F.lit(True))
@@ -769,6 +890,10 @@ def _write_group_with_stats(
             f.dataType,
         )
         if entry is not None:
+            if i in summable:
+                s = _json_safe(got[f"sm_{i}"], f.dataType)
+                if got[f"sm_{i}"] is None or s is not None:
+                    entry["sum"] = s  # None = all-NULL (SQL SUM=NULL)
             out[f.name] = entry
     if bloom_cols:
         # second (tiny, page-cached) pass over the group just written —
@@ -975,7 +1100,14 @@ class VersionedTable:
         touch tests, and auto-pruned DML on that column skip exactly —
         the Iceberg/Delta partitioned-table layout without needing a
         clustering OPTIMIZE. Many tiny partitions per commit are the
-        compact() use case.
+        compact() use case. Entries may be HIDDEN-PARTITIONING
+        transforms (Iceberg's ergonomic, r10): ``days(ts)`` /
+        ``hours(ts)`` / ``months(ts)`` / ``years(ts)`` partition a
+        timestamp by its truncation (no hand-materialized date column;
+        each group's ts stats box is one tight interval, so plain
+        range predicates on ts prune), ``bucket(n, col)`` hash-buckets
+        a key, ``truncate(w, col)`` groups by int width / string
+        prefix.
 
         ``allow_evolution=True`` permits ADDITIVE schema evolution on
         append: new columns join the table schema (old rows read them
@@ -1101,7 +1233,7 @@ class VersionedTable:
         Iceberg/Delta partitioned-table layout, applied per commit):
         a single hash shuffle on the partition columns co-locates each
         value, a staged ``partitionBy`` write lays the values out as
-        directories — partitioning on DUPLICATED columns (``__p_<c>``)
+        directories — partitioning on DERIVED columns (``__p_i``)
         so the originals stay inside the data files and every reader
         sees the full schema — and each leaf directory is renamed into
         an immutable group. Because a group then holds exactly one
@@ -1114,20 +1246,24 @@ class VersionedTable:
         (same atomicity shape as _write_group_with_stats)."""
         import shutil
 
-        missing = [c for c in partition_by if c not in df.columns]
-        if missing:
-            raise ValueError(
-                f"partition_by column(s) not in data: {missing}"
-            )
+        # each entry is a bare column or a hidden-partitioning
+        # transform (days(ts), bucket(16, k), ... — Iceberg's
+        # ergonomic); either way the PARTITION VALUE is a derived
+        # ``__p_i`` column and the source columns stay in the files
+        transforms = [
+            _partition_transform(spec, df.schema)
+            for spec in partition_by
+        ]
         spark = df.sparkSession
         checks = checks or {}
         staged = os.path.join(
             self.path, "data", f"pt-{uuid.uuid4().hex}"
         )
-        pcols = [f"__p_{c}" for c in partition_by]
+        pcols = [f"__p_{i}" for i in range(len(transforms))]
         (
             df.select("*", *[
-                F.col(c).alias(p) for c, p in zip(partition_by, pcols)
+                expr.alias(p)
+                for (_, expr), p in zip(transforms, pcols)
             ])
             .repartition(*[F.col(p) for p in pcols])
             .write.partitionBy(*pcols)
@@ -1163,6 +1299,7 @@ class VersionedTable:
             f for f in df.schema.fields if _stats_eligible(f.dataType)
         ]
         aggs = [F.count(F.lit(1)).alias("rows")]
+        summable: set = set()
         for i, f in enumerate(cols):
             aggs += [
                 F.min(f.name).alias(f"mn_{i}"),
@@ -1171,6 +1308,10 @@ class VersionedTable:
                     F.when(F.col(f.name).isNull(), 1).otherwise(0)
                 ).alias(f"nu_{i}"),
             ]
+            se = _sum_stat_expr(f, f"sm_{i}")
+            if se is not None:
+                aggs.append(se)
+                summable.add(i)
         check_names = sorted(checks)
         for i, name in enumerate(check_names):
             bad = ~F.coalesce(F.expr(checks[name]), F.lit(True))
@@ -1232,6 +1373,10 @@ class VersionedTable:
                     f.dataType,
                 )
                 if entry is not None:
+                    if i in summable:
+                        sm = _json_safe(r[f"sm_{i}"], f.dataType)
+                        if r[f"sm_{i}"] is None or sm is not None:
+                            entry["sum"] = sm
                     st[f.name] = entry
             if bloom_cols:
                 blooms = _bloom_build(
@@ -1843,6 +1988,150 @@ class VersionedTable:
             }
         return total
 
+    def agg_where(
+        self,
+        spark: SparkSession,
+        column: str,
+        ops: tuple = ("min", "max", "sum", "count"),
+        where: dict | None = None,
+        version: int | None = None,
+        detail: bool = False,
+    ):
+        """MIN/MAX/SUM/COUNT over one column answered from manifest
+        METADATA wherever provable — count_where's classification
+        (VERDICT r9 #4, the Iceberg/DuckDB min-max-from-stats trick)
+        extended to the other distributive aggregates. Per group:
+
+        * stats box DISJOINT from ``where`` → contributes nothing;
+        * box FULLY INSIDE (zero nulls in every where-column) and not
+          covered by pending merge-on-read deletes → the group's
+          manifest entry answers exactly: ``min``/``max`` directly
+          (they ignore NULLs, as SQL does), ``sum`` from the per-group
+          SUM observed at write time, ``count`` as rows − nulls;
+        * anything else (boundary box, missing stats, missing sum on a
+          pre-r10 manifest, delete-covered) → the group SCANS with the
+          exact row filter.
+
+        SQL semantics throughout: NULLs don't contribute; an all-NULL
+        table yields None for min/max/sum and 0 for count. Returns
+        ``{op: value}`` (values decoded into the column's Python
+        domain); ``detail=True`` adds the pruned/metadata/scanned
+        classification, which tests PIN — a misclassified group is
+        silently wrong at any scale."""
+        import decimal
+
+        bad = [o for o in ops if o not in ("min", "max", "sum", "count")]
+        if bad:
+            raise ValueError(f"unsupported agg op(s): {bad}")
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load_manifest(v)
+        declared = _schema_from_json(m["schema"])
+        types = {f.name: f.dataType for f in declared.fields}
+        if column not in types:
+            raise ValueError(f"no such column: {column!r}")
+        dtype = types[column]
+        where = where or {}
+        cls_where, cls_dropped = _normalize_prune_bounds(where, types)
+        stats = m.get("stats") or {}
+        del_groups: set = set()
+        for e in m.get("delete_entries") or []:
+            del_groups.update(e["applies_to"])
+
+        need_sum = "sum" in ops
+        pruned, metadata, scan = 0, 0, []
+        mn_md, mx_md, n_md = None, None, 0
+        sum_md = None
+        for g in m["groups"]:
+            st = stats.get(g)
+            if cls_where and not _group_may_match(st, cls_where):
+                pruned += 1
+                continue
+            entry = (st or {}).get(column)
+            rows = (st or {}).get("_rows")
+            usable = (
+                g not in del_groups
+                and rows is not None
+                and isinstance(entry, dict)
+                and not cls_dropped
+                and (not where or _group_fully_contained(st, cls_where))
+                and (not need_sum or "sum" in entry)
+            )
+            if not usable:
+                scan.append(g)
+                continue
+            metadata += 1
+            nn = int(rows) - int(entry.get("nulls") or 0)
+            n_md += nn
+            if nn > 0:
+                gmn = _stat_unjson(entry["min"], dtype)
+                gmx = _stat_unjson(entry["max"], dtype)
+                mn_md = gmn if mn_md is None else min(mn_md, gmn)
+                mx_md = gmx if mx_md is None else max(mx_md, gmx)
+                if need_sum and entry.get("sum") is not None:
+                    gs = entry["sum"]
+                    gs = (
+                        decimal.Decimal(gs) if isinstance(gs, str) else gs
+                    )
+                    sum_md = gs if sum_md is None else sum_md + gs
+        mn_sc, mx_sc, sum_sc, n_sc = None, None, None, 0
+        if scan:
+            df = self._read_groups(spark, m, scan)
+            if where:
+                df = self._apply_where_rowfilter(df, m, where)
+            se = _sum_stat_expr(
+                next(f for f in declared.fields if f.name == column),
+                "s",
+            )
+            aggs = [
+                F.min(column).alias("mn"),
+                F.max(column).alias("mx"),
+                F.count(column).alias("n"),
+            ]
+            if se is not None:
+                aggs.append(se)
+            r = df.agg(*aggs).first()
+            mn_sc, mx_sc, n_sc = r["mn"], r["mx"], int(r["n"])
+            sum_sc = r["s"] if se is not None else None
+        out: dict = {}
+        for op in ops:
+            if op == "count":
+                out[op] = n_md + n_sc
+            elif op == "min":
+                vals = [x for x in (mn_md, mn_sc) if x is not None]
+                out[op] = min(vals) if vals else None
+            elif op == "max":
+                vals = [x for x in (mx_md, mx_sc) if x is not None]
+                out[op] = max(vals) if vals else None
+            else:  # sum
+                vals = [x for x in (sum_md, sum_sc) if x is not None]
+                total = None
+                for x in vals:
+                    x = (
+                        decimal.Decimal(str(x))
+                        if not isinstance(
+                            x, (int, float, decimal.Decimal)
+                        )
+                        else x
+                    )
+                    total = x if total is None else total + x
+                if (
+                    total is not None
+                    and isinstance(total, decimal.Decimal)
+                    and dtype.typeName()
+                    in ("byte", "short", "integer", "long")
+                ):
+                    total = int(total)
+                out[op] = total
+        if detail:
+            return out, {
+                "pruned": pruned,
+                "metadata": metadata,
+                "scanned": len(scan),
+            }
+        return out
+
     def _read_groups(
         self, spark: SparkSession, m: dict, groups: list[str]
     ) -> DataFrame:
@@ -2277,6 +2566,7 @@ class VersionedTable:
             if _stats_eligible(f.dataType)
         ]
         aggs = [F.count(F.lit(1)).alias("rows")]
+        summable: set = set()
         for i, f in enumerate(cols):
             aggs += [
                 F.min(f.name).alias(f"mn_{i}"),
@@ -2285,6 +2575,10 @@ class VersionedTable:
                     F.when(F.col(f.name).isNull(), 1).otherwise(0)
                 ).alias(f"nu_{i}"),
             ]
+            se = _sum_stat_expr(f, f"sm_{i}")
+            if se is not None:
+                aggs.append(se)
+                summable.add(i)
         opt_bloom_cols = [
             c for c in (m.get("bloom_cols") or []) if c in df.columns
         ]
@@ -2323,6 +2617,10 @@ class VersionedTable:
                     f.dataType,
                 )
                 if entry is not None:
+                    if i in summable:
+                        sm = _json_safe(r[f"sm_{i}"], f.dataType)
+                        if r[f"sm_{i}"] is None or sm is not None:
+                            entry["sum"] = sm
                     st[f.name] = entry
             if m.get("bloom_cols"):
                 blooms = _bloom_build(

@@ -792,7 +792,13 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
             else:
-                raise _MarkerHit(0xFF00 | nxt, self.pos - 1)
+                # rewind to the 0xFF: _fill is then IDEMPOTENT at a
+                # marker (re-raises identically), which lets the fast
+                # Huffman path prefetch 8 bits speculatively and fall
+                # back to the buffered-residue walk when the prefetch
+                # runs into the end of the entropy stream
+                self.pos -= 1
+                raise _MarkerHit(0xFF00 | nxt, self.pos)
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
@@ -823,12 +829,38 @@ class _MarkerHit(Exception):
 
 
 def _huff_decoder(bits: list[int], vals: list[int]):
+    codes = _canonical_codes(bits, vals)
     table = {
-        (length, code): sym
-        for sym, (code, length) in _canonical_codes(bits, vals).items()
+        (length, code): sym for sym, (code, length) in codes.items()
     }
+    # libjpeg's classic first-N-bits lookup: one 256-entry table
+    # resolves every code of <= 8 bits (the overwhelming majority of
+    # symbols in practice) with a single peek instead of a bit-by-bit
+    # tree walk — the entropy decode is the JPEG hot loop
+    fast: list = [None] * 256
+    for sym, (code, length) in codes.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for suffix in range(1 << (8 - length)):
+                fast[base | suffix] = (sym, length)
 
     def read(br: _BitReader) -> int:
+        if br.nbits < 8:
+            try:
+                while br.nbits < 8:
+                    br._fill()
+            except (_MarkerHit, IndexError):
+                # end of entropy stream mid-prefetch: the symbol may
+                # still complete from the buffered residue (the walk
+                # below); _fill is idempotent at a marker, so a later
+                # genuine overrun re-raises identically
+                pass
+        if br.nbits >= 8:
+            hit = fast[(br.acc >> (br.nbits - 8)) & 0xFF]
+            if hit is not None:
+                br.nbits -= hit[1]
+                br.acc &= (1 << br.nbits) - 1
+                return hit[0]
         code, length = 0, 0
         while length < 17:
             code = (code << 1) | br.bit()
@@ -998,8 +1030,11 @@ def _decode_scan(
             t = read_dc(br)
             diff = _extend(br.bits(t), t) if t else 0
             pred += diff
-            coef = [0] * 64
-            coef[0] = pred * q[0]
+            # the 64-entry block is allocated only when a NONZERO AC
+            # coefficient actually appears — the common all-flat block
+            # (DC + immediate EOB) then costs two Huffman reads and a
+            # slice fill, no list build and no 63-entry zero scan
+            coef = None
             k = 1
             while k < 64:
                 rs = read_ac(br)
@@ -1012,12 +1047,16 @@ def _decode_scan(
                 size = rs & 0x0F
                 if k > 63:
                     raise ValueError("AC run exceeds block")
-                coef[_ZIGZAG[k]] = _extend(br.bits(size), size) * q[_ZIGZAG[k]]
+                v = _extend(br.bits(size), size) * q[_ZIGZAG[k]]
+                if v:
+                    if coef is None:
+                        coef = [0] * 64
+                    coef[_ZIGZAG[k]] = v
                 k += 1
-            if all(v == 0 for v in coef[1:]):
+            if coef is None:
                 # DC-only fast path: IDCT of a DC-only block is flat;
                 # fill by row SLICES, not per-pixel assignments
-                val = coef[0] / 8.0 + 128.0
+                val = pred * q[0] / 8.0 + 128.0
                 b = min(255, max(0, int(val + 0.5)))
                 span = min(8, w - bx * 8)
                 row = bytes([b]) * span
@@ -1026,6 +1065,7 @@ def _decode_scan(
                     base = row0 + y * w
                     px[base : base + span] = row
                 continue
+            coef[0] = pred * q[0]
             # separable 2-pass IDCT
             tmp = [[0.0] * 8 for _ in range(8)]
             for y in range(8):

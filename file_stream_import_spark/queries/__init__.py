@@ -72,6 +72,7 @@ def load_all() -> None:
         round6,
         round7,
         round9,
+        round10,
     )
 
 

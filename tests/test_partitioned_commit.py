@@ -234,3 +234,154 @@ class TestWriterMaintenance:
         # 5 batches x 4 partitions = 20 groups without maintenance;
         # compaction keeps the live count well under that
         assert len(m["groups"]) < 12
+
+
+class TestPartitionTransforms:
+    """Hidden partitioning (r10): commit(partition_by=['days(ts)', ...])
+    — Iceberg's transform ergonomic. The value of a temporal transform
+    is that each group's SOURCE-column stats box is one tight interval,
+    so plain range predicates on the source column prune with no
+    user-visible partition column."""
+
+    def _ts_df(self, spark, n_days=4, per_day=6):
+        import datetime
+
+        rows = []
+        for d in range(n_days):
+            for i in range(per_day):
+                rows.append(
+                    (
+                        d * per_day + i,
+                        datetime.datetime(2021, 3, 1 + d, 2 * i),
+                        float(d * per_day + i),
+                    )
+                )
+        return spark.createDataFrame(
+            rows, "k bigint, ts timestamp, x double"
+        )
+
+    def test_days_transform_point_box_pruning(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import VersionedTable
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            self._ts_df(spark), mode="overwrite",
+            partition_by=["days(ts)"],
+        )
+        m = t._load_manifest(t.latest_version())
+        assert len(m["groups"]) == 4  # one group per day
+        # a one-day range predicate on the SOURCE column: one group
+        # fully contained, three pruned, zero scanned
+        import datetime
+
+        total, detail = t.count_where(
+            spark,
+            where={
+                "ts": (
+                    datetime.datetime(2021, 3, 2),
+                    datetime.datetime(2021, 3, 2, 23, 59),
+                )
+            },
+            detail=True,
+        )
+        assert total == 6
+        assert detail == {"pruned": 3, "metadata": 1, "scanned": 0}
+
+    def test_hours_and_years_transforms(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import VersionedTable
+
+        t = VersionedTable(str(tmp_path / "h"))
+        t.commit(
+            self._ts_df(spark, n_days=1, per_day=3),
+            mode="overwrite",
+            partition_by=["hours(ts)"],
+        )
+        assert len(t._load_manifest(0)["groups"]) == 3
+        t2 = VersionedTable(str(tmp_path / "y"))
+        t2.commit(
+            self._ts_df(spark), mode="overwrite",
+            partition_by=["years(ts)"],
+        )
+        assert len(t2._load_manifest(0)["groups"]) == 1
+
+    def test_bucket_transform(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.versioned import VersionedTable
+
+        t = VersionedTable(str(tmp_path / "b"))
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        t.commit(df, mode="overwrite", partition_by=["bucket(4, k)"])
+        m = t._load_manifest(0)
+        assert 2 <= len(m["groups"]) <= 4
+        got = sorted(r["k"] for r in t.read(spark).collect())
+        assert got == list(range(100))
+
+    def test_truncate_int_and_string(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.versioned import VersionedTable
+
+        t = VersionedTable(str(tmp_path / "tr"))
+        df = spark.range(40).select(
+            F.col("id").alias("k"),
+            F.concat(
+                F.lit("grp"),
+                (F.col("id") % 2).cast("string"),
+                F.lit("_"),
+                F.col("id").cast("string"),
+            ).alias("s"),
+        )
+        t.commit(df, mode="overwrite", partition_by=["truncate(10, k)"])
+        m = t._load_manifest(0)
+        assert len(m["groups"]) == 4  # k in [0,10), [10,20), ...
+        total, detail = t.count_where(
+            spark, where={"k": (10, 19)}, detail=True
+        )
+        assert total == 10
+        assert detail == {"pruned": 3, "metadata": 1, "scanned": 0}
+        t2 = VersionedTable(str(tmp_path / "trs"))
+        t2.commit(df, mode="overwrite", partition_by=["truncate(4, s)"])
+        assert len(t2._load_manifest(0)["groups"]) == 2  # grp0 / grp1
+
+    def test_transform_composes_with_raw_column(self, spark, tmp_path):
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.versioned import VersionedTable
+
+        t = VersionedTable(str(tmp_path / "c"))
+        df = self._ts_df(spark, n_days=2, per_day=4).withColumn(
+            "region", F.when(F.col("k") % 2 == 0, "eu").otherwise("us")
+        )
+        t.commit(
+            df, mode="overwrite",
+            partition_by=["days(ts)", "region"],
+        )
+        assert len(t._load_manifest(0)["groups"]) == 4  # 2 days x 2
+        assert t.read(spark).count() == 8
+
+    def test_transform_errors(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.versioned import VersionedTable
+
+        t = VersionedTable(str(tmp_path / "e"))
+        df = spark.range(5).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("s")
+        )
+        with _pytest.raises(ValueError, match="date/timestamp"):
+            t.commit(df, mode="overwrite", partition_by=["days(k)"])
+        with _pytest.raises(ValueError, match="not in data"):
+            t.commit(df, mode="overwrite", partition_by=["days(nope)"])
+        with _pytest.raises(ValueError, match="int/string"):
+            t.commit(
+                df.select("k", F.col("k").cast("double").alias("d")),
+                mode="overwrite",
+                partition_by=["truncate(2, d)"],
+            )
