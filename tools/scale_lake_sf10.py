@@ -1,0 +1,169 @@
+"""sf10 scale points for the r9/r10 lake surface — VERDICT r9 #5.
+
+The r9 lake DRIVER queries pin hash-stable outputs via fixed key
+subsets, so re-running them at sf10 would measure constant work. The
+O(delta) claims they embody are measured here directly instead: a
+versioned table built from the FULL orders fixture at sf0.1 and at
+sf10 (tools/scale_sf10.py's 100x key-shifted build), laid out with
+CONSTANT group size — so the group count grows 100x (4 -> 400) while
+each operation's DELTA stays fixed. The claim under test: MERGE with
+clauses, auto-pruned UPDATE/DELETE, metadata COUNT/aggregates,
+incremental compaction of a fixed small-group backlog, and
+metadata-only RENAME all cost O(delta + metadata), so their wall time
+should stay near-FLAT across the 100x — only the one honest
+full-data op (the partitioned commit that builds the table) may scale
+linearly.
+
+Run: python tools/scale_lake_sf10.py   (builds /tmp/sf10 via
+tools/scale_sf10.py's builder if absent; ~5 min). Prints a
+BASELINE.md-ready table.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, Window as W, functions as F
+
+SRC01 = "/root/testdata/sf0.1"
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CHUNK = 37_500  # rows per group — constant across scales
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.row_number().over(W.orderBy("o_orderkey")).alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+
+def campaign(spark, sf_dir, label):
+    from file_stream_import_spark.io.versioned import (
+        VersionedTable,
+        merge_into,
+    )
+
+    o = _orders(spark, sf_dir).localCheckpoint(eager=True)
+    n = o.count()
+    root = tempfile.mkdtemp(prefix=f"lake_scale_{label}_")
+    t = VersionedTable(os.path.join(root, "t"))
+    out = {}
+
+    t0 = time.time()
+    t.commit(o, mode="overwrite", partition_by=[f"truncate({CHUNK}, k)"])
+    out["partitioned_commit (full data — honest linear)"] = time.time() - t0
+    n_groups = len(t._load_manifest(t.latest_version())["groups"])
+
+    # fixed 2k-key delta inside the first group, full clause engine
+    upd = (
+        o.filter(F.col("k") <= 2000)
+        .withColumn("status", F.lit("M"))
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    merge_into(
+        t, spark, upd, key="k",
+        when_matched={"status": F.col("s.status")},
+        matched_condition=F.col("t.cents") >= 0,
+    )
+    out["merge_clauses (fixed 2k delta)"] = time.time() - t0
+
+    t0 = time.time()
+    t.update_where(
+        spark,
+        F.col("k").between(100, 1200),
+        {"cents": F.col("cents") + 1},
+        prune_where="auto",
+    )
+    out["auto_pruned_update (fixed window)"] = time.time() - t0
+
+    t0 = time.time()
+    t.delete_where(
+        spark, F.col("k").between(40_000, 41_000), prune_where="auto"
+    )
+    out["auto_pruned_delete (fixed window)"] = time.time() - t0
+
+    t0 = time.time()
+    total, detail = t.count_where(
+        spark, where={"k": (10_000, 50_000)}, detail=True
+    )
+    out["count_where (boundary window)"] = time.time() - t0
+
+    t0 = time.time()
+    agg, adetail = t.agg_where(
+        spark, "cents", where={"k": (10_000, 50_000)}, detail=True
+    )
+    out["agg_where min/max/sum (same window)"] = time.time() - t0
+
+    # fixed backlog of 20 tiny appends, then incremental compaction —
+    # bin-packing must select ONLY the small groups regardless of how
+    # many big ones exist
+    for i in range(20):
+        t.commit(
+            o.filter(
+                F.col("k").between(n + 1 + 50 * i, n + 50 * (i + 1))
+            ).withColumn("k", F.col("k") + F.lit(0)),
+            mode="append",
+        )
+    before = len(t._load_manifest(t.latest_version())["groups"])
+    t0 = time.time()
+    t.compact(spark, min_bytes=64 * 1024)
+    out["compact (fixed 20-group backlog)"] = time.time() - t0
+    after = len(t._load_manifest(t.latest_version())["groups"])
+
+    t0 = time.time()
+    t.rename_column("cents", "amount")
+    out["rename_column (metadata-only)"] = time.time() - t0
+
+    t0 = time.time()
+    t.read(spark, where={"k": (500, 600)}).count()
+    out["point_window_read (1-group scan)"] = time.time() - t0
+
+    shutil.rmtree(root, ignore_errors=True)
+    meta = {
+        "rows": n,
+        "groups": n_groups,
+        "win_detail": detail,
+        "agg_detail": adetail,
+        "compact": f"{before}->{after}",
+    }
+    return out, meta
+
+
+def main():
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("scale_lake_sf10")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import scale_sf10
+
+    scale_sf10.build(spark)  # no-op when /tmp/sf10 already exists
+
+    r01, m01 = campaign(spark, SRC01, "sf01")
+    r10, m10 = campaign(spark, scale_sf10.DST, "sf10")
+    print(f"sf0.1: {m01}")
+    print(f"sf10 : {m10}")
+    print()
+    print("| operation | sf0.1 | sf10 (100x rows, 100x groups) | ratio |")
+    print("|---|---|---|---|")
+    for k in r01:
+        print(
+            f"| {k} | {r01[k]:.3f} | {r10[k]:.3f} "
+            f"| {r10[k] / r01[k]:.1f}x |"
+        )
+
+
+if __name__ == "__main__":
+    main()
