@@ -355,7 +355,9 @@ def _changefeed_added_groups(
         append_like = (
             mode == "append"
             or (mode == "overwrite" and v == 0)
-            or mode.startswith(("rename_column:", "drop_column:"))
+            or mode.startswith(
+                ("rename_column:", "drop_column:", "widen_column:")
+            )
         )
         if not append_like and not ignore_changes:
             raise ValueError(
@@ -381,7 +383,12 @@ def _changefeed_added_groups(
 
 
 def _admitted_end(
-    path: str, lo: int, head: int, max_versions: int, max_files: int
+    path: str,
+    lo: int,
+    head: int,
+    max_versions: int,
+    max_files: int,
+    max_bytes: int = 0,
 ) -> int:
     """Admission control for changefeed catch-up (Delta's
     maxFilesPerTrigger / Iceberg's max-files-per-micro-batch): bound
@@ -400,40 +407,111 @@ def _admitted_end(
     end = head
     if max_versions > 0:
         end = min(end, lo + max_versions)
-    if max_files > 0 and end > lo:
+    if (max_files > 0 or max_bytes > 0) and end > lo:
         t = VersionedTable(path)
-        files, admitted, v = 0, lo, lo
+        files, nbytes, admitted, v = 0, 0, lo, lo
         while v < end:
             try:
                 m = t._load_manifest(v)
             except FileNotFoundError:
                 break  # expired range: partitions() raises the remedy
-            cnt = 0
+            cnt, b = 0, 0
+            stats = m.get("stats") or {}
             for g in m.get("added") or []:
+                gb = (stats.get(g) or {}).get("_bytes")
                 d = os.path.join(path, g)
                 try:
-                    cnt += sum(
-                        1
+                    names = [
+                        n
                         for n in os.listdir(d)
                         if n.endswith(".parquet")
-                    )
+                    ]
                 except FileNotFoundError:
-                    pass
-            if files and files + cnt > max_files:
+                    names = []
+                cnt += len(names)
+                if gb is not None:
+                    b += int(gb)
+                else:
+                    # legacy manifest without _bytes: size the group's
+                    # files directly (same listdir, one getsize each)
+                    for n in names:
+                        try:
+                            b += os.path.getsize(os.path.join(d, n))
+                        except OSError:
+                            pass
+            over = (max_files and files and files + cnt > max_files) or (
+                max_bytes and nbytes and nbytes + b > max_bytes
+            )
+            if over:
                 break
             files += cnt
+            nbytes += b
             admitted = v + 1
             v += 1
         end = max(admitted, lo + 1)
     return max(end, lo)
 
 
-def _trigger_limits(options: dict) -> tuple[int, int]:
-    """(max_versions, max_files) per micro-batch; 0 = unbounded."""
+def _trigger_limits(options: dict) -> tuple[int, int, int]:
+    """(max_versions, max_files, max_bytes) per micro-batch;
+    0 = unbounded. Bytes come from the manifest's per-group _bytes
+    (recorded at commit time) with a file-size fallback for legacy
+    manifests."""
     return (
         int(options.get("maxversionspertrigger", 0) or 0),
         int(options.get("maxfilespertrigger", 0) or 0),
+        int(options.get("maxbytespertrigger", 0) or 0),
     )
+
+
+
+def _nullable(schema):
+    """Force every field nullable for a READ-side schema declaration:
+    evolution back-fill (added/renamed/dropped-and-readded columns)
+    legitimately produces NULLs in groups whose files predate the
+    change, and Spark validates Python-DataSource batches against the
+    declared nullability ("Value at index is null" otherwise). The JVM
+    parquet path resolves everything nullable for the same reason."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+
+
+def _arrow_align(table, declared, mapping):
+    """Executor-side align of one parquet file's Arrow table to the
+    declared schema THROUGH a column name map (RENAME/DROP evolution):
+    ``mapping`` is the group's colmap entry (file_name ->
+    current_name, None = tombstoned). Shared by the changefeed reader
+    and the versioned_table batch source so the two can never drift
+    from VersionedTable._read_groups' routing. Widening casts fall out
+    of the declared-type cast (int32 -> int64 is a plain Arrow cast)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    mapping = mapping or {}
+    n = table.num_rows
+    current = {fc: cur for fc, cur in mapping.items() if cur is not None}
+    dropped = {fc for fc, cur in mapping.items() if cur is None}
+    file_of = {cur: fc for fc, cur in current.items()}
+    arrays, names = [], []
+    for f in declared.fields:
+        at = to_arrow_type(f.dataType)
+        fcol = file_of.get(f.name, f.name)
+        # a file column is unusable for this field when it's
+        # tombstoned (DROPped, possibly re-added under the same name)
+        # or routed to a DIFFERENT current name by a rename
+        routed_away = fcol in dropped or (
+            fcol in current and current[fcol] != f.name
+        )
+        if fcol in table.column_names and not routed_away:
+            arrays.append(table.column(fcol).cast(at))
+        else:
+            arrays.append(pa.nulls(n, type=at))
+        names.append(f.name)
+    return pa.table(dict(zip(names, arrays)))
 
 
 class TableChangefeedReader(SimpleDataSourceStreamReader):
@@ -546,10 +624,10 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         latest = self._table().latest_version()
         if latest is None or latest < lo:
             return iter([]), start
-        mv, mf = _trigger_limits(self._options)
+        mv, mf, mb = _trigger_limits(self._options)
         end = (
-            _admitted_end(self.path, lo, latest + 1, mv, mf)
-            if (mv or mf)
+            _admitted_end(self.path, lo, latest + 1, mv, mf, mb)
+            if (mv or mf or mb)
             else latest + 1
         )
         return (
@@ -608,7 +686,11 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self.starting = str(options.get("startingversion", "earliest"))
-        self.max_versions, self.max_files = _trigger_limits(options)
+        (
+            self.max_versions,
+            self.max_files,
+            self.max_bytes,
+        ) = _trigger_limits(options)
         t = self._table()
         latest = t.latest_version()
         if latest is None:
@@ -648,10 +730,15 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         latest = self._table().latest_version()
         head = (latest if latest is not None else -1) + 1
         lo = self._floor
-        if (self.max_versions <= 0 and self.max_files <= 0) or head <= lo:
+        if (
+            self.max_versions <= 0
+            and self.max_files <= 0
+            and self.max_bytes <= 0
+        ) or head <= lo:
             return {"next_version": head}
         end = _admitted_end(
-            self.path, lo, head, self.max_versions, self.max_files
+            self.path, lo, head,
+            self.max_versions, self.max_files, self.max_bytes,
         )
         self._floor = end
         return {"next_version": end}
@@ -702,32 +789,9 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
             return
         declared = _schema_from_json(partition.schema_json)
         table = pq.read_table(partition.file_path)
-        n = table.num_rows
-        mapping = getattr(partition, "mapping", None) or {}
-        # file name -> current name (tombstoned file columns excluded)
-        current = {
-            fc: cur for fc, cur in mapping.items() if cur is not None
-        }
-        dropped = {fc for fc, cur in mapping.items() if cur is None}
-        file_of = {cur: fc for fc, cur in current.items()}
-        arrays, names = [], []
-        for f in declared.fields:
-            at = to_arrow_type(f.dataType)
-            fcol = file_of.get(f.name, f.name)
-            # a file column is unusable for this field when it's
-            # tombstoned (DROPped, possibly re-added under the same
-            # name) or routed to a DIFFERENT current name by a rename
-            routed_away = fcol in dropped or (
-                fcol in current and current[fcol] != f.name
-            )
-            if fcol in table.column_names and not routed_away:
-                arrays.append(table.column(fcol).cast(at))
-            else:
-                arrays.append(pa.nulls(n, type=at))
-            names.append(f.name)
-        yield from pa.table(dict(zip(names, arrays))).to_batches(
-            max_chunksize=65536
-        )
+        yield from _arrow_align(
+            table, declared, getattr(partition, "mapping", None)
+        ).to_batches(max_chunksize=65536)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the sink checkpoint; nothing to ack
@@ -745,7 +809,9 @@ class TableChangefeedDataSource(DataSource):
     Catch-up admission control (Delta's maxFilesPerTrigger analog):
     ``.option("maxversionspertrigger", n)`` bounds each micro-batch to
     n snapshots, ``.option("maxfilespertrigger", n)`` to ~n added
-    parquet files (always at least one version) — so starting at
+    parquet files, ``.option("maxbytespertrigger", n)`` to ~n added
+    bytes via the manifest's per-group _bytes (always at least one
+    version) — so starting at
     ``startingversion=earliest`` on a long history plans MANY bounded
     batches instead of one backlog-sized batch, keeping checkpoint
     granularity and retry cost proportional to the trigger. Both
@@ -766,7 +832,9 @@ class TableChangefeedDataSource(DataSource):
                 "table has no snapshots yet — the changefeed needs the "
                 "schema from a first commit"
             )
-        return _schema_from_json(t._load_manifest(latest)["schema"])
+        return _nullable(
+            _schema_from_json(t._load_manifest(latest)["schema"])
+        )
 
     def streamReader(self, schema) -> TableChangefeedPartitionedReader:
         if str(self.options.get("reader", "")).lower() == "simple":
@@ -806,9 +874,13 @@ class TableChangefeedDataSource(DataSource):
 
 
 class _GroupFile(InputPartition):
-    def __init__(self, file_path: str, schema_json: str):
+    def __init__(
+        self, file_path: str, schema_json: str, mapping=None
+    ):
         self.file_path = file_path
         self.schema_json = schema_json
+        # the group's colmap entry (RENAME/DROP routing), if any
+        self.mapping = mapping
 
 
 class VersionedTableReader(DataSourceReader):
@@ -910,6 +982,7 @@ class VersionedTableReader(DataSourceReader):
             for g in m["groups"]
             if not where or _group_may_match(stats.get(g), where)
         ]
+        colmap = m.get("colmap") or {}
         dels = m.get("delete_entries") or []
         if any(set(e["applies_to"]) & set(groups) for e in dels):
             raise NotImplementedError(
@@ -926,7 +999,11 @@ class VersionedTableReader(DataSourceReader):
             for name in sorted(os.listdir(d)):
                 if name.endswith(".parquet"):
                     parts.append(
-                        _GroupFile(os.path.join(d, name), m["schema"])
+                        _GroupFile(
+                            os.path.join(d, name),
+                            m["schema"],
+                            colmap.get(g),
+                        )
                     )
         # zero surviving files: one sentinel partition yielding nothing
         # (Spark requires >= 1 partition)
@@ -945,17 +1022,13 @@ class VersionedTableReader(DataSourceReader):
             return
         declared = _schema_from_json(partition.schema_json)
         table = pq.read_table(partition.file_path)
-        n = table.num_rows
-        arrays, names = [], []
-        for f in declared.fields:
-            at = to_arrow_type(f.dataType)
-            if f.name in table.column_names:
-                arrays.append(table.column(f.name).cast(at))
-            else:
-                # additive evolution: pre-evolution groups read NULLs
-                arrays.append(pa.nulls(n, type=at))
-            names.append(f.name)
-        out = pa.table(dict(zip(names, arrays)))
+        # by-name align THROUGH the group's column name map: additive
+        # evolution reads NULLs, renamed columns route to the file
+        # name, tombstoned drops never resurrect (shared _arrow_align
+        # kernel — same routing as VersionedTable._read_groups)
+        out = _arrow_align(
+            table, declared, getattr(partition, "mapping", None)
+        )
         # bounds are an exact view, not advisory: apply the same [lo, hi]
         # row filter that pruned the groups (NULLs fail bounds, as in
         # SQL comparisons and VersionedTable.read(where=...))
@@ -1020,8 +1093,10 @@ class VersionedTableDataSource(DataSource):
     def schema(self):
         from .versioned import _schema_from_json
 
-        return _schema_from_json(
-            VersionedTableReader(self.options)._manifest()["schema"]
+        return _nullable(
+            _schema_from_json(
+                VersionedTableReader(self.options)._manifest()["schema"]
+            )
         )
 
     def reader(self, schema) -> VersionedTableReader:

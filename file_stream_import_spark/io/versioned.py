@@ -39,7 +39,23 @@ Protocol (the invariants that give snapshot isolation):
 Schema contract: the manifest records the commit's schema JSON; append
 requires an identical schema unless ``allow_evolution=True``, which
 permits ADDITIVE columns (old groups read them as NULL via parquet
-schema merging — unionByName semantics); type changes always fail.
+schema merging — unionByName semantics). Beyond additive evolution,
+three METADATA-ONLY schema changes exist (r10 — each is one manifest
+commit, zero data IO, with reads routed per group):
+
+* ``rename_column`` — Iceberg field-identity semantics via per-group
+  ``colmap`` name maps (file_name -> current_name); no numeric field
+  IDs needed because group relpaths are immutable uuids, so the
+  (group, file_column) pair IS the stable identity;
+* ``drop_column`` — the colmap entry becomes a TOMBSTONE
+  (file_name -> None), so re-ADDing the same name later reads NULL
+  from old groups instead of resurrecting dropped bytes;
+* ``widen_column`` — int->wider-integral / float->double / decimal
+  precision growth via per-group ``castmap`` scan-time casts.
+
+Other type changes still require an explicit overwrite migration.
+``_publish`` carries both maps forward automatically for carried
+groups, so DML/compaction code never needs to know about them.
 
 At 100 TB the manifest lists file GROUPS (one directory per commit),
 so manifest size grows with commit count, not file count; the
@@ -1438,16 +1454,19 @@ class VersionedTable:
         # rewritten data; rewritten groups carry fresh uuids and need
         # no entry). A commit that SETS "colmap" itself (rename/drop/
         # rollback) is authoritative and skips inheritance.
-        if "colmap" not in manifest:
-            inherited_cm = {
-                g: mp
-                for g, mp in (parent_manifest.get("colmap") or {}).items()
-                if g in set(manifest.get("groups") or []) and mp
-            }
-            if inherited_cm:
-                manifest["colmap"] = inherited_cm
-        elif not manifest["colmap"]:
-            del manifest["colmap"]
+        for mkey in ("colmap", "castmap"):
+            if mkey not in manifest:
+                inherited_cm = {
+                    g: mp
+                    for g, mp in (
+                        parent_manifest.get(mkey) or {}
+                    ).items()
+                    if g in set(manifest.get("groups") or []) and mp
+                }
+                if inherited_cm:
+                    manifest[mkey] = inherited_cm
+            elif not manifest[mkey]:
+                del manifest[mkey]
         if parent_manifest.get("bloom_bits") is not None:
             manifest.setdefault(
                 "bloom_bits", int(parent_manifest["bloom_bits"])
@@ -2032,6 +2051,13 @@ class VersionedTable:
         if column not in types:
             raise ValueError(f"no such column: {column!r}")
         dtype = types[column]
+        if "sum" in ops and _sum_stat_expr(
+            next(f for f in declared.fields if f.name == column), "s"
+        ) is None:
+            raise ValueError(
+                f"SUM is undefined for column {column!r} of type "
+                f"{dtype.simpleString()}"
+            )
         where = where or {}
         cls_where, cls_dropped = _normalize_prune_bounds(where, types)
         stats = m.get("stats") or {}
@@ -2145,6 +2171,8 @@ class VersionedTable:
         if not groups:
             return spark.createDataFrame([], schema=declared)
         colmap = m.get("colmap") or {}
+        castmap = m.get("castmap") or {}
+        dtypes = {f.name: f.dataType for f in declared.fields}
 
         def align(df):
             # by-name alignment: a column added by evolution (or
@@ -2170,28 +2198,49 @@ class VersionedTable:
                     df = df.withColumnRenamed(fcol, cur)
             return df
 
+        def widen(df, cols: tuple):
+            # pre-widening groups hold the narrow type; cast AFTER the
+            # rename routing so the column is under its current name.
+            # A widening cast can't lose values by construction
+            # (widen_column validates the promotion set).
+            for c in cols:
+                if c in df.columns and c in dtypes:
+                    df = df.withColumn(c, F.col(c).cast(dtypes[c]))
+            return df
+
         def load(gs: list[str]) -> DataFrame:
-            # one multi-path scan per colmap SIGNATURE: the
-            # no-rename/no-drop common case stays ONE mergeSchema scan
-            # over all paths; after a rename, pre-rename groups batch
-            # into a second scan with the name map applied — still
-            # O(signatures) scans, not O(groups)
+            # one multi-path scan per (colmap, castmap) SIGNATURE: the
+            # no-evolution common case stays ONE mergeSchema scan over
+            # all paths; after a rename/widen, pre-evolution groups
+            # batch into a second scan with the name map / casts
+            # applied — still O(signatures) scans, not O(groups).
+            # Mixed-width parquet files must NOT share a mergeSchema
+            # scan (Spark refuses to merge int vs long), which the
+            # castmap split guarantees.
             by_sig: dict = {}
             for g in gs:
-                sig = tuple(sorted((colmap.get(g) or {}).items(),
-                                   key=lambda kv: kv[0]))
+                sig = (
+                    tuple(sorted((colmap.get(g) or {}).items(),
+                                 key=lambda kv: kv[0])),
+                    tuple(sorted(castmap.get(g) or ())),
+                )
                 by_sig.setdefault(sig, []).append(g)
             parts = [
                 align(
-                    remap(
-                        spark.read.option("mergeSchema", "true").parquet(
-                            *[os.path.join(self.path, g) for g in gg]
+                    widen(
+                        remap(
+                            spark.read.option(
+                                "mergeSchema", "true"
+                            ).parquet(
+                                *[os.path.join(self.path, g) for g in gg]
+                            ),
+                            dict(nsig),
                         ),
-                        dict(sig),
+                        csig,
                     )
                 )
                 # repr-keyed: signatures mix str and None (tombstones)
-                for sig, gg in sorted(by_sig.items(), key=repr)
+                for (nsig, csig), gg in sorted(by_sig.items(), key=repr)
             ]
             return reduce(lambda a, b: a.unionByName(b), parts)
 
@@ -2259,11 +2308,12 @@ class VersionedTable:
                 # being reproduced — dropping them would resurrect rows
                 "delete_entries": list(m.get("delete_entries") or []),
                 "stats": dict(m.get("stats") or {}),
-                # the target version's name maps, NOT the latest's — a
-                # rollback across a rename must reproduce the old
-                # schema with the old routing (explicit colmap skips
-                # _publish's parent inheritance)
+                # the target version's name/cast maps, NOT the
+                # latest's — a rollback across a rename/widen must
+                # reproduce the old schema with the old routing
+                # (explicit maps skip _publish's parent inheritance)
                 "colmap": dict(m.get("colmap") or {}),
+                "castmap": dict(m.get("castmap") or {}),
             },
         )
 
@@ -2383,6 +2433,12 @@ class VersionedTable:
                 "delete_entries": entries,
                 "stats": stats,
                 "colmap": colmap,
+                # widening casts follow the rename: the cast applies
+                # AFTER name routing, so entries rekey to the new name
+                "castmap": {
+                    g: sorted(new if c == old else c for c in cols)
+                    for g, cols in (m.get("castmap") or {}).items()
+                },
                 "bloom_cols": [
                     new if c == old else c
                     for c in (m.get("bloom_cols") or [])
@@ -2461,9 +2517,111 @@ class VersionedTable:
                 "delete_entries": list(m.get("delete_entries") or []),
                 "stats": stats,
                 "colmap": colmap,
+                "castmap": {
+                    g: [c for c in cols if c != name]
+                    for g, cols in (m.get("castmap") or {}).items()
+                },
                 "bloom_cols": [
                     c for c in (m.get("bloom_cols") or []) if c != name
                 ],
+            },
+        )
+
+    def widen_column(
+        self, name: str, new_type, expected_parent: int | str = "any"
+    ) -> int:
+        """METADATA-ONLY column type WIDENING (Iceberg's allowed
+        promotions): byte/short/int -> any wider integral, float ->
+        double, decimal(p,s) -> decimal(P,s) with P > p (same scale —
+        a scale change alters VALUES, not just range). Data files keep
+        the narrow type; the manifest schema adopts the wide one; a
+        per-group ``castmap`` entry makes reads CAST the file column
+        at scan time (a no-op projection, not a rewrite). Stats stay
+        valid as-is (int/float/decimal-str compare identically across
+        the widening); per-group BLOOM filters for the column are
+        DROPPED — xxhash64 is type-sensitive, so a probe cast to the
+        wide type could no longer find the narrow-hashed bits (a false
+        negative = a wrong prune; dropping is merely conservative).
+        Appends after the widening must use the wide type (schema
+        equality, as with any evolution). Narrowing or cross-family
+        changes still require an explicit overwrite migration."""
+        from pyspark.sql.types import DecimalType, _parse_datatype_string
+
+        if isinstance(new_type, str):
+            new_type = _parse_datatype_string(new_type)
+        base, m = self._evolution_base(expected_parent)
+        declared = _schema_from_json(m["schema"])
+        fields = {f.name: f for f in declared.fields}
+        if name not in fields:
+            raise ValueError(f"no such column: {name!r}")
+        old_t = fields[name].dataType
+        integral = ["byte", "short", "integer", "long"]
+        ok = False
+        if (
+            old_t.typeName() in integral
+            and new_type.typeName() in integral
+        ):
+            ok = integral.index(new_type.typeName()) > integral.index(
+                old_t.typeName()
+            )
+        elif old_t.typeName() == "float" and new_type.typeName() == (
+            "double"
+        ):
+            ok = True
+        elif isinstance(old_t, DecimalType) and isinstance(
+            new_type, DecimalType
+        ):
+            ok = (
+                new_type.scale == old_t.scale
+                and new_type.precision > old_t.precision
+            )
+        if not ok:
+            raise ValueError(
+                f"cannot widen {name!r} from {old_t.simpleString()} to "
+                f"{new_type.simpleString()}: allowed promotions are "
+                "byte/short/int -> wider integral, float -> double, "
+                "decimal(p,s) -> decimal(P,s) with P > p"
+            )
+        sdict = json.loads(m["schema"])
+        for f in sdict["fields"]:
+            if f["name"] == name:
+                f["type"] = json.loads(new_type.json())
+        castmap = {
+            g: sorted(set(cols))
+            for g, cols in (m.get("castmap") or {}).items()
+        }
+        for g in m["groups"]:
+            castmap[g] = sorted(set(castmap.get(g, [])) | {name})
+        stats = {
+            g: dict(st) for g, st in (m.get("stats") or {}).items()
+        }
+        bloom_dropped = False
+        for st in stats.values():
+            bl = st.get("_bloom")
+            if isinstance(bl, dict) and name in bl:
+                bl = dict(bl)
+                bl.pop(name)
+                bloom_dropped = True
+                if bl:
+                    st["_bloom"] = bl
+                else:
+                    st.pop("_bloom")
+        bloom_cols = [
+            c for c in (m.get("bloom_cols") or []) if c != name
+        ] if bloom_dropped or name in (m.get("bloom_cols") or []) else (
+            m.get("bloom_cols") or []
+        )
+        return self._publish(
+            base,
+            {
+                "schema": json.dumps(sdict),
+                "groups": list(m["groups"]),
+                "mode": f"widen_column:{name}:{new_type.simpleString()}",
+                "added": [],
+                "delete_entries": list(m.get("delete_entries") or []),
+                "stats": stats,
+                "castmap": castmap,
+                "bloom_cols": list(bloom_cols),
             },
         )
 

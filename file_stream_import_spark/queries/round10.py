@@ -272,15 +272,20 @@ def lake_hidden_partitioning(
     "stream_changefeed_bounded",
     oracle="""
     WITH base AS (
-      SELECT o_orderkey AS k, o_orderstatus AS status,
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders WHERE o_orderkey <= 3000
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 3 AS third FROM base),
+    capped AS (
+      SELECT b.* FROM base b, p WHERE b.k <= 3 * p.third
     )
     SELECT status,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(cents) AS BIGINT) AS cents,
            CAST(3 AS INT) AS n_batches
-    FROM base GROUP BY status
+    FROM capped GROUP BY status
     """,
 )
 def stream_changefeed_bounded(
@@ -298,24 +303,31 @@ def stream_changefeed_bounded(
     from ..io.pysource import TableChangefeedDataSource
     from ..io.versioned import VersionedTable
 
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") <= 3000)
-        .select(
-            F.col("o_orderkey").alias("k"),
-            F.col("o_orderstatus").alias("status"),
-            F.round(F.col("o_totalprice") * 100)
-            .cast("bigint")
-            .alias("cents"),
-        )
+    from pyspark.sql import Window as W
+
+    # row_number-densified thirds: every commit is NON-EMPTY at every
+    # scale factor (fixed o_orderkey ranges left the third commit empty
+    # at sf0.001, making the pinned batch count scale-dependent)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.row_number().over(W.orderBy("o_orderkey")).alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
     )
+    third = o.count() // 3
+    o = o.filter(F.col("k") <= 3 * third)
     spark.dataSource.register(TableChangefeedDataSource)
     t = VersionedTable(tempfile.mkdtemp(prefix="lake_cfb_"))
     ckpt = tempfile.mkdtemp(prefix="lake_cfb_ck_")
     batches: list[list] = []
     try:
         for i, (lo, hi) in enumerate(
-            [(0, 1000), (1001, 2000), (2001, 3000)]
+            [
+                (1, third),
+                (third + 1, 2 * third),
+                (2 * third + 1, 3 * third),
+            ]
         ):
             t.commit(
                 o.filter(F.col("k").between(lo, hi)),
@@ -360,4 +372,83 @@ def stream_changefeed_bounded(
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_widen_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CASE WHEN o_orderkey > 2000
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       + 3000000000
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             END AS cents
+      FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(3 AS INT) AS n_groups_final
+    FROM base GROUP BY status
+    """,
+)
+def lake_widen_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only type WIDENING (io/versioned.py::widen_column —
+    Iceberg's int->long promotion, r10): two groups commit with INT
+    cents, the column widens to LONG with zero data IO (the pinned
+    group count proves no rewrite), and a third group appends values
+    that CANNOT fit in int (cents + 3e9) — so the final SUM/MAX read
+    both widths through the per-group castmap, and a lost cast would
+    overflow/typo the hash, not just a row count."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents64"),
+        )
+    )
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_widen_"))
+    try:
+        narrow = o.filter(F.col("k") <= 2000).select(
+            "k", "status", F.col("cents64").cast("int").alias("cents")
+        )
+        t.commit(narrow.filter(F.col("k") <= 1000), mode="overwrite")
+        t.commit(
+            narrow.filter(F.col("k") > 1000), mode="append"
+        )
+        t.widen_column("cents", "long")
+        t.commit(
+            o.filter(F.col("k") > 2000).select(
+                "k",
+                "status",
+                (F.col("cents64") + F.lit(3_000_000_000)).alias("cents"),
+            ),
+            mode="append",
+        )
+        n_final = len(t._load_manifest(t.latest_version())["groups"])
+        out = (
+            t.read(spark)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+                F.max("cents").cast("bigint").alias("max_cents"),
+            )
+            .withColumn("n_groups_final", F.lit(n_final))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
     return out

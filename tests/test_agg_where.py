@@ -174,3 +174,16 @@ class TestMetadataAgg:
             assert got["sum"] == (
                 sum(want_rows) if want_rows else None
             )
+
+
+def test_sum_on_string_column_refused(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "s"))
+    t.commit(
+        spark.createDataFrame([(1, "a")], "k bigint, v string"),
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="SUM is undefined"):
+        t.agg_where(spark, "v", ops=("sum",))
+    # min/max over strings stay valid (lexicographic, as SQL)
+    out = t.agg_where(spark, "v", ops=("min", "max", "count"))
+    assert out == {"min": "a", "max": "a", "count": 1}

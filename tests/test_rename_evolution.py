@@ -319,3 +319,303 @@ class TestSnapshotDiffAcrossRename:
         t.rename_column("val", "amount")
         d = snapshot_diff(t, spark, v0, t.latest_version(), key="k")
         assert d.count() == 0
+
+
+class TestWiden:
+    """Metadata-only type widening (r10 ledger #3): int->long,
+    float->double, decimal precision growth — per-group castmap
+    routing, no rewrite."""
+
+    def _mk_int(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = VersionedTable(str(tmp_path / "w"))
+        for gi in range(2):
+            t.commit(
+                spark.range(gi * 5, (gi + 1) * 5).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") * 3).cast("int").alias("v"),
+                ),
+                mode="append" if gi else "overwrite",
+            )
+        return t
+
+    def test_int_to_long_metadata_only(self, spark, tmp_path):
+        t = self._mk_int(spark, tmp_path)
+        before = set(os.listdir(os.path.join(t.path, "data")))
+        t.widen_column("v", "long")
+        assert set(os.listdir(os.path.join(t.path, "data"))) == before
+        df = t.read(spark)
+        assert dict(df.dtypes)["v"] == "bigint"
+        assert {r["k"]: r["v"] for r in df.collect()} == {
+            k: 3 * k for k in range(10)
+        }
+
+    def test_append_wide_after_widen(self, spark, tmp_path):
+        t = self._mk_int(spark, tmp_path)
+        t.widen_column("v", "long")
+        big = 3_000_000_000  # does not fit in int
+        t.commit(
+            spark.createDataFrame([(100, big)], "k bigint, v long"),
+            mode="append",
+        )
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got[100] == big and got[3] == 9
+        # stats-pruned read across mixed-width groups
+        n = t.read(spark, where={"v": (big, None)}).count()
+        assert n == 1
+
+    def test_widen_then_rename(self, spark, tmp_path):
+        t = self._mk_int(spark, tmp_path)
+        t.widen_column("v", "long")
+        t.rename_column("v", "val")
+        df = t.read(spark)
+        assert dict(df.dtypes)["val"] == "bigint"
+        assert sorted(r["val"] for r in df.collect()) == [
+            3 * k for k in range(10)
+        ]
+
+    def test_rename_then_widen(self, spark, tmp_path):
+        t = self._mk_int(spark, tmp_path)
+        t.rename_column("v", "val")
+        t.widen_column("val", "long")
+        df = t.read(spark)
+        assert dict(df.dtypes)["val"] == "bigint"
+        assert sorted(r["val"] for r in df.collect()) == [
+            3 * k for k in range(10)
+        ]
+
+    def test_decimal_and_float_widenings(self, spark, tmp_path):
+        from decimal import Decimal
+
+        t = VersionedTable(str(tmp_path / "d"))
+        t.commit(
+            spark.createDataFrame(
+                [(1, Decimal("1.25"), 1.5)],
+                "k bigint, amt decimal(6,2), x float",
+            ),
+            mode="overwrite",
+        )
+        t.widen_column("amt", "decimal(20,2)")
+        t.widen_column("x", "double")
+        df = t.read(spark)
+        types = dict(df.dtypes)
+        assert types["amt"] == "decimal(20,2)" and types["x"] == "double"
+        r = df.first()
+        assert r["amt"] == Decimal("1.25") and r["x"] == 1.5
+        # metadata aggregates still classify across the widening
+        out, detail = t.agg_where(spark, "amt", detail=True)
+        assert detail["metadata"] == 1
+        assert out["sum"] == Decimal("1.25")
+
+    def test_illegal_widenings_refused(self, spark, tmp_path):
+        t = self._mk_int(spark, tmp_path)
+        for bad in ("int", "short", "string", "double", "decimal(5,1)"):
+            with pytest.raises(ValueError, match="widen|no such"):
+                t.widen_column("v", bad)
+        with pytest.raises(ValueError, match="no such column"):
+            t.widen_column("nope", "long")
+
+    def test_widen_drops_bloom_for_column(self, spark, tmp_path):
+        t = self._mk_int(spark, tmp_path)
+        t.set_bloom_columns(spark, ["v"])
+        t.optimize(spark, target_partitions=1)  # rebuild groups w/ blooms
+        m = t._load_manifest(t.latest_version())
+        assert any(
+            "v" in (st.get("_bloom") or {}) for st in m["stats"].values()
+        )
+        t.widen_column("v", "long")
+        m2 = t._load_manifest(t.latest_version())
+        assert all(
+            "v" not in (st.get("_bloom") or {})
+            for st in m2["stats"].values()
+        )
+        assert "v" not in (m2.get("bloom_cols") or [])
+        # reads stay exact without the bloom
+        assert t.read(spark, where={"v": (9, 9)}).count() == 1
+
+    def test_rollback_across_widen(self, spark, tmp_path):
+        t = self._mk_int(spark, tmp_path)
+        pre = t.latest_version()
+        t.widen_column("v", "long")
+        t.rollback(pre)
+        assert dict(t.read(spark).dtypes)["v"] == "int"
+
+    def test_merge_after_widen(self, spark, tmp_path):
+        t = self._mk_int(spark, tmp_path)
+        t.widen_column("v", "long")
+        merge_into(
+            t,
+            spark,
+            spark.createDataFrame([(2, 999)], "k bigint, v long"),
+            key="k",
+        )
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got[2] == 999 and got[7] == 21
+
+    def test_changefeed_across_widen(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = self._mk_int(spark, tmp_path)
+        t.widen_column("v", "long")
+        t.commit(
+            spark.createDataFrame(
+                [(50, 4_000_000_000)], "k bigint, v long"
+            ),
+            mode="append",
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["k"]: r["v"] for r in spark.read.parquet(out).collect()
+        }
+        assert got[50] == 4_000_000_000 and got[0] == 0
+
+
+class TestVersionedTableSourceAcrossEvolution:
+    """The versioned_table BATCH DataSource must route reads through
+    the column name maps exactly like VersionedTable.read — a silent
+    NULL on a renamed column (or resurrected bytes on a re-added
+    dropped name) would be a wrong answer, not an error."""
+
+    def test_rename_routes(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableDataSource,
+        )
+
+        spark.dataSource.register(VersionedTableDataSource)
+        t = _mk(spark, tmp_path)
+        t.rename_column("val", "amount")
+        df = (
+            spark.read.format("versioned_table")
+            .option("path", t.path)
+            .load()
+        )
+        got = {r["k"]: r["amount"] for r in df.collect()}
+        assert got == {k: 2 * k for k in range(30)}
+
+    def test_drop_readd_no_resurrection(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableDataSource,
+        )
+
+        spark.dataSource.register(VersionedTableDataSource)
+        t = _mk(spark, tmp_path)
+        t.drop_column("val")
+        t.commit(
+            spark.range(30, 32).select(
+                F.col("id").alias("k"),
+                F.concat(F.lit("s"), F.col("id")).alias("tag"),
+                (F.col("id") * 7).alias("val"),
+            ),
+            mode="append",
+            allow_evolution=True,
+        )
+        df = (
+            spark.read.format("versioned_table")
+            .option("path", t.path)
+            .load()
+        )
+        got = {r["k"]: r["val"] for r in df.collect()}
+        assert got[0] is None and got[31] == 217
+
+    def test_widen_casts(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableDataSource,
+        )
+
+        spark.dataSource.register(VersionedTableDataSource)
+        t = VersionedTable(str(tmp_path / "w"))
+        t.commit(
+            spark.range(3).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("int").alias("v"),
+            ),
+            mode="overwrite",
+        )
+        t.widen_column("v", "long")
+        t.commit(
+            spark.createDataFrame(
+                [(9, 5_000_000_000)], "k bigint, v long"
+            ),
+            mode="append",
+        )
+        df = (
+            spark.read.format("versioned_table")
+            .option("path", t.path)
+            .load()
+        )
+        assert dict(df.dtypes)["v"] == "bigint"
+        got = {r["k"]: r["v"] for r in df.collect()}
+        assert got[9] == 5_000_000_000 and got[2] == 2
+
+    def test_bounds_on_renamed_column(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableDataSource,
+        )
+
+        spark.dataSource.register(VersionedTableDataSource)
+        t = _mk(spark, tmp_path)
+        t.rename_column("val", "amount")
+        df = (
+            spark.read.format("versioned_table")
+            .option("path", t.path)
+            .option("min.amount", "40")
+            .load()
+        )
+        assert df.count() == 10  # stats rekeyed: bounds prune + filter
+
+
+class TestApplyChangesAcrossEvolution:
+    def test_cdc_after_rename_and_widen(self, spark, tmp_path):
+        """The CDC apply path (one file-pruned rewrite) composes with
+        both evolution kinds: pre-evolution groups route through
+        colmap/castmap, the changelog lands under the current schema."""
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.versioned import apply_changes
+
+        t = VersionedTable(str(tmp_path / "t"))
+        for gi in range(2):
+            t.commit(
+                spark.range(gi * 5, (gi + 1) * 5).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") * 2).cast("int").alias("val"),
+                ),
+                mode="append" if gi else "overwrite",
+            )
+        t.rename_column("val", "amount")
+        t.widen_column("amount", "long")
+        changes = spark.createDataFrame(
+            [
+                (3, 4_000_000_000, "U"),
+                (50, 7, "I"),
+                (8, 0, "D"),
+            ],
+            "k bigint, amount long, op string",
+        )
+        apply_changes(t, spark, changes, key="k")
+        got = {r["k"]: r["amount"] for r in t.read(spark).collect()}
+        assert got[3] == 4_000_000_000
+        assert got[50] == 7
+        assert 8 not in got
+        assert got[7] == 14  # untouched pre-evolution row still routed

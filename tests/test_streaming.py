@@ -1815,3 +1815,18 @@ class TestChangefeedAdmissionControl:
         total = self.N_VERSIONS * self.ROWS_PER_VERSION
         assert sorted(k for k, _ in rows) == list(range(total))
         assert len(sizes) == 1
+
+    def test_max_bytes_bounds_each_batch(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, one_file_groups=True)
+        # per-version group bytes ~ a few hundred; a 1-byte budget
+        # degenerates to one version per trigger (always >= 1 admitted)
+        sizes, rows = self._drain(
+            spark,
+            t,
+            str(tmp_path / "ckpt"),
+            maxbytespertrigger=1,
+        )
+        total = self.N_VERSIONS * self.ROWS_PER_VERSION
+        assert sorted(k for k, _ in rows) == list(range(total))
+        assert len(sizes) == self.N_VERSIONS
+        assert max(sizes) == self.ROWS_PER_VERSION

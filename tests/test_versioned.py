@@ -979,7 +979,10 @@ class TestRound6Stats:
         (g,) = m["groups"]
         st = m["stats"][g]
         assert st["_rows"] == 2
-        assert st["k"] == {"min": 1, "max": 10, "nulls": 0}
+        # r10: numeric entries also carry the write-time SUM
+        # (agg_where's metadata aggregate), integral sums as
+        # decimal-encoded strings
+        assert st["k"] == {"min": 1, "max": 10, "nulls": 0, "sum": "11"}
         assert st["v"] == {"min": "a", "max": "b", "nulls": 0}
         # append carries the old group's stats forward by reference
         t.commit(self._kv(spark, [(20, "z")]))
@@ -1005,7 +1008,9 @@ class TestRound6Stats:
         assert g2 not in m["groups"]
         assert self._group_mtimes(t, [g1, g3]) == before
         # their stats carried forward too; the new group has fresh stats
-        assert m["stats"][g1]["k"] == {"min": 1, "max": 10, "nulls": 0}
+        assert m["stats"][g1]["k"] == {
+            "min": 1, "max": 10, "nulls": 0, "sum": "11",
+        }
         new = [g for g in m["groups"] if g not in (g1, g3)]
         assert len(new) == 1
         assert m["stats"][new[0]]["k"]["max"] == 35
@@ -1791,7 +1796,7 @@ class TestNonFiniteStats:
         (g,) = m["groups"]
         st = m["stats"][g]
         assert "x" not in st  # unusable ordering stats: omitted entirely
-        assert st["k"] == {"min": 1, "max": 2, "nulls": 0}
+        assert st["k"] == {"min": 1, "max": 2, "nulls": 0, "sum": "3"}
 
     def test_inf_group_not_pruned_by_read_where(self, spark, tmp_path):
         t = VersionedTable(str(tmp_path / "t"))
@@ -1813,7 +1818,9 @@ class TestNonFiniteStats:
         m = t._load_manifest(0)
         (g,) = m["groups"]
         # all-NULL keeps the None/None entry — that prune is CORRECT
-        assert m["stats"][g]["x"] == {"min": None, "max": None, "nulls": 2}
+        assert m["stats"][g]["x"] == {
+            "min": None, "max": None, "nulls": 2, "sum": None,
+        }
         df = t.read(spark, where={"x": (0.0, 9.0)})
         assert df.count() == 0 and df.inputFiles() == []
 
