@@ -723,6 +723,34 @@ class _BitWriter:
         return bytes(self.buf)
 
 
+_ENC_DIFF_CACHE: dict | None = None
+
+
+def _enc_diff_patterns() -> dict:
+    """Fused (bits_value, bits_len) per DC diff in [-255, 255]: the DC
+    category Huffman code + magnitude bits + the EOB code, precomputed
+    once — the flat-tile encoder then writes ONE pattern per block
+    instead of three (code lookup, magnitude, EOB), bit-identical by
+    construction (same bits, same order)."""
+    global _ENC_DIFF_CACHE
+    if _ENC_DIFF_CACHE is None:
+        dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+        eob_code, eob_len = _canonical_codes(
+            _ENC_AC_BITS, _ENC_AC_VALS
+        )[0x00]
+        cache = {}
+        for diff in range(-255, 256):
+            cat = abs(diff).bit_length()
+            v, ln = dc_codes[cat]
+            if cat:
+                mag = diff if diff >= 0 else diff + (1 << cat) - 1
+                v = (v << cat) | (mag & ((1 << cat) - 1))
+                ln += cat
+            cache[diff] = ((v << eob_len) | eob_code, ln + eob_len)
+        _ENC_DIFF_CACHE = cache
+    return _ENC_DIFF_CACHE
+
+
 def jpeg_encode(payload: bytes, blocks_per_row: int = 16) -> bytes:
     """Encode raw bytes as a genuine baseline-sequential grayscale JFIF:
     one flat 8x8 tile per byte (zero-byte tiles pad the last block row),
@@ -757,21 +785,15 @@ def jpeg_encode(payload: bytes, blocks_per_row: int = 16) -> bytes:
     )
     # SOS: 1 component, DC/AC table 0, full spectral selection
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    patterns = _enc_diff_patterns()
     bw = _BitWriter()
+    write = bw.write
     pred = 0
     for v in blocks:
         dcq = v - 128  # quantized DC of a flat tile, exact
-        diff = dcq - pred
+        bits, ln = patterns[dcq - pred]
         pred = dcq
-        cat = abs(diff).bit_length()
-        code, length = dc_codes[cat]
-        bw.write(code, length)
-        if cat:
-            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-        code, length = ac_codes[0x00]  # EOB: all 63 AC coefficients zero
-        bw.write(code, length)
+        write(bits, ln)  # DC code + magnitude + EOB, fused
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

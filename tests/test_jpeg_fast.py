@@ -392,3 +392,52 @@ class TestFastPathEquivalence:
             assert jpeg_decode(enc) == _ref_decode(enc), (
                 f"trial {trial} diverged"
             )
+
+
+class TestFusedEncoderEquivalence:
+    def test_bit_identical_to_unfused_form(self):
+        """The fused per-diff pattern cache must emit the exact byte
+        stream of the original three-write loop (DC code, magnitude,
+        EOB) — decoders and the interop proof depend on it."""
+        random.seed(21)
+
+        def unfused(payload, blocks_per_row=16):
+            n = len(payload)
+            nbr = max(1, (n + blocks_per_row - 1) // blocks_per_row)
+            blocks = list(payload) + [0] * (blocks_per_row * nbr - n)
+            dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+            ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+            bw = _BitWriter()
+            pred = 0
+            for v in blocks:
+                dcq = v - 128
+                diff = dcq - pred
+                pred = dcq
+                cat = abs(diff).bit_length()
+                code, ln = dc_codes[cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(
+                        diff if diff >= 0 else diff + (1 << cat) - 1,
+                        cat,
+                    )
+                code, ln = ac_codes[0x00]
+                bw.write(code, ln)
+            return bw.flush()
+
+        for size in (0, 1, 13, 257, 400):
+            p = bytes(random.randrange(256) for _ in range(size))
+            full = jpeg_encode(p, 16)
+            # entropy segment = between end of SOS header and EOI
+            sos = full.rindex(b"\xff\xda")
+            import struct as _struct
+
+            (ln,) = _struct.unpack(">H", full[sos + 2 : sos + 4])
+            scan = full[sos + 2 + ln : -2]
+            assert scan == unfused(p, 16), f"size {size} diverged"
+
+    def test_extreme_diffs(self):
+        # payloads forcing the +/-255 diff extremes and zero diffs
+        for p in (b"\x00\xff\x00\xff", b"\xff" * 5, b"\x80" * 3):
+            enc = jpeg_encode(p, 4)
+            assert jpeg_decode(enc) == _ref_decode(enc)
