@@ -87,13 +87,18 @@ op_st = st.one_of(
     # 'val' and 'w'; every later op must keep working through the
     # colmap routing, and rollback must restore the OLD name
     st.just(("rename",)),
+    # metadata-only type widening (r10): promotes the value column
+    # int -> long once (a second draw is a no-op); later ops append
+    # LONG frames, pre-widen groups read through castmap casts, and
+    # rollback must restore the NARROW type
+    st.just(("widen",)),
 )
 
 
-def _df(spark, rows, valcol="val"):
+def _df(spark, rows, valcol="val", valtype="long"):
     return spark.createDataFrame(
         [(int(i), int(v)) for i, v in rows],
-        f"id bigint, {valcol} bigint",
+        f"id bigint, {valcol} {valtype}",
     )
 
 
@@ -151,12 +156,17 @@ def _apply_model(state: list, op: tuple) -> list:
 
 def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
     table = VersionedTable(f"{tmp_base}/{uuid.uuid4().hex}")
-    v0 = table.commit(_df(spark, init_rows), mode="overwrite")
+    # the table starts NARROW (int) so a drawn widen op is a real
+    # int -> long promotion with pre-widen groups to route
+    valtype = "int"
+    v0 = table.commit(
+        _df(spark, init_rows, valtype=valtype), mode="overwrite"
+    )
     model = list(init_rows)
     valcol = "val"
-    # (visible rows, value-column name) per version, for time-travel
-    # and rollback checks across renames
-    states: dict[int, tuple] = {v0: (sorted(model), valcol)}
+    # (visible rows, value-column name, value type) per version, for
+    # time-travel and rollback checks across renames/widenings
+    states: dict[int, tuple] = {v0: (sorted(model), valcol, valtype)}
 
     for op in ops:
         kind = op[0]
@@ -165,19 +175,30 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             new = "w" if valcol == "val" else "val"
             table.rename_column(valcol, new)
             valcol = new
+        elif kind == "widen":
+            if valtype == "int":
+                table.widen_column(valcol, "long")
+                valtype = "long"
+            else:
+                continue  # already wide: a no-op draw, no commit
         elif kind == "append":
-            table.commit(_df(spark, op[1], valcol), mode="append")
+            table.commit(
+                _df(spark, op[1], valcol, valtype), mode="append"
+            )
         elif kind == "overwrite":
-            table.commit(_df(spark, op[1], valcol), mode="overwrite")
+            table.commit(
+                _df(spark, op[1], valcol, valtype), mode="overwrite"
+            )
         elif kind == "merge":
             merge_into(
-                table, spark, _df(spark, op[1], valcol), key="id"
+                table, spark, _df(spark, op[1], valcol, valtype),
+                key="id",
             )
         elif kind == "merge_cond":
             merge_into(
                 table,
                 spark,
-                _df(spark, op[1], valcol),
+                _df(spark, op[1], valcol, valtype),
                 key="id",
                 matched_condition=F.lit(True),
             )
@@ -185,7 +206,7 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             merge_into(
                 table,
                 spark,
-                _df(spark, op[1], valcol),
+                _df(spark, op[1], valcol, valtype),
                 key="id",
                 when_matched="delete",
                 when_not_matched=None,
@@ -221,7 +242,11 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             vs = table.versions()
             target = vs[op[1] % len(vs)]
             table.rollback(target)
-            model, valcol = list(states[target][0]), states[target][1]
+            model, valcol, valtype = (
+                list(states[target][0]),
+                states[target][1],
+                states[target][2],
+            )
         elif kind == "vacuum":
             table.vacuum(keep_versions=3, min_age_seconds=0)
         else:
@@ -244,7 +269,7 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
         assert got == want, (
             f"after {op} (parent v{before}): table={got} model={want}"
         )
-        states[table.latest_version()] = (want, valcol)
+        states[table.latest_version()] = (want, valcol, valtype)
         # metadata-count cross-check: count_where's pruned/contained/
         # scan classification must agree with the row model through
         # every DML interleaving (stats boxes, MoR deletes, rebases)
@@ -261,7 +286,7 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
     # state and are covered by the post-op check that recorded them)
     for v in table.versions():
         if v in states:
-            rows_v, col_v = states[v]
+            rows_v, col_v, _type_v = states[v]
             assert _read_sorted(
                 table, spark, version=v, valcol=col_v
             ) == rows_v, f"time travel to v{v} diverged"
@@ -301,6 +326,7 @@ class TestModelFuzz:
             ("merge", [(2, 99), (5, 50)]),
             ("delete_mor", (1, 1)),
             ("rename",),  # rename UNDER a pending MoR delete
+            ("widen",),  # widen the renamed column (int -> long)
             ("append", [(1, 12)]),  # re-insert a MoR-deleted key
             ("optimize",),  # materializes the pending delete
             ("update", (2, 5), 7, True),

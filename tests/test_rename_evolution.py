@@ -619,3 +619,34 @@ class TestApplyChangesAcrossEvolution:
         assert got[50] == 7
         assert 8 not in got
         assert got[7] == 14  # untouched pre-evolution row still routed
+
+
+class TestSnapshotDiffAcrossWiden:
+    def test_diff_aligns_widened_column(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.versioned import snapshot_diff
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.range(5).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("int").alias("v"),
+            ),
+            mode="overwrite",
+        )
+        v0 = t.latest_version()
+        t.widen_column("v", "long")
+        merge_into(
+            t,
+            spark,
+            spark.createDataFrame(
+                [(2, 6_000_000_000), (9, 1)], "k bigint, v long"
+            ),
+            key="k",
+        )
+        d = snapshot_diff(t, spark, v0, t.latest_version(), key="k")
+        rows = {r["k"]: r["change"] for r in d.collect()}
+        # the widen itself changes no row (int 2 == long 2 under
+        # union coercion); only the merge's update + insert surface
+        assert rows == {2: "U", 9: "I"}
