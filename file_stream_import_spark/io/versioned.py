@@ -3343,6 +3343,33 @@ class VersionedTable:
                 g for g in groups
                 if _group_may_match(stats.get(g), prune_where)
             ]
+            # POINT/IN-set bounds additionally consult the per-group
+            # Bloom filters (same refinement as read()'s): on a
+            # hash-keyed table every min/max box spans the whole key
+            # space, so without this a single-uid auto-pruned DELETE
+            # rewrites the entire table instead of the one group the
+            # key can live in. False positives only cost an
+            # unnecessary rewrite; false negatives are impossible.
+            eq: dict = {}
+            for c, bound in prune_where.items():
+                if isinstance(bound, (list, set, frozenset)):
+                    vals = [v for v in bound if v is not None]
+                    if vals:
+                        eq[c] = vals
+                else:
+                    lo, hi = bound
+                    if lo is not None and lo == hi:
+                        eq[c] = [lo]
+            if eq and any(
+                (stats.get(g, {}).get("_bloom") or {}) for g in touched
+            ):
+                types = {
+                    f.name: f.dataType
+                    for f in _schema_from_json(m["schema"]).fields
+                }
+                touched = _bloom_prune_point(
+                    spark, stats, touched, eq, types, self.path
+                )
         else:
             touched = groups
         if prune_where and not touched:
