@@ -116,6 +116,3 @@ def threeway(t, spark, upd, keys=("k",)):
     # stop before publish: we only time the plan+write, the manifest
     # publish cost is identical across variants
 
-
-if "--threeway" in sys.argv:
-    pass
