@@ -666,10 +666,24 @@ def _canon_stats_value(v, dtype):
     name = dtype.typeName()
     if name in ("timestamp", "timestamp_ntz", "date"):
         if isinstance(v, datetime.datetime):
-            return (False, None) if v.tzinfo is not None else (
-                True, v.isoformat()
-            )
+            if v.tzinfo is not None:
+                return False, None
+            if name == "date":
+                # a datetime bound on a DATE column: its isoformat
+                # ('T'-separated) would mis-order against the date
+                # stats domain ('2020-01-15' < '...T00:00:00'
+                # lexicographically — a wrong equality prune). The
+                # date part is the sound box: flooring a lower bound
+                # keeps more groups, and a date row can only satisfy
+                # hi <= <datetime> if its date <= the datetime's date.
+                return True, v.date().isoformat()
+            return True, v.isoformat()
         if isinstance(v, datetime.date):
+            if name != "date":
+                # a date bound on a TIMESTAMP column: midnight form
+                return True, datetime.datetime(
+                    v.year, v.month, v.day
+                ).isoformat()
             return True, v.isoformat()
         if not isinstance(v, str):
             return False, None

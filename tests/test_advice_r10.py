@@ -328,3 +328,67 @@ class TestMergeDuplicateTargets:
         )
         # SQL MERGE: both duplicate target rows updated, both kept
         assert rows == [(1, "new"), (1, "new"), (2, "old2")]
+
+
+class TestCrossTemporalDomainBounds:
+    """r10 self-review: datetime bounds on DATE columns (and date
+    bounds on TIMESTAMP columns) must normalize into the column's
+    stats encoding — the raw isoformat would mis-order against the
+    other domain's strings exactly at day boundaries."""
+
+    def test_datetime_bound_on_date_column(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import VersionedTable
+
+        t = VersionedTable(str(tmp_path / "d"))
+        rows1 = [(k, datetime.date(2020, 1, 10 + k)) for k in range(3)]
+        rows2 = [(k + 10, datetime.date(2020, 2, 1 + k)) for k in range(3)]
+        t.commit(
+            spark.createDataFrame(rows1, "k bigint, d date"),
+            mode="overwrite",
+        )
+        t.commit(
+            spark.createDataFrame(rows2, "k bigint, d date"),
+            mode="append",
+        )
+        # equality-day datetime bound: the group holding 2020-02-01
+        # must NOT be pruned ('2020-02-01' < '2020-02-01T00:00:00'
+        # lexicographically — the bug shape)
+        got = t.read(
+            spark,
+            where={
+                "d": (
+                    datetime.datetime(2020, 2, 1),
+                    datetime.datetime(2020, 2, 1),
+                )
+            },
+        )
+        assert got.count() == 1
+
+    def test_date_bound_on_timestamp_column(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import VersionedTable
+
+        t = VersionedTable(str(tmp_path / "ts"))
+        rows = [
+            (1, datetime.datetime(2020, 1, 15, 0, 0)),  # midnight
+            (2, datetime.datetime(2020, 1, 15, 12, 0)),
+        ]
+        t.commit(
+            spark.createDataFrame(rows, "k bigint, ts timestamp"),
+            mode="overwrite",
+        )
+        t.commit(
+            spark.createDataFrame(
+                [(3, datetime.datetime(2020, 6, 1))],
+                "k bigint, ts timestamp",
+            ),
+            mode="append",
+        )
+        # upper bound = a DATE (midnight semantics): only the exact
+        # midnight row matches; the group must not be pruned by the
+        # prefix-sorts-first artifact
+        got = t.read(
+            spark, where={"ts": (None, datetime.date(2020, 1, 15))}
+        )
+        assert got.count() == 1
+        ks = [r["k"] for r in got.collect()]
+        assert ks == [1]
