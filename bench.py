@@ -31,7 +31,14 @@ import os
 import sys
 import time
 
-N_PASSES = 3
+# 4 timed passes (was 3 through r9): this host's CPU-steal phases can
+# last several minutes and poison a 3-pass window wholesale — the
+# whole-day band on identical code measured 7.2-8.9 s on 2026-08-15
+# (BASELINE.md r10 status) while quiet-window minima sit ~6.1 s. One
+# more pass per query costs ~45 s total and roughly halves the odds of
+# every pass landing in a noisy phase; the adaptive extra-pass rule
+# below still triggers on >2x spread.
+N_PASSES = 4
 
 HEADLINE = [
     "q1_pricing_summary",
