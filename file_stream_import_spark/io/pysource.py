@@ -562,10 +562,15 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
             )
         from .versioned import _schema_from_json
 
+        pinned = t._load_manifest(latest)
         self._fields = [
-            f.name
-            for f in _schema_from_json(t._load_manifest(latest)["schema"])
+            f.name for f in _schema_from_json(pinned["schema"])
         ]
+        # the colmap is pinned WITH the schema: batch-end manifests
+        # that predate a rename have no entry for pre-rename groups,
+        # so a bounded catch-up batch ending before the rename commit
+        # must still route old file columns to the pinned names
+        self._pinned_colmap = pinned.get("colmap") or {}
 
     def _table(self):
         from .versioned import VersionedTable
@@ -582,9 +587,13 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
 
     def _rows_for_versions(self, lo: int, hi: int):
         """Rows added by snapshots [lo, hi], in (version, group) order,
-        aligned by NAME to the declared schema (through the hi
-        manifest's column name maps, so pre-rename groups still route
-        their file columns to the pinned names)."""
+        aligned by NAME to the declared schema. The column name maps
+        come from the batch-end (hi) manifest OVERLAID with the maps
+        pinned at stream start (pinned wins for groups in both): a
+        bounded catch-up batch ending BEFORE a rename commit sees a hi
+        manifest with no entry for the pre-rename groups, and only the
+        pinned map can route their old file columns to the pinned
+        (post-rename) field names."""
         import os
 
         import pyarrow.parquet as pq
@@ -595,6 +604,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
             )
         except FileNotFoundError:
             colmap = {}
+        colmap = {**colmap, **self._pinned_colmap}
         rows: list[tuple] = []
         for _v, g in _changefeed_added_groups(
             self.path, lo, hi, self.ignore_changes
@@ -697,7 +707,13 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
             raise FileNotFoundError(
                 "table has no snapshots yet — commit once before tailing"
             )
-        self._schema_json = t._load_manifest(latest)["schema"]
+        pinned = t._load_manifest(latest)
+        self._schema_json = pinned["schema"]
+        # pinned with the schema — see TableChangefeedReader: a
+        # bounded batch ending before a rename commit needs the
+        # pinned maps to route pre-rename file columns to the pinned
+        # field names (the batch-end manifest has no entry yet)
+        self._pinned_colmap = pinned.get("colmap") or {}
         # the next-unplanned-version floor latestOffset() caps against
         # (the Python DataSourceStreamReader API gives latestOffset no
         # start argument, so the reader tracks it). Seeded from
@@ -749,9 +765,13 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         lo = int(start["next_version"])
         hi = int(end["next_version"]) - 1
         self._floor = max(self._floor, hi + 1)
-        # the END manifest's column name maps cover every group alive
-        # there: a group added pre-rename reads through its map so the
-        # pinned-at-stream-start schema sees the file's data, not NULLs
+        # batch-end manifest's column name maps, OVERLAID with the
+        # maps pinned at stream start (pinned wins for groups in
+        # both): the end manifest covers groups added after the pin,
+        # while only the pinned map can route a pre-rename group when
+        # the bounded batch ends BEFORE the rename commit — and for
+        # groups the pinned manifest knows, its map is by definition
+        # the one consistent with the pinned output schema
         colmap = {}
         if hi >= lo:
             try:
@@ -760,6 +780,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
                 )
             except FileNotFoundError:
                 pass  # expired: the walk below raises the remedy
+        colmap = {**colmap, **self._pinned_colmap}
         parts: list[InputPartition] = []
         for _v, g in _changefeed_added_groups(
             self.path, lo, hi, self.ignore_changes

@@ -1824,7 +1824,19 @@ class VersionedTable:
         applied as the exact row filter — so pruning quality degrades
         gracefully from "skips like the dict form" (comparisons over
         stats columns) to "full scan, still exact" (opaque
-        expressions). Both forms compose (AND)."""
+        expressions). Both forms compose (AND).
+
+        Bound-literal domain: where-dict (and normalized where_expr)
+        literals are interpreted in the COLUMN's type domain, not the
+        literal's — a ``datetime`` bound on a DATE column is truncated
+        to its date (``d >= datetime(2020,1,15,12,0)`` behaves as
+        ``d >= date(2020,1,15)``), and a ``date`` bound on a TIMESTAMP
+        column becomes midnight. read(), count_where() and agg_where()
+        all agree on this, but it diverges from Spark's own
+        ``F.col('d') >= F.lit(datetime(...))`` (which promotes the
+        DATE column to timestamp); callers porting predicates that
+        need sub-day precision on a DATE column should filter the
+        returned DataFrame instead."""
         if version is not None and as_of_timestamp is not None:
             raise ValueError("pass version OR as_of_timestamp, not both")
         pinned = version is not None
@@ -1967,7 +1979,11 @@ class VersionedTable:
         scan. ``detail=True`` additionally returns the classification
         counts ``{"pruned", "metadata", "scanned"}`` — tests pin the
         classification, not just totals, because a misclassified group
-        is silently wrong at any scale."""
+        is silently wrong at any scale.
+
+        Bound literals are interpreted in the column's type domain
+        (a datetime bound on a DATE column truncates to the date) —
+        see read()'s docstring for the full contract."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
@@ -2050,7 +2066,11 @@ class VersionedTable:
         ``{op: value}`` (values decoded into the column's Python
         domain); ``detail=True`` adds the pruned/metadata/scanned
         classification, which tests PIN — a misclassified group is
-        silently wrong at any scale."""
+        silently wrong at any scale.
+
+        Bound literals are interpreted in the column's type domain
+        (a datetime bound on a DATE column truncates to the date) —
+        see read()'s docstring for the full contract."""
         import decimal
 
         bad = [o for o in ops if o not in ("min", "max", "sum", "count")]
@@ -2201,16 +2221,37 @@ class VersionedTable:
             return df.select(*[f.name for f in declared.fields])
 
         def remap(df, mapping: dict):
-            # tombstones (file col -> None) FIRST: a dropped column
-            # whose name a later ADD re-used must read NULL, never the
-            # old file bytes
-            for fcol, cur in mapping.items():
-                if cur is None and fcol in df.columns:
-                    df = df.drop(fcol)
-            for fcol, cur in mapping.items():
-                if cur is not None and fcol in df.columns:
-                    df = df.withColumnRenamed(fcol, cur)
-            return df
+            # one-shot projection, mirroring pysource._arrow_align so
+            # the JVM and Arrow read paths can't diverge: sequential
+            # withColumnRenamed breaks on cyclic maps (the legal
+            # a->c, b->a, c->b history yields colmap {a:'b', b:'a'};
+            # renaming a->b first duplicates 'b' and the table becomes
+            # unreadable). Tombstones (file col -> None) read NULL —
+            # a dropped column whose name a later ADD re-used must
+            # never surface the old file bytes.
+            if not mapping:
+                return df
+            current = {
+                fc: cur for fc, cur in mapping.items() if cur is not None
+            }
+            dropped = {
+                fc for fc, cur in mapping.items() if cur is None
+            }
+            file_of = {cur: fc for fc, cur in current.items()}
+            cols = set(df.columns)
+            exprs = []
+            for f in declared.fields:
+                fcol = file_of.get(f.name, f.name)
+                routed_away = fcol in dropped or (
+                    fcol in current and current[fcol] != f.name
+                )
+                if fcol in cols and not routed_away:
+                    exprs.append(F.col(fcol).alias(f.name))
+            if not exprs:
+                # every declared field is tombstoned/absent in these
+                # files; keep the row count, align() adds the NULLs
+                exprs = [F.lit(None).alias("__remap_placeholder__")]
+            return df.select(*exprs)
 
         def widen(df, cols: tuple):
             # pre-widening groups hold the narrow type; cast AFTER the
@@ -2289,10 +2330,17 @@ class VersionedTable:
                 )
                 # a rename after the delete was staged: the sidecar
                 # FILE keeps the old column name; keymap routes it to
-                # the current name so the anti-join keys line up
-                for fcol, cur in (e.get("keymap") or {}).items():
-                    if cur is not None and fcol in ddf.columns:
-                        ddf = ddf.withColumnRenamed(fcol, cur)
+                # the current name so the anti-join keys line up.
+                # One-shot select (not sequential withColumnRenamed)
+                # so cyclic swap histories can't collide names.
+                keymap = e.get("keymap") or {}
+                if keymap:
+                    ddf = ddf.select(
+                        *[
+                            F.col(c).alias(keymap.get(c) or c)
+                            for c in ddf.columns
+                        ]
+                    )
                 cond = reduce(
                     lambda a, b: a & b,
                     [dfg[k].eqNullSafe(ddf[k]) for k in e["key"]],
@@ -4715,9 +4763,11 @@ def snapshot_diff(
             (s for s, d in chain.items() if d == r["old"]), r["old"]
         )
         chain[src] = r["new"]
-    for s, d in chain.items():
-        if s != d and s in a.columns:
-            a = a.withColumnRenamed(s, d)
+    ren = {s: d for s, d in chain.items() if s != d and s in a.columns}
+    if ren:
+        # one-shot select: a cyclic swap chain (a->b, b->a) collides
+        # under sequential withColumnRenamed
+        a = a.select(*[F.col(c).alias(ren.get(c, c)) for c in a.columns])
     # additive evolution between the versions: align BOTH sides to the
     # union of columns (missing ones read NULL), so the payload structs
     # are type-identical and comparable
