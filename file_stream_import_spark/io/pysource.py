@@ -358,6 +358,12 @@ def _changefeed_added_groups(
             or mode.startswith(
                 ("rename_column:", "drop_column:", "widen_column:")
             )
+            # a write-audit-publish fast-forward that only ADDED data
+            # (publish_branch verifies: every fork group retained, no
+            # new delete entries); a publish that rewrote/deleted is
+            # committed as publish_branch_rewrite: and rejected here
+            # like any overwrite
+            or mode.startswith("publish_branch:")
         )
         if not append_like and not ignore_changes:
             raise ValueError(

@@ -10,6 +10,11 @@ Layout:
       data/<uuid>/part-*.parquet   immutable file groups, one per commit
       _manifests/v00000001.json    ordered snapshots; each lists the
                                    FULL set of data files it reads
+      _refs/tags/<name>.json       named snapshot pointers (immutable;
+                                   vacuum retains tagged history)
+      _refs/branches/<name>/       independent manifest chains sharing
+        _manifests/v00000001.json  the data root — write-audit-publish
+                                   (see "refs: tags & branches")
 
 Protocol (the invariants that give snapshot isolation):
 
@@ -959,6 +964,18 @@ def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
 
+def _check_ref_name(name: str) -> None:
+    """Tag/branch names become filesystem entries under _refs/ — keep
+    them to one path segment of safe characters."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", name or ""):
+        raise ValueError(
+            f"invalid ref name {name!r}: use [A-Za-z0-9._-], start "
+            "alphanumeric, max 128 chars"
+        )
+
+
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_manifest_dir(path), f"v{version:08d}.json")
 
@@ -1011,8 +1028,24 @@ def _history_row(version: int, m: dict) -> dict:
 
 
 class VersionedTable:
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, _meta_root: str | None = None) -> None:
+        # ``path`` is the DATA root (immutable uuid group dirs, shared
+        # by every ref); ``_meta_root`` is where this ref's manifest
+        # chain lives — the table path itself for main, or
+        # ``path/_refs/branches/<name>`` for a branch handle returned
+        # by ``branch()``. Internal: users go through branch()/tags().
         self.path = path
+        self._meta_root = _meta_root or path
+
+    @property
+    def is_branch(self) -> bool:
+        return self._meta_root != self.path
+
+    @property
+    def branch_name(self) -> str | None:
+        if not self.is_branch:
+            return None
+        return os.path.basename(self._meta_root)
 
     # -- introspection ------------------------------------------------
 
@@ -1030,17 +1063,17 @@ class VersionedTable:
         to the listing, which is also the authority the anchors are
         validated against (a stale anchor = its manifest is gone =
         fall back)."""
-        d = _manifest_dir(self.path)
+        d = _manifest_dir(self._meta_root)
         if not os.path.isdir(d):
             return []
         anchor = self._read_hint()
         if anchor is None or not os.path.exists(
-            _manifest_path(self.path, anchor)
+            _manifest_path(self._meta_root, anchor)
         ):
             ck_upto = int(self._read_checkpoint().get("upto", -1))
             anchor = ck_upto if ck_upto >= 0 else None
             if anchor is not None and not os.path.exists(
-                _manifest_path(self.path, anchor)
+                _manifest_path(self._meta_root, anchor)
             ):
                 anchor = None
         if anchor is None:
@@ -1050,21 +1083,21 @@ class VersionedTable:
                     out.append(int(name[1:-5]))
             return sorted(out)
         latest = anchor
-        while os.path.exists(_manifest_path(self.path, latest + 1)):
+        while os.path.exists(_manifest_path(self._meta_root, latest + 1)):
             latest += 1
         # smallest retained version at or below the anchor (contiguity:
         # exists() is monotone over [first, latest])
         lo, hi = 0, anchor
         while lo < hi:
             mid = (lo + hi) // 2
-            if os.path.exists(_manifest_path(self.path, mid)):
+            if os.path.exists(_manifest_path(self._meta_root, mid)):
                 hi = mid
             else:
                 lo = mid + 1
         return list(range(lo, latest + 1))
 
     def _load_manifest(self, version: int) -> dict:
-        with open(_manifest_path(self.path, version)) as f:
+        with open(_manifest_path(self._meta_root, version)) as f:
             return json.load(f)
 
     def latest_version(self) -> int | None:
@@ -1076,10 +1109,10 @@ class VersionedTable:
         accelerator, never a correctness dependency."""
         hint = self._read_hint()
         if hint is not None and os.path.exists(
-            _manifest_path(self.path, hint)
+            _manifest_path(self._meta_root, hint)
         ):
             v = hint
-            while os.path.exists(_manifest_path(self.path, v + 1)):
+            while os.path.exists(_manifest_path(self._meta_root, v + 1)):
                 v += 1
             return v
         vs = self.versions()
@@ -1087,7 +1120,7 @@ class VersionedTable:
 
     def _read_hint(self) -> int | None:
         try:
-            with open(_hint_path(self.path)) as f:
+            with open(_hint_path(self._meta_root)) as f:
                 return int(f.read().strip())
         except (OSError, ValueError):
             return None
@@ -1101,10 +1134,10 @@ class VersionedTable:
             cur = self._read_hint()
             if cur is not None and cur >= version:
                 return
-            tmp = _hint_path(self.path) + f".tmp-{uuid.uuid4().hex}"
+            tmp = _hint_path(self._meta_root) + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 f.write(str(version))
-            os.replace(tmp, _hint_path(self.path))
+            os.replace(tmp, _hint_path(self._meta_root))
         except OSError:
             pass  # advisory only
 
@@ -1433,7 +1466,7 @@ class VersionedTable:
         manifest: dict,
         txn: dict[str, int] | None = None,
     ) -> int:
-        os.makedirs(_manifest_dir(self.path), exist_ok=True)
+        os.makedirs(_manifest_dir(self._meta_root), exist_ok=True)
         version = (parent if parent is not None else -1) + 1
         manifest["version"] = version
         manifest["parent"] = parent
@@ -1495,10 +1528,10 @@ class VersionedTable:
                 int(epoch) if prev is None else max(int(prev), int(epoch))
             )
         manifest["txn"] = inherited
-        tmp = _manifest_path(self.path, version) + f".tmp-{uuid.uuid4().hex}"
+        tmp = _manifest_path(self._meta_root, version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        target = _manifest_path(self.path, version)
+        target = _manifest_path(self._meta_root, version)
         try:
             # link+unlink = atomic create-if-absent (rename would
             # silently REPLACE an existing target and clobber the
@@ -1519,7 +1552,7 @@ class VersionedTable:
 
     def _read_checkpoint(self) -> dict:
         try:
-            with open(_ckpt_path(self.path)) as f:
+            with open(_ckpt_path(self._meta_root)) as f:
                 ck = json.load(f)
             if isinstance(ck, dict) and isinstance(ck.get("rows"), list):
                 return ck
@@ -1541,10 +1574,10 @@ class VersionedTable:
                     rows.append(_history_row(v, self._load_manifest(v)))
                 except FileNotFoundError:
                     continue  # expired mid-extend
-            tmp = _ckpt_path(self.path) + f".tmp-{uuid.uuid4().hex}"
+            tmp = _ckpt_path(self._meta_root) + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump({"upto": upto, "rows": rows}, f)
-            os.replace(tmp, _ckpt_path(self.path))
+            os.replace(tmp, _ckpt_path(self._meta_root))
         except OSError:
             pass  # advisory only
 
@@ -1802,6 +1835,7 @@ class VersionedTable:
         as_of_timestamp: float | None = None,
         where: dict | None = None,
         where_expr=None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``where={col: (lo, hi)}`` (either bound may
         be None) prunes whole file GROUPS via the manifest column stats
@@ -1836,9 +1870,17 @@ class VersionedTable:
         ``F.col('d') >= F.lit(datetime(...))`` (which promotes the
         DATE column to timestamp); callers porting predicates that
         need sub-day precision on a DATE column should filter the
-        returned DataFrame instead."""
-        if version is not None and as_of_timestamp is not None:
-            raise ValueError("pass version OR as_of_timestamp, not both")
+        returned DataFrame instead.
+
+        ``tag="name"`` reads the snapshot a tag pins (VERSION AS OF
+        the tag's version) — mutually exclusive with version/
+        as_of_timestamp."""
+        if sum(x is not None for x in (version, as_of_timestamp, tag)) > 1:
+            raise ValueError(
+                "pass ONE of version, as_of_timestamp, tag"
+            )
+        if tag is not None:
+            version = self.tag_version(tag)
         pinned = version is not None
         for attempt in range(3):
             v = version
@@ -3484,6 +3526,259 @@ class VersionedTable:
             update_box=box,
         )
 
+    # -- refs: tags & branches (write-audit-publish) --------------------
+    #
+    # Iceberg's named references re-done over this linear-manifest
+    # layout. A TAG is an immutable name -> main-chain version pointer
+    # (`_refs/tags/<name>.json`, created atomically like a manifest);
+    # vacuum retains every tagged snapshot. A BRANCH is an independent
+    # manifest chain under `_refs/branches/<name>/_manifests` that
+    # SHARES the table's immutable data groups — branching is a
+    # metadata copy (zero data IO at any table size), branch commits
+    # go through the exact same optimistic-concurrency machinery as
+    # main (per-branch version slots), and `publish_branch` fast-
+    # forwards main to the audited branch head in one atomic commit:
+    # the write-audit-publish pattern (stage to branch -> audit the
+    # branch -> publish), without readers of main ever seeing
+    # unaudited rows.
+
+    def _tags_dir(self) -> str:
+        return os.path.join(self.path, "_refs", "tags")
+
+    def _branches_dir(self) -> str:
+        return os.path.join(self.path, "_refs", "branches")
+
+    def _require_main(self, op: str) -> None:
+        if self.is_branch:
+            raise ValueError(
+                f"{op} operates on the table, not a branch handle "
+                f"(this handle is branch {self.branch_name!r})"
+            )
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Name a main-chain snapshot. Immutable (delete + recreate to
+        move), atomic create-if-absent (a concurrent create of the
+        same name loses with ValueError), and vacuum-pinning: vacuum
+        never expires a tagged version (it retains the contiguous
+        suffix from the oldest tag forward)."""
+        self._require_main("create_tag")
+        _check_ref_name(name)
+        v = self.latest_version() if version is None else int(version)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        if not os.path.exists(_manifest_path(self._meta_root, v)):
+            raise FileNotFoundError(
+                f"version {v} is not retained (vacuumed or never "
+                "committed) — tags must point at a live snapshot"
+            )
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        import time as _time
+
+        target = os.path.join(self._tags_dir(), f"{name}.json")
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"name": name, "version": v, "created_at": _time.time()},
+                f,
+            )
+        try:
+            os.link(tmp, target)  # atomic create-if-absent
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """{tag_name: version} for every live tag."""
+        d = self._tags_dir()
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, int] = {}
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".json") or ".tmp-" in fname:
+                continue
+            try:
+                with open(os.path.join(d, fname)) as f:
+                    row = json.load(f)
+                out[row["name"]] = int(row["version"])
+            except (OSError, ValueError, KeyError):
+                continue  # torn tmp / concurrent delete — advisory
+        return out
+
+    def tag_version(self, name: str) -> int:
+        try:
+            with open(
+                os.path.join(self._tags_dir(), f"{name}.json")
+            ) as f:
+                return int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError):
+            raise KeyError(
+                f"no such tag {name!r} at {self.path} "
+                f"(live tags: {sorted(self.tags())})"
+            ) from None
+
+    def delete_tag(self, name: str) -> None:
+        self._require_main("delete_tag")
+        _check_ref_name(name)
+        try:
+            os.unlink(os.path.join(self._tags_dir(), f"{name}.json"))
+        except FileNotFoundError:
+            raise KeyError(f"no such tag {name!r}") from None
+
+    def create_branch(
+        self, name: str, from_version: int | None = None
+    ) -> "VersionedTable":
+        """Fork an independent commit chain at ``from_version``
+        (default: latest). The branch's v0 is a metadata COPY of the
+        fork manifest (mode ``branch_fork:<v>``) — zero data IO; data
+        groups are shared with main and stay immutable. Returns the
+        branch handle: commit/merge/delete/evolve on it exactly like a
+        table; main never sees branch commits until publish_branch."""
+        self._require_main("create_branch")
+        _check_ref_name(name)
+        v = self.latest_version() if from_version is None else int(
+            from_version
+        )
+        if v is None:
+            raise FileNotFoundError(
+                f"no snapshots at {self.path} — commit before branching"
+            )
+        fork = self._load_manifest(v)
+        os.makedirs(self._branches_dir(), exist_ok=True)
+        broot = os.path.join(self._branches_dir(), name)
+        try:
+            os.mkdir(broot)  # atomic create-if-absent
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        b = VersionedTable(self.path, _meta_root=broot)
+        manifest = {
+            "schema": fork["schema"],
+            "groups": list(fork["groups"]),
+            "mode": f"branch_fork:{v}",
+            "added": [],
+            "delete_entries": list(fork.get("delete_entries") or []),
+            "stats": dict(fork.get("stats") or {}),
+            "fork": {"version": v},
+        }
+        # maps/constraints are copied EXPLICITLY (branch v0 has no
+        # parent to inherit from)
+        for k in ("colmap", "castmap"):
+            if fork.get(k):
+                manifest[k] = dict(fork[k])
+        manifest["constraints"] = dict(fork.get("constraints") or {})
+        manifest["bloom_cols"] = list(fork.get("bloom_cols") or [])
+        if fork.get("bloom_bits") is not None:
+            manifest["bloom_bits"] = int(fork["bloom_bits"])
+        b._publish(None, manifest)
+        return b
+
+    def branch(self, name: str) -> "VersionedTable":
+        """Handle for an existing branch."""
+        self._require_main("branch")
+        _check_ref_name(name)
+        broot = os.path.join(self._branches_dir(), name)
+        if not os.path.isdir(broot):
+            raise KeyError(
+                f"no such branch {name!r} at {self.path} "
+                f"(live branches: {self.branches()})"
+            )
+        return VersionedTable(self.path, _meta_root=broot)
+
+    def branches(self) -> list[str]:
+        d = self._branches_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n))
+        )
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the branch's manifest chain. Data groups only the
+        branch referenced become orphans and are reclaimed by the next
+        main ``vacuum()`` (age-gated, like any orphan)."""
+        self._require_main("delete_branch")
+        _check_ref_name(name)
+        import shutil
+
+        broot = os.path.join(self._branches_dir(), name)
+        if not os.path.isdir(broot):
+            raise KeyError(f"no such branch {name!r}")
+        shutil.rmtree(broot)
+
+    def publish_branch(self, name: str) -> int:
+        """Fast-forward main to the branch head — the PUBLISH step of
+        write-audit-publish. One atomic main commit whose state is
+        EXACTLY the audited branch head (groups, delete entries,
+        schema, maps, constraints); the branch keeps its detailed
+        history. Requires main to still be at the branch's fork point:
+        if main advanced since the fork, raises CommitConflictError —
+        recreate the branch from the new head and re-audit (publishing
+        anyway would silently drop main's interim commits, because a
+        manifest is a full state, not a delta). A concurrent commit
+        racing the publish itself loses the version slot as usual.
+
+        The main commit's mode is ``publish_branch:<name>`` when the
+        branch only ADDED data (every fork group still present, no new
+        delete entries) — the changefeed treats it as an append;
+        otherwise ``publish_branch_rewrite:<name>``, which the
+        changefeed rejects without ignorechanges, exactly like any
+        overwrite/delete."""
+        self._require_main("publish_branch")
+        b = self.branch(name)
+        bh = b.latest_version()
+        bm = b._load_manifest(bh)
+        try:
+            fork_v = int(b._load_manifest(0)["fork"]["version"])
+        except (FileNotFoundError, KeyError):
+            raise FileNotFoundError(
+                f"branch {name!r} has no retained fork manifest "
+                "(branch-vacuumed away?) — cannot verify the fork "
+                "point; recreate the branch"
+            ) from None
+        main_latest = self.latest_version()
+        if main_latest != fork_v:
+            raise CommitConflictError(
+                f"main advanced past branch {name!r}'s fork point "
+                f"(fork {fork_v}, main {main_latest}) — recreate the "
+                "branch from the current head and re-audit"
+            )
+        fork_m = self._load_manifest(fork_v)
+        fork_groups = set(fork_m["groups"])
+        fork_dels = {
+            e["file"] for e in (fork_m.get("delete_entries") or [])
+        }
+        head_dels = {
+            e["file"] for e in (bm.get("delete_entries") or [])
+        }
+        additive = fork_groups <= set(bm["groups"]) and (
+            head_dels == fork_dels
+        )
+        mode = (
+            f"publish_branch:{name}"
+            if additive
+            else f"publish_branch_rewrite:{name}"
+        )
+        manifest = {
+            "schema": bm["schema"],
+            "groups": list(bm["groups"]),
+            "mode": mode,
+            "added": [
+                g for g in bm["groups"] if g not in fork_groups
+            ],
+            "delete_entries": list(bm.get("delete_entries") or []),
+            "stats": dict(bm.get("stats") or {}),
+        }
+        for k in ("colmap", "castmap"):
+            if bm.get(k):
+                manifest[k] = dict(bm[k])
+        manifest["constraints"] = dict(bm.get("constraints") or {})
+        manifest["bloom_cols"] = list(bm.get("bloom_cols") or [])
+        if bm.get("bloom_bits") is not None:
+            manifest["bloom_bits"] = int(bm["bloom_bits"])
+        return self._publish(main_latest, manifest)
+
     def vacuum(
         self, keep_versions: int = 1, min_age_seconds: float = 3600.0
     ) -> list[str]:
@@ -3506,9 +3801,21 @@ class VersionedTable:
         import time
 
         vs = self.versions()
-        expired, keep = vs[:-keep_versions], vs[-keep_versions:]
+        # TAGS pin history: retain the contiguous suffix from the
+        # oldest tagged version forward (tags point into the main
+        # chain, so a tagged snapshot — and everything after it, to
+        # keep the retained range contiguous for the binary-search
+        # probes — survives until the tag is deleted)
+        cut = max(len(vs) - keep_versions, 0)
+        if not self.is_branch:
+            tagged = set(self.tags().values())
+            for i, v in enumerate(vs):
+                if v in tagged:
+                    cut = min(cut, i)
+                    break
+        expired, keep = vs[:cut], vs[cut:]
         for v in expired:
-            os.unlink(_manifest_path(self.path, v))
+            os.unlink(_manifest_path(self._meta_root, v))
         if expired:
             # trim expired rows out of the history checkpoint (readers
             # filter too — this just stops the file growing forever)
@@ -3519,19 +3826,35 @@ class VersionedTable:
             ]
             if len(kept_rows) != len(ck["rows"]):
                 try:
-                    tmp = _ckpt_path(self.path) + f".tmp-{uuid.uuid4().hex}"
+                    tmp = _ckpt_path(self._meta_root) + f".tmp-{uuid.uuid4().hex}"
                     with open(tmp, "w") as f:
                         json.dump({"upto": ck["upto"], "rows": kept_rows}, f)
-                    os.replace(tmp, _ckpt_path(self.path))
+                    os.replace(tmp, _ckpt_path(self._meta_root))
                 except OSError:
                     pass
         live: set[str] = set()
-        for v in keep:
-            mk = self._load_manifest(v)
-            live.update(mk["groups"])
-            live.update(
-                e["file"] for e in (mk.get("delete_entries") or [])
-            )
+        if not self.is_branch:
+            for v in keep:
+                mk = self._load_manifest(v)
+                live.update(mk["groups"])
+                live.update(
+                    e["file"] for e in (mk.get("delete_entries") or [])
+                )
+            # every branch's retained manifests keep their groups
+            # live — branch chains share the data root (metadata-only
+            # forks)
+            for bname in self.branches():
+                b = self.branch(bname)
+                for v in b.versions():
+                    try:
+                        mk = b._load_manifest(v)
+                    except FileNotFoundError:
+                        continue  # concurrent branch vacuum/delete
+                    live.update(mk["groups"])
+                    live.update(
+                        e["file"]
+                        for e in (mk.get("delete_entries") or [])
+                    )
         removed = []
         cutoff = time.time() - min_age_seconds
         # sweep orphaned tmp files in _manifests/: _publish, _write_hint,
@@ -3539,7 +3862,7 @@ class VersionedTable:
         # link/replace — a crash in between leaves litter nothing else
         # reclaims. Age-gated by the same threshold as data orphans (a
         # fresh tmp may belong to a publish in flight right now).
-        mdir = _manifest_dir(self.path)
+        mdir = _manifest_dir(self._meta_root)
         if os.path.isdir(mdir):
             for name in os.listdir(mdir):
                 if ".tmp-" not in name:
@@ -3550,8 +3873,11 @@ class VersionedTable:
                         os.unlink(full)
                 except OSError:
                     pass  # already gone / racing writer — advisory
+        # the data root is shared by main and every ref: only the
+        # TABLE handle sweeps orphans (a branch handle's view of
+        # "live" would wrongly reclaim everyone else's groups)
         data_root = os.path.join(self.path, "data")
-        if os.path.isdir(data_root):
+        if not self.is_branch and os.path.isdir(data_root):
             for d in sorted(os.listdir(data_root)):
                 g = os.path.join("data", d)
                 full = os.path.join(self.path, g)

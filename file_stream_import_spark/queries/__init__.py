@@ -73,6 +73,7 @@ def load_all() -> None:
         round7,
         round9,
         round10,
+        round11,
     )
 
 

@@ -1,0 +1,294 @@
+"""Round-11 queries: branch/tag refs (write-audit-publish) under the
+driver's value-hash gate.
+
+* lake_branch_wap — the WAP lifecycle end-to-end: stage appends on an
+  isolated branch (main's row count mid-audit is PINNED, proving
+  isolation), fast-forward publish, and a diverged second branch whose
+  publish raises CommitConflictError (pinned as a flag). The final
+  aggregate reads MAIN after publish.
+* lake_tag_retention — tags pin history through vacuum: a tagged v0
+  survives vacuum(keep_versions=1) (retained-version count pinned),
+  reads back bit-identical via read(tag=), and expires once the tag is
+  deleted (post-delete retained count pinned).
+* stream_changefeed_wap — a REAL changefeed stream across a
+  publish_branch commit: the additive publish passes the append-only
+  contract (the stream would RAISE otherwise) and delivers the
+  published rows exactly once, in its own bounded micro-batch (batch
+  count pinned).
+
+Reference parity: the reference's writer lifecycle (SURVEY §3.1,
+internal/writer/writer.go) stages rows before they become visible to
+readers; branches generalize that staging to audited, atomically
+published multi-commit units at lake scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.tables import load_table
+from . import register
+
+
+def _densified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number-densified orders so every k-range slice is non-empty
+    at every scale factor (the round-10 lesson: fixed o_orderkey
+    ranges go empty at sf0.001 and make pinned counts scale-dependent)."""
+    from pyspark.sql import Window as W
+
+    return load_table(spark, sf_dir, "orders").select(
+        F.row_number().over(W.orderBy("o_orderkey")).alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+
+@register(
+    "lake_branch_wap",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 2 AS half FROM base),
+    capped AS (SELECT b.* FROM base b, p WHERE b.k <= 2 * p.half)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST((SELECT half FROM p) AS BIGINT) AS main_rows_mid_audit,
+           CAST(1 AS INT) AS additive_publish,
+           CAST(1 AS INT) AS diverged_publish_conflicts
+    FROM capped GROUP BY status
+    """,
+)
+def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on the versioned lake table
+    (io/versioned.py::create_branch/publish_branch — Iceberg refs over
+    the linear-manifest layout). Main holds the first half; the second
+    half stages on branch 'audit' — a metadata-only fork sharing data
+    groups, so branching costs zero data IO at any table size. While
+    the branch holds the staged rows, main's row count (PINNED) proves
+    readers never see unaudited data. publish_branch fast-forwards
+    main atomically; the commit is additive (every fork group
+    retained, no new delete entries -> mode publish_branch:, PINNED),
+    so downstream changefeeds keep streaming. A second branch forked
+    before an interim main commit must NOT publish (fork-point check
+    -> CommitConflictError, PINNED) — publishing anyway would silently
+    drop main's interim commit, because a manifest is a full state."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import CommitConflictError, VersionedTable
+
+    o = _densified_orders(spark, sf_dir)
+    half = o.count() // 2
+    o = o.filter(F.col("k") <= 2 * half).localCheckpoint(eager=True)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_wap_"))
+    try:
+        t.commit(o.filter(F.col("k") <= half), mode="overwrite")
+        b = t.create_branch("audit")
+        b.commit(o.filter(F.col("k") > half), mode="append")
+        # the audit step: staged rows visible on the branch only
+        main_rows_mid_audit = t.read(spark).count()
+        pv = t.publish_branch("audit")
+        mode = t._load_manifest(pv)["mode"]
+        additive = int(mode == "publish_branch:audit")
+        # diverged publish: branch forked at pv, then main advances
+        t.create_branch("late")
+        t.commit(
+            o.filter(F.col("k") == 1).withColumn(
+                "k", F.lit(0).cast("int")
+            ),
+            mode="append",
+        )
+        try:
+            t.publish_branch("late")
+            conflicted = 0
+        except CommitConflictError:
+            conflicted = 1
+        out = (
+            t.read(spark, version=pv)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn(
+                "main_rows_mid_audit",
+                F.lit(main_rows_mid_audit).cast("bigint"),
+            )
+            .withColumn("additive_publish", F.lit(additive))
+            .withColumn("diverged_publish_conflicts", F.lit(conflicted))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_tag_retention",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 3 AS third FROM base),
+    capped AS (SELECT b.* FROM base b, p WHERE b.k <= 3 * p.third)
+    SELECT CAST((SELECT third FROM p) AS BIGINT) AS tag_rows,
+           CAST((SELECT SUM(cents) FROM capped c
+                 WHERE c.k <= (SELECT third FROM p)) AS BIGINT)
+             AS tag_cents,
+           CAST(3 * (SELECT third FROM p) AS BIGINT) AS latest_rows,
+           CAST(3 AS INT) AS retained_with_tag,
+           CAST(1 AS INT) AS retained_after_delete
+    """,
+)
+def lake_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags pin snapshots through vacuum (io/versioned.py::create_tag —
+    Iceberg's expire-snapshots honors named refs). v0 is tagged
+    'baseline', two appends follow, and vacuum(keep_versions=1) —
+    which would normally expire v0 and v1 — retains ALL THREE versions
+    (PINNED) because the retained range stays the contiguous suffix
+    from the oldest tag. read(tag=) then reproduces v0's rows
+    bit-identically (row count and SUM pinned against the oracle's
+    first third). Deleting the tag releases the pin: the next vacuum
+    retains exactly 1 version (PINNED)."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable
+
+    o = _densified_orders(spark, sf_dir)
+    third = o.count() // 3
+    o = o.filter(F.col("k") <= 3 * third).localCheckpoint(eager=True)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_tag_"))
+    try:
+        t.commit(o.filter(F.col("k") <= third), mode="overwrite")
+        t.create_tag("baseline")
+        t.commit(
+            o.filter(F.col("k").between(third + 1, 2 * third)),
+            mode="append",
+        )
+        t.commit(o.filter(F.col("k") > 2 * third), mode="append")
+        t.vacuum(keep_versions=1, min_age_seconds=0)
+        retained_with_tag = len(t.versions())
+        tagged = t.read(spark, tag="baseline")
+        tag_rows = tagged.count()
+        tag_cents = tagged.agg(F.sum("cents")).collect()[0][0]
+        latest_rows = t.read(spark).count()
+        t.delete_tag("baseline")
+        t.vacuum(keep_versions=1, min_age_seconds=0)
+        retained_after_delete = len(t.versions())
+        out = spark.createDataFrame(
+            [
+                (
+                    tag_rows,
+                    int(tag_cents),
+                    latest_rows,
+                    retained_with_tag,
+                    retained_after_delete,
+                )
+            ],
+            "tag_rows bigint, tag_cents bigint, latest_rows bigint,"
+            " retained_with_tag int, retained_after_delete int",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "stream_changefeed_wap",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 3 AS third FROM base),
+    capped AS (SELECT b.* FROM base b, p WHERE b.k <= 3 * p.third)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(3 AS INT) AS n_batches
+    FROM capped GROUP BY status
+    """,
+)
+def stream_changefeed_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC composes with write-audit-publish: a changefeed tailing
+    main streams THROUGH an additive publish_branch commit. Main's
+    history is overwrite(third1) -> publish_branch(third2, staged and
+    audited on a branch) -> append(third3); a real stream from
+    `earliest` with maxversionspertrigger=1 plans exactly three
+    bounded micro-batches (PINNED — the publish passing the
+    append-only contract is what makes batch 2 possible; a rewrite
+    publish raises without ignorechanges) and the per-status totals
+    prove every row arrived exactly once."""
+    import shutil
+    import tempfile
+
+    from ..io.pysource import TableChangefeedDataSource
+    from ..io.versioned import VersionedTable
+
+    o = _densified_orders(spark, sf_dir)
+    third = o.count() // 3
+    o = o.filter(F.col("k") <= 3 * third).localCheckpoint(eager=True)
+    spark.dataSource.register(TableChangefeedDataSource)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_cfw_"))
+    ckpt = tempfile.mkdtemp(prefix="lake_cfw_ck_")
+    batches: list[list] = []
+    try:
+        t.commit(o.filter(F.col("k") <= third), mode="overwrite")
+        b = t.create_branch("stage")
+        b.commit(
+            o.filter(F.col("k").between(third + 1, 2 * third)),
+            mode="append",
+        )
+        t.publish_branch("stage")
+        t.commit(o.filter(F.col("k") > 2 * third), mode="append")
+
+        def sink(df, _bid):
+            rows = [
+                (r["k"], r["status"], r["cents"]) for r in df.collect()
+            ]
+            if rows:
+                batches.append(rows)
+
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("startingversion", "earliest")
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_batches = len(batches)
+        all_rows = [r for bb in batches for r in bb]
+        out = (
+            spark.createDataFrame(
+                all_rows, "k bigint, status string, cents bigint"
+            )
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn("n_batches", F.lit(n_batches))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out

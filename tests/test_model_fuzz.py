@@ -2,7 +2,8 @@
 
 Hypothesis generates random linear op sequences — append / overwrite /
 MERGE upsert / MERGE delete / copy-on-write DELETE / merge-on-read
-DELETE / UPDATE / compact / optimize / rollback / vacuum — and every
+DELETE / UPDATE / compact / optimize / rollback / vacuum / rename /
+widen / branch-stage / branch-publish / tag — and every
 committed version's visible rows are checked against a plain-Python
 reference model (a list of (id, val) rows mutated by the same
 semantics). This is the one test that exercises the INTERACTIONS the
@@ -92,6 +93,15 @@ op_st = st.one_of(
     # LONG frames, pre-widen groups read through castmap casts, and
     # rollback must restore the NARROW type
     st.just(("widen",)),
+    # refs (r11): stage rows on a branch (forking it first if none is
+    # open) — main must NOT see them; publish fast-forwards main IF
+    # main is still at the fork point, else must raise
+    # CommitConflictError (main ops drawn between stage and publish
+    # make both outcomes common); tag pins the latest version through
+    # every later vacuum (the final time-travel sweep then covers it)
+    st.tuples(st.just("branch_stage"), rows_st),
+    st.just(("branch_publish",)),
+    st.just(("tag",)),
 )
 
 
@@ -167,6 +177,10 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
     # (visible rows, value-column name, value type) per version, for
     # time-travel and rollback checks across renames/widenings
     states: dict[int, tuple] = {v0: (sorted(model), valcol, valtype)}
+    # open staging branch, if any: [handle, model, valcol, valtype,
+    # fork_version] — its own pure-Python twin, checked on every stage
+    branch: list | None = None
+    n_tags = 0
 
     for op in ops:
         kind = op[0]
@@ -249,6 +263,43 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             )
         elif kind == "vacuum":
             table.vacuum(keep_versions=3, min_age_seconds=0)
+        elif kind == "branch_stage":
+            if branch is None:
+                bh = table.create_branch("stg")
+                branch = [
+                    bh, list(model), valcol, valtype,
+                    table.latest_version(),
+                ]
+            branch[0].commit(
+                _df(spark, op[1], branch[2], branch[3]), mode="append"
+            )
+            branch[1] = branch[1] + list(op[1])
+            # staged rows visible on the branch, invisible on main
+            assert _read_sorted(
+                branch[0], spark, valcol=branch[2]
+            ) == sorted(branch[1]), f"branch rows diverged after {op}"
+        elif kind == "branch_publish":
+            if branch is None:
+                continue
+            bh, bmodel, bcol, btype, fork_v = branch
+            if table.latest_version() == fork_v:
+                table.publish_branch("stg")
+                model, valcol, valtype = list(bmodel), bcol, btype
+            else:
+                # main advanced past the fork: the WAP fork-point
+                # check must refuse (publishing would drop main's
+                # interim commits)
+                from file_stream_import_spark.io.versioned import (
+                    CommitConflictError,
+                )
+
+                with pytest.raises(CommitConflictError):
+                    table.publish_branch("stg")
+            table.delete_branch("stg")
+            branch = None
+        elif kind == "tag":
+            n_tags += 1
+            table.create_tag(f"tg{n_tags}")
         else:
             raise AssertionError(kind)
 
@@ -319,8 +370,10 @@ class TestModelFuzz:
         random draws and may not), including the adversarial
         orderings: MoR delete → re-append same key → optimize;
         rollback across a pruned update; vacuum then time travel;
-        RENAME between a MoR delete and its materialization, and a
-        rollback ACROSS a rename (old name must come back)."""
+        RENAME between a MoR delete and its materialization, a
+        rollback ACROSS a rename (old name must come back), a clean
+        WAP publish, a DIVERGED publish (conflict), and a tag pinned
+        before a vacuum."""
         ops = [
             ("append", [(1, 10), (2, 20), (1, 11)]),
             ("merge", [(2, 99), (5, 50)]),
@@ -332,11 +385,17 @@ class TestModelFuzz:
             ("update", (2, 5), 7, True),
             ("rollback", 2),  # back across the rename: old name returns
             ("merge_del", [(5, 0)]),
+            ("branch_stage", [(12, 120)]),
+            ("branch_stage", [(13, 130)]),  # second stage, same branch
+            ("branch_publish",),  # clean fast-forward
             ("rename",),
             ("compact",),
-            ("delete_cow", (0, 3), True),
+            ("tag",),  # pin pre-vacuum history
+            ("branch_stage", [(14, 140)]),
+            ("delete_cow", (0, 3), True),  # main advances past the fork
+            ("branch_publish",),  # must conflict
             ("overwrite", [(8, 80)]),
-            ("vacuum",),
+            ("vacuum",),  # tag keeps its version retained
             ("append", [(9, 90), (9, 91)]),
             ("update", (9, 9), -1, False),
         ]

@@ -1,0 +1,305 @@
+"""Tags & branches (Iceberg-style refs) on the versioned lake table:
+write-audit-publish, vacuum pinning, branch isolation, and the
+changefeed contract across a publish. See io/versioned.py's
+"refs: tags & branches" section."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_stream_import_spark.io.versioned import (
+    CommitConflictError,
+    VersionedTable,
+    merge_into,
+)
+
+
+def _mk(spark, tmp_path, name="t", n=8):
+    t = VersionedTable(str(tmp_path / name))
+    t.commit(
+        spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        mode="overwrite",
+    )
+    return t
+
+
+def _rows(spark, t, **kw):
+    return {r["k"]: r["v"] for r in t.read(spark, **kw).collect()}
+
+
+class TestTags:
+    def test_create_read_delete(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        v = t.create_tag("base")
+        assert v == 0 and t.tags() == {"base": 0}
+        t.commit(
+            spark.createDataFrame([(100, 200)], "k long, v long"),
+            mode="append",
+        )
+        assert len(_rows(spark, t, tag="base")) == 8
+        assert len(_rows(spark, t)) == 9
+        assert _rows(spark, t, tag="base") == _rows(spark, t, version=0)
+        t.delete_tag("base")
+        assert t.tags() == {}
+        with pytest.raises(KeyError, match="no such tag"):
+            t.read(spark, tag="base")
+
+    def test_duplicate_and_bad_names(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.create_tag("x")
+        with pytest.raises(ValueError, match="already exists"):
+            t.create_tag("x")
+        for bad in ("", "a/b", "../up", ".hidden", "a" * 200):
+            with pytest.raises(ValueError, match="invalid ref name"):
+                t.create_tag(bad)
+
+    def test_tag_requires_live_version(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        with pytest.raises(FileNotFoundError, match="not retained"):
+            t.create_tag("future", version=5)
+
+    def test_read_kwargs_mutually_exclusive(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.create_tag("x")
+        with pytest.raises(ValueError, match="ONE of"):
+            t.read(spark, version=0, tag="x")
+
+    def test_vacuum_pins_tagged_suffix(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.create_tag("pin")  # v0
+        for i in range(3):
+            t.commit(
+                spark.createDataFrame(
+                    [(100 + i, i)], "k long, v long"
+                ),
+                mode="append",
+            )
+        t.vacuum(keep_versions=1, min_age_seconds=0)
+        assert t.versions() == [0, 1, 2, 3]
+        assert len(_rows(spark, t, tag="pin")) == 8
+        t.delete_tag("pin")
+        t.vacuum(keep_versions=1, min_age_seconds=0)
+        assert t.versions() == [3]
+
+
+class TestBranches:
+    def test_isolation_both_ways(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("dev")
+        b.commit(
+            spark.createDataFrame([(50, 1)], "k long, v long"),
+            mode="append",
+        )
+        t.commit(
+            spark.createDataFrame([(60, 2)], "k long, v long"),
+            mode="append",
+        )
+        main, dev = _rows(spark, t), _rows(spark, b)
+        assert 50 not in main and 60 in main
+        assert 60 not in dev and 50 in dev
+        assert t.branches() == ["dev"]
+        assert b.is_branch and b.branch_name == "dev"
+
+    def test_branch_fork_at_version(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.commit(
+            spark.createDataFrame([(99, 0)], "k long, v long"),
+            mode="append",
+        )
+        b = t.create_branch("old", from_version=0)
+        assert len(_rows(spark, b)) == 8  # pre-append state
+
+    def test_duplicate_and_missing(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.create_branch("dev")
+        with pytest.raises(ValueError, match="already exists"):
+            t.create_branch("dev")
+        with pytest.raises(KeyError, match="no such branch"):
+            t.branch("nope")
+        t.delete_branch("dev")
+        assert t.branches() == []
+        with pytest.raises(KeyError):
+            t.delete_branch("dev")
+
+    def test_branch_handle_guards(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("dev")
+        for op in (
+            lambda: b.create_tag("x"),
+            lambda: b.create_branch("nested"),
+            lambda: b.branch("dev"),
+            lambda: b.publish_branch("dev"),
+            lambda: b.delete_branch("dev"),
+            lambda: b.delete_tag("x"),
+        ):
+            with pytest.raises(ValueError, match="branch handle"):
+                op()
+
+    def test_merge_into_on_branch(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("dev")
+        merge_into(
+            b,
+            spark,
+            spark.createDataFrame([(0, 999), (50, 1)], "k long, v long"),
+            key="k",
+        )
+        dev = _rows(spark, b)
+        assert dev[0] == 999 and dev[50] == 1
+        assert _rows(spark, t)[0] == 0  # main untouched
+
+    def test_branch_vacuum_never_touches_data(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("dev")
+        for i in range(3):
+            b.commit(
+                spark.createDataFrame(
+                    [(100 + i, i)], "k long, v long"
+                ),
+                mode="append",
+            )
+        removed = b.vacuum(keep_versions=1, min_age_seconds=0)
+        assert removed == []
+        assert b.versions() == [3]
+        # main's data is fully intact
+        assert len(_rows(spark, t)) == 8
+        assert len(_rows(spark, b)) == 11
+
+
+class TestPublish:
+    def test_wap_publish(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("audit")
+        b.commit(
+            spark.createDataFrame([(50, 1), (51, 2)], "k long, v long"),
+            mode="append",
+        )
+        assert len(_rows(spark, t)) == 8  # audit in progress
+        pv = t.publish_branch("audit")
+        assert len(_rows(spark, t)) == 10
+        m = t._load_manifest(pv)
+        assert m["mode"] == "publish_branch:audit"
+        assert len(m["added"]) == 1  # the staged group, by reference
+
+    def test_diverged_publish_conflicts(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.create_branch("late")
+        t.commit(
+            spark.createDataFrame([(60, 2)], "k long, v long"),
+            mode="append",
+        )
+        with pytest.raises(CommitConflictError, match="fork point"):
+            t.publish_branch("late")
+
+    def test_rewrite_publish_mode(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("rw")
+        b.delete_where(spark, F.col("k") < 4)
+        pv = t.publish_branch("rw")
+        assert t._load_manifest(pv)["mode"] == "publish_branch_rewrite:rw"
+        assert sorted(_rows(spark, t)) == [4, 5, 6, 7]
+
+    def test_publish_carries_schema_evolution(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("evolve")
+        b.rename_column("v", "val")
+        b.commit(
+            spark.createDataFrame([(50, 1)], "k long, val long"),
+            mode="append",
+        )
+        pv = t.publish_branch("evolve")
+        rows = {
+            r["k"]: r["val"] for r in t.read(spark, version=pv).collect()
+        }
+        assert rows[0] == 0 and rows[50] == 1  # old groups route via map
+
+    def test_vacuum_respects_branch_groups(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("keep")
+        b.commit(
+            spark.createDataFrame([(50, 1)], "k long, v long"),
+            mode="append",
+        )
+        branch_groups = set(
+            b._load_manifest(b.latest_version())["groups"]
+        ) - set(t._load_manifest(t.latest_version())["groups"])
+        assert branch_groups
+        removed = t.vacuum(keep_versions=1, min_age_seconds=0)
+        assert not (set(removed) & branch_groups)
+        assert len(_rows(spark, b)) == 9  # branch still reads fine
+        t.delete_branch("keep")
+        removed = t.vacuum(keep_versions=1, min_age_seconds=0)
+        assert set(removed) == branch_groups  # now orphaned, reclaimed
+
+    def test_changefeed_across_additive_publish(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("stage")
+        b.commit(
+            spark.createDataFrame([(50, 1)], "k long, v long"),
+            mode="append",
+        )
+        t.publish_branch("stage")
+        out = str(tmp_path / "out")
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        ks = sorted(r["k"] for r in spark.read.parquet(out).collect())
+        assert ks == list(range(8)) + [50]
+
+    def test_changefeed_rejects_rewrite_publish(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+        from pyspark.sql.utils import StreamingQueryException
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("rw")
+        b.delete_where(spark, F.col("k") < 4)
+        t.publish_branch("rw")
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        with pytest.raises(StreamingQueryException, match="append-only"):
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+    def test_refs_layout_on_disk(self, spark, tmp_path):
+        """The refs namespace is where the docs say it is."""
+        t = _mk(spark, tmp_path)
+        t.create_tag("x")
+        t.create_branch("dev")
+        assert os.path.isfile(
+            os.path.join(t.path, "_refs", "tags", "x.json")
+        )
+        assert os.path.isdir(
+            os.path.join(t.path, "_refs", "branches", "dev", "_manifests")
+        )

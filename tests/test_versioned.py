@@ -950,7 +950,7 @@ class TestTimestampAsOf:
         assert t.read(spark, as_of_timestamp=ts1 + 1).count() == 6
         with pytest.raises(FileNotFoundError, match="no snapshot"):
             t.read(spark, as_of_timestamp=ts0 - 10)
-        with pytest.raises(ValueError, match="not both"):
+        with pytest.raises(ValueError, match="ONE of"):
             t.read(spark, version=0, as_of_timestamp=ts0)
 
 
