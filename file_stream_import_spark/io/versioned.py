@@ -2752,6 +2752,97 @@ class VersionedTable:
             out.append(row)
         return out
 
+    # -- metadata inspection tables (Iceberg $files/$history/$refs) ----
+    #
+    # Operational introspection as DataFrames — the queries a 100 TB
+    # table's operator actually runs ("how many small groups need
+    # compaction?", "what did last night's job commit?", "which refs
+    # pin old history?") answered from MANIFEST metadata only: no data
+    # file is opened by any of these, so they cost the same on 10 rows
+    # and 10 PB.
+
+    def inspect_files(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """One row per data GROUP of a snapshot (default: latest):
+        rows/bytes from write-time stats, the versions that added it,
+        and whether pending merge-on-read deletes cover it. The
+        small-files query that drives compaction policy
+        (``WHERE n_bytes < threshold``) is a filter on this frame."""
+        v = self.latest_version() if version is None else int(version)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load_manifest(v)
+        stats = m.get("stats") or {}
+        del_groups: set[str] = set()
+        for e in m.get("delete_entries") or []:
+            del_groups.update(e["applies_to"])
+        rows = []
+        for g in m["groups"]:
+            st = stats.get(g) or {}
+            rows.append(
+                (
+                    g,
+                    int(st["_rows"]) if "_rows" in st else None,
+                    int(st["_bytes"]) if "_bytes" in st else None,
+                    g in del_groups,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "group string, n_rows bigint, n_bytes bigint,"
+            " has_pending_deletes boolean",
+        )
+
+    def inspect_history(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE HISTORY as a DataFrame: one row per retained
+        snapshot with version, parent, mode, commit instant, and
+        group/added counts — history() (checkpoint-served) plus the
+        added-delta size, loading only manifests the checkpoint
+        doesn't cover."""
+        rows = []
+        for h in self.history():
+            v = int(h["version"])
+            m = self._load_manifest(v)
+            rows.append(
+                (
+                    v,
+                    h.get("parent"),
+                    str(h.get("mode")),
+                    float(m.get("committed_at") or 0.0),
+                    int(h.get("n_groups") or 0),
+                    len(m.get("added") or []),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version int, parent int, mode string, committed_at double,"
+            " n_groups int, n_added int",
+        )
+
+    def inspect_refs(self, spark: SparkSession) -> DataFrame:
+        """Every live named ref: tags (their pinned version) and
+        branches (head version + fork point) — what's pinning history
+        against vacuum, and what's staged but unpublished."""
+        rows = []
+        for name, v in sorted(self.tags().items()):
+            rows.append(("tag", name, int(v), None))
+        for name in self.branches():
+            b = self.branch(name)
+            head = b.latest_version()
+            try:
+                fork = int(b._load_manifest(0)["fork"]["version"])
+            except (FileNotFoundError, KeyError):
+                fork = None
+            rows.append(
+                ("branch", name,
+                 int(head) if head is not None else None, fork)
+            )
+        return spark.createDataFrame(
+            rows,
+            "kind string, name string, version int, fork_version int",
+        )
+
     def optimize(
         self,
         spark: SparkSession,
@@ -5013,6 +5104,80 @@ def apply_changes(
             all_keys, keys, lstats, gs, table.path
         ),
     )
+
+
+def table_changes(
+    table: VersionedTable,
+    spark: SparkSession,
+    from_version: int,
+    to_version: int | None = None,
+    ignore_changes: bool = False,
+) -> DataFrame:
+    """Batch CDC — Delta's ``table_changes`` TVF shape: the rows ADDED
+    by snapshots [from_version, to_version] (default: latest) as ONE
+    DataFrame with ``_commit_version`` (the snapshot that added each
+    row) and ``_change_type`` ('insert') metadata columns. The
+    nightly-incremental consumer's API: "give me what landed since the
+    version I processed last", without running a stream.
+
+    Shares the changefeed's walk (pysource._changefeed_added_groups),
+    so the append-only contract is identical: a non-append snapshot in
+    the range raises unless ``ignore_changes=True`` (then only added
+    groups are emitted and removed data is never retracted — OPTIMIZE
+    rewrites re-emit, exactly like the stream with ignorechanges).
+    Rows align to the END version's schema through its column name /
+    cast maps; delete entries are NOT applied (CDC reports what was
+    inserted, not the net state — use snapshot_diff for exact row
+    deltas including deletes). O(added data) IO: the walk is manifest
+    metadata, and only added groups are scanned."""
+    from functools import reduce
+
+    from .pysource import _changefeed_added_groups
+
+    hi = (
+        table.latest_version() if to_version is None else int(to_version)
+    )
+    if hi is None:
+        raise FileNotFoundError(f"no snapshots at {table.path}")
+    lo = int(from_version)
+    m_hi = table._load_manifest(hi)
+    declared = _schema_from_json(m_hi["schema"])
+    by_v: dict[int, list[str]] = {}
+    for v, g in _changefeed_added_groups(
+        table.path, lo, hi, ignore_changes
+    ):
+        by_v.setdefault(v, []).append(g)
+    empty = spark.createDataFrame([], schema=declared).select(
+        "*",
+        F.lit(None).cast("int").alias("_commit_version"),
+        F.lit(None).cast("string").alias("_change_type"),
+    )
+    if not by_v:
+        return empty
+    colmap = m_hi.get("colmap") or {}
+    castmap = m_hi.get("castmap") or {}
+    parts = []
+    for v, gs in sorted(by_v.items()):
+        gset = set(gs)
+        synth = {
+            "schema": m_hi["schema"],
+            "groups": gs,
+            "colmap": {
+                g: mp for g, mp in colmap.items() if g in gset
+            },
+            "castmap": {
+                g: cs for g, cs in castmap.items() if g in gset
+            },
+            "delete_entries": [],
+        }
+        parts.append(
+            table._read_groups(spark, synth, gs).select(
+                "*",
+                F.lit(v).cast("int").alias("_commit_version"),
+                F.lit("insert").alias("_change_type"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def snapshot_diff(

@@ -15,6 +15,11 @@ driver's value-hash gate.
   contract (the stream would RAISE otherwise) and delivers the
   published rows exactly once, in its own bounded micro-batch (batch
   count pinned).
+* lake_table_changes — batch CDC (Delta's table_changes TVF shape):
+  per-commit insert counts/sums since a version, O(delta) IO.
+* lake_inspect_files — metadata inspection ($files shape): group
+  counts, stats-served row totals, pending-delete coverage, and the
+  small-files compaction query, all without opening a data file.
 
 Reference parity: the reference's writer lifecycle (SURVEY §3.1,
 internal/writer/writer.go) stages rows before they become visible to
@@ -291,4 +296,143 @@ def stream_changefeed_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_table_changes",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 3 AS third FROM base),
+    capped AS (SELECT b.* FROM base b, p WHERE b.k <= 3 * p.third),
+    tagged AS (
+      SELECT c.*,
+             CASE WHEN c.k <= (SELECT third FROM p) THEN 0
+                  WHEN c.k <= 2 * (SELECT third FROM p) THEN 1
+                  ELSE 2 END AS commit_version
+      FROM capped c
+    )
+    SELECT commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           'insert' AS change_type
+    FROM tagged WHERE commit_version >= 1
+    GROUP BY commit_version
+    """,
+)
+def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC (io/versioned.py::table_changes — Delta's
+    table_changes TVF shape): three commits, then "what landed since
+    version 1" as one DataFrame with _commit_version/_change_type.
+    The per-version row counts and SUMs are hashed against the oracle's
+    thirds, so a row attributed to the wrong commit — or the excluded
+    version-0 rows leaking in — breaks the hash, not just the total.
+    The walk is manifest metadata and only ADDED groups are scanned:
+    the nightly-incremental consumer reads O(delta), not O(table)."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, table_changes
+
+    o = _densified_orders(spark, sf_dir).drop("status")
+    third = o.count() // 3
+    o = o.filter(F.col("k") <= 3 * third).localCheckpoint(eager=True)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_tc_"))
+    try:
+        t.commit(o.filter(F.col("k") <= third), mode="overwrite")
+        t.commit(
+            o.filter(F.col("k").between(third + 1, 2 * third)),
+            mode="append",
+        )
+        t.commit(o.filter(F.col("k") > 2 * third), mode="append")
+        out = (
+            table_changes(t, spark, 1)
+            .groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .select(
+                "commit_version", "n_rows", "cents", "change_type"
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_inspect_files",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 4 AS quarter FROM base)
+    SELECT CAST(3 AS BIGINT) AS n_groups,
+           CAST(4 * (SELECT quarter FROM p) AS BIGINT) AS total_rows,
+           CAST((SELECT quarter FROM p) AS BIGINT) AS min_rows,
+           CAST(2 AS BIGINT) AS n_covered_by_deletes,
+           CAST(2 AS BIGINT) AS n_small
+    """,
+)
+def lake_inspect_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata inspection tables (io/versioned.py::inspect_files —
+    Iceberg's $files shape): the operational queries a 100 TB table's
+    operator runs — group count, total/min rows from write-time stats,
+    how many groups a pending merge-on-read delete covers, and the
+    small-files count that drives compaction policy — all answered
+    WITHOUT opening a data file (manifest metadata only; the pinned
+    numbers come from the same frame a WHERE n_rows < threshold
+    compaction query would filter)."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable
+
+    o = _densified_orders(spark, sf_dir).drop("status", "cents")
+    quarter = o.count() // 4
+    o = o.filter(F.col("k") <= 4 * quarter).localCheckpoint(eager=True)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_if_"))
+    try:
+        # group sizes [2q, q, q]: the half-sized first group makes the
+        # small-files predicate discriminate
+        t.commit(o.filter(F.col("k") <= 2 * quarter), mode="overwrite")
+        t.commit(
+            o.filter(F.col("k").between(2 * quarter + 1, 3 * quarter)),
+            mode="append",
+        )
+        # a MoR delete: its applies_to scope covers the two groups
+        # present NOW, not the one appended after
+        t.delete_where(
+            spark,
+            F.col("k") == 1,
+            strategy="merge-on-read",
+            key_cols=["k"],
+        )
+        t.commit(o.filter(F.col("k") > 3 * quarter), mode="append")
+        files = t.inspect_files(spark)
+        out = files.agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+            F.min("n_rows").cast("bigint").alias("min_rows"),
+            F.sum(F.col("has_pending_deletes").cast("bigint"))
+            .cast("bigint")
+            .alias("n_covered_by_deletes"),
+            F.sum(
+                (F.col("n_rows") <= F.lit(quarter)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_small"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
     return out
