@@ -323,17 +323,42 @@ class JsonlShardDataSource(DataSource):
 # ---------------------------------------------------------------------------
 
 
+def _branch_meta_root(path: str, branch: str | None) -> str | None:
+    """Manifest root for a named branch (None = main). Validates the
+    branch exists so a typo fails with the live-branch list instead of
+    a bare missing-manifest error."""
+    if not branch:
+        return None
+    import os
+
+    from .versioned import VersionedTable, _check_ref_name
+
+    _check_ref_name(branch)
+    root = os.path.join(path, "_refs", "branches", branch)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"no such branch {branch!r} at {path} (live branches: "
+            f"{VersionedTable(path).branches()})"
+        )
+    return root
+
+
 def _changefeed_added_groups(
-    path: str, lo: int, hi: int, ignore_changes: bool
+    path: str,
+    lo: int,
+    hi: int,
+    ignore_changes: bool,
+    meta_root: str | None = None,
 ) -> list[tuple[int, str]]:
     """(version, group-relpath) pairs ADDED by snapshots [lo, hi], in
     commit order — the one walk both changefeed readers share, so the
     append-only contract and the vacuum-expiry remedy behave
     identically whether batches materialize on the driver (simple
-    reader) or on executors (partitioned reader)."""
+    reader) or on executors (partitioned reader). ``meta_root``
+    selects a branch's manifest chain (data groups stay table-rooted)."""
     from .versioned import VersionedTable
 
-    t = VersionedTable(path)
+    t = VersionedTable(path, _meta_root=meta_root)
 
     def manifest_or_expired(v: int) -> dict:
         try:
@@ -358,6 +383,9 @@ def _changefeed_added_groups(
             or mode.startswith(
                 ("rename_column:", "drop_column:", "widen_column:")
             )
+            # a branch's v0 is a metadata COPY of the fork manifest:
+            # adds nothing, retracts nothing (its 'added' is [])
+            or mode.startswith("branch_fork:")
             # a write-audit-publish fast-forward that only ADDED data
             # (publish_branch verifies: every fork group retained, no
             # new delete entries); a publish that rewrote/deleted is
@@ -395,6 +423,7 @@ def _admitted_end(
     max_versions: int,
     max_files: int,
     max_bytes: int = 0,
+    meta_root: str | None = None,
 ) -> int:
     """Admission control for changefeed catch-up (Delta's
     maxFilesPerTrigger / Iceberg's max-files-per-micro-batch): bound
@@ -414,7 +443,7 @@ def _admitted_end(
     if max_versions > 0:
         end = min(end, lo + max_versions)
     if (max_files > 0 or max_bytes > 0) and end > lo:
-        t = VersionedTable(path)
+        t = VersionedTable(path, _meta_root=meta_root)
         files, nbytes, admitted, v = 0, 0, lo, lo
         while v < end:
             try:
@@ -560,6 +589,11 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self.starting = str(options.get("startingversion", "earliest"))
+        # .option("branch", name): tail the branch's commit chain —
+        # the audit side of write-audit-publish watches staging land
+        self._meta = _branch_meta_root(
+            self.path, options.get("branch")
+        )
         t = self._table()
         latest = t.latest_version()
         if latest is None:
@@ -581,7 +615,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
     def _table(self):
         from .versioned import VersionedTable
 
-        return VersionedTable(self.path)
+        return VersionedTable(self.path, _meta_root=self._meta)
 
     def initialOffset(self) -> dict:
         if self.starting == "earliest":
@@ -613,7 +647,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         colmap = {**colmap, **self._pinned_colmap}
         rows: list[tuple] = []
         for _v, g in _changefeed_added_groups(
-            self.path, lo, hi, self.ignore_changes
+            self.path, lo, hi, self.ignore_changes, self._meta
         ):
             mapping = colmap.get(g) or {}
             current = {
@@ -642,7 +676,9 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
             return iter([]), start
         mv, mf, mb = _trigger_limits(self._options)
         end = (
-            _admitted_end(self.path, lo, latest + 1, mv, mf, mb)
+            _admitted_end(
+                self.path, lo, latest + 1, mv, mf, mb, self._meta
+            )
             if (mv or mf or mb)
             else latest + 1
         )
@@ -702,6 +738,9 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self.starting = str(options.get("startingversion", "earliest"))
+        self._meta = _branch_meta_root(
+            self.path, options.get("branch")
+        )
         (
             self.max_versions,
             self.max_files,
@@ -734,7 +773,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
     def _table(self):
         from .versioned import VersionedTable
 
-        return VersionedTable(self.path)
+        return VersionedTable(self.path, _meta_root=self._meta)
 
     def _starting_offset(self) -> int:
         if self.starting == "earliest":
@@ -761,6 +800,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         end = _admitted_end(
             self.path, lo, head,
             self.max_versions, self.max_files, self.max_bytes,
+            self._meta,
         )
         self._floor = end
         return {"next_version": end}
@@ -789,7 +829,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         colmap = {**colmap, **self._pinned_colmap}
         parts: list[InputPartition] = []
         for _v, g in _changefeed_added_groups(
-            self.path, lo, hi, self.ignore_changes
+            self.path, lo, hi, self.ignore_changes, self._meta
         ):
             d = os.path.join(self.path, g)
             for name in sorted(os.listdir(d)):
@@ -843,6 +883,11 @@ class TableChangefeedDataSource(DataSource):
     batches instead of one backlog-sized batch, keeping checkpoint
     granularity and retry cost proportional to the trigger. Both
     readers honor both options; unset = unbounded (the old behavior).
+
+    ``.option("branch", name)`` tails a BRANCH's commit chain instead
+    of main — the audit side of write-audit-publish watches staged
+    commits land as they happen (data stays table-rooted; only the
+    manifest chain differs). Offsets are branch-local versions.
     """
 
     @classmethod
@@ -852,7 +897,12 @@ class TableChangefeedDataSource(DataSource):
     def schema(self):
         from .versioned import VersionedTable, _schema_from_json
 
-        t = VersionedTable(self.options["path"])
+        t = VersionedTable(
+            self.options["path"],
+            _meta_root=_branch_meta_root(
+                self.options["path"], self.options.get("branch")
+            ),
+        )
         latest = t.latest_version()
         if latest is None:
             raise FileNotFoundError(
@@ -920,6 +970,22 @@ class VersionedTableReader(DataSourceReader):
         self.version = int(v) if v is not None else None
         ts = options.get("timestampasof")  # option keys arrive lowercased
         self.as_of_timestamp = float(ts) if ts is not None else None
+        # refs: .option("branch", name) reads the branch head (version/
+        # timestampAsOf then resolve within the branch chain);
+        # .option("tag", name) pins the tag's main-chain version
+        self._meta = _branch_meta_root(path, options.get("branch"))
+        tag = options.get("tag")
+        if tag is not None:
+            if self._meta is not None:
+                raise ValueError(
+                    "tag= pins a main-chain version; it cannot combine "
+                    "with branch="
+                )
+            if self.version is not None:
+                raise ValueError("pass option 'version' OR 'tag', not both")
+            from .versioned import VersionedTable
+
+            self.version = VersionedTable(path).tag_version(tag)
         if self.version is not None and self.as_of_timestamp is not None:
             raise ValueError(
                 "pass option 'version' OR 'timestampAsOf', not both"
@@ -936,7 +1002,7 @@ class VersionedTableReader(DataSourceReader):
     def _manifest(self) -> dict:
         from .versioned import VersionedTable
 
-        t = VersionedTable(self.path)
+        t = VersionedTable(self.path, _meta_root=self._meta)
         version = self.version
         if version is None and self.as_of_timestamp is not None:
             version = t.version_as_of(self.as_of_timestamp)
@@ -1105,11 +1171,14 @@ class VersionedTableReader(DataSourceReader):
 class VersionedTableDataSource(DataSource):
     """``spark.dataSource.register(VersionedTableDataSource)`` then
     ``spark.read.format("versioned_table").option("path", p).load()``.
-    Options: ``version`` (time travel), and ``min.<col>`` /
-    ``max.<col>`` bound pairs — an EXACT range view whose groups are
-    pruned via the manifest's commit-time column stats before a single
-    file is opened (option keys arrive lowercased, so bound columns
-    must be lower-case — all fixture schemas are). Bounds live in the
+    Options: ``version`` (time travel), ``tag`` (read the snapshot a
+    named tag pins), ``branch`` (read a branch head; version/
+    timestampAsOf then resolve within the branch chain), and
+    ``min.<col>`` / ``max.<col>`` bound pairs — an EXACT range view
+    whose groups are pruned via the manifest's commit-time column
+    stats before a single file is opened (option keys arrive
+    lowercased, so bound columns must be lower-case — all fixture
+    schemas are). Bounds live in the
     load() options rather than Catalyst pushFilters deliberately; see
     the module comment for the measured scan-caching hazard."""
 

@@ -1836,6 +1836,7 @@ class VersionedTable:
         where: dict | None = None,
         where_expr=None,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``where={col: (lo, hi)}`` (either bound may
         be None) prunes whole file GROUPS via the manifest column stats
@@ -1874,12 +1875,29 @@ class VersionedTable:
 
         ``tag="name"`` reads the snapshot a tag pins (VERSION AS OF
         the tag's version) — mutually exclusive with version/
-        as_of_timestamp."""
+        as_of_timestamp. ``branch="name"`` reads the branch's head
+        (version/as_of compose and resolve within the BRANCH's chain;
+        tag does not — tags pin main-chain versions) — sugar for
+        ``self.branch(name).read()``."""
+        if branch is not None:
+            if tag is not None:
+                raise ValueError(
+                    "tag= pins a main-chain version; it cannot combine "
+                    "with branch="
+                )
+            return self.branch(branch).read(
+                spark,
+                version=version,
+                as_of_timestamp=as_of_timestamp,
+                where=where,
+                where_expr=where_expr,
+            )
         if sum(x is not None for x in (version, as_of_timestamp, tag)) > 1:
             raise ValueError(
                 "pass ONE of version, as_of_timestamp, tag"
             )
         if tag is not None:
+            self._require_main("read(tag=)")  # tags pin MAIN versions
             version = self.tag_version(tag)
         pinned = version is not None
         for attempt in range(3):
@@ -3860,6 +3878,13 @@ class VersionedTable:
             ],
             "delete_entries": list(bm.get("delete_entries") or []),
             "stats": dict(bm.get("stats") or {}),
+            # lineage: which audited state this publish reproduces —
+            # the audit trail a WAP pipeline's operator asks for
+            "published_from": {
+                "branch": name,
+                "head": int(bh),
+                "fork": fork_v,
+            },
         }
         for k in ("colmap", "castmap"):
             if bm.get(k):

@@ -303,3 +303,105 @@ class TestPublish:
         assert os.path.isdir(
             os.path.join(t.path, "_refs", "branches", "dev", "_manifests")
         )
+
+
+class TestRefsReaders:
+    """Refs through the reader surfaces: read(branch=/tag=) sugar, the
+    versioned_table batch DataSource's branch/tag options, and the
+    changefeed's .option("branch", ...) — the audit side of WAP tails
+    staging as commits land."""
+
+    def _staged(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.create_tag("gold")
+        b = t.create_branch("stage")
+        b.commit(
+            spark.createDataFrame([(50, 1)], "k long, v long"),
+            mode="append",
+        )
+        b.commit(
+            spark.createDataFrame([(51, 2)], "k long, v long"),
+            mode="append",
+        )
+        return t
+
+    def test_read_branch_sugar(self, spark, tmp_path):
+        t = self._staged(spark, tmp_path)
+        assert sorted(_rows(spark, t, branch="stage")) == list(
+            range(8)
+        ) + [50, 51]
+        # version resolves within the BRANCH chain
+        assert len(_rows(spark, t, branch="stage", version=1)) == 9
+        with pytest.raises(ValueError, match="cannot combine"):
+            t.read(spark, branch="stage", tag="gold")
+        b = t.branch("stage")
+        with pytest.raises(ValueError, match="branch handle"):
+            b.read(spark, tag="gold")
+
+    def test_batch_datasource_refs_options(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            VersionedTableDataSource,
+        )
+
+        spark.dataSource.register(VersionedTableDataSource)
+        t = self._staged(spark, tmp_path)
+
+        def base():
+            # a fresh reader each time: .option() MUTATES the reader
+            return spark.read.format("versioned_table").option(
+                "path", t.path
+            )
+
+        got = sorted(
+            r["k"]
+            for r in base().option("branch", "stage").load().collect()
+        )
+        assert got == list(range(8)) + [50, 51]
+        assert sorted(
+            r["k"] for r in base().option("tag", "gold").load().collect()
+        ) == list(range(8))
+        with pytest.raises(Exception, match="no such branch"):
+            base().option("branch", "nope").load().collect()
+        with pytest.raises(Exception, match="cannot combine"):
+            base().option("branch", "stage").option(
+                "tag", "gold"
+            ).load().collect()
+
+    @pytest.mark.parametrize("reader", ["partitioned", "simple"])
+    def test_changefeed_tails_branch(self, spark, tmp_path, reader):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = self._staged(spark, tmp_path)
+        out = str(tmp_path / f"out_{reader}")
+        r = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("branch", "stage")
+            .option("maxversionspertrigger", "1")
+        )
+        if reader == "simple":
+            r = r.option("reader", "simple")
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ck_{reader}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        ks = sorted(row["k"] for row in spark.read.parquet(out).collect())
+        # the fork v0 is a metadata copy (added=[]): only the STAGED
+        # commits stream; main's pre-fork rows don't re-emit
+        assert ks == [50, 51]
+
+    def test_publish_lineage_recorded(self, spark, tmp_path):
+        t = self._staged(spark, tmp_path)
+        pv = t.publish_branch("stage")
+        lineage = t._load_manifest(pv)["published_from"]
+        assert lineage == {"branch": "stage", "head": 2, "fork": 0}
