@@ -20,6 +20,10 @@ driver's value-hash gate.
 * lake_inspect_files — metadata inspection ($files shape): group
   counts, stats-served row totals, pending-delete coverage, and the
   small-files compaction query, all without opening a data file.
+* market_basket_lift — association mining (co-occurrence/lift) with
+  the distinct-(order,brand)-first shape that bounds pair generation.
+* events_markov_transitions — first-order Markov transition matrix
+  over per-user event sequences, exact integer-ppm probabilities.
 
 Reference parity: the reference's writer lifecycle (SURVEY §3.1,
 internal/writer/writer.go) stages rows before they become visible to
@@ -436,3 +440,161 @@ def lake_inspect_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
     return out
+
+
+@register(
+    "market_basket_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+    bc AS (SELECT brand, COUNT(*) AS n FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             COUNT(*) AS n_co
+      FROM ob a JOIN ob b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b,
+           CAST(p.n_co AS BIGINT) AS n_co,
+           CAST((p.n_co * t.n_orders * 1000000)
+                // (ca.n * cb.n) AS BIGINT) AS lift_ppm
+    FROM pairs p, tot t
+    JOIN bc ca ON ca.brand = p.brand_a
+    JOIN bc cb ON cb.brand = p.brand_b
+    WHERE p.n_co >= 2
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (the co-occurrence/lift family
+    — Agrawal's A-Priori first pass) over order contents. Scale shape:
+    project to DISTINCT (order, brand) FIRST — that caps the
+    within-order self-join at |brands| = 25 rows per order (<=300
+    pairs) regardless of line count, the move that keeps pair
+    generation linear in orders at 100 TB; brand marginals broadcast.
+    Lift in exact integer ppm (co * N * 1e6 // (n_a * n_b)) so the
+    hash is reduction-order-immune across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    ob = (
+        li.join(F.broadcast(pt), "l_partkey")
+        .select("okey", "brand")
+        .distinct()
+    )
+    tot = ob.select("okey").distinct().count()
+    bc = ob.groupBy("brand").agg(F.count("*").alias("n"))
+    a = ob.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(bc.withColumnRenamed("brand", "brand_a")
+                        .withColumnRenamed("n", "na")),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(bc.withColumnRenamed("brand", "brand_b")
+                        .withColumnRenamed("n", "nb")),
+            "brand_b",
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            # decimal(38,0) keeps the product exact where long would
+            # overflow (15M orders squared * 1e6 > 2^63) and FLOOR of
+            # a decimal quotient matches DuckDB's integer // exactly —
+            # a double quotient can round up across the floor boundary
+            F.floor(
+                F.col("n_co").cast("decimal(38,0)")
+                * F.lit(int(tot))
+                * F.lit(1000000)
+                / (
+                    F.col("na").cast("decimal(38,0)")
+                    * F.col("nb")
+                )
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    tr AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    marg AS (
+      SELECT from_type, SUM(n) AS total FROM tr GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n,
+           CAST((t.n * 1000000) // m.total AS BIGINT) AS prob_ppm
+    FROM tr t JOIN marg m ON m.from_type = t.from_type
+    """,
+)
+def events_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the session-flow model behind next-action prediction
+    and anomaly scoring). One window (partition by user, order by
+    ts + event_id for a total order under timestamp ties) produces the
+    bigram stream; transition probabilities are exact integer ppm per
+    source state. Scale: the shuffle is keyed on user_id (the natural
+    partitioning of behavioral data); no per-user data ever
+    concentrates on the driver."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    tr = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    marg = tr.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        tr.join(F.broadcast(marg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.floor(
+                F.col("n").cast("decimal(38,0)")
+                * F.lit(1000000)
+                / F.col("total")
+            )
+            .cast("bigint")
+            .alias("prob_ppm"),
+        )
+    )
