@@ -787,3 +787,66 @@ class TestLateRound6Plans:
         assert "BroadcastHashJoin" in plan  # 64-row moment table
         assert "CartesianProduct" not in plan
         assert "TakeOrderedAndProject" in plan  # global top-20, no sort
+
+
+class TestRound11Plans:
+    def test_market_basket_broadcasts_and_bounded_pairs(
+        self, spark, sf_dir
+    ):
+        """The association-mining shape: part dim broadcast into the
+        lineitem join, brand marginals broadcast into the pair frame,
+        and the within-order self-join keyed on okey (an equi-join —
+        never a cartesian product)."""
+        plan = physical_plan(spark, sf_dir, "market_basket_lift")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the distinct-(order,brand) projection precedes the self-join
+        assert "HashAggregate" in plan
+
+    def test_markov_transitions_single_user_shuffle(self, spark, sf_dir):
+        """One window keyed on user_id; the marginal join broadcasts;
+        no cartesian anywhere."""
+        plan = physical_plan(spark, sf_dir, "events_markov_transitions")
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_table_changes_scans_only_added_groups(self, spark, sf_dir):
+        """Batch CDC plans one parquet scan per commit signature over
+        ADDED groups only — no driver-side row materialization
+        (the plan contains real FileScans, not a LocalTableScan of
+        collected rows)."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.io.tables import load_table
+        from file_stream_import_spark.io.versioned import (
+            VersionedTable,
+            table_changes,
+        )
+
+        t = VersionedTable(tempfile.mkdtemp(prefix="plan_tc_"))
+        try:
+            o = load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("k")
+            )
+            t.commit(o.limit(50), mode="overwrite")
+            t.commit(o.limit(20), mode="append")
+            df = table_changes(t, spark, 1)
+            qe = df._jdf.queryExecution()
+            mode = (
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            plan = qe.explainString(mode)
+            assert "Scan parquet" in plan
+            assert "LocalTableScan" not in plan
+            # one version -> ONE scan, no union (formatted explain
+            # prints each node twice: tree + details)
+            assert "Union" not in plan
+            assert plan.count("Scan parquet") == 2
+        finally:
+            shutil.rmtree(t.path, ignore_errors=True)

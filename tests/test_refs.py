@@ -405,3 +405,57 @@ class TestRefsReaders:
         pv = t.publish_branch("stage")
         lineage = t._load_manifest(pv)["published_from"]
         assert lineage == {"branch": "stage", "head": 2, "fork": 0}
+
+
+class TestStreamingWAP:
+    def test_stream_into_branch_then_publish(self, spark, tmp_path):
+        """The full streaming write-audit-publish pipeline, by
+        composition: a stream lands micro-batches on a STAGING branch
+        through the exactly-once writer (txn epochs live in the
+        branch's manifests), main never sees a row mid-stream, and
+        publish_branch flips the audited result into main atomically.
+        Replayed epochs stay no-ops on the branch."""
+        from file_stream_import_spark.io.versioned import (
+            make_idempotent_table_writer,
+        )
+
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("ingest")
+        w = make_idempotent_table_writer(b, "wap_stream")
+
+        src = str(tmp_path / "drops")
+        batch0 = spark.createDataFrame(
+            [(100, 1), (101, 2)], "k long, v long"
+        )
+        batch1 = spark.createDataFrame([(102, 3)], "k long, v long")
+        batch0.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(w)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            batch1.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        assert len(_rows(spark, t)) == 8  # main untouched mid-audit
+        staged = _rows(spark, b)
+        assert {k: staged[k] for k in (100, 101, 102)} == {
+            100: 1, 101: 2, 102: 3,
+        }
+        # replayed epoch: no-op on the branch
+        v_before = b.latest_version()
+        w(batch1, 1)
+        assert b.latest_version() == v_before
+
+        t.publish_branch("ingest")
+        main = _rows(spark, t)
+        assert len(main) == 11 and main[102] == 3
