@@ -24,6 +24,10 @@ driver's value-hash gate.
   the distinct-(order,brand)-first shape that bounds pair generation.
 * events_markov_transitions — first-order Markov transition matrix
   over per-user event sequences, exact integer-ppm probabilities.
+* stream_branch_audit — the audit side of WAP as a REAL stream: a
+  changefeed tails the staging branch (branch-local offsets), two
+  staged commits arrive as two bounded micro-batches (pinned), and
+  main's isolation during the audit is pinned.
 
 Reference parity: the reference's writer lifecycle (SURVEY §3.1,
 internal/writer/writer.go) stages rows before they become visible to
@@ -598,3 +602,103 @@ def events_markov_transitions(
             .alias("prob_ppm"),
         )
     )
+
+
+@register(
+    "stream_branch_audit",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 3 AS third FROM base),
+    staged AS (
+      SELECT b.* FROM base b, p
+      WHERE b.k > p.third AND b.k <= 3 * p.third
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_staged,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(2 AS INT) AS n_batches,
+           CAST((SELECT third FROM p) AS BIGINT) AS main_rows_during_audit
+    FROM staged GROUP BY status
+    """,
+)
+def stream_branch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIT side of write-audit-publish as a real stream: a
+    changefeed with .option('branch', 'stage') tails the staging
+    branch's commits as they land (io/pysource.py — branch-local
+    offsets through the same executor-parallel reader). Two staged
+    commits arrive as two bounded micro-batches (PINNED); the fork's
+    metadata-copy v0 emits nothing (its added-delta is empty), so the
+    auditor sees exactly the staged rows — and main's row count during
+    the audit (PINNED) proves isolation the whole time."""
+    import shutil
+    import tempfile
+
+    from ..io.pysource import TableChangefeedDataSource
+    from ..io.versioned import VersionedTable
+
+    o = _densified_orders(spark, sf_dir)
+    third = o.count() // 3
+    o = o.filter(F.col("k") <= 3 * third).localCheckpoint(eager=True)
+    spark.dataSource.register(TableChangefeedDataSource)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_ba_"))
+    ckpt = tempfile.mkdtemp(prefix="lake_ba_ck_")
+    batches: list[list] = []
+    try:
+        t.commit(o.filter(F.col("k") <= third), mode="overwrite")
+        b = t.create_branch("stage")
+        b.commit(
+            o.filter(F.col("k").between(third + 1, 2 * third)),
+            mode="append",
+        )
+        b.commit(o.filter(F.col("k") > 2 * third), mode="append")
+
+        def sink(df, _bid):
+            rows = [
+                (r["k"], r["status"], r["cents"]) for r in df.collect()
+            ]
+            if rows:
+                batches.append(rows)
+
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("branch", "stage")
+            .option("startingversion", "earliest")
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        main_rows = t.read(spark).count()
+        n_batches = len(batches)
+        all_rows = [r for bb in batches for r in bb]
+        out = (
+            spark.createDataFrame(
+                all_rows, "k bigint, status string, cents bigint"
+            )
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_staged"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn("n_batches", F.lit(n_batches))
+            .withColumn(
+                "main_rows_during_audit",
+                F.lit(main_rows).cast("bigint"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
