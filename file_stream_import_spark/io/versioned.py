@@ -3837,6 +3837,22 @@ class VersionedTable:
         self._require_main("publish_branch")
         b = self.branch(name)
         bh = b.latest_version()
+        if bh == 0:
+            # nothing staged beyond the fork's metadata copy: a
+            # fast-forward to an unchanged branch is a NO-OP (no new
+            # main version, no changefeed noise), like git's
+            main_latest = self.latest_version()
+            try:
+                fork_v = int(b._load_manifest(0)["fork"]["version"])
+            except (FileNotFoundError, KeyError):
+                fork_v = None
+            if fork_v is not None and main_latest != fork_v:
+                raise CommitConflictError(
+                    f"main advanced past branch {name!r}'s fork point "
+                    f"(fork {fork_v}, main {main_latest}) — recreate "
+                    "the branch from the current head and re-audit"
+                )
+            return main_latest
         bm = b._load_manifest(bh)
         try:
             fork_v = int(b._load_manifest(0)["fork"]["version"])
@@ -5169,7 +5185,13 @@ def table_changes(
     declared = _schema_from_json(m_hi["schema"])
     by_v: dict[int, list[str]] = {}
     for v, g in _changefeed_added_groups(
-        table.path, lo, hi, ignore_changes
+        table.path,
+        lo,
+        hi,
+        ignore_changes,
+        # a BRANCH handle's changes walk ITS manifest chain (versions
+        # are branch-local), not main's
+        table._meta_root if table.is_branch else None,
     ):
         by_v.setdefault(v, []).append(g)
     empty = spark.createDataFrame([], schema=declared).select(

@@ -181,3 +181,23 @@ class TestTableChanges:
             ).collect()
         )
         assert ks == [0, 1, 2, 3, 10, 11]  # 0,1 still reported
+
+    def test_table_changes_on_branch_handle(self, spark, tmp_path):
+        """A branch handle's table_changes walks the BRANCH chain
+        (branch-local versions), not main's — staged commits are
+        visible as inserts attributed to branch versions."""
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("stage")
+        b.commit(
+            spark.createDataFrame([(50, 1)], "k long, v long"),
+            mode="append",
+        )
+        t.commit(
+            spark.createDataFrame([(60, 2)], "k long, v long"),
+            mode="append",
+        )  # main noise the branch walk must not see
+        got = {
+            (r["k"], r["_commit_version"])
+            for r in table_changes(b, spark, 1).collect()
+        }
+        assert got == {(50, 1)}

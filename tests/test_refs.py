@@ -459,3 +459,22 @@ class TestStreamingWAP:
         t.publish_branch("ingest")
         main = _rows(spark, t)
         assert len(main) == 11 and main[102] == 3
+
+
+class TestPublishNoOp:
+    def test_publish_unchanged_branch_is_noop(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.create_branch("idle")
+        v = t.latest_version()
+        assert t.publish_branch("idle") == v
+        assert t.latest_version() == v  # no duplicate snapshot
+
+    def test_noop_publish_still_checks_fork(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.create_branch("idle")
+        t.commit(
+            spark.createDataFrame([(60, 2)], "k long, v long"),
+            mode="append",
+        )
+        with pytest.raises(CommitConflictError, match="fork point"):
+            t.publish_branch("idle")
