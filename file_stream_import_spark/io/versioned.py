@@ -1024,6 +1024,11 @@ def _history_row(version: int, m: dict) -> dict:
         "mode": m.get("mode"),
         "n_groups": len(m.get("groups", [])),
         "txn": m.get("txn") or {},
+        # carried so inspect_history stays checkpoint-served (a
+        # pre-r11 checkpoint lacks these; readers fall back to the
+        # manifest for exactly those rows)
+        "committed_at": m.get("committed_at"),
+        "n_added": len(m.get("added") or []),
     }
 
 
@@ -2815,21 +2820,26 @@ class VersionedTable:
     def inspect_history(self, spark: SparkSession) -> DataFrame:
         """DESCRIBE HISTORY as a DataFrame: one row per retained
         snapshot with version, parent, mode, commit instant, and
-        group/added counts — history() (checkpoint-served) plus the
-        added-delta size, loading only manifests the checkpoint
-        doesn't cover."""
+        group/added counts — checkpoint-served like history(); a
+        manifest is loaded only for rows a pre-r11 checkpoint recorded
+        without the instant/added fields."""
         rows = []
         for h in self.history():
             v = int(h["version"])
-            m = self._load_manifest(v)
+            if "committed_at" in h and "n_added" in h:
+                ts, n_added = h["committed_at"], h["n_added"]
+            else:  # legacy checkpoint row: fall back to the manifest
+                m = self._load_manifest(v)
+                ts = m.get("committed_at")
+                n_added = len(m.get("added") or [])
             rows.append(
                 (
                     v,
                     h.get("parent"),
                     str(h.get("mode")),
-                    float(m.get("committed_at") or 0.0),
+                    float(ts or 0.0),
                     int(h.get("n_groups") or 0),
-                    len(m.get("added") or []),
+                    int(n_added),
                 )
             )
         return spark.createDataFrame(
