@@ -26,6 +26,13 @@ key-box layout evolving as merges add groups."""
 from __future__ import annotations
 
 import uuid
+import os
+
+# soak knob: SPARK_GRAFT_FUZZ_EXAMPLES=N runs N hypothesis examples
+# (default 6 for CI speed); setting it also turns derandomize OFF so a
+# soak explores NEW seeds instead of replaying the fixed corpus
+_FUZZ_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "6"))
+_FUZZ_DERANDOMIZE = "SPARK_GRAFT_FUZZ_EXAMPLES" not in os.environ
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -115,14 +122,14 @@ def _run(table, spark, op: tuple, base: int) -> bool:
 
 class TestConcurrencyFuzz:
     @settings(
-        max_examples=6,
+        max_examples=_FUZZ_EXAMPLES,
         deadline=None,
         suppress_health_check=[
             HealthCheck.too_slow,
             HealthCheck.function_scoped_fixture,
             HealthCheck.data_too_large,
         ],
-        derandomize=True,
+        derandomize=_FUZZ_DERANDOMIZE,
     )
     @given(pairs=st.lists(pair_st, min_size=2, max_size=5))
     def test_pinned_pairs_match_model_of_landed_ops(

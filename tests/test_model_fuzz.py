@@ -40,6 +40,13 @@ value is in the INTERLEAVINGS, not the data volume.
 from __future__ import annotations
 
 import uuid
+import os
+
+# soak knob: SPARK_GRAFT_FUZZ_EXAMPLES=N runs N hypothesis examples
+# (default 6 for CI speed); setting it also turns derandomize OFF so a
+# soak explores NEW seeds instead of replaying the fixed corpus
+_FUZZ_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "6"))
+_FUZZ_DERANDOMIZE = "SPARK_GRAFT_FUZZ_EXAMPLES" not in os.environ
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -345,14 +352,14 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
 
 class TestModelFuzz:
     @settings(
-        max_examples=6,
+        max_examples=_FUZZ_EXAMPLES,
         deadline=None,
         suppress_health_check=[
             HealthCheck.too_slow,
             HealthCheck.function_scoped_fixture,
             HealthCheck.data_too_large,
         ],
-        derandomize=True,
+        derandomize=_FUZZ_DERANDOMIZE,
     )
     @given(
         init=rows_st,
