@@ -5237,6 +5237,102 @@ def table_changes(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def table_changes_rows(
+    table: VersionedTable,
+    spark: SparkSession,
+    from_version: int,
+    to_version: int | None = None,
+    key: str | list[str] = "id",
+) -> DataFrame:
+    """Row-level change-data-feed between snapshots (Delta's CDF read
+    shape, computed READ-SIDE): for each version v in [from_version,
+    to_version], the exact row delta vs v-1 — ``_change_type`` in
+    ('I','U','D') with ``old``/``new`` payload structs and
+    ``_commit_version`` — so a consumer can replay precisely what each
+    commit did to each key, including deletes and rewrites the
+    append-only ``table_changes`` cannot express.
+
+    Built on snapshot_diff per adjacent version pair, so each pair
+    reads O(its delta) via the manifest-aware shared-group skip — a
+    bounded nightly range of k commits costs k pruned diffs, never
+    k table scans. from_version=0 emits version 0's rows as inserts.
+
+    Contract inherited from snapshot_diff: snapshots must be
+    key-unique on ``key`` (merge/apply_changes-maintained tables;
+    raw-append tables with duplicate keys raise). Payload structs are
+    aligned BY NAME to the END version's schema (missing columns read
+    NULL); a rename INSIDE the range is folded per pair by
+    snapshot_diff, but versions before the rename align to the end
+    names only through that fold — consume per-pair snapshot_diff
+    directly for exotic multi-rename ranges."""
+    from functools import reduce
+
+    keys = [key] if isinstance(key, str) else list(key)
+    hi = (
+        table.latest_version() if to_version is None else int(to_version)
+    )
+    if hi is None:
+        raise FileNotFoundError(f"no snapshots at {table.path}")
+    lo = int(from_version)
+    declared = _schema_from_json(table._load_manifest(hi)["schema"])
+    payload_fields = [f for f in declared.fields if f.name not in keys]
+
+    def realign(d: DataFrame) -> DataFrame:
+        """Project old/new structs to the END version's payload
+        fields by name (missing -> typed NULL), preserving NULL
+        structs so IS NULL change semantics survive."""
+        out = d
+        for side in ("old", "new"):
+            have = set(out.schema[side].dataType.names)
+            inner = [
+                (
+                    F.col(f"{side}.{f.name}")
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in payload_fields
+            ]
+            out = out.withColumn(
+                side,
+                F.when(
+                    F.col(side).isNull(), F.lit(None)
+                ).otherwise(F.struct(*inner)),
+            )
+        return out
+
+    parts: list[DataFrame] = []
+    for v in range(lo, hi + 1):
+        if v == 0:
+            m0 = table._load_manifest(0)
+            df0 = table._read_groups(spark, m0, list(m0["groups"]))
+            pay0 = [c for c in df0.columns if c not in keys]
+            base = df0.select(
+                *keys,
+                F.lit("I").alias("change"),
+                F.struct(*pay0).alias("new"),
+            )
+            d = base.select(
+                *keys,
+                "change",
+                F.lit(None)
+                .cast(base.schema["new"].dataType)
+                .alias("old"),
+                "new",
+            )
+        else:
+            d = snapshot_diff(table, spark, v - 1, v, keys)
+        parts.append(
+            realign(d).select(
+                *keys,
+                F.col("change").alias("_change_type"),
+                F.lit(v).cast("int").alias("_commit_version"),
+                "old",
+                "new",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def snapshot_diff(
     table: VersionedTable,
     spark: SparkSession,

@@ -28,6 +28,9 @@ driver's value-hash gate.
   changefeed tails the staging branch (branch-local offsets), two
   staged commits arrive as two bounded micro-batches (pinned), and
   main's isolation during the audit is pinned.
+* lake_row_changes — row-level CDF (table_changes_rows, Delta's CDF
+  read shape): exact I/U/D per commit with old/new payload SUMs
+  pinned; each pair diff reads O(delta) via the shared-group skip.
 
 Reference parity: the reference's writer lifecycle (SURVEY §3.1,
 internal/writer/writer.go) stages rows before they become visible to
@@ -701,4 +704,87 @@ def stream_branch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_row_changes",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 4 AS q FROM base)
+    SELECT CAST(0 AS INT) AS commit_version, 'I' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(b.cents) AS BIGINT) AS new_cents,
+           CAST(NULL AS BIGINT) AS old_cents
+    FROM base b, p WHERE b.k <= 2 * p.q
+    UNION ALL
+    SELECT 1, 'U', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(b.cents + 7) AS BIGINT), CAST(SUM(b.cents) AS BIGINT)
+    FROM base b, p WHERE b.k BETWEEN p.q + 1 AND 2 * p.q
+    UNION ALL
+    SELECT 1, 'I', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(b.cents + 7) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM base b, p WHERE b.k BETWEEN 2 * p.q + 1 AND 3 * p.q
+    UNION ALL
+    SELECT 2, 'D', CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(SUM(b.cents) AS BIGINT)
+    FROM base b, p WHERE b.k <= p.q
+    """,
+)
+def lake_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change-data-feed (io/versioned.py::table_changes_rows
+    — Delta's CDF read shape, computed read-side): insert half, MERGE
+    that updates the second quarter (+7 cents) and inserts the third,
+    then a pruned CoW delete of the first quarter. Per (commit,
+    change-type): row counts plus SUMs over the old AND new payload
+    structs — so a wrong preimage, a missed delete, or a change
+    attributed to the wrong commit each breaks the hash. Each pair
+    diff reads O(delta) via the manifest-aware shared-group skip (a
+    k-commit nightly range costs k pruned diffs, never k table
+    scans)."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import (
+        VersionedTable,
+        merge_into,
+        table_changes_rows,
+    )
+
+    o = _densified_orders(spark, sf_dir).drop("status")
+    q = o.count() // 4
+    o = o.filter(F.col("k") <= 4 * q).localCheckpoint(eager=True)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_cdf_"))
+    try:
+        t.commit(o.filter(F.col("k") <= 2 * q), mode="overwrite")
+        merge_into(
+            t,
+            spark,
+            o.filter(F.col("k").between(q + 1, 3 * q)).withColumn(
+                "cents", F.col("cents") + 7
+            ),
+            key="k",
+        )
+        t.delete_where(
+            spark, F.col("k") <= q, prune_where="auto"
+        )
+        out = (
+            table_changes_rows(t, spark, 0, key="k")
+            .groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("new.cents").cast("bigint").alias("new_cents"),
+                F.sum("old.cents").cast("bigint").alias("old_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
     return out

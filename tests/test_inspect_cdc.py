@@ -201,3 +201,107 @@ class TestTableChanges:
             for r in table_changes(b, spark, 1).collect()
         }
         assert got == {(50, 1)}
+
+
+class TestTableChangesRows:
+    """Row-level CDF (table_changes_rows): exact I/U/D per commit with
+    old/new payloads, read-side via manifest-aware snapshot_diff."""
+
+    def _history(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = VersionedTable(str(tmp_path / "cdf"))
+        t.commit(
+            spark.range(4).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            mode="overwrite",
+        )
+        merge_into(
+            t,
+            spark,
+            spark.createDataFrame([(1, 99), (10, 100)], "k long, v long"),
+            key="k",
+        )
+        t.delete_where(spark, F.col("k") == 0)
+        return t
+
+    def test_full_feed(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import (
+            table_changes_rows,
+        )
+
+        t = self._history(spark, tmp_path)
+        got = {
+            (r["k"], r["_commit_version"]): (
+                r["_change_type"],
+                r["old"]["v"] if r["old"] else None,
+                r["new"]["v"] if r["new"] else None,
+            )
+            for r in table_changes_rows(t, spark, 0, key="k").collect()
+        }
+        assert got == {
+            (0, 0): ("I", None, 0),
+            (1, 0): ("I", None, 2),
+            (2, 0): ("I", None, 4),
+            (3, 0): ("I", None, 6),
+            (1, 1): ("U", 2, 99),
+            (10, 1): ("I", None, 100),
+            (0, 2): ("D", 0, None),
+        }
+
+    def test_subrange(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import (
+            table_changes_rows,
+        )
+
+        t = self._history(spark, tmp_path)
+        types = sorted(
+            r["_change_type"]
+            for r in table_changes_rows(t, spark, 1, 1, key="k").collect()
+        )
+        assert types == ["I", "U"]
+
+    def test_evolution_alignment(self, spark, tmp_path):
+        """A column added mid-range: earlier versions' payload structs
+        NULL-fill it under the END schema's field set."""
+        from file_stream_import_spark.io.versioned import (
+            table_changes_rows,
+        )
+
+        t = VersionedTable(str(tmp_path / "evo"))
+        t.commit(
+            spark.createDataFrame([(0, 1)], "k long, v long"),
+            mode="overwrite",
+        )
+        t.commit(
+            spark.createDataFrame([(1, 2, 5)], "k long, v long, w long"),
+            mode="append",
+            allow_evolution=True,
+        )
+        rows = {
+            (r["k"], r["_commit_version"]): r["new"].asDict()
+            for r in table_changes_rows(t, spark, 0, key="k").collect()
+        }
+        assert rows[(0, 0)] == {"v": 1, "w": None}
+        assert rows[(1, 1)] == {"v": 2, "w": 5}
+
+    def test_duplicate_keys_raise(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import (
+            table_changes_rows,
+        )
+
+        t = VersionedTable(str(tmp_path / "dups"))
+        t.commit(
+            spark.createDataFrame([(0, 1)], "k long, v long"),
+            mode="overwrite",
+        )
+        # the duplicate lands INSIDE one diffed group (snapshot_diff's
+        # probe covers the groups the diff reads — a dup straddling a
+        # SHARED group is outside its documented contract)
+        t.commit(
+            spark.createDataFrame([(5, 1), (5, 2)], "k long, v long"),
+            mode="append",
+        )
+        with pytest.raises(ValueError, match="key-unique"):
+            table_changes_rows(t, spark, 1, key="k").collect()
