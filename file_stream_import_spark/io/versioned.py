@@ -82,6 +82,16 @@ class CommitConflictError(RuntimeError):
     """Another writer committed the version this commit targeted."""
 
 
+# the manifest format this engine reads AND writes (Iceberg/Delta
+# protocol-version mechanic): bump when a manifest gains semantics an
+# old reader would silently misread rather than merely ignore
+_FORMAT_VERSION = 1
+
+
+class UnsupportedFormatError(RuntimeError):
+    """The manifest declares a format newer than this reader supports."""
+
+
 # -- per-group column statistics (the Iceberg manifest-stats analog) ----
 #
 # Each commit records min/max/null-count per stats-eligible column for
@@ -1103,7 +1113,21 @@ class VersionedTable:
 
     def _load_manifest(self, version: int) -> dict:
         with open(_manifest_path(self._meta_root, version)) as f:
-            return json.load(f)
+            m = json.load(f)
+        # forward-compat guard (Iceberg/Delta protocol versioning):
+        # a manifest written by a NEWER writer with semantics this
+        # reader can't honor (e.g. a new delete-entry kind) must fail
+        # loudly, not silently misread. Absent = format 1 (all
+        # manifests this engine has ever written).
+        fmt = int(m.get("format", 1))
+        if fmt > _FORMAT_VERSION:
+            raise UnsupportedFormatError(
+                f"manifest v{version} at {self._meta_root} declares "
+                f"format {fmt}, newer than this reader's supported "
+                f"{_FORMAT_VERSION} — upgrade the engine to read "
+                "this table"
+            )
+        return m
 
     def latest_version(self) -> int | None:
         """Newest committed version, resolved in O(1 + commits since
@@ -1475,6 +1499,7 @@ class VersionedTable:
         version = (parent if parent is not None else -1) + 1
         manifest["version"] = version
         manifest["parent"] = parent
+        manifest.setdefault("format", _FORMAT_VERSION)
         import time as _time
 
         parent_manifest = (

@@ -2830,3 +2830,35 @@ class TestBloomBitsPerKey:
             m_hi["stats"][g_hi]["_bloom"]["k"]["m"]
             > m_lo["stats"][g_lo]["_bloom"]["k"]["m"]
         )
+
+
+class TestFormatVersionGuard:
+    def test_future_format_fails_loudly(self, spark, tmp_path):
+        """A manifest written by a NEWER engine (format > supported)
+        must fail with the upgrade remedy, not silently misread —
+        the Iceberg/Delta protocol-version mechanic."""
+        import json
+        import os
+
+        from file_stream_import_spark.io.versioned import (
+            UnsupportedFormatError,
+            VersionedTable,
+            _manifest_path,
+        )
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.createDataFrame([(0, 1)], "k long, v long"),
+            mode="overwrite",
+        )
+        assert t._load_manifest(0)["format"] == 1  # stamped at publish
+        p = _manifest_path(t.path, 0)
+        m = json.load(open(p))
+        m["format"] = 99
+        tmp = p + ".tmp"
+        json.dump(m, open(tmp, "w"))
+        os.replace(tmp, p)
+        with pytest.raises(UnsupportedFormatError, match="format 99"):
+            t.read(spark).collect()
+        with pytest.raises(UnsupportedFormatError):
+            t.count_where(spark)
