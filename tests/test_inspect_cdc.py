@@ -305,3 +305,30 @@ class TestTableChangesRows:
         )
         with pytest.raises(ValueError, match="key-unique"):
             table_changes_rows(t, spark, 1, key="k").collect()
+
+    def test_cdf_on_branch_handle(self, spark, tmp_path):
+        """table_changes_rows on a branch handle walks the branch
+        chain: the staged MERGE's update/insert delta is attributed to
+        the branch-local version."""
+        from file_stream_import_spark.io.versioned import (
+            merge_into,
+            table_changes_rows,
+        )
+
+        t = VersionedTable(str(tmp_path / "cdfb"))
+        t.commit(
+            spark.createDataFrame([(0, 1), (1, 2)], "k long, v long"),
+            mode="overwrite",
+        )
+        b = t.create_branch("stage")
+        merge_into(
+            b,
+            spark,
+            spark.createDataFrame([(1, 99), (5, 50)], "k long, v long"),
+            key="k",
+        )
+        got = {
+            (r["k"], r["_commit_version"], r["_change_type"])
+            for r in table_changes_rows(b, spark, 1, key="k").collect()
+        }
+        assert got == {(1, 1, "U"), (5, 1, "I")}
