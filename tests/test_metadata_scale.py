@@ -395,3 +395,88 @@ class TestVacuumReaderRace:
         monkeypatch.setattr(VersionedTable, "_load_manifest", always)
         with pytest.raises(FileNotFoundError):
             t.read(spark)
+
+
+class TestRefsMetadataScale:
+    """Refs at commit volume: many branches and tags over a ~1k-version
+    chain — pure metadata (no Spark jobs), so the mechanics stay
+    sub-second and the walk costs are pinned by op counting."""
+
+    def _branch_publish(self, b, parent):
+        return b._publish(
+            parent,
+            {
+                "schema": SCHEMA,
+                "groups": [],
+                "mode": "append",
+                "added": [],
+                "delete_entries": [],
+                "stats": {},
+            },
+        )
+
+    def test_many_branches_and_tags(self, table):
+        for i in range(40):
+            b = table.create_branch(f"b{i}", from_version=i * 20)
+            parent = b.latest_version()
+            for _ in range(3):
+                parent = self._branch_publish(b, parent)
+        assert len(table.branches()) == 40
+        for v in range(0, N + 1, 200):
+            table.create_tag(f"t{v}", version=v)
+        assert len(table.tags()) == 6
+
+        # the oldest tag (v0) pins the WHOLE chain through vacuum
+        table.vacuum(keep_versions=1, min_age_seconds=0)
+        assert table.versions()[0] == 0
+
+        # releasing every tag but the newest releases the prefix
+        for v in range(0, N, 200):
+            table.delete_tag(f"t{v}")
+        table.vacuum(keep_versions=1, min_age_seconds=0)
+        assert table.versions() == [1000]
+
+        # branch chains are untouched by main vacuum, and their heads
+        # still resolve through their own hints
+        for i in range(40):
+            b = table.branch(f"b{i}")
+            assert b.latest_version() == 3
+            assert b.versions() == [0, 1, 2, 3]
+
+    def test_vacuum_walk_is_linear_in_branch_manifests(
+        self, table, monkeypatch
+    ):
+        for i in range(10):
+            b = table.create_branch(f"b{i}")
+            parent = b.latest_version()
+            for _ in range(4):
+                parent = self._branch_publish(b, parent)
+
+        calls = {"n": 0}
+        orig = VersionedTable._load_manifest
+
+        def counting(self, version):
+            calls["n"] += 1
+            return orig(self, version)
+
+        monkeypatch.setattr(VersionedTable, "_load_manifest", counting)
+        table.vacuum(keep_versions=1, min_age_seconds=0)
+        # retained main manifests + every branch manifest (10 x 5),
+        # plus O(1) bookkeeping — NOT O(main versions x branches)
+        assert calls["n"] <= 1 + 10 * 5 + 20
+
+    def test_branch_heads_resolve_o1_via_hint(self, table, monkeypatch):
+        b = table.create_branch("hot")
+        parent = b.latest_version()
+        for _ in range(50):
+            parent = self._branch_publish(b, parent)
+        exists_calls = {"n": 0}
+        orig = os.path.exists
+
+        def counting(p):
+            exists_calls["n"] += 1
+            return orig(p)
+
+        monkeypatch.setattr(os.path, "exists", counting)
+        assert table.branch("hot").latest_version() == 50
+        assert exists_calls["n"] <= 3  # hint + forward probe, no walk
