@@ -343,6 +343,217 @@ def _branch_meta_root(path: str, branch: str | None) -> str | None:
     return root
 
 
+def _append_like_mode(mode: str, v: int) -> bool:
+    """The changefeed's append-only classification — ONE predicate so
+    the plain feed, the CDF feed, and the batch table_changes can
+    never drift. Metadata-only evolution commits add no groups and
+    retract nothing — they pass by construction. A branch's v0 is a
+    metadata COPY of the fork manifest (its 'added' is []). A
+    write-audit-publish fast-forward that only ADDED data is committed
+    as publish_branch:<name> (publish_branch verifies: every fork
+    group retained, no new delete entries); a publish that rewrote or
+    deleted is committed as publish_branch_rewrite:<name> and is NOT
+    append-like, exactly like any overwrite."""
+    return (
+        mode == "append"
+        or (mode == "overwrite" and v == 0)
+        or mode.startswith(
+            ("rename_column:", "drop_column:", "widen_column:")
+        )
+        or mode.startswith("branch_fork:")
+        or mode.startswith("publish_branch:")
+    )
+
+
+def _cdf_diff_arrow(
+    path: str,
+    meta_root: str | None,
+    v: int,
+    key_cols: list[str],
+    declared,
+):
+    """Row-level change-data-feed delta of snapshot ``v`` vs ``v-1``
+    as ONE Arrow table — the stream-side twin of the batch
+    ``snapshot_diff`` (io/versioned.py), computed with pyarrow/pandas
+    where the reader runs (driver for the simple reader, one executor
+    task for the partitioned one) because stream readers have no
+    SparkSession. Same manifest-aware skip: groups present in both
+    snapshots contribute identical rows to both sides and are never
+    read, so a pruned MERGE/DELETE diff costs O(its delta), not
+    O(table).
+
+    Output columns: the pinned table fields + ``_change_type``
+    ('insert' | 'delete' | 'update_preimage' | 'update_postimage') +
+    ``_commit_version`` — Delta's CDF row shape. Both sides align BY
+    NAME to the pinned schema through their own manifests' column
+    maps.
+
+    Contract (inherited from snapshot_diff): snapshots must be
+    key-unique on ``key_cols`` (merge/apply_changes-maintained
+    tables); merge-on-read delete entries are not explainable
+    read-side here — compact them away or consume the batch
+    ``table_changes_rows``."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from .versioned import VersionedTable
+
+    t = VersionedTable(path, _meta_root=meta_root)
+    ma, mb = t._load_manifest(v - 1), t._load_manifest(v)
+    for m, lbl in ((ma, v - 1), (mb, v)):
+        if m.get("delete_entries"):
+            raise ValueError(
+                f"snapshot {lbl} carries merge-on-read delete entries; "
+                "readchangedata computes row diffs from data files "
+                "only — compact() the table (rewriting the entries "
+                "away) or consume the batch table_changes_rows / "
+                "snapshot_diff API"
+            )
+    names = [f.name for f in declared.fields]
+    missing = [k for k in key_cols if k not in names]
+    if missing:
+        raise ValueError(
+            f"key column(s) {missing} not in the table schema {names}"
+        )
+    pay = [c for c in names if c not in key_cols]
+    shared = set(ma["groups"]) & set(mb["groups"])
+
+    def side(m) -> "pd.DataFrame":
+        colmap = m.get("colmap") or {}
+        tables = []
+        for g in m["groups"]:
+            if g in shared:
+                continue
+            d = os.path.join(path, g)
+            for fname in sorted(os.listdir(d)):
+                if fname.endswith(".parquet"):
+                    tables.append(
+                        _arrow_align(
+                            pq.read_table(os.path.join(d, fname)),
+                            declared,
+                            colmap.get(g),
+                        )
+                    )
+        if not tables:
+            empty = pa.table(
+                {
+                    f.name: pa.array([], type=to_arrow_type(f.dataType))
+                    for f in declared.fields
+                }
+            )
+            tables = [empty]
+        # arrow-backed dtypes keep ints ints (the numpy path upcasts
+        # nullable int64 to float64, silently corrupting keys past
+        # 2^53 on the way back)
+        return pa.concat_tables(tables).to_pandas(
+            types_mapper=pd.ArrowDtype
+        )
+
+    a, b = side(ma), side(mb)
+    for df, lbl in ((a, v - 1), (b, v)):
+        if len(df) and df.duplicated(subset=key_cols).any():
+            raise ValueError(
+                f"snapshot {lbl} has duplicate keys on {key_cols}; "
+                "readchangedata requires key-unique snapshots "
+                "(merge/apply_changes-maintained tables)"
+            )
+    ind = "__cdf_merge_side"
+    m = a.merge(
+        b, on=key_cols, how="outer", suffixes=("_a", "_b"),
+        indicator=ind,
+    )
+
+    def null_safe_eq(s1, s2):
+        both_na = (s1.isna() & s2.isna()).fillna(False)
+        try:
+            eq = (s1 == s2).fillna(False)
+        except Exception:
+            # nested types (list/struct payloads) compare by value in
+            # python — arrow-backed == is not implemented for them
+            eq = pd.Series(
+                [x == y for x, y in zip(s1.tolist(), s2.tolist())],
+                index=s1.index,
+                dtype=bool,
+            )
+        return (both_na | eq).astype(bool)
+
+    both = m[m[ind] == "both"]
+    if pay and len(both):
+        same = None
+        for c in pay:
+            e = null_safe_eq(both[f"{c}_a"], both[f"{c}_b"])
+            same = e if same is None else (same & e)
+        changed = both[~same]
+    else:
+        changed = both.iloc[0:0]
+
+    def emit(frame, suffix, change):
+        cols = {}
+        for c in names:
+            src = c if c in key_cols or not pay else f"{c}{suffix}"
+            # key-only tables have no suffixed columns
+            if src not in frame.columns:
+                src = c
+            cols[c] = frame[src]
+        out = pd.DataFrame(cols)
+        out["_change_type"] = change
+        return out
+
+    parts = [
+        emit(m[m[ind] == "right_only"], "_b", "insert"),
+        emit(m[m[ind] == "left_only"], "_a", "delete"),
+        emit(changed, "_a", "update_preimage"),
+        emit(changed, "_b", "update_postimage"),
+    ]
+    out = pd.concat(parts, ignore_index=True)
+    out["_commit_version"] = v
+    arrays = []
+    for f in declared.fields:
+        arrays.append(
+            pa.array(
+                out[f.name].tolist(),
+                type=to_arrow_type(f.dataType),
+                from_pandas=True,
+            )
+        )
+    arrays.append(
+        pa.array(out["_change_type"].tolist(), type=pa.string())
+    )
+    arrays.append(
+        pa.array(out["_commit_version"].tolist(), type=pa.int32())
+    )
+    return pa.table(
+        dict(zip(names + ["_change_type", "_commit_version"], arrays))
+    )
+
+
+def _ref_table_or_raise(path: str, meta_root: str | None):
+    """Table handle for the readers' per-trigger calls, with the
+    branch lifecycle contract (r12): a branch dir that EXISTED at
+    stream start but is gone now means delete_branch() landed
+    mid-stream — surface the documented error + remedy instead of the
+    bare FileNotFoundError / silently-regressing offsets a missing
+    manifest chain would otherwise produce."""
+    import os
+
+    from .versioned import BranchDeletedError, VersionedTable
+
+    if meta_root is not None and not os.path.isdir(meta_root):
+        raise BranchDeletedError(
+            f"branch {os.path.basename(meta_root)!r} at {path} was "
+            "deleted while the stream was tailing it (delete_branch "
+            "landed mid-stream); rows already consumed are safely "
+            "checkpointed — re-point the stream at main or a live "
+            "branch with a fresh checkpoint"
+        )
+    return VersionedTable(path, _meta_root=meta_root)
+
+
 def _changefeed_added_groups(
     path: str,
     lo: int,
@@ -356,9 +567,7 @@ def _changefeed_added_groups(
     identically whether batches materialize on the driver (simple
     reader) or on executors (partitioned reader). ``meta_root``
     selects a branch's manifest chain (data groups stay table-rooted)."""
-    from .versioned import VersionedTable
-
-    t = VersionedTable(path, _meta_root=meta_root)
+    t = _ref_table_or_raise(path, meta_root)
 
     def manifest_or_expired(v: int) -> dict:
         try:
@@ -375,24 +584,7 @@ def _changefeed_added_groups(
     for v in range(lo, hi + 1):
         m = manifest_or_expired(v)
         mode = str(m.get("mode", ""))
-        # metadata-only evolution commits add no groups and retract
-        # nothing — they pass the append-only contract by construction
-        append_like = (
-            mode == "append"
-            or (mode == "overwrite" and v == 0)
-            or mode.startswith(
-                ("rename_column:", "drop_column:", "widen_column:")
-            )
-            # a branch's v0 is a metadata COPY of the fork manifest:
-            # adds nothing, retracts nothing (its 'added' is [])
-            or mode.startswith("branch_fork:")
-            # a write-audit-publish fast-forward that only ADDED data
-            # (publish_branch verifies: every fork group retained, no
-            # new delete entries); a publish that rewrote/deleted is
-            # committed as publish_branch_rewrite: and rejected here
-            # like any overwrite
-            or mode.startswith("publish_branch:")
-        )
+        append_like = _append_like_mode(mode, v)
         if not append_like and not ignore_changes:
             raise ValueError(
                 f"snapshot {v} is {mode!r}, not an append; the "
@@ -485,6 +677,33 @@ def _admitted_end(
             v += 1
         end = max(admitted, lo + 1)
     return max(end, lo)
+
+
+def _cdf_options(options: dict) -> tuple[bool, list[str]]:
+    """Parse + validate ``readchangedata`` (Delta's readChangeFeed) and
+    its required ``key`` option. CDF mode and ignorechanges are
+    mutually exclusive: the first EXPLAINS non-append commits as row
+    deltas, the second silently skips their retractions."""
+    on = str(options.get("readchangedata", "false")).lower() == "true"
+    key = [
+        k.strip()
+        for k in str(options.get("key", "")).split(",")
+        if k.strip()
+    ]
+    if on:
+        if str(options.get("ignorechanges", "false")).lower() == "true":
+            raise ValueError(
+                "readchangedata and ignorechanges are mutually "
+                "exclusive — CDF explains rewrites as row deltas, "
+                "ignorechanges drops them"
+            )
+        if not key:
+            raise ValueError(
+                "readchangedata requires .option('key', 'col[,col]') "
+                "— row-level diffs need the snapshots' key-unique "
+                "identity (merge/apply_changes-maintained tables)"
+            )
+    return on, key
 
 
 def _trigger_limits(options: dict) -> tuple[int, int, int]:
@@ -594,6 +813,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         self._meta = _branch_meta_root(
             self.path, options.get("branch")
         )
+        self.read_change_data, self.cdf_key = _cdf_options(options)
         t = self._table()
         latest = t.latest_version()
         if latest is None:
@@ -603,9 +823,8 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         from .versioned import _schema_from_json
 
         pinned = t._load_manifest(latest)
-        self._fields = [
-            f.name for f in _schema_from_json(pinned["schema"])
-        ]
+        self._declared = _schema_from_json(pinned["schema"])
+        self._fields = [f.name for f in self._declared]
         # the colmap is pinned WITH the schema: batch-end manifests
         # that predate a rename have no entry for pre-rename groups,
         # so a bounded catch-up batch ending before the rename commit
@@ -613,9 +832,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         self._pinned_colmap = pinned.get("colmap") or {}
 
     def _table(self):
-        from .versioned import VersionedTable
-
-        return VersionedTable(self.path, _meta_root=self._meta)
+        return _ref_table_or_raise(self.path, self._meta)
 
     def initialOffset(self) -> dict:
         if self.starting == "earliest":
@@ -645,17 +862,18 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         except FileNotFoundError:
             colmap = {}
         colmap = {**colmap, **self._pinned_colmap}
-        rows: list[tuple] = []
-        for _v, g in _changefeed_added_groups(
-            self.path, lo, hi, self.ignore_changes, self._meta
-        ):
+
+        def group_rows(g: str, extra: tuple = ()) -> list[tuple]:
             mapping = colmap.get(g) or {}
             current = {
-                fc: cur for fc, cur in mapping.items() if cur is not None
+                fc: cur
+                for fc, cur in mapping.items()
+                if cur is not None
             }
             dropped = {fc for fc, cur in mapping.items() if cur is None}
             file_of = {cur: fc for fc, cur in current.items()}
             table = pq.read_table(os.path.join(self.path, g))
+            out = []
             for row in table.to_pylist():
                 vals = []
                 for name in self._fields:
@@ -666,7 +884,47 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
                         vals.append(None)
                     else:
                         vals.append(row.get(fcol))
-                rows.append(tuple(vals))
+                out.append(tuple(vals) + extra)
+            return out
+
+        rows: list[tuple] = []
+        if not self.read_change_data:
+            for _v, g in _changefeed_added_groups(
+                self.path, lo, hi, self.ignore_changes, self._meta
+            ):
+                rows.extend(group_rows(g))
+            return rows
+        # CDF mode: append-like versions emit their added rows as
+        # 'insert'; anything else (rewrite publish, overwrite, merge,
+        # CoW delete/update, rollback, compaction) is EXPLAINED as the
+        # exact row delta vs its parent — Delta's readChangeFeed shape
+        t = self._table()
+        meta_cols = ["_change_type", "_commit_version"]
+        for v in range(lo, hi + 1):
+            try:
+                m = t._load_manifest(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot {v} has been expired by vacuum(); "
+                    "restart the stream from a fresh checkpoint with "
+                    "startingversion=latest (or a retained version)"
+                ) from None
+            if _append_like_mode(str(m.get("mode", "")), v):
+                for _vv, g in _changefeed_added_groups(
+                    self.path, v, v, True, self._meta
+                ):
+                    rows.extend(group_rows(g, ("insert", v)))
+            else:
+                at = _cdf_diff_arrow(
+                    self.path, self._meta, v, self.cdf_key,
+                    self._declared,
+                )
+                for row in at.to_pylist():
+                    rows.append(
+                        tuple(
+                            row[n] for n in self._fields + meta_cols
+                        )
+                    )
         return rows
 
     def read(self, start: dict):
@@ -700,12 +958,31 @@ class _ChangeFile(InputPartition):
     parallelism in the partitioned changefeed. Carries the declared
     schema JSON (and the group's column name map, if any, after a
     RENAME/DROP evolution) so the executor can align columns by name
-    without a driver round-trip."""
+    without a driver round-trip. ``commit_version`` is set only in CDF
+    mode: the rows gain ('insert', v) metadata columns."""
 
-    def __init__(self, file_path: str, schema_json, mapping=None):
+    def __init__(
+        self, file_path: str, schema_json, mapping=None,
+        commit_version=None,
+    ):
         self.file_path = file_path
         self.schema_json = schema_json
         self.mapping = mapping
+        self.commit_version = commit_version
+
+
+class _CdfDiffPartition(InputPartition):
+    """One NON-append commit under readchangedata: the executor task
+    computes the commit's row delta vs its parent (the pyarrow twin of
+    snapshot_diff — manifest-aware shared-group skip, so a pruned
+    MERGE's diff reads O(delta)). One task per rewrite commit: the
+    diff needs both sides together; its size is the rewrite's touched
+    groups, already file-pruned by the DML machinery. For historical
+    backfills of HUGE rewrites, the batch table_changes_rows API is
+    the executor-parallel path."""
+
+    def __init__(self, version: int):
+        self.version = version
 
 
 class TableChangefeedPartitionedReader(DataSourceStreamReader):
@@ -741,6 +1018,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         self._meta = _branch_meta_root(
             self.path, options.get("branch")
         )
+        self.read_change_data, self.cdf_key = _cdf_options(options)
         (
             self.max_versions,
             self.max_files,
@@ -771,9 +1049,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         self._floor: int = self._starting_offset()
 
     def _table(self):
-        from .versioned import VersionedTable
-
-        return VersionedTable(self.path, _meta_root=self._meta)
+        return _ref_table_or_raise(self.path, self._meta)
 
     def _starting_offset(self) -> int:
         if self.starting == "earliest":
@@ -828,9 +1104,8 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
                 pass  # expired: the walk below raises the remedy
         colmap = {**colmap, **self._pinned_colmap}
         parts: list[InputPartition] = []
-        for _v, g in _changefeed_added_groups(
-            self.path, lo, hi, self.ignore_changes, self._meta
-        ):
+
+        def file_parts(g: str, commit_version=None):
             d = os.path.join(self.path, g)
             for name in sorted(os.listdir(d)):
                 if name.endswith(".parquet"):
@@ -839,26 +1114,69 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
                             os.path.join(d, name),
                             self._schema_json,
                             colmap.get(g),
+                            commit_version,
                         )
                     )
+
+        if not self.read_change_data:
+            for _v, g in _changefeed_added_groups(
+                self.path, lo, hi, self.ignore_changes, self._meta
+            ):
+                file_parts(g)
+        else:
+            # CDF planning: append-like versions fan out per added
+            # file (as usual, plus 'insert' metadata); each non-append
+            # version plans ONE diff task
+            t = self._table()
+            for v in range(lo, hi + 1):
+                try:
+                    m = t._load_manifest(v)
+                except FileNotFoundError:
+                    raise ValueError(
+                        f"snapshot {v} has been expired by vacuum(); "
+                        "restart the stream from a fresh checkpoint "
+                        "with startingversion=latest (or a retained "
+                        "version)"
+                    ) from None
+                if _append_like_mode(str(m.get("mode", "")), v):
+                    for _vv, g in _changefeed_added_groups(
+                        self.path, v, v, True, self._meta
+                    ):
+                        file_parts(g, commit_version=v)
+                else:
+                    parts.append(_CdfDiffPartition(v))
         # a planned batch can still add zero groups (rollback/compact
         # under ignorechanges); Spark requires >= 1 partition
         return parts or [_ChangeFile("", self._schema_json)]
 
-    def read(self, partition: _ChangeFile):
+    def read(self, partition):
         import pyarrow as pa
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
 
         from .versioned import _schema_from_json
 
+        declared = _schema_from_json(self._schema_json)
+        if isinstance(partition, _CdfDiffPartition):
+            yield from _cdf_diff_arrow(
+                self.path, self._meta, partition.version,
+                self.cdf_key, declared,
+            ).to_batches(max_chunksize=65536)
+            return
         if not partition.file_path:
             return
-        declared = _schema_from_json(partition.schema_json)
         table = pq.read_table(partition.file_path)
-        yield from _arrow_align(
+        aligned = _arrow_align(
             table, declared, getattr(partition, "mapping", None)
-        ).to_batches(max_chunksize=65536)
+        )
+        v = getattr(partition, "commit_version", None)
+        if v is not None:
+            n = aligned.num_rows
+            aligned = aligned.append_column(
+                "_change_type", pa.array(["insert"] * n, pa.string())
+            ).append_column(
+                "_commit_version", pa.array([v] * n, pa.int32())
+            )
+        yield from aligned.to_batches(max_chunksize=65536)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the sink checkpoint; nothing to ack
@@ -888,6 +1206,21 @@ class TableChangefeedDataSource(DataSource):
     of main — the audit side of write-audit-publish watches staged
     commits land as they happen (data stays table-rooted; only the
     manifest chain differs). Offsets are branch-local versions.
+
+    ``.option("readchangedata", "true")`` + ``.option("key", cols)``
+    (r12) — Delta's readChangeFeed: instead of REJECTING non-append
+    commits (or silently skipping them under ignorechanges), the feed
+    EXPLAINS each one as its exact row delta vs the parent snapshot.
+    The schema gains ``_change_type`` ('insert' | 'delete' |
+    'update_preimage' | 'update_postimage') and ``_commit_version``;
+    append-like commits emit their rows as 'insert'. So a rewrite
+    publish (``publish_branch_rewrite:``), an overwrite, a MERGE, a
+    CoW delete/update, or a rollback streams through as row-level
+    CDC — and a pure compaction/OPTIMIZE diffs to ZERO rows, exactly
+    the Delta semantics. Requires key-unique snapshots on ``key``
+    (merge-maintained tables) and no merge-on-read delete entries in
+    the diffed pair (compact them away, or use the batch
+    table_changes_rows).
     """
 
     @classmethod
@@ -895,6 +1228,13 @@ class TableChangefeedDataSource(DataSource):
         return "table_changefeed"
 
     def schema(self):
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
         from .versioned import VersionedTable, _schema_from_json
 
         t = VersionedTable(
@@ -909,9 +1249,17 @@ class TableChangefeedDataSource(DataSource):
                 "table has no snapshots yet — the changefeed needs the "
                 "schema from a first commit"
             )
-        return _nullable(
-            _schema_from_json(t._load_manifest(latest)["schema"])
-        )
+        base = _schema_from_json(t._load_manifest(latest)["schema"])
+        on, _key = _cdf_options(self.options)
+        if on:
+            base = StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", IntegerType()),
+                ]
+            )
+        return _nullable(base)
 
     def streamReader(self, schema) -> TableChangefeedPartitionedReader:
         if str(self.options.get("reader", "")).lower() == "simple":

@@ -92,6 +92,14 @@ class UnsupportedFormatError(RuntimeError):
     """The manifest declares a format newer than this reader supports."""
 
 
+class BranchDeletedError(RuntimeError):
+    """The branch a reader/stream was following no longer exists —
+    delete_branch() landed underneath it. Streams tailing the branch
+    surface this with the remedy (the data already consumed is safely
+    checkpointed; re-point the stream at main or a live branch with a
+    fresh checkpoint)."""
+
+
 # -- per-group column statistics (the Iceberg manifest-stats analog) ----
 #
 # Each commit records min/max/null-count per stats-eligible column for
@@ -3731,6 +3739,23 @@ class VersionedTable:
             raise ValueError(f"tag {name!r} already exists") from None
         finally:
             os.unlink(tmp)
+        # the exists-check above is TOCTOU with a concurrent vacuum:
+        # its unlink can land between the check and the link, leaving
+        # a tag that pins nothing (vacuum's pin loop only sees tags
+        # over retained versions). Re-verify AFTER the link — the tag
+        # is now visible to any vacuum starting later, so a manifest
+        # still present here stays retained; one gone means the race
+        # was lost, so remove the dangling tag and report it.
+        if not os.path.exists(_manifest_path(self._meta_root, v)):
+            try:
+                os.unlink(target)
+            except FileNotFoundError:
+                pass
+            raise FileNotFoundError(
+                f"version {v} was expired by a concurrent vacuum() "
+                "while the tag was being created — retry against a "
+                "retained version"
+            )
         return v
 
     def tags(self) -> dict[str, int]:
@@ -3794,7 +3819,16 @@ class VersionedTable:
         try:
             os.mkdir(broot)  # atomic create-if-absent
         except FileExistsError:
-            raise ValueError(f"branch {name!r} already exists") from None
+            # a manifest-less dir is a crashed create_branch (died
+            # between mkdir and the v0 publish) — adopt it and publish
+            # the fork copy; the v0 link below is itself atomic
+            # create-if-absent, so racing adopters resolve there
+            if VersionedTable(
+                self.path, _meta_root=broot
+            ).latest_version() is not None:
+                raise ValueError(
+                    f"branch {name!r} already exists"
+                ) from None
         b = VersionedTable(self.path, _meta_root=broot)
         manifest = {
             "schema": fork["schema"],
@@ -3814,7 +3848,17 @@ class VersionedTable:
         manifest["bloom_cols"] = list(fork.get("bloom_cols") or [])
         if fork.get("bloom_bits") is not None:
             manifest["bloom_bits"] = int(fork["bloom_bits"])
-        b._publish(None, manifest)
+        # txn watermarks inherit parent-to-child on EVERY commit
+        # (io/versioned.py _publish) — the branch v0 has no parent in
+        # its own chain, so the fork's map must be passed explicitly or
+        # an idempotent writer pointed at the branch would re-apply
+        # epochs already committed to main before the fork
+        try:
+            b._publish(None, manifest, txn=fork.get("txn"))
+        except CommitConflictError:
+            # lost the v0 race to a concurrent creator/adopter of the
+            # same name — same outcome as losing the mkdir
+            raise ValueError(f"branch {name!r} already exists") from None
         return b
 
     def branch(self, name: str) -> "VersionedTable":
@@ -3827,7 +3871,18 @@ class VersionedTable:
                 f"no such branch {name!r} at {self.path} "
                 f"(live branches: {self.branches()})"
             )
-        return VersionedTable(self.path, _meta_root=broot)
+        b = VersionedTable(self.path, _meta_root=broot)
+        if b.latest_version() is None:
+            # a dir without a v0 manifest is a crashed create_branch,
+            # not a branch: it has no fork point and no state. Treat
+            # as absent (create_branch can adopt it; delete_branch
+            # still removes the leftover dir).
+            raise KeyError(
+                f"branch {name!r} at {self.path} has no manifests "
+                "(a crashed create_branch left an empty ref) — "
+                "create_branch to adopt it or delete_branch to clean up"
+            )
+        return b
 
     def branches(self) -> list[str]:
         d = self._branches_dir()
@@ -3851,44 +3906,108 @@ class VersionedTable:
             raise KeyError(f"no such branch {name!r}")
         shutil.rmtree(broot)
 
+    def _publish_rebase_check(
+        self, name: str, b: "VersionedTable", bh: int,
+        fork_v: int, main_latest: int,
+    ) -> None:
+        """CommitConflictError unless a diverged publish can REBASE:
+        every main commit after the fork point AND every branch commit
+        after the fork copy must be a pure ``append`` — appends
+        commute, so replaying the branch's staged groups on top of
+        main's interim appends preserves both histories exactly.
+        Anything else in either range (overwrite/merge/delete/compact/
+        rollback/evolution) made a decision against a state the other
+        side has since changed, so the rebase would silently alter its
+        semantics — recreate and re-audit instead."""
+        remedy = (
+            f"main advanced past branch {name!r}'s fork point (fork "
+            f"{fork_v}, main {main_latest}) — recreate the branch from "
+            "the current head and re-audit"
+        )
+        if main_latest is None or main_latest < fork_v:
+            raise CommitConflictError(
+                f"main is behind branch {name!r}'s fork point (fork "
+                f"{fork_v}, main {main_latest}); " + remedy
+            )
+        for v in range(fork_v, main_latest + 1):
+            try:
+                mode = str(self._load_manifest(v).get("mode", ""))
+            except FileNotFoundError:
+                raise CommitConflictError(
+                    f"main snapshot {v} (branch {name!r}'s fork range) "
+                    "is no longer retained (vacuumed) — cannot prove "
+                    "the interim commits are appends; " + remedy
+                ) from None
+            # an ADDITIVE publish of another branch commutes exactly
+            # like an append (it only adds staged groups), so two WAP
+            # pipelines over one table compose; a rewrite publish is
+            # committed as publish_branch_rewrite: and refused here
+            if v > fork_v and mode != "append" and not mode.startswith(
+                "publish_branch:"
+            ):
+                raise CommitConflictError(
+                    f"main commit {v} is {mode!r}, not an append, so "
+                    "the publish cannot rebase over it; " + remedy
+                )
+        for v in range(1, bh + 1):
+            try:
+                mode = str(b._load_manifest(v).get("mode", ""))
+            except FileNotFoundError:
+                raise CommitConflictError(
+                    f"branch {name!r} snapshot {v} is no longer "
+                    "retained (branch-vacuumed) — cannot prove the "
+                    "staged commits are appends; " + remedy
+                ) from None
+            if mode != "append":
+                raise CommitConflictError(
+                    f"branch commit {v} is {mode!r}, not an append, so "
+                    "the publish cannot rebase it over main's interim "
+                    "commits; " + remedy
+                )
+
     def publish_branch(self, name: str) -> int:
         """Fast-forward main to the branch head — the PUBLISH step of
         write-audit-publish. One atomic main commit whose state is
         EXACTLY the audited branch head (groups, delete entries,
         schema, maps, constraints); the branch keeps its detailed
-        history. Requires main to still be at the branch's fork point:
-        if main advanced since the fork, raises CommitConflictError —
+        history.
+
+        If main still sits at the branch's fork point, the publish is
+        a plain fast-forward. If main ADVANCED since the fork, the
+        publish REBASES when both histories are provably disjoint:
+        every interim main commit and every staged branch commit must
+        be a pure ``append`` (appends commute — production WAP audits
+        take long enough that main ingesting meanwhile is the common
+        case). The rebased commit is main's current groups plus the
+        branch's staged groups, recorded with ``rebased_from`` lineage
+        (the same field the concurrent-writer rebase uses). Anything
+        non-append in either range raises CommitConflictError —
         recreate the branch from the new head and re-audit (publishing
-        anyway would silently drop main's interim commits, because a
-        manifest is a full state, not a delta). A concurrent commit
-        racing the publish itself loses the version slot as usual.
+        anyway would silently drop or reorder the other side's
+        semantics, because a manifest is a full state, not a delta).
+        A concurrent commit racing the publish itself triggers another
+        validate-and-rebase round, bounded like _publish_or_rebase.
 
         The main commit's mode is ``publish_branch:<name>`` when the
         branch only ADDED data (every fork group still present, no new
         delete entries) — the changefeed treats it as an append;
         otherwise ``publish_branch_rewrite:<name>``, which the
         changefeed rejects without ignorechanges, exactly like any
-        overwrite/delete."""
+        overwrite/delete (a rewrite never rebases — it requires main
+        at the fork point).
+
+        Branch txn watermarks max-fold into main's inherited map, so
+        an idempotent writer that staged epochs on the branch cannot
+        replay them against main after the publish."""
         self._require_main("publish_branch")
         b = self.branch(name)
         bh = b.latest_version()
-        if bh == 0:
-            # nothing staged beyond the fork's metadata copy: a
-            # fast-forward to an unchanged branch is a NO-OP (no new
-            # main version, no changefeed noise), like git's
-            main_latest = self.latest_version()
-            try:
-                fork_v = int(b._load_manifest(0)["fork"]["version"])
-            except (FileNotFoundError, KeyError):
-                fork_v = None
-            if fork_v is not None and main_latest != fork_v:
-                raise CommitConflictError(
-                    f"main advanced past branch {name!r}'s fork point "
-                    f"(fork {fork_v}, main {main_latest}) — recreate "
-                    "the branch from the current head and re-audit"
-                )
-            return main_latest
-        bm = b._load_manifest(bh)
+        if bh is None:
+            raise FileNotFoundError(
+                f"branch {name!r} has no manifests — a crash between "
+                "create_branch's directory create and its fork publish "
+                "left an empty ref; delete_branch and recreate"
+            )
         try:
             fork_v = int(b._load_manifest(0)["fork"]["version"])
         except (FileNotFoundError, KeyError):
@@ -3897,54 +4016,154 @@ class VersionedTable:
                 "(branch-vacuumed away?) — cannot verify the fork "
                 "point; recreate the branch"
             ) from None
-        main_latest = self.latest_version()
-        if main_latest != fork_v:
-            raise CommitConflictError(
-                f"main advanced past branch {name!r}'s fork point "
-                f"(fork {fork_v}, main {main_latest}) — recreate the "
-                "branch from the current head and re-audit"
+        bm = b._load_manifest(bh) if bh > 0 else None
+        last_base, stale_lists = None, 0
+        for _ in range(50):
+            main_latest = self.latest_version()
+            if last_base is not None and main_latest == last_base:
+                # the publish just conflicted yet the listing still
+                # shows the same head — a listing race (writer mid-
+                # publish); back off briefly instead of burning
+                # attempts on identical publishes
+                import time as _time
+
+                stale_lists += 1
+                if stale_lists > 5:
+                    raise CommitConflictError(
+                        "version listing inconsistent during publish; "
+                        "check _manifests/ for external interference"
+                    )
+                _time.sleep(0.01 * stale_lists)
+                continue
+            last_base, stale_lists = main_latest, 0
+            diverged = main_latest != fork_v
+            if diverged:
+                self._publish_rebase_check(
+                    name, b, bh, fork_v, main_latest
+                )
+            if bh == 0:
+                # nothing staged beyond the fork's metadata copy: a
+                # fast-forward to an unchanged branch is a NO-OP (no
+                # new main version, no changefeed noise), like git's —
+                # over a diverged main this holds only once the rebase
+                # check proved the interim commits pure appends
+                return main_latest
+            fork_m = self._load_manifest(fork_v)
+            fork_groups = set(fork_m["groups"])
+            fork_dels = {
+                e["file"] for e in (fork_m.get("delete_entries") or [])
+            }
+            head_dels = {
+                e["file"] for e in (bm.get("delete_entries") or [])
+            }
+            additive = fork_groups <= set(bm["groups"]) and (
+                head_dels == fork_dels
             )
-        fork_m = self._load_manifest(fork_v)
-        fork_groups = set(fork_m["groups"])
-        fork_dels = {
-            e["file"] for e in (fork_m.get("delete_entries") or [])
-        }
-        head_dels = {
-            e["file"] for e in (bm.get("delete_entries") or [])
-        }
-        additive = fork_groups <= set(bm["groups"]) and (
-            head_dels == fork_dels
-        )
-        mode = (
-            f"publish_branch:{name}"
-            if additive
-            else f"publish_branch_rewrite:{name}"
-        )
-        manifest = {
-            "schema": bm["schema"],
-            "groups": list(bm["groups"]),
-            "mode": mode,
-            "added": [
+            branch_added = [
                 g for g in bm["groups"] if g not in fork_groups
-            ],
-            "delete_entries": list(bm.get("delete_entries") or []),
-            "stats": dict(bm.get("stats") or {}),
-            # lineage: which audited state this publish reproduces —
-            # the audit trail a WAP pipeline's operator asks for
-            "published_from": {
-                "branch": name,
-                "head": int(bh),
-                "fork": fork_v,
-            },
-        }
-        for k in ("colmap", "castmap"):
-            if bm.get(k):
-                manifest[k] = dict(bm[k])
-        manifest["constraints"] = dict(bm.get("constraints") or {})
-        manifest["bloom_cols"] = list(bm.get("bloom_cols") or [])
-        if bm.get("bloom_bits") is not None:
-            manifest["bloom_bits"] = int(bm["bloom_bits"])
-        return self._publish(main_latest, manifest)
+            ]
+            if not diverged:
+                mode = (
+                    f"publish_branch:{name}"
+                    if additive
+                    else f"publish_branch_rewrite:{name}"
+                )
+                manifest = {
+                    "schema": bm["schema"],
+                    "groups": list(bm["groups"]),
+                    "mode": mode,
+                    "added": branch_added,
+                    "delete_entries": list(
+                        bm.get("delete_entries") or []
+                    ),
+                    "stats": dict(bm.get("stats") or {}),
+                    # lineage: which audited state this publish
+                    # reproduces — the audit trail a WAP pipeline's
+                    # operator asks for
+                    "published_from": {
+                        "branch": name,
+                        "head": int(bh),
+                        "fork": fork_v,
+                    },
+                }
+                for k in ("colmap", "castmap"):
+                    if bm.get(k):
+                        manifest[k] = dict(bm[k])
+                manifest["constraints"] = dict(
+                    bm.get("constraints") or {}
+                )
+                manifest["bloom_cols"] = list(
+                    bm.get("bloom_cols") or []
+                )
+                if bm.get("bloom_bits") is not None:
+                    manifest["bloom_bits"] = int(bm["bloom_bits"])
+            else:
+                # REBASE: both sides proved pure appends. Main's
+                # current groups + the branch's staged groups; schemas
+                # union additively (an append may add columns), and
+                # under append-only histories colmap/castmap/
+                # constraints/bloom declarations are carried verbatim
+                # on both sides, so main's (== the fork's) are kept.
+                latest_m = self._load_manifest(main_latest)
+                try:
+                    schema_json = _evolve_schema(
+                        latest_m["schema"],
+                        _schema_from_json(bm["schema"]),
+                    )
+                except SchemaMismatchError as e:
+                    raise CommitConflictError(
+                        f"branch {name!r} and main evolved the schema "
+                        f"incompatibly since the fork ({e}) — recreate "
+                        "the branch from the current head and re-audit"
+                    ) from None
+                bstats = bm.get("stats") or {}
+                stats = dict(latest_m.get("stats") or {})
+                stats.update(
+                    {g: bstats[g] for g in branch_added if g in bstats}
+                )
+                manifest = {
+                    "schema": schema_json,
+                    "groups": list(latest_m["groups"]) + branch_added,
+                    "mode": f"publish_branch:{name}",
+                    "added": branch_added,
+                    "delete_entries": list(
+                        latest_m.get("delete_entries") or []
+                    ),
+                    "stats": stats,
+                    "published_from": {
+                        "branch": name,
+                        "head": int(bh),
+                        "fork": fork_v,
+                    },
+                    "rebased_from": fork_v,
+                }
+                for k in ("colmap", "castmap"):
+                    merged = {
+                        **(latest_m.get(k) or {}),
+                        **(bm.get(k) or {}),
+                    }
+                    if merged:
+                        manifest[k] = merged
+                manifest["constraints"] = dict(
+                    latest_m.get("constraints") or {}
+                )
+                manifest["bloom_cols"] = list(
+                    latest_m.get("bloom_cols") or []
+                )
+                if latest_m.get("bloom_bits") is not None:
+                    manifest["bloom_bits"] = int(
+                        latest_m["bloom_bits"]
+                    )
+            try:
+                return self._publish(
+                    main_latest, manifest, txn=bm.get("txn")
+                )
+            except CommitConflictError:
+                continue  # raced by a commit: re-list, re-validate
+        raise CommitConflictError(
+            f"gave up publishing branch {name!r} after 50 rebase "
+            "attempts (commit storm)"
+        )
 
     def vacuum(
         self, keep_versions: int = 1, min_age_seconds: float = 3600.0
@@ -4011,7 +4230,13 @@ class VersionedTable:
             # live — branch chains share the data root (metadata-only
             # forks)
             for bname in self.branches():
-                b = self.branch(bname)
+                try:
+                    b = self.branch(bname)
+                except (KeyError, FileNotFoundError):
+                    # concurrent delete_branch between the listing and
+                    # the handle lookup (or a crashed create's empty
+                    # dir) — advisory skip, like racing manifest loads
+                    continue
                 for v in b.versions():
                     try:
                         mk = b._load_manifest(v)

@@ -74,6 +74,7 @@ def load_all() -> None:
         round9,
         round10,
         round11,
+        round12,
     )
 
 

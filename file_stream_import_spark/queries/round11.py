@@ -91,9 +91,11 @@ def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     main atomically; the commit is additive (every fork group
     retained, no new delete entries -> mode publish_branch:, PINNED),
     so downstream changefeeds keep streaming. A second branch forked
-    before an interim main commit must NOT publish (fork-point check
-    -> CommitConflictError, PINNED) — publishing anyway would silently
-    drop main's interim commit, because a manifest is a full state."""
+    before an interim main REWRITE must NOT publish
+    (CommitConflictError, PINNED) — r12's rebase publish lands staged
+    appends over interim APPENDS (appends commute; see
+    lake_rebase_publish), but a rewrite invalidated the state the
+    audit ran against, so publishing would silently reorder it."""
     import shutil
     import tempfile
 
@@ -112,13 +114,15 @@ def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         pv = t.publish_branch("audit")
         mode = t._load_manifest(pv)["mode"]
         additive = int(mode == "publish_branch:audit")
-        # diverged publish: branch forked at pv, then main advances
+        # diverged publish: branch forked at pv, then main REWRITES
+        # (an overwrite) — the one interim history a publish can never
+        # rebase over
         t.create_branch("late")
         t.commit(
             o.filter(F.col("k") == 1).withColumn(
                 "k", F.lit(0).cast("int")
             ),
-            mode="append",
+            mode="overwrite",
         )
         try:
             t.publish_branch("late")
@@ -491,10 +495,20 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("l_partkey"),
         F.col("p_brand").alias("brand"),
     )
+    # materialize the distinct (order, brand) projection ONCE — four
+    # consumers derive from it (the tot count action, both pair-join
+    # sides, and the brand marginals), and without the lineage cut
+    # each rebuilds it from a full lineitem scan (r11 VERDICT: plan
+    # nodes 15/35/53 re-scanned the fact table; the pushed filters
+    # differ per consumer so ReusedExchange never kicks in). ob is
+    # |orders|×|brands|-bounded — tiny next to lineitem — so the
+    # localCheckpoint (the queries/stats.py contingency-table idiom)
+    # trades one cached small frame for three fact-table scans.
     ob = (
         li.join(F.broadcast(pt), "l_partkey")
         .select("okey", "brand")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     tot = ob.select("okey").distinct().count()
     bc = ob.groupBy("brand").agg(F.count("*").alias("n"))
@@ -586,8 +600,14 @@ def events_markov_transitions(
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    tr = seq.groupBy("from_type", "to_type").agg(
-        F.count("*").alias("n")
+    # tr is <= |event_types|^2 rows; checkpoint it so the window+agg
+    # subtree runs ONCE — without the cut the marg broadcast rebuilds
+    # the whole scan+Sort+Window lineage a second time (r11 VERDICT:
+    # PLANS.md showed two full window subtrees, no reuse)
+    tr = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
     marg = tr.groupBy("from_type").agg(F.sum("n").alias("total"))
     return (

@@ -1,0 +1,231 @@
+"""Streaming change-data-feed (r12): ``readchangedata=true`` makes the
+changefeed EXPLAIN non-append commits as row-level deltas (Delta's
+readChangeFeed) instead of rejecting them — including the rewrite
+publish (``publish_branch_rewrite:``) the r11 changefeed could only
+skip with ignorechanges. Both readers (driver-simple and
+executor-partitioned) share the pyarrow diff kernel
+(io/pysource._cdf_diff_arrow), the stream twin of snapshot_diff."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_stream_import_spark.io.versioned import (
+    VersionedTable,
+    merge_into,
+)
+
+
+def _mk(spark, tmp_path, rows, name="t"):
+    t = VersionedTable(str(tmp_path / name))
+    t.commit(
+        spark.createDataFrame(rows, "k long, v long"), mode="overwrite"
+    )
+    return t
+
+
+def _drain_cdf(spark, path, tmp_path, reader="partitioned", **opts):
+    from file_stream_import_spark.io.pysource import (
+        TableChangefeedDataSource,
+    )
+
+    spark.dataSource.register(TableChangefeedDataSource)
+    batches: list[tuple[int, list]] = []
+    r = (
+        spark.readStream.format("table_changefeed")
+        .option("path", path)
+        .option("readchangedata", "true")
+        .option("key", "k")
+        .option("maxversionspertrigger", "1")
+    )
+    if reader == "simple":
+        r = r.option("reader", "simple")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    q = (
+        r.load()
+        .writeStream.foreachBatch(
+            lambda df, b: batches.append(
+                sorted(
+                    (
+                        x["k"],
+                        x["v"],
+                        x["_change_type"],
+                        x["_commit_version"],
+                    )
+                    for x in df.collect()
+                )
+            )
+        )
+        .option(
+            "checkpointLocation",
+            str(tmp_path / f"ckpt_{len(str(tmp_path))}_{reader}"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return [b for b in batches if b]
+
+
+class TestCdfRows:
+    @pytest.mark.parametrize("reader", ["partitioned", "simple"])
+    def test_insert_update_delete_shapes(self, spark, tmp_path, reader):
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20), (3, 30)], reader)
+        t.commit(
+            spark.createDataFrame([(4, 40)], "k long, v long"),
+            mode="append",
+        )
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(2, 99)], "k long, v long"),
+            key="k",
+        )
+        t.delete_where(spark, F.col("k") == 3)
+        got = _drain_cdf(spark, t.path, tmp_path, reader)
+        assert got == [
+            [(1, 10, "insert", 0), (2, 20, "insert", 0),
+             (3, 30, "insert", 0)],
+            [(4, 40, "insert", 1)],
+            [(2, 20, "update_preimage", 2),
+             (2, 99, "update_postimage", 2)],
+            [(3, 30, "delete", 3)],
+        ]
+
+    def test_rewrite_publish_streams_as_cdf(self, spark, tmp_path):
+        """The r11 gap: a publish_branch_rewrite: killed any changefeed
+        without ignorechanges. Under CDF it streams as the exact row
+        delta the audited branch applied."""
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20), (3, 30)])
+        b = t.create_branch("audit")
+        b.delete_where(spark, F.col("k") < 3)
+        pv = t.publish_branch("audit")
+        assert t._load_manifest(pv)["mode"] == (
+            "publish_branch_rewrite:audit"
+        )
+        got = _drain_cdf(spark, t.path, tmp_path)
+        assert got == [
+            [(1, 10, "insert", 0), (2, 20, "insert", 0),
+             (3, 30, "insert", 0)],
+            [(1, 10, "delete", 1), (2, 20, "delete", 1)],
+        ]
+
+    def test_compaction_diffs_to_zero_rows(self, spark, tmp_path):
+        """OPTIMIZE/compact rewrites files but no rows: CDF emits
+        nothing for it — Delta's semantics, and the reason CDF beats
+        ignorechanges (which re-emits rewritten rows)."""
+        t = _mk(spark, tmp_path, [(1, 10)])
+        t.commit(
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            mode="append",
+        )
+        t.compact(spark, min_bytes=1 << 30)
+        assert str(
+            t._load_manifest(t.latest_version())["mode"]
+        ).startswith("compact")
+        got = _drain_cdf(spark, t.path, tmp_path)
+        assert got == [
+            [(1, 10, "insert", 0)],
+            [(2, 20, "insert", 1)],
+        ]
+
+    def test_rollback_streams_the_revert_delta(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, 10)])
+        t.commit(
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            mode="append",
+        )
+        t.rollback(0)
+        got = _drain_cdf(spark, t.path, tmp_path)
+        assert got == [
+            [(1, 10, "insert", 0)],
+            [(2, 20, "insert", 1)],
+            [(2, 20, "delete", 2)],
+        ]
+
+
+class TestCdfContract:
+    def test_requires_key(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10)])
+        with pytest.raises(Exception, match="requires .*key"):
+            (
+                spark.readStream.format("table_changefeed")
+                .option("path", t.path)
+                .option("readchangedata", "true")
+                .load()
+            )
+
+    def test_mutually_exclusive_with_ignorechanges(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10)])
+        with pytest.raises(Exception, match="mutually exclusive"):
+            (
+                spark.readStream.format("table_changefeed")
+                .option("path", t.path)
+                .option("readchangedata", "true")
+                .option("key", "k")
+                .option("ignorechanges", "true")
+                .load()
+            )
+
+    def test_mor_delete_entries_raise_with_remedy(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20)])
+        t.delete_where(
+            spark, F.col("k") == 1,
+            strategy="merge-on-read", key_cols=["k"],
+        )
+        # the MoR commit itself is a rewrite of intent the file-diff
+        # can't see; the kernel refuses with the compact()/batch remedy
+        with pytest.raises(
+            StreamingQueryException, match="merge-on-read"
+        ):
+            _drain_cdf(spark, t.path, tmp_path)
+
+    def test_duplicate_keys_raise(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        t = _mk(spark, tmp_path, [(1, 10), (1, 11)])
+        t.commit(
+            spark.createDataFrame([(9, 90)], "k long, v long"),
+            mode="overwrite",
+        )
+        with pytest.raises(
+            StreamingQueryException, match="duplicate keys"
+        ):
+            _drain_cdf(spark, t.path, tmp_path)
+
+    def test_schema_gains_metadata_columns(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10)])
+        df = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()
+        )
+        assert df.columns == ["k", "v", "_change_type", "_commit_version"]

@@ -66,9 +66,24 @@ def _half_ops(lo: int, hi: int):
     )
 
 
+# r12: a WAP publish as the SECOND writer — the branch forks at the
+# pair's base, stages an append, and publishes after A landed. The
+# rebase contract is exact: it must land iff A was a pure append
+# (appends commute; any rewrite/merge/update invalidates the staged
+# audit), regardless of key halves (the publish rebase proves safety
+# by commit MODES, not key boxes).
+wap_st = st.tuples(
+    st.just("wap"),
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(-50, 50)),
+        min_size=1,
+        max_size=4,
+    ),
+)
+
 pair_st = st.tuples(
     _half_ops(*LEFT),
-    st.one_of(_half_ops(*RIGHT), _half_ops(*LEFT)),
+    st.one_of(_half_ops(*RIGHT), _half_ops(*LEFT), wap_st),
 )
 
 
@@ -76,7 +91,8 @@ def _to_model_op(op: tuple) -> tuple:
     kind = op[0]
     if kind == "merge":
         return ("merge", op[1])
-    if kind == "append":
+    if kind in ("append", "wap"):
+        # a landed WAP publish appends exactly the staged rows
         return ("append", op[1])
     if kind == "delete":
         lo, hi = sorted(op[1])
@@ -143,18 +159,40 @@ class TestConcurrencyFuzz:
         t.commit(_df(spark, right_rows), mode="append")
         model = left_rows + right_rows
 
-        for a, b in pairs:
+        for n, (a, b) in enumerate(pairs):
             base = t.latest_version()
+            if b[0] == "wap":
+                # fork + stage BEFORE A runs, so the branch's fork
+                # point is the pair's shared base snapshot
+                br = t.create_branch(f"wap{n}")
+                br.commit(_df(spark, b[1]), mode="append")
             landed_a = _run(t, spark, a, base)
-            landed_b = _run(t, spark, b, base)
             assert landed_a, f"first writer must always land: {a}"
-            # opposite-half pairs are provably disjoint: B MUST rebase
-            a_right = all(LEFT[1] < k for k in _op_keys(a))
-            b_right = all(LEFT[1] < k for k in _op_keys(b))
-            if a_right != b_right:
-                assert landed_b, (
-                    f"disjoint-half pair was refused: {a} then {b}"
+            if b[0] == "wap":
+                try:
+                    pv = t.publish_branch(f"wap{n}")
+                    landed_b = True
+                    m = t._load_manifest(pv)
+                    assert m.get("rebased_from") == base, (
+                        f"diverged publish lost lineage: {m.get('mode')}"
+                    )
+                except CommitConflictError:
+                    landed_b = False
+                t.delete_branch(f"wap{n}")
+                assert landed_b == (a[0] == "append"), (
+                    f"publish after {a}: landed={landed_b}, expected "
+                    f"{a[0] == 'append'} (rebase iff interim is append)"
                 )
+            else:
+                landed_b = _run(t, spark, b, base)
+                # opposite-half pairs are provably disjoint: B MUST
+                # rebase
+                a_right = all(LEFT[1] < k for k in _op_keys(a))
+                b_right = all(LEFT[1] < k for k in _op_keys(b))
+                if a_right != b_right:
+                    assert landed_b, (
+                        f"disjoint-half pair was refused: {a} then {b}"
+                    )
             if landed_a:
                 model = _apply_model(model, _to_model_op(a))
             if landed_b:

@@ -100,12 +100,15 @@ op_st = st.one_of(
     # LONG frames, pre-widen groups read through castmap casts, and
     # rollback must restore the NARROW type
     st.just(("widen",)),
-    # refs (r11): stage rows on a branch (forking it first if none is
-    # open) — main must NOT see them; publish fast-forwards main IF
-    # main is still at the fork point, else must raise
-    # CommitConflictError (main ops drawn between stage and publish
-    # make both outcomes common); tag pins the latest version through
-    # every later vacuum (the final time-travel sweep then covers it)
+    # refs (r11, rebase r12): stage rows on a branch (forking it first
+    # if none is open) — main must NOT see them; publish fast-forwards
+    # main if main is still at the fork point, REBASES the staged
+    # appends over interim main commits when those are all pure
+    # appends, and must raise CommitConflictError when any interim
+    # commit is a rewrite/merge/evolution (main ops drawn between
+    # stage and publish make all three outcomes common); tag pins the
+    # latest version through every later vacuum (the final time-travel
+    # sweep then covers it)
     st.tuples(st.just("branch_stage"), rows_st),
     st.just(("branch_publish",)),
     st.just(("tag",)),
@@ -185,7 +188,10 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
     # time-travel and rollback checks across renames/widenings
     states: dict[int, tuple] = {v0: (sorted(model), valcol, valtype)}
     # open staging branch, if any: [handle, model, valcol, valtype,
-    # fork_version] — its own pure-Python twin, checked on every stage
+    # fork_version, fork_model_len, interim_appends_only] — its own
+    # pure-Python twin, checked on every stage; the last flag tracks
+    # whether every MAIN commit since the fork was a pure append (the
+    # r12 rebase-publish eligibility), modelled from the op stream
     branch: list | None = None
     n_tags = 0
 
@@ -275,7 +281,7 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
                 bh = table.create_branch("stg")
                 branch = [
                     bh, list(model), valcol, valtype,
-                    table.latest_version(),
+                    table.latest_version(), len(model), True,
                 ]
             branch[0].commit(
                 _df(spark, op[1], branch[2], branch[3]), mode="append"
@@ -288,14 +294,26 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
         elif kind == "branch_publish":
             if branch is None:
                 continue
-            bh, bmodel, bcol, btype, fork_v = branch
+            bh, bmodel, bcol, btype, fork_v, fork_len, ok = branch
+            staged = bmodel[fork_len:]
             if table.latest_version() == fork_v:
                 table.publish_branch("stg")
                 model, valcol, valtype = list(bmodel), bcol, btype
+            elif ok:
+                # interim main commits were all pure appends: the r12
+                # rebase publish must land the staged rows ON TOP of
+                # main's current state, with rebased_from lineage
+                pv = table.publish_branch("stg")
+                if staged:
+                    m = table._load_manifest(pv)
+                    assert m.get("rebased_from") == fork_v, (
+                        f"rebased publish lost lineage: {m.get('mode')}"
+                    )
+                model = model + staged
             else:
-                # main advanced past the fork: the WAP fork-point
-                # check must refuse (publishing would drop main's
-                # interim commits)
+                # a non-append interim commit (rewrite/merge/evolve/
+                # rollback): the rebase check must refuse (the staged
+                # decisions predate main's rewrite)
                 from file_stream_import_spark.io.versioned import (
                     CommitConflictError,
                 )
@@ -321,6 +339,20 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             "update",
         ):
             model = _apply_model(model, op)
+
+        # rebase-publish eligibility twin: any MAIN commit since the
+        # fork that is not a pure append disqualifies the open branch
+        # from rebasing (vacuum/tag never commit; a no-op widen draw
+        # `continue`s before reaching here)
+        if branch is not None and kind not in (
+            "branch_stage", "branch_publish"
+        ):
+            if table.latest_version() != before and kind != "append":
+                branch[6] = False
+            # a vacuum that expired the fork manifest removes the
+            # proof the rebase check needs (it must refuse then)
+            if kind == "vacuum" and branch[4] not in table.versions():
+                branch[6] = False
 
         got = _read_sorted(table, spark, valcol=valcol)
         want = sorted(model)

@@ -805,10 +805,11 @@ class TestRound11Plans:
         assert "HashAggregate" in plan
 
     def test_markov_transitions_single_user_shuffle(self, spark, sf_dir):
-        """One window keyed on user_id; the marginal join broadcasts;
-        no cartesian anywhere."""
+        """The marginal join broadcasts; no cartesian anywhere. (The
+        user-keyed window runs ONCE before the r12 lineage cut, so it
+        no longer appears in the final plan — TestSharedSubtreeCuts
+        pins that.)"""
         plan = physical_plan(spark, sf_dir, "events_markov_transitions")
-        assert "Window" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
@@ -850,3 +851,25 @@ class TestRound11Plans:
             assert plan.count("Scan parquet") == 2
         finally:
             shutil.rmtree(t.path, ignore_errors=True)
+
+
+class TestSharedSubtreeCuts:
+    """r12: the two r11 analytics queries re-computed their tiny shared
+    frame from a full fact-table scan per consumer; after the
+    localCheckpoint lineage cut, the fact table appears in the final
+    plan at most once (the checkpointed frame shows up as scan-free
+    RDD scans)."""
+
+    def test_market_basket_single_fact_scan(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "market_basket_lift")
+        # the distinct (order, brand) frame is checkpointed: the plan
+        # never re-reads lineitem or part
+        assert "lineitem.parquet" not in plan
+        assert "part.parquet" not in plan
+
+    def test_markov_single_window_subtree(self, spark, sf_dir):
+        plan = physical_plan(spark, sf_dir, "events_markov_transitions")
+        # tr is checkpointed after the one window+agg pass: the final
+        # plan re-reads neither the events table nor the window
+        assert "events.parquet" not in plan
+        assert "Window" not in plan

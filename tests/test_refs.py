@@ -186,14 +186,55 @@ class TestPublish:
         assert m["mode"] == "publish_branch:audit"
         assert len(m["added"]) == 1  # the staged group, by reference
 
-    def test_diverged_publish_conflicts(self, spark, tmp_path):
+    def test_diverged_publish_rebases_over_appends(self, spark, tmp_path):
+        """r12: main advancing by pure APPENDS no longer blocks the
+        publish — the staged groups rebase on top (appends commute),
+        with rebased_from lineage recorded."""
         t = _mk(spark, tmp_path)
-        t.create_branch("late")
+        b = t.create_branch("late")
+        b.commit(
+            spark.createDataFrame([(50, 1)], "k long, v long"),
+            mode="append",
+        )
         t.commit(
             spark.createDataFrame([(60, 2)], "k long, v long"),
             mode="append",
         )
-        with pytest.raises(CommitConflictError, match="fork point"):
+        fork_v = t.latest_version() - 1
+        pv = t.publish_branch("late")
+        m = t._load_manifest(pv)
+        assert m["mode"] == "publish_branch:late"
+        assert m["rebased_from"] == fork_v
+        rows = _rows(spark, t)
+        assert rows[50] == 1 and rows[60] == 2  # both sides landed
+        assert len(rows) == 10
+
+    def test_diverged_publish_conflicts_on_rewrite(self, spark, tmp_path):
+        """A non-append interim main commit still refuses the publish:
+        the branch's audited decisions predate the rewrite."""
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("late")
+        b.commit(
+            spark.createDataFrame([(50, 1)], "k long, v long"),
+            mode="append",
+        )
+        t.delete_where(spark, F.col("k") < 2)
+        with pytest.raises(CommitConflictError, match="not an append"):
+            t.publish_branch("late")
+
+    def test_diverged_publish_conflicts_on_branch_rewrite(
+        self, spark, tmp_path
+    ):
+        """A branch whose STAGED history contains a rewrite cannot
+        rebase either — its net delta is not a pure append."""
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("late")
+        b.delete_where(spark, F.col("k") < 2)
+        t.commit(
+            spark.createDataFrame([(60, 2)], "k long, v long"),
+            mode="append",
+        )
+        with pytest.raises(CommitConflictError, match="not an append"):
             t.publish_branch("late")
 
     def test_rewrite_publish_mode(self, spark, tmp_path):
@@ -469,12 +510,88 @@ class TestPublishNoOp:
         assert t.publish_branch("idle") == v
         assert t.latest_version() == v  # no duplicate snapshot
 
-    def test_noop_publish_still_checks_fork(self, spark, tmp_path):
+    def test_noop_publish_over_interim_appends(self, spark, tmp_path):
+        """r12: an unchanged branch publishes as a no-op even after
+        main appended (nothing staged, appends commute) — no new main
+        version, no changefeed noise."""
         t = _mk(spark, tmp_path)
         t.create_branch("idle")
         t.commit(
             spark.createDataFrame([(60, 2)], "k long, v long"),
             mode="append",
         )
-        with pytest.raises(CommitConflictError, match="fork point"):
+        v = t.latest_version()
+        assert t.publish_branch("idle") == v
+        assert t.latest_version() == v
+
+    def test_noop_publish_still_checks_fork_on_rewrite(
+        self, spark, tmp_path
+    ):
+        t = _mk(spark, tmp_path)
+        t.create_branch("idle")
+        t.commit(
+            spark.createDataFrame([(60, 2)], "k long, v long"),
+            mode="overwrite",
+        )
+        with pytest.raises(CommitConflictError, match="not an append"):
             t.publish_branch("idle")
+
+
+class TestBranchLifecycleMidStream:
+    """r12: the failure contract for a changefeed tailing a branch that
+    delete_branch() removes mid-stream — a documented error type with
+    the remedy, not a bare FileNotFoundError or silently-regressing
+    offsets (the same standard as the vacuum-vs-reader retry, r9)."""
+
+    @pytest.mark.parametrize("reader", ["partitioned", "simple"])
+    def test_delete_branch_mid_stream_raises_contract(
+        self, spark, tmp_path, reader
+    ):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, name=f"mid_{reader}")
+        b = t.create_branch("stage")
+        b.commit(
+            spark.createDataFrame([(50, 1)], "k long, v long"),
+            mode="append",
+        )
+        seen: list[int] = []
+        r = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("branch", "stage")
+        )
+        if reader == "simple":
+            r = r.option("reader", "simple")
+        q = (
+            r.load()
+            .writeStream.foreachBatch(
+                lambda df, _b: seen.append(df.count())
+            )
+            .option(
+                "checkpointLocation", str(tmp_path / f"ck_{reader}")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # the fork's metadata-copy v0 adds nothing; only the
+            # staged row streams
+            assert sum(seen) == 1
+            t.delete_branch("stage")
+            with pytest.raises(
+                StreamingQueryException,
+                match="deleted while the stream was tailing",
+            ):
+                q.processAllAvailable()
+                # the poller may need a real trigger to re-plan
+                q.awaitTermination(30)
+        finally:
+            q.stop()
