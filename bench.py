@@ -57,6 +57,11 @@ HEADLINE = [
 # entry (r10) puts a media-codec kernel on the bench tripwire the
 # relational and lake paths already have
 PANDAS_BACKED = ["multimodal_wav_decode", "topk_per_group"]
+# refs/CDC metadata surface (r12 tripwire): the registered query builds
+# its own versioned table per pass (commits + manifest walk + O(delta)
+# CDC read end to end), so a regression in the metadata layer — not
+# just the relational/lake-DML/codec paths — moves BENCH_r*.json
+LAKE_CDC = ["lake_table_changes"]
 
 
 def bench_one(
@@ -200,6 +205,15 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(tmp2, ignore_errors=True)
+
+    for name in LAKE_CDC:
+        if name in qs:
+            bench_one(
+                name,
+                lambda name=name: qs[name](spark, sf_dir).count(),
+                timings,
+                history,
+            )
 
     for name in PANDAS_BACKED:
         if name in qs:

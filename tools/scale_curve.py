@@ -154,6 +154,15 @@ def main() -> None:
         "rolling_corr_30d",
         "cdc_apply_into_lake",
         "lake_snapshot_diff",
+        # r12 additions: the row-level CDF path over a multi-commit
+        # range (the one r11 surface without its own scale row), the
+        # rebase publish, the streaming CDF, and branch-aware CDC —
+        # each builds its own lake from the sf_dir's orders, so sf1
+        # means 10x rows AND 10x per-commit delta
+        "lake_row_changes",
+        "lake_rebase_publish",
+        "stream_rewrite_cdf",
+        "lake_branch_changes",
     ]
     # optional: restrict to names passed on the command line (re-running
     # the full list re-measures queries whose curve is already recorded)
