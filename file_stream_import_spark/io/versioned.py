@@ -5843,3 +5843,56 @@ def make_idempotent_cdc_writer(
                 continue
 
     return write
+
+
+def make_cdf_replicator(
+    replica: VersionedTable,
+    query_name: str,
+    key: str | list[str],
+):
+    """foreachBatch sink that REPLICATES a source table into
+    ``replica`` from its CDF stream — the Delta "readChangeFeed →
+    MERGE" replication pattern, closed end to end on this engine.
+    Point a changefeed with ``readchangedata=true`` + ``key`` at the
+    source and hand this writer to foreachBatch: each micro-batch's
+    CDF rows map to an I/U/D changelog (``update_preimage`` rows are
+    dropped — the postimage carries the new state; ``_commit_version``
+    is the last-writer-wins sequence, so a catch-up batch spanning
+    several commits on one key resolves to the newest), and land
+    through make_idempotent_cdc_writer's ATOMIC txn-epoch replay
+    protection — exactly-once across restarts and zombie drivers.
+
+    After each batch the replica equals the source AS OF the batch-end
+    commit — including through rewrite publishes, overwrites, CoW
+    deletes/updates, and rollbacks, which an append-only replication
+    (plain changefeed → append) cannot express. A pure compaction
+    diffs to zero CDF rows, so maintenance on the source never
+    rewrites the replica."""
+    inner = make_idempotent_cdc_writer(
+        replica, query_name, key, op_col="__op", seq_col="__seq"
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        ch = (
+            batch_df.filter(
+                F.col("_change_type") != "update_preimage"
+            )
+            .withColumn(
+                "__op",
+                F.when(F.col("_change_type") == "delete", "D")
+                .when(F.col("_change_type") == "insert", "I")
+                .otherwise("U"),
+            )
+            .withColumn(
+                "__seq", F.col("_commit_version").cast("long")
+            )
+            .drop("_change_type", "_commit_version")
+        )
+        # a planned-but-empty batch (e.g. a compaction version) needs
+        # no replica commit; skipping leaves the watermark untouched,
+        # which is safe — a replayed empty batch skips again
+        if not ch.take(1):
+            return
+        inner(ch, batch_id)
+
+    return write

@@ -312,3 +312,120 @@ def lake_branch_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_cdc_replication",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (
+      SELECT COUNT(*) // 3 AS third,
+             (COUNT(*) // 3) // 3 AS u,
+             2 * ((COUNT(*) // 3) // 3) AS d
+      FROM base
+    ),
+    final AS (
+      SELECT b.k, b.status,
+             CASE WHEN b.k <= p.u THEN b.cents + 5 ELSE b.cents END
+               AS cents
+      FROM base b, p
+      WHERE b.k <= p.third AND NOT (b.k > p.u AND b.k <= p.d)
+      UNION ALL
+      SELECT b.k, b.status, b.cents
+      FROM base b, p
+      WHERE b.k > p.third AND b.k <= p.third + p.u
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(1 AS INT) AS replica_matches_source
+    FROM final GROUP BY status
+    """,
+)
+def stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC replication (io/versioned.py::make_cdf_replicator
+    — Delta's readChangeFeed -> MERGE pattern closed on this engine): a
+    REAL changefeed stream with readchangedata tails the source through
+    a merge (+5 cents on the first u keys), a CoW delete of (u, d], and
+    an append, and the replicator lands each micro-batch on a REPLICA
+    table via apply_changes with atomic txn-epoch exactly-once. The
+    aggregate reads the REPLICA; replica == source is additionally
+    pinned as a flag (exceptAll both ways). At 100 TB the replica
+    rewrite is file-pruned per batch (apply_changes' touched-group
+    split), and a compaction on the source diffs to zero rows — the
+    replica never pays for source maintenance."""
+    import shutil
+    import tempfile
+
+    from ..io.pysource import TableChangefeedDataSource
+    from ..io.versioned import (
+        VersionedTable,
+        make_cdf_replicator,
+        merge_into,
+    )
+
+    o = _densified_orders(spark, sf_dir)
+    third = o.count() // 3
+    u, d = third // 3, 2 * (third // 3)
+    o = o.filter(F.col("k") <= 3 * third).localCheckpoint(eager=True)
+    spark.dataSource.register(TableChangefeedDataSource)
+    src = VersionedTable(tempfile.mkdtemp(prefix="lake_repl_src_"))
+    rep = VersionedTable(tempfile.mkdtemp(prefix="lake_repl_rep_"))
+    ckpt = tempfile.mkdtemp(prefix="lake_repl_ck_")
+    try:
+        src.commit(o.filter(F.col("k") <= third), mode="overwrite")
+        merge_into(
+            src,
+            spark,
+            o.filter(F.col("k") <= u).withColumn(
+                "cents", F.col("cents") + F.lit(5)
+            ),
+            key="k",
+        )
+        src.delete_where(spark, F.col("k").between(u + 1, d))
+        src.commit(
+            o.filter(F.col("k").between(third + 1, third + u)),
+            mode="append",
+        )
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", src.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(
+                make_cdf_replicator(rep, "repl", key="k")
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        s_df = src.read(spark)
+        r_df = rep.read(spark)
+        matches = int(
+            s_df.exceptAll(r_df).isEmpty()
+            and r_df.exceptAll(s_df).isEmpty()
+        )
+        out = (
+            r_df.groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn("replica_matches_source", F.lit(matches))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src.path, ignore_errors=True)
+        shutil.rmtree(rep.path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -1,0 +1,218 @@
+"""CDC replication over the streaming CDF (r12): make_cdf_replicator
+consumes a readchangedata changefeed and keeps a REPLICA versioned
+table converged with the source — through appends, merges, CoW
+deletes, overwrites, rollbacks, rewrite publishes, and compactions —
+with exactly-once batch application. Plus the metamorphic check tying
+the two CDF implementations together: the STREAM's rows must equal the
+BATCH table_changes_rows' rows for the same history."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_stream_import_spark.io.versioned import (
+    VersionedTable,
+    make_cdf_replicator,
+    merge_into,
+    table_changes_rows,
+)
+
+
+def _mk(spark, tmp_path, rows, name="src"):
+    t = VersionedTable(str(tmp_path / name))
+    t.commit(
+        spark.createDataFrame(rows, "k long, v long"), mode="overwrite"
+    )
+    return t
+
+
+def _replicate(spark, src, tmp_path, name="rep"):
+    from file_stream_import_spark.io.pysource import (
+        TableChangefeedDataSource,
+    )
+
+    spark.dataSource.register(TableChangefeedDataSource)
+    rep = VersionedTable(str(tmp_path / name))
+    q = (
+        spark.readStream.format("table_changefeed")
+        .option("path", src.path)
+        .option("readchangedata", "true")
+        .option("key", "k")
+        .option("maxversionspertrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            make_cdf_replicator(rep, "repl", key="k")
+        )
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return rep
+
+
+def _rows(spark, t):
+    return sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    )
+
+
+class TestReplication:
+    def test_replica_converges_through_all_dml(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20), (3, 30)])
+        t.commit(
+            spark.createDataFrame([(4, 40)], "k long, v long"),
+            mode="append",
+        )
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(2, 99), (5, 50)], "k long, v long"),
+            key="k",
+        )
+        t.delete_where(spark, F.col("k") == 1)
+        t.compact(spark, min_bytes=1 << 30)
+        rep = _replicate(spark, t, tmp_path)
+        assert _rows(spark, rep) == _rows(spark, t)
+        assert _rows(spark, rep) == [(2, 99), (3, 30), (4, 40), (5, 50)]
+
+    def test_replica_through_rewrite_publish(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20), (3, 30)])
+        b = t.create_branch("audit")
+        b.delete_where(spark, F.col("k") < 3)
+        b.commit(
+            spark.createDataFrame([(7, 70)], "k long, v long"),
+            mode="append",
+        )
+        t.publish_branch("audit")
+        rep = _replicate(spark, t, tmp_path)
+        assert _rows(spark, rep) == _rows(spark, t) == [(3, 30), (7, 70)]
+
+    def test_replica_through_rollback(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, 10)])
+        t.commit(
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            mode="append",
+        )
+        t.rollback(0)
+        rep = _replicate(spark, t, tmp_path)
+        assert _rows(spark, rep) == _rows(spark, t) == [(1, 10)]
+
+    def test_catchup_batch_resolves_last_writer_wins(
+        self, spark, tmp_path
+    ):
+        """One UNBOUNDED batch spanning commits that insert, update,
+        then delete the same key: the replicator's _commit_version
+        sequence must resolve to the newest state per key."""
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20)])
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(1, 11)], "k long, v long"),
+            key="k",
+        )
+        t.delete_where(spark, F.col("k") == 2)
+        rep = VersionedTable(str(tmp_path / "rep"))
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()  # no trigger bound: ONE catch-up batch
+            .writeStream.foreachBatch(
+                make_cdf_replicator(rep, "repl", key="k")
+            )
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert _rows(spark, rep) == _rows(spark, t) == [(1, 11)]
+
+    def test_exactly_once_replay(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, 10)])
+        rep = VersionedTable(str(tmp_path / "rep"))
+        w = make_cdf_replicator(rep, "repl", key="k")
+        batch = spark.createDataFrame(
+            [(1, 10, "insert", 0)],
+            "k long, v long, _change_type string, _commit_version int",
+        )
+        w(batch, 0)
+        v = rep.latest_version()
+        w(batch, 0)  # replayed delivery of the same epoch
+        assert rep.latest_version() == v
+        assert _rows(spark, rep) == [(1, 10)]
+
+
+class TestStreamMatchesBatchCdf:
+    def test_stream_rows_equal_table_changes_rows(self, spark, tmp_path):
+        """Metamorphic tie between the two CDF implementations: the
+        pyarrow stream kernel and the Spark batch table_changes_rows
+        must describe the same history identically (per version, per
+        key, per change type, with matching payloads)."""
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20), (3, 30)])
+        t.commit(
+            spark.createDataFrame([(4, 40)], "k long, v long"),
+            mode="append",
+        )
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(2, 99), (5, 50)], "k long, v long"),
+            key="k",
+        )
+        t.delete_where(spark, F.col("k").isin(1, 4))
+        t.commit(
+            spark.createDataFrame([(9, 90)], "k long, v long"),
+            mode="overwrite",
+        )
+
+        got = []
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    (
+                        r["_commit_version"],
+                        r["k"],
+                        r["_change_type"],
+                        r["v"],
+                    )
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckm"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        want = []
+        for r in table_changes_rows(t, spark, 0, key="k").collect():
+            v, k, c = r["_commit_version"], r["k"], r["_change_type"]
+            if c == "I":
+                want.append((v, k, "insert", r["new"]["v"]))
+            elif c == "D":
+                want.append((v, k, "delete", r["old"]["v"]))
+            else:
+                want.append((v, k, "update_preimage", r["old"]["v"]))
+                want.append((v, k, "update_postimage", r["new"]["v"]))
+        assert sorted(got) == sorted(want)
