@@ -474,9 +474,16 @@ def _cdf_diff_arrow(
             eq = (s1 == s2).fillna(False)
         except Exception:
             # nested types (list/struct payloads) compare by value in
-            # python — arrow-backed == is not implemented for them
+            # python — arrow-backed == is not implemented for them.
+            # Nulls (None / pd.NA from .tolist()) are handled by the
+            # both_na term; here they compare unequal.
+            def _eq(x, y):
+                if x is None or x is pd.NA or y is None or y is pd.NA:
+                    return False
+                return bool(x == y)
+
             eq = pd.Series(
-                [x == y for x, y in zip(s1.tolist(), s2.tolist())],
+                [_eq(x, y) for x, y in zip(s1.tolist(), s2.tolist())],
                 index=s1.index,
                 dtype=bool,
             )
@@ -679,6 +686,31 @@ def _admitted_end(
     return max(end, lo)
 
 
+def _resolved_map(t, lo: int, latest: int, mkey: str = "colmap") -> dict:
+    """Evolution-map entries (colmap or castmap) unioned over manifests
+    [lo, latest], NEWEST manifest winning per group. The latest
+    manifest alone (the r11 pin) is enough for groups it still
+    retains — but a group that was renamed/widened and then REWRITTEN
+    AWAY before the read exists only in historical manifests, and only
+    they hold its file->current routing (the latest manifest inherits
+    entries only for retained groups). CDF streams, ignorechanges
+    replays, and batch table_changes all replay exactly such history,
+    so their pin must be the ranged union. Entries exist only for
+    evolution-affected groups, so the dict stays small; the walk is
+    one manifest load per version in the range the reader will read
+    anyway."""
+    out: dict = {}
+    for v in range(latest, max(lo, 0) - 1, -1):
+        try:
+            m = t._load_manifest(v)
+        except FileNotFoundError:
+            break  # older versions expired: nothing left to learn
+        for g, mp in (m.get(mkey) or {}).items():
+            if g not in out and mp:
+                out[g] = mp
+    return out
+
+
 def _cdf_options(options: dict) -> tuple[bool, list[str]]:
     """Parse + validate ``readchangedata`` (Delta's readChangeFeed) and
     its required ``key`` option. CDF mode and ignorechanges are
@@ -828,8 +860,22 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         # the colmap is pinned WITH the schema: batch-end manifests
         # that predate a rename have no entry for pre-rename groups,
         # so a bounded catch-up batch ending before the rename commit
-        # must still route old file columns to the pinned names
-        self._pinned_colmap = pinned.get("colmap") or {}
+        # must still route old file columns to the pinned names. CDF
+        # and ignorechanges modes pin the RANGED union instead — they
+        # replay history that may contain groups rewritten away before
+        # stream start, whose routing only historical manifests hold
+        # (_resolved_map).
+        if self.read_change_data or self.ignore_changes:
+            self._pinned_colmap = _resolved_map(
+                t,
+                0 if self.starting == "earliest" else (
+                    latest if self.starting == "latest"
+                    else int(self.starting)
+                ),
+                latest,
+            )
+        else:
+            self._pinned_colmap = pinned.get("colmap") or {}
 
     def _table(self):
         return _ref_table_or_raise(self.path, self._meta)
@@ -1035,8 +1081,21 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         # pinned with the schema — see TableChangefeedReader: a
         # bounded batch ending before a rename commit needs the
         # pinned maps to route pre-rename file columns to the pinned
-        # field names (the batch-end manifest has no entry yet)
-        self._pinned_colmap = pinned.get("colmap") or {}
+        # field names (the batch-end manifest has no entry yet); CDF
+        # and ignorechanges modes pin the ranged union (groups
+        # rewritten away before stream start route only through
+        # historical manifests)
+        if self.read_change_data or self.ignore_changes:
+            self._pinned_colmap = _resolved_map(
+                t,
+                0 if self.starting == "earliest" else (
+                    latest if self.starting == "latest"
+                    else int(self.starting)
+                ),
+                latest,
+            )
+        else:
+            self._pinned_colmap = pinned.get("colmap") or {}
         # the next-unplanned-version floor latestOffset() caps against
         # (the Python DataSourceStreamReader API gives latestOffset no
         # start argument, so the reader tracks it). Seeded from

@@ -5433,7 +5433,7 @@ def table_changes(
     metadata, and only added groups are scanned."""
     from functools import reduce
 
-    from .pysource import _changefeed_added_groups
+    from .pysource import _changefeed_added_groups, _resolved_map
 
     hi = (
         table.latest_version() if to_version is None else int(to_version)
@@ -5461,8 +5461,13 @@ def table_changes(
     )
     if not by_v:
         return empty
-    colmap = m_hi.get("colmap") or {}
-    castmap = m_hi.get("castmap") or {}
+    # evolution maps unioned over the WHOLE range, newest wins: the
+    # end manifest only inherits entries for groups it still retains,
+    # but this walk replays groups that may have been renamed/widened
+    # and then rewritten away inside the range — their routing lives
+    # only in the historical manifests (same pin as the CDF stream)
+    colmap = _resolved_map(table, lo, hi, "colmap")
+    castmap = _resolved_map(table, lo, hi, "castmap")
     parts = []
     for v, gs in sorted(by_v.items()):
         gset = set(gs)

@@ -429,3 +429,70 @@ def stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(rep.path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_changes_after_rename",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (
+      SELECT COUNT(*) // 3 AS third, (COUNT(*) // 3) // 3 AS u
+      FROM base
+    ),
+    v0 AS (SELECT b.* FROM base b, p WHERE b.k <= p.third)
+    SELECT 0 AS commit_version,
+           CAST((SELECT third FROM p) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(cents) FROM v0) AS BIGINT) AS c_sum
+    UNION ALL
+    SELECT 2,
+           CAST((SELECT third - u FROM p) AS BIGINT),
+           CAST((SELECT SUM(cents) FROM v0 v, p WHERE v.k > p.u)
+                AS BIGINT)
+    """,
+)
+def lake_changes_after_rename(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch CDC through column evolution ACROSS a rewrite
+    (io/versioned.py::table_changes + pysource._resolved_map, r12
+    hardening): the table renames cents -> c, then a CoW delete
+    rewrites the original group AWAY — so the end manifest no longer
+    carries that group's rename routing, and only the ranged
+    newest-wins colmap union can align its historical rows to the
+    post-rename name. The per-commit SUM of the renamed column is
+    PINNED — before the fix those rows read NULL and the value hash
+    (not just a weak row count) catches it."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, table_changes
+
+    o = _densified_orders(spark, sf_dir).select("k", "cents")
+    third = o.count() // 3
+    u = third // 3
+    o = o.filter(F.col("k") <= third).localCheckpoint(eager=True)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_ren_"))
+    try:
+        t.commit(o, mode="overwrite")
+        t.rename_column("cents", "c")
+        t.delete_where(spark, F.col("k") <= u)
+        out = (
+            table_changes(t, spark, 0, ignore_changes=True)
+            .groupBy(
+                F.col("_commit_version").cast("int").alias(
+                    "commit_version"
+                )
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("c").cast("bigint").alias("c_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out

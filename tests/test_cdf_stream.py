@@ -229,3 +229,148 @@ class TestCdfContract:
             .load()
         )
         assert df.columns == ["k", "v", "_change_type", "_commit_version"]
+
+
+class TestCdfEvolutionAndNestedTypes:
+    def test_cdf_through_rename_uses_pinned_schema(self, spark, tmp_path):
+        """A rename BEFORE stream start: the CDF aligns both diff
+        sides to the pinned (post-rename) schema through each
+        manifest's colmap — pre-rename groups route their old file
+        column to the pinned name."""
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20)])
+        t.rename_column("v", "w")
+        t.delete_where(spark, F.col("k") == 1)
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        got = []
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    (r["k"], r["w"], r["_change_type"],
+                     r["_commit_version"])
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckr"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(got) == [
+            (1, 10, "delete", 2),   # old-named file column routed
+            (1, 10, "insert", 0),
+            (2, 20, "insert", 0),
+        ]
+
+    def test_cdf_array_payload_null_safe_compare(self, spark, tmp_path):
+        """array<long> payloads: the arrow-backed == is not
+        implemented for lists, so the kernel's python-value fallback
+        must classify changed vs unchanged rows correctly."""
+        t = VersionedTable(str(tmp_path / "arr"))
+        t.commit(
+            spark.createDataFrame(
+                [(1, [1, 2]), (2, [3, 4]), (3, None)],
+                "k long, emb array<bigint>",
+            ),
+            mode="overwrite",
+        )
+        # rewrite: change k=1's array, keep k=2 identical, keep k=3
+        # NULL — only k=1 may emit update rows
+        t.commit(
+            spark.createDataFrame(
+                [(1, [9, 9]), (2, [3, 4]), (3, None)],
+                "k long, emb array<bigint>",
+            ),
+            mode="overwrite",
+        )
+        from file_stream_import_spark.io.pysource import _cdf_diff_arrow
+        from file_stream_import_spark.io.versioned import (
+            _schema_from_json,
+        )
+
+        declared = _schema_from_json(t._load_manifest(1)["schema"])
+        out = _cdf_diff_arrow(t.path, None, 1, ["k"], declared).to_pylist()
+        changes = sorted(
+            (r["k"], r["_change_type"], tuple(r["emb"] or []))
+            for r in out
+        )
+        assert changes == [
+            (1, "update_postimage", (9, 9)),
+            (1, "update_preimage", (1, 2)),
+        ]
+
+
+class TestRewrittenAwayGroupRouting:
+    """r12 hardening: a group RENAMED and then REWRITTEN AWAY inside
+    the replayed range exists only in historical manifests — the end/
+    latest manifest no longer carries its colmap entry. Every replay
+    surface (batch table_changes, plain stream under ignorechanges,
+    and the CDF stream) must pin the ranged newest-wins union, or the
+    group's rows silently emit NULL under the post-rename name."""
+
+    def _mk_renamed_rewritten(self, spark, tmp_path, name):
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20)], name)
+        t.rename_column("v", "w")
+        t.delete_where(spark, F.col("k") == 1)  # rewrites the group
+        return t
+
+    def test_batch_table_changes_routes_historical_group(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.versioned import table_changes
+
+        t = self._mk_renamed_rewritten(spark, tmp_path, "b")
+        got = sorted(
+            (r["k"], r["w"], r["_commit_version"])
+            for r in table_changes(
+                t, spark, 0, ignore_changes=True
+            ).collect()
+        )
+        assert got == [(1, 10, 0), (2, 20, 0), (2, 20, 2)]
+
+    @pytest.mark.parametrize("reader", ["partitioned", "simple"])
+    def test_ignorechanges_stream_routes_historical_group(
+        self, spark, tmp_path, reader
+    ):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = self._mk_renamed_rewritten(spark, tmp_path, f"s{reader}")
+        got = []
+        r = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("ignorechanges", "true")
+        )
+        if reader == "simple":
+            r = r.option("reader", "simple")
+        q = (
+            r.load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    (x["k"], x["w"]) for x in df.collect()
+                )
+            )
+            .option(
+                "checkpointLocation", str(tmp_path / f"ck{reader}")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(got) == [(1, 10), (2, 20), (2, 20)]

@@ -595,3 +595,114 @@ class TestBranchLifecycleMidStream:
                 q.awaitTermination(30)
         finally:
             q.stop()
+
+
+class TestRebasePublishEdges:
+    """r12 rebase-publish edge coverage: the paths the happy-path test
+    and the fuzz draws don't isolate — additive schema evolution on
+    either side, and pre-existing merge-on-read delete entries carried
+    verbatim through the rebase."""
+
+    def test_rebase_unions_additive_schema_evolution(
+        self, spark, tmp_path
+    ):
+        """Branch appends WITH a new column while main appends with
+        the fork schema: the rebased publish's schema is the additive
+        union; interim main rows read NULL for the branch's column."""
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("evolve")
+        b.commit(
+            spark.createDataFrame(
+                [(50, 1, "x")], "k long, v long, note string"
+            ),
+            mode="append",
+            allow_evolution=True,
+        )
+        t.commit(
+            spark.createDataFrame([(60, 2)], "k long, v long"),
+            mode="append",
+        )
+        pv = t.publish_branch("evolve")
+        m = t._load_manifest(pv)
+        assert m.get("rebased_from") == 0
+        rows = {
+            r["k"]: (r["v"], r["note"])
+            for r in t.read(spark).collect()
+        }
+        assert rows[50] == (1, "x")
+        assert rows[60] == (2, None)  # interim append: NULL back-fill
+        assert rows[0] == (0, None)
+
+    def test_rebase_conflicts_on_incompatible_evolution(
+        self, spark, tmp_path
+    ):
+        """Both sides add the SAME column with different types: the
+        union is ambiguous — the rebase must refuse."""
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("clash")
+        b.commit(
+            spark.createDataFrame(
+                [(50, 1, 7)], "k long, v long, note long"
+            ),
+            mode="append",
+            allow_evolution=True,
+        )
+        t.commit(
+            spark.createDataFrame(
+                [(60, 2, "s")], "k long, v long, note string"
+            ),
+            mode="append",
+            allow_evolution=True,
+        )
+        with pytest.raises(
+            CommitConflictError, match="evolved the schema incompatibly"
+        ):
+            t.publish_branch("clash")
+
+    def test_rebase_carries_preexisting_mor_entries(
+        self, spark, tmp_path
+    ):
+        """MoR delete entries that existed at the FORK are carried
+        verbatim by appends on both sides — the rebase keeps them and
+        the published read still hides the deleted keys."""
+        t = _mk(spark, tmp_path)
+        t.delete_where(
+            spark, F.col("k") < 2,
+            strategy="merge-on-read", key_cols=["k"],
+        )
+        b = t.create_branch("stage")
+        b.commit(
+            spark.createDataFrame([(50, 1)], "k long, v long"),
+            mode="append",
+        )
+        t.commit(
+            spark.createDataFrame([(60, 2)], "k long, v long"),
+            mode="append",
+        )
+        pv = t.publish_branch("stage")
+        m = t._load_manifest(pv)
+        assert m.get("rebased_from") == 1
+        assert m["mode"] == "publish_branch:stage"
+        assert m.get("delete_entries")  # carried, not dropped
+        rows = _rows(spark, t)
+        assert 0 not in rows and 1 not in rows  # MoR still applies
+        assert rows[50] == 1 and rows[60] == 2
+        assert len(rows) == 8  # 6 survivors + 2 appends
+
+    def test_rebase_refused_when_fork_vacuumed(self, spark, tmp_path):
+        """vacuum expiring the fork manifest removes the proof the
+        mode walk needs — the publish must refuse with the remedy."""
+        t = _mk(spark, tmp_path)
+        b = t.create_branch("stage")
+        b.commit(
+            spark.createDataFrame([(50, 1)], "k long, v long"),
+            mode="append",
+        )
+        for i in range(3):
+            t.commit(
+                spark.createDataFrame([(60 + i, 2)], "k long, v long"),
+                mode="append",
+            )
+        t.vacuum(keep_versions=1, min_age_seconds=0)
+        with pytest.raises(CommitConflictError, match="no longer retained"):
+            t.publish_branch("stage")
