@@ -711,6 +711,41 @@ def _resolved_map(t, lo: int, latest: int, mkey: str = "colmap") -> dict:
     return out
 
 
+def _starting_option(options: dict, t) -> str:
+    """Resolve the stream's starting point: ``startingversion``
+    ("earliest" | "latest" | number) or ``startingtimestamp`` (epoch
+    seconds or ISO date/datetime — Delta's startingTimestamp), mapped
+    to the first version committed AT or AFTER the instant via the
+    manifest committed_at index (the read-side mirror of
+    version_as_of). Both options together is an error."""
+    sv = options.get("startingversion")
+    ts = options.get("startingtimestamp")
+    if ts is None:
+        return str(sv if sv is not None else "earliest")
+    if sv is not None:
+        raise ValueError(
+            "pass option 'startingversion' OR 'startingtimestamp', "
+            "not both"
+        )
+    try:
+        epoch = float(ts)
+    except ValueError:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(str(ts))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        epoch = dt.timestamp()
+    # first version with committed_at >= epoch: one past the newest
+    # version committed strictly BEFORE the instant (version_as_of
+    # binary-searches <=; subtracting a hair makes it strict)
+    try:
+        before = t.version_as_of(epoch - 1e-6)
+    except FileNotFoundError:
+        return "earliest"  # instant precedes the whole history
+    return str(before + 1)
+
+
 def _cdf_options(options: dict) -> tuple[bool, list[str]]:
     """Parse + validate ``readchangedata`` (Delta's readChangeFeed) and
     its required ``key`` option. CDF mode and ignorechanges are
@@ -839,7 +874,6 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
-        self.starting = str(options.get("startingversion", "earliest"))
         # .option("branch", name): tail the branch's commit chain —
         # the audit side of write-audit-publish watches staging land
         self._meta = _branch_meta_root(
@@ -847,6 +881,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         )
         self.read_change_data, self.cdf_key = _cdf_options(options)
         t = self._table()
+        self.starting = _starting_option(options, t)
         latest = t.latest_version()
         if latest is None:
             raise FileNotFoundError(
@@ -1060,7 +1095,6 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
-        self.starting = str(options.get("startingversion", "earliest"))
         self._meta = _branch_meta_root(
             self.path, options.get("branch")
         )
@@ -1071,6 +1105,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
             self.max_bytes,
         ) = _trigger_limits(options)
         t = self._table()
+        self.starting = _starting_option(options, t)
         latest = t.latest_version()
         if latest is None:
             raise FileNotFoundError(
@@ -1265,6 +1300,12 @@ class TableChangefeedDataSource(DataSource):
     of main — the audit side of write-audit-publish watches staged
     commits land as they happen (data stays table-rooted; only the
     manifest chain differs). Offsets are branch-local versions.
+
+    ``.option("startingtimestamp", ts)`` (r12 — Delta's
+    startingTimestamp): start at the first commit AT or AFTER the
+    instant (epoch seconds or ISO datetime), resolved through the
+    manifest committed_at index like TIMESTAMP AS OF. Mutually
+    exclusive with startingversion.
 
     ``.option("readchangedata", "true")`` + ``.option("key", cols)``
     (r12) — Delta's readChangeFeed: instead of REJECTING non-append

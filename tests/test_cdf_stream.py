@@ -374,3 +374,111 @@ class TestRewrittenAwayGroupRouting:
         finally:
             q.stop()
         assert sorted(got) == [(1, 10), (2, 20), (2, 20)]
+
+
+class TestStartingTimestamp:
+    @pytest.mark.parametrize("reader", ["partitioned", "simple"])
+    def test_starts_at_first_commit_after_instant(
+        self, spark, tmp_path, reader
+    ):
+        import time
+
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10)], f"ts{reader}")
+        time.sleep(0.05)
+        cut = time.time()
+        time.sleep(0.05)
+        t.commit(
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            mode="append",
+        )
+        got = []
+        r = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("startingtimestamp", str(cut))
+        )
+        if reader == "simple":
+            r = r.option("reader", "simple")
+        q = (
+            r.load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    x["k"] for x in df.collect()
+                )
+            )
+            .option(
+                "checkpointLocation", str(tmp_path / f"tsck{reader}")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert got == [2]  # v0 predates the instant
+
+    def test_instant_before_history_means_earliest(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10)])
+        got = []
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("startingtimestamp", "2000-01-01T00:00:00")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    x["k"] for x in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "tsck0"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert got == [1]
+
+    def test_mutually_exclusive_with_startingversion(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10)])
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("startingversion", "0")
+            .option("startingtimestamp", "0")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "x"))
+            .start()
+        )
+        try:
+            with pytest.raises(
+                StreamingQueryException, match="not both"
+            ):
+                q.processAllAvailable()
+                q.awaitTermination(30)
+        finally:
+            q.stop()
