@@ -371,6 +371,7 @@ def _cdf_diff_arrow(
     v: int,
     key_cols: list[str],
     declared,
+    fallback_colmap: dict | None = None,
 ):
     """Row-level change-data-feed delta of snapshot ``v`` vs ``v-1``
     as ONE Arrow table — the stream-side twin of the batch
@@ -429,6 +430,11 @@ def _cdf_diff_arrow(
         for g in m["groups"]:
             if g in shared:
                 continue
+            # own-manifest routing wins; the reader's pinned ranged
+            # union covers a rollback-restored manifest whose OLD
+            # colmap state predates a rename (its files still need
+            # routing to the pinned post-rename names)
+            mapping = colmap.get(g) or (fallback_colmap or {}).get(g)
             d = os.path.join(path, g)
             for fname in sorted(os.listdir(d)):
                 if fname.endswith(".parquet"):
@@ -436,7 +442,7 @@ def _cdf_diff_arrow(
                         _arrow_align(
                             pq.read_table(os.path.join(d, fname)),
                             declared,
-                            colmap.get(g),
+                            mapping,
                         )
                     )
         if not tables:
@@ -998,7 +1004,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
             else:
                 at = _cdf_diff_arrow(
                     self.path, self._meta, v, self.cdf_key,
-                    self._declared,
+                    self._declared, self._pinned_colmap,
                 )
                 for row in at.to_pylist():
                     rows.append(
@@ -1253,7 +1259,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         if isinstance(partition, _CdfDiffPartition):
             yield from _cdf_diff_arrow(
                 self.path, self._meta, partition.version,
-                self.cdf_key, declared,
+                self.cdf_key, declared, self._pinned_colmap,
             ).to_batches(max_chunksize=65536)
             return
         if not partition.file_path:

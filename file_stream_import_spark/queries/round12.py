@@ -14,6 +14,13 @@ driver's value-hash gate.
 * lake_branch_changes — branch-aware batch CDC (opportunity-ledger
   item 4): table_changes on a BRANCH handle walks branch-local
   versions, per-commit counts and sums pinned.
+* stream_cdc_replication — the readChangeFeed -> MERGE loop closed:
+  a CDF stream drives make_cdf_replicator into a REPLICA table with
+  exactly-once apply_changes batches; replica == source pinned.
+* lake_changes_after_rename — evolution-map routing across a rewrite:
+  a renamed column's historical group (rewritten away, so only
+  historical manifests hold its routing) must still SUM correctly
+  through batch CDC (the r12 _resolved_map fix, value-hash-visible).
 
 Reference parity: the reference's writer lifecycle (SURVEY §3.1,
 internal/writer/writer.go) stages rows before readers see them;

@@ -482,3 +482,50 @@ class TestStartingTimestamp:
                 q.awaitTermination(30)
         finally:
             q.stop()
+
+
+class TestCdfRollbackAcrossRename:
+    def test_rollback_to_pre_rename_state_routes_both_sides(
+        self, spark, tmp_path
+    ):
+        """A rollback TO a pre-rename snapshot makes the diff pair
+        straddle the rename: the rolled-back manifest carries the OLD
+        colmap state (no entry), so only the reader's pinned ranged
+        union can route its files to the pinned post-rename names.
+        Payloads are identical across the rollback, so the CDF must be
+        EMPTY for that version — spurious NULL-updates would mean the
+        fallback is broken."""
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20)])
+        t.rename_column("v", "w")
+        t.rollback(0)  # restore pre-rename state (old colmap)
+        got = []
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    (x["k"], x["_change_type"], x["_commit_version"])
+                    for x in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckrb"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # pinned schema is v1's... the stream pins the LATEST (v2 =
+        # rollback) manifest's schema, which restored the OLD name 'v'
+        # — either way, the rollback version must diff to ZERO rows
+        assert [g for g in got if g[2] == 2] == []
+        assert sorted(g[0] for g in got) == [1, 2]  # v0 inserts only
