@@ -733,23 +733,9 @@ def _starting_option(options: dict, t) -> str:
             "pass option 'startingversion' OR 'startingtimestamp', "
             "not both"
         )
-    try:
-        epoch = float(ts)
-    except ValueError:
-        from datetime import datetime, timezone
+    from .versioned import _parse_instant, _version_at_or_after
 
-        dt = datetime.fromisoformat(str(ts))
-        if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=timezone.utc)
-        epoch = dt.timestamp()
-    # first version with committed_at >= epoch: one past the newest
-    # version committed strictly BEFORE the instant (version_as_of
-    # binary-searches <=; subtracting a hair makes it strict)
-    try:
-        before = t.version_as_of(epoch - 1e-6)
-    except FileNotFoundError:
-        return "earliest"  # instant precedes the whole history
-    return str(before + 1)
+    return str(_version_at_or_after(t, _parse_instant(ts)))
 
 
 def _cdf_options(options: dict) -> tuple[bool, list[str]]:

@@ -4166,7 +4166,10 @@ class VersionedTable:
         )
 
     def vacuum(
-        self, keep_versions: int = 1, min_age_seconds: float = 3600.0
+        self,
+        keep_versions: int = 1,
+        min_age_seconds: float = 3600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Iceberg's expire-snapshots + orphan cleanup: drop manifests
         older than the newest ``keep_versions``, then delete every data
@@ -4180,7 +4183,13 @@ class VersionedTable:
         manifest, so a brand-new unreferenced group may be a commit
         about to land, not an orphan. Only groups older than the
         threshold are reclaimed (Iceberg's orphan-file retention age);
-        pass 0 only when no writer can be active."""
+        pass 0 only when no writer can be active.
+
+        ``dry_run=True`` (Delta's VACUUM DRY RUN, r12): report the
+        data groups the sweep WOULD reclaim — nothing is unlinked, no
+        manifest expires, no checkpoint is trimmed. The report uses
+        the same live-set walk as the real sweep, so operators can
+        audit retention before committing to it."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         import shutil
@@ -4200,9 +4209,10 @@ class VersionedTable:
                     cut = min(cut, i)
                     break
         expired, keep = vs[:cut], vs[cut:]
-        for v in expired:
-            os.unlink(_manifest_path(self._meta_root, v))
-        if expired:
+        if not dry_run:
+            for v in expired:
+                os.unlink(_manifest_path(self._meta_root, v))
+        if expired and not dry_run:
             # trim expired rows out of the history checkpoint (readers
             # filter too — this just stops the file growing forever)
             ck = self._read_checkpoint()
@@ -4255,7 +4265,7 @@ class VersionedTable:
         # reclaims. Age-gated by the same threshold as data orphans (a
         # fresh tmp may belong to a publish in flight right now).
         mdir = _manifest_dir(self._meta_root)
-        if os.path.isdir(mdir):
+        if os.path.isdir(mdir) and not dry_run:
             for name in os.listdir(mdir):
                 if ".tmp-" not in name:
                     continue
@@ -4274,7 +4284,8 @@ class VersionedTable:
                 g = os.path.join("data", d)
                 full = os.path.join(self.path, g)
                 if g not in live and os.path.getmtime(full) <= cutoff:
-                    shutil.rmtree(full)
+                    if not dry_run:
+                        shutil.rmtree(full)
                     removed.append(g)
         return removed
 
@@ -5407,12 +5418,39 @@ def apply_changes(
     )
 
 
+def _parse_instant(ts) -> float:
+    """Epoch seconds from a number, numeric string, or ISO date /
+    datetime (naive = UTC) — the one instant parser the timestamp
+    read surfaces share (TIMESTAMP AS OF semantics)."""
+    try:
+        return float(ts)
+    except (TypeError, ValueError):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(str(ts))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+
+
+def _version_at_or_after(table: VersionedTable, epoch: float) -> int:
+    """First version committed AT or AFTER the instant: one past the
+    newest version committed strictly before it (0 when the instant
+    precedes the whole history)."""
+    try:
+        return table.version_as_of(epoch - 1e-6) + 1
+    except FileNotFoundError:
+        return 0
+
+
 def table_changes(
     table: VersionedTable,
     spark: SparkSession,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
     ignore_changes: bool = False,
+    from_timestamp=None,
+    to_timestamp=None,
 ) -> DataFrame:
     """Batch CDC — Delta's ``table_changes`` TVF shape: the rows ADDED
     by snapshots [from_version, to_version] (default: latest) as ONE
@@ -5430,11 +5468,31 @@ def table_changes(
     cast maps; delete entries are NOT applied (CDC reports what was
     inserted, not the net state — use snapshot_diff for exact row
     deltas including deletes). O(added data) IO: the walk is manifest
-    metadata, and only added groups are scanned."""
+    metadata, and only added groups are scanned.
+
+    Bounds may be versions OR instants (Delta's table_changes TVF
+    accepts both): ``from_timestamp`` resolves to the first commit AT
+    or AFTER the instant, ``to_timestamp`` to the newest commit at or
+    before it (epoch seconds or ISO datetime; version and timestamp
+    forms of the same bound are mutually exclusive)."""
     from functools import reduce
 
     from .pysource import _changefeed_added_groups, _resolved_map
 
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "pass from_version OR from_timestamp, not both"
+            )
+        from_version = _version_at_or_after(
+            table, _parse_instant(from_timestamp)
+        )
+    if from_version is None:
+        raise ValueError("pass from_version or from_timestamp")
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR to_timestamp, not both")
+        to_version = table.version_as_of(_parse_instant(to_timestamp))
     hi = (
         table.latest_version() if to_version is None else int(to_version)
     )

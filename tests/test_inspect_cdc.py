@@ -332,3 +332,72 @@ class TestTableChangesRows:
             for r in table_changes_rows(b, spark, 1, key="k").collect()
         }
         assert got == {(1, 1, "U"), (5, 1, "I")}
+
+
+class TestVacuumDryRunAndTimestampBounds:
+    def test_vacuum_dry_run_reports_without_removing(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.versioned import VersionedTable
+
+        t = VersionedTable(str(tmp_path / "dr"))
+        for i in range(3):
+            t.commit(
+                spark.createDataFrame([(i, i)], "k long, v long"),
+                mode="overwrite" if i == 0 else "append",
+            )
+        t.commit(
+            spark.createDataFrame([(9, 9)], "k long, v long"),
+            mode="overwrite",
+        )
+        would = t.vacuum(keep_versions=1, min_age_seconds=0, dry_run=True)
+        assert len(would) == 3  # the overwritten groups
+        # NOTHING happened: all manifests retained, all data readable
+        assert t.versions() == [0, 1, 2, 3]
+        assert len(t.read(spark, version=2).collect()) == 3
+        removed = t.vacuum(keep_versions=1, min_age_seconds=0)
+        assert sorted(removed) == sorted(would)  # the report was exact
+        assert t.versions() == [3]
+
+    def test_table_changes_timestamp_bounds(self, spark, tmp_path):
+        import time
+
+        from file_stream_import_spark.io.versioned import (
+            VersionedTable,
+            table_changes,
+        )
+
+        t = VersionedTable(str(tmp_path / "tsb"))
+        t.commit(
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            mode="overwrite",
+        )
+        time.sleep(0.05)
+        cut = time.time()
+        time.sleep(0.05)
+        t.commit(
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            mode="append",
+        )
+        t.commit(
+            spark.createDataFrame([(3, 30)], "k long, v long"),
+            mode="append",
+        )
+        got = sorted(
+            r["k"]
+            for r in table_changes(
+                t, spark, from_timestamp=cut
+            ).collect()
+        )
+        assert got == [2, 3]
+        got2 = sorted(
+            r["k"]
+            for r in table_changes(
+                t, spark, from_version=0, to_timestamp=cut
+            ).collect()
+        )
+        assert got2 == [1]
+        with pytest.raises(ValueError, match="not both"):
+            table_changes(t, spark, from_version=0, from_timestamp=cut)
+        with pytest.raises(ValueError, match="from_version or"):
+            table_changes(t, spark)

@@ -479,4 +479,8 @@ class TestRefsMetadataScale:
 
         monkeypatch.setattr(os.path, "exists", counting)
         assert table.branch("hot").latest_version() == 50
-        assert exists_calls["n"] <= 3  # hint + forward probe, no walk
+        # hint + forward probe per resolution, never a version walk.
+        # Two resolutions since r12: branch() itself validates the
+        # handle is not a crashed-create leftover (one latest_version)
+        # before the caller's explicit latest_version.
+        assert exists_calls["n"] <= 6
