@@ -216,3 +216,162 @@ class TestStreamMatchesBatchCdf:
                 want.append((v, k, "update_preimage", r["old"]["v"]))
                 want.append((v, k, "update_postimage", r["new"]["v"]))
         assert sorted(got) == sorted(want)
+
+
+# -- replication convergence fuzz -------------------------------------
+#
+# The capstone property of the r12 CDC loop: for ANY key-unique DML
+# history (upserts, merge-deletes, CoW range deletes, overwrites,
+# rollbacks, compactions), a readchangedata stream driven through
+# make_cdf_replicator converges the replica to EXACTLY the source's
+# final state — and to the pure-Python model of the same ops. Each
+# surface in the chain (append planning, the pyarrow diff kernel,
+# last-writer-wins changelog resolution, idempotent apply_changes) has
+# its own tests; this exercises their COMPOSITION over random
+# interleavings, with bounded triggers so catch-up batches split at
+# arbitrary commit boundaries.
+
+import os as _os
+import uuid as _uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FUZZ_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "5"))
+_FUZZ_DERANDOMIZE = "SPARK_GRAFT_FUZZ_EXAMPLES" not in _os.environ
+
+_rows_st = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(-50, 50)),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda r: r[0],
+)
+_op_st = st.one_of(
+    st.tuples(st.just("merge"), _rows_st),
+    st.tuples(st.just("merge_del"), _rows_st),
+    st.tuples(
+        st.just("delete"), st.integers(0, 12), st.integers(0, 12)
+    ),
+    st.tuples(st.just("overwrite"), _rows_st),
+    st.just(("compact",)),
+    st.tuples(st.just("rollback"), st.integers(0, 30)),
+)
+
+
+def _model_apply(state: dict, op: tuple) -> dict:
+    kind = op[0]
+    if kind == "merge":
+        out = dict(state)
+        out.update(op[1])
+        return out
+    if kind == "merge_del":
+        return {k: v for k, v in state.items() if k not in dict(op[1])}
+    if kind == "delete":
+        lo, hi = sorted((op[1], op[2]))
+        return {k: v for k, v in state.items() if not lo <= k <= hi}
+    if kind == "overwrite":
+        return dict(op[1])
+    return state  # compact: no logical change (rollback handled inline)
+
+
+class TestReplicationConvergenceFuzz:
+    @settings(
+        max_examples=_FUZZ_EXAMPLES,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.data_too_large,
+        ],
+        derandomize=_FUZZ_DERANDOMIZE,
+    )
+    @given(
+        init=_rows_st,
+        ops=st.lists(_op_st, min_size=1, max_size=5),
+        per_trigger=st.integers(1, 3),
+    )
+    def test_replica_converges_for_random_histories(
+        self, spark, tmp_path_factory, init, ops, per_trigger
+    ):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+        from file_stream_import_spark.io.versioned import (
+            VersionedTable,
+            apply_changes,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        base = tmp_path_factory.mktemp("cdf_fuzz")
+        t = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
+        t.commit(
+            spark.createDataFrame(init, "k long, v long"),
+            mode="overwrite",
+        )
+        model = dict(init)
+        # model state per COMMITTED version (ops may no-op-commit:
+        # compacting one group, deleting an empty range) — rollback
+        # targets resolve through this map, never op indexes
+        states = {t.latest_version(): dict(model)}
+        for op in ops:
+            kind = op[0]
+            if kind == "merge":
+                merge_into(
+                    t, spark,
+                    spark.createDataFrame(op[1], "k long, v long"),
+                    key="k",
+                )
+            elif kind == "merge_del":
+                merge_into(
+                    t, spark,
+                    spark.createDataFrame(op[1], "k long, v long"),
+                    key="k",
+                    when_matched="delete",
+                    when_not_matched=None,
+                )
+            elif kind == "delete":
+                lo, hi = sorted((op[1], op[2]))
+                t.delete_where(spark, F.col("k").between(lo, hi))
+            elif kind == "overwrite":
+                t.commit(
+                    spark.createDataFrame(op[1], "k long, v long"),
+                    mode="overwrite",
+                )
+            elif kind == "compact":
+                t.compact(spark, min_bytes=1 << 30)
+            if kind == "rollback":
+                vs = t.versions()
+                target = vs[op[1] % len(vs)]
+                t.rollback(target)
+                model = dict(states[target])
+            else:
+                model = _model_apply(model, op)
+            states[t.latest_version()] = dict(model)
+
+        rep = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
+        w = make_cdf_replicator(rep, "fz", key="k")
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .option("maxversionspertrigger", str(per_trigger))
+            .load()
+            .writeStream.foreachBatch(w)
+            .option(
+                "checkpointLocation", f"{base}/ck_{_uuid.uuid4().hex}"
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _rows(spark, rep)
+        src = _rows(spark, t)
+        want = sorted(model.items())
+        assert src == want, f"source diverged from model: {ops}"
+        assert got == want, (
+            f"replica diverged after {ops} "
+            f"(per_trigger={per_trigger}): replica={got} model={want}"
+        )
