@@ -266,6 +266,39 @@ def _stat_unjson(v, dtype):
     return v
 
 
+# string min/max longer than this are TRUNCATED in the manifest
+# (Delta stores 32-char prefixes): a documents-style table would
+# otherwise carry two full text bodies per group in EVERY manifest —
+# metadata growing with payload size, the one thing manifests must
+# never do at 100 TB. Truncation keeps the entries valid BOUNDS (see
+# _truncate_str_stats), so pruning/containment stay conservative; the
+# "trunc" marker tells exact-value consumers (agg_where MIN/MAX) the
+# entry is a bound, not the answer — they scan instead.
+_STATS_STR_MAX = 64
+
+
+def _truncate_str_stats(mn: str, mx: str):
+    """(min, max, truncated): min prefixes down (a prefix sorts <= the
+    full string, valid lower bound); max takes the prefix with its
+    rightmost incrementable char bumped and the tail dropped (sorts >
+    any string sharing the prefix, valid upper bound — Delta's rule).
+    A max prefix of all U+10FFFF cannot be bumped: max becomes None
+    and the caller omits the entry (conservative scan)."""
+    trunc = False
+    if isinstance(mn, str) and len(mn) > _STATS_STR_MAX:
+        mn = mn[:_STATS_STR_MAX]
+        trunc = True
+    if isinstance(mx, str) and len(mx) > _STATS_STR_MAX:
+        p = mx[:_STATS_STR_MAX]
+        mx = None
+        for i in range(len(p) - 1, -1, -1):
+            if ord(p[i]) < 0x10FFFF:
+                mx = p[:i] + chr(ord(p[i]) + 1)
+                break
+        trunc = True
+    return mn, mx, trunc
+
+
 def _col_stats_entry(mn_raw, mx_raw, nulls: int, rows: int, dtype):
     """Build one column's manifest-stats entry, or ``None`` to OMIT it.
 
@@ -280,13 +313,26 @@ def _col_stats_entry(mn_raw, mx_raw, nulls: int, rows: int, dtype):
       ``read(where=...)`` / file-pruned MERGE silently skip groups that
       DO hold in-range rows. Now the column's entry is omitted entirely
       — consumers already treat missing stats as "scan conservatively".
+
+    Long STRING min/max are truncated to bound-preserving prefixes
+    with a ``trunc`` marker (r12) — see _STATS_STR_MAX.
     """
     mn, mx = _json_safe(mn_raw, dtype), _json_safe(mx_raw, dtype)
+    trunc = False
+    if (
+        dtype is not None
+        and getattr(dtype, "typeName", lambda: "")() == "string"
+    ):
+        mn, mx, trunc = _truncate_str_stats(mn, mx)
     if (mn is None or mx is None) and nulls != rows:
         # raw value existed but didn't survive _json_safe (non-finite
-        # float / unexpected type): no usable ordering stats
+        # float / unexpected type) or the max prefix was unbumpable:
+        # no usable ordering stats
         return None
-    return {"min": mn, "max": mx, "nulls": nulls}
+    out = {"min": mn, "max": mx, "nulls": nulls}
+    if trunc:
+        out["trunc"] = True
+    return out
 
 
 # -- per-group Bloom filters (point-lookup data skipping) ---------------
@@ -2215,6 +2261,9 @@ class VersionedTable:
                 and not cls_dropped
                 and (not where or _group_fully_contained(st, cls_where))
                 and (not need_sum or "sum" in entry)
+                # truncated string stats are BOUNDS, not values: they
+                # still prune/contain, but cannot answer MIN/MAX
+                and not entry.get("trunc")
             )
             if not usable:
                 scan.append(g)
