@@ -71,19 +71,32 @@ def _half_ops(lo: int, hi: int):
 # rebase contract is exact: it must land iff A was a pure append
 # (appends commute; any rewrite/merge/update invalidates the staged
 # audit), regardless of key halves (the publish rebase proves safety
-# by commit MODES, not key boxes).
-wap_st = st.tuples(
-    st.just("wap"),
-    st.lists(
-        st.tuples(st.integers(0, 15), st.integers(-50, 50)),
-        min_size=1,
-        max_size=4,
-    ),
-)
+# by commit MODES, not key boxes). The staged ROWS are still confined
+# to one half, like every other op's: a landed publish adds its group
+# to the table, and the suite's opposite-half-must-both-land
+# invariant for LATER pairs rests on every group's key box staying
+# inside one half (a half-spanning group is legitimately rewritten by
+# merges from both halves — a true conflict, as a fresh-seed soak
+# demonstrated).
+def _wap_ops(lo: int, hi: int):
+    return st.tuples(
+        st.just("wap"),
+        st.lists(
+            st.tuples(st.integers(lo, hi), st.integers(-50, 50)),
+            min_size=1,
+            max_size=4,
+        ),
+    )
+
 
 pair_st = st.tuples(
     _half_ops(*LEFT),
-    st.one_of(_half_ops(*RIGHT), _half_ops(*LEFT), wap_st),
+    st.one_of(
+        _half_ops(*RIGHT),
+        _half_ops(*LEFT),
+        _wap_ops(*LEFT),
+        _wap_ops(*RIGHT),
+    ),
 )
 
 
