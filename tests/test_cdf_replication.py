@@ -375,3 +375,78 @@ class TestReplicationConvergenceFuzz:
             f"replica diverged after {ops} "
             f"(per_trigger={per_trigger}): replica={got} model={want}"
         )
+
+
+class TestBatchCdfFlatShape:
+    def test_table_changes_cdf_equals_stream_rows(self, spark, tmp_path):
+        """table_changes_cdf is the batch twin of readchangedata: for
+        the same history, same flat rows (the executor-parallel path
+        for backfills too large for the stream's per-rewrite task)."""
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+        from file_stream_import_spark.io.versioned import (
+            table_changes_cdf,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20), (3, 30)])
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(2, 99), (5, 50)], "k long, v long"),
+            key="k",
+        )
+        t.delete_where(spark, F.col("k") == 1)
+        got_stream = []
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got_stream.extend(
+                    (r["_commit_version"], r["k"], r["_change_type"],
+                     r["v"])
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckf"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got_batch = [
+            (r["_commit_version"], r["k"], r["_change_type"], r["v"])
+            for r in table_changes_cdf(t, spark, 0, key="k").collect()
+        ]
+        # version 0 is emitted by the stream as plain inserts and by
+        # the batch path as from_version=0 inserts — identical
+        assert sorted(got_batch) == sorted(got_stream)
+        assert got_batch  # non-trivial: inserts + update pair + delete
+
+    def test_timestamp_bounds(self, spark, tmp_path):
+        import time
+
+        from file_stream_import_spark.io.versioned import (
+            table_changes_cdf,
+        )
+
+        t = _mk(spark, tmp_path, [(1, 10)])
+        time.sleep(0.05)
+        cut = time.time()
+        time.sleep(0.05)
+        t.delete_where(spark, F.col("k") == 1)
+        got = [
+            (r["k"], r["_change_type"])
+            for r in table_changes_cdf(
+                t, spark, from_timestamp=cut, key="k"
+            ).collect()
+        ]
+        assert got == [(1, "delete")]
+        with pytest.raises(ValueError, match="not both"):
+            table_changes_cdf(
+                t, spark, from_version=0, from_timestamp=cut
+            )
