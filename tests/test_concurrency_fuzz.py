@@ -181,20 +181,31 @@ class TestConcurrencyFuzz:
                 br.commit(_df(spark, b[1]), mode="append")
             landed_a = _run(t, spark, a, base)
             assert landed_a, f"first writer must always land: {a}"
+            # a zero-touch delete/update is a METADATA NO-OP: it
+            # commits no version (its decision "nothing matched" holds
+            # at base, and with no publish there is nothing to
+            # validate) — main did not actually diverge then
+            after_a = t.latest_version()
+            diverged = after_a != base
             if b[0] == "wap":
                 try:
                     pv = t.publish_branch(f"wap{n}")
                     landed_b = True
-                    m = t._load_manifest(pv)
-                    assert m.get("rebased_from") == base, (
-                        f"diverged publish lost lineage: {m.get('mode')}"
-                    )
+                    if diverged:
+                        m = t._load_manifest(pv)
+                        assert m.get("rebased_from") == base, (
+                            "diverged publish lost lineage: "
+                            f"{m.get('mode')}"
+                        )
                 except CommitConflictError:
                     landed_b = False
                 t.delete_branch(f"wap{n}")
-                assert landed_b == (a[0] == "append"), (
+                assert landed_b == (
+                    not diverged or a[0] == "append"
+                ), (
                     f"publish after {a}: landed={landed_b}, expected "
-                    f"{a[0] == 'append'} (rebase iff interim is append)"
+                    f"{not diverged or a[0] == 'append'} (rebase iff "
+                    "interim is append or main never moved)"
                 )
             else:
                 landed_b = _run(t, spark, b, base)
@@ -206,6 +217,14 @@ class TestConcurrencyFuzz:
                     assert landed_b, (
                         f"disjoint-half pair was refused: {a} then {b}"
                     )
+                if landed_b and t.latest_version() == after_a:
+                    # B was a zero-touch no-op AT ITS PINNED BASE —
+                    # it committed nothing, which serializes it
+                    # BEFORE A (legal: it had zero effect at base).
+                    # The publish-order model below must not apply
+                    # its effect to the post-A state (A may have
+                    # concurrently inserted a matching key).
+                    landed_b = False
             if landed_a:
                 model = _apply_model(model, _to_model_op(a))
             if landed_b:
