@@ -405,7 +405,18 @@ def _cdf_diff_arrow(
     from .versioned import VersionedTable
 
     t = VersionedTable(path, _meta_root=meta_root)
-    ma, mb = t._load_manifest(v - 1), t._load_manifest(v)
+    try:
+        # the parent manifest can expire between the planner's check
+        # of v and this (possibly executor-side) load — surface the
+        # same vacuum remedy the callers raise for v itself, not a
+        # bare FileNotFoundError from a task
+        ma, mb = t._load_manifest(v - 1), t._load_manifest(v)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"snapshot {v - 1} or {v} has been expired by vacuum() "
+            f"({e}); restart the stream from a fresh checkpoint with "
+            "startingversion=latest (or a retained version)"
+        ) from None
     for m, lbl in ((ma, v - 1), (mb, v)):
         if m.get("delete_entries"):
             raise ValueError(
@@ -477,7 +488,12 @@ def _cdf_diff_arrow(
     def null_safe_eq(s1, s2):
         both_na = (s1.isna() & s2.isna()).fillna(False)
         try:
-            eq = (s1 == s2).fillna(False)
+            # NaN is a VALUE under arrow dtypes (not null, so both_na
+            # misses it) and compares unequal to itself — treat
+            # both-NaN as unchanged so a pure rewrite of a group whose
+            # float payload holds NaN still diffs to zero rows
+            both_nan = (s1.ne(s1) & s2.ne(s2)).fillna(False)
+            eq = (s1 == s2).fillna(False) | both_nan
         except Exception:
             # nested types (list/struct payloads) compare by value in
             # python — arrow-backed == is not implemented for them.
@@ -527,11 +543,18 @@ def _cdf_diff_arrow(
     out["_commit_version"] = v
     arrays = []
     for f in declared.fields:
+        # NOT from_pandas=True: that folds float NaN into null, so a
+        # NaN preimage/postimage would surface as null and break
+        # batch/stream payload symmetry (Spark keeps NaN a value).
+        # Arrow-backed tolist() yields pd.NA for nulls — map those to
+        # None, which pa.array accepts natively.
         arrays.append(
             pa.array(
-                out[f.name].tolist(),
+                [
+                    None if x is pd.NA else x
+                    for x in out[f.name].tolist()
+                ],
                 type=to_arrow_type(f.dataType),
-                from_pandas=True,
             )
         )
     arrays.append(

@@ -3978,15 +3978,42 @@ class VersionedTable:
                 f"main is behind branch {name!r}'s fork point (fork "
                 f"{fork_v}, main {main_latest}); " + remedy
             )
+
+        def ckpt_modes(t: "VersionedTable", lo: int, hi: int) -> dict:
+            """Commit modes for [lo, hi] served from the history
+            checkpoint where it covers (a mode is an immutable fact of
+            a published manifest, so checkpoint rows are authoritative
+            evidence even if the manifest itself has since expired) —
+            the walk loads ONE manifest per commit PAST the
+            checkpoint, not per interim commit, so a 1000-commit
+            publish backlog costs O(uncheckpointed tail)."""
+            ck = t._read_checkpoint()
+            upto = int(ck.get("upto", -1))
+            return {
+                int(r["version"]): str(r.get("mode") or "")
+                for r in ck.get("rows", [])
+                if lo <= int(r["version"]) <= min(hi, upto)
+            }
+
+        # fork_v is NEVER served from the checkpoint: its manifest is
+        # loaded by the publish itself right after this check, so an
+        # expired fork must surface here as the documented conflict,
+        # not later as a bare FileNotFoundError (its mode is ignored
+        # by the v > fork_v guard anyway — this load is the retention
+        # probe)
+        main_modes = ckpt_modes(self, fork_v + 1, main_latest)
         for v in range(fork_v, main_latest + 1):
-            try:
-                mode = str(self._load_manifest(v).get("mode", ""))
-            except FileNotFoundError:
-                raise CommitConflictError(
-                    f"main snapshot {v} (branch {name!r}'s fork range) "
-                    "is no longer retained (vacuumed) — cannot prove "
-                    "the interim commits are appends; " + remedy
-                ) from None
+            mode = main_modes.get(v)
+            if mode is None:
+                try:
+                    mode = str(self._load_manifest(v).get("mode", ""))
+                except FileNotFoundError:
+                    raise CommitConflictError(
+                        f"main snapshot {v} (branch {name!r}'s fork "
+                        "range) is no longer retained (vacuumed) — "
+                        "cannot prove the interim commits are "
+                        "appends; " + remedy
+                    ) from None
             # an ADDITIVE publish of another branch commutes exactly
             # like an append (it only adds staged groups), so two WAP
             # pipelines over one table compose; a rewrite publish is
@@ -3998,15 +4025,18 @@ class VersionedTable:
                     f"main commit {v} is {mode!r}, not an append, so "
                     "the publish cannot rebase over it; " + remedy
                 )
+        branch_modes = ckpt_modes(b, 1, bh)
         for v in range(1, bh + 1):
-            try:
-                mode = str(b._load_manifest(v).get("mode", ""))
-            except FileNotFoundError:
-                raise CommitConflictError(
-                    f"branch {name!r} snapshot {v} is no longer "
-                    "retained (branch-vacuumed) — cannot prove the "
-                    "staged commits are appends; " + remedy
-                ) from None
+            mode = branch_modes.get(v)
+            if mode is None:
+                try:
+                    mode = str(b._load_manifest(v).get("mode", ""))
+                except FileNotFoundError:
+                    raise CommitConflictError(
+                        f"branch {name!r} snapshot {v} is no longer "
+                        "retained (branch-vacuumed) — cannot prove the "
+                        "staged commits are appends; " + remedy
+                    ) from None
             if mode != "append":
                 raise CommitConflictError(
                     f"branch commit {v} is {mode!r}, not an append, so "
@@ -4154,6 +4184,20 @@ class VersionedTable:
                 # constraints/bloom declarations are carried verbatim
                 # on both sides, so main's (== the fork's) are kept.
                 latest_m = self._load_manifest(main_latest)
+                # A staged group already on main means a prior publish
+                # of THIS branch (retry, append-then-republish) or a
+                # concurrent publisher landed it — group relpaths are
+                # immutable uuids, so membership is identity. Re-adding
+                # it would duplicate rows and re-emit them on the
+                # changefeed; append only what main lacks, and when
+                # nothing new remains the publish is an idempotent
+                # no-op (no new main version), like bh == 0 above.
+                latest_groups = set(latest_m["groups"])
+                rebase_added = [
+                    g for g in branch_added if g not in latest_groups
+                ]
+                if not rebase_added:
+                    return main_latest
                 try:
                     schema_json = _evolve_schema(
                         latest_m["schema"],
@@ -4168,13 +4212,13 @@ class VersionedTable:
                 bstats = bm.get("stats") or {}
                 stats = dict(latest_m.get("stats") or {})
                 stats.update(
-                    {g: bstats[g] for g in branch_added if g in bstats}
+                    {g: bstats[g] for g in rebase_added if g in bstats}
                 )
                 manifest = {
                     "schema": schema_json,
-                    "groups": list(latest_m["groups"]) + branch_added,
+                    "groups": list(latest_m["groups"]) + rebase_added,
                     "mode": f"publish_branch:{name}",
-                    "added": branch_added,
+                    "added": rebase_added,
                     "delete_entries": list(
                         latest_m.get("delete_entries") or []
                     ),
@@ -5731,10 +5775,15 @@ def table_changes_cdf(
     d = table_changes_rows(
         table, spark, from_version, to_version, key=keys
     )
-    pay = [
-        f.name
-        for f in d.schema["new"].dataType.fields
-    ]
+    # output columns follow the DECLARED schema's field order (keys in
+    # place, not hoisted) + _change_type + _commit_version, the exact
+    # flat shape the streaming readchangedata CDF emits — positional
+    # consumers can swap batch backfill and stream tail freely
+    hi = (
+        table.latest_version() if to_version is None else int(to_version)
+    )
+    declared = _schema_from_json(table._load_manifest(hi)["schema"])
+    names = [f.name for f in declared.fields]
     row = lambda side, label: F.struct(  # noqa: E731
         F.lit(label).alias("_change_type"), F.col(side).alias("p")
     )
@@ -5758,8 +5807,10 @@ def table_changes_cdf(
         *keys, F.col("_commit_version"), F.explode(pairs).alias("c")
     )
     return e.select(
-        *keys,
-        *[F.col(f"c.p.{c}").alias(c) for c in pay],
+        *[
+            F.col(c) if c in keys else F.col(f"c.p.{c}").alias(c)
+            for c in names
+        ],
         F.col("c._change_type").alias("_change_type"),
         "_commit_version",
     )
