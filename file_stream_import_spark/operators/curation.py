@@ -263,3 +263,64 @@ def deterministic_shuffle(
         )
         .drop("_bkt", "_local", "_base")
     )
+
+
+def dense_sequence(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "seq",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """1-based dense global sequence — the exact value of
+    ``row_number() OVER (ORDER BY order_col)`` — WITHOUT the
+    single-partition window that form compiles to (the classic
+    global-sequence bottleneck: every row funnels through one task).
+
+    Same two-level construction as ``deterministic_shuffle``, but the
+    order key is an arbitrary column rather than a uniform hash, so
+    the pre-bucketing uses Spark's own ``repartitionByRange``: sampled
+    range boundaries put partition i's keys strictly below partition
+    i+1's (unique keys), making ``spark_partition_id()`` an
+    order-respecting bucket id. Ranks are local per bucket
+    (n_buckets-way parallel window), and each bucket's base offset is
+    the sum of the EARLIER buckets' counts — computed as a triangular
+    self-join over the n_buckets-row count table (O(n_buckets²) on
+    ≤64 rows) rather than an unpartitioned cum-sum window, so the plan
+    carries NO single-partition window at all. The rank of a key does
+    not depend on where the sampled boundaries fall, so the output is
+    deterministic even though the sampling isn't — any
+    order-respecting bucketing yields the same global sequence.
+
+    Requires ``order_col`` values to be UNIQUE (ties would both make
+    row_number nondeterministic and let equal keys straddle a range
+    boundary)."""
+    pid = "_ds_pid"
+    local = (
+        df.repartitionByRange(n_buckets, F.col(order_col))
+        .withColumn(pid, F.spark_partition_id())
+        .withColumn(
+            "_ds_local",
+            F.row_number().over(W.partitionBy(pid).orderBy(order_col)),
+        )
+    )
+    counts = local.groupBy(pid).agg(F.count("*").alias("_ds_n"))
+    bases = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            F.col(f"b.{pid}") < F.col(f"a.{pid}"),
+            "left",
+        )
+        .groupBy(F.col(f"a.{pid}").alias(pid))
+        .agg(
+            F.coalesce(F.sum("b._ds_n"), F.lit(0)).alias("_ds_base")
+        )
+    )
+    return (
+        local.join(F.broadcast(bases), pid)
+        .withColumn(
+            out_col,
+            (F.col("_ds_base") + F.col("_ds_local")).cast("bigint"),
+        )
+        .drop(pid, "_ds_local", "_ds_base")
+    )

@@ -145,14 +145,19 @@ def lake_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window as W
-
     from ..io.versioned import VersionedTable
+    from ..operators.curation import dense_sequence
 
-    o = load_table(spark, sf_dir, "orders").select(
-        F.row_number().over(W.orderBy("o_orderkey")).alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
+    o = dense_sequence(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        ),
+        "o_orderkey",
+        out_col="k",
+    ).select("k", "cents")
     n = o.count()
     q = n // 4
     t = VersionedTable(tempfile.mkdtemp(prefix="lake_agg_"))
@@ -303,18 +308,24 @@ def stream_changefeed_bounded(
     from ..io.pysource import TableChangefeedDataSource
     from ..io.versioned import VersionedTable
 
-    from pyspark.sql import Window as W
+    from ..operators.curation import dense_sequence
 
     # row_number-densified thirds: every commit is NON-EMPTY at every
     # scale factor (fixed o_orderkey ranges left the third commit empty
-    # at sf0.001, making the pinned batch count scale-dependent)
-    o = load_table(spark, sf_dir, "orders").select(
-        F.row_number().over(W.orderBy("o_orderkey")).alias("k"),
-        F.col("o_orderstatus").alias("status"),
-        F.round(F.col("o_totalprice") * 100)
-        .cast("bigint")
-        .alias("cents"),
-    )
+    # at sf0.001, making the pinned batch count scale-dependent);
+    # densified two-level (dense_sequence), not via the
+    # single-partition global window
+    o = dense_sequence(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        ),
+        "o_orderkey",
+        out_col="k",
+    ).select("k", "status", "cents")
     third = o.count() // 3
     o = o.filter(F.col("k") <= 3 * third)
     spark.dataSource.register(TableChangefeedDataSource)

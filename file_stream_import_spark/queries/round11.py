@@ -50,13 +50,22 @@ from . import register
 def _densified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number-densified orders so every k-range slice is non-empty
     at every scale factor (the round-10 lesson: fixed o_orderkey
-    ranges go empty at sf0.001 and make pinned counts scale-dependent)."""
-    from pyspark.sql import Window as W
+    ranges go empty at sf0.001 and make pinned counts scale-dependent).
 
-    return load_table(spark, sf_dir, "orders").select(
-        F.row_number().over(W.orderBy("o_orderkey")).alias("k"),
+    Densified via operators.curation.dense_sequence — the two-level
+    range-bucketed rank, NOT ``row_number().over(W.orderBy(...))``,
+    whose unpartitioned window funnels every order through one task
+    (r12 verdict item; the mapping is identical on the unique
+    o_orderkey, so every pinned oracle hash is unchanged)."""
+    from ..operators.curation import dense_sequence
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
         F.col("o_orderstatus").alias("status"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return dense_sequence(o, "o_orderkey", out_col="k").select(
+        "k", "status", "cents"
     )
 
 

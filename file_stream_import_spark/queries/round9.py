@@ -834,13 +834,14 @@ def lake_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window as W
-
     from ..io.versioned import VersionedTable
+    from ..operators.curation import dense_sequence
 
-    o = load_table(spark, sf_dir, "orders").select(
-        F.row_number().over(W.orderBy("o_orderkey")).alias("k")
-    )
+    o = dense_sequence(
+        load_table(spark, sf_dir, "orders").select("o_orderkey"),
+        "o_orderkey",
+        out_col="k",
+    ).select("k")
     n = o.count()
     q = n // 4
     t = VersionedTable(tempfile.mkdtemp(prefix="lake_cnt_"))

@@ -873,3 +873,54 @@ class TestSharedSubtreeCuts:
         # plan re-reads neither the events table nor the window
         assert "events.parquet" not in plan
         assert "Window" not in plan
+
+
+class TestDenseSequenceFixture:
+    """r13: the lake fixtures' orders densify ran through
+    ``row_number() OVER (ORDER BY o_orderkey)`` — an unpartitioned
+    window funneling every order through ONE task inside ~10 lake
+    driver queries and the lake_table_changes bench entry. The
+    replacement (operators.curation.dense_sequence) is two-level:
+    range-bucket, per-bucket rank, triangular-join offsets — so the
+    plan must carry no single-partition exchange anywhere."""
+
+    def test_densified_orders_no_single_partition(self, spark, sf_dir):
+        from file_stream_import_spark.queries.round11 import (
+            _densified_orders,
+        )
+
+        qe = _densified_orders(spark, sf_dir)._jdf.queryExecution()
+        mode = (
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        plan = qe.explainString(mode)
+        assert "SinglePartition" not in plan
+        assert "Window" in plan  # the per-bucket rank survives
+
+    def test_dense_sequence_equals_row_number(self, spark):
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.operators.curation import (
+            dense_sequence,
+        )
+
+        # gappy, shuffled keys across many partitions
+        df = (
+            spark.range(0, 5000, 1, 16)
+            .select((F.col("id") * 7 % 9973).alias("key"))
+            .distinct()
+        )
+        want = [
+            (r["key"], r["k"])
+            for r in df.select(
+                "key",
+                F.row_number().over(W.orderBy("key")).alias("k"),
+            ).collect()
+        ]
+        got = [
+            (r["key"], r["k"])
+            for r in dense_sequence(df, "key", out_col="k").collect()
+        ]
+        assert sorted(got) == sorted(want)
