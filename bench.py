@@ -57,11 +57,12 @@ HEADLINE = [
 # entry (r10) puts a media-codec kernel on the bench tripwire the
 # relational and lake paths already have
 PANDAS_BACKED = ["multimodal_wav_decode", "topk_per_group"]
-# refs/CDC metadata surface (r12 tripwire): the registered query builds
-# its own versioned table per pass (commits + manifest walk + O(delta)
-# CDC read end to end), so a regression in the metadata layer — not
-# just the relational/lake-DML/codec paths — moves BENCH_r*.json
-LAKE_CDC = ["lake_table_changes"]
+# refs/CDC metadata surface (r12 tripwire; r13: fixture UNTIMED): the
+# three-commit table is built once, like the ingest CSVs — the timed
+# body is ONLY the CDC read (manifest walk + added-group scans + agg),
+# so the tripwire tracks the O(delta) path, not table construction.
+# A streaming changefeed catch-up entry (r13) guards the micro-batch
+# path the sf0.1→sf1 scale curves say dominates stream cost.
 
 
 def bench_one(
@@ -206,14 +207,102 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp2, ignore_errors=True)
 
-    for name in LAKE_CDC:
-        if name in qs:
-            bench_one(
-                name,
-                lambda name=name: qs[name](spark, sf_dir).count(),
-                timings,
-                history,
+    # --- batch CDC read over a prebuilt three-commit table (untimed
+    # setup mirrors the registered lake_table_changes query's fixture;
+    # timed: the "what landed since version 1" read + agg) ---
+    from file_stream_import_spark.io.versioned import table_changes
+    from file_stream_import_spark.operators.curation import dense_sequence
+
+    tmp3 = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        o = dense_sequence(
+            spark.read.parquet(
+                os.path.join(sf_dir, "orders.parquet")
+            ).select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            ),
+            "o_orderkey",
+            out_col="k",
+        ).select("k", "cents")
+        third = o.count() // 3
+        o = o.filter(F.col("k") <= 3 * third).localCheckpoint(eager=True)
+        tc = VersionedTable(os.path.join(tmp3, "t"))
+        tc.commit(o.filter(F.col("k") <= third), mode="overwrite")
+        tc.commit(
+            o.filter(F.col("k").between(third + 1, 2 * third)),
+            mode="append",
+        )
+        tc.commit(o.filter(F.col("k") > 2 * third), mode="append")
+
+        def cdc_read():
+            return (
+                table_changes(tc, spark, 1)
+                .groupBy("_commit_version", "_change_type")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum("cents").alias("cents"),
+                )
+                .count()
             )
+
+        bench_one("lake_table_changes", cdc_read, timings, history)
+    finally:
+        shutil.rmtree(tmp3, ignore_errors=True)
+
+    # --- streaming changefeed catch-up (r13 tripwire) ---
+    # Setup (untimed): 8 one-group commits of 1k rows each — the
+    # exactly-once-writer shape (one small group per micro-batch).
+    # Timed: a fresh-checkpoint readchangedata catch-up draining all
+    # 8 versions at 4 versions/trigger -> 2 micro-batches. Data is
+    # deliberately small so the entry measures what dominates stream
+    # cost at scale per the sf1 curves: per-trigger planning + the
+    # Python datasource read path, not bulk rows.
+    from file_stream_import_spark.io.pysource import (
+        TableChangefeedDataSource,
+    )
+
+    spark.dataSource.register(TableChangefeedDataSource)
+    tmp4 = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        ts = VersionedTable(os.path.join(tmp4, "t"))
+        chunk = spark.range(1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ).localCheckpoint(eager=True)
+        for i in range(8):
+            ts.commit(
+                chunk.withColumn("k", F.col("k") + i * 1_000),
+                mode="append" if i else "overwrite",
+            )
+
+        def stream_catchup():
+            ck = tempfile.mkdtemp(prefix="bench_stream_ck_", dir=tmp4)
+            seen = []
+            q = (
+                spark.readStream.format("table_changefeed")
+                .option("path", ts.path)
+                .option("readchangedata", "true")
+                .option("key", "k")
+                .option("maxversionspertrigger", "4")
+                .load()
+                .writeStream.foreachBatch(
+                    lambda df, _b: seen.append(df.count())
+                )
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            assert sum(seen) == 8_000, f"catch-up drained {sum(seen)}"
+            return sum(seen)
+
+        bench_one("stream_changefeed_catchup", stream_catchup, timings, history)
+    finally:
+        shutil.rmtree(tmp4, ignore_errors=True)
 
     for name in PANDAS_BACKED:
         if name in qs:
