@@ -441,11 +441,16 @@ def _cdf_diff_arrow(
         for g in m["groups"]:
             if g in shared:
                 continue
-            # own-manifest routing wins; the reader's pinned ranged
-            # union covers a rollback-restored manifest whose OLD
-            # colmap state predates a rename (its files still need
-            # routing to the pinned post-rename names)
-            mapping = colmap.get(g) or (fallback_colmap or {}).get(g)
+            # the reader's pinned ranged union wins where it covers
+            # the group (r13): it synthesizes and rename-FOLDS routing
+            # to the PINNED names, while a manifest's own entry maps
+            # to its own era's names — stale when a later rename sits
+            # between this version and the pin. Own routing remains
+            # the backstop for groups committed after the stream
+            # pinned (the union cannot know them); the union also
+            # covers a rollback-restored manifest whose OLD colmap
+            # state predates a rename.
+            mapping = (fallback_colmap or {}).get(g) or colmap.get(g)
             d = os.path.join(path, g)
             for fname in sorted(os.listdir(d)):
                 if fname.endswith(".parquet"):
@@ -727,16 +732,62 @@ def _resolved_map(t, lo: int, latest: int, mkey: str = "colmap") -> dict:
     so their pin must be the ranged union. Entries exist only for
     evolution-affected groups, so the dict stays small; the walk is
     one manifest load per version in the range the reader will read
-    anyway."""
-    out: dict = {}
+    anyway.
+
+    RENAMES INSIDE THE RANGE (r13): a group that died BEFORE a rename
+    never gets a recorded colmap entry (rename_column routes only
+    LIVE groups), yet a replay of its era must still surface its rows
+    under the pinned post-rename names — so for every walked manifest
+    the rename chain AFTER it (each rename commit records
+    ``renamed: {old, new}``) synthesizes file->pinned routing for its
+    unrouted groups (an unrouted group's file columns are named
+    exactly by its manifest's schema), and recorded entries are
+    folded through the same chain so a group whose last routing
+    predates a later rename still lands on the final names."""
+    import json as _json
+
+    walked: list = []
     for v in range(latest, max(lo, 0) - 1, -1):
         try:
-            m = t._load_manifest(v)
+            walked.append((v, t._load_manifest(v)))
         except FileNotFoundError:
             break  # older versions expired: nothing left to learn
+    events = []  # rename commits inside the walked suffix, ascending
+    if mkey == "colmap":
+        events = [
+            (v, m["renamed"]["old"], m["renamed"]["new"])
+            for v, m in reversed(walked)
+            if str(m.get("mode", "")).startswith("rename_column:")
+            and m.get("renamed")
+        ]
+
+    def fold(name: str, from_v: int) -> str:
+        for ev_v, old, new in events:
+            if ev_v > from_v and name == old:
+                name = new
+        return name
+
+    out: dict = {}
+    for v, m in walked:  # newest first
         for g, mp in (m.get(mkey) or {}).items():
             if g not in out and mp:
-                out[g] = mp
+                out[g] = {
+                    fc: (None if cur is None else fold(cur, v))
+                    for fc, cur in mp.items()
+                }
+        if not events:
+            continue
+        names = [
+            f["name"] for f in _json.loads(m["schema"])["fields"]
+        ]
+        synth = {
+            s: fold(s, v) for s in names if fold(s, v) != s
+        }
+        if synth:
+            routed = set(m.get(mkey) or {})
+            for g in m["groups"]:
+                if g not in out and g not in routed:
+                    out[g] = dict(synth)
     return out
 
 

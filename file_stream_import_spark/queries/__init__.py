@@ -75,6 +75,7 @@ def load_all() -> None:
         round10,
         round11,
         round12,
+        round13,
     )
 
 

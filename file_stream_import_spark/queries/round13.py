@@ -1,0 +1,160 @@
+"""Round-13 driver queries: rename evolution REPLAYED through the
+streaming change-data-feed.
+
+* stream_cdf_after_rename — a readchangedata stream whose replay range
+  contains a rename commit BETWEEN diffed pairs: versions before the
+  rename (including a group REWRITTEN AWAY before the rename ever
+  happened, so no manifest records its routing) must still surface
+  their inserts and pre/postimages under the pinned post-rename column
+  name. Pins the renamed column's SUM per (commit, change_type) — the
+  value-hash catches a NULLed-out rename column, not just row counts.
+  The r13 fix: io/pysource._resolved_map synthesizes file->pinned
+  routing from each walked manifest's own schema through the rename
+  chain after it, and folds recorded entries through later renames.
+
+Reference parity: the reference holds schema constant (SURVEY §3,
+internal/db/db.go locations DDL); rename-through-replay is north-star
+lakehouse surface (Delta readChangeFeed + Iceberg field identity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from .round11 import _densified_orders
+
+
+@register(
+    "stream_cdf_after_rename",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) AS n, COUNT(*) // 10 AS u FROM base)
+    SELECT * FROM (
+      SELECT 0 AS commit_version, 'insert' AS change_type,
+             CAST((SELECT n FROM p) AS BIGINT) AS n_rows,
+             CAST((SELECT SUM(cents) FROM base) AS BIGINT) AS pennies
+      UNION ALL
+      SELECT 1, 'update_preimage',
+             CAST((SELECT u FROM p) AS BIGINT),
+             CAST((SELECT SUM(cents) FROM base b, p
+                   WHERE b.k <= p.u) AS BIGINT)
+      UNION ALL
+      SELECT 1, 'update_postimage',
+             CAST((SELECT u FROM p) AS BIGINT),
+             CAST((SELECT SUM(cents) + u FROM base b, p
+                   WHERE b.k <= p.u GROUP BY p.u) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'update_preimage',
+             CAST((SELECT u FROM p) AS BIGINT),
+             CAST((SELECT SUM(cents) FROM base b, p
+                   WHERE b.k > p.u AND b.k <= 2 * p.u) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'update_postimage',
+             CAST((SELECT u FROM p) AS BIGINT),
+             CAST((SELECT SUM(cents) + 2 * u FROM base b, p
+                   WHERE b.k > p.u AND b.k <= 2 * p.u GROUP BY p.u)
+                  AS BIGINT)
+    )
+    CROSS JOIN (SELECT CAST(4 AS INT) AS n_batches,
+                       CAST(3 AS INT) AS nonempty_batches)
+    """,
+)
+def stream_cdf_after_rename(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDF with a RENAME inside the replayed range
+    (io/pysource.py::_resolved_map rename-chain synthesis, r13).
+    History: v0 inserts every densified order (k, cents); v1 MERGE
+    bumps the first u keys (+1 cent) — rewriting v0's only group, so
+    that group is DEAD before v2 renames cents->pennies; v3 MERGE
+    bumps keys (u, 2u] (+2). The stream replays from earliest with the
+    schema pinned post-rename: v0's inserts and v1's pre/postimages
+    must surface their cent values under ``pennies`` even though their
+    files are named ``cents`` and no manifest ever recorded routing
+    for the dead group. Counts AND pennies-sums are pinned per
+    (commit, change_type); batch counts pin the rename commit's empty
+    micro-batch (4 planned, 3 non-empty at 1 version/trigger)."""
+    import shutil
+    import tempfile
+
+    from ..io.pysource import TableChangefeedDataSource
+    from ..io.versioned import VersionedTable, merge_into
+
+    o = _densified_orders(spark, sf_dir).select("k", "cents")
+    u = o.count() // 10
+    o = o.localCheckpoint(eager=True)
+    spark.dataSource.register(TableChangefeedDataSource)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_cdf_ren_"))
+    ckpt = tempfile.mkdtemp(prefix="lake_cdf_ren_ck_")
+    batches: list[int] = []
+    rows: list[tuple] = []
+    try:
+        t.commit(o, mode="overwrite")
+        merge_into(
+            t,
+            spark,
+            o.filter(F.col("k") <= u).withColumn(
+                "cents", F.col("cents") + F.lit(1)
+            ),
+            key="k",
+        )
+        t.rename_column("cents", "pennies")
+        merge_into(
+            t,
+            spark,
+            o.filter(F.col("k").between(u + 1, 2 * u)).select(
+                "k", (F.col("cents") + F.lit(2)).alias("pennies")
+            ),
+            key="k",
+        )
+
+        def sink(df, _bid):
+            got = [
+                (r["_commit_version"], r["_change_type"], r["pennies"])
+                for r in df.collect()
+            ]
+            batches.append(len(got))
+            rows.extend(got)
+
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.createDataFrame(
+                rows,
+                "commit_version int, change_type string, pennies bigint",
+            )
+            .groupBy("commit_version", "change_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("pennies").cast("bigint").alias("pennies"),
+            )
+            .withColumn("n_batches", F.lit(len(batches)).cast("int"))
+            .withColumn(
+                "nonempty_batches",
+                F.lit(sum(1 for n in batches if n)).cast("int"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out

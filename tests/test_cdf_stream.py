@@ -529,3 +529,113 @@ class TestCdfRollbackAcrossRename:
         # — either way, the rollback version must diff to ZERO rows
         assert [g for g in got if g[2] == 2] == []
         assert sorted(g[0] for g in got) == [1, 2]  # v0 inserts only
+
+
+class TestRenameInsideReplayedRange:
+    """r13: a rename commit BETWEEN diffed pairs in the replayed range.
+    Groups that died BEFORE the rename have no recorded colmap entry in
+    any manifest (rename_column routes only live groups) — their rows
+    surfaced with the renamed column NULLed out, and pre-rename diff
+    pairs emitted wrong preimages plus spurious pairs for untouched
+    keys. _resolved_map now synthesizes file->pinned routing from each
+    walked manifest's own schema through the rename chain after it."""
+
+    def _drain(self, spark, t, tmp_path, name="ck"):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        got = []
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    (
+                        x["_commit_version"],
+                        x["k"],
+                        x["_change_type"],
+                        x[df.columns[1]],
+                    )
+                    for x in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / name))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(got)
+
+    def test_dead_group_rows_route_to_pinned_name(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20)])
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(2, 99)], "k long, v long"),
+            key="k",
+        )  # v1 rewrite: v0's group dies PRE-rename
+        t.rename_column("v", "w")  # v2
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(1, 77)], "k long, w long"),
+            key="k",
+        )  # v3 rewrite post-rename
+        assert self._drain(spark, t, tmp_path) == [
+            (0, 1, "insert", 10),
+            (0, 2, "insert", 20),
+            (1, 2, "update_postimage", 99),
+            (1, 2, "update_preimage", 20),
+            (3, 1, "update_postimage", 77),
+            (3, 1, "update_preimage", 10),
+        ]
+
+    def test_chained_renames_fold_recorded_entries(self, spark, tmp_path):
+        """A group whose LAST recorded routing predates a later rename
+        (v->w recorded, group dies, then w->x) must still land on the
+        final name."""
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20)])
+        t.rename_column("v", "w")  # v1: records {v: w} for the group
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(2, 99)], "k long, w long"),
+            key="k",
+        )  # v2: group dies carrying recorded {v: w}
+        t.rename_column("w", "x")  # v3: dead group gets no new entry
+        assert self._drain(spark, t, tmp_path, "ck2") == [
+            (0, 1, "insert", 10),
+            (0, 2, "insert", 20),
+            (2, 2, "update_postimage", 99),
+            (2, 2, "update_preimage", 20),
+        ]
+
+    def test_batch_table_changes_sees_dead_group_rename(
+        self, spark, tmp_path
+    ):
+        """The batch changefeed TVF shares the pinned ranged union —
+        a group rewritten away BEFORE the rename (so no manifest ever
+        recorded routing for it) must still replay its rows under the
+        END version's post-rename name."""
+        from file_stream_import_spark.io.versioned import table_changes
+
+        t = _mk(spark, tmp_path, [(1, 10), (2, 20)])
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(2, 99)], "k long, v long"),
+            key="k",
+        )  # v1: v0's group dies pre-rename
+        t.rename_column("v", "w")  # v2
+        got = sorted(
+            (r["_commit_version"], r["k"], r["w"])
+            for r in table_changes(
+                t, spark, 0, ignore_changes=True
+            ).collect()
+        )
+        assert got == [
+            (0, 1, 10), (0, 2, 20), (1, 1, 10), (1, 2, 99)
+        ]

@@ -54,7 +54,7 @@ def main() -> None:
         "pad", F.repeat(F.lit("x"), 2000)
     ).coalesce(1).localCheckpoint(eager=True)
 
-    def run(n_interim: int, use_wide: bool) -> float:
+    def run(n_interim: int, use_wide: bool) -> tuple[float, float]:
         t = VersionedTable(
             tempfile.mkdtemp(prefix=f"ab_rb_{n_interim}_")
         )
@@ -65,24 +65,69 @@ def main() -> None:
             frame = wide if use_wide else base
             for _ in range(n_interim):
                 t.commit(frame, mode="append")
+            # the append-only proof walk in isolation (r13: served
+            # from the history checkpoint past _CKPT_EVERY, so its
+            # cost no longer tracks interim commit count) — timed as
+            # the median of 5 to stay above clock noise
+            main_latest = t.latest_version()
+            walk, walk_unbatched = [], []
+            real_read = type(t)._read_checkpoint
+            for _ in range(9):
+                t0 = time.perf_counter()
+                t._publish_rebase_check(
+                    "stage", b, b.latest_version(), 0, main_latest
+                )
+                walk.append(time.perf_counter() - t0)
+            # the pre-r13 arm: no checkpoint coverage -> one manifest
+            # load per interim commit (monkeypatched, walk-only)
+            try:
+                type(t)._read_checkpoint = lambda self: {
+                    "upto": -1, "rows": []
+                }
+                for _ in range(9):
+                    t0 = time.perf_counter()
+                    t._publish_rebase_check(
+                        "stage", b, b.latest_version(), 0, main_latest
+                    )
+                    walk_unbatched.append(time.perf_counter() - t0)
+            finally:
+                type(t)._read_checkpoint = real_read
             t0 = time.perf_counter()
             pv = t.publish_branch("stage")
             dt = time.perf_counter() - t0
             assert t._load_manifest(pv).get("rebased_from") == 0
-            return round(dt, 4)
+            return (
+                round(dt, 4),
+                round(sorted(walk)[4], 5),
+                round(sorted(walk_unbatched)[4], 5),
+            )
         finally:
             shutil.rmtree(t.path, ignore_errors=True)
 
+    sizes = (4, 16, 64, 256)
+    narrow = [run(n, False) for n in sizes]
+    wide_r = [run(n, True) for n in sizes]
     out = {
-        "interim_commits": [4, 16, 64],
-        "publish_sec_narrow": [run(n, False) for n in (4, 16, 64)],
-        "publish_sec_wide": [run(n, True) for n in (4, 16, 64)],
+        "interim_commits": list(sizes),
+        "publish_sec_narrow": [p for p, _, _ in narrow],
+        "walk_sec": [w for _, w, _ in narrow],
+        "walk_sec_unbatched": [u for _, _, u in narrow],
+        "publish_sec_wide": [p for p, _, _ in wide_r],
     }
-    n0, nN = out["publish_sec_narrow"][0], out["publish_sec_narrow"][-1]
-    w0, wN = out["publish_sec_wide"][0], out["publish_sec_wide"][-1]
-    out["narrow_ratio_at_16x_commits"] = round(nN / max(n0, 1e-9), 2)
-    out["wide_over_narrow_at_64"] = round(
-        wN / max(out["publish_sec_narrow"][-1], 1e-9), 2
+    # the publish TOTAL grows with the table's group count (a manifest
+    # is a full state: the rebased manifest lists every group); the
+    # flatness claim is on the WALK, checkpoint-served past
+    # _CKPT_EVERY (r13) — vs the pre-r13 arm's one manifest load per
+    # interim commit
+    out["walk_batched_win_at_256"] = round(
+        out["walk_sec_unbatched"][-1]
+        / max(out["walk_sec"][-1], 1e-9),
+        2,
+    )
+    out["wide_over_narrow_at_256"] = round(
+        out["publish_sec_wide"][-1]
+        / max(out["publish_sec_narrow"][-1], 1e-9),
+        2,
     )
     print(json.dumps(out))
     spark.stop()

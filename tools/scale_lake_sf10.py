@@ -28,7 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession, Window as W, functions as F
+from pyspark.sql import SparkSession, functions as F
 
 SRC01 = "/root/testdata/sf0.1"
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -36,10 +36,17 @@ CHUNK = 37_500  # rows per group — constant across scales
 
 
 def _orders(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
-        F.row_number().over(W.orderBy("o_orderkey")).alias("k"),
+    from file_stream_import_spark.operators.curation import dense_sequence
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey",
         F.col("o_orderstatus").alias("status"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # r13: two-level range-bucketed rank, not the single-partition
+    # row_number window (45M rows through one task at sf10)
+    return dense_sequence(o, "o_orderkey", out_col="k").select(
+        "k", "status", "cents"
     )
 
 
@@ -47,6 +54,7 @@ def campaign(spark, sf_dir, label):
     from file_stream_import_spark.io.versioned import (
         VersionedTable,
         merge_into,
+        table_changes_rows,
     )
 
     o = _orders(spark, sf_dir).localCheckpoint(eager=True)
@@ -88,6 +96,69 @@ def campaign(spark, sf_dir, label):
         spark, F.col("k").between(40_000, 41_000), prune_where="auto"
     )
     out["auto_pruned_delete (fixed window)"] = time.time() - t0
+
+    # --- r13: CDF + replication scale points (VERDICT item 8) ---
+    # the O(delta) claim for the row-level CDF: versions 1..3 above
+    # are FIXED-SIZE deltas (2k merge, 1.1k update, 1k delete), so
+    # reading their exact row changes must stay flat while table rows
+    # and group count grow 100x (per-pair snapshot_diff, shared-group
+    # skip)
+    t0 = time.time()
+    n_cdf = table_changes_rows(t, spark, 1, 3, key="k").count()
+    out["table_changes_rows (3 fixed-delta commits)"] = time.time() - t0
+
+    # one replication convergence cycle: replica pre-seeded with the
+    # v0 state (untimed bootstrap, like the initial load of any CDC
+    # pipeline), then a readchangedata catch-up replays versions 1..4
+    # (the three deltas + one fresh 2k merge) through the idempotent
+    # CDC writer. Timed: the catch-up — micro-batch machinery + CDF
+    # diffs + one pruned MERGE into a replica whose group count also
+    # grew 100x. Delta-bound, so ~flat.
+    from file_stream_import_spark.io.pysource import (
+        TableChangefeedDataSource,
+    )
+    from file_stream_import_spark.io.versioned import (
+        make_cdf_replicator,
+    )
+
+    spark.dataSource.register(TableChangefeedDataSource)
+    rep = VersionedTable(os.path.join(root, "replica"))
+    rep.commit(o, mode="overwrite", partition_by=[f"truncate({CHUNK}, k)"])
+    merge_into(
+        t, spark,
+        o.filter(F.col("k").between(5_000, 7_000))
+        .withColumn("status", F.lit("R"))
+        .localCheckpoint(eager=True),
+        key="k",
+    )  # v4: the fresh delta the catch-up lands
+    ck = os.path.join(root, "rep_ck")
+    t0 = time.time()
+    q = (
+        spark.readStream.format("table_changefeed")
+        .option("path", t.path)
+        .option("readchangedata", "true")
+        .option("key", "k")
+        .option("startingversion", "1")
+        .load()
+        .writeStream.foreachBatch(
+            make_cdf_replicator(rep, "scale_rep", "k")
+        )
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out["cdf_replication_catchup (4 fixed deltas)"] = time.time() - t0
+    # pruned convergence probe (reads ~1 group each side)
+    src_w = t.read(spark, where={"k": (5_500, 5_600)}).agg(
+        F.sum("cents")
+    ).first()[0]
+    rep_w = rep.read(spark, where={"k": (5_500, 5_600)}).agg(
+        F.sum("cents")
+    ).first()[0]
+    assert src_w == rep_w, (src_w, rep_w)
 
     t0 = time.time()
     total, detail = t.count_where(
@@ -132,6 +203,7 @@ def campaign(spark, sf_dir, label):
         "win_detail": detail,
         "agg_detail": adetail,
         "compact": f"{before}->{after}",
+        "cdf_rows": n_cdf,
     }
     return out, meta
 
