@@ -277,31 +277,37 @@ def dense_sequence(
     global-sequence bottleneck: every row funnels through one task).
 
     Same two-level construction as ``deterministic_shuffle``, but the
-    order key is an arbitrary column rather than a uniform hash, so
-    the pre-bucketing uses Spark's own ``repartitionByRange``: sampled
-    range boundaries put partition i's keys strictly below partition
-    i+1's (unique keys), making ``spark_partition_id()`` an
-    order-respecting bucket id. Ranks are local per bucket
-    (n_buckets-way parallel window), and each bucket's base offset is
-    the sum of the EARLIER buckets' counts — computed as a triangular
-    self-join over the n_buckets-row count table (O(n_buckets²) on
-    ≤64 rows) rather than an unpartitioned cum-sum window, so the plan
-    carries NO single-partition window at all. The rank of a key does
-    not depend on where the sampled boundaries fall, so the output is
-    deterministic even though the sampling isn't — any
-    order-respecting bucketing yields the same global sequence.
+    order key is an arbitrary NUMERIC column rather than a uniform
+    hash, so the pre-bucketing cuts the key domain at sampled
+    quantiles: ``approxQuantile`` fetches n_buckets-1 cut points ONCE
+    (one driver action at build time), and the bucket id is a pure
+    expression of the key VALUE against those literal bounds. NOT
+    ``repartitionByRange`` + ``spark_partition_id()``: the rank and
+    the offset arms both re-evaluate the bucketing, and range
+    sampling is not stable across evaluations — two arms disagreeing
+    on a row's bucket assigns duplicate/skipped ranks (observed at
+    sf0.1: ~4k duplicate ids per 150k rows). A value-based bucket is
+    identical in every arm and every re-run by construction; where
+    the cut points land only affects balance, never the rank. Ranks
+    are local per bucket (n_buckets-way parallel window), and each
+    bucket's base offset is the sum of the EARLIER buckets' counts —
+    a triangular self-join over the n_buckets-row count table
+    (O(n_buckets²) on ≤64 rows) rather than an unpartitioned cum-sum
+    window, so the plan carries NO single-partition window at all.
 
-    Requires ``order_col`` values to be UNIQUE (ties would both make
-    row_number nondeterministic and let equal keys straddle a range
-    boundary)."""
+    Requires ``order_col`` to be numeric, non-null, and UNIQUE (ties
+    would make row_number nondeterministic)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(df.approxQuantile(order_col, probs, 0.001)))
     pid = "_ds_pid"
-    local = (
-        df.repartitionByRange(n_buckets, F.col(order_col))
-        .withColumn(pid, F.spark_partition_id())
-        .withColumn(
-            "_ds_local",
-            F.row_number().over(W.partitionBy(pid).orderBy(order_col)),
-        )
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(
+            F.col(order_col) > F.lit(c), 1
+        ).otherwise(0)
+    local = df.withColumn(pid, bucket).withColumn(
+        "_ds_local",
+        F.row_number().over(W.partitionBy(pid).orderBy(order_col)),
     )
     counts = local.groupBy(pid).agg(F.count("*").alias("_ds_n"))
     bases = (

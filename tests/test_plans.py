@@ -924,3 +924,34 @@ class TestDenseSequenceFixture:
             for r in dense_sequence(df, "key", out_col="k").collect()
         ]
         assert sorted(got) == sorted(want)
+
+    def test_dense_sequence_bucket_is_value_based(self, spark):
+        """The r13 duplicate-rank bug: a PHYSICAL bucket
+        (spark_partition_id over repartitionByRange) is re-sampled per
+        subtree evaluation, so the rank arm and the offset arm can
+        disagree on a row's bucket — observed ~4k duplicate ids per
+        150k rows under AQE. The bucket must be a pure function of the
+        key VALUE (literal quantile cuts), which no plan rewrite can
+        de-synchronize; the plan must carry no partition-id call."""
+        from pyspark.sql import functions as F
+
+        from file_stream_import_spark.operators.curation import (
+            dense_sequence,
+        )
+
+        df = (
+            spark.range(0, 120_000, 1, 32)
+            .select((F.col("id") * 7 % 999_983).alias("key"))
+            .distinct()
+        )
+        d = dense_sequence(df, "key", out_col="k")
+        qe = d._jdf.queryExecution()
+        mode = (
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        plan = qe.explainString(mode)
+        assert "SPARK_PARTITION_ID" not in plan.upper()
+        n = d.count()
+        assert d.groupBy("k").count().filter("count > 1").count() == 0
+        assert d.agg(F.max("k")).first()[0] == n
