@@ -720,7 +720,13 @@ def _admitted_end(
     return max(end, lo)
 
 
-def _resolved_map(t, lo: int, latest: int, mkey: str = "colmap") -> dict:
+def _resolved_map(
+    t,
+    lo: int,
+    latest: int,
+    mkey: str = "colmap",
+    pin_v: int | None = None,
+) -> dict:
     """Evolution-map entries (colmap or castmap) unioned over manifests
     [lo, latest], NEWEST manifest winning per group. The latest
     manifest alone (the r11 pin) is enough for groups it still
@@ -743,9 +749,19 @@ def _resolved_map(t, lo: int, latest: int, mkey: str = "colmap") -> dict:
     unrouted groups (an unrouted group's file columns are named
     exactly by its manifest's schema), and recorded entries are
     folded through the same chain so a group whose last routing
-    predates a later rename still lands on the final names."""
+    predates a later rename still lands on the final names.
+
+    ``pin_v`` (default: ``latest``) is the version whose schema the
+    caller pinned — the fold TARGET. Manifests at or before pin_v
+    fold FORWARD through the rename events up to the pin; manifests
+    AFTER it fold BACKWARD (new -> old, newest event first), which is
+    how a stream whose schema pinned before a MID-STREAM rename keeps
+    the renamed column's values flowing under the pinned name instead
+    of NULLing it (the r13 post-pin overlay)."""
     import json as _json
 
+    if pin_v is None:
+        pin_v = latest
     walked: list = []
     for v in range(latest, max(lo, 0) - 1, -1):
         try:
@@ -762,9 +778,14 @@ def _resolved_map(t, lo: int, latest: int, mkey: str = "colmap") -> dict:
         ]
 
     def fold(name: str, from_v: int) -> str:
-        for ev_v, old, new in events:
-            if ev_v > from_v and name == old:
-                name = new
+        if from_v <= pin_v:
+            for ev_v, old, new in events:
+                if from_v < ev_v <= pin_v and name == old:
+                    name = new
+        else:
+            for ev_v, old, new in reversed(events):
+                if pin_v < ev_v <= from_v and name == new:
+                    name = old
         return name
 
     out: dict = {}
@@ -789,6 +810,21 @@ def _resolved_map(t, lo: int, latest: int, mkey: str = "colmap") -> dict:
                 if g not in out and g not in routed:
                     out[g] = dict(synth)
     return out
+
+
+def _post_pin_overlay(t, pinned_latest: int, hi: int) -> dict:
+    """Routing for groups of versions AFTER the stream's schema pin,
+    folded BACK to the pinned column names (r13): a rename landing
+    mid-stream renames live groups' files forward, but the stream's
+    output schema is pinned — without this overlay the renamed
+    column's post-pin rows surface as NULL under the pinned name
+    (silent data loss; Delta stops the stream instead). Empty when the
+    batch end is at or before the pin."""
+    if hi <= pinned_latest:
+        return {}
+    return _resolved_map(
+        t, pinned_latest + 1, hi, pin_v=pinned_latest
+    )
 
 
 def _starting_option(options: dict, t) -> str:
@@ -956,6 +992,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         from .versioned import _schema_from_json
 
         pinned = t._load_manifest(latest)
+        self._pinned_latest = latest
         self._declared = _schema_from_json(pinned["schema"])
         self._fields = [f.name for f in self._declared]
         # the colmap is pinned WITH the schema: batch-end manifests
@@ -1008,7 +1045,16 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
             )
         except FileNotFoundError:
             colmap = {}
-        colmap = {**colmap, **self._pinned_colmap}
+        # post-pin overlay (r13): versions past the schema pin fold
+        # their routing BACK to the pinned names, so a mid-stream
+        # rename keeps values flowing under the pinned column instead
+        # of NULLing it; the stream-start pinned union still wins for
+        # the groups it knows
+        overlay = _post_pin_overlay(
+            self._table(), self._pinned_latest, hi
+        )
+        colmap = {**colmap, **overlay, **self._pinned_colmap}
+        cdf_fallback = {**overlay, **self._pinned_colmap}
 
         def group_rows(g: str, extra: tuple = ()) -> list[tuple]:
             mapping = colmap.get(g) or {}
@@ -1064,7 +1110,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
             else:
                 at = _cdf_diff_arrow(
                     self.path, self._meta, v, self.cdf_key,
-                    self._declared, self._pinned_colmap,
+                    self._declared, cdf_fallback,
                 )
                 for row in at.to_pylist():
                     rows.append(
@@ -1128,8 +1174,12 @@ class _CdfDiffPartition(InputPartition):
     backfills of HUGE rewrites, the batch table_changes_rows API is
     the executor-parallel path."""
 
-    def __init__(self, version: int):
+    def __init__(self, version: int, fallback: dict | None = None):
         self.version = version
+        # per-batch pinned routing (driver-computed): the stream-start
+        # union plus the post-pin rename overlay for versions past the
+        # schema pin — executors must not re-walk manifests per task
+        self.fallback = fallback
 
 
 class TableChangefeedPartitionedReader(DataSourceStreamReader):
@@ -1178,6 +1228,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
                 "table has no snapshots yet — commit once before tailing"
             )
         pinned = t._load_manifest(latest)
+        self._pinned_latest = latest
         self._schema_json = pinned["schema"]
         # pinned with the schema — see TableChangefeedReader: a
         # bounded batch ending before a rename commit needs the
@@ -1262,7 +1313,14 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
                 )
             except FileNotFoundError:
                 pass  # expired: the walk below raises the remedy
-        colmap = {**colmap, **self._pinned_colmap}
+        # post-pin overlay (r13): see TableChangefeedReader — a
+        # mid-stream rename's versions fold their routing back to the
+        # pinned names, planned driver-side once per batch
+        overlay = _post_pin_overlay(
+            self._table(), self._pinned_latest, max(hi, lo)
+        )
+        colmap = {**colmap, **overlay, **self._pinned_colmap}
+        cdf_fallback = {**overlay, **self._pinned_colmap}
         parts: list[InputPartition] = []
 
         def file_parts(g: str, commit_version=None):
@@ -1304,7 +1362,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
                     ):
                         file_parts(g, commit_version=v)
                 else:
-                    parts.append(_CdfDiffPartition(v))
+                    parts.append(_CdfDiffPartition(v, cdf_fallback))
         # a planned batch can still add zero groups (rollback/compact
         # under ignorechanges); Spark requires >= 1 partition
         return parts or [_ChangeFile("", self._schema_json)]
@@ -1317,9 +1375,11 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
 
         declared = _schema_from_json(self._schema_json)
         if isinstance(partition, _CdfDiffPartition):
+            fb = getattr(partition, "fallback", None)
             yield from _cdf_diff_arrow(
                 self.path, self._meta, partition.version,
-                self.cdf_key, declared, self._pinned_colmap,
+                self.cdf_key, declared,
+                self._pinned_colmap if fb is None else fb,
             ).to_batches(max_chunksize=65536)
             return
         if not partition.file_path:

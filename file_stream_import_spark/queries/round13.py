@@ -158,3 +158,116 @@ def stream_cdf_after_rename(
         shutil.rmtree(t.path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_cdf_midstream_rename",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) AS n, COUNT(*) // 10 AS u FROM base)
+    SELECT 0 AS commit_version, 'insert' AS change_type,
+           CAST((SELECT n FROM p) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(cents) FROM base) AS BIGINT) AS cents
+    UNION ALL
+    SELECT 2, 'insert',
+           CAST((SELECT u FROM p) AS BIGINT),
+           CAST((SELECT SUM(cents) + 5 * u FROM base b, p
+                 WHERE b.k <= p.u GROUP BY p.u) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'update_preimage',
+           CAST((SELECT u FROM p) AS BIGINT),
+           CAST((SELECT SUM(cents) FROM base b, p
+                 WHERE b.k <= p.u) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'update_postimage',
+           CAST((SELECT u FROM p) AS BIGINT),
+           CAST((SELECT SUM(cents) + 3 * u FROM base b, p
+                 WHERE b.k <= p.u GROUP BY p.u) AS BIGINT)
+    """,
+)
+def stream_cdf_midstream_rename(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A rename landing MID-STREAM, after the CDF stream pinned its
+    schema (io/pysource.py::_post_pin_overlay, r13): the stream starts
+    on (k, cents), drains v0, and THEN the table renames
+    cents->pennies, appends u shifted rows, and merges +3 onto the
+    first u keys — all under the NEW name. The stream's output schema
+    stays pinned, and every post-rename value must flow under
+    ``cents`` (pre-overlay they surfaced as NULL — silent data loss;
+    Delta stops the stream instead). Counts and the pinned column's
+    SUM are hashed per (commit, change_type)."""
+    import shutil
+    import tempfile
+
+    from ..io.pysource import TableChangefeedDataSource
+    from ..io.versioned import VersionedTable, merge_into
+
+    o = _densified_orders(spark, sf_dir).select("k", "cents")
+    n = o.count()
+    u = n // 10
+    o = o.localCheckpoint(eager=True)
+    spark.dataSource.register(TableChangefeedDataSource)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_cdf_mid_"))
+    ckpt = tempfile.mkdtemp(prefix="lake_cdf_mid_ck_")
+    rows: list[tuple] = []
+    try:
+        t.commit(o, mode="overwrite")
+
+        def sink(df, _bid):
+            rows.extend(
+                (r["_commit_version"], r["_change_type"], r["cents"])
+                for r in df.collect()
+            )
+
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # v0 inserts, schema now pinned
+            t.rename_column("cents", "pennies")          # v1
+            t.commit(
+                o.filter(F.col("k") <= u).select(
+                    (F.col("k") + n).alias("k"),
+                    (F.col("cents") + 5).alias("pennies"),
+                ),
+                mode="append",
+            )                                            # v2
+            merge_into(
+                t,
+                spark,
+                o.filter(F.col("k") <= u).select(
+                    "k", (F.col("cents") + 3).alias("pennies")
+                ),
+                key="k",
+            )                                            # v3
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.createDataFrame(
+                rows,
+                "commit_version int, change_type string, cents bigint",
+            )
+            .groupBy("commit_version", "change_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out

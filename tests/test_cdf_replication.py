@@ -255,6 +255,11 @@ _op_st = st.one_of(
     st.tuples(st.just("overwrite"), _rows_st),
     st.just(("compact",)),
     st.tuples(st.just("rollback"), st.integers(0, 30)),
+    # r13: a rename CYCLE (v -> v_tmp -> v) injects two rename commits
+    # into the replayed range while leaving the net schema unchanged,
+    # so every other op's frame shape stays valid — the replica must
+    # converge through the rename-chain routing (_resolved_map fold)
+    st.just(("rename_cycle",)),
 )
 
 
@@ -339,9 +344,16 @@ class TestReplicationConvergenceFuzz:
                 )
             elif kind == "compact":
                 t.compact(spark, min_bytes=1 << 30)
+            elif kind == "rename_cycle":
+                t.rename_column("v", "v_tmp")
+                t.rename_column("v_tmp", "v")
             if kind == "rollback":
-                vs = t.versions()
-                target = vs[op[1] % len(vs)]
+                # target only MODEL-TRACKED versions (post-op states):
+                # a mid-rename-cycle version is a legal engine target
+                # but carries the transient column name the other ops'
+                # frames don't speak
+                targets = sorted(states)
+                target = targets[op[1] % len(targets)]
                 t.rollback(target)
                 model = dict(states[target])
             else:

@@ -639,3 +639,114 @@ class TestRenameInsideReplayedRange:
         assert got == [
             (0, 1, 10), (0, 2, 20), (1, 1, 10), (1, 2, 99)
         ]
+
+
+class TestMidStreamRename:
+    """r13: a rename landing AFTER the stream pinned its schema. The
+    stream's output schema is fixed at start, but the table's live
+    groups (and every later commit's files) now carry the NEW name —
+    pre-overlay, those rows surfaced as NULL under the pinned column
+    (silent data loss; Delta stops the stream instead). The post-pin
+    overlay folds versions past the pin BACK to the pinned names, so
+    values keep flowing."""
+
+    def _run(self, spark, tmp_path, reader):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+        from file_stream_import_spark.io.versioned import merge_into
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10)], name=f"t_{reader}")
+        got: list[tuple] = []
+        r = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+        )
+        if reader == "simple":
+            r = r.option("reader", "simple")
+        q = (
+            r.load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    (x["_commit_version"], x["k"], x["_change_type"],
+                     x["v"])
+                    for x in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck_{reader}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert sorted(got) == [(0, 1, "insert", 10)]
+            # MID-STREAM: rename, then append and merge under the NEW
+            # name — the stream's pinned schema still says 'v'
+            t.rename_column("v", "w")                       # v1
+            t.commit(
+                spark.createDataFrame([(2, 20)], "k long, w long"),
+                mode="append",
+            )                                               # v2
+            merge_into(
+                t, spark,
+                spark.createDataFrame([(1, 77)], "k long, w long"),
+                key="k",
+            )                                               # v3
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(got)
+
+    def test_partitioned_reader_values_flow(self, spark, tmp_path):
+        assert self._run(spark, tmp_path, "partitioned") == [
+            (0, 1, "insert", 10),
+            (2, 2, "insert", 20),
+            (3, 1, "update_postimage", 77),
+            (3, 1, "update_preimage", 10),
+        ]
+
+    def test_simple_reader_values_flow(self, spark, tmp_path):
+        assert self._run(spark, tmp_path, "simple") == [
+            (0, 1, "insert", 10),
+            (2, 2, "insert", 20),
+            (3, 1, "update_postimage", 77),
+            (3, 1, "update_preimage", 10),
+        ]
+
+    def test_chained_post_pin_renames(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10)])
+        got: list[tuple] = []
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    (x["_commit_version"], x["k"], x["v"])
+                    for x in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            t.rename_column("v", "w")
+            t.rename_column("w", "x")
+            t.commit(
+                spark.createDataFrame([(3, 30)], "k long, x long"),
+                mode="append",
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(got) == [(0, 1, 10), (3, 3, 30)]
