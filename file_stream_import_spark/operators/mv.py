@@ -1,0 +1,152 @@
+"""Incremental materialized-view maintenance over the versioned lake.
+
+An aggregate MV (GROUP BY + SUM/COUNT) kept in its own VersionedTable
+and refreshed from the SOURCE table's row-level change-data-feed —
+never by rescanning the source. Each refresh reads only the CDF of the
+versions since the MV's watermark (``table_changes_rows`` per-pair
+snapshot_diff: O(delta) via the manifest shared-group skip), folds the
+rows into SIGNED grouped deltas (+1 for insert/update_postimage, -1
+for delete/update_preimage — an update that MOVES a row between groups
+decomposes naturally into -1 old group / +1 new group), and MERGEs
+them into the MV keyed on the group columns. At 100 TB this is the
+difference between a nightly full rescan and a seconds-long delta
+fold — the Delta Live Tables / classic incremental-view-maintenance
+design, built from parts this engine already has.
+
+The SOURCE-version watermark rides the MV's manifest ``txn`` map
+ATOMICALLY with each refresh commit (the Delta transactional-writer
+idea, same as make_idempotent_table_writer): a crashed or replayed
+refresh can never double-apply a delta, and two concurrent refreshers
+race through expected_parent — the loser re-reads the watermark and
+skips. SUM/COUNT only: they are the self-maintainable aggregates
+under deletes (MIN/MAX would need a per-group rescan when the extreme
+row is deleted — out of scope by design, as in every IVM engine).
+AVG = SUM/COUNT at read time.
+
+Contract: group columns must be NON-NULL (MERGE matches keys by
+equality, and a NULL group key would never match its MV row) and the
+source must satisfy the CDF contract (key-unique on ``key``,
+merge/apply_changes-maintained).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.versioned import (
+    CommitConflictError,
+    VersionedTable,
+    merge_into,
+    table_changes_cdf,
+)
+
+_ROWS = "n_rows"
+
+
+def _watermark(mv: VersionedTable, tag: str) -> int | None:
+    latest = mv.latest_version()
+    if latest is None:
+        return None
+    wm = (mv._load_manifest(latest).get("txn") or {}).get(tag)
+    return None if wm is None else int(wm)
+
+
+def refresh_mv(
+    source: VersionedTable,
+    mv: VersionedTable,
+    spark: SparkSession,
+    *,
+    name: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    key: str | list[str],
+    rows_col: str = _ROWS,
+) -> int:
+    """Bring ``mv`` up to the source's latest version; returns the
+    source version the MV now reflects. First call BOOTSTRAPS (one
+    full aggregate of the source — the only full scan the MV ever
+    costs); every later call folds the CDF delta since the watermark.
+    Groups whose row count reaches zero are swept (a crash between the
+    merge and the sweep leaves a zero-count row; the sweep runs every
+    refresh, so the next call converges it — zero-touch sweeps commit
+    nothing)."""
+    tag = f"mv:{name}"
+    cur = source.latest_version()
+    if cur is None:
+        raise FileNotFoundError(f"source has no snapshots: {source.path}")
+    while True:
+        wm = _watermark(mv, tag)
+        if wm is not None and cur <= wm:
+            # converged (or a replay of an applied refresh): still run
+            # the zero-group sweep so a crashed predecessor's residue
+            # heals
+            mv.delete_where(
+                spark, F.col(rows_col) == 0, prune_where="auto"
+            )
+            return wm
+        try:
+            if wm is None:
+                agg = (
+                    source.read(spark, version=cur)
+                    .groupBy(*group_cols)
+                    .agg(
+                        # 0, not NULL, for an all-null group: the
+                        # incremental arm folds with + and must agree
+                        # with the bootstrap on the empty-sum identity
+                        *[
+                            F.coalesce(F.sum(c), F.lit(0))
+                            .cast("bigint")
+                            .alias(c)
+                            for c in sum_cols
+                        ],
+                        F.count("*").cast("bigint").alias(rows_col),
+                    )
+                )
+                mv.commit(
+                    agg,
+                    mode="overwrite",
+                    txn={tag: cur},
+                    expected_parent=mv.latest_version(),
+                )
+            else:
+                sign = F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+                deltas = (
+                    table_changes_cdf(
+                        source, spark, wm + 1, cur, key=key
+                    )
+                    .groupBy(*group_cols)
+                    .agg(
+                        *[
+                            F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
+                            .cast("bigint")
+                            .alias(c)
+                            for c in sum_cols
+                        ],
+                        F.sum(sign).cast("bigint").alias(rows_col),
+                    )
+                )
+                merge_into(
+                    mv,
+                    spark,
+                    deltas,
+                    key=group_cols,
+                    when_matched={
+                        c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                        for c in [*sum_cols, rows_col]
+                    },
+                    txn={tag: cur},
+                    expected_parent=mv.latest_version(),
+                )
+            mv.delete_where(
+                spark, F.col(rows_col) == 0, prune_where="auto"
+            )
+            return cur
+        except CommitConflictError:
+            continue  # racing refresher landed: re-read the watermark

@@ -271,3 +271,110 @@ def stream_cdf_midstream_rename(
         shutil.rmtree(t.path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_incremental_mv",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) AS n, COUNT(*) // 3 AS third,
+                 COUNT(*) // 10 AS u
+          FROM base),
+    final AS (
+      SELECT b.k,
+             CASE WHEN b.k <= p.u THEN 'MV' ELSE b.status END AS status,
+             CASE WHEN b.k <= p.u THEN b.cents + 7 ELSE b.cents END
+               AS cents
+      FROM base b, p
+      WHERE NOT (b.k > p.u AND b.k <= 2 * p.u)
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(0 AS INT) AS bootstrap_src_version,
+           CAST(3 AS INT) AS final_src_version,
+           CAST(1 AS INT) AS incremental_refreshes
+    FROM final GROUP BY status
+    """,
+)
+def lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/mv.py::refresh_mv, r13): a (status -> count, cent-sum)
+    MV bootstrapped at v0 (two-thirds of the densified orders), then
+    the source APPENDS the last third (v1), a MERGE moves the first u
+    keys into a NEW group 'MV' with +7 cents (v2 — the
+    group-membership move: -1 old group / +1 new), and a CoW DELETE
+    drops keys (u, 2u] (v3). ONE incremental refresh folds v1..v3's
+    CDF into signed grouped deltas and MERGEs them in — O(delta), the
+    source is never rescanned. The MV content (counts AND sums per
+    group, including the vanished-group sweep) is hashed against the
+    oracle's full recompute; the watermark versions and the refresh
+    count are PINNED."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, merge_into
+    from ..operators.mv import refresh_mv
+
+    o = _densified_orders(spark, sf_dir)
+    n = o.count()
+    third, u = n // 3, n // 10
+    o = o.localCheckpoint(eager=True)
+    src = VersionedTable(tempfile.mkdtemp(prefix="lake_mv_src_"))
+    mv = VersionedTable(tempfile.mkdtemp(prefix="lake_mv_"))
+    try:
+        src.commit(
+            o.filter(F.col("k") <= 2 * third).select(
+                "k", "status", "cents"
+            ),
+            mode="overwrite",
+        )                                                   # v0
+        boot_v = refresh_mv(
+            src, mv, spark,
+            name="orders_by_status",
+            group_cols=["status"], sum_cols=["cents"], key="k",
+        )
+        src.commit(
+            o.filter(F.col("k") > 2 * third).select(
+                "k", "status", "cents"
+            ),
+            mode="append",
+        )                                                   # v1
+        merge_into(
+            src, spark,
+            o.filter(F.col("k") <= u).select(
+                "k",
+                F.lit("MV").alias("status"),
+                (F.col("cents") + 7).alias("cents"),
+            ),
+            key="k",
+        )                                                   # v2
+        src.delete_where(
+            spark, F.col("k").between(u + 1, 2 * u), prune_where="auto"
+        )                                                   # v3
+        final_v = refresh_mv(
+            src, mv, spark,
+            name="orders_by_status",
+            group_cols=["status"], sum_cols=["cents"], key="k",
+        )
+        out = (
+            mv.read(spark)
+            .select("status", "n_rows", "cents")
+            .withColumn(
+                "bootstrap_src_version", F.lit(int(boot_v)).cast("int")
+            )
+            .withColumn(
+                "final_src_version", F.lit(int(final_v)).cast("int")
+            )
+            .withColumn("incremental_refreshes", F.lit(1).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src.path, ignore_errors=True)
+        shutil.rmtree(mv.path, ignore_errors=True)
+    return out
