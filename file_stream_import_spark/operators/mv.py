@@ -31,7 +31,7 @@ merge/apply_changes-maintained).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..io.versioned import (

@@ -160,6 +160,34 @@ def campaign(spark, sf_dir, label):
     ).first()[0]
     assert src_w == rep_w, (src_w, rep_w)
 
+    # --- r13: incremental MV refresh at 100x ---
+    # bootstrap (untimed, the MV's one full aggregate), then one more
+    # fixed 2k-key merge on the source; timed: the refresh folding
+    # exactly that delta — CDF of one version + a grouped MERGE into a
+    # <=4-row MV. Delta-bound, so ~flat at 100x.
+    from file_stream_import_spark.operators.mv import refresh_mv
+
+    mvt = VersionedTable(os.path.join(root, "mv"))
+    refresh_mv(
+        t, mvt, spark,
+        name="scale_mv", group_cols=["status"], sum_cols=["cents"],
+        key="k",
+    )
+    merge_into(
+        t, spark,
+        o.filter(F.col("k").between(20_000, 22_000))
+        .withColumn("status", F.lit("V"))
+        .localCheckpoint(eager=True),
+        key="k",
+    )
+    t0 = time.time()
+    refresh_mv(
+        t, mvt, spark,
+        name="scale_mv", group_cols=["status"], sum_cols=["cents"],
+        key="k",
+    )
+    out["mv_refresh (one fixed 2k-delta commit)"] = time.time() - t0
+
     t0 = time.time()
     total, detail = t.count_where(
         spark, where={"k": (10_000, 50_000)}, detail=True
