@@ -1071,6 +1071,14 @@ def _manifest_path(path: str, version: int) -> str:
 _HINT_NAME = "_latest.hint"
 _CKPT_NAME = "_history.ckpt.json"
 _CKPT_EVERY = 64
+# The checkpoint is a BASE file plus an append-only SEGMENT log: each
+# extension writes ONLY the new rows as one segment file (O(delta) per
+# commit, the base is never rewritten on the commit path), and the
+# segments fold into the base when _SEG_COMPACT of them accumulate or
+# when vacuum trims expired rows — so the whole-file rewrite is paid
+# once per _SEG_COMPACT * _CKPT_EVERY commits, not per _CKPT_EVERY.
+_SEG_DIR = "_history_segs"
+_SEG_COMPACT = 16
 
 
 def _hint_path(path: str) -> str:
@@ -1079,6 +1087,32 @@ def _hint_path(path: str) -> str:
 
 def _ckpt_path(path: str) -> str:
     return os.path.join(_manifest_dir(path), _CKPT_NAME)
+
+
+def _seg_dir(path: str) -> str:
+    return os.path.join(_manifest_dir(path), _SEG_DIR)
+
+
+def _seg_files(path: str) -> list[tuple[int, str]]:
+    """(upto, fullpath) for every history segment, sorted by upto.
+    The segment directory holds at most ~_SEG_COMPACT entries, so this
+    listing is O(1)-ish — never the O(#manifests) listing the hint and
+    checkpoint anchors exist to avoid."""
+    d = _seg_dir(path)
+    out: list[tuple[int, str]] = []
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return out
+    for name in names:
+        if not (name.startswith("seg-") and name.endswith(".json")):
+            continue
+        try:
+            out.append((int(name[4:-5]), os.path.join(d, name)))
+        except ValueError:
+            continue
+    out.sort()
+    return out
 
 
 def _history_row(version: int, m: dict) -> dict:
@@ -1634,7 +1668,7 @@ class VersionedTable:
             self._extend_checkpoint(version)
         return version
 
-    def _read_checkpoint(self) -> dict:
+    def _read_checkpoint_base(self) -> dict:
         try:
             with open(_ckpt_path(self._meta_root)) as f:
                 ck = json.load(f)
@@ -1644,24 +1678,91 @@ class VersionedTable:
             pass
         return {"upto": -1, "rows": []}
 
+    def _read_checkpoint(self) -> dict:
+        """Merged view of the base checkpoint + the segment log, same
+        {upto, rows} shape the pre-segment readers consumed. Rows are
+        deduped by version (they're immutable audit facts, so any
+        winner is correct) and returned in version order. A crash
+        between a vacuum compaction and its segment cleanup can leave
+        trimmed rows resurrected from a stale segment — benign: every
+        reader already filters rows to the retained version set."""
+        base = self._read_checkpoint_base()
+        segs = _seg_files(self._meta_root)
+        if not segs:
+            return base
+        by_v: dict[int, dict] = {
+            int(r["version"]): r for r in base["rows"]
+        }
+        upto = int(base["upto"])
+        for seg_upto, path in segs:
+            try:
+                with open(path) as f:
+                    seg = json.load(f)
+                rows = seg.get("rows")
+                if not isinstance(rows, list):
+                    continue
+            except (OSError, ValueError):
+                continue  # racing compaction unlinked it / corrupt
+            for r in rows:
+                by_v[int(r["version"])] = r
+            upto = max(upto, seg_upto)
+        return {
+            "upto": upto,
+            "rows": [by_v[v] for v in sorted(by_v)],
+        }
+
     def _extend_checkpoint(self, upto: int) -> None:
         """Append audit rows for versions (previous upto, upto] to the
-        history checkpoint — loads only the manifests since the last
-        checkpoint (amortized one load per commit). Best-effort: a race
-        between two extenders resolves by last-writer-wins, and any
-        missing coverage is served from the manifests directly."""
+        history SEGMENT log — O(delta): only the new rows are written;
+        the base file is untouched until _SEG_COMPACT segments fold
+        into it. Best-effort: a race between two extenders resolves by
+        last-writer-wins on the segment name (identical content), and
+        any missing coverage is served from the manifests directly."""
         try:
-            ck = self._read_checkpoint()
-            rows = list(ck["rows"])
-            for v in range(int(ck["upto"]) + 1, upto + 1):
+            segs = _seg_files(self._meta_root)
+            if segs:
+                prev = segs[-1][0]
+            else:
+                prev = int(self._read_checkpoint_base()["upto"])
+            rows = []
+            for v in range(prev + 1, upto + 1):
                 try:
                     rows.append(_history_row(v, self._load_manifest(v)))
                 except FileNotFoundError:
                     continue  # expired mid-extend
+            if upto > prev:
+                d = _seg_dir(self._meta_root)
+                os.makedirs(d, exist_ok=True)
+                tmp = os.path.join(d, f"seg.tmp-{uuid.uuid4().hex}")
+                with open(tmp, "w") as f:
+                    json.dump({"from": prev + 1, "upto": upto, "rows": rows}, f)
+                os.replace(tmp, os.path.join(d, f"seg-{upto:010d}.json"))
+            if len(segs) + 1 >= _SEG_COMPACT:
+                self._compact_checkpoint()
+        except OSError:
+            pass  # advisory only
+
+    def _compact_checkpoint(self, rows: list[dict] | None = None) -> None:
+        """Fold the segment log into the base checkpoint and delete the
+        folded segments. ``rows`` overrides the merged row set (vacuum
+        passes the expired-trimmed set). Base is replaced atomically
+        BEFORE segments are unlinked, so a reader racing the compaction
+        sees at worst duplicated rows, never missing coverage."""
+        try:
+            ck = self._read_checkpoint()
+            if rows is None:
+                rows = ck["rows"]
+            upto = int(ck["upto"])
             tmp = _ckpt_path(self._meta_root) + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump({"upto": upto, "rows": rows}, f)
             os.replace(tmp, _ckpt_path(self._meta_root))
+            for seg_upto, path in _seg_files(self._meta_root):
+                if seg_upto <= upto:
+                    try:
+                        os.unlink(path)
+                    except OSError:
+                        pass  # racing compactor got it first
         except OSError:
             pass  # advisory only
 
@@ -4307,20 +4408,15 @@ class VersionedTable:
                 os.unlink(_manifest_path(self._meta_root, v))
         if expired and not dry_run:
             # trim expired rows out of the history checkpoint (readers
-            # filter too — this just stops the file growing forever)
+            # filter too — this just stops the file growing forever);
+            # the trim compacts the segment log in the same pass
             ck = self._read_checkpoint()
             retained = set(keep)
             kept_rows = [
                 r for r in ck["rows"] if int(r["version"]) in retained
             ]
             if len(kept_rows) != len(ck["rows"]):
-                try:
-                    tmp = _ckpt_path(self._meta_root) + f".tmp-{uuid.uuid4().hex}"
-                    with open(tmp, "w") as f:
-                        json.dump({"upto": ck["upto"], "rows": kept_rows}, f)
-                    os.replace(tmp, _ckpt_path(self._meta_root))
-                except OSError:
-                    pass
+                self._compact_checkpoint(rows=kept_rows)
         live: set[str] = set()
         if not self.is_branch:
             for v in keep:
@@ -4358,11 +4454,13 @@ class VersionedTable:
         # reclaims. Age-gated by the same threshold as data orphans (a
         # fresh tmp may belong to a publish in flight right now).
         mdir = _manifest_dir(self._meta_root)
-        if os.path.isdir(mdir) and not dry_run:
-            for name in os.listdir(mdir):
+        for sweep_dir in (mdir, _seg_dir(self._meta_root)):
+            if not (os.path.isdir(sweep_dir) and not dry_run):
+                continue
+            for name in os.listdir(sweep_dir):
                 if ".tmp-" not in name:
                     continue
-                full = os.path.join(mdir, name)
+                full = os.path.join(sweep_dir, name)
                 try:
                     if os.path.getmtime(full) <= cutoff:
                         os.unlink(full)

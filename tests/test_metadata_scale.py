@@ -302,11 +302,16 @@ class TestWindowedVersionListing:
     allocates sequentially, vacuum expires a strict prefix)."""
 
     def _count_listdir(self, monkeypatch):
+        # counts listings that scale with commit volume; the history
+        # SEGMENT dir is exempt — it holds at most _SEG_COMPACT (16)
+        # entries by construction, so listing it is O(1), not the
+        # O(#manifests) walk this suite exists to forbid
         calls = {"n": 0}
         real = os.listdir
 
         def counting(p):
-            calls["n"] += 1
+            if os.path.basename(str(p)) != V._SEG_DIR:
+                calls["n"] += 1
             return real(p)
 
         monkeypatch.setattr(os, "listdir", counting)
@@ -484,3 +489,121 @@ class TestRefsMetadataScale:
         # handle is not a crashed-create leftover (one latest_version)
         # before the caller's explicit latest_version.
         assert exists_calls["n"] <= 6
+
+
+class TestHistorySegmentLog:
+    """r13 (post-round ledger #4): the history checkpoint is a base
+    file plus an append-only SEGMENT log. Per-commit upkeep writes only
+    the delta rows (the base is never rewritten on the commit path);
+    segments fold into the base every _SEG_COMPACT extensions and at
+    vacuum-trim, so the whole-file rewrite is paid once per
+    _SEG_COMPACT * _CKPT_EVERY commits instead of per _CKPT_EVERY."""
+
+    def _publish_n(self, t, parent, n):
+        for _ in range(n):
+            parent = t._publish(
+                parent,
+                {
+                    "schema": SCHEMA,
+                    "groups": [],
+                    "mode": "append",
+                    "added": [],
+                    "delete_entries": [],
+                    "stats": {},
+                },
+            )
+        return parent
+
+    def test_base_untouched_between_compactions(self, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        # 3 checkpoint extensions (v64, v128, v192): all land as
+        # segments; the base file is never created, so the commit path
+        # wrote O(delta) rows, not the whole history
+        parent = self._publish_n(t, None, 3 * V._CKPT_EVERY + 1)
+        assert parent == 3 * V._CKPT_EVERY
+        assert not os.path.exists(V._ckpt_path(t.path))
+        segs = V._seg_files(t.path)
+        # v0 checkpoints too (0 % _CKPT_EVERY == 0)
+        assert [u for u, _ in segs] == [
+            V._CKPT_EVERY * i for i in (0, 1, 2, 3)
+        ]
+        # each segment holds exactly its delta
+        with open(segs[2][1]) as f:
+            seg = json.load(f)
+        assert seg["from"] == V._CKPT_EVERY + 1
+        assert seg["upto"] == 2 * V._CKPT_EVERY
+        assert len(seg["rows"]) == V._CKPT_EVERY
+        # merged view is identical to what the monolithic file held
+        ck = t._read_checkpoint()
+        assert ck["upto"] == 3 * V._CKPT_EVERY
+        assert [r["version"] for r in ck["rows"]] == list(
+            range(3 * V._CKPT_EVERY + 1)
+        )
+
+    def test_compaction_folds_segments_into_base(self, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        # extensions land at v0, v64, ... — the _SEG_COMPACT-th is at
+        # v(_SEG_COMPACT-1)*64 and triggers the fold
+        upto = (V._SEG_COMPACT - 1) * V._CKPT_EVERY
+        self._publish_n(t, None, upto + 1)
+        assert V._seg_files(t.path) == []
+        with open(V._ckpt_path(t.path)) as f:
+            base = json.load(f)
+        assert base["upto"] == upto
+        assert [r["version"] for r in base["rows"]] == list(
+            range(upto + 1)
+        )
+        # history is served from the folded base + tail manifests
+        hist = t.history()
+        assert [h["version"] for h in hist] == list(range(upto + 1))
+
+    def test_vacuum_trims_base_and_segments(self, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        parent = self._publish_n(t, None, 2 * V._CKPT_EVERY + 1)
+        t.vacuum(keep_versions=10, min_age_seconds=0)
+        # trim compacts: expired rows gone from the merged view AND the
+        # stale segments are folded away
+        assert V._seg_files(t.path) == []
+        ck = t._read_checkpoint()
+        assert [r["version"] for r in ck["rows"]] == list(
+            range(2 * V._CKPT_EVERY - 9, 2 * V._CKPT_EVERY + 1)
+        )
+        assert [h["version"] for h in t.history()] == list(
+            range(2 * V._CKPT_EVERY - 9, 2 * V._CKPT_EVERY + 1)
+        )
+
+    def test_stale_segment_resurrection_is_benign(self, tmp_path):
+        # a crash between vacuum's base rewrite and the segment unlink
+        # leaves trimmed rows resurrected from a stale segment; every
+        # reader filters to the retained set, so history() is unchanged
+        t = VersionedTable(str(tmp_path / "t"))
+        self._publish_n(t, None, V._CKPT_EVERY + 1)
+        segs = V._seg_files(t.path)
+        with open(segs[0][1]) as f:
+            stale = f.read()
+        t.vacuum(keep_versions=5, min_age_seconds=0)
+        with open(segs[0][1], "w") as f:
+            f.write(stale)  # simulate the un-unlinked segment
+        merged = t._read_checkpoint()
+        assert merged["upto"] == V._CKPT_EVERY
+        assert [h["version"] for h in t.history()] == list(
+            range(V._CKPT_EVERY - 4, V._CKPT_EVERY + 1)
+        )
+
+    def test_premigration_base_only_table_reads(self, tmp_path):
+        # a table whose checkpoint predates the segment log (monolithic
+        # base, no segment dir) reads and extends correctly
+        t = VersionedTable(str(tmp_path / "t"))
+        parent = self._publish_n(t, None, V._CKPT_EVERY + 1)
+        merged = t._read_checkpoint()
+        with open(V._ckpt_path(t.path), "w") as f:
+            json.dump(merged, f)
+        for _, p in V._seg_files(t.path):
+            os.unlink(p)
+        assert t._read_checkpoint()["upto"] == V._CKPT_EVERY
+        parent = self._publish_n(t, parent, V._CKPT_EVERY)
+        ck = t._read_checkpoint()
+        assert ck["upto"] == 2 * V._CKPT_EVERY
+        assert [r["version"] for r in ck["rows"]] == list(
+            range(2 * V._CKPT_EVERY + 1)
+        )
