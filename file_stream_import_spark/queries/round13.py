@@ -378,3 +378,117 @@ def lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src.path, ignore_errors=True)
         shutil.rmtree(mv.path, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_mv_minmax",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 3 AS third, COUNT(*) // 10 AS u
+          FROM base),
+    merged AS (
+      SELECT b.k,
+             CASE WHEN b.k <= p.u THEN 'MV' ELSE b.status END AS status,
+             CASE WHEN b.k <= p.u THEN b.cents + 7 ELSE b.cents END
+               AS cents
+      FROM base b, p
+    ),
+    final AS (
+      SELECT * FROM merged
+      WHERE cents >= 5000000 AND cents <= 40000000
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           MIN(cents) AS cents_min,
+           MAX(cents) AS cents_max,
+           CAST(0 AS INT) AS bootstrap_src_version,
+           CAST(3 AS INT) AS final_src_version
+    FROM final GROUP BY status
+    """,
+)
+def lake_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX incremental MV maintenance (operators/mv.py, r13
+    continued): a (status -> count, sum, MIN, MAX of cents) MV
+    bootstrapped at v0 (two-thirds of the densified orders), then the
+    source APPENDS the last third (v1 — extremes fold via
+    LEAST/GREATEST, no rescan), a MERGE moves the lowest u keys into a
+    new group 'MV' at +7 cents (v2 — their old groups lose rows whose
+    values may touch the stored minima -> endangered), and a CoW
+    DELETE drops both tails (cents < 5e6 OR cents > 4e7, v3 —
+    guaranteed to remove per-group extremes, forcing the exact
+    endangered-group recompute). ONE incremental refresh folds
+    v1..v3; the MV content — including the recomputed extremes — is
+    hashed against the oracle's full recompute."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, merge_into
+    from ..operators.mv import refresh_mv
+
+    o = _densified_orders(spark, sf_dir)
+    n = o.count()
+    third, u = n // 3, n // 10
+    o = o.localCheckpoint(eager=True)
+    src = VersionedTable(tempfile.mkdtemp(prefix="lake_mvmm_src_"))
+    mv = VersionedTable(tempfile.mkdtemp(prefix="lake_mvmm_"))
+    try:
+        src.commit(
+            o.filter(F.col("k") <= 2 * third).select(
+                "k", "status", "cents"
+            ),
+            mode="overwrite",
+        )                                                   # v0
+        boot_v = refresh_mv(
+            src, mv, spark,
+            name="orders_mm",
+            group_cols=["status"], sum_cols=["cents"], key="k",
+            min_cols=["cents"], max_cols=["cents"],
+        )
+        src.commit(
+            o.filter(F.col("k") > 2 * third).select(
+                "k", "status", "cents"
+            ),
+            mode="append",
+        )                                                   # v1
+        merge_into(
+            src, spark,
+            o.filter(F.col("k") <= u).select(
+                "k",
+                F.lit("MV").alias("status"),
+                (F.col("cents") + 7).alias("cents"),
+            ),
+            key="k",
+        )                                                   # v2
+        src.delete_where(
+            spark,
+            (F.col("cents") < 5_000_000)
+            | (F.col("cents") > 40_000_000),
+            prune_where="auto",
+        )                                                   # v3
+        final_v = refresh_mv(
+            src, mv, spark,
+            name="orders_mm",
+            group_cols=["status"], sum_cols=["cents"], key="k",
+            min_cols=["cents"], max_cols=["cents"],
+        )
+        out = (
+            mv.read(spark)
+            .select("status", "n_rows", "cents", "cents_min", "cents_max")
+            .withColumn(
+                "bootstrap_src_version", F.lit(int(boot_v)).cast("int")
+            )
+            .withColumn(
+                "final_src_version", F.lit(int(final_v)).cast("int")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src.path, ignore_errors=True)
+        shutil.rmtree(mv.path, ignore_errors=True)
+    return out
