@@ -930,7 +930,27 @@ def _arrow_align(table, declared, mapping):
             fcol in current and current[fcol] != f.name
         )
         if fcol in table.column_names and not routed_away:
-            arrays.append(table.column(fcol).cast(at))
+            col = table.column(fcol)
+            try:
+                arrays.append(col.cast(at))
+            except pa.ArrowInvalid as e:
+                # a WIDEN landed after this reader pinned its schema:
+                # post-widen files carry the wide type, and values that
+                # still FIT the pinned narrow type flow through this
+                # safe cast — but an out-of-range value cannot be
+                # represented in the pinned schema at all. Surface the
+                # restart remedy instead of a bare executor
+                # ArrowInvalid (Delta stops the stream on ANY schema
+                # change; we stop only when data is unrepresentable).
+                raise ValueError(
+                    f"column {f.name!r}: a value in file type "
+                    f"{col.type} does not fit this reader's pinned "
+                    f"type {f.dataType.simpleString()} — the column "
+                    "was widened after the reader pinned its schema; "
+                    "restart the stream from a fresh checkpoint (or "
+                    "re-create the batch reader) to adopt the widened "
+                    "schema"
+                ) from e
         else:
             arrays.append(pa.nulls(n, type=at))
         names.append(f.name)

@@ -750,3 +750,104 @@ class TestMidStreamRename:
         finally:
             q.stop()
         assert sorted(got) == [(0, 1, 10), (3, 3, 30)]
+
+
+class TestMidStreamWiden:
+    """r13 (continued): a widen_column landing AFTER the stream pinned
+    its schema. Post-widen files carry the wide type; values that fit
+    the pinned narrow type keep flowing through the safe Arrow cast
+    (the additive-compatibility twin of the mid-stream rename
+    overlay); a value OUT of the pinned type's range is unrepresentable
+    in the stream's fixed output schema, so the batch fails with the
+    restart-from-fresh-checkpoint remedy instead of a bare executor
+    ArrowInvalid. (Delta stops the stream on any schema change; this
+    engine stops only when data is actually unrepresentable.)"""
+
+    def _mk_int(self, spark, tmp_path, name):
+        t = VersionedTable(str(tmp_path / name))
+        t.commit(
+            spark.createDataFrame([(1, 10)], "k long, v int"),
+            mode="overwrite",
+        )
+        return t
+
+    def _stream(self, spark, t, tmp_path, ck):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        got: list[tuple] = []
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    (x["_commit_version"], x["k"], x["v"])
+                    for x in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        return q, got
+
+    def test_fitting_values_flow_under_pinned_type(
+        self, spark, tmp_path
+    ):
+        t = self._mk_int(spark, tmp_path, "t_fit")
+        q, got = self._stream(spark, t, tmp_path, "ck_fit")
+        try:
+            q.processAllAvailable()
+            t.widen_column("v", "long")                     # v1
+            t.commit(
+                spark.createDataFrame([(2, 20)], "k long, v long"),
+                mode="append",
+            )                                               # v2
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(got) == [(0, 1, 10), (2, 2, 20)]
+
+    def test_out_of_range_value_raises_restart_remedy(
+        self, spark, tmp_path
+    ):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        t = self._mk_int(spark, tmp_path, "t_ovf")
+        q, got = self._stream(spark, t, tmp_path, "ck_ovf")
+        try:
+            q.processAllAvailable()
+            t.widen_column("v", "long")
+            t.commit(
+                spark.createDataFrame(
+                    [(2, 2**40)], "k long, v long"
+                ),
+                mode="append",
+            )
+            with pytest.raises(
+                StreamingQueryException,
+                match="restart the stream from a fresh checkpoint",
+            ):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_batch_reader_after_widen_reads_wide(self, spark, tmp_path):
+        # a NEW reader (fresh pin) adopts the wide schema and reads
+        # both the pre-widen narrow file and the out-of-range value
+        t = self._mk_int(spark, tmp_path, "t_new")
+        t.widen_column("v", "long")
+        t.commit(
+            spark.createDataFrame([(2, 2**40)], "k long, v long"),
+            mode="append",
+        )
+        rows = sorted(
+            (r["k"], r["v"]) for r in t.read(spark).collect()
+        )
+        assert rows == [(1, 10), (2, 2**40)]
