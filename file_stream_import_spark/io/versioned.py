@@ -2169,7 +2169,6 @@ class VersionedTable:
         count_where()'s boundary scans so the two can never drift."""
         declared = _schema_from_json(m["schema"])
         types = {f.name: f.dataType for f in declared.fields}
-        from functools import reduce
 
         for col, bound in where.items():
             if isinstance(bound, (list, set, frozenset)):
@@ -2177,13 +2176,14 @@ class VersionedTable:
                 if not vals:
                     out = out.filter(F.lit(False))  # IN () is empty
                     continue
+                # ONE In() node, not an OR chain: a reduce-built
+                # chain is a linear expression tree whose depth is
+                # len(vals) — Catalyst recursion overflows the JVM
+                # stack around ~3k values (hit by the join-MV's
+                # pruned point read at sf0.01)
                 out = out.filter(
-                    reduce(
-                        lambda a, b: a | b,
-                        [
-                            F.col(col) == _stat_lit(v, types[col])
-                            for v in vals
-                        ],
+                    F.col(col).isin(
+                        *[_stat_lit(v, types[col]) for v in vals]
                     )
                 )
                 continue

@@ -344,3 +344,271 @@ def _fold_extremes(
             .alias(f"{c}_max")
         )
     return j.select("*", *out_cols)
+
+def refresh_join_mv(
+    a: VersionedTable,
+    b: VersionedTable,
+    mv: VersionedTable,
+    spark: SparkSession,
+    *,
+    name: str,
+    on: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    key_a: str | list[str],
+    key_b: str | list[str],
+    rows_col: str = _ROWS,
+) -> tuple[int, int]:
+    """Incrementally maintain an aggregate MV over an EQUI-JOIN of two
+    versioned tables (the classic delta-join IVM decomposition):
+
+        delta(A |><| B)  =  deltaA |><| B@new  UNION  A@old |><| deltaB
+
+    with each joined row's sign the PRODUCT of its sides' signs (full
+    snapshots are all +1, so the sign is just the delta side's).
+    Grouped signed deltas then MERGE into the MV exactly like
+    refresh_mv — both source watermarks ride the MV manifest's txn map
+    in ONE commit, so a crash/replay can never apply one side's delta
+    without the other.
+
+    O(delta) at scale: the snapshot each delta joins against is read
+    GROUP-PRUNED to the delta's join keys (manifest stats + blooms via
+    the IN-set point probe when the key set is a single column under
+    _MAX_EXACT_KEYS; a broadcast semi join otherwise), so neither full
+    snapshot is rescanned after the one bootstrap join. Requires
+    version ``wm_a`` of A to still be retained (A@old) — if vacuum
+    expired it, the refresh raises with the re-bootstrap remedy.
+
+    ``group_cols``/``sum_cols`` name columns of the JOINED row (either
+    side); both sources must satisfy the CDF contract on their own
+    keys. SUM/COUNT only (AVG = SUM/COUNT at read); join-key updates
+    decompose into -old/+new pairs on the delta side and need nothing
+    special. Returns (version_a, version_b) the MV now reflects."""
+    from ..io.versioned import _schema_from_json
+
+    tag_a, tag_b = f"mv:{name}:a", f"mv:{name}:b"
+    cur_a, cur_b = a.latest_version(), b.latest_version()
+    if cur_a is None or cur_b is None:
+        raise FileNotFoundError(
+            f"join-MV sources need snapshots: {a.path}, {b.path}"
+        )
+    cols_a = {
+        f.name
+        for f in _schema_from_json(a._load_manifest(cur_a)["schema"]).fields
+    }
+    cols_b = {
+        f.name
+        for f in _schema_from_json(b._load_manifest(cur_b)["schema"]).fields
+    }
+    missing = [c for c in on if c not in cols_a or c not in cols_b]
+    if missing:
+        raise ValueError(f"join columns missing from a source: {missing}")
+    clash = (cols_a & cols_b) - set(on)
+    if clash:
+        raise ValueError(
+            f"non-join columns shared by both sources would collide in "
+            f"the joined row: {sorted(clash)} — rename one side"
+        )
+    while True:
+        mv_v = mv.latest_version()
+        txn = (
+            {}
+            if mv_v is None
+            else (mv._load_manifest(mv_v).get("txn") or {})
+        )
+        wa = None if txn.get(tag_a) is None else int(txn[tag_a])
+        wb = None if txn.get(tag_b) is None else int(txn[tag_b])
+        if wa is not None and cur_a <= wa and wb is not None and (
+            cur_b <= wb
+        ):
+            mv.delete_where(
+                spark, F.col(rows_col) == 0, prune_where="auto"
+            )
+            return wa, wb
+        try:
+            sums = [
+                F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias(c)
+                for c in sum_cols
+            ]
+            if wa is None:
+                joined = a.read(spark, version=cur_a).join(
+                    b.read(spark, version=cur_b), on=on, how="inner"
+                )
+                agg = joined.groupBy(*group_cols).agg(
+                    *sums, F.count("*").cast("bigint").alias(rows_col)
+                )
+                mv.commit(
+                    agg,
+                    mode="overwrite",
+                    txn={tag_a: cur_a, tag_b: cur_b},
+                    expected_parent=mv_v,
+                )
+            else:
+                parts = []
+                if cur_a > wa:
+                    da = _signed_cdf(a, spark, wa + 1, cur_a, key_a)
+                    parts.append(
+                        da.join(
+                            _pruned_snapshot(
+                                b, spark, cur_b, on, da
+                            ),
+                            on=on,
+                            how="inner",
+                        )
+                    )
+                if cur_b > wb:
+                    db = _signed_cdf(b, spark, wb + 1, cur_b, key_b)
+                    try:
+                        a_old = _pruned_snapshot(a, spark, wa, on, db)
+                    except FileNotFoundError as e:
+                        raise ValueError(
+                            f"join-MV watermark snapshot {wa} of "
+                            f"{a.path} was expired by vacuum(); "
+                            "re-create the MV (bootstrap) or retain "
+                            "watermark snapshots until refresh"
+                        ) from e
+                    parts.append(db.join(a_old, on=on, how="inner"))
+                delta = parts[0]
+                for p in parts[1:]:
+                    delta = delta.unionByName(p)
+                deltas = delta.groupBy(*group_cols).agg(
+                    *[
+                        F.coalesce(
+                            F.sum(F.col("__sign") * F.col(c)), F.lit(0)
+                        )
+                        .cast("bigint")
+                        .alias(c)
+                        for c in sum_cols
+                    ],
+                    F.sum("__sign").cast("bigint").alias(rows_col),
+                )
+                merge_into(
+                    mv,
+                    spark,
+                    deltas,
+                    key=group_cols,
+                    when_matched={
+                        c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                        for c in [*sum_cols, rows_col]
+                    },
+                    txn={tag_a: cur_a, tag_b: cur_b},
+                    expected_parent=mv_v,
+                )
+            mv.delete_where(
+                spark, F.col(rows_col) == 0, prune_where="auto"
+            )
+            return cur_a, cur_b
+        except CommitConflictError:
+            continue  # racing refresher landed: re-read the watermarks
+
+
+def _signed_cdf(t, spark, lo, hi, key):
+    """Row-level CDF rows [lo, hi] with a ``__sign`` column (+1 for
+    insert/update_postimage, -1 for delete/update_preimage), metadata
+    columns dropped — the signed-multiset delta of the table."""
+    cdf = table_changes_cdf(t, spark, lo, hi, key=key)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return cdf.withColumn("__sign", sign).drop(
+        "_change_type", "_commit_version"
+    )
+
+
+def _pruned_snapshot(t, spark, version, on, delta):
+    """Snapshot ``version`` of ``t`` restricted to the delta's join
+    keys: the IN-set point probe (manifest stats + blooms) when the
+    join key is one column with a bounded distinct set, else a
+    broadcast semi join — either way the join against the delta never
+    rescans the snapshot."""
+    keys = delta.select(*on).distinct()
+    if len(on) == 1:
+        probe = keys.limit(_MAX_EXACT_KEYS + 1).collect()
+        if len(probe) <= _MAX_EXACT_KEYS:
+            return t.read(
+                spark, version=version,
+                where={on[0]: [r[0] for r in probe]},
+            )
+    return t.read(spark, version=version).join(
+        F.broadcast(keys), on=on, how="semi"
+    )
+
+def make_mv_maintainer(
+    mv: VersionedTable,
+    query_name: str,
+    *,
+    group_cols: list[str],
+    sum_cols: list[str],
+    rows_col: str = _ROWS,
+):
+    """STREAMING IVM: a foreachBatch sink that folds a
+    ``readchangedata`` stream's micro-batches into an aggregate MV.
+    Point a CDF changefeed at the source and hand this writer to
+    foreachBatch — each batch's rows become signed grouped deltas
+    (exactly refresh_mv's algebra) MERGEd into the MV with the
+    BATCH_ID as the txn epoch, atomically in the manifest publish:
+    a replayed batch (restart, zombie driver, speculative retry) at or
+    below the watermark skips, and two concurrent deliveries race
+    through expected_parent — exactly-once without a ledger.
+
+    No bootstrap scan at all: started from ``startingversion=
+    earliest`` the stream replays the source's v0 inserts, so the
+    empty MV plus the stream IS the full aggregate — the MV
+    materializes incrementally from nothing and then stays O(delta)
+    per trigger. SUM/COUNT only (the endangered-extreme recompute of
+    refresh_mv needs a source snapshot read, which a sink deliberately
+    doesn't do — use batch refresh_mv for MIN/MAX views)."""
+
+    def write(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # a planned-but-empty batch (pure compaction versions) needs
+        # no MV commit; the watermark stays put, and a replayed empty
+        # batch is empty again — safe to skip
+        if not batch_df.take(1):
+            return
+        is_add = F.col("_change_type").isin(
+            "insert", "update_postimage"
+        )
+        sign = F.when(is_add, F.lit(1)).otherwise(F.lit(-1))
+        deltas = batch_df.groupBy(*group_cols).agg(
+            *[
+                F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
+                .cast("bigint")
+                .alias(c)
+                for c in sum_cols
+            ],
+            F.sum(sign).cast("bigint").alias(rows_col),
+        )
+        while True:
+            latest = mv.latest_version()
+            hw = (
+                None
+                if latest is None
+                else (mv._load_manifest(latest).get("txn") or {}).get(
+                    query_name
+                )
+            )
+            if hw is not None and int(hw) >= int(batch_id):
+                return  # replay of a committed batch
+            try:
+                merge_into(
+                    mv,
+                    spark,
+                    deltas,
+                    key=group_cols,
+                    when_matched={
+                        c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                        for c in [*sum_cols, rows_col]
+                    },
+                    txn={query_name: int(batch_id)},
+                    expected_parent=latest,
+                )
+                break
+            except CommitConflictError:
+                continue  # concurrent delivery landed: re-check
+        mv.delete_where(spark, F.col(rows_col) == 0, prune_where="auto")
+
+    return write

@@ -492,3 +492,255 @@ def lake_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src.path, ignore_errors=True)
         shutil.rmtree(mv.path, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_join_mv",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_custkey AS ck,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 10 AS u FROM base),
+    a AS (
+      SELECT b.k, b.ck,
+             CASE WHEN b.k <= p.u THEN b.cents + 7 ELSE b.cents END
+               AS cents
+      FROM base b, p
+    ),
+    b AS (
+      SELECT c_custkey AS ck,
+             CASE WHEN c_custkey % 10 = 0 THEN 'MV'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+      WHERE c_custkey % 7 <> 0
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(2 AS INT) AS final_va,
+           CAST(2 AS INT) AS final_vb
+    FROM a JOIN b USING (ck)
+    GROUP BY seg
+    """,
+)
+def lake_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-MV maintenance
+    (operators/mv.py::refresh_join_mv, r13 continued): a (mktsegment
+    -> count, cent-sum) MV over orders |><| customer, bootstrapped at
+    (a=v0, b=v0) with two-thirds of the densified orders, then BOTH
+    sides change in one window — A appends the last third (a=v1) and
+    merges +7 cents into the lowest u keys (a=v2); B moves every
+    custkey % 10 == 0 into segment 'MV' (b=v1) and deletes custkey %
+    7 == 0 (b=v2, cascading their orders out of the view). ONE
+    incremental refresh folds the delta-join decomposition
+    dA|><|B_new UNION A_old|><|dB — neither snapshot is rescanned
+    (group-pruned point reads against the delta's join keys) — and
+    the MV content is hashed against the oracle's full recompute.
+    Both watermarks are PINNED."""
+    import shutil
+    import tempfile
+
+    from ..io.tables import load_table
+    from ..io.versioned import VersionedTable, merge_into
+    from ..operators.curation import dense_sequence
+    from ..operators.mv import refresh_join_mv
+
+    o = dense_sequence(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("ck"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        ),
+        "o_orderkey",
+        out_col="k",
+    ).select("k", "ck", "cents")
+    n = o.count()
+    third, u = n // 3, n // 10
+    o = o.localCheckpoint(eager=True)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = VersionedTable(tempfile.mkdtemp(prefix="lake_jmv_a_"))
+    b = VersionedTable(tempfile.mkdtemp(prefix="lake_jmv_b_"))
+    mv = VersionedTable(tempfile.mkdtemp(prefix="lake_jmv_"))
+    try:
+        a.commit(
+            o.filter(F.col("k") <= 2 * third), mode="overwrite"
+        )                                                   # a v0
+        b.commit(c, mode="overwrite")                       # b v0
+        refresh_join_mv(
+            a, b, mv, spark,
+            name="rev_by_seg", on=["ck"], group_cols=["seg"],
+            sum_cols=["cents"], key_a="k", key_b="ck",
+        )
+        a.commit(o.filter(F.col("k") > 2 * third), mode="append")
+        merge_into(
+            a, spark,
+            o.filter(F.col("k") <= u).withColumn(
+                "cents", F.col("cents") + 7
+            ),
+            key="k",
+        )                                                   # a v2
+        merge_into(
+            b, spark,
+            c.filter(F.col("ck") % 10 == 0).withColumn(
+                "seg", F.lit("MV")
+            ),
+            key="ck",
+        )                                                   # b v1
+        b.delete_where(
+            spark, F.col("ck") % 7 == 0, prune_where="auto"
+        )                                                   # b v2
+        va, vb = refresh_join_mv(
+            a, b, mv, spark,
+            name="rev_by_seg", on=["ck"], group_cols=["seg"],
+            sum_cols=["cents"], key_a="k", key_b="ck",
+        )
+        out = (
+            mv.read(spark)
+            .select("seg", "n_rows", "cents")
+            .withColumn("final_va", F.lit(int(va)).cast("int"))
+            .withColumn("final_vb", F.lit(int(vb)).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(a.path, ignore_errors=True)
+        shutil.rmtree(b.path, ignore_errors=True)
+        shutil.rmtree(mv.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "stream_mv_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (
+      SELECT COUNT(*) // 3 AS third,
+             (COUNT(*) // 3) // 3 AS u,
+             2 * ((COUNT(*) // 3) // 3) AS d
+      FROM base
+    ),
+    final AS (
+      SELECT b.k,
+             CASE WHEN b.k <= p.u THEN 'MV' ELSE b.status END AS status,
+             CASE WHEN b.k <= p.u THEN b.cents + 5 ELSE b.cents END
+               AS cents
+      FROM base b, p
+      WHERE b.k <= p.third AND NOT (b.k > p.u AND b.k <= p.d)
+      UNION ALL
+      SELECT b.k, b.status, b.cents
+      FROM base b, p
+      WHERE b.k > p.third AND b.k <= p.third + p.u
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(1 AS INT) AS matches_recompute
+    FROM final GROUP BY status
+    """,
+)
+def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVM (operators/mv.py::make_mv_maintainer, r13
+    continued): a REAL readchangedata stream folds the source's CDF
+    straight into a (status -> count, cent-sum) MV in foreachBatch —
+    batch_id as the atomic txn epoch (exactly-once), NO bootstrap scan
+    (the empty MV plus the replayed v0 inserts IS the aggregate). The
+    source history: v0 inserts two-thirds, a MERGE moves the first u
+    keys into group 'MV' at +5 cents, a CoW DELETE drops (u, d], and
+    an append lands the next u keys — drained at one version per
+    trigger, so every DML kind crosses a batch boundary. The MV
+    content is hashed against the oracle's full recompute, and
+    MV == batch recompute of the final source is pinned as a flag."""
+    import shutil
+    import tempfile
+
+    from ..io.pysource import TableChangefeedDataSource
+    from ..io.versioned import VersionedTable, merge_into
+    from ..operators.mv import make_mv_maintainer
+
+    o = _densified_orders(spark, sf_dir)
+    third = o.count() // 3
+    u, d = third // 3, 2 * (third // 3)
+    o = o.filter(F.col("k") <= 3 * third).localCheckpoint(eager=True)
+    spark.dataSource.register(TableChangefeedDataSource)
+    src = VersionedTable(tempfile.mkdtemp(prefix="lake_smv_src_"))
+    mv = VersionedTable(tempfile.mkdtemp(prefix="lake_smv_mv_"))
+    ckpt = tempfile.mkdtemp(prefix="lake_smv_ck_")
+    try:
+        src.commit(o.filter(F.col("k") <= third), mode="overwrite")
+        merge_into(
+            src,
+            spark,
+            o.filter(F.col("k") <= u).select(
+                "k",
+                F.lit("MV").alias("status"),
+                (F.col("cents") + 5).alias("cents"),
+            ),
+            key="k",
+        )
+        src.delete_where(spark, F.col("k").between(u + 1, d))
+        src.commit(
+            o.filter(F.col("k").between(third + 1, third + u)),
+            mode="append",
+        )
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", src.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(
+                make_mv_maintainer(
+                    mv, "smv", group_cols=["status"],
+                    sum_cols=["cents"],
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        recompute = (
+            src.read(spark)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.coalesce(F.sum("cents"), F.lit(0))
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        mv_df = mv.read(spark).select("status", "n_rows", "cents")
+        matches = int(
+            mv_df.exceptAll(recompute).isEmpty()
+            and recompute.exceptAll(mv_df).isEmpty()
+        )
+        out = (
+            mv_df.withColumn(
+                "matches_recompute", F.lit(matches).cast("int")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src.path, ignore_errors=True)
+        shutil.rmtree(mv.path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -516,3 +516,390 @@ class TestRefreshMvMinMax:
         assert _state_mm(spark, mv) == _recompute_mm(spark, src), (
             f"MIN/MAX MV diverged from recompute after {ops}"
         )
+
+
+from file_stream_import_spark.operators.mv import refresh_join_mv
+
+
+def _mk_join(spark, tmp_path):
+    """orders-like A (k, ck, x) and customers-like B (ck, seg)."""
+    a = VersionedTable(str(tmp_path / "a"))
+    a.commit(
+        spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 200), (3, 20, 50)],
+            "k long, ck long, x long",
+        ),
+        mode="overwrite",
+    )
+    b = VersionedTable(str(tmp_path / "b"))
+    b.commit(
+        spark.createDataFrame(
+            [(10, "gold"), (20, "iron")], "ck long, seg string"
+        ),
+        mode="overwrite",
+    )
+    return a, b
+
+
+def _refresh_j(a, b, mv, spark):
+    return refresh_join_mv(
+        a, b, mv, spark,
+        name="j", on=["ck"], group_cols=["seg"], sum_cols=["x"],
+        key_a="k", key_b="ck",
+    )
+
+
+def _state_j(spark, t):
+    return sorted(
+        (r["seg"], r["n_rows"], r["x"])
+        for r in t.read(spark).collect()
+    )
+
+
+def _recompute_j(spark, a, b):
+    return sorted(
+        (r["seg"], r["n"], r["x"])
+        for r in a.read(spark)
+        .join(b.read(spark), on="ck", how="inner")
+        .groupBy("seg")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(F.sum("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .collect()
+    )
+
+
+class TestRefreshJoinMv:
+    """r13 (continued): delta-join IVM — delta(A|><|B) = dA|><|B_new
+    UNION A_old|><|dB, signs multiplied, one MERGE commit carrying
+    BOTH watermarks."""
+
+    def test_bootstrap_equals_join_aggregate(self, spark, tmp_path):
+        a, b = _mk_join(spark, tmp_path)
+        mv = _mv(tmp_path)
+        assert _refresh_j(a, b, mv, spark) == (0, 0)
+        assert _state_j(spark, mv) == [
+            ("gold", 2, 300), ("iron", 1, 50)
+        ] == _recompute_j(spark, a, b)
+
+    def test_left_side_dml_only(self, spark, tmp_path):
+        a, b = _mk_join(spark, tmp_path)
+        mv = _mv(tmp_path)
+        _refresh_j(a, b, mv, spark)
+        a.commit(
+            spark.createDataFrame(
+                [(4, 20, 75)], "k long, ck long, x long"
+            ),
+            mode="append",
+        )
+        a.delete_where(spark, F.col("k") == 1)
+        va, vb = _refresh_j(a, b, mv, spark)
+        assert (va, vb) == (a.latest_version(), b.latest_version())
+        assert _state_j(spark, mv) == _recompute_j(spark, a, b)
+
+    def test_right_side_dml_joins_against_old_left(
+        self, spark, tmp_path
+    ):
+        a, b = _mk_join(spark, tmp_path)
+        mv = _mv(tmp_path)
+        _refresh_j(a, b, mv, spark)
+        # segment move: every A row under ck=10 regroups gold -> dust
+        merge_into(
+            b, spark,
+            spark.createDataFrame([(10, "dust")], "ck long, seg string"),
+            key="ck",
+        )
+        _refresh_j(a, b, mv, spark)
+        assert _state_j(spark, mv) == [
+            ("dust", 2, 300), ("iron", 1, 50)
+        ] == _recompute_j(spark, a, b)
+
+    def test_both_sides_change_in_one_window(self, spark, tmp_path):
+        a, b = _mk_join(spark, tmp_path)
+        mv = _mv(tmp_path)
+        _refresh_j(a, b, mv, spark)
+        # A: new row under a NEW ck; join-key update for k=3 (20->10)
+        b.commit(
+            spark.createDataFrame([(30, "salt")], "ck long, seg string"),
+            mode="append",
+        )
+        a.commit(
+            spark.createDataFrame(
+                [(5, 30, 11)], "k long, ck long, x long"
+            ),
+            mode="append",
+        )
+        merge_into(
+            a, spark,
+            spark.createDataFrame(
+                [(3, 10, 50)], "k long, ck long, x long"
+            ),
+            key="k",
+        )
+        b.delete_where(spark, F.col("ck") == 20)
+        _refresh_j(a, b, mv, spark)
+        assert _state_j(spark, mv) == [
+            ("gold", 3, 350), ("salt", 1, 11)
+        ] == _recompute_j(spark, a, b)
+
+    def test_unmatched_rows_never_appear(self, spark, tmp_path):
+        a, b = _mk_join(spark, tmp_path)
+        mv = _mv(tmp_path)
+        _refresh_j(a, b, mv, spark)
+        # dangling A row (no B match) contributes nothing until its
+        # B side arrives in a LATER window
+        a.commit(
+            spark.createDataFrame(
+                [(6, 99, 1000)], "k long, ck long, x long"
+            ),
+            mode="append",
+        )
+        _refresh_j(a, b, mv, spark)
+        assert _state_j(spark, mv) == _recompute_j(spark, a, b)
+        b.commit(
+            spark.createDataFrame([(99, "late")], "ck long, seg string"),
+            mode="append",
+        )
+        _refresh_j(a, b, mv, spark)
+        assert _state_j(spark, mv) == _recompute_j(spark, a, b)
+        assert ("late", 1, 1000) in _state_j(spark, mv)
+
+    def test_replay_applies_exactly_once(self, spark, tmp_path):
+        a, b = _mk_join(spark, tmp_path)
+        mv = _mv(tmp_path)
+        _refresh_j(a, b, mv, spark)
+        a.commit(
+            spark.createDataFrame(
+                [(7, 10, 5)], "k long, ck long, x long"
+            ),
+            mode="append",
+        )
+        _refresh_j(a, b, mv, spark)
+        before = mv.latest_version()
+        _refresh_j(a, b, mv, spark)  # converged: no new version
+        assert mv.latest_version() == before
+        assert _state_j(spark, mv) == _recompute_j(spark, a, b)
+
+    def test_column_collision_rejected(self, spark, tmp_path):
+        a, _ = _mk_join(spark, tmp_path)
+        a2 = VersionedTable(str(tmp_path / "a2"))
+        a2.commit(
+            spark.createDataFrame(
+                [(10, 1)], "ck long, x long"
+            ),
+            mode="overwrite",
+        )
+        mv = _mv(tmp_path, name="mv2")
+        with pytest.raises(ValueError, match="collide"):
+            refresh_join_mv(
+                a, a2, mv, spark,
+                name="j2", on=["ck"], group_cols=["x"], sum_cols=[],
+                key_a="k", key_b="ck",
+            )
+
+    @settings(
+        max_examples=_FUZZ_EXAMPLES,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.data_too_large,
+        ],
+        derandomize=_FUZZ_DERANDOMIZE,
+    )
+    @given(
+        init=_rows_st,
+        ops=st.lists(
+            st.one_of(
+                st.tuples(st.just("a_merge"), _rows_st),
+                st.tuples(
+                    st.just("a_delete"),
+                    st.integers(0, 9),
+                    st.integers(0, 9),
+                ),
+                st.tuples(
+                    st.just("b_seg"),
+                    st.integers(0, 5),
+                    st.sampled_from(["s0", "s1", "s2"]),
+                ),
+                st.tuples(st.just("b_delete"), st.integers(0, 5)),
+                st.tuples(st.just("refresh")),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+    )
+    def test_join_mv_equals_recompute_for_random_histories(
+        self, spark, tmp_path_factory, init, ops
+    ):
+        base = tmp_path_factory.mktemp("jmv_fuzz")
+        a = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
+        seen = set()
+        init = [r for r in init if r[0] not in seen]
+        # g maps onto the join key domain deterministically
+        _ck = lambda g, x: "abc".index(g) + (abs(x) % 2) * 3
+        rows = [(k, _ck(g, x), x) for k, g, x in init]
+        a.commit(
+            spark.createDataFrame(rows, "k long, ck long, x long"),
+            mode="overwrite",
+        )
+        b = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
+        b.commit(
+            spark.createDataFrame(
+                [(ck, f"s{ck % 3}") for ck in range(6)],
+                "ck long, seg string",
+            ),
+            mode="overwrite",
+        )
+        mv = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
+        _refresh_j(a, b, mv, spark)
+        for op in ops:
+            kind = op[0]
+            if kind == "a_merge":
+                rows = [(k, _ck(g, x), x) for k, g, x in op[1]]
+                merge_into(
+                    a, spark,
+                    spark.createDataFrame(
+                        rows, "k long, ck long, x long"
+                    ),
+                    key="k",
+                )
+            elif kind == "a_delete":
+                lo, hi = sorted((op[1], op[2]))
+                a.delete_where(spark, F.col("k").between(lo, hi))
+            elif kind == "b_seg":
+                merge_into(
+                    b, spark,
+                    spark.createDataFrame(
+                        [(op[1], op[2])], "ck long, seg string"
+                    ),
+                    key="ck",
+                )
+            elif kind == "b_delete":
+                b.delete_where(spark, F.col("ck") == op[1])
+            else:
+                _refresh_j(a, b, mv, spark)
+        _refresh_j(a, b, mv, spark)
+        assert _state_j(spark, mv) == _recompute_j(spark, a, b), (
+            f"join MV diverged from recompute after {ops}"
+        )
+
+
+from file_stream_import_spark.operators.mv import make_mv_maintainer
+
+
+def _stream_mv(spark, src, tmp_path, name="smv", **stream_opts):
+    from file_stream_import_spark.io.pysource import (
+        TableChangefeedDataSource,
+    )
+
+    spark.dataSource.register(TableChangefeedDataSource)
+    mv = VersionedTable(str(tmp_path / name))
+    r = (
+        spark.readStream.format("table_changefeed")
+        .option("path", src.path)
+        .option("readchangedata", "true")
+        .option("key", "k")
+    )
+    for k, v in stream_opts.items():
+        r = r.option(k, v)
+    q = (
+        r.load()
+        .writeStream.foreachBatch(
+            make_mv_maintainer(
+                mv, "smv_q", group_cols=["g"], sum_cols=["x"]
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .start()
+    )
+    return q, mv
+
+
+class TestStreamingMvMaintainer:
+    """r13 (continued): streaming IVM — the CDF changefeed folds
+    straight into an aggregate MV in foreachBatch, batch_id as the txn
+    epoch. No bootstrap scan: from startingversion=earliest the empty
+    MV plus the replayed v0 inserts IS the aggregate."""
+
+    def test_mv_materializes_from_stream_alone(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
+        q, mv = _stream_mv(spark, src, tmp_path)
+        try:
+            q.processAllAvailable()
+            assert _state(spark, mv) == _recompute(spark, src)
+            # live DML while the stream runs: append, group move, delete
+            src.commit(
+                spark.createDataFrame(
+                    [(3, "a", 5)], "k long, g string, x long"
+                ),
+                mode="append",
+            )
+            merge_into(
+                src, spark,
+                spark.createDataFrame(
+                    [(1, "b", 10)], "k long, g string, x long"
+                ),
+                key="k",
+            )
+            src.delete_where(spark, F.col("g") == "b")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert _state(spark, mv) == _recompute(spark, src) == [
+            ("a", 1, 5)
+        ]
+
+    def test_restart_from_checkpoint_applies_once(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, [(1, "a", 10)])
+        q, mv = _stream_mv(spark, src, tmp_path)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        src.commit(
+            spark.createDataFrame(
+                [(2, "a", 7)], "k long, g string, x long"
+            ),
+            mode="append",
+        )
+        # restart against the SAME checkpoint: only the new version
+        # folds, and a replayed epoch would skip via the txn watermark
+        q2, _ = _stream_mv(spark, src, tmp_path)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        assert _state(spark, mv) == [("a", 2, 17)] == _recompute(
+            spark, src
+        )
+
+    def test_replayed_batch_id_skips(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, [(1, "a", 10), (2, "a", 30)])
+        mv = VersionedTable(str(tmp_path / "mv_replay"))
+        w = make_mv_maintainer(
+            mv, "replay_q", group_cols=["g"], sum_cols=["x"]
+        )
+        batch = spark.createDataFrame(
+            [(1, "a", 10, "insert", 0), (2, "a", 30, "insert", 0)],
+            "k long, g string, x long, _change_type string, "
+            "_commit_version int",
+        )
+        w(batch, 0)
+        w(batch, 0)  # at-least-once redelivery: must be a no-op
+        assert _state(spark, mv) == [("a", 2, 40)]
+
+    def test_compaction_batch_is_a_noop(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, [(i, "a", i) for i in range(1, 5)])
+        q, mv = _stream_mv(spark, src, tmp_path)
+        try:
+            q.processAllAvailable()
+            before = mv.latest_version()
+            src.compact(spark, min_bytes=1 << 30)
+            q.processAllAvailable()
+            # a pure compaction diffs to zero CDF rows: no MV commit
+            assert mv.latest_version() == before
+        finally:
+            q.stop()
+        assert _state(spark, mv) == _recompute(spark, src)

@@ -188,6 +188,77 @@ def campaign(spark, sf_dir, label):
     )
     out["mv_refresh (one fixed 2k-delta commit)"] = time.time() - t0
 
+    # --- r13 (continued): MIN/MAX MV — an extreme-touching delete
+    # endangers ONLY status 'V' (the 2k synthetic keys above), whose
+    # rows live in the few groups the merge rewrote; the exact
+    # recompute is group-pruned to them via the status stats boxes,
+    # so the refresh stays delta-bound at 100x.
+    from file_stream_import_spark.operators.mv import refresh_join_mv
+
+    mm = VersionedTable(os.path.join(root, "mv_mm"))
+    refresh_mv(
+        t, mm, spark, name="scale_mm", group_cols=["status"],
+        sum_cols=["cents"], key="k", min_cols=["cents"],
+    )
+    vmin = (
+        t.read(spark, where={"k": (20_000, 22_000)})
+        .filter(F.col("status") == "V")
+        .agg(F.min("cents"))
+        .first()[0]
+    )
+    t.delete_where(
+        spark,
+        (F.col("status") == "V") & (F.col("cents") == vmin),
+        prune_where="auto",
+    )
+    t0 = time.time()
+    refresh_mv(
+        t, mm, spark, name="scale_mm", group_cols=["status"],
+        sum_cols=["cents"], key="k", min_cols=["cents"],
+    )
+    out["mv_minmax_refresh (extreme-delete, pruned recompute)"] = (
+        time.time() - t0
+    )
+
+    # --- r13 (continued): JOIN-MV — one window with 2k-key deltas on
+    # BOTH sides; each delta joins the other side's snapshot pruned to
+    # its join keys (k-stats point reads), so neither 45M-row snapshot
+    # is rescanned and the refresh stays flat at 100x.
+    bt = VersionedTable(os.path.join(root, "dim"))
+    bt.commit(
+        o.filter(F.col("k") <= 5_000)
+        .select("k", (F.col("k") % 5).cast("string").alias("seg"))
+        .localCheckpoint(eager=True),
+        mode="overwrite",
+    )
+    jmv = VersionedTable(os.path.join(root, "mv_j"))
+    refresh_join_mv(
+        t, bt, jmv, spark, name="scale_jmv", on=["k"],
+        group_cols=["seg"], sum_cols=["cents"], key_a="k", key_b="k",
+    )
+    merge_into(
+        t, spark,
+        o.filter(F.col("k").between(2_000, 4_000))
+        .withColumn("cents", F.col("cents") + 1)
+        .localCheckpoint(eager=True),
+        key="k",
+    )
+    merge_into(
+        bt, spark,
+        o.filter(F.col("k").between(1_000, 3_000))
+        .select("k", F.lit("9").alias("seg"))
+        .localCheckpoint(eager=True),
+        key="k",
+    )
+    t0 = time.time()
+    refresh_join_mv(
+        t, bt, jmv, spark, name="scale_jmv", on=["k"],
+        group_cols=["seg"], sum_cols=["cents"], key_a="k", key_b="k",
+    )
+    out["join_mv_refresh (2k-delta each side, pruned)"] = (
+        time.time() - t0
+    )
+
     t0 = time.time()
     total, detail = t.count_where(
         spark, where={"k": (10_000, 50_000)}, detail=True
