@@ -304,6 +304,64 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp4, ignore_errors=True)
 
+    # --- incremental-MV cycle (r13-continuation tripwire) ---
+    # Setup (untimed): a 2-group source table + a bootstrapped
+    # (status -> sums) MV. Timed: ONE incremental maintenance cycle —
+    # a fixed 2k-key MERGE into the source plus the O(delta) MV
+    # refresh (CDF of one version -> signed grouped deltas -> MERGE
+    # into the <=5-row MV). Each pass bumps the same keys again, so
+    # every pass folds an identical-size delta; the entry guards the
+    # whole CDF+fold+merge stack the MV family rides on.
+    from file_stream_import_spark.operators.mv import refresh_mv
+
+    tmp5 = tempfile.mkdtemp(prefix="bench_mv_")
+    try:
+        om = dense_sequence(
+            spark.read.parquet(
+                os.path.join(sf_dir, "orders.parquet")
+            ).select(
+                "o_orderkey",
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            ),
+            "o_orderkey",
+            out_col="k",
+        ).select("k", "status", "cents").localCheckpoint(eager=True)
+        tm = VersionedTable(os.path.join(tmp5, "t"))
+        tm.commit(om, mode="overwrite")
+        mvb = VersionedTable(os.path.join(tmp5, "mv"))
+        refresh_mv(
+            tm, mvb, spark, name="bench_mv",
+            group_cols=["status"], sum_cols=["cents"], key="k",
+        )
+        upd_mv = om.filter(F.col("k") <= 2_000).localCheckpoint(
+            eager=True
+        )
+        wave = {"i": 0}
+
+        def mv_cycle():
+            # a fresh +i each pass, so every merge actually changes the
+            # rows and the CDF delta stays an identical 2k rows (a
+            # repeated identical merge would diff to zero)
+            wave["i"] += 1
+            merge_into(
+                tm, spark,
+                upd_mv.withColumn(
+                    "cents", F.col("cents") + F.lit(wave["i"])
+                ),
+                key="k",
+            )
+            return refresh_mv(
+                tm, mvb, spark, name="bench_mv",
+                group_cols=["status"], sum_cols=["cents"], key="k",
+            )
+
+        bench_one("lake_mv_refresh_cycle", mv_cycle, timings, history)
+    finally:
+        shutil.rmtree(tmp5, ignore_errors=True)
+
     for name in PANDAS_BACKED:
         if name in qs:
             bench_one(

@@ -5807,7 +5807,13 @@ def table_changes_rows(
     parts: list[DataFrame] = []
     for v in range(lo, hi + 1):
         if v == 0:
-            m0 = table._load_manifest(0)
+            try:
+                m0 = table._load_manifest(0)
+            except FileNotFoundError as e:
+                raise ValueError(
+                    f"snapshot 0 has been expired by vacuum() ({e}); "
+                    "start the CDF range at a retained version"
+                ) from None
             df0 = table._read_groups(spark, m0, list(m0["groups"]))
             pay0 = [c for c in df0.columns if c not in keys]
             base = df0.select(
@@ -5948,8 +5954,21 @@ def snapshot_diff(
     skipped shared group and a differing group is outside the
     contract (it cannot arise from merge/apply-maintained tables)."""
     keys = [key] if isinstance(key, str) else list(key)
-    ma = table._load_manifest(from_version)
-    mb = table._load_manifest(to_version)
+    try:
+        ma = table._load_manifest(from_version)
+        mb = table._load_manifest(to_version)
+    except FileNotFoundError as e:
+        # the documented vacuum remedy, not a bare executor/driver
+        # FileNotFoundError (same contract as the stream-side
+        # _cdf_diff_arrow): an expired endpoint means the consumer's
+        # baseline is gone
+        raise ValueError(
+            f"snapshot {from_version} or {to_version} has been "
+            f"expired by vacuum() ({e}); diff retained versions only "
+            "— CDC consumers should re-baseline (fresh stream "
+            "checkpoint / MV re-bootstrap), or pin watermarks with a "
+            "tag to keep them retained"
+        ) from None
 
     def entry_sig(m: dict, g: str) -> tuple:
         return tuple(

@@ -79,6 +79,7 @@ def refresh_mv(
     rows_col: str = _ROWS,
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
+    pin_watermark: bool = False,
 ) -> int:
     """Bring ``mv`` up to the source's latest version; returns the
     source version the MV now reflects. First call BOOTSTRAPS (one
@@ -100,7 +101,14 @@ def refresh_mv(
     manifest stats (single group column, ≤ _MAX_EXACT_KEYS endangered
     keys) or a semi join otherwise. Cost stays O(delta + rows of
     endangered groups), never a full rescan; the exact values ride the
-    SAME single MERGE commit, so crash/replay atomicity is unchanged."""
+    SAME single MERGE commit, so crash/replay atomicity is unchanged.
+
+    ``pin_watermark=True`` tags the source at each new watermark
+    (``mvpin-<name>-<v>``, previous pin swept), so an aggressive
+    vacuum() can never expire the manifests the next refresh's CDF
+    walk needs — without it, a vacuum past the watermark forces an MV
+    re-bootstrap (the documented remedy). Main-chain sources only
+    (tags live on main)."""
     tag = f"mv:{name}"
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
@@ -231,9 +239,35 @@ def refresh_mv(
             mv.delete_where(
                 spark, F.col(rows_col) == 0, prune_where="auto"
             )
+            if pin_watermark:
+                _pin_watermark(source, name, cur)
             return cur
         except CommitConflictError:
             continue  # racing refresher landed: re-read the watermark
+
+
+def _pin_watermark(t: VersionedTable, name: str, v: int) -> None:
+    """Tag the watermark snapshot so vacuum() can never expire the
+    manifests the NEXT refresh's CDF walk needs (vacuum retains the
+    contiguous suffix from the oldest tag forward). Create-new-then-
+    delete-old on version-suffixed names: a crash mid-move only
+    OVER-retains (an extra pin, swept by the next refresh), never
+    leaves the watermark unprotected."""
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9._-]", "-", name)
+    prefix = f"mvpin-{safe}-"
+    try:
+        t.create_tag(f"{prefix}{v}", v)
+    except ValueError:
+        pass  # replayed refresh: the pin already exists
+    for tag_name, tv in t.tags().items():
+        if tag_name.startswith(prefix) and int(tv) < v:
+            try:
+                t.delete_tag(tag_name)
+            except KeyError:
+                pass  # racing refresher swept it
+
 
 def _fold_extremes(
     source: VersionedTable,
@@ -358,6 +392,7 @@ def refresh_join_mv(
     key_a: str | list[str],
     key_b: str | list[str],
     rows_col: str = _ROWS,
+    pin_watermark: bool = False,
 ) -> tuple[int, int]:
     """Incrementally maintain an aggregate MV over an EQUI-JOIN of two
     versioned tables (the classic delta-join IVM decomposition):
@@ -383,7 +418,9 @@ def refresh_join_mv(
     side); both sources must satisfy the CDF contract on their own
     keys. SUM/COUNT only (AVG = SUM/COUNT at read); join-key updates
     decompose into -old/+new pairs on the delta side and need nothing
-    special. Returns (version_a, version_b) the MV now reflects."""
+    special. Returns (version_a, version_b) the MV now reflects.
+    ``pin_watermark=True`` tags BOTH sources at their watermarks
+    (vacuum-proof refreshes, see refresh_mv)."""
     from ..io.versioned import _schema_from_json
 
     tag_a, tag_b = f"mv:{name}:a", f"mv:{name}:b"
@@ -498,6 +535,13 @@ def refresh_join_mv(
             mv.delete_where(
                 spark, F.col(rows_col) == 0, prune_where="auto"
             )
+            if pin_watermark:
+                # pin BOTH sides: the next refresh reads A@watermark
+                # (the delta-join's old snapshot) and each side's CDF
+                # walk needs its watermark manifest as the first pair's
+                # parent
+                _pin_watermark(a, f"{name}-a", cur_a)
+                _pin_watermark(b, f"{name}-b", cur_b)
             return cur_a, cur_b
         except CommitConflictError:
             continue  # racing refresher landed: re-read the watermarks

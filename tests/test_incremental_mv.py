@@ -903,3 +903,163 @@ class TestStreamingMvMaintainer:
         finally:
             q.stop()
         assert _state(spark, mv) == _recompute(spark, src)
+
+
+class TestMvOverMv:
+    """An MV is itself a merge-maintained VersionedTable, key-unique on
+    its group columns — so it satisfies the CDF source contract and
+    can feed ANOTHER MV: a two-level rollup (g, h) -> (g) where each
+    level refreshes O(its delta). No new machinery; the composition is
+    the point."""
+
+    def test_two_level_rollup_converges(self, spark, tmp_path):
+        src = VersionedTable(str(tmp_path / "src"))
+        src.commit(
+            spark.createDataFrame(
+                [(1, "a", "x", 10), (2, "a", "y", 20), (3, "b", "x", 5)],
+                "k long, g string, h string, x long",
+            ),
+            mode="overwrite",
+        )
+        lvl1 = VersionedTable(str(tmp_path / "lvl1"))
+        lvl2 = VersionedTable(str(tmp_path / "lvl2"))
+
+        def refresh_both():
+            refresh_mv(
+                src, lvl1, spark, name="l1",
+                group_cols=["g", "h"], sum_cols=["x"], key="k",
+            )
+            # lvl1's key IS its group pair; n_rows/x are payload
+            refresh_mv(
+                lvl1, lvl2, spark, name="l2",
+                group_cols=["g"], sum_cols=["x", "n_rows"],
+                key=["g", "h"], rows_col="n_groups",
+            )
+
+        refresh_both()
+        want = sorted(
+            (r["g"], r["n"], r["x"])
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("x"),
+            )
+            .collect()
+        )
+        got = sorted(
+            (r["g"], r["n_rows"], r["x"])
+            for r in lvl2.read(spark).collect()
+        )
+        assert got == want == [("a", 2, 30), ("b", 1, 5)]
+        # DML through every kind, then refresh the chain
+        merge_into(
+            src, spark,
+            spark.createDataFrame(
+                [(1, "b", "y", 99), (4, "c", "x", 1)],
+                "k long, g string, h string, x long",
+            ),
+            key="k",
+        )
+        src.delete_where(spark, F.col("k") == 3)
+        refresh_both()
+        want = sorted(
+            (r["g"], r["n"], r["x"])
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("x"),
+            )
+            .collect()
+        )
+        got = sorted(
+            (r["g"], r["n_rows"], r["x"])
+            for r in lvl2.read(spark).collect()
+        )
+        assert got == want
+        # the vanished (g='b') rollup row swept at BOTH levels
+        assert ("b",) not in {
+            (r["g"],) for r in lvl2.read(spark).collect()
+        } or any(g == "b" for g, _, _ in want)
+
+
+class TestWatermarkPinning:
+    """pin_watermark=True tags the source at each watermark so vacuum
+    can never expire the manifests the next refresh needs; without it,
+    an aggressive vacuum forces the documented re-bootstrap."""
+
+    def test_unpinned_vacuum_past_watermark_raises(
+        self, spark, tmp_path
+    ):
+        src = _mk(spark, tmp_path, [(1, "a", 10)])
+        mv = _mv(tmp_path)
+        _refresh(src, mv, spark)
+        for i in range(2, 6):
+            src.commit(
+                spark.createDataFrame(
+                    [(i, "a", i)], "k long, g string, x long"
+                ),
+                mode="append",
+            )
+        src.vacuum(keep_versions=1, min_age_seconds=0)
+        with pytest.raises(ValueError, match="expired|vacuum"):
+            _refresh(src, mv, spark)
+
+    def test_pinned_refresh_survives_aggressive_vacuum(
+        self, spark, tmp_path
+    ):
+        src = _mk(spark, tmp_path, [(1, "a", 10)])
+        mv = _mv(tmp_path)
+        refresh_mv(
+            src, mv, spark, name="t", group_cols=["g"],
+            sum_cols=["x"], key="k", pin_watermark=True,
+        )
+        assert src.tags() == {"mvpin-t-0": 0}
+        for i in range(2, 6):
+            src.commit(
+                spark.createDataFrame(
+                    [(i, "a", i)], "k long, g string, x long"
+                ),
+                mode="append",
+            )
+        src.vacuum(keep_versions=1, min_age_seconds=0)
+        # the pin held versions [0, latest] — the refresh folds and
+        # MOVES the pin forward
+        refresh_mv(
+            src, mv, spark, name="t", group_cols=["g"],
+            sum_cols=["x"], key="k", pin_watermark=True,
+        )
+        assert src.tags() == {"mvpin-t-4": 4}
+        assert _state(spark, mv) == _recompute(spark, src)
+        # with the pin advanced, vacuum may now reclaim the history
+        src.vacuum(keep_versions=1, min_age_seconds=0)
+        assert src.versions() == [4]
+
+    def test_join_mv_pins_both_sides(self, spark, tmp_path):
+        a, b = _mk_join(spark, tmp_path)
+        mv = _mv(tmp_path)
+        refresh_join_mv(
+            a, b, mv, spark, name="j", on=["ck"],
+            group_cols=["seg"], sum_cols=["x"],
+            key_a="k", key_b="ck", pin_watermark=True,
+        )
+        assert a.tags() == {"mvpin-j-a-0": 0}
+        assert b.tags() == {"mvpin-j-b-0": 0}
+        a.commit(
+            spark.createDataFrame(
+                [(9, 10, 1)], "k long, ck long, x long"
+            ),
+            mode="append",
+        )
+        b.delete_where(spark, F.col("ck") == 20)
+        a.vacuum(keep_versions=1, min_age_seconds=0)
+        b.vacuum(keep_versions=1, min_age_seconds=0)
+        refresh_join_mv(
+            a, b, mv, spark, name="j", on=["ck"],
+            group_cols=["seg"], sum_cols=["x"],
+            key_a="k", key_b="ck", pin_watermark=True,
+        )
+        assert a.tags() == {"mvpin-j-a-1": 1}
+        assert b.tags() == {"mvpin-j-b-1": 1}
+        assert _state_j(spark, mv) == _recompute_j(spark, a, b)
