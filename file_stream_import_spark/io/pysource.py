@@ -1522,6 +1522,63 @@ class TableChangefeedDataSource(DataSource):
     def simpleStreamReader(self, schema) -> TableChangefeedReader:
         return TableChangefeedReader(self.options)
 
+    def reader(self, schema) -> "TableChangefeedBatchReader":
+        return TableChangefeedBatchReader(self.options)
+
+
+class TableChangefeedBatchReader(DataSourceReader):
+    """BATCH read of a changefeed version RANGE — Delta's batch-CDF
+    surface (``spark.read.format("delta").option("readChangeFeed",
+    "true").option("startingVersion", ...).option("endingVersion",
+    ...)``), sharing the streaming partitioned reader's PLANNER and
+    execution kernels verbatim, so the two surfaces can never drift:
+    append-like versions fan out one task per added parquet file,
+    each non-append version plans ONE executor-side Arrow diff task.
+
+    This is the executor-parallel path for LONG historical backfills:
+    the driver does metadata-only planning (one manifest load per
+    version), and the per-pair diffs run as one Spark job of N
+    parallel tasks — unlike the batch ``table_changes_rows``, whose
+    per-pair full-outer-join plans cost a few driver-planned jobs
+    EACH (measured ~0.7 s/pair overhead at 300 pairs regardless of
+    delta size). Options: ``startingversion`` (default earliest) /
+    ``startingtimestamp``, plus batch-only ``endingversion`` (number
+    or "latest", default latest) / ``endingtimestamp``; readchangedata
+    + key exactly as the stream. Rows align to the LATEST schema (the
+    stream's pin), Delta's batch-CDF behavior."""
+
+    def __init__(self, options: dict):
+        self._inner = TableChangefeedPartitionedReader(options)
+        t = self._inner._table()
+        ev = options.get("endingversion")
+        ets = options.get("endingtimestamp")
+        if ev is not None and ets is not None:
+            raise ValueError(
+                "pass option 'endingversion' OR 'endingtimestamp', "
+                "not both"
+            )
+        latest = t.latest_version()
+        if ets is not None:
+            from .versioned import _parse_instant
+
+            self._hi = t.version_as_of(_parse_instant(ets))
+        elif ev is None or str(ev).lower() == "latest":
+            self._hi = latest
+        else:
+            self._hi = int(ev)
+        self._lo = self._inner._starting_offset()
+
+    def partitions(self) -> list[InputPartition]:
+        if self._hi is None or self._hi < self._lo:
+            return [_ChangeFile("", self._inner._schema_json)]
+        return self._inner.partitions(
+            {"next_version": self._lo},
+            {"next_version": self._hi + 1},
+        )
+
+    def read(self, partition):
+        yield from self._inner.read(partition)
+
 
 # ---------------------------------------------------------------------------
 # Batch Python DataSource over the VersionedTable with manifest-stats

@@ -5741,6 +5741,9 @@ def table_changes(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+_CDF_PLAN_CHUNK = 24  # max per-pair diffs in one lazy Spark plan
+
+
 def table_changes_rows(
     table: VersionedTable,
     spark: SparkSession,
@@ -5840,7 +5843,29 @@ def table_changes_rows(
                 "new",
             )
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    union = lambda ps: reduce(  # noqa: E731
+        lambda a, b: a.unionByName(b), ps
+    )
+    if len(parts) <= _CDF_PLAN_CHUNK:
+        return union(parts)
+    # LONG replay ranges: one lazy plan holding every per-pair diff
+    # (each a full-outer join with two scans) makes Catalyst analysis
+    # superlinear in the range — 300 pairs measured ~227 s of mostly
+    # DRIVER planning for 301 delta rows. Materialize in bounded
+    # chunks instead: each chunk's plan holds <= _CDF_PLAN_CHUNK
+    # diffs (analysis cost bounded), its delta-bound rows checkpoint
+    # to executor storage, and the result unions trivial RDD scans —
+    # total planning LINEAR in the range. The trade: ranges past the
+    # chunk size evaluate eagerly at call time (a CDC backfill is
+    # consumed immediately anyway).
+    chunks = []
+    for i in range(0, len(parts), _CDF_PLAN_CHUNK):
+        chunks.append(
+            union(parts[i:i + _CDF_PLAN_CHUNK]).localCheckpoint(
+                eager=True
+            )
+        )
+    return union(chunks)
 
 
 def table_changes_cdf(

@@ -744,3 +744,107 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(mv.path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@register(
+    "batch_cdf_backfill",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (
+      SELECT COUNT(*) // 3 AS third,
+             (COUNT(*) // 3) // 3 AS u,
+             2 * ((COUNT(*) // 3) // 3) AS d
+      FROM base
+    )
+    SELECT * FROM (
+      SELECT 'insert' AS change_type,
+             CAST((SELECT third + u FROM p) AS BIGINT) AS n_rows,
+             CAST((SELECT SUM(cents) FROM base b, p
+                   WHERE b.k <= p.third + p.u) AS BIGINT) AS cents
+      UNION ALL
+      SELECT 'update_preimage',
+             CAST((SELECT u FROM p) AS BIGINT),
+             CAST((SELECT SUM(cents) FROM base b, p
+                   WHERE b.k <= p.u) AS BIGINT)
+      UNION ALL
+      SELECT 'update_postimage',
+             CAST((SELECT u FROM p) AS BIGINT),
+             CAST((SELECT SUM(cents) + 5 * u FROM base b, p
+                   WHERE b.k <= p.u GROUP BY p.u) AS BIGINT)
+      UNION ALL
+      SELECT 'delete',
+             CAST((SELECT d - u FROM p) AS BIGINT),
+             CAST((SELECT SUM(cents) FROM base b, p
+                   WHERE b.k > p.u AND b.k <= p.d) AS BIGINT)
+    )
+    CROSS JOIN (SELECT CAST(4 AS INT) AS n_versions)
+    """,
+)
+def batch_cdf_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH change-data-feed read through the Python DataSource
+    (io/pysource.py::TableChangefeedBatchReader, r13 continued) —
+    Delta's batch-CDF surface, sharing the streaming partitioned
+    reader's planner and Arrow diff kernels verbatim. The source
+    history: v0 inserts two-thirds of the densified orders, a MERGE
+    adds +5 cents to the first u keys (v1), a CoW DELETE drops (u, d]
+    (v2), an append lands the next u keys (v3). One
+    ``spark.read.format("table_changefeed")`` with readchangedata
+    reads the whole range as ONE metadata-planned job — one task per
+    added file, one Arrow diff task per rewrite — and the per-kind
+    row counts + cent sums are hashed against the oracle. This is the
+    executor-parallel historical-backfill path (~10x faster than the
+    per-pair join plans at 300-version ranges, BASELINE)."""
+    import shutil
+    import tempfile
+
+    from ..io.pysource import TableChangefeedDataSource
+    from ..io.versioned import VersionedTable, merge_into
+
+    o = _densified_orders(spark, sf_dir)
+    third = o.count() // 3
+    u, d = third // 3, 2 * (third // 3)
+    o = (
+        o.filter(F.col("k") <= 3 * third)
+        .select("k", "cents")
+        .localCheckpoint(eager=True)
+    )
+    spark.dataSource.register(TableChangefeedDataSource)
+    src = VersionedTable(tempfile.mkdtemp(prefix="lake_bcdf_"))
+    try:
+        src.commit(o.filter(F.col("k") <= third), mode="overwrite")
+        merge_into(
+            src, spark,
+            o.filter(F.col("k") <= u).withColumn(
+                "cents", F.col("cents") + 5
+            ),
+            key="k",
+        )
+        src.delete_where(spark, F.col("k").between(u + 1, d))
+        src.commit(
+            o.filter(F.col("k").between(third + 1, third + u)),
+            mode="append",
+        )
+        out = (
+            spark.read.format("table_changefeed")
+            .option("path", src.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn(
+                "n_versions",
+                F.lit(int(src.latest_version()) + 1).cast("int"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src.path, ignore_errors=True)
+    return out

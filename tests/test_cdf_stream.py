@@ -851,3 +851,103 @@ class TestMidStreamWiden:
             (r["k"], r["v"]) for r in t.read(spark).collect()
         )
         assert rows == [(1, 10), (2, 2**40)]
+
+
+class TestBatchCdfReader:
+    """r13 (continued): the BATCH changefeed read
+    (spark.read.format("table_changefeed") + endingversion — Delta's
+    batch-CDF surface). It shares the stream's planner and kernels, so
+    the metamorphic pins here tie all three CDF implementations
+    together: batch datasource == drained stream == batch TVF."""
+
+    def _mixed_dml(self, spark, tmp_path, name):
+        from file_stream_import_spark.io.versioned import merge_into
+
+        t = _mk(spark, tmp_path, [(i, i * 10) for i in range(1, 7)],
+                name=name)
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(2, 99)], "k long, v long"),
+            key="k",
+        )                                                   # v1
+        t.delete_where(spark, F.col("k") == 3)              # v2
+        t.commit(
+            spark.createDataFrame([(7, 70)], "k long, v long"),
+            mode="append",
+        )                                                   # v3
+        return t
+
+    def _batch_rows(self, spark, t, **opts):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        r = (
+            spark.read.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+        )
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return sorted(
+            (x["_commit_version"], x["_change_type"], x["k"], x["v"])
+            for x in r.load().collect()
+        )
+
+    def test_equals_drained_stream(self, spark, tmp_path):
+        t = self._mixed_dml(spark, tmp_path, "t_eq")
+        batch = self._batch_rows(spark, t)
+        # _drain_cdf returns non-empty batches of (k, v, change, ver)
+        streamed = [
+            (ver, change, k, v)
+            for b in _drain_cdf(spark, t.path, tmp_path)
+            for (k, v, change, ver) in b
+        ]
+        assert batch == sorted(streamed)
+
+    def test_equals_batch_tvf(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import (
+            table_changes_cdf,
+        )
+
+        t = self._mixed_dml(spark, tmp_path, "t_tvf")
+        batch = self._batch_rows(spark, t)
+        tvf = sorted(
+            (x["_commit_version"], x["_change_type"], x["k"], x["v"])
+            for x in table_changes_cdf(t, spark, 0, key="k").collect()
+        )
+        assert batch == tvf
+
+    def test_version_range_options(self, spark, tmp_path):
+        t = self._mixed_dml(spark, tmp_path, "t_rng")
+        rows = self._batch_rows(
+            spark, t, startingversion=1, endingversion=2
+        )
+        assert {r[0] for r in rows} == {1, 2}
+        assert [r[1] for r in rows if r[0] == 2] == ["delete"]
+        # endingversion=latest == unbounded
+        assert self._batch_rows(
+            spark, t, endingversion="latest"
+        ) == self._batch_rows(spark, t)
+        # empty range: endingversion below startingversion
+        assert self._batch_rows(
+            spark, t, startingversion=3, endingversion=2
+        ) == []
+
+    def test_ending_timestamp(self, spark, tmp_path):
+        t = self._mixed_dml(spark, tmp_path, "t_ts")
+        ts1 = t._load_manifest(1)["committed_at"]
+        rows = self._batch_rows(spark, t, endingtimestamp=ts1)
+        assert {r[0] for r in rows} == {0, 1}
+        with pytest.raises(Exception, match="not both"):
+            self._batch_rows(
+                spark, t, endingversion=1, endingtimestamp=ts1
+            )
+
+    def test_vacuumed_range_raises_remedy(self, spark, tmp_path):
+        t = self._mixed_dml(spark, tmp_path, "t_vac")
+        t.vacuum(keep_versions=1, min_age_seconds=0)
+        with pytest.raises(Exception, match="vacuum"):
+            self._batch_rows(spark, t)
