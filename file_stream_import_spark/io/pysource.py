@@ -1191,8 +1191,8 @@ class _CdfDiffPartition(InputPartition):
     MERGE's diff reads O(delta)). One task per rewrite commit: the
     diff needs both sides together; its size is the rewrite's touched
     groups, already file-pruned by the DML machinery. For historical
-    backfills of HUGE rewrites, the batch table_changes_rows API is
-    the executor-parallel path."""
+    backfills over LONG ranges, the batch read of this same format
+    (TableChangefeedBatchReader) plans the whole range as one job."""
 
     def __init__(self, version: int, fallback: dict | None = None):
         self.version = version

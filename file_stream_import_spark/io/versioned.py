@@ -5763,6 +5763,13 @@ def table_changes_rows(
     reads O(its delta) via the manifest-aware shared-group skip — a
     bounded nightly range of k commits costs k pruned diffs, never
     k table scans. from_version=0 emits version 0's rows as inserts.
+    Each pair is a driver-planned join plan (a few Spark jobs,
+    ~0.7 s/pair overhead regardless of delta size), so for LONG
+    backfill ranges use the BATCH changefeed datasource instead
+    (``spark.read.format("table_changefeed")`` + readchangedata +
+    endingversion — one metadata-planned job, ~10x faster at 300
+    pairs); ranges past _CDF_PLAN_CHUNK pairs here evaluate eagerly
+    in bounded chunks to keep Catalyst analysis linear.
 
     Contract inherited from snapshot_diff: snapshots must be
     key-unique on ``key`` (merge/apply_changes-maintained tables;
