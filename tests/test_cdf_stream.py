@@ -951,3 +951,29 @@ class TestBatchCdfReader:
         t.vacuum(keep_versions=1, min_age_seconds=0)
         with pytest.raises(Exception, match="vacuum"):
             self._batch_rows(spark, t)
+
+    def test_plain_feed_batch_read(self, spark, tmp_path):
+        # without readchangedata the batch read returns the rows
+        # APPENDED in the range (the plain changefeed's semantics),
+        # with ignorechanges gating rewrites exactly like the stream
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = self._mixed_dml(spark, tmp_path, "t_plain")
+        rows = sorted(
+            (x["k"], x["v"])
+            for x in spark.read.format("table_changefeed")
+            .option("path", t.path)
+            .option("ignorechanges", "true")
+            .load()
+            .collect()
+        )
+        # v0 inserts + the v1 merge rewrite's surviving rows (under
+        # ignorechanges a rewrite REPLAYS its whole group) + v3 append
+        assert (2, 99) in rows and (7, 70) in rows
+        with pytest.raises(Exception, match="ignorechanges|rewrote"):
+            spark.read.format("table_changefeed").option(
+                "path", t.path
+            ).load().collect()
