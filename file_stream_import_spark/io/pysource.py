@@ -819,12 +819,88 @@ def _post_pin_overlay(t, pinned_latest: int, hi: int) -> dict:
     output schema is pinned — without this overlay the renamed
     column's post-pin rows surface as NULL under the pinned name
     (silent data loss; Delta stops the stream instead). Empty when the
-    batch end is at or before the pin."""
+    batch end is at or before the pin. Stateless form — long-lived
+    streams use _OverlayCache, which computes the identical union
+    O(delta) per trigger instead of re-walking the whole post-pin
+    range."""
     if hi <= pinned_latest:
         return {}
     return _resolved_map(
         t, pinned_latest + 1, hi, pin_v=pinned_latest
     )
+
+
+class _OverlayCache:
+    """Incremental _post_pin_overlay (review finding, r13
+    continuation): the stateless form re-walks and JSON-parses every
+    manifest past the stream's pin on EVERY micro-batch, so a
+    long-lived stream's per-trigger driver planning grew linearly with
+    stream age. This cache walks only versions (upto, hi] per trigger
+    and merges, which is sound because a post-pin entry's BACKWARD
+    fold at version v uses only rename events in (pinned, v] — events
+    discovered later can never change an already-folded entry — and
+    the full walk's newest-manifest-wins union is exactly
+    {**older, **newer}. A checkpoint restart rebuilds the cache with
+    one full walk (same cost as one pre-fix trigger)."""
+
+    def __init__(self, pinned_latest: int):
+        self.pinned = pinned_latest
+        self.upto = pinned_latest
+        self.events: list[tuple[int, str, str]] = []  # ascending
+        self.out: dict = {}
+
+    def extend(self, t, hi: int) -> dict:
+        import json as _json
+
+        if hi <= self.upto:
+            return self.out
+        walked = []
+        for v in range(self.upto + 1, hi + 1):
+            try:
+                walked.append((v, t._load_manifest(v)))
+            except FileNotFoundError:
+                continue  # expired: the CDF planner raises its remedy
+        self.upto = hi
+        for v, m in walked:
+            if str(m.get("mode", "")).startswith(
+                "rename_column:"
+            ) and m.get("renamed"):
+                self.events.append(
+                    (v, m["renamed"]["old"], m["renamed"]["new"])
+                )
+        events = self.events
+
+        def fold(name: str, from_v: int) -> str:
+            # post-pin versions only: BACKWARD (new -> old), newest
+            # event first — the mirror of _resolved_map's else-branch
+            for ev_v, old, new in reversed(events):
+                if self.pinned < ev_v <= from_v and name == new:
+                    name = old
+            return name
+
+        delta_out: dict = {}
+        for v, m in reversed(walked):  # newest first within the delta
+            for g, mp in (m.get("colmap") or {}).items():
+                if g not in delta_out and mp:
+                    delta_out[g] = {
+                        fc: (None if cur is None else fold(cur, v))
+                        for fc, cur in mp.items()
+                    }
+            if not events:
+                continue
+            names = [
+                f["name"] for f in _json.loads(m["schema"])["fields"]
+            ]
+            synth = {
+                s: fold(s, v) for s in names if fold(s, v) != s
+            }
+            if synth:
+                routed = set(m.get("colmap") or {})
+                for g in m["groups"]:
+                    if g not in delta_out and g not in routed:
+                        delta_out[g] = dict(synth)
+        self.out = {**self.out, **delta_out}
+        return self.out
 
 
 def _starting_option(options: dict, t) -> str:
@@ -1013,6 +1089,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
 
         pinned = t._load_manifest(latest)
         self._pinned_latest = latest
+        self._overlay_cache = _OverlayCache(latest)
         self._declared = _schema_from_json(pinned["schema"])
         self._fields = [f.name for f in self._declared]
         # the colmap is pinned WITH the schema: batch-end manifests
@@ -1070,9 +1147,7 @@ class TableChangefeedReader(SimpleDataSourceStreamReader):
         # rename keeps values flowing under the pinned column instead
         # of NULLing it; the stream-start pinned union still wins for
         # the groups it knows
-        overlay = _post_pin_overlay(
-            self._table(), self._pinned_latest, hi
-        )
+        overlay = self._overlay_cache.extend(self._table(), hi)
         colmap = {**colmap, **overlay, **self._pinned_colmap}
         cdf_fallback = {**overlay, **self._pinned_colmap}
 
@@ -1249,6 +1324,7 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
             )
         pinned = t._load_manifest(latest)
         self._pinned_latest = latest
+        self._overlay_cache = _OverlayCache(latest)
         self._schema_json = pinned["schema"]
         # pinned with the schema — see TableChangefeedReader: a
         # bounded batch ending before a rename commit needs the
@@ -1336,8 +1412,8 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         # post-pin overlay (r13): see TableChangefeedReader — a
         # mid-stream rename's versions fold their routing back to the
         # pinned names, planned driver-side once per batch
-        overlay = _post_pin_overlay(
-            self._table(), self._pinned_latest, max(hi, lo)
+        overlay = self._overlay_cache.extend(
+            self._table(), max(hi, lo)
         )
         colmap = {**colmap, **overlay, **self._pinned_colmap}
         cdf_fallback = {**overlay, **self._pinned_colmap}

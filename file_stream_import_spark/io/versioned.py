@@ -5908,16 +5908,21 @@ def table_changes_cdf(
         if to_version is not None:
             raise ValueError("pass to_version OR to_timestamp, not both")
         to_version = table.version_as_of(_parse_instant(to_timestamp))
-    d = table_changes_rows(
-        table, spark, from_version, to_version, key=keys
+    # resolve the end version ONCE and pass it down — re-reading
+    # latest_version() after table_changes_rows resolved its own end
+    # let a concurrent evolution commit in between pin a schema the
+    # diffed payload structs don't carry (review finding, r13
+    # continuation)
+    hi = (
+        table.latest_version() if to_version is None else int(to_version)
     )
+    if hi is None:
+        raise FileNotFoundError(f"no snapshots at {table.path}")
+    d = table_changes_rows(table, spark, from_version, hi, key=keys)
     # output columns follow the DECLARED schema's field order (keys in
     # place, not hoisted) + _change_type + _commit_version, the exact
     # flat shape the streaming readchangedata CDF emits — positional
     # consumers can swap batch backfill and stream tail freely
-    hi = (
-        table.latest_version() if to_version is None else int(to_version)
-    )
     declared = _schema_from_json(table._load_manifest(hi)["schema"])
     names = [f.name for f in declared.fields]
     row = lambda side, label: F.struct(  # noqa: E731

@@ -52,6 +52,47 @@ _ROWS = "n_rows"
 _MAX_EXACT_KEYS = 8192
 
 
+def _sign_col():
+    """+1 for insert/update_postimage, -1 for delete/update_preimage —
+    THE signed-multiset convention every MV fold in this module uses
+    (refresh_mv, refresh_join_mv via _signed_cdf, make_mv_maintainer).
+    One definition so the folds can never drift."""
+    return F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+
+
+def _sum_fold_types(schema, sum_cols: list[str]) -> dict[str, str]:
+    """Per-column fold type for SUM aggregates — review finding (r13
+    continuation): the old unconditional bigint cast silently
+    TRUNCATED fractional sums, so each incremental fold drifted from a
+    full recompute with no error. Integrals fold exactly as bigint;
+    float/double fold as double (FP addition error is inherent to
+    incremental maintenance of float sums — re-bootstrap to squash
+    accumulated error); decimals are rejected loudly because +-folding
+    grows precision past the MV's declared type."""
+    types = {f.name: f.dataType for f in schema.fields}
+    out: dict[str, str] = {}
+    for c in sum_cols:
+        if c not in types:
+            raise ValueError(f"sum column {c!r} not in source schema")
+        name = types[c].typeName()
+        if name in ("byte", "short", "integer", "long"):
+            out[c] = "bigint"
+        elif name in ("float", "double"):
+            out[c] = "double"
+        else:
+            raise ValueError(
+                f"sum column {c!r} has type "
+                f"{types[c].simpleString()}: only integral (exact "
+                "bigint fold) and float/double columns are "
+                "maintainable — cast decimals to cents-style "
+                "integers or double first"
+            )
+    return out
+
+
 def _watermark(
     mv: VersionedTable, tag: str
 ) -> tuple[int | None, int | None]:
@@ -125,6 +166,11 @@ def refresh_mv(
     cur = source.latest_version()
     if cur is None:
         raise FileNotFoundError(f"source has no snapshots: {source.path}")
+    from ..io.versioned import _schema_from_json
+
+    ftypes = _sum_fold_types(
+        _schema_from_json(source._load_manifest(cur)["schema"]), sum_cols
+    )
     while True:
         mv_v, wm = _watermark(mv, tag)
         if wm is not None and cur <= wm:
@@ -134,6 +180,11 @@ def refresh_mv(
             mv.delete_where(
                 spark, F.col(rows_col) == 0, prune_where="auto"
             )
+            if pin_watermark:
+                # converged replays still pin: a caller switching an
+                # unpinned MV to pin_watermark=True must be protected
+                # from the NEXT vacuum even when no delta folds
+                _pin_watermark(source, name, wm)
             return wm
         try:
             if wm is None:
@@ -146,7 +197,7 @@ def refresh_mv(
                         # with the bootstrap on the empty-sum identity
                         *[
                             F.coalesce(F.sum(c), F.lit(0))
-                            .cast("bigint")
+                            .cast(ftypes[c])
                             .alias(c)
                             for c in sum_cols
                         ],
@@ -162,10 +213,8 @@ def refresh_mv(
                     expected_parent=mv_v,
                 )
             else:
-                is_add = F.col("_change_type").isin(
-                    "insert", "update_postimage"
-                )
-                sign = F.when(is_add, F.lit(1)).otherwise(F.lit(-1))
+                sign = _sign_col()
+                is_add = sign == 1
                 deltas = (
                     table_changes_cdf(
                         source, spark, wm + 1, cur, key=key
@@ -174,7 +223,7 @@ def refresh_mv(
                     .agg(
                         *[
                             F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
-                            .cast("bigint")
+                            .cast(ftypes[c])
                             .alias(c)
                             for c in sum_cols
                         ],
@@ -333,8 +382,11 @@ def _fold_extremes(
                 where={group_cols[0]: [r[0] for r in probe]},
             )
         else:
+            # no broadcast hint: this branch is chosen precisely
+            # because the key set exceeded the driver cap, so let
+            # Spark/AQE pick the semi-join strategy from its size
             src = source.read(spark, version=cur).join(
-                F.broadcast(end_keys), on=group_cols, how="semi"
+                end_keys, on=group_cols, how="semi"
             )
         exact = src.groupBy(*group_cols).agg(*aggs)
     if exact is not None:
@@ -429,14 +481,16 @@ def refresh_join_mv(
         raise FileNotFoundError(
             f"join-MV sources need snapshots: {a.path}, {b.path}"
         )
-    cols_a = {
-        f.name
-        for f in _schema_from_json(a._load_manifest(cur_a)["schema"]).fields
-    }
-    cols_b = {
-        f.name
-        for f in _schema_from_json(b._load_manifest(cur_b)["schema"]).fields
-    }
+    schema_a = _schema_from_json(a._load_manifest(cur_a)["schema"])
+    schema_b = _schema_from_json(b._load_manifest(cur_b)["schema"])
+    cols_a = {f.name for f in schema_a.fields}
+    cols_b = {f.name for f in schema_b.fields}
+    from pyspark.sql.types import StructType
+
+    ftypes = _sum_fold_types(
+        StructType(list(schema_a.fields) + list(schema_b.fields)),
+        sum_cols,
+    )
     missing = [c for c in on if c not in cols_a or c not in cols_b]
     if missing:
         raise ValueError(f"join columns missing from a source: {missing}")
@@ -461,10 +515,13 @@ def refresh_join_mv(
             mv.delete_where(
                 spark, F.col(rows_col) == 0, prune_where="auto"
             )
+            if pin_watermark:
+                _pin_watermark(a, f"{name}-a", wa)
+                _pin_watermark(b, f"{name}-b", wb)
             return wa, wb
         try:
             sums = [
-                F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias(c)
+                F.coalesce(F.sum(c), F.lit(0)).cast(ftypes[c]).alias(c)
                 for c in sum_cols
             ]
             if wa is None:
@@ -483,7 +540,9 @@ def refresh_join_mv(
             else:
                 parts = []
                 if cur_a > wa:
-                    da = _signed_cdf(a, spark, wa + 1, cur_a, key_a)
+                    da = _signed_cdf(
+                        a, spark, wa + 1, cur_a, key_a
+                    ).localCheckpoint(eager=True)
                     parts.append(
                         da.join(
                             _pruned_snapshot(
@@ -494,7 +553,9 @@ def refresh_join_mv(
                         )
                     )
                 if cur_b > wb:
-                    db = _signed_cdf(b, spark, wb + 1, cur_b, key_b)
+                    db = _signed_cdf(
+                        b, spark, wb + 1, cur_b, key_b
+                    ).localCheckpoint(eager=True)
                     try:
                         a_old = _pruned_snapshot(a, spark, wa, on, db)
                     except FileNotFoundError as e:
@@ -513,7 +574,7 @@ def refresh_join_mv(
                         F.coalesce(
                             F.sum(F.col("__sign") * F.col(c)), F.lit(0)
                         )
-                        .cast("bigint")
+                        .cast(ftypes[c])
                         .alias(c)
                         for c in sum_cols
                     ],
@@ -552,11 +613,7 @@ def _signed_cdf(t, spark, lo, hi, key):
     insert/update_postimage, -1 for delete/update_preimage), metadata
     columns dropped — the signed-multiset delta of the table."""
     cdf = table_changes_cdf(t, spark, lo, hi, key=key)
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"),
-        F.lit(1),
-    ).otherwise(F.lit(-1))
-    return cdf.withColumn("__sign", sign).drop(
+    return cdf.withColumn("__sign", _sign_col()).drop(
         "_change_type", "_commit_version"
     )
 
@@ -575,8 +632,10 @@ def _pruned_snapshot(t, spark, version, on, delta):
                 spark, version=version,
                 where={on[0]: [r[0] for r in probe]},
             )
+    # no broadcast hint: the IN-set path already handled bounded key
+    # sets; this fallback exists for sets past the driver cap
     return t.read(spark, version=version).join(
-        F.broadcast(keys), on=on, how="semi"
+        keys, on=on, how="semi"
     )
 
 def make_mv_maintainer(
@@ -612,19 +671,21 @@ def make_mv_maintainer(
         # batch is empty again — safe to skip
         if not batch_df.take(1):
             return
-        is_add = F.col("_change_type").isin(
-            "insert", "update_postimage"
-        )
-        sign = F.when(is_add, F.lit(1)).otherwise(F.lit(-1))
+        sign = _sign_col()
+        ftypes = _sum_fold_types(batch_df.schema, sum_cols)
         deltas = batch_df.groupBy(*group_cols).agg(
             *[
                 F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
-                .cast("bigint")
+                .cast(ftypes[c])
                 .alias(c)
                 for c in sum_cols
             ],
             F.sum(sign).cast("bigint").alias(rows_col),
         )
+        # the txn-epoch replay/conflict loop mirrors
+        # io/versioned.py::make_idempotent_table_writer — a protocol
+        # change there (the hw comparison, the expected_parent pin)
+        # must land here too
         while True:
             latest = mv.latest_version()
             hw = (

@@ -977,3 +977,70 @@ class TestBatchCdfReader:
             spark.read.format("table_changefeed").option(
                 "path", t.path
             ).load().collect()
+
+
+class TestOverlayCache:
+    """Review finding (r13 continuation): the post-pin overlay is now
+    cached incrementally — each trigger walks only the NEW versions.
+    The metamorphic pin: the cache's merged view equals the stateless
+    full-range _post_pin_overlay at every step."""
+
+    def _history(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, 10)])
+        pin = t.latest_version()
+        t.commit(
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            mode="append",
+        )
+        t.rename_column("v", "w")
+        t.commit(
+            spark.createDataFrame([(3, 30)], "k long, w long"),
+            mode="append",
+        )
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(1, 77)], "k long, w long"),
+            key="k",
+        )
+        t.rename_column("w", "x")
+        t.commit(
+            spark.createDataFrame([(4, 40)], "k long, x long"),
+            mode="append",
+        )
+        return t, pin
+
+    def test_incremental_equals_stateless(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            _OverlayCache,
+            _post_pin_overlay,
+        )
+
+        t, pin = self._history(spark, tmp_path)
+        latest = t.latest_version()
+        cache = _OverlayCache(pin)
+        for hi in range(pin, latest + 1):
+            got = cache.extend(t, hi)
+            want = _post_pin_overlay(t, pin, hi)
+            assert got == want, f"divergence at hi={hi}"
+
+    def test_extension_loads_only_new_manifests(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from file_stream_import_spark.io.pysource import _OverlayCache
+
+        t, pin = self._history(spark, tmp_path)
+        latest = t.latest_version()
+        cache = _OverlayCache(pin)
+        cache.extend(t, latest - 1)
+        loads = {"n": 0}
+        orig = VersionedTable._load_manifest
+
+        def counting(self, v):
+            loads["n"] += 1
+            return orig(self, v)
+
+        monkeypatch.setattr(VersionedTable, "_load_manifest", counting)
+        cache.extend(t, latest)
+        assert loads["n"] == 1  # only the one new version
+        cache.extend(t, latest)
+        assert loads["n"] == 1  # converged: no loads at all

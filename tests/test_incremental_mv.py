@@ -1063,3 +1063,62 @@ class TestWatermarkPinning:
         assert a.tags() == {"mvpin-j-a-1": 1}
         assert b.tags() == {"mvpin-j-b-1": 1}
         assert _state_j(spark, mv) == _recompute_j(spark, a, b)
+
+
+class TestFractionalSums:
+    """Review finding (r13 continuation): SUM folding must preserve the
+    column's numeric family — the old unconditional bigint cast
+    silently truncated fractional deltas (a 0.4 delta folded as 0 and
+    the MV drifted from the recompute with no error)."""
+
+    def test_double_sums_fold_without_truncation(self, spark, tmp_path):
+        src = VersionedTable(str(tmp_path / "src"))
+        # binary-exact fractions so equality against the recompute is
+        # exact, not approximate
+        src.commit(
+            spark.createDataFrame(
+                [(1, "a", 0.5), (2, "a", 0.25)],
+                "k long, g string, x double",
+            ),
+            mode="overwrite",
+        )
+        mv = _mv(tmp_path)
+        refresh_mv(
+            src, mv, spark, name="t", group_cols=["g"],
+            sum_cols=["x"], key="k",
+        )
+        assert mv.read(spark).schema["x"].dataType.typeName() == (
+            "double"
+        )
+        src.commit(
+            spark.createDataFrame(
+                [(3, "a", 0.125)], "k long, g string, x double"
+            ),
+            mode="append",
+        )
+        src.delete_where(spark, F.col("k") == 1)
+        refresh_mv(
+            src, mv, spark, name="t", group_cols=["g"],
+            sum_cols=["x"], key="k",
+        )
+        rows = mv.read(spark).collect()
+        assert [(r["g"], r["n_rows"], r["x"]) for r in rows] == [
+            ("a", 2, 0.375)
+        ]
+
+    def test_decimal_sum_col_rejected_loudly(self, spark, tmp_path):
+        src = VersionedTable(str(tmp_path / "src_dec"))
+        src.commit(
+            spark.createDataFrame(
+                [(1, "a")], "k long, g string"
+            ).select(
+                "k", "g", F.lit("1.50").cast("decimal(10,2)").alias("x")
+            ),
+            mode="overwrite",
+        )
+        mv = _mv(tmp_path, name="mv_dec")
+        with pytest.raises(ValueError, match="decimal"):
+            refresh_mv(
+                src, mv, spark, name="t", group_cols=["g"],
+                sum_cols=["x"], key="k",
+            )

@@ -54,7 +54,7 @@ def main() -> None:
         "pad", F.repeat(F.lit("x"), 2000)
     ).coalesce(1).localCheckpoint(eager=True)
 
-    def run(n_interim: int, use_wide: bool) -> tuple[float, float]:
+    def run(n_interim: int, use_wide: bool) -> tuple[float, float, float]:
         t = VersionedTable(
             tempfile.mkdtemp(prefix=f"ab_rb_{n_interim}_")
         )
