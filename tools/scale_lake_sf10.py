@@ -107,6 +107,27 @@ def campaign(spark, sf_dir, label):
     n_cdf = table_changes_rows(t, spark, 1, 3, key="k").count()
     out["table_changes_rows (3 fixed-delta commits)"] = time.time() - t0
 
+    # --- r13 (continued): the BATCH changefeed datasource over the
+    # same fixed 3-delta range — one metadata-planned job (one Arrow
+    # diff task per rewrite); delta-bound, so flat at 100x
+    from file_stream_import_spark.io.pysource import (
+        TableChangefeedDataSource as _CF,
+    )
+
+    spark.dataSource.register(_CF)
+    t0 = time.time()
+    n_bcdf = (
+        spark.read.format("table_changefeed")
+        .option("path", t.path)
+        .option("readchangedata", "true")
+        .option("key", "k")
+        .option("startingversion", "1")
+        .option("endingversion", "3")
+        .load()
+        .count()
+    )
+    out["batch_cdf_datasource (same 3-delta range)"] = time.time() - t0
+
     # one replication convergence cycle: replica pre-seeded with the
     # v0 state (untimed bootstrap, like the initial load of any CDC
     # pipeline), then a readchangedata catch-up replays versions 1..4
@@ -303,6 +324,7 @@ def campaign(spark, sf_dir, label):
         "agg_detail": adetail,
         "compact": f"{before}->{after}",
         "cdf_rows": n_cdf,
+        "batch_cdf_rows": n_bcdf,
     }
     return out, meta
 
