@@ -1044,3 +1044,49 @@ class TestOverlayCache:
         assert loads["n"] == 1  # only the one new version
         cache.extend(t, latest)
         assert loads["n"] == 1  # converged: no loads at all
+
+
+class TestMidStreamDrop:
+    """The documented contract for a column DROPPED after the stream
+    pinned its schema: the stream keeps running and the pinned column
+    reads NULL for post-drop rows (the data is genuinely gone — unlike
+    a rename, there is nothing to route). Delta stops the stream on
+    any schema change; this engine degrades to NULLs for exactly the
+    rows that no longer carry the column."""
+
+    def test_dropped_column_nulls_post_drop_rows(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        t = _mk(spark, tmp_path, [(1, 10)])
+        got: list[tuple] = []
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", t.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    (x["_commit_version"], x["k"], x["v"])
+                    for x in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck_drop"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            t.drop_column("v")                              # v1
+            t.commit(
+                spark.createDataFrame([(2,)], "k long"),
+                mode="append",
+            )                                               # v2
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # pre-drop rows keep their values; post-drop rows read NULL
+        # under the pinned column — and the stream never stopped
+        assert sorted(got) == [(0, 1, 10), (2, 2, None)]
