@@ -18,8 +18,8 @@ ATOMICALLY with each refresh commit (the Delta transactional-writer
 idea, same as make_idempotent_table_writer): a crashed or replayed
 refresh can never double-apply a delta, and two concurrent refreshers
 race through expected_parent — the loser re-reads the watermark and
-skips. SUM/COUNT are self-maintainable under deletes; AVG = SUM/COUNT
-at read time. MIN/MAX (``min_cols``/``max_cols``) use the standard
+skips. SUM/COUNT/SUMSQ are self-maintainable under deletes; AVG =
+SUM/COUNT and VAR/STD from SUMSQ at read time. MIN/MAX (``min_cols``/``max_cols``) use the standard
 IVM remedy for their non-self-maintainability: inserts fold with
 LEAST/GREATEST, and only groups whose stored extreme was TOUCHED by a
 delete are exact-recomputed from the source — group-pruned, O(delta +
@@ -120,6 +120,7 @@ def refresh_mv(
     rows_col: str = _ROWS,
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
     pin_watermark: bool = False,
 ) -> int:
     """Bring ``mv`` up to the source's latest version; returns the
@@ -144,6 +145,11 @@ def refresh_mv(
     endangered groups), never a full rescan; the exact values ride the
     SAME single MERGE commit, so crash/replay atomicity is unchanged.
 
+    ``sumsq_cols`` adds ``<col>_sumsq`` (sum of squares, folded as
+    double — a large integral's square overflows bigint), making
+    VAR/STDDEV derivable at read time: VAR = sumsq/n - (sum/n)^2.
+    Like SUM it is fully self-maintainable under deletes.
+
     ``pin_watermark=True`` tags the source at each new watermark
     (``mvpin-<name>-<v>``, previous pin swept), so an aggressive
     vacuum() can never expire the manifests the next refresh's CDF
@@ -153,14 +159,18 @@ def refresh_mv(
     tag = f"mv:{name}"
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
+    sumsq_cols = list(sumsq_cols or [])
     ext_names = [f"{c}_min" for c in min_cols] + [
         f"{c}_max" for c in max_cols
     ]
+    sq_names = [f"{c}_sumsq" for c in sumsq_cols]
     taken = {*group_cols, *sum_cols, rows_col}
-    for c in [*min_cols, *max_cols]:
+    for c in [*min_cols, *max_cols, *sumsq_cols]:
         if c in group_cols:
-            raise ValueError(f"min/max column {c!r} is a group column")
-    for n in ext_names:
+            raise ValueError(
+                f"derived-aggregate column {c!r} is a group column"
+            )
+    for n in [*ext_names, *sq_names]:
         if n in taken:
             raise ValueError(f"derived column name {n!r} collides")
     cur = source.latest_version()
@@ -168,9 +178,9 @@ def refresh_mv(
         raise FileNotFoundError(f"source has no snapshots: {source.path}")
     from ..io.versioned import _schema_from_json
 
-    ftypes = _sum_fold_types(
-        _schema_from_json(source._load_manifest(cur)["schema"]), sum_cols
-    )
+    src_schema = _schema_from_json(source._load_manifest(cur)["schema"])
+    ftypes = _sum_fold_types(src_schema, sum_cols)
+    _sum_fold_types(src_schema, sumsq_cols)  # numeric-family check
     while True:
         mv_v, wm = _watermark(mv, tag)
         if wm is not None and cur <= wm:
@@ -202,6 +212,18 @@ def refresh_mv(
                             for c in sum_cols
                         ],
                         F.count("*").cast("bigint").alias(rows_col),
+                        # sum of squares folds as DOUBLE always: the
+                        # square of a large integral overflows bigint
+                        *[
+                            F.coalesce(
+                                F.sum(
+                                    F.col(c).cast("double")
+                                    * F.col(c).cast("double")
+                                ),
+                                F.lit(0.0),
+                            ).alias(f"{c}_sumsq")
+                            for c in sumsq_cols
+                        ],
                         *[F.min(c).alias(f"{c}_min") for c in min_cols],
                         *[F.max(c).alias(f"{c}_max") for c in max_cols],
                     )
@@ -228,6 +250,17 @@ def refresh_mv(
                             for c in sum_cols
                         ],
                         F.sum(sign).cast("bigint").alias(rows_col),
+                        *[
+                            F.coalesce(
+                                F.sum(
+                                    sign
+                                    * F.col(c).cast("double")
+                                    * F.col(c).cast("double")
+                                ),
+                                F.lit(0.0),
+                            ).alias(f"{c}_sumsq")
+                            for c in sumsq_cols
+                        ],
                         # extreme candidates, split by side: the +1
                         # side folds with LEAST/GREATEST; the -1 side
                         # only ARMS the endangerment test
@@ -264,7 +297,8 @@ def refresh_mv(
                         min_cols=min_cols, max_cols=max_cols,
                     )
                 deltas = deltas.select(
-                    *group_cols, *sum_cols, rows_col, *ext_names
+                    *group_cols, *sum_cols, rows_col, *sq_names,
+                    *ext_names,
                 )
                 merge_into(
                     mv,
@@ -275,7 +309,7 @@ def refresh_mv(
                         **{
                             c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
                             + F.coalesce(F.col(f"s.{c}"), F.lit(0))
-                            for c in [*sum_cols, rows_col]
+                            for c in [*sum_cols, rows_col, *sq_names]
                         },
                         # the source row already carries the FINAL
                         # extreme (folded against the stored value /

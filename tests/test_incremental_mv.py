@@ -1122,3 +1122,164 @@ class TestFractionalSums:
                 src, mv, spark, name="t", group_cols=["g"],
                 sum_cols=["x"], key="k",
             )
+
+
+class TestSumsqCols:
+    """sumsq_cols: sum of squares folded as double — VAR/STDDEV at
+    read time, fully self-maintainable under deletes like SUM."""
+
+    def test_variance_matches_recompute(self, spark, tmp_path):
+        src = _mk(
+            spark, tmp_path,
+            [(1, "a", 2), (2, "a", 4), (3, "a", 6), (4, "b", 10)],
+        )
+        mv = _mv(tmp_path)
+
+        def refresh():
+            refresh_mv(
+                src, mv, spark, name="t", group_cols=["g"],
+                sum_cols=["x"], key="k", sumsq_cols=["x"],
+            )
+
+        refresh()
+        rows = {r["g"]: r for r in mv.read(spark).collect()}
+        assert rows["a"]["x_sumsq"] == 4.0 + 16.0 + 36.0
+        # DML through every kind, then one refresh
+        merge_into(
+            src, spark,
+            spark.createDataFrame(
+                [(1, "a", 8), (5, "b", 3)], "k long, g string, x long"
+            ),
+            key="k",
+        )
+        src.delete_where(spark, F.col("k") == 2)
+        refresh()
+        want = {
+            r["g"]: (r["n"], r["s"], r["ss"])
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("s"),
+                F.sum(
+                    F.col("x").cast("double") * F.col("x").cast("double")
+                ).alias("ss"),
+            )
+            .collect()
+        }
+        got = {
+            r["g"]: (r["n_rows"], r["x"], r["x_sumsq"])
+            for r in mv.read(spark).collect()
+        }
+        assert got == want
+        # variance derived at read equals the recompute's variance
+        n, sm, ss = got["a"]
+        var = ss / n - (sm / n) ** 2
+        truth = (
+            src.read(spark)
+            .filter(F.col("g") == "a")
+            .agg(F.var_pop("x"))
+            .first()[0]
+        )
+        assert abs(var - truth) < 1e-9
+
+    def test_name_collision_rejected(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, [(1, "a", 1)])
+        mv = _mv(tmp_path, name="mv_sq")
+        with pytest.raises(ValueError, match="group column"):
+            refresh_mv(
+                src, mv, spark, name="t", group_cols=["g"],
+                sum_cols=["x"], key="k", sumsq_cols=["g"],
+            )
+
+
+class TestFloatMvFuzz:
+    """Convergence fuzz for the DOUBLE fold path (review-fix coverage):
+    values are dyadic rationals (i/8) with tiny magnitudes, so every
+    signed fold is exact in binary floating point and the MV must
+    EQUAL the recompute, not just approximate it."""
+
+    def _refresh_d(self, src, mv, spark):
+        return refresh_mv(
+            src, mv, spark, name="t", group_cols=["g"],
+            sum_cols=["x"], key="k", sumsq_cols=["x"],
+        )
+
+    def _state_d(self, spark, t):
+        return sorted(
+            (r["g"], r["n_rows"], r["x"], r["x_sumsq"])
+            for r in t.read(spark).collect()
+        )
+
+    def _recompute_d(self, spark, src):
+        return sorted(
+            (r["g"], r["n"], r["x"], r["ss"])
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.coalesce(F.sum("x"), F.lit(0.0)).alias("x"),
+                F.coalesce(
+                    F.sum(F.col("x") * F.col("x")), F.lit(0.0)
+                ).alias("ss"),
+            )
+            .collect()
+        )
+
+    @settings(
+        max_examples=_FUZZ_EXAMPLES,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.data_too_large,
+        ],
+        derandomize=_FUZZ_DERANDOMIZE,
+    )
+    @given(init=_rows_st, ops=st.lists(_op_st, min_size=1, max_size=4))
+    def test_double_mv_equals_recompute(
+        self, spark, tmp_path_factory, init, ops
+    ):
+        base = tmp_path_factory.mktemp("mv_dbl_fuzz")
+        mk_rows = lambda rows: [(k, g, x / 8.0) for k, g, x in rows]
+        src = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
+        src.commit(
+            spark.createDataFrame(
+                mk_rows(init), "k long, g string, x double"
+            ),
+            mode="overwrite",
+        )
+        mv = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
+        self._refresh_d(src, mv, spark)
+        for op in ops:
+            kind = op[0]
+            if kind == "merge":
+                merge_into(
+                    src, spark,
+                    spark.createDataFrame(
+                        mk_rows(op[1]), "k long, g string, x double"
+                    ),
+                    key="k",
+                )
+            elif kind == "delete":
+                lo, hi = sorted((op[1], op[2]))
+                src.delete_where(spark, F.col("k").between(lo, hi))
+            elif kind == "append":
+                have = {
+                    r["k"] for r in src.read(spark).select("k").collect()
+                }
+                fresh = [r for r in mk_rows(op[1]) if r[0] not in have]
+                if not fresh:
+                    continue
+                src.commit(
+                    spark.createDataFrame(
+                        fresh, "k long, g string, x double"
+                    ),
+                    mode="append",
+                )
+            else:
+                self._refresh_d(src, mv, spark)
+        self._refresh_d(src, mv, spark)
+        assert self._state_d(spark, mv) == self._recompute_d(
+            spark, src
+        ), f"double MV diverged after {ops}"
