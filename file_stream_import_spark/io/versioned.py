@@ -1636,6 +1636,14 @@ class VersionedTable:
             manifest.setdefault(
                 "bloom_bits", int(parent_manifest["bloom_bits"])
             )
+        # the clustered-set record rides forward like bloom_bits;
+        # clustering commits SET it, everything else carries it (stale
+        # entries for since-rewritten groups are harmless — consumers
+        # intersect with the live group list)
+        if parent_manifest.get("clustered") is not None:
+            manifest.setdefault(
+                "clustered", parent_manifest["clustered"]
+            )
         # txn watermarks ride every manifest: start from the parent's
         # map so vacuum (which always retains the latest) never loses a
         # writer's high-water mark, then fold in this commit's epochs
@@ -3054,54 +3062,14 @@ class VersionedTable:
             "kind string, name string, version int, fork_version int",
         )
 
-    def optimize(
-        self,
-        spark: SparkSession,
-        target_partitions: int = 1,
-        cluster_by: str | list[str] | None = None,
-        target_groups: int = 4,
-    ) -> int:
-        """Compaction (OPTIMIZE): rewrite the current snapshot's many
-        small groups and publish the result as a new snapshot — same
-        rows, fewer files. History keeps the fragmented versions
-        (vacuum reclaims them later). Concurrency (r9b, Delta's
-        OPTIMIZE-vs-append rule): the clustered form REBASES over
-        commits that only APPENDED groups — continuous ingest and
-        periodic clustering compose without stop-the-world — while any
-        concurrent rewrite of a base group (merge/delete/update/
-        compact), schema or constraint change, or merge-on-read delete
-        entry still conflicts; the plain coalesce form (cluster_by
-        None) routes through commit(mode="overwrite") and stays
-        strictly parent-pinned.
-
-        ``cluster_by`` is Delta's OPTIMIZE ZORDER idea: with ONE
-        column, rows are RANGE-clustered on it into ``target_groups``
-        groups; with SEVERAL columns, rows are range-clustered on the
-        Morton (Z-order) interleaving of the columns
-        (io/layout.py::add_zorder_key), so each group's manifest
-        min/max box is tight in EVERY clustered dimension at once —
-        which is what makes ``read(where=...)`` group pruning and the
-        file-pruned MERGE actually selective (on any of the clustered
-        columns, not just a primary one). Compaction is the moment to
-        buy data skipping: it is already O(table), and the clustered
-        layout pays that cost back on every subsequent read/merge.
-        Implementation: one range-shuffled write into bucket
-        subdirectories (one job), renamed into per-bucket groups, plus
-        one aggregate pass for per-group stats — two table scans total,
-        the floor for any clustering compaction (the z-key adds one
-        broadcast of a 1-row extrema aggregate)."""
-        base = self.latest_version()
-        if base is None:
-            raise FileNotFoundError(f"no snapshots at {self.path}")
-        if cluster_by is None:
-            df = self.read(spark, base).coalesce(target_partitions)
-            return self.commit(df, mode="overwrite", expected_parent=base)
-
-        m = self._load_manifest(base)
-        df = self.read(spark, base)
-        cluster_cols = (
-            [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
-        )
+    def _cluster_write(
+        self, spark, m: dict, df, cluster_cols: list[str], k: int
+    ) -> tuple[list[str], dict]:
+        """Range-cluster ``df`` on the (single or Z-order-interleaved)
+        key into ``k`` new data groups with exact per-group stats and
+        blooms — the write kernel shared by optimize() and
+        optimize_incremental(), so full and incremental clustering can
+        never produce differently-shaped groups."""
         if len(cluster_cols) == 1:
             keyed, key, drop = df, F.col(cluster_cols[0]), []
         else:
@@ -3113,7 +3081,6 @@ class VersionedTable:
         # ranges to partitions, which the bucket column then names (NULLs
         # sort first — they land in bucket 0 and leave its min/max NULL-
         # insensitive, matching the stats contract)
-        k = max(1, target_groups)
         staged = os.path.join(self.path, "data", f"opt-{uuid.uuid4().hex}")
         clustered = (
             keyed.repartitionByRange(k, key)
@@ -3206,6 +3173,59 @@ class VersionedTable:
         import shutil
 
         shutil.rmtree(staged, ignore_errors=True)  # _SUCCESS marker etc.
+        return groups, stats
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_partitions: int = 1,
+        cluster_by: str | list[str] | None = None,
+        target_groups: int = 4,
+    ) -> int:
+        """Compaction (OPTIMIZE): rewrite the current snapshot's many
+        small groups and publish the result as a new snapshot — same
+        rows, fewer files. History keeps the fragmented versions
+        (vacuum reclaims them later). Concurrency (r9b, Delta's
+        OPTIMIZE-vs-append rule): the clustered form REBASES over
+        commits that only APPENDED groups — continuous ingest and
+        periodic clustering compose without stop-the-world — while any
+        concurrent rewrite of a base group (merge/delete/update/
+        compact), schema or constraint change, or merge-on-read delete
+        entry still conflicts; the plain coalesce form (cluster_by
+        None) routes through commit(mode="overwrite") and stays
+        strictly parent-pinned.
+
+        ``cluster_by`` is Delta's OPTIMIZE ZORDER idea: with ONE
+        column, rows are RANGE-clustered on it into ``target_groups``
+        groups; with SEVERAL columns, rows are range-clustered on the
+        Morton (Z-order) interleaving of the columns
+        (io/layout.py::add_zorder_key), so each group's manifest
+        min/max box is tight in EVERY clustered dimension at once —
+        which is what makes ``read(where=...)`` group pruning and the
+        file-pruned MERGE actually selective (on any of the clustered
+        columns, not just a primary one). Compaction is the moment to
+        buy data skipping: it is already O(table), and the clustered
+        layout pays that cost back on every subsequent read/merge.
+        Implementation: one range-shuffled write into bucket
+        subdirectories (one job), renamed into per-bucket groups, plus
+        one aggregate pass for per-group stats — two table scans total,
+        the floor for any clustering compaction (the z-key adds one
+        broadcast of a 1-row extrema aggregate)."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        if cluster_by is None:
+            df = self.read(spark, base).coalesce(target_partitions)
+            return self.commit(df, mode="overwrite", expected_parent=base)
+
+        m = self._load_manifest(base)
+        df = self.read(spark, base)
+        cluster_cols = (
+            [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        )
+        groups, stats = self._cluster_write(
+            spark, m, df, cluster_cols, max(1, target_groups)
+        )
         # Delta's OPTIMIZE-vs-append concurrency: clustering is an
         # O(table) rewrite, so forcing a full redo because an ingest
         # appended mid-flight would make continuous ingest + periodic
@@ -3224,8 +3244,122 @@ class VersionedTable:
                 "added": groups,
                 "delete_entries": [],
                 "stats": stats,
+                # the clustered-set record optimize_incremental reads:
+                # inherited by later commits (like txn/bloom_bits) and
+                # intersected with the live group list at use, so
+                # groups rewritten away simply drop out
+                "clustered": {
+                    "cols": ",".join(cluster_cols),
+                    "groups": groups,
+                },
             },
             removed=list(m["groups"]),
+            concurrent_adds_ok=True,
+        )
+
+    def optimize_incremental(
+        self,
+        spark: SparkSession,
+        target_groups: int | None = None,
+    ) -> int:
+        """INCREMENTAL clustering (the LSM answer to OPTIMIZE ZORDER
+        being O(table)): rewrite ONLY the groups appended since the
+        last clustering — range-clustered on the SAME key through the
+        shared _cluster_write kernel — and carry every already-
+        clustered group by reference. Continuous ingest + periodic
+        re-clustering then costs O(new data) per run instead of
+        O(table); each run adds one clustered LAYER per key range
+        (groups stay tight in every clustered dimension, so
+        read(where=...) pruning and file-pruned MERGE stay selective —
+        a point probe touches one group per layer instead of one per
+        ingest commit). Run the full optimize() occasionally to fold
+        layers back to one.
+
+        The clustered set rides the manifest's inherited ``clustered``
+        record (set by optimize(), carried like txn/bloom_bits,
+        intersected with the live group list here so groups rewritten
+        away just drop out). Like clustering itself, the publish
+        REBASES over concurrent pure appends (their groups join the
+        unclustered tail for the next run) and conflicts with any
+        concurrent rewrite of a rewritten group. Rows are untouched,
+        so the change-data-feed diffs this commit to ZERO rows,
+        exactly like compact/optimize. Returns the new version (or
+        the current one when there is nothing unclustered — a no-op
+        mints no version)."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load_manifest(base)
+        rec = m.get("clustered")
+        if not rec:
+            raise ValueError(
+                "no prior clustering to extend — run "
+                "optimize(cluster_by=...) once; optimize_incremental "
+                "maintains that layout from then on"
+            )
+        cluster_cols = str(rec["cols"]).split(",")
+        live = list(m["groups"])
+        rec_set = set(rec["groups"])
+        clustered_live = [g for g in rec["groups"] if g in set(live)]
+        delta = [g for g in live if g not in rec_set]
+        if not delta:
+            return base  # everything already clustered: no-op
+        dels = m.get("delete_entries") or []
+        if any(set(e["applies_to"]) & set(delta) for e in dels):
+            raise ValueError(
+                "merge-on-read delete entries apply to the "
+                "unclustered tail; run optimize() (or compact) to "
+                "materialize them first"
+            )
+        stats_all = m.get("stats") or {}
+        df = self._read_groups(spark, m, delta)
+        if target_groups is None:
+            # size the new layer's groups like the clustered ones
+            cl_rows = [
+                int((stats_all.get(g) or {}).get("_rows") or 0)
+                for g in clustered_live
+            ]
+            d_rows = sum(
+                int((stats_all.get(g) or {}).get("_rows") or 0)
+                for g in delta
+            )
+            sized = [r for r in cl_rows if r > 0]
+            mean = (sum(sized) // len(sized)) if sized else 0
+            k = (
+                max(1, -(-d_rows // mean))
+                if d_rows > 0 and mean > 0
+                else max(1, len(delta))
+            )
+        else:
+            k = max(1, target_groups)
+        new_groups, new_stats = self._cluster_write(
+            spark, m, df, cluster_cols, k
+        )
+        retained = [g for g in live if g not in set(delta)]
+        stats = {
+            g: stats_all[g] for g in retained if g in stats_all
+        }
+        stats.update(new_stats)
+        kept_dels = [
+            e
+            for e in dels
+            if set(e["applies_to"]) & set(retained)
+        ]
+        return self._publish_or_rebase(
+            base,
+            {
+                "schema": m["schema"],
+                "groups": retained + new_groups,
+                "mode": f"optimize_delta:cluster_by={rec['cols']}",
+                "added": new_groups,
+                "delete_entries": kept_dels,
+                "stats": stats,
+                "clustered": {
+                    "cols": rec["cols"],
+                    "groups": clustered_live + new_groups,
+                },
+            },
+            removed=list(delta),
             concurrent_adds_ok=True,
         )
 

@@ -848,3 +848,87 @@ def batch_cdf_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src.path, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_optimize_incremental",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 2 AS half FROM base),
+    capped AS (SELECT b.* FROM base b, p WHERE b.k <= 2 * p.half)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(1 AS INT) AS base_groups_carried,
+           CAST(1 AS INT) AS only_tail_rewritten,
+           CAST(1 AS INT) AS probe_pruned
+    FROM capped GROUP BY status
+    """,
+)
+def lake_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering
+    (io/versioned.py::optimize_incremental, r13 continued): commit
+    half the densified orders, OPTIMIZE range-clustered on k into 4
+    groups, append the second half in two commits (the unclustered
+    tail), then ONE incremental run — it must carry every clustered
+    group BY REFERENCE (pinned: base_groups_carried), rewrite only the
+    tail (pinned: only_tail_rewritten via the added-set check), and
+    leave a k point-probe pruning to <= one group per layer (pinned:
+    probe_pruned via count_where detail). Content hashed against the
+    oracle. At 100 TB this is continuous ingest + periodic
+    re-clustering at O(new data) per run instead of O(table)."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable
+
+    o = _densified_orders(spark, sf_dir)
+    half = o.count() // 2
+    o = o.filter(F.col("k") <= 2 * half).localCheckpoint(eager=True)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_optinc_"))
+    try:
+        t.commit(o.filter(F.col("k") <= half), mode="overwrite")
+        t.optimize(spark, cluster_by="k", target_groups=4)
+        m0 = t._load_manifest(t.latest_version())
+        clustered0 = set(m0["clustered"]["groups"])
+        mid = half + (half // 2)
+        t.commit(
+            o.filter(F.col("k").between(half + 1, mid)), mode="append"
+        )
+        t.commit(o.filter(F.col("k") > mid), mode="append")
+        v = t.optimize_incremental(spark, target_groups=2)
+        m = t._load_manifest(v)
+        carried = int(clustered0 <= set(m["groups"]))
+        only_tail = int(
+            sorted(m["added"])
+            == sorted(set(m["groups"]) - clustered0)
+        )
+        lo = half // 3
+        total, detail = t.count_where(
+            spark, where={"k": (lo, lo + 50)}, detail=True
+        )
+        # 4 base + 2 layer groups: the 51-key probe inside the base
+        # range must prune at least 4 of the 6
+        pruned = int(
+            total == 51 and detail["pruned"] >= 4
+        )
+        out = (
+            t.read(spark)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn("base_groups_carried", F.lit(carried).cast("int"))
+            .withColumn("only_tail_rewritten", F.lit(only_tail).cast("int"))
+            .withColumn("probe_pruned", F.lit(pruned).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out

@@ -308,6 +308,21 @@ def campaign(spark, sf_dir, label):
     out["compact (fixed 20-group backlog)"] = time.time() - t0
     after = len(t._load_manifest(t.latest_version())["groups"])
 
+    # --- r13 (continued): incremental clustering — a fixed 2-commit
+    # unclustered tail re-clustered against a base whose clustered
+    # group count grew 100x; O(new data), so flat
+    t.optimize(spark, cluster_by="k", target_groups=max(4, n_groups))
+    for i in range(2):
+        t.commit(
+            o.filter(
+                F.col("k").between(3_000 + 1_000 * i, 3_999 + 1_000 * i)
+            ),
+            mode="append",
+        )
+    t0 = time.time()
+    t.optimize_incremental(spark, target_groups=1)
+    out["optimize_incremental (fixed 2-commit tail)"] = time.time() - t0
+
     t0 = time.time()
     t.rename_column("cents", "amount")
     out["rename_column (metadata-only)"] = time.time() - t0
