@@ -1642,6 +1642,14 @@ class TableChangefeedBatchReader(DataSourceReader):
             self._hi = latest
         else:
             self._hi = int(ev)
+            # validate at construction: past-the-end versions would
+            # otherwise fail in partitions() on the missing manifest
+            # with the misleading expired-by-vacuum remedy (r13 advice)
+            if latest is None or self._hi > latest:
+                raise ValueError(
+                    f"endingversion {self._hi} does not exist "
+                    f"(latest is {latest})"
+                )
         self._lo = self._inner._starting_offset()
 
     def partitions(self) -> list[InputPartition]:

@@ -1750,16 +1750,31 @@ class VersionedTable:
         except OSError:
             pass  # advisory only
 
-    def _compact_checkpoint(self, rows: list[dict] | None = None) -> None:
+    def _compact_checkpoint(
+        self, drop: set[int] | None = None
+    ) -> None:
         """Fold the segment log into the base checkpoint and delete the
-        folded segments. ``rows`` overrides the merged row set (vacuum
-        passes the expired-trimmed set). Base is replaced atomically
-        BEFORE segments are unlinked, so a reader racing the compaction
-        sees at worst duplicated rows, never missing coverage."""
+        folded segments. ``drop`` removes those versions' rows (vacuum
+        passes the expired set) — the filter is applied to THIS call's
+        own merged read, so the written rows and the written ``upto``
+        come from one snapshot: a segment landed by a concurrent commit
+        between vacuum's planning read and this compaction keeps its
+        row instead of being silently dropped while its segment is
+        unlinked (pre-r14 the caller passed a materialized row list
+        from an earlier read, which could claim coverage it didn't
+        have — a permanent history() perf hole). Dropping by expired
+        set, not filtering by retained set, for the same reason: a
+        concurrent commit's brand-new version is in neither list and
+        must survive. Base is replaced atomically BEFORE segments are
+        unlinked, so a reader racing the compaction sees at worst
+        duplicated rows, never missing coverage."""
         try:
             ck = self._read_checkpoint()
-            if rows is None:
-                rows = ck["rows"]
+            rows = ck["rows"]
+            if drop:
+                rows = [
+                    r for r in rows if int(r["version"]) not in drop
+                ]
             upto = int(ck["upto"])
             tmp = _ckpt_path(self._meta_root) + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
@@ -3299,13 +3314,15 @@ class VersionedTable:
             )
         cluster_cols = str(rec["cols"]).split(",")
         live = list(m["groups"])
+        live_set = set(live)
         rec_set = set(rec["groups"])
-        clustered_live = [g for g in rec["groups"] if g in set(live)]
+        clustered_live = [g for g in rec["groups"] if g in live_set]
         delta = [g for g in live if g not in rec_set]
         if not delta:
             return base  # everything already clustered: no-op
+        delta_set = set(delta)
         dels = m.get("delete_entries") or []
-        if any(set(e["applies_to"]) & set(delta) for e in dels):
+        if any(set(e["applies_to"]) & delta_set for e in dels):
             raise ValueError(
                 "merge-on-read delete entries apply to the "
                 "unclustered tail; run optimize() (or compact) to "
@@ -3335,7 +3352,7 @@ class VersionedTable:
         new_groups, new_stats = self._cluster_write(
             spark, m, df, cluster_cols, k
         )
-        retained = [g for g in live if g not in set(delta)]
+        retained = [g for g in live if g not in delta_set]
         stats = {
             g: stats_all[g] for g in retained if g in stats_all
         }
@@ -4543,14 +4560,11 @@ class VersionedTable:
         if expired and not dry_run:
             # trim expired rows out of the history checkpoint (readers
             # filter too — this just stops the file growing forever);
-            # the trim compacts the segment log in the same pass
-            ck = self._read_checkpoint()
-            retained = set(keep)
-            kept_rows = [
-                r for r in ck["rows"] if int(r["version"]) in retained
-            ]
-            if len(kept_rows) != len(ck["rows"]):
-                self._compact_checkpoint(rows=kept_rows)
+            # the trim compacts the segment log in the same pass. The
+            # EXPIRED set is passed and _compact_checkpoint re-reads
+            # the merged view itself, so rows and upto come from one
+            # snapshot (a concurrent commit's segment row survives).
+            self._compact_checkpoint(drop=set(expired))
         live: set[str] = set()
         if not self.is_branch:
             for v in keep:

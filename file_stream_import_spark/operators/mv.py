@@ -52,6 +52,21 @@ _ROWS = "n_rows"
 _MAX_EXACT_KEYS = 8192
 
 
+def _sweep_zero_groups(mv: VersionedTable, spark, rows_col: str) -> None:
+    """Sweep zero-count groups (MERGE leaves them; deleting inside the
+    MERGE would break the signed-fold algebra). The sweep commits
+    OUTSIDE the refresh's retry loop, so a concurrent refresher can
+    land between the MERGE and the sweep — a conflict here is
+    SWALLOWED, not raised (r13 advice): the sweep is self-healing by
+    design (every refresh re-runs it, and zero-touch sweeps commit
+    nothing), while a raise would fail a streaming batch whose MERGE
+    had already committed and crash the stream avoidably."""
+    try:
+        mv.delete_where(spark, F.col(rows_col) == 0, prune_where="auto")
+    except CommitConflictError:
+        pass  # next refresh's sweep converges the residue
+
+
 def _sign_col():
     """+1 for insert/update_postimage, -1 for delete/update_preimage —
     THE signed-multiset convention every MV fold in this module uses
@@ -70,8 +85,12 @@ def _sum_fold_types(schema, sum_cols: list[str]) -> dict[str, str]:
     full recompute with no error. Integrals fold exactly as bigint;
     float/double fold as double (FP addition error is inherent to
     incremental maintenance of float sums — re-bootstrap to squash
-    accumulated error); decimals are rejected loudly because +-folding
-    grows precision past the MV's declared type."""
+    accumulated error); decimals (r14, replacing the r13 loud
+    rejection) fold EXACTLY as decimal(38, s) — the same max-precision
+    widening Spark's own SUM uses (precision + 10, capped at 38), so
+    the incremental +-fold can never drift from a full recompute while
+    the true sum fits 38 digits; past that the fold overflows to NULL
+    loudly rather than silently wrapping."""
     types = {f.name: f.dataType for f in schema.fields}
     out: dict[str, str] = {}
     for c in sum_cols:
@@ -82,13 +101,14 @@ def _sum_fold_types(schema, sum_cols: list[str]) -> dict[str, str]:
             out[c] = "bigint"
         elif name in ("float", "double"):
             out[c] = "double"
+        elif name == "decimal":
+            out[c] = f"decimal(38,{types[c].scale})"
         else:
             raise ValueError(
                 f"sum column {c!r} has type "
                 f"{types[c].simpleString()}: only integral (exact "
-                "bigint fold) and float/double columns are "
-                "maintainable — cast decimals to cents-style "
-                "integers or double first"
+                "bigint fold), float/double, and decimal (exact "
+                "decimal(38,s) fold) columns are maintainable"
             )
     return out
 
@@ -121,6 +141,7 @@ def refresh_mv(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
     pin_watermark: bool = False,
 ) -> int:
     """Bring ``mv`` up to the source's latest version; returns the
@@ -150,6 +171,21 @@ def refresh_mv(
     VAR/STDDEV derivable at read time: VAR = sumsq/n - (sum/n)^2.
     Like SUM it is fully self-maintainable under deletes.
 
+    ``distinct_cols`` (r14) adds EXACT COUNT DISTINCT as ``<col>_nd``
+    — not self-maintainable in the MV row alone (an insert only grows
+    the count if the value is NEW to the group; a delete only shrinks
+    it if it removed the LAST occurrence), so each column keeps the
+    classic exact-IVM support table (see nd_aux_table): a sibling
+    VersionedTable keyed (group..., value) holding the signed
+    occurrence count, folded O(delta) from the SAME CDF walk, with
+    its own watermark in its own txn map (crash between the aux
+    commit and the MV merge replays safely — the aux fold skips, the
+    nd recompute still runs). nd per touched group is then COUNT of
+    live aux rows, group-pruned to the delta's keys. NULLs are
+    ignored (SQL COUNT(DISTINCT ...) semantics). Renaming a distinct
+    column is not auto-tracked — re-bootstrap (or rename the aux
+    column in lockstep).
+
     ``pin_watermark=True`` tags the source at each new watermark
     (``mvpin-<name>-<v>``, previous pin swept), so an aggressive
     vacuum() can never expire the manifests the next refresh's CDF
@@ -160,17 +196,19 @@ def refresh_mv(
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
     sumsq_cols = list(sumsq_cols or [])
+    distinct_cols = list(distinct_cols or [])
     ext_names = [f"{c}_min" for c in min_cols] + [
         f"{c}_max" for c in max_cols
     ]
     sq_names = [f"{c}_sumsq" for c in sumsq_cols]
+    nd_names = [f"{c}_nd" for c in distinct_cols]
     taken = {*group_cols, *sum_cols, rows_col}
-    for c in [*min_cols, *max_cols, *sumsq_cols]:
+    for c in [*min_cols, *max_cols, *sumsq_cols, *distinct_cols]:
         if c in group_cols:
             raise ValueError(
                 f"derived-aggregate column {c!r} is a group column"
             )
-    for n in [*ext_names, *sq_names]:
+    for n in [*ext_names, *sq_names, *nd_names]:
         if n in taken:
             raise ValueError(f"derived column name {n!r} collides")
     cur = source.latest_version()
@@ -181,15 +219,19 @@ def refresh_mv(
     src_schema = _schema_from_json(source._load_manifest(cur)["schema"])
     ftypes = _sum_fold_types(src_schema, sum_cols)
     _sum_fold_types(src_schema, sumsq_cols)  # numeric-family check
+    src_names = {f.name for f in src_schema.fields}
+    for c in distinct_cols:
+        if c not in src_names:
+            raise ValueError(
+                f"distinct column {c!r} not in source schema"
+            )
     while True:
         mv_v, wm = _watermark(mv, tag)
         if wm is not None and cur <= wm:
             # converged (or a replay of an applied refresh): still run
             # the zero-group sweep so a crashed predecessor's residue
             # heals
-            mv.delete_where(
-                spark, F.col(rows_col) == 0, prune_where="auto"
-            )
+            _sweep_zero_groups(mv, spark, rows_col)
             if pin_watermark:
                 # converged replays still pin: a caller switching an
                 # unpinned MV to pin_watermark=True must be protected
@@ -226,8 +268,20 @@ def refresh_mv(
                         ],
                         *[F.min(c).alias(f"{c}_min") for c in min_cols],
                         *[F.max(c).alias(f"{c}_max") for c in max_cols],
+                        *[
+                            F.count_distinct(F.col(c))
+                            .cast("bigint")
+                            .alias(f"{c}_nd")
+                            for c in distinct_cols
+                        ],
                     )
                 )
+                for c in distinct_cols:
+                    _fold_aux(
+                        nd_aux_table(mv, c), source, spark,
+                        group_cols=group_cols, col=c, key=key,
+                        tag=tag, cur=cur,
+                    )
                 mv.commit(
                     agg,
                     mode="overwrite",
@@ -296,9 +350,22 @@ def refresh_mv(
                         cur=cur, mv_v=mv_v, group_cols=group_cols,
                         min_cols=min_cols, max_cols=max_cols,
                     )
+                for c in distinct_cols:
+                    _fold_aux(
+                        nd_aux_table(mv, c), source, spark,
+                        group_cols=group_cols, col=c, key=key,
+                        tag=tag, cur=cur,
+                    )
+                if distinct_cols:
+                    deltas = _fold_distinct(
+                        mv, spark, deltas,
+                        group_cols=group_cols,
+                        distinct_cols=distinct_cols,
+                        tag=tag, cur=cur,
+                    )
                 deltas = deltas.select(
                     *group_cols, *sum_cols, rows_col, *sq_names,
-                    *ext_names,
+                    *ext_names, *nd_names,
                 )
                 merge_into(
                     mv,
@@ -313,15 +380,17 @@ def refresh_mv(
                         },
                         # the source row already carries the FINAL
                         # extreme (folded against the stored value /
-                        # exact-recomputed for endangered groups)
-                        **{n: F.col(f"s.{n}") for n in ext_names},
+                        # exact-recomputed for endangered groups) —
+                        # and the FINAL distinct count from the aux
+                        **{
+                            n: F.col(f"s.{n}")
+                            for n in [*ext_names, *nd_names]
+                        },
                     },
                     txn={tag: cur},
                     expected_parent=mv_v,
                 )
-            mv.delete_where(
-                spark, F.col(rows_col) == 0, prune_where="auto"
-            )
+            _sweep_zero_groups(mv, spark, rows_col)
             if pin_watermark:
                 _pin_watermark(source, name, cur)
             return cur
@@ -352,6 +421,142 @@ def _pin_watermark(t: VersionedTable, name: str, v: int) -> None:
                 pass  # racing refresher swept it
 
 
+def nd_aux_table(mv: VersionedTable, col: str) -> VersionedTable:
+    """The COUNT DISTINCT support table for ``col`` — a VersionedTable
+    SIBLING of the MV (``<mv path>_nd/<col>``, never inside it: the
+    MV's vacuum would mistake a nested table's data for orphan
+    groups), keyed (group_cols..., col) with a signed occurrence count
+    ``cnt``. The classic exact-IVM "support count" structure: distinct
+    count per group = number of aux rows with cnt > 0, and the aux
+    itself folds O(delta) from the same CDF walk as the sums. Callers
+    that drop the MV should drop ``<mv path>_nd`` too."""
+    import os
+
+    return VersionedTable(
+        os.path.join(f"{mv.path.rstrip('/')}_nd", col)
+    )
+
+
+def _fold_aux(
+    aux: VersionedTable,
+    source: VersionedTable,
+    spark,
+    *,
+    group_cols: list[str],
+    col: str,
+    key,
+    tag: str,
+    cur: int,
+) -> None:
+    """Bring the support table up to source version ``cur``: bootstrap
+    (one grouped count of the snapshot) when the aux is empty, else
+    fold the CDF since the AUX'S OWN watermark into signed per-(group,
+    value) count deltas. The aux watermark rides its manifest txn map
+    exactly like the MV's, so the aux commit and the MV merge being
+    two separate commits is crash-safe: a crash between them leaves
+    the aux ahead, and the replayed refresh skips the fold (watermark
+    check) while still recomputing the MV's nd from the aux."""
+    while True:
+        a_v, a_wm = _watermark(aux, tag)
+        if a_wm is not None and a_wm >= cur:
+            return  # replay / racing refresher already folded
+        try:
+            if a_wm is None:
+                counts = (
+                    source.read(spark, version=cur)
+                    .filter(F.col(col).isNotNull())
+                    .groupBy(*group_cols, col)
+                    .agg(F.count("*").cast("bigint").alias("cnt"))
+                )
+                aux.commit(
+                    counts,
+                    mode="overwrite",
+                    txn={tag: cur},
+                    expected_parent=a_v,
+                )
+            else:
+                sign = _sign_col()
+                deltas = (
+                    table_changes_cdf(
+                        source, spark, a_wm + 1, cur, key=key
+                    )
+                    .filter(F.col(col).isNotNull())
+                    .groupBy(*group_cols, col)
+                    .agg(F.sum(sign).cast("bigint").alias("cnt"))
+                )
+                merge_into(
+                    aux,
+                    spark,
+                    deltas,
+                    key=[*group_cols, col],
+                    when_matched={
+                        "cnt": F.coalesce(F.col("t.cnt"), F.lit(0))
+                        + F.coalesce(F.col("s.cnt"), F.lit(0))
+                    },
+                    txn={tag: cur},
+                    expected_parent=a_v,
+                )
+            _sweep_zero_groups(aux, spark, "cnt")
+            return
+        except CommitConflictError:
+            continue  # racing refresher: re-read the aux watermark
+
+
+def _aux_version_asof(aux: VersionedTable, tag: str, cur: int) -> int:
+    """The aux version whose watermark is <= ``cur`` — normally the
+    latest (the fold just ran), but a racing refresher may have folded
+    PAST this refresh's target; walking back pins the nd computation
+    to the state consistent with this refresh's own watermark. Best
+    effort: if the walk falls off the retained range (or the racer
+    jumped over cur entirely), the oldest retained version is
+    returned and the next refresh converges the transient lead."""
+    v = aux.latest_version()
+    while v is not None and v > 0:
+        wm = (aux._load_manifest(v).get("txn") or {}).get(tag)
+        if wm is None or int(wm) <= cur:
+            return v
+        try:
+            aux._load_manifest(v - 1)
+        except FileNotFoundError:
+            return v
+        v -= 1
+    return v
+
+
+def _fold_distinct(
+    mv: VersionedTable,
+    spark,
+    deltas,
+    *,
+    group_cols: list[str],
+    distinct_cols: list[str],
+    tag: str,
+    cur: int,
+):
+    """Join each touched group's FINAL distinct count (``<col>_nd``)
+    onto the grouped delta rows: the aux table, group-pruned to the
+    delta's keys (_pruned_snapshot's IN-set probe / semi join — never
+    a full aux rescan), counts its live (cnt > 0) rows per group. A
+    group whose values all vanished gets nd = 0 and is then swept by
+    the zero-rows sweep."""
+    for c in distinct_cols:
+        aux = nd_aux_table(mv, c)
+        live = _pruned_snapshot(
+            aux, spark, _aux_version_asof(aux, tag, cur),
+            group_cols, deltas,
+        )
+        nd = (
+            live.filter(F.col("cnt") > 0)
+            .groupBy(*group_cols)
+            .agg(F.count("*").cast("bigint").alias(f"{c}_nd"))
+        )
+        deltas = deltas.join(nd, on=group_cols, how="left").withColumn(
+            f"{c}_nd",
+            F.coalesce(F.col(f"{c}_nd"), F.lit(0).cast("bigint")),
+        )
+    return deltas
+
+
 def _fold_extremes(
     source: VersionedTable,
     mv: VersionedTable,
@@ -375,12 +580,35 @@ def _fold_extremes(
     new group) — exactly those groups are recomputed from source@cur,
     group-pruned via manifest stats when the endangered key set is
     small and the group key is a single column."""
-    stored = mv.read(spark, version=mv_v).select(
-        *group_cols,
-        *[F.col(f"{c}_min").alias(f"__st_min_{c}") for c in min_cols],
-        *[F.col(f"{c}_max").alias(f"__st_max_{c}") for c in max_cols],
-        F.lit(True).alias("__in_mv"),
-    )
+    if mv_v is None:
+        # streaming maintainer's first batches: no MV yet — every
+        # group is new, so the stored side is an EMPTY frame typed
+        # from the delta's own candidate columns
+        stored = deltas.select(
+            *group_cols,
+            *[
+                F.col(f"__ins_min_{c}").alias(f"__st_min_{c}")
+                for c in min_cols
+            ],
+            *[
+                F.col(f"__ins_max_{c}").alias(f"__st_max_{c}")
+                for c in max_cols
+            ],
+            F.lit(True).alias("__in_mv"),
+        ).limit(0)
+    else:
+        stored = mv.read(spark, version=mv_v).select(
+            *group_cols,
+            *[
+                F.col(f"{c}_min").alias(f"__st_min_{c}")
+                for c in min_cols
+            ],
+            *[
+                F.col(f"{c}_max").alias(f"__st_max_{c}")
+                for c in max_cols
+            ],
+            F.lit(True).alias("__in_mv"),
+        )
     j = deltas.join(stored, on=group_cols, how="left")
     endangered = F.lit(False)
     for c in min_cols:
@@ -495,7 +723,7 @@ def refresh_join_mv(
     O(delta) at scale: the snapshot each delta joins against is read
     GROUP-PRUNED to the delta's join keys (manifest stats + blooms via
     the IN-set point probe when the key set is a single column under
-    _MAX_EXACT_KEYS; a broadcast semi join otherwise), so neither full
+    _MAX_EXACT_KEYS; a plain AQE-planned semi join otherwise), so neither full
     snapshot is rescanned after the one bootstrap join. Requires
     version ``wm_a`` of A to still be retained (A@old) — if vacuum
     expired it, the refresh raises with the re-bootstrap remedy.
@@ -546,9 +774,7 @@ def refresh_join_mv(
         if wa is not None and cur_a <= wa and wb is not None and (
             cur_b <= wb
         ):
-            mv.delete_where(
-                spark, F.col(rows_col) == 0, prune_where="auto"
-            )
+            _sweep_zero_groups(mv, spark, rows_col)
             if pin_watermark:
                 _pin_watermark(a, f"{name}-a", wa)
                 _pin_watermark(b, f"{name}-b", wb)
@@ -627,9 +853,7 @@ def refresh_join_mv(
                     txn={tag_a: cur_a, tag_b: cur_b},
                     expected_parent=mv_v,
                 )
-            mv.delete_where(
-                spark, F.col(rows_col) == 0, prune_where="auto"
-            )
+            _sweep_zero_groups(mv, spark, rows_col)
             if pin_watermark:
                 # pin BOTH sides: the next refresh reads A@watermark
                 # (the delta-join's old snapshot) and each side's CDF
@@ -655,9 +879,10 @@ def _signed_cdf(t, spark, lo, hi, key):
 def _pruned_snapshot(t, spark, version, on, delta):
     """Snapshot ``version`` of ``t`` restricted to the delta's join
     keys: the IN-set point probe (manifest stats + blooms) when the
-    join key is one column with a bounded distinct set, else a
-    broadcast semi join — either way the join against the delta never
-    rescans the snapshot."""
+    join key is one column with a bounded distinct set, else a plain
+    semi join left to AQE (the key set exceeded the driver cap, so
+    Spark picks the strategy from its runtime size) — either way the
+    join against the delta never rescans the snapshot."""
     keys = delta.select(*on).distinct()
     if len(on) == 1:
         probe = keys.limit(_MAX_EXACT_KEYS + 1).collect()
@@ -672,6 +897,66 @@ def _pruned_snapshot(t, spark, version, on, delta):
         keys, on=on, how="semi"
     )
 
+def _fold_aux_batch(
+    aux: VersionedTable,
+    batch_df,
+    *,
+    group_cols: list[str],
+    col: str,
+    tag: str,
+    batch_id: int,
+) -> None:
+    """Streaming twin of _fold_aux: fold ONE micro-batch's signed
+    value counts into the support table with the BATCH_ID as the txn
+    epoch — the same replay/conflict protocol as the MV merge, on the
+    aux's own manifest, so a restart that replays the batch skips the
+    fold it already applied."""
+    spark = batch_df.sparkSession
+    sign = _sign_col()
+    deltas = (
+        batch_df.filter(F.col(col).isNotNull())
+        .groupBy(*group_cols, col)
+        .agg(F.sum(sign).cast("bigint").alias("cnt"))
+    )
+    while True:
+        latest = aux.latest_version()
+        hw = (
+            None
+            if latest is None
+            else (aux._load_manifest(latest).get("txn") or {}).get(tag)
+        )
+        if hw is not None and int(hw) >= int(batch_id):
+            return  # replay of a folded batch
+        try:
+            if latest is None:
+                # first batch materializes the aux from nothing (a
+                # correct CDF replay cannot delete before inserting,
+                # so these counts are non-negative)
+                aux.commit(
+                    deltas,
+                    mode="overwrite",
+                    txn={tag: int(batch_id)},
+                    expected_parent=latest,
+                )
+            else:
+                merge_into(
+                    aux,
+                    spark,
+                    deltas,
+                    key=[*group_cols, col],
+                    when_matched={
+                        "cnt": F.coalesce(F.col("t.cnt"), F.lit(0))
+                        + F.coalesce(F.col("s.cnt"), F.lit(0))
+                    },
+                    txn={tag: int(batch_id)},
+                    expected_parent=latest,
+                )
+            _sweep_zero_groups(aux, spark, "cnt")
+            return
+        except CommitConflictError:
+            continue  # concurrent delivery landed: re-check
+
+
 def make_mv_maintainer(
     mv: VersionedTable,
     query_name: str,
@@ -679,6 +964,11 @@ def make_mv_maintainer(
     group_cols: list[str],
     sum_cols: list[str],
     rows_col: str = _ROWS,
+    source: VersionedTable | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
 ):
     """STREAMING IVM: a foreachBatch sink that folds a
     ``readchangedata`` stream's micro-batches into an aggregate MV.
@@ -694,9 +984,33 @@ def make_mv_maintainer(
     earliest`` the stream replays the source's v0 inserts, so the
     empty MV plus the stream IS the full aggregate — the MV
     materializes incrementally from nothing and then stays O(delta)
-    per trigger. SUM/COUNT only (the endangered-extreme recompute of
-    refresh_mv needs a source snapshot read, which a sink deliberately
-    doesn't do — use batch refresh_mv for MIN/MAX views)."""
+    per trigger.
+
+    Measure parity with batch refresh_mv (r14 — the two paths share
+    the fold algebra so they cannot drift): ``sumsq_cols`` and
+    ``distinct_cols`` work exactly as in refresh_mv (the distinct
+    support table folds per batch with the same batch_id epoch, see
+    _fold_aux_batch); ``min_cols``/``max_cols`` additionally require
+    ``source`` — the endangered-group exact recompute reads the
+    source SNAPSHOT PINNED AT THE BATCH'S OWN MAX _commit_version
+    (not latest: the table may have advanced past what the stream has
+    delivered), so a replayed batch recomputes the identical values.
+    Decimal measures fold exactly as decimal(38, s) like the batch
+    path."""
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+    sumsq_cols = list(sumsq_cols or [])
+    distinct_cols = list(distinct_cols or [])
+    ext_names = [f"{c}_min" for c in min_cols] + [
+        f"{c}_max" for c in max_cols
+    ]
+    sq_names = [f"{c}_sumsq" for c in sumsq_cols]
+    nd_names = [f"{c}_nd" for c in distinct_cols]
+    if ext_names and source is None:
+        raise ValueError(
+            "min_cols/max_cols need source= (the endangered-group "
+            "recompute reads the source snapshot)"
+        )
 
     def write(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -706,8 +1020,10 @@ def make_mv_maintainer(
         if not batch_df.take(1):
             return
         sign = _sign_col()
+        is_add = sign == 1
         ftypes = _sum_fold_types(batch_df.schema, sum_cols)
-        deltas = batch_df.groupBy(*group_cols).agg(
+        _sum_fold_types(batch_df.schema, sumsq_cols)
+        base = batch_df.groupBy(*group_cols).agg(
             *[
                 F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
                 .cast(ftypes[c])
@@ -715,7 +1031,50 @@ def make_mv_maintainer(
                 for c in sum_cols
             ],
             F.sum(sign).cast("bigint").alias(rows_col),
+            *[
+                F.coalesce(
+                    F.sum(
+                        sign
+                        * F.col(c).cast("double")
+                        * F.col(c).cast("double")
+                    ),
+                    F.lit(0.0),
+                ).alias(f"{c}_sumsq")
+                for c in sumsq_cols
+            ],
+            *[
+                F.min(F.when(is_add, F.col(c))).alias(f"__ins_min_{c}")
+                for c in min_cols
+            ],
+            *[
+                F.min(F.when(~is_add, F.col(c))).alias(f"__del_min_{c}")
+                for c in min_cols
+            ],
+            *[
+                F.max(F.when(is_add, F.col(c))).alias(f"__ins_max_{c}")
+                for c in max_cols
+            ],
+            *[
+                F.max(F.when(~is_add, F.col(c))).alias(f"__del_max_{c}")
+                for c in max_cols
+            ],
         )
+        if ext_names or distinct_cols:
+            # one tiny metadata job; reused across conflict retries
+            base = base.localCheckpoint(eager=True)
+        cur = None
+        if ext_names:
+            cur = int(
+                batch_df.agg(
+                    F.max("_commit_version").cast("bigint")
+                ).collect()[0][0]
+            )
+        for c in distinct_cols:
+            _fold_aux_batch(
+                nd_aux_table(mv, c), batch_df,
+                group_cols=group_cols, col=c,
+                tag=query_name, batch_id=batch_id,
+            )
         # the txn-epoch replay/conflict loop mirrors
         # io/versioned.py::make_idempotent_table_writer — a protocol
         # change there (the hw comparison, the expected_parent pin)
@@ -731,6 +1090,24 @@ def make_mv_maintainer(
             )
             if hw is not None and int(hw) >= int(batch_id):
                 return  # replay of a committed batch
+            deltas = base
+            if ext_names:
+                deltas = _fold_extremes(
+                    source, mv, spark, deltas,
+                    cur=cur, mv_v=latest, group_cols=group_cols,
+                    min_cols=min_cols, max_cols=max_cols,
+                )
+            if distinct_cols:
+                deltas = _fold_distinct(
+                    mv, spark, deltas,
+                    group_cols=group_cols,
+                    distinct_cols=distinct_cols,
+                    tag=query_name, cur=int(batch_id),
+                )
+            deltas = deltas.select(
+                *group_cols, *sum_cols, rows_col, *sq_names,
+                *ext_names, *nd_names,
+            )
             try:
                 merge_into(
                     mv,
@@ -738,9 +1115,15 @@ def make_mv_maintainer(
                     deltas,
                     key=group_cols,
                     when_matched={
-                        c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
-                        + F.coalesce(F.col(f"s.{c}"), F.lit(0))
-                        for c in [*sum_cols, rows_col]
+                        **{
+                            c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                            + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                            for c in [*sum_cols, rows_col, *sq_names]
+                        },
+                        **{
+                            n: F.col(f"s.{n}")
+                            for n in [*ext_names, *nd_names]
+                        },
                     },
                     txn={query_name: int(batch_id)},
                     expected_parent=latest,
@@ -748,6 +1131,6 @@ def make_mv_maintainer(
                 break
             except CommitConflictError:
                 continue  # concurrent delivery landed: re-check
-        mv.delete_where(spark, F.col(rows_col) == 0, prune_where="auto")
+        _sweep_zero_groups(mv, spark, rows_col)
 
     return write

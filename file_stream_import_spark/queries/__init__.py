@@ -76,6 +76,7 @@ def load_all() -> None:
         round11,
         round12,
         round13,
+        round14,
     )
 
 

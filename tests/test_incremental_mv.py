@@ -1106,7 +1106,10 @@ class TestFractionalSums:
             ("a", 2, 0.375)
         ]
 
-    def test_decimal_sum_col_rejected_loudly(self, spark, tmp_path):
+    def test_decimal_sum_col_folds_exactly(self, spark, tmp_path):
+        """r14: the r13 loud rejection is replaced by an exact
+        decimal(38, s) fold (see TestRefreshMvDecimal for the full
+        battery) — the plain refresh path must accept decimals."""
         src = VersionedTable(str(tmp_path / "src_dec"))
         src.commit(
             spark.createDataFrame(
@@ -1117,11 +1120,16 @@ class TestFractionalSums:
             mode="overwrite",
         )
         mv = _mv(tmp_path, name="mv_dec")
-        with pytest.raises(ValueError, match="decimal"):
-            refresh_mv(
-                src, mv, spark, name="t", group_cols=["g"],
-                sum_cols=["x"], key="k",
-            )
+        refresh_mv(
+            src, mv, spark, name="t", group_cols=["g"],
+            sum_cols=["x"], key="k",
+        )
+        row = mv.read(spark).collect()[0]
+        assert str(row["x"]) == "1.50"
+        assert dict(
+            (f.name, f.dataType.simpleString())
+            for f in mv.read(spark).schema.fields
+        )["x"] == "decimal(38,2)"
 
 
 class TestSumsqCols:
@@ -1283,3 +1291,514 @@ class TestFloatMvFuzz:
         assert self._state_d(spark, mv) == self._recompute_d(
             spark, src
         ), f"double MV diverged after {ops}"
+
+
+# ---------------------------------------------------------------------------
+# r14: exact decimal SUM folding, exact COUNT DISTINCT (support-table
+# IVM), and streaming-maintainer measure parity with batch refresh_mv.
+# ---------------------------------------------------------------------------
+
+from decimal import Decimal
+
+from file_stream_import_spark.operators.mv import nd_aux_table
+
+
+def _mk_dec(spark, tmp_path, rows, name="dsrc"):
+    t = VersionedTable(str(tmp_path / name))
+    t.commit(
+        spark.createDataFrame(rows, "k long, g string, d decimal(20,3)"),
+        mode="overwrite",
+    )
+    return t
+
+
+class TestRefreshMvDecimal:
+    """r14: decimals fold EXACTLY as decimal(38, s) — the r13 loud
+    rejection replaced by the same max-precision widening Spark's own
+    SUM uses. The probe values carry 17+ significant digits with a
+    fractional part, so a double fold would visibly drift."""
+
+    BIG = Decimal("12345678901234567.891")
+
+    def _refresh(self, src, mv, spark):
+        return refresh_mv(
+            src, mv, spark,
+            name="dec", group_cols=["g"], sum_cols=["d"], key="k",
+        )
+
+    def _recompute(self, spark, src):
+        return sorted(
+            (r["g"], r["n"], r["d"])
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("d").cast("decimal(38,3)").alias("d"),
+            )
+            .collect()
+        )
+
+    def _state(self, spark, mv):
+        return sorted(
+            (r["g"], r["n_rows"], r["d"])
+            for r in mv.read(spark).collect()
+        )
+
+    def test_bootstrap_widens_to_decimal38(self, spark, tmp_path):
+        src = _mk_dec(
+            spark, tmp_path,
+            [(1, "a", self.BIG), (2, "a", Decimal("0.001"))],
+        )
+        mv = _mv(tmp_path, "dmv0")
+        self._refresh(src, mv, spark)
+        f = dict(
+            (fld.name, fld.dataType.simpleString())
+            for fld in mv.read(spark).schema.fields
+        )
+        assert f["d"] == "decimal(38,3)"
+        assert self._state(spark, mv) == [
+            ("a", 2, Decimal("12345678901234567.892"))
+        ]
+
+    def test_incremental_fold_is_exact(self, spark, tmp_path):
+        src = _mk_dec(
+            spark, tmp_path,
+            [(1, "a", self.BIG), (2, "b", Decimal("7.125"))],
+        )
+        mv = _mv(tmp_path, "dmv1")
+        self._refresh(src, mv, spark)
+        src.commit(
+            spark.createDataFrame(
+                [(3, "a", Decimal("0.003"))],
+                "k long, g string, d decimal(20,3)",
+            ),
+            mode="append",
+        )
+        merge_into(
+            src, spark,
+            spark.createDataFrame(
+                [(2, "a", Decimal("7.125"))],
+                "k long, g string, d decimal(20,3)",
+            ),
+            key="k",
+        )
+        src.delete_where(spark, F.col("k") == 1)
+        self._refresh(src, mv, spark)
+        got = self._state(spark, mv)
+        assert got == self._recompute(spark, src)
+        # the survivors: 0.003 + 7.125 in group a, exactly
+        assert got == [("a", 2, Decimal("7.128"))]
+
+    def test_join_mv_and_maintainer_accept_decimal(
+        self, spark, tmp_path
+    ):
+        # the shared _sum_fold_types gate: both non-batch surfaces
+        # fold decimal as decimal(38, s) instead of raising
+        from file_stream_import_spark.operators.mv import (
+            _sum_fold_types,
+        )
+
+        schema = spark.createDataFrame(
+            [(Decimal("1.5"),)], "d decimal(10,2)"
+        ).schema
+        assert _sum_fold_types(schema, ["d"]) == {
+            "d": "decimal(38,2)"
+        }
+
+
+def _mk_v(spark, tmp_path, rows, name="vsrc"):
+    t = VersionedTable(str(tmp_path / name))
+    t.commit(
+        spark.createDataFrame(
+            rows, "k long, g string, v string, x long"
+        ),
+        mode="overwrite",
+    )
+    return t
+
+
+def _refresh_nd(src, mv, spark):
+    return refresh_mv(
+        src, mv, spark,
+        name="nd", group_cols=["g"], sum_cols=["x"], key="k",
+        distinct_cols=["v"],
+    )
+
+
+def _state_nd(spark, mv):
+    return sorted(
+        (r["g"], r["n_rows"], r["x"], r["v_nd"])
+        for r in mv.read(spark).collect()
+    )
+
+
+def _recompute_nd(spark, src):
+    return sorted(
+        (r["g"], r["n"], r["x"], r["nd"])
+        for r in src.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(F.sum("x"), F.lit(0)).cast("bigint").alias("x"),
+            F.count_distinct("v").cast("bigint").alias("nd"),
+        )
+        .collect()
+    )
+
+
+class TestRefreshMvDistinct:
+    """r14: exact COUNT DISTINCT via the classic IVM support table
+    (nd_aux_table) — a sibling VersionedTable keyed (group, value)
+    with signed occurrence counts, folded O(delta) from the same CDF
+    walk; nd = live aux rows per touched group."""
+
+    def test_bootstrap_counts_distinct(self, spark, tmp_path):
+        src = _mk_v(
+            spark, tmp_path,
+            [(1, "a", "x", 1), (2, "a", "x", 2), (3, "a", "y", 3),
+             (4, "b", "z", 4)],
+        )
+        mv = _mv(tmp_path, "ndmv0")
+        _refresh_nd(src, mv, spark)
+        assert _state_nd(spark, mv) == [
+            ("a", 3, 6, 2), ("b", 1, 4, 1)
+        ]
+
+    def test_incremental_through_each_dml_kind(self, spark, tmp_path):
+        src = _mk_v(
+            spark, tmp_path,
+            [(1, "a", "x", 1), (2, "a", "y", 2), (3, "b", "x", 3)],
+        )
+        mv = _mv(tmp_path, "ndmv1")
+        _refresh_nd(src, mv, spark)
+        src.commit(
+            spark.createDataFrame(
+                [(4, "a", "z", 4)],
+                "k long, g string, v string, x long",
+            ),
+            mode="append",
+        )
+        merge_into(  # value change x->y inside group b
+            src, spark,
+            spark.createDataFrame(
+                [(3, "b", "y", 3)],
+                "k long, g string, v string, x long",
+            ),
+            key="k",
+        )
+        src.delete_where(spark, F.col("k") == 2)  # last 'y' in a
+        _refresh_nd(src, mv, spark)
+        assert _state_nd(spark, mv) == _recompute_nd(spark, src)
+
+    def test_duplicate_value_delete_keeps_nd(self, spark, tmp_path):
+        src = _mk_v(
+            spark, tmp_path,
+            [(1, "a", "x", 1), (2, "a", "x", 2), (3, "a", "y", 3)],
+        )
+        mv = _mv(tmp_path, "ndmv2")
+        _refresh_nd(src, mv, spark)
+        src.delete_where(spark, F.col("k") == 1)  # one of two 'x's
+        _refresh_nd(src, mv, spark)
+        assert _state_nd(spark, mv) == [("a", 2, 5, 2)]
+        src.delete_where(spark, F.col("k") == 2)  # the LAST 'x'
+        _refresh_nd(src, mv, spark)
+        assert _state_nd(spark, mv) == [("a", 1, 3, 1)]
+
+    def test_nulls_are_transparent(self, spark, tmp_path):
+        src = _mk_v(
+            spark, tmp_path,
+            [(1, "a", None, 1), (2, "a", "x", 2)],
+        )
+        mv = _mv(tmp_path, "ndmv3")
+        _refresh_nd(src, mv, spark)
+        assert _state_nd(spark, mv) == [("a", 2, 3, 1)]
+        src.commit(
+            spark.createDataFrame(
+                [(3, "a", None, 4)],
+                "k long, g string, v string, x long",
+            ),
+            mode="append",
+        )
+        _refresh_nd(src, mv, spark)
+        assert _state_nd(spark, mv) == [("a", 3, 7, 1)] == (
+            _recompute_nd(spark, src)
+        )
+
+    def test_vanished_group_sweeps_mv_and_aux(self, spark, tmp_path):
+        src = _mk_v(
+            spark, tmp_path,
+            [(1, "a", "x", 1), (2, "b", "y", 2)],
+        )
+        mv = _mv(tmp_path, "ndmv4")
+        _refresh_nd(src, mv, spark)
+        src.delete_where(spark, F.col("g") == "b")
+        _refresh_nd(src, mv, spark)
+        assert _state_nd(spark, mv) == [("a", 1, 1, 1)]
+        aux = nd_aux_table(mv, "v")
+        assert sorted(
+            (r["g"], r["v"], r["cnt"])
+            for r in aux.read(spark).collect()
+        ) == [("a", "x", 1)]
+
+    def test_crash_between_aux_and_mv_replays_once(
+        self, spark, tmp_path
+    ):
+        """Simulated crash: the aux fold committed but the MV merge
+        never ran. The replayed refresh must skip the aux fold
+        (watermark) yet still converge the MV's nd."""
+        from file_stream_import_spark.operators.mv import _fold_aux
+
+        src = _mk_v(
+            spark, tmp_path, [(1, "a", "x", 1), (2, "a", "y", 2)]
+        )
+        mv = _mv(tmp_path, "ndmv5")
+        _refresh_nd(src, mv, spark)
+        src.delete_where(spark, F.col("k") == 2)
+        # crash simulation: fold ONLY the aux to the new version
+        _fold_aux(
+            nd_aux_table(mv, "v"), src, spark,
+            group_cols=["g"], col="v", key="k",
+            tag="mv:nd", cur=src.latest_version(),
+        )
+        _refresh_nd(src, mv, spark)  # the "replay"
+        assert _state_nd(spark, mv) == [("a", 1, 1, 1)] == (
+            _recompute_nd(spark, src)
+        )
+
+    def test_validation_rejects_bad_columns(self, spark, tmp_path):
+        src = _mk_v(spark, tmp_path, [(1, "a", "x", 1)])
+        mv = _mv(tmp_path, "ndmv6")
+        with pytest.raises(ValueError, match="group column"):
+            refresh_mv(
+                src, mv, spark, name="nd", group_cols=["g"],
+                sum_cols=["x"], key="k", distinct_cols=["g"],
+            )
+        with pytest.raises(ValueError, match="not in source schema"):
+            refresh_mv(
+                src, mv, spark, name="nd", group_cols=["g"],
+                sum_cols=["x"], key="k", distinct_cols=["nope"],
+            )
+
+    @settings(
+        max_examples=_FUZZ_EXAMPLES,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.data_too_large,
+        ],
+        derandomize=_FUZZ_DERANDOMIZE,
+    )
+    @given(
+        init=_rows_st, ops=st.lists(_op_st, min_size=1, max_size=4)
+    )
+    def test_nd_mv_equals_recompute_for_random_histories(
+        self, spark, tmp_path_factory, init, ops
+    ):
+        base = tmp_path_factory.mktemp("nd_fuzz")
+        src = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
+        seen = set()
+        init = [r for r in init if r[0] not in seen]
+        # derive a LOW-CARDINALITY value column from x so inserts and
+        # deletes frequently collide on (group, value) — the case the
+        # support counts exist for
+        def widen(rows):
+            return [
+                (k, g, f"v{abs(x) % 3}", x) for (k, g, x) in rows
+            ]
+
+        src.commit(
+            spark.createDataFrame(
+                widen(init), "k long, g string, v string, x long"
+            ),
+            mode="overwrite",
+        )
+        mv = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
+        _refresh_nd(src, mv, spark)
+        for op in ops:
+            kind = op[0]
+            if kind == "merge":
+                merge_into(
+                    src, spark,
+                    spark.createDataFrame(
+                        widen(op[1]),
+                        "k long, g string, v string, x long",
+                    ),
+                    key="k",
+                )
+            elif kind == "delete":
+                lo, hi = sorted((op[1], op[2]))
+                src.delete_where(spark, F.col("k").between(lo, hi))
+            elif kind == "append":
+                have = {
+                    r["k"]
+                    for r in src.read(spark).select("k").collect()
+                }
+                fresh = [r for r in widen(op[1]) if r[0] not in have]
+                if not fresh:
+                    continue
+                src.commit(
+                    spark.createDataFrame(
+                        fresh, "k long, g string, v string, x long"
+                    ),
+                    mode="append",
+                )
+            else:
+                _refresh_nd(src, mv, spark)
+        _refresh_nd(src, mv, spark)
+        assert _state_nd(spark, mv) == _recompute_nd(spark, src), (
+            f"distinct MV diverged from recompute after {ops}"
+        )
+
+
+def _stream_mv_full(spark, src, tmp_path, name="smvf"):
+    """Streaming maintainer with the FULL r14 measure set — min/max
+    (endangered recompute off the batch-pinned source snapshot),
+    sumsq, and exact distinct."""
+    from file_stream_import_spark.io.pysource import (
+        TableChangefeedDataSource,
+    )
+
+    spark.dataSource.register(TableChangefeedDataSource)
+    mv = VersionedTable(str(tmp_path / name))
+    q = (
+        spark.readStream.format("table_changefeed")
+        .option("path", src.path)
+        .option("readchangedata", "true")
+        .option("key", "k")
+        .option("maxversionspertrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            make_mv_maintainer(
+                mv, "smvf_q", group_cols=["g"], sum_cols=["x"],
+                source=src, min_cols=["x"], max_cols=["x"],
+                sumsq_cols=["x"], distinct_cols=["v"],
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .start()
+    )
+    return q, mv
+
+
+def _recompute_full(spark, src):
+    return sorted(
+        tuple(r)
+        for r in src.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(F.sum("x"), F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.col("x").cast("double") * F.col("x").cast("double")
+                ),
+                F.lit(0.0),
+            ).alias("sq"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+            F.count_distinct("v").cast("bigint").alias("nd"),
+        )
+        .collect()
+    )
+
+
+def _state_full(spark, mv):
+    return sorted(
+        tuple(r)
+        for r in mv.read(spark)
+        .select(
+            "g", "n_rows", "x", "x_sumsq", "x_min", "x_max", "v_nd"
+        )
+        .collect()
+    )
+
+
+class TestStreamingMaintainerParity:
+    """r14: the streaming maintainer carries every measure the batch
+    refresher does (MIN/MAX endangered recompute, SUMSQ, exact
+    DISTINCT), so the two paths cannot drift."""
+
+    def test_extreme_delete_crosses_batch_boundary(
+        self, spark, tmp_path
+    ):
+        src = _mk_v(
+            spark, tmp_path,
+            [(1, "a", "x", 10), (2, "a", "y", 20), (3, "b", "x", 5)],
+        )
+        # v1 deletes group a's max AND the last 'y' — at one version
+        # per trigger this lands in its own micro-batch, forcing the
+        # endangered recompute against source@v1, not source@latest
+        src.delete_where(spark, F.col("k") == 2)
+        # v2 appends a new minimum for b plus a duplicate value
+        src.commit(
+            spark.createDataFrame(
+                [(4, "b", "x", 1)],
+                "k long, g string, v string, x long",
+            ),
+            mode="append",
+        )
+        q, mv = _stream_mv_full(spark, src, tmp_path)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert _state_full(spark, mv) == _recompute_full(spark, src)
+
+    def test_restart_from_checkpoint_with_new_measures(
+        self, spark, tmp_path
+    ):
+        src = _mk_v(
+            spark, tmp_path, [(1, "a", "x", 10), (2, "a", "y", 20)]
+        )
+        q, mv = _stream_mv_full(spark, src, tmp_path)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # DML while the stream is DOWN: delete the stored max (forces
+        # endangered recompute on restart) and the last 'y'
+        src.delete_where(spark, F.col("k") == 2)
+        src.commit(
+            spark.createDataFrame(
+                [(3, "a", "z", 7)],
+                "k long, g string, v string, x long",
+            ),
+            mode="append",
+        )
+        q2, _ = _stream_mv_full(spark, src, tmp_path)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        assert _state_full(spark, mv) == _recompute_full(spark, src)
+
+    def test_replayed_batch_skips_aux_and_mv(self, spark, tmp_path):
+        src = _mk_v(spark, tmp_path, [(1, "a", "x", 1)])
+        mv = VersionedTable(str(tmp_path / "mv_rp"))
+        w = make_mv_maintainer(
+            mv, "rp_q", group_cols=["g"], sum_cols=["x"],
+            distinct_cols=["v"],
+        )
+        batch = spark.createDataFrame(
+            [(1, "a", "x", 1, "insert", 0),
+             (2, "a", "y", 2, "insert", 0)],
+            "k long, g string, v string, x long, "
+            "_change_type string, _commit_version int",
+        )
+        w(batch, 0)
+        w(batch, 0)  # redelivery: neither the aux nor the MV re-fold
+        assert _state_nd(spark, mv) == [("a", 2, 3, 2)]
+        aux = nd_aux_table(mv, "v")
+        assert sorted(
+            (r["g"], r["v"], r["cnt"])
+            for r in aux.read(spark).collect()
+        ) == [("a", "x", 1), ("a", "y", 1)]
+
+    def test_minmax_requires_source(self, spark, tmp_path):
+        mv = VersionedTable(str(tmp_path / "mv_ns"))
+        with pytest.raises(ValueError, match="source"):
+            make_mv_maintainer(
+                mv, "q", group_cols=["g"], sum_cols=["x"],
+                min_cols=["x"],
+            )
