@@ -243,3 +243,168 @@ def lake_mv_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src.path, ignore_errors=True)
         shutil.rmtree(mv.path, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_mv_minmax_distinct",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (
+      SELECT COUNT(*) // 3 AS third,
+             (COUNT(*) // 3) // 3 AS u
+      FROM base
+    ),
+    merged AS (
+      SELECT b.k,
+             CASE WHEN b.k <= p.u THEN 'MV' ELSE b.status END AS status,
+             CASE WHEN b.k <= p.u THEN b.cents + 5 ELSE b.cents END
+               AS cents
+      FROM base b, p
+      WHERE b.k <= p.third
+    ),
+    final AS (
+      SELECT k, status, cents FROM merged
+      WHERE cents >= 5000000 AND cents <= 40000000
+      UNION ALL
+      SELECT b.k, b.status, b.cents
+      FROM base b, p
+      WHERE b.k > p.third AND b.k <= p.third + p.u
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           MIN(cents) AS cents_min,
+           MAX(cents) AS cents_max,
+           CAST(COUNT(DISTINCT CAST(cents % 97 AS VARCHAR)) AS BIGINT)
+             AS v_nd,
+           CAST(1 AS INT) AS matches_recompute
+    FROM final GROUP BY status
+    """,
+)
+def stream_mv_minmax_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING IVM measure parity (operators/mv.py::
+    make_mv_maintainer, r14): the full measure set — SUM, COUNT,
+    MIN/MAX, exact COUNT DISTINCT — maintained by a REAL
+    readchangedata stream at one version per trigger, so every DML
+    kind crosses a batch boundary. The source history is built to
+    endanger stored state between batches: v0 inserts two-thirds, a
+    MERGE moves the first u keys into group 'MV' at +5 cents (v1),
+    a CoW DELETE drops both cent tails (v2 — guaranteed to remove
+    per-group extremes, forcing the endangered recompute against the
+    BATCH-PINNED source snapshot, and to remove last occurrences of
+    distinct values), and an append lands the next u keys (v3). The
+    MV content is hashed against the oracle's full recompute and
+    MV == batch recompute is pinned as a flag."""
+    import shutil
+    import tempfile
+
+    from ..io.pysource import TableChangefeedDataSource
+    from ..io.versioned import VersionedTable, merge_into
+    from ..operators.mv import make_mv_maintainer
+
+    def with_v(df):
+        return df.withColumn(
+            "v", (F.col("cents") % 97).cast("string")
+        )
+
+    o = _densified_orders(spark, sf_dir)
+    third = o.count() // 3
+    u = third // 3
+    o = o.filter(F.col("k") <= 3 * third).localCheckpoint(eager=True)
+    spark.dataSource.register(TableChangefeedDataSource)
+    src = VersionedTable(tempfile.mkdtemp(prefix="lake_smvf_src_"))
+    mv = VersionedTable(tempfile.mkdtemp(prefix="lake_smvf_mv_"))
+    ckpt = tempfile.mkdtemp(prefix="lake_smvf_ck_")
+    try:
+        src.commit(
+            with_v(o.filter(F.col("k") <= third)).select(
+                "k", "status", "cents", "v"
+            ),
+            mode="overwrite",
+        )                                                   # v0
+        merge_into(
+            src,
+            spark,
+            with_v(
+                o.filter(F.col("k") <= u).select(
+                    "k",
+                    F.lit("MV").alias("status"),
+                    (F.col("cents") + 5).alias("cents"),
+                )
+            ).select("k", "status", "cents", "v"),
+            key="k",
+        )                                                   # v1
+        src.delete_where(
+            spark,
+            (F.col("cents") < 5_000_000)
+            | (F.col("cents") > 40_000_000),
+            prune_where="auto",
+        )                                                   # v2
+        src.commit(
+            with_v(
+                o.filter(F.col("k").between(third + 1, third + u))
+            ).select("k", "status", "cents", "v"),
+            mode="append",
+        )                                                   # v3
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", src.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(
+                make_mv_maintainer(
+                    mv, "smvf", group_cols=["status"],
+                    sum_cols=["cents"], source=src,
+                    min_cols=["cents"], max_cols=["cents"],
+                    distinct_cols=["v"],
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        recompute = (
+            src.read(spark)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.coalesce(F.sum("cents"), F.lit(0))
+                .cast("bigint")
+                .alias("cents"),
+                F.min("cents").alias("cents_min"),
+                F.max("cents").alias("cents_max"),
+                F.count_distinct("v").cast("bigint").alias("v_nd"),
+            )
+        )
+        mv_df = mv.read(spark).select(
+            "status", "n_rows", "cents", "cents_min", "cents_max",
+            "v_nd",
+        )
+        matches = int(
+            mv_df.exceptAll(recompute).isEmpty()
+            and recompute.exceptAll(mv_df).isEmpty()
+        )
+        out = (
+            mv_df.withColumn(
+                "matches_recompute", F.lit(matches).cast("int")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src.path, ignore_errors=True)
+        shutil.rmtree(mv.path, ignore_errors=True)
+        shutil.rmtree(f"{mv.path.rstrip('/')}_nd", ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
