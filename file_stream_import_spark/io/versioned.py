@@ -4683,6 +4683,7 @@ def merge_into(
     when_not_matched: str | None = "insert_all",
     when_not_matched_by_source: str | dict | None = None,
     not_matched_by_source_condition=None,
+    allow_evolution: bool = False,
 ) -> int:
     """MERGE INTO the versioned table. Default clauses: WHEN MATCHED
     THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * — the lakehouse
@@ -4760,6 +4761,14 @@ def merge_into(
     ``expected_parent`` pins the snapshot the caller's decision was
     based on (exactly-once writers pass the version their watermark
     was read from); the default "any" merges onto the current latest.
+
+    ``allow_evolution=True`` (Delta's spark.databricks.delta.schema.
+    autoMerge, r14): a source carrying ADDITIVE new columns evolves
+    the table schema inside the same MERGE commit — matched rows take
+    the new values, rewritten unmatched target rows and untouched
+    groups surface NULL for the new columns (the additive-evolution
+    read path appends already use). The source must still cover every
+    existing column, and shared columns must keep their exact types.
     """
     keys = [key] if isinstance(key, str) else list(key)
     dup = (
@@ -4814,11 +4823,36 @@ def merge_into(
             expected_parent=expected_parent,
         )
     m = table._load_manifest(base)
-    declared = _schema_from_json(m["schema"])
+    schema_json = m["schema"]
+    declared = _schema_from_json(schema_json)
     if _schema_key(declared) != _schema_key(updates.schema):
-        raise SchemaMismatchError(
-            "MERGE source schema differs from table schema"
-        )
+        if not allow_evolution:
+            raise SchemaMismatchError(
+                "MERGE source schema differs from table schema; pass "
+                "allow_evolution=True for additive source columns"
+            )
+        # Delta's schema.autoMerge: the source may ADD columns, which
+        # evolve the table additively INSIDE the merge commit — the
+        # same _evolve_schema path appends use, so old groups carried
+        # by reference read the new columns as NULL. The source must
+        # still cover every existing table column (additive only) and
+        # shared columns must keep their exact types (_evolve_schema
+        # raises otherwise).
+        have = set(updates.columns)
+        missing = [
+            f.name for f in declared.fields if f.name not in have
+        ]
+        if missing:
+            raise SchemaMismatchError(
+                f"MERGE source lacks table column(s) {missing}; "
+                "evolution is additive — the source must carry every "
+                "existing column"
+            )
+        schema_json = _evolve_schema(m["schema"], updates.schema)
+        declared = _schema_from_json(schema_json)
+        # align the source's column order to the evolved schema so
+        # the positional union below stays by-name correct
+        updates = updates.select(*[f.name for f in declared.fields])
     types = {f.name: f.dataType for f in declared.fields}
     touched, untouched = _split_touched_groups(
         m, updates, keys, types, table_path=table.path
@@ -4848,6 +4882,13 @@ def merge_into(
         touched = [g for g in m["groups"] if g in set(touched) | extra_set]
         untouched = [g for g in untouched if g not in extra_set]
     current = table._read_groups(spark, m, touched)
+    # evolved columns: rewritten target rows NULL-backfill the new
+    # columns (untouched groups get the same NULLs lazily at read)
+    for f in declared.fields:
+        if f.name not in current.columns:
+            current = current.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
     if (
         when_matched == "update_all"
         and matched_condition is None
@@ -4895,7 +4936,7 @@ def merge_into(
     return table._publish_or_rebase(
         base,
         {
-            "schema": m["schema"],
+            "schema": schema_json,
             "groups": untouched + [group],
             "mode": "overwrite",
             "added": [group],

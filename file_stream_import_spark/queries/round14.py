@@ -408,3 +408,96 @@ def stream_mv_minmax_distinct(
         shutil.rmtree(f"{mv.path.rstrip('/')}_nd", ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_merge_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 3 AS third, COUNT(*) // 10 AS u
+          FROM base),
+    final AS (
+      SELECT b.k,
+             b.cents + CASE WHEN b.k <= p.u THEN 9 ELSE 0 END AS cents,
+             CASE WHEN b.k <= p.u THEN 'HIGH'
+                  WHEN b.k > 2 * p.third THEN 'NEW'
+                  ELSE NULL END AS priority
+      FROM base b, p
+    )
+    SELECT COALESCE(priority, 'LEGACY') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(1 AS INT) AS final_version
+    FROM final GROUP BY COALESCE(priority, 'LEGACY')
+    """,
+)
+def lake_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE schema evolution (io/versioned.py::merge_into
+    allow_evolution, r14 — Delta's schema.autoMerge): ONE MERGE commit
+    carries a source with an ADDITIVE 'priority' column — updating the
+    first u keys (matched: +9 cents, priority HIGH), inserting the
+    last third (not matched: priority NEW), and widening the table
+    schema in the same atomic publish. Untouched legacy rows surface
+    priority NULL (the additive-evolution read path), pinned in the
+    hash as the LEGACY group. The oracle recomputes the final state
+    from scratch; final_version pins that evolution + DML was one
+    commit."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, merge_into
+
+    o = _densified_orders(spark, sf_dir)
+    n = o.count()
+    third, u = n // 3, n // 10
+    o = o.localCheckpoint(eager=True)
+    t = VersionedTable(tempfile.mkdtemp(prefix="lake_mev_"))
+    try:
+        t.commit(
+            o.filter(F.col("k") <= 2 * third).select(
+                "k", "status", "cents"
+            ),
+            mode="overwrite",
+        )                                                   # v0
+        changelog = (
+            o.filter(F.col("k") <= u)
+            .select(
+                "k",
+                "status",
+                (F.col("cents") + 9).alias("cents"),
+                F.lit("HIGH").alias("priority"),
+            )
+            .unionByName(
+                o.filter(F.col("k") > 2 * third).select(
+                    "k",
+                    "status",
+                    "cents",
+                    F.lit("NEW").alias("priority"),
+                )
+            )
+        )
+        fv = merge_into(
+            t, spark, changelog, key="k", allow_evolution=True
+        )                                                   # v1
+        out = (
+            t.read(spark)
+            .groupBy(
+                F.coalesce(F.col("priority"), F.lit("LEGACY")).alias(
+                    "priority"
+                )
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .withColumn("final_version", F.lit(int(fv)).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return out

@@ -303,3 +303,123 @@ class TestNotMatchedBySource:
                 t, spark, _src(spark, [(1, 1, "x")]), key="k",
                 when_not_matched_by_source={"nope": F.lit(1)},
             )
+
+
+class TestMergeEvolution:
+    """r14: allow_evolution=True (Delta's schema.autoMerge) — a source
+    with additive new columns evolves the table inside the same MERGE
+    commit; old rows surface NULL for the new columns."""
+
+    def _wide_src(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, cents long, status string, extra string"
+        )
+
+    def test_rejected_without_flag(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import (
+            SchemaMismatchError,
+        )
+
+        t = _table(spark, tmp_path)
+        with pytest.raises(SchemaMismatchError, match="allow_evolution"):
+            merge_into(
+                t, spark,
+                self._wide_src(spark, [(1, 11, "new", "e1")]),
+                key="k",
+            )
+
+    def test_update_insert_and_null_backfill(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        merge_into(
+            t, spark,
+            self._wide_src(
+                spark, [(1, 11, "new", "e1"), (999, 1, "ins", "e9")]
+            ),
+            key="k",
+            allow_evolution=True,
+        )
+        df = t.read(spark)
+        assert df.columns == ["k", "cents", "status", "extra"]
+        got = {
+            r["k"]: (r["cents"], r["status"], r["extra"])
+            for r in df.filter(
+                F.col("k").isin(0, 1, 150, 999)
+            ).collect()
+        }
+        assert got[1] == (11, "new", "e1")
+        assert got[999] == (1, "ins", "e9")
+        # untouched rows — same group (0) and an untouched group (150)
+        assert got[0] == (0, "old", None)
+        assert got[150] == (1500, "old", None)
+
+    def test_source_missing_existing_column_rejected(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.versioned import (
+            SchemaMismatchError,
+        )
+
+        t = _table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(1, "x")], "k long, extra string"
+        )
+        with pytest.raises(SchemaMismatchError, match="lacks"):
+            merge_into(t, spark, src, key="k", allow_evolution=True)
+
+    def test_type_change_rejected(self, spark, tmp_path):
+        from file_stream_import_spark.io.versioned import (
+            SchemaMismatchError,
+        )
+
+        t = _table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(1, 1.5, "s")], "k long, cents double, status string"
+        )
+        with pytest.raises(SchemaMismatchError, match="type"):
+            merge_into(t, spark, src, key="k", allow_evolution=True)
+
+    def test_clause_engine_path_evolves_too(self, spark, tmp_path):
+        """A non-default clause (dict assignment touching the NEW
+        column) goes through _merge_clauses — the evolved column must
+        be assignable there as well."""
+        t = _table(spark, tmp_path)
+        merge_into(
+            t, spark,
+            self._wide_src(spark, [(2, 22, "new", "e2")]),
+            key="k",
+            when_matched={
+                "extra": F.col("s.extra"),
+                "cents": F.col("t.cents") + F.col("s.cents"),
+            },
+            allow_evolution=True,
+        )
+        row = t.read(spark).filter(F.col("k") == 2).collect()[0]
+        assert (row["cents"], row["status"], row["extra"]) == (
+            42, "old", "e2"
+        )
+
+    def test_cdf_and_time_travel_across_evolution(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.versioned import (
+            table_changes_cdf,
+        )
+
+        t = _table(spark, tmp_path)
+        v = merge_into(
+            t, spark,
+            self._wide_src(spark, [(1, 11, "new", "e1")]),
+            key="k",
+            allow_evolution=True,
+        )
+        cdf = table_changes_cdf(t, spark, v, v, key="k")
+        got = sorted(
+            (r["_change_type"], r["extra"]) for r in cdf.collect()
+        )
+        assert got == [
+            ("update_postimage", "e1"), ("update_preimage", None)
+        ]
+        # pre-evolution snapshots keep the narrow schema
+        assert t.read(spark, version=v - 1).columns == [
+            "k", "cents", "status"
+        ]

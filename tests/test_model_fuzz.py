@@ -80,6 +80,12 @@ op_st = st.one_of(
     st.tuples(st.just("overwrite"), rows_st),
     st.tuples(st.just("merge"), unique_rows_st),
     st.tuples(st.just("merge_cond"), unique_rows_st),
+    # evolve-inside-merge (r14): the source carries an ADDITIVE column
+    # 'e' and allow_evolution=True — the table widens in the same MERGE
+    # commit; every later op must carry 'e' (the engine requires merge
+    # and append sources to cover existing columns), an overwrite
+    # resets the schema, and rollback restores the pre-evolution shape
+    st.tuples(st.just("merge_evolve"), unique_rows_st),
     st.tuples(st.just("merge_del"), unique_rows_st),
     st.tuples(st.just("delete_cow"), range_st, st.booleans()),
     st.tuples(st.just("delete_mor"), range_st),
@@ -115,7 +121,14 @@ op_st = st.one_of(
 )
 
 
-def _df(spark, rows, valcol="val", valtype="long"):
+def _df(spark, rows, valcol="val", valtype="long", has_e=False):
+    if has_e:
+        # e rides along deterministically (i * 1000 + v) so evolved
+        # merges write real values, not just NULLs
+        return spark.createDataFrame(
+            [(int(i), int(v), int(i) * 1000 + int(v)) for i, v in rows],
+            f"id bigint, {valcol} {valtype}, e bigint",
+        )
     return spark.createDataFrame(
         [(int(i), int(v)) for i, v in rows],
         f"id bigint, {valcol} {valtype}",
@@ -136,6 +149,8 @@ def _apply_model(state: list, op: tuple) -> list:
         return state + list(op[1])
     if kind == "overwrite":
         return list(op[1])
+    if kind == "merge_evolve":
+        kind = "merge"
     if kind == "merge":
         # upsert semantics: matched duplicates collapse to ONE row
         src = dict(op[1])
@@ -184,9 +199,13 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
     )
     model = list(init_rows)
     valcol = "val"
-    # (visible rows, value-column name, value type) per version, for
-    # time-travel and rollback checks across renames/widenings
-    states: dict[int, tuple] = {v0: (sorted(model), valcol, valtype)}
+    has_e = False  # r14: additive column from an evolve-inside-merge
+    # (visible rows, value-column name, value type, has_e) per version,
+    # for time-travel and rollback checks across renames/widenings/
+    # evolutions
+    states: dict[int, tuple] = {
+        v0: (sorted(model), valcol, valtype, False)
+    }
     # open staging branch, if any: [handle, model, valcol, valtype,
     # fork_version, fork_model_len, interim_appends_only] — its own
     # pure-Python twin, checked on every stage; the last flag tracks
@@ -210,22 +229,33 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
                 continue  # already wide: a no-op draw, no commit
         elif kind == "append":
             table.commit(
-                _df(spark, op[1], valcol, valtype), mode="append"
+                _df(spark, op[1], valcol, valtype, has_e),
+                mode="append",
             )
         elif kind == "overwrite":
             table.commit(
                 _df(spark, op[1], valcol, valtype), mode="overwrite"
             )
+            has_e = False  # overwrite resets the schema
         elif kind == "merge":
             merge_into(
-                table, spark, _df(spark, op[1], valcol, valtype),
+                table, spark,
+                _df(spark, op[1], valcol, valtype, has_e),
                 key="id",
             )
+        elif kind == "merge_evolve":
+            merge_into(
+                table, spark,
+                _df(spark, op[1], valcol, valtype, has_e=True),
+                key="id",
+                allow_evolution=True,
+            )
+            has_e = True
         elif kind == "merge_cond":
             merge_into(
                 table,
                 spark,
-                _df(spark, op[1], valcol, valtype),
+                _df(spark, op[1], valcol, valtype, has_e),
                 key="id",
                 matched_condition=F.lit(True),
             )
@@ -233,7 +263,7 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             merge_into(
                 table,
                 spark,
-                _df(spark, op[1], valcol, valtype),
+                _df(spark, op[1], valcol, valtype, has_e),
                 key="id",
                 when_matched="delete",
                 when_not_matched=None,
@@ -269,10 +299,11 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             vs = table.versions()
             target = vs[op[1] % len(vs)]
             table.rollback(target)
-            model, valcol, valtype = (
+            model, valcol, valtype, has_e = (
                 list(states[target][0]),
                 states[target][1],
                 states[target][2],
+                states[target][3],
             )
         elif kind == "vacuum":
             table.vacuum(keep_versions=3, min_age_seconds=0)
@@ -281,10 +312,11 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
                 bh = table.create_branch("stg")
                 branch = [
                     bh, list(model), valcol, valtype,
-                    table.latest_version(), len(model), True,
+                    table.latest_version(), len(model), True, has_e,
                 ]
             branch[0].commit(
-                _df(spark, op[1], branch[2], branch[3]), mode="append"
+                _df(spark, op[1], branch[2], branch[3], branch[7]),
+                mode="append",
             )
             branch[1] = branch[1] + list(op[1])
             # staged rows visible on the branch, invisible on main
@@ -294,7 +326,9 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
         elif kind == "branch_publish":
             if branch is None:
                 continue
-            bh, bmodel, bcol, btype, fork_v, fork_len, ok = branch
+            (
+                bh, bmodel, bcol, btype, fork_v, fork_len, ok, _be
+            ) = branch
             staged = bmodel[fork_len:]
             if table.latest_version() == fork_v:
                 table.publish_branch("stg")
@@ -332,6 +366,7 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
             "append",
             "overwrite",
             "merge",
+            "merge_evolve",
             "merge_cond",
             "merge_del",
             "delete_cow",
@@ -359,7 +394,9 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
         assert got == want, (
             f"after {op} (parent v{before}): table={got} model={want}"
         )
-        states[table.latest_version()] = (want, valcol, valtype)
+        states[table.latest_version()] = (
+            want, valcol, valtype, has_e
+        )
         # metadata-count cross-check: count_where's pruned/contained/
         # scan classification must agree with the row model through
         # every DML interleaving (stats boxes, MoR deletes, rebases)
@@ -376,7 +413,7 @@ def _run_sequence(spark, tmp_base: str, init_rows, ops) -> None:
     # state and are covered by the post-op check that recorded them)
     for v in table.versions():
         if v in states:
-            rows_v, col_v, _type_v = states[v]
+            rows_v, col_v, _type_v, _e_v = states[v]
             assert _read_sorted(
                 table, spark, version=v, valcol=col_v
             ) == rows_v, f"time travel to v{v} diverged"
