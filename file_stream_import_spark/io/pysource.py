@@ -595,6 +595,57 @@ def _ref_table_or_raise(path: str, meta_root: str | None):
     return VersionedTable(path, _meta_root=meta_root)
 
 
+# version-range size from which changefeed planning consults the
+# history checkpoint: below this, one checkpoint parse costs more than
+# the handful of manifest loads it would save (streaming triggers are
+# typically 1-4 versions; 302-version backfills are the target)
+_CKPT_PLAN_MIN = 8
+
+# commit modes that can CREATE colmap/castmap entries — every other
+# mode only inherits them filtered to live groups (versioned.py's
+# _publish inheritance), so a range whose floor manifest carries no
+# entries and whose modes contain no setter provably has none anywhere
+# (the skip condition _resolved_map and _OverlayCache use)
+_MAP_SETTERS = (
+    "rename_column:",
+    "drop_column:",
+    "widen_column:",
+    "rollback:",
+    "publish_branch",
+)
+
+
+def _plan_rows(t, lo: int, hi: int):
+    """(rows_by_version, retained_set) for checkpoint-served
+    changefeed planning over [lo, hi] — or (None, None) when the range
+    is short or the checkpoint is unreadable/empty. A checkpoint row
+    carries (mode, added) — everything per-version planning needs —
+    at a few hundred bytes, vs the full manifest's group list +
+    per-group stats (the measured long-backfill residual at 400-group
+    tables). Rows for vacuum-expired versions can linger in stale
+    segments, so every use must guard with the RETAINED set."""
+    if hi - lo + 1 < _CKPT_PLAN_MIN:
+        return None, None
+    try:
+        rows = {
+            int(r["version"]): r
+            for r in t._read_checkpoint()["rows"]
+        }
+    except (OSError, ValueError, KeyError, TypeError):
+        return None, None
+    if not rows:
+        return None, None
+    return rows, set(t.versions())
+
+
+def _expired_remedy(v: int):
+    raise ValueError(
+        f"snapshot {v} has been expired by vacuum(); restart "
+        "the stream from a fresh checkpoint with "
+        "startingversion=latest (or a retained version)"
+    )
+
+
 def _changefeed_added_groups(
     path: str,
     lo: int,
@@ -620,9 +671,27 @@ def _changefeed_added_groups(
                 "startingversion=latest (or a retained version)"
             ) from None
 
+    rows, retained = _plan_rows(t, lo, hi)
     out: list[tuple[int, str]] = []
     prev_groups: set | None = None
     for v in range(lo, hi + 1):
+        row = rows.get(v) if rows is not None else None
+        if row is not None and row.get("added") is not None:
+            # checkpoint-served planning (r14): mode + added straight
+            # from the history row — no manifest parse for this version
+            if v not in retained:
+                _expired_remedy(v)
+            mode = str(row.get("mode", ""))
+            if not _append_like_mode(mode, v) and not ignore_changes:
+                raise ValueError(
+                    f"snapshot {v} is {mode!r}, not an append; the "
+                    "changefeed is append-only — pass "
+                    "ignorechanges=true to tail only added groups "
+                    "(removed data is never retracted)"
+                )
+            out.extend((v, g) for g in row["added"])
+            prev_groups = None  # not tracked on the row-served path
+            continue
         m = manifest_or_expired(v)
         mode = str(m.get("mode", ""))
         append_like = _append_like_mode(mode, v)
@@ -726,6 +795,7 @@ def _resolved_map(
     latest: int,
     mkey: str = "colmap",
     pin_v: int | None = None,
+    modes: dict | None = None,
 ) -> dict:
     """Evolution-map entries (colmap or castmap) unioned over manifests
     [lo, latest], NEWEST manifest winning per group. The latest
@@ -762,17 +832,75 @@ def _resolved_map(
 
     if pin_v is None:
         pin_v = latest
-    walked: list = []
-    for v in range(latest, max(lo, 0) - 1, -1):
+    floor = max(lo, 0)
+    walked: list = []  # ascending (oldest first)
+    fast = False
+    if modes is not None:
+        # checkpoint-served skip (r14): evolution-map entries are only
+        # CREATED by _MAP_SETTERS commits and otherwise inherited
+        # filtered to live groups, so after probing the range FLOOR a
+        # version can be skipped when no setter (and no unknown-mode
+        # manifest) has appeared at or below it — its map is provably
+        # the inherited-from-empty one and it carries no rename event.
+        # This collapses the long-backfill construction walk (one
+        # manifest JSON parse per version, the measured residual) to
+        # the floor probe + the unknown tail past the checkpoint.
         try:
-            walked.append((v, t._load_manifest(v)))
+            m_lo = t._load_manifest(floor)
         except FileNotFoundError:
-            break  # older versions expired: nothing left to learn
+            m_lo = None  # expired floor: classic walk handles it
+        if m_lo is not None:
+            fast = True
+            walked.append((floor, m_lo))
+            must = bool(m_lo.get(mkey) or {}) or str(
+                m_lo.get("mode", "")
+            ).startswith(_MAP_SETTERS)
+            skipped: list[int] = []
+            for v in range(floor + 1, latest + 1):
+                mode = modes.get(v)
+                if (
+                    not must
+                    and mode is not None
+                    and not mode.startswith(_MAP_SETTERS)
+                ):
+                    skipped.append(v)
+                    continue
+                try:
+                    m = t._load_manifest(v)
+                except FileNotFoundError:
+                    continue  # raced vacuum: nothing left to learn
+                if not must and str(m.get("mode", "")).startswith(
+                    _MAP_SETTERS
+                ):
+                    # first setter discovered: versions skipped BELOW
+                    # it need their manifests after all — the forward
+                    # fold synthesizes routing for pre-rename groups
+                    # (incl. groups dead before the rename, the r13
+                    # case) from events AFTER them, so a later rename
+                    # reaches back. Rename-free ranges (the common
+                    # backfill) never pay this.
+                    for sv in skipped:
+                        try:
+                            walked.append((sv, t._load_manifest(sv)))
+                        except FileNotFoundError:
+                            continue
+                    skipped = []
+                walked.append((v, m))
+                if str(m.get("mode", "")).startswith(_MAP_SETTERS):
+                    must = True
+    if not fast:
+        desc: list = []
+        for v in range(latest, floor - 1, -1):
+            try:
+                desc.append((v, t._load_manifest(v)))
+            except FileNotFoundError:
+                break  # older versions expired: nothing left to learn
+        walked = list(reversed(desc))
     events = []  # rename commits inside the walked suffix, ascending
     if mkey == "colmap":
         events = [
             (v, m["renamed"]["old"], m["renamed"]["new"])
-            for v, m in reversed(walked)
+            for v, m in walked
             if str(m.get("mode", "")).startswith("rename_column:")
             and m.get("renamed")
         ]
@@ -789,7 +917,7 @@ def _resolved_map(
         return name
 
     out: dict = {}
-    for v, m in walked:  # newest first
+    for v, m in reversed(walked):  # newest first
         for g, mp in (m.get(mkey) or {}).items():
             if g not in out and mp:
                 out[g] = {
@@ -843,23 +971,46 @@ class _OverlayCache:
     {**older, **newer}. A checkpoint restart rebuilds the cache with
     one full walk (same cost as one pre-fix trigger)."""
 
-    def __init__(self, pinned_latest: int):
+    def __init__(self, pinned_latest: int, pinned_has_map: bool = True):
         self.pinned = pinned_latest
         self.upto = pinned_latest
         self.events: list[tuple[int, str, str]] = []  # ascending
         self.out: dict = {}
+        # conservative default True: only a caller that KNOWS the
+        # pinned colmap is empty may enable the checkpoint-mode skip
+        # below (a non-empty pin means rename history exists and any
+        # post-pin manifest may inherit routing entries)
+        self.pinned_has_map = pinned_has_map
 
-    def extend(self, t, hi: int) -> dict:
+    def extend(self, t, hi: int, modes: dict | None = None) -> dict:
         import json as _json
 
         if hi <= self.upto:
             return self.out
         walked = []
+        # checkpoint-served skip (r14, same argument as _resolved_map):
+        # with an empty pinned colmap and no rename events so far, a
+        # version whose mode is known and is not a _MAP_SETTERS op can
+        # carry no colmap entries (inheritance from empty) and no
+        # rename event — loading its manifest would contribute nothing.
+        # Once any setter (or unknown-mode manifest that turns out to
+        # be one) appears, everything after it walks as before.
+        must_walk = self.pinned_has_map or bool(self.events)
         for v in range(self.upto + 1, hi + 1):
+            if (
+                not must_walk
+                and modes is not None
+                and v in modes
+                and not str(modes[v]).startswith(_MAP_SETTERS)
+            ):
+                continue
             try:
-                walked.append((v, t._load_manifest(v)))
+                m = t._load_manifest(v)
             except FileNotFoundError:
                 continue  # expired: the CDF planner raises its remedy
+            walked.append((v, m))
+            if str(m.get("mode", "")).startswith(_MAP_SETTERS):
+                must_walk = True
         self.upto = hi
         for v, m in walked:
             if str(m.get("mode", "")).startswith(
@@ -1324,7 +1475,6 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
             )
         pinned = t._load_manifest(latest)
         self._pinned_latest = latest
-        self._overlay_cache = _OverlayCache(latest)
         self._schema_json = pinned["schema"]
         # pinned with the schema — see TableChangefeedReader: a
         # bounded batch ending before a rename commit needs the
@@ -1334,16 +1484,34 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         # rewritten away before stream start route only through
         # historical manifests)
         if self.read_change_data or self.ignore_changes:
-            self._pinned_colmap = _resolved_map(
-                t,
+            pin_lo = (
                 0 if self.starting == "earliest" else (
                     latest if self.starting == "latest"
                     else int(self.starting)
-                ),
-                latest,
+                )
+            )
+            # r14: a LONG starting range (historical backfill) serves
+            # the ranged-union walk and per-version planning from the
+            # history checkpoint's rows instead of parsing every
+            # interim manifest
+            self._plan_cache, _retained = _plan_rows(t, pin_lo, latest)
+            modes = (
+                None
+                if self._plan_cache is None
+                else {
+                    v: str(r.get("mode", ""))
+                    for v, r in self._plan_cache.items()
+                }
+            )
+            self._pinned_colmap = _resolved_map(
+                t, pin_lo, latest, modes=modes
             )
         else:
+            self._plan_cache = None
             self._pinned_colmap = pinned.get("colmap") or {}
+        self._overlay_cache = _OverlayCache(
+            latest, pinned_has_map=bool(self._pinned_colmap)
+        )
         # the next-unplanned-version floor latestOffset() caps against
         # (the Python DataSourceStreamReader API gives latestOffset no
         # start argument, so the reader tracks it). Seeded from
@@ -1411,9 +1579,19 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
                 pass  # expired: the walk below raises the remedy
         # post-pin overlay (r13): see TableChangefeedReader — a
         # mid-stream rename's versions fold their routing back to the
-        # pinned names, planned driver-side once per batch
+        # pinned names, planned driver-side once per batch. Checkpoint
+        # rows (r14) let it skip manifest loads for known non-setter
+        # versions.
+        plan_modes = (
+            None
+            if self._plan_cache is None
+            else {
+                v: str(r.get("mode", ""))
+                for v, r in self._plan_cache.items()
+            }
+        )
         overlay = self._overlay_cache.extend(
-            self._table(), max(hi, lo)
+            self._table(), max(hi, lo), modes=plan_modes
         )
         colmap = {**colmap, **overlay, **self._pinned_colmap}
         cdf_fallback = {**overlay, **self._pinned_colmap}
@@ -1440,9 +1618,42 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
         else:
             # CDF planning: append-like versions fan out per added
             # file (as usual, plus 'insert' metadata); each non-append
-            # version plans ONE diff task
+            # version plans ONE diff task. Long ranges (r14) plan from
+            # history-checkpoint rows — mode + added per version at a
+            # few hundred bytes — instead of parsing every interim
+            # manifest (group list + per-group stats).
             t = self._table()
+            rows = self._plan_cache
+            retained = None
+            if rows is None:
+                rows, retained = _plan_rows(t, lo, hi)
+            elif any(
+                v not in rows or rows[v].get("added") is None
+                for v in range(lo, hi + 1)
+            ):
+                # construction-time cache misses part of this range
+                # (new commits / legacy rows): one re-read picks up
+                # segments extended since
+                fresh, retained = _plan_rows(t, lo, hi)
+                if fresh is not None:
+                    rows = {**rows, **fresh}
+            if rows is not None and retained is None:
+                retained = set(t.versions())
             for v in range(lo, hi + 1):
+                row = rows.get(v) if rows is not None else None
+                if row is not None and v not in retained:
+                    _expired_remedy(v)
+                if row is not None and _append_like_mode(
+                    str(row.get("mode", "")), v
+                ) and row.get("added") is not None:
+                    for g in row["added"]:
+                        file_parts(g, commit_version=v)
+                    continue
+                if row is not None and not _append_like_mode(
+                    str(row.get("mode", "")), v
+                ):
+                    parts.append(_CdfDiffPartition(v, cdf_fallback))
+                    continue
                 try:
                     m = t._load_manifest(v)
                 except FileNotFoundError:
@@ -1453,10 +1664,17 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
                         "version)"
                     ) from None
                 if _append_like_mode(str(m.get("mode", "")), v):
-                    for _vv, g in _changefeed_added_groups(
-                        self.path, v, v, True, self._meta
-                    ):
-                        file_parts(g, commit_version=v)
+                    added = m.get("added")
+                    if added is not None:
+                        # modern manifest: the delta is explicit — no
+                        # second parse through the shared walk
+                        for g in added:
+                            file_parts(g, commit_version=v)
+                    else:
+                        for _vv, g in _changefeed_added_groups(
+                            self.path, v, v, True, self._meta
+                        ):
+                            file_parts(g, commit_version=v)
                 else:
                     parts.append(_CdfDiffPartition(v, cdf_fallback))
         # a planned batch can still add zero groups (rollback/compact

@@ -1127,6 +1127,14 @@ def _history_row(version: int, m: dict) -> dict:
         # manifest for exactly those rows)
         "committed_at": m.get("committed_at"),
         "n_added": len(m.get("added") or []),
+        # the ADDED group list itself (r14): long changefeed/CDF
+        # backfills plan their per-version partitions from checkpoint
+        # rows instead of parsing every interim manifest (each of
+        # which carries the FULL group list + per-group stats — the
+        # measured residual at 400-group tables). None for legacy
+        # manifests without the explicit delta; the planner falls
+        # back to the manifest for exactly those versions.
+        "added": m.get("added"),
     }
 
 
