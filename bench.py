@@ -66,14 +66,20 @@ PANDAS_BACKED = ["multimodal_wav_decode", "topk_per_group"]
 
 
 def bench_one(
-    label: str, run, timings: dict, history: dict, n_passes: int = N_PASSES
+    label: str, run, timings: dict, history: dict, n_passes: int = N_PASSES,
+    spread_target: float = 2.0,
 ) -> None:
     """One discarded warm-up + n_passes timed runs; record the min.
 
-    If the fastest pass is still >2x the slowest-pass floor seen across
-    the first n_passes (host CPU-steal phase can poison a whole query's
-    window), take up to 2 extra passes — min() only helps if at least
-    one pass lands in a quiet window.
+    If the fastest pass is still >spread_target x the slowest-pass
+    floor seen across the first n_passes (host CPU-steal phase can
+    poison a whole query's window), take up to 2 extra passes — min()
+    only helps if at least one pass lands in a quiet window. The
+    multi-second STREAMING entries pass a tighter target (1.15x, r14):
+    their micro-batch scheduling is the most load-sensitive path on
+    this host (documented r13: driver-sweep background load read them
+    ~1.3x high), and a couple of extra ~3 s passes is cheap insurance
+    that the recorded min comes from a quiet window.
     """
     run()  # warm-up, discarded
     passes = []
@@ -83,7 +89,7 @@ def bench_one(
         passes.append(round(time.perf_counter() - t0, 3))
         print(f"  [{i}] {label}: {passes[-1]:.3f}s", file=sys.stderr)
     extra = 0
-    while extra < 2 and max(passes) / max(min(passes), 1e-9) > 2.0:
+    while extra < 2 and max(passes) / max(min(passes), 1e-9) > spread_target:
         t0 = time.perf_counter()
         run()
         passes.append(round(time.perf_counter() - t0, 3))
@@ -300,7 +306,10 @@ def main() -> None:
             assert sum(seen) == 8_000, f"catch-up drained {sum(seen)}"
             return sum(seen)
 
-        bench_one("stream_changefeed_catchup", stream_catchup, timings, history)
+        bench_one(
+            "stream_changefeed_catchup", stream_catchup, timings,
+            history, spread_target=1.15,
+        )
     finally:
         shutil.rmtree(tmp4, ignore_errors=True)
 
@@ -358,7 +367,7 @@ def main() -> None:
                 group_cols=["status"], sum_cols=["cents"], key="k",
             )
 
-        bench_one("lake_mv_refresh_cycle", mv_cycle, timings, history)
+        bench_one("lake_mv_refresh_cycle", mv_cycle, timings, history, spread_target=1.15)
     finally:
         shutil.rmtree(tmp5, ignore_errors=True)
 

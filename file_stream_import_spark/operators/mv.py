@@ -203,6 +203,12 @@ def refresh_mv(
     sq_names = [f"{c}_sumsq" for c in sumsq_cols]
     nd_names = [f"{c}_nd" for c in distinct_cols]
     taken = {*group_cols, *sum_cols, rows_col}
+    if rows_col in group_cols or rows_col in sum_cols:
+        raise ValueError(
+            f"rows_col {rows_col!r} collides with a group/sum column "
+            "— pass rows_col=<other name> (an MV-over-MV rollup that "
+            "groups by the lower MV's count column hits this)"
+        )
     for c in [*min_cols, *max_cols, *sumsq_cols, *distinct_cols]:
         if c in group_cols:
             raise ValueError(

@@ -209,6 +209,11 @@ _op_st = st.one_of(
     st.tuples(st.just("delete"), st.integers(0, 9), st.integers(0, 9)),
     st.tuples(st.just("append"), _rows_st),
     st.tuples(st.just("refresh"), st.just(None)),
+    # r14: a rename CYCLE on the source (x -> x_tmp -> x) injects two
+    # rename commits into the CDF range the next refresh replays while
+    # leaving the net schema unchanged — the fold must route values
+    # through the rename chain (_resolved_map / overlay machinery)
+    st.just(("rename_cycle",)),
 )
 
 
@@ -267,6 +272,9 @@ class TestMvConvergenceFuzz:
                     ),
                     mode="append",
                 )
+            elif kind == "rename_cycle":
+                src.rename_column("x", "x_tmp")
+                src.rename_column("x_tmp", "x")
             else:
                 _refresh(src, mv, spark)
         _refresh(src, mv, spark)
@@ -1643,6 +1651,11 @@ class TestRefreshMvDistinct:
                     ),
                     mode="append",
                 )
+            elif kind == "rename_cycle":
+                # cycle the VALUE column: the aux fold must route the
+                # distinct values through the rename chain too
+                src.rename_column("v", "v_tmp")
+                src.rename_column("v_tmp", "v")
             else:
                 _refresh_nd(src, mv, spark)
         _refresh_nd(src, mv, spark)
@@ -1802,3 +1815,104 @@ class TestStreamingMaintainerParity:
                 mv, "q", group_cols=["g"], sum_cols=["x"],
                 min_cols=["x"],
             )
+
+
+class TestMvRenameLockstep:
+    """r14: renames through MV chains. A REAL (non-cycle) rename of
+    the distinct value column migrates in lockstep — source column,
+    aux table (path + column), and the MV's nd column — and the next
+    refresh converges under the new names; and an MV-over-MV rollup
+    refreshes through a rename on the LEVEL-1 MV (its CDF replay range
+    contains the rename commit)."""
+
+    def test_distinct_value_column_lockstep_rename(
+        self, spark, tmp_path
+    ):
+        import os as _osmod
+
+        src = _mk_v(
+            spark, tmp_path, [(1, "a", "x", 1), (2, "a", "y", 2)]
+        )
+        mv = _mv(tmp_path, "ren_nd_mv")
+        _refresh_nd(src, mv, spark)
+        # the documented lockstep migration: source col, aux dir +
+        # col, MV nd col — all renamed together, then refresh with the
+        # new name
+        src.rename_column("v", "w")
+        old_aux = nd_aux_table(mv, "v")
+        new_aux = nd_aux_table(mv, "w")
+        _osmod.rename(old_aux.path, new_aux.path)
+        new_aux.rename_column("v", "w")
+        mv.rename_column("v_nd", "w_nd")
+        src.commit(
+            spark.createDataFrame(
+                [(3, "a", "x", 4)],
+                "k long, g string, w string, x long",
+            ),
+            mode="append",
+        )
+        src.delete_where(spark, F.col("k") == 2)  # last 'y' leaves
+        refresh_mv(
+            src, mv, spark,
+            name="nd", group_cols=["g"], sum_cols=["x"], key="k",
+            distinct_cols=["w"],
+        )
+        got = sorted(
+            (r["g"], r["n_rows"], r["x"], r["w_nd"])
+            for r in mv.read(spark).collect()
+        )
+        assert got == [("a", 2, 5, 1)]
+
+    def test_mv_over_mv_refreshes_through_level1_rename(
+        self, spark, tmp_path
+    ):
+        src = _mk(
+            spark, tmp_path,
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5)],
+            name="l0",
+        )
+        mv1 = _mv(tmp_path, "l1")
+        mv2 = _mv(tmp_path, "l2")
+        _refresh(src, mv1, spark)
+        # level-2 rolls the level-1 MV up to one global row; the MV is
+        # key-unique on its group column, satisfying the CDF contract
+        refresh_mv(
+            mv1, mv2, spark,
+            name="l2", group_cols=["n_rows"], sum_cols=["x"], key="g",
+            rows_col="n_l1_groups",
+        )
+        # rename the sum column in LOCKSTEP at ALL THREE levels (the
+        # documented recipe), then more source DML and chained
+        # refreshes: level 2's CDF replay range now CONTAINS mv1's
+        # rename commit and the post-rename merge
+        src.rename_column("x", "cents")
+        mv1.rename_column("x", "cents")
+        mv2.rename_column("x", "cents")
+        src.commit(
+            spark.createDataFrame(
+                [(4, "b", 7)], "k long, g string, cents long"
+            ),
+            mode="append",
+        )
+        refresh_mv(
+            src, mv1, spark,
+            name="t", group_cols=["g"], sum_cols=["cents"], key="k",
+        )
+        refresh_mv(
+            mv1, mv2, spark,
+            name="l2", group_cols=["n_rows"], sum_cols=["cents"],
+            key="g", rows_col="n_l1_groups",
+        )
+        want = sorted(
+            (r["n"], r["c"])
+            for r in mv1.read(spark)
+            .groupBy("n_rows")
+            .agg(F.sum("cents").alias("c"))
+            .select(F.col("n_rows").alias("n"), "c")
+            .collect()
+        )
+        got = sorted(
+            (r["n_rows"], r["cents"])
+            for r in mv2.read(spark).select("n_rows", "cents").collect()
+        )
+        assert got == want
