@@ -747,7 +747,42 @@ def _admitted_end(
     if (max_files > 0 or max_bytes > 0) and end > lo:
         t = VersionedTable(path, _meta_root=meta_root)
         files, nbytes, admitted, v = 0, 0, lo, lo
+        # long catch-up backlogs (r14): serve added lists + bytes from
+        # checkpoint rows instead of parsing each manifest; per-group
+        # listdir (the file count) is unavoidable either way
+        rows, retained = _plan_rows(t, lo, end - 1)
         while v < end:
+            row = rows.get(v) if rows is not None else None
+            if (
+                row is not None
+                and row.get("added") is not None
+                and (max_bytes <= 0 or row.get("added_bytes") is not None)
+            ):
+                if v not in retained:
+                    break  # expired: partitions() raises the remedy
+                cnt = 0
+                for g in row["added"]:
+                    try:
+                        cnt += sum(
+                            1
+                            for n in os.listdir(os.path.join(path, g))
+                            if n.endswith(".parquet")
+                        )
+                    except FileNotFoundError:
+                        pass
+                b = int(row.get("added_bytes") or 0)
+                over = (
+                    max_files and files and files + cnt > max_files
+                ) or (
+                    max_bytes and nbytes and nbytes + b > max_bytes
+                )
+                if over:
+                    break
+                files += cnt
+                nbytes += b
+                admitted = v + 1
+                v += 1
+                continue
             try:
                 m = t._load_manifest(v)
             except FileNotFoundError:

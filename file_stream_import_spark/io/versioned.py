@@ -1135,7 +1135,26 @@ def _history_row(version: int, m: dict) -> dict:
         # manifests without the explicit delta; the planner falls
         # back to the manifest for exactly those versions.
         "added": m.get("added"),
+        # added data bytes (r14): lets the files/bytes admission walk
+        # (_admitted_end) bound long catch-up backlogs without parsing
+        # each manifest. None when any added group lacks write-time
+        # _bytes (legacy) — consumers fall back to the manifest.
+        "added_bytes": _added_bytes(m),
     }
+
+
+def _added_bytes(m: dict) -> int | None:
+    added = m.get("added")
+    if added is None:
+        return None
+    stats = m.get("stats") or {}
+    total = 0
+    for g in added:
+        b = (stats.get(g) or {}).get("_bytes")
+        if b is None:
+            return None
+        total += int(b)
+    return total
 
 
 class VersionedTable:

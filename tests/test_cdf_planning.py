@@ -193,3 +193,30 @@ class TestCheckpointServedPlan:
             )
         with pytest.raises(Exception, match="expired by vacuum"):
             _plan(t)
+
+
+class TestAdmissionFromRows:
+    def test_admitted_end_matches_manifest_walk(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The files/bytes admission walk over a long backlog admits
+        the SAME end offset whether it reads checkpoint rows or parses
+        each manifest."""
+        t = _mk_history(spark, tmp_path, n_appends=14)
+        lo, head = 0, t.latest_version() + 1
+        cases = [
+            dict(max_versions=0, max_files=3, max_bytes=0),
+            dict(max_versions=0, max_files=0, max_bytes=4096),
+            dict(max_versions=0, max_files=5, max_bytes=1 << 20),
+        ]
+        served = [
+            ps._admitted_end(t.path, lo, head, **c) for c in cases
+        ]
+        monkeypatch.setattr(
+            ps, "_plan_rows", lambda *a, **k: (None, None)
+        )
+        walked = [
+            ps._admitted_end(t.path, lo, head, **c) for c in cases
+        ]
+        assert served == walked
+        assert all(lo < e <= head for e in served)

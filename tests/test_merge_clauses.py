@@ -423,3 +423,28 @@ class TestMergeEvolution:
         assert t.read(spark, version=v - 1).columns == [
             "k", "cents", "status"
         ]
+
+    def test_by_source_sweep_composes_with_evolution(
+        self, spark, tmp_path
+    ):
+        """The BY SOURCE sweep assigns the EVOLVED column on unmatched
+        target rows in the same widening MERGE commit."""
+        t = VersionedTable(str(tmp_path / "tbe"))
+        t.commit(
+            spark.createDataFrame(
+                [(1, 10, "old"), (2, 20, "old")],
+                "k long, cents long, status string",
+            ),
+            mode="overwrite",
+        )
+        merge_into(
+            t, spark,
+            self._wide_src(spark, [(1, 11, "new", "E1")]),
+            key="k",
+            allow_evolution=True,
+            when_not_matched_by_source={"extra": F.lit("SWEPT")},
+        )
+        got = sorted(tuple(r) for r in t.read(spark).collect())
+        assert got == [
+            (1, 11, "new", "E1"), (2, 20, "old", "SWEPT")
+        ]
