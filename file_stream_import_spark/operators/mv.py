@@ -142,6 +142,7 @@ def refresh_mv(
     max_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    approx_distinct_cols: list[str] | None = None,
     pin_watermark: bool = False,
 ) -> int:
     """Bring ``mv`` up to the source's latest version; returns the
@@ -186,6 +187,15 @@ def refresh_mv(
     column is not auto-tracked — re-bootstrap (or rename the aux
     column in lockstep).
 
+    ``approx_distinct_cols`` (r14) adds APPROX COUNT DISTINCT as a
+    mergeable HLL sketch ``<col>_hll`` (estimate at read time with
+    F.hll_sketch_estimate): inserts fold by sketch UNION with no aux
+    state at all; ANY delete in a group endangers it (a sketch cannot
+    forget) and exactly those groups re-sketch from the source
+    snapshot, group-pruned (see _fold_hll). Choose it for
+    insert-mostly corpora; choose ``distinct_cols`` for exact values
+    or delete-heavy workloads.
+
     ``pin_watermark=True`` tags the source at each new watermark
     (``mvpin-<name>-<v>``, previous pin swept), so an aggressive
     vacuum() can never expire the manifests the next refresh's CDF
@@ -197,11 +207,13 @@ def refresh_mv(
     max_cols = list(max_cols or [])
     sumsq_cols = list(sumsq_cols or [])
     distinct_cols = list(distinct_cols or [])
+    approx_distinct_cols = list(approx_distinct_cols or [])
     ext_names = [f"{c}_min" for c in min_cols] + [
         f"{c}_max" for c in max_cols
     ]
     sq_names = [f"{c}_sumsq" for c in sumsq_cols]
     nd_names = [f"{c}_nd" for c in distinct_cols]
+    hll_names = [f"{c}_hll" for c in approx_distinct_cols]
     taken = {*group_cols, *sum_cols, rows_col}
     if rows_col in group_cols or rows_col in sum_cols:
         raise ValueError(
@@ -209,12 +221,15 @@ def refresh_mv(
             "— pass rows_col=<other name> (an MV-over-MV rollup that "
             "groups by the lower MV's count column hits this)"
         )
-    for c in [*min_cols, *max_cols, *sumsq_cols, *distinct_cols]:
+    for c in [
+        *min_cols, *max_cols, *sumsq_cols, *distinct_cols,
+        *approx_distinct_cols,
+    ]:
         if c in group_cols:
             raise ValueError(
                 f"derived-aggregate column {c!r} is a group column"
             )
-    for n in [*ext_names, *sq_names, *nd_names]:
+    for n in [*ext_names, *sq_names, *nd_names, *hll_names]:
         if n in taken:
             raise ValueError(f"derived column name {n!r} collides")
     cur = source.latest_version()
@@ -226,7 +241,7 @@ def refresh_mv(
     ftypes = _sum_fold_types(src_schema, sum_cols)
     _sum_fold_types(src_schema, sumsq_cols)  # numeric-family check
     src_names = {f.name for f in src_schema.fields}
-    for c in distinct_cols:
+    for c in [*distinct_cols, *approx_distinct_cols]:
         if c not in src_names:
             raise ValueError(
                 f"distinct column {c!r} not in source schema"
@@ -279,6 +294,12 @@ def refresh_mv(
                             .cast("bigint")
                             .alias(f"{c}_nd")
                             for c in distinct_cols
+                        ],
+                        *[
+                            F.hll_sketch_agg(F.col(c)).alias(
+                                f"{c}_hll"
+                            )
+                            for c in approx_distinct_cols
                         ],
                     )
                 )
@@ -348,6 +369,24 @@ def refresh_mv(
                             )
                             for c in max_cols
                         ],
+                        # approx-distinct: insert-side sketch + the
+                        # shared any-delete endangerment flag (a
+                        # sketch cannot forget a value)
+                        *[
+                            F.hll_sketch_agg(
+                                F.when(is_add, F.col(c))
+                            ).alias(f"__ins_hll_{c}")
+                            for c in approx_distinct_cols
+                        ],
+                        *(
+                            [
+                                F.max(
+                                    F.when(~is_add, F.lit(1))
+                                ).alias("__any_del")
+                            ]
+                            if approx_distinct_cols
+                            else []
+                        ),
                     )
                 )
                 if ext_names:
@@ -355,6 +394,12 @@ def refresh_mv(
                         source, mv, spark, deltas,
                         cur=cur, mv_v=mv_v, group_cols=group_cols,
                         min_cols=min_cols, max_cols=max_cols,
+                    )
+                if hll_names:
+                    deltas = _fold_hll(
+                        source, mv, spark, deltas,
+                        cur=cur, mv_v=mv_v, group_cols=group_cols,
+                        approx_cols=approx_distinct_cols,
                     )
                 for c in distinct_cols:
                     _fold_aux(
@@ -371,7 +416,7 @@ def refresh_mv(
                     )
                 deltas = deltas.select(
                     *group_cols, *sum_cols, rows_col, *sq_names,
-                    *ext_names, *nd_names,
+                    *ext_names, *nd_names, *hll_names,
                 )
                 merge_into(
                     mv,
@@ -390,7 +435,7 @@ def refresh_mv(
                         # and the FINAL distinct count from the aux
                         **{
                             n: F.col(f"s.{n}")
-                            for n in [*ext_names, *nd_names]
+                            for n in [*ext_names, *nd_names, *hll_names]
                         },
                     },
                     txn={tag: cur},
@@ -561,6 +606,95 @@ def _fold_distinct(
             F.coalesce(F.col(f"{c}_nd"), F.lit(0).cast("bigint")),
         )
     return deltas
+
+
+def _fold_hll(
+    source: VersionedTable,
+    mv: VersionedTable,
+    spark,
+    deltas,
+    *,
+    cur: int,
+    mv_v: int | None,
+    group_cols: list[str],
+    approx_cols: list[str],
+):
+    """Resolve each delta group's FINAL HLL sketch (``<col>_hll``) —
+    the APPROX COUNT DISTINCT variant (r14): inserts fold by sketch
+    UNION (always safe — HLL registers only grow), while ANY delete in
+    a group makes it ENDANGERED (a sketch cannot forget), and exactly
+    those groups re-sketch from the source snapshot, group-pruned like
+    _fold_extremes. Estimate at read time with hll_sketch_estimate.
+    Exact semantics (and O(delta) deletes) live in distinct_cols'
+    support tables; this variant trades delete-locality for zero aux
+    state — the right choice for insert-mostly corpora."""
+    if mv_v is None or mv.latest_version() is None:
+        stored = deltas.select(
+            *group_cols,
+            *[
+                F.col(f"__ins_hll_{c}").alias(f"__st_hll_{c}")
+                for c in approx_cols
+            ],
+            F.lit(True).alias("__in_mv_h"),
+        ).limit(0)
+    else:
+        stored = mv.read(spark, version=mv_v).select(
+            *group_cols,
+            *[
+                F.col(f"{c}_hll").alias(f"__st_hll_{c}")
+                for c in approx_cols
+            ],
+            F.lit(True).alias("__in_mv_h"),
+        )
+    j = deltas.join(stored, on=group_cols, how="left").withColumn(
+        "__hll_endangered",
+        F.col("__any_del").isNotNull(),
+    ).localCheckpoint(eager=True)
+    end_keys = j.filter(F.col("__hll_endangered")).select(*group_cols)
+    probe = end_keys.limit(_MAX_EXACT_KEYS + 1).collect()
+    if not probe:
+        exact = None
+    else:
+        if len(group_cols) == 1 and len(probe) <= _MAX_EXACT_KEYS:
+            src = source.read(
+                spark,
+                version=cur,
+                where={group_cols[0]: [r[0] for r in probe]},
+            )
+        else:
+            src = source.read(spark, version=cur).join(
+                end_keys, on=group_cols, how="semi"
+            )
+        exact = src.groupBy(*group_cols).agg(
+            *[
+                F.hll_sketch_agg(F.col(c)).alias(f"__ex_hll_{c}")
+                for c in approx_cols
+            ]
+        )
+    if exact is not None:
+        j = j.join(exact, on=group_cols, how="left")
+    else:
+        for c in approx_cols:
+            j = j.withColumn(
+                f"__ex_hll_{c}", F.lit(None).cast("binary")
+            )
+    out_cols = [
+        F.when(F.col("__hll_endangered"), F.col(f"__ex_hll_{c}"))
+        .otherwise(
+            F.when(
+                F.col("__in_mv_h").isNull()
+                | F.col(f"__st_hll_{c}").isNull(),
+                F.col(f"__ins_hll_{c}"),
+            ).otherwise(
+                F.hll_union(
+                    F.col(f"__st_hll_{c}"), F.col(f"__ins_hll_{c}")
+                )
+            )
+        )
+        .alias(f"{c}_hll")
+        for c in approx_cols
+    ]
+    return j.select("*", *out_cols)
 
 
 def _fold_extremes(

@@ -501,3 +501,124 @@ def lake_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_mv_approx_distinct",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 3 AS third, COUNT(*) // 10 AS u
+          FROM base),
+    final AS (
+      SELECT b.k,
+             CASE WHEN b.k <= p.u THEN 'MV' ELSE b.status END AS status,
+             CASE WHEN b.k <= p.u THEN b.cents + 3 ELSE b.cents END
+               AS cents
+      FROM base b, p
+      WHERE NOT (b.k > p.u AND b.k <= 2 * p.u)
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT CAST(cents % 997 AS VARCHAR)) AS BIGINT)
+             AS exact_nd,
+           CAST(1 AS INT) AS est_within_5pct
+    FROM final GROUP BY status
+    """,
+)
+def lake_mv_approx_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPROX COUNT DISTINCT in the incremental MV (operators/mv.py
+    approx_distinct_cols, r14): a mergeable HLL sketch per group —
+    inserts fold by sketch union with NO aux state; the CoW DELETE
+    endangers its groups (a sketch cannot forget) and exactly those
+    re-sketch from the source, group-pruned. The MV's estimates are
+    checked against the oracle-matched EXACT recompute with a 5%
+    tolerance flag (pinned at 1); counts, sums, and the exact distinct
+    counts are hashed directly. Same DML shape as lake_mv_distinct
+    with v = cents % 997 (~997 values/group, real sketch territory)."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, merge_into
+    from ..operators.mv import refresh_mv
+
+    def with_v(df):
+        return df.withColumn(
+            "v", (F.col("cents") % 997).cast("string")
+        )
+
+    o = _densified_orders(spark, sf_dir)
+    n = o.count()
+    third, u = n // 3, n // 10
+    o = o.localCheckpoint(eager=True)
+    src = VersionedTable(tempfile.mkdtemp(prefix="lake_mvah_src_"))
+    mv = VersionedTable(tempfile.mkdtemp(prefix="lake_mvah_"))
+    kw = dict(
+        name="orders_ah", group_cols=["status"], sum_cols=["cents"],
+        key="k", approx_distinct_cols=["v"],
+    )
+    try:
+        src.commit(
+            with_v(o.filter(F.col("k") <= 2 * third)).select(
+                "k", "status", "cents", "v"
+            ),
+            mode="overwrite",
+        )                                                   # v0
+        refresh_mv(src, mv, spark, **kw)
+        src.commit(
+            with_v(o.filter(F.col("k") > 2 * third)).select(
+                "k", "status", "cents", "v"
+            ),
+            mode="append",
+        )                                                   # v1
+        merge_into(
+            src, spark,
+            with_v(
+                o.filter(F.col("k") <= u).select(
+                    "k",
+                    F.lit("MV").alias("status"),
+                    (F.col("cents") + 3).alias("cents"),
+                )
+            ).select("k", "status", "cents", "v"),
+            key="k",
+        )                                                   # v2
+        src.delete_where(
+            spark, F.col("k").between(u + 1, 2 * u), prune_where="auto"
+        )                                                   # v3
+        refresh_mv(src, mv, spark, **kw)
+        exact = (
+            src.read(spark)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("cents"),
+                F.count_distinct("v").cast("bigint").alias("exact_nd"),
+            )
+        )
+        est = mv.read(spark).select(
+            "status",
+            F.hll_sketch_estimate("v_hll").alias("__est"),
+        )
+        joined = exact.join(est, on="status", how="inner")
+        ok = int(
+            joined.filter(
+                F.abs(F.col("__est") - F.col("exact_nd"))
+                > 0.05 * F.col("exact_nd")
+            ).isEmpty()
+        )
+        out = (
+            joined.select("status", "n_rows", "cents", "exact_nd")
+            .withColumn("est_within_5pct", F.lit(ok).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src.path, ignore_errors=True)
+        shutil.rmtree(mv.path, ignore_errors=True)
+    return out

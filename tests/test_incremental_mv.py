@@ -1916,3 +1916,98 @@ class TestMvRenameLockstep:
             for r in mv2.read(spark).select("n_rows", "cents").collect()
         )
         assert got == want
+
+
+class TestRefreshMvApproxDistinct:
+    """r14: approx COUNT DISTINCT via mergeable HLL sketches —
+    insert-only folds union sketches with NO aux state; any delete in
+    a group endangers it and re-sketches from the source, group-pruned.
+    At these cardinalities the datasketches HLL is exact, so the tests
+    assert equality; the tolerance story is the driver query's."""
+
+    def _refresh(self, src, mv, spark):
+        return refresh_mv(
+            src, mv, spark,
+            name="h", group_cols=["g"], sum_cols=["x"], key="k",
+            approx_distinct_cols=["v"],
+        )
+
+    def _est(self, spark, mv):
+        return sorted(
+            (r["g"], r["n_rows"], r["e"])
+            for r in mv.read(spark)
+            .select(
+                "g", "n_rows",
+                F.hll_sketch_estimate("v_hll").alias("e"),
+            )
+            .collect()
+        )
+
+    def _exact(self, spark, src):
+        return sorted(
+            (r["g"], r["n"], r["nd"])
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.count_distinct("v").cast("bigint").alias("nd"),
+            )
+            .collect()
+        )
+
+    def test_insert_only_folds_by_union(self, spark, tmp_path):
+        src = _mk_v(
+            spark, tmp_path, [(1, "a", "x", 1), (2, "a", "y", 2)]
+        )
+        mv = _mv(tmp_path, "hll0")
+        self._refresh(src, mv, spark)
+        src.commit(
+            spark.createDataFrame(
+                [(3, "a", "x", 3), (4, "a", "z", 4), (5, "b", "x", 5)],
+                "k long, g string, v string, x long",
+            ),
+            mode="append",
+        )
+        self._refresh(src, mv, spark)
+        assert self._est(spark, mv) == self._exact(spark, src)
+
+    def test_delete_triggers_group_pruned_resketch(
+        self, spark, tmp_path
+    ):
+        src = _mk_v(
+            spark, tmp_path,
+            [(1, "a", "x", 1), (2, "a", "y", 2), (3, "b", "z", 3)],
+        )
+        mv = _mv(tmp_path, "hll1")
+        self._refresh(src, mv, spark)
+        src.delete_where(spark, F.col("k") == 2)  # last 'y' in a
+        self._refresh(src, mv, spark)
+        assert self._est(spark, mv) == self._exact(spark, src)
+
+    def test_update_moving_value_between_groups(self, spark, tmp_path):
+        src = _mk_v(
+            spark, tmp_path, [(1, "a", "x", 1), (2, "b", "y", 2)]
+        )
+        mv = _mv(tmp_path, "hll2")
+        self._refresh(src, mv, spark)
+        # move row 1 to group b: a loses its only value (delete side
+        # endangers a), b gains one (insert side unions)
+        merge_into(
+            src, spark,
+            spark.createDataFrame(
+                [(1, "b", "x", 1)],
+                "k long, g string, v string, x long",
+            ),
+            key="k",
+        )
+        self._refresh(src, mv, spark)
+        assert self._est(spark, mv) == self._exact(spark, src)
+
+    def test_validation(self, spark, tmp_path):
+        src = _mk_v(spark, tmp_path, [(1, "a", "x", 1)])
+        mv = _mv(tmp_path, "hll3")
+        with pytest.raises(ValueError, match="group column"):
+            refresh_mv(
+                src, mv, spark, name="h", group_cols=["g"],
+                sum_cols=["x"], key="k", approx_distinct_cols=["g"],
+            )
