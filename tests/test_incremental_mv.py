@@ -2011,3 +2011,69 @@ class TestRefreshMvApproxDistinct:
                 src, mv, spark, name="h", group_cols=["g"],
                 sum_cols=["x"], key="k", approx_distinct_cols=["g"],
             )
+
+
+class TestDistinctScanDiscipline:
+    """100 TB discipline pins for the r14 distinct variants: an
+    append-only delta refresh never reads the SOURCE snapshot (the CDF
+    walk reads group files directly; nd comes from the aux table /
+    sketch union) — mirroring the r13 extremes pin."""
+
+    def test_exact_distinct_append_only_never_reads_source(
+        self, spark, tmp_path, monkeypatch
+    ):
+        src = _mk_v(
+            spark, tmp_path, [(1, "a", "x", 1), (2, "a", "y", 2)]
+        )
+        mv = _mv(tmp_path, "sd0")
+        _refresh_nd(src, mv, spark)
+        src.commit(
+            spark.createDataFrame(
+                [(3, "a", "z", 3), (4, "b", "x", 4)],
+                "k long, g string, v string, x long",
+            ),
+            mode="append",
+        )
+        reads = {"n": 0}
+        orig = VersionedTable.read
+
+        def counting(self, *a, **kw):
+            if self.path == src.path:
+                reads["n"] += 1
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(VersionedTable, "read", counting)
+        _refresh_nd(src, mv, spark)
+        assert reads["n"] == 0
+        assert _state_nd(spark, mv) == _recompute_nd(spark, src)
+
+    def test_approx_distinct_append_only_never_reads_source(
+        self, spark, tmp_path, monkeypatch
+    ):
+        src = _mk_v(
+            spark, tmp_path, [(1, "a", "x", 1), (2, "b", "y", 2)]
+        )
+        mv = _mv(tmp_path, "sd1")
+        kw = dict(
+            name="h", group_cols=["g"], sum_cols=["x"], key="k",
+            approx_distinct_cols=["v"],
+        )
+        refresh_mv(src, mv, spark, **kw)
+        src.commit(
+            spark.createDataFrame(
+                [(3, "a", "z", 3)],
+                "k long, g string, v string, x long",
+            ),
+            mode="append",
+        )
+        reads = {"n": 0}
+        orig = VersionedTable.read
+
+        def counting(self, *a, **kw):
+            if self.path == src.path:
+                reads["n"] += 1
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(VersionedTable, "read", counting)
+        refresh_mv(src, mv, spark, **kw)
+        assert reads["n"] == 0
