@@ -1109,6 +1109,7 @@ def make_mv_maintainer(
     max_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    approx_distinct_cols: list[str] | None = None,
 ):
     """STREAMING IVM: a foreachBatch sink that folds a
     ``readchangedata`` stream's micro-batches into an aggregate MV.
@@ -1141,15 +1142,18 @@ def make_mv_maintainer(
     max_cols = list(max_cols or [])
     sumsq_cols = list(sumsq_cols or [])
     distinct_cols = list(distinct_cols or [])
+    approx_distinct_cols = list(approx_distinct_cols or [])
     ext_names = [f"{c}_min" for c in min_cols] + [
         f"{c}_max" for c in max_cols
     ]
     sq_names = [f"{c}_sumsq" for c in sumsq_cols]
     nd_names = [f"{c}_nd" for c in distinct_cols]
-    if ext_names and source is None:
+    hll_names = [f"{c}_hll" for c in approx_distinct_cols]
+    if (ext_names or hll_names) and source is None:
         raise ValueError(
-            "min_cols/max_cols need source= (the endangered-group "
-            "recompute reads the source snapshot)"
+            "min_cols/max_cols/approx_distinct_cols need source= "
+            "(the endangered-group recompute/re-sketch reads the "
+            "source snapshot)"
         )
 
     def write(batch_df, batch_id: int) -> None:
@@ -1198,12 +1202,25 @@ def make_mv_maintainer(
                 F.max(F.when(~is_add, F.col(c))).alias(f"__del_max_{c}")
                 for c in max_cols
             ],
+            *[
+                F.hll_sketch_agg(F.when(is_add, F.col(c))).alias(
+                    f"__ins_hll_{c}"
+                )
+                for c in approx_distinct_cols
+            ],
+            *(
+                [
+                    F.max(F.when(~is_add, F.lit(1))).alias("__any_del")
+                ]
+                if approx_distinct_cols
+                else []
+            ),
         )
-        if ext_names or distinct_cols:
+        if ext_names or distinct_cols or hll_names:
             # one tiny metadata job; reused across conflict retries
             base = base.localCheckpoint(eager=True)
         cur = None
-        if ext_names:
+        if ext_names or hll_names:
             cur = int(
                 batch_df.agg(
                     F.max("_commit_version").cast("bigint")
@@ -1237,6 +1254,12 @@ def make_mv_maintainer(
                     cur=cur, mv_v=latest, group_cols=group_cols,
                     min_cols=min_cols, max_cols=max_cols,
                 )
+            if hll_names:
+                deltas = _fold_hll(
+                    source, mv, spark, deltas,
+                    cur=cur, mv_v=latest, group_cols=group_cols,
+                    approx_cols=approx_distinct_cols,
+                )
             if distinct_cols:
                 deltas = _fold_distinct(
                     mv, spark, deltas,
@@ -1246,7 +1269,7 @@ def make_mv_maintainer(
                 )
             deltas = deltas.select(
                 *group_cols, *sum_cols, rows_col, *sq_names,
-                *ext_names, *nd_names,
+                *ext_names, *nd_names, *hll_names,
             )
             try:
                 merge_into(
@@ -1262,7 +1285,7 @@ def make_mv_maintainer(
                         },
                         **{
                             n: F.col(f"s.{n}")
-                            for n in [*ext_names, *nd_names]
+                            for n in [*ext_names, *nd_names, *hll_names]
                         },
                     },
                     txn={query_name: int(batch_id)},

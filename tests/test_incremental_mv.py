@@ -2077,3 +2077,79 @@ class TestDistinctScanDiscipline:
         monkeypatch.setattr(VersionedTable, "read", counting)
         refresh_mv(src, mv, spark, **kw)
         assert reads["n"] == 0
+
+
+class TestStreamingApproxDistinct:
+    """r14 late: approx_distinct_cols in the streaming maintainer —
+    sketch union per batch, delete-endangered groups re-sketch against
+    the batch-pinned source snapshot."""
+
+    def test_stream_matches_recompute_through_dml(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        src = _mk_v(
+            spark, tmp_path,
+            [(1, "a", "x", 1), (2, "a", "y", 2), (3, "b", "x", 3)],
+        )
+        src.delete_where(spark, F.col("k") == 2)  # v1: last 'y'
+        src.commit(
+            spark.createDataFrame(
+                [(4, "b", "z", 4)],
+                "k long, g string, v string, x long",
+            ),
+            mode="append",
+        )                                           # v2
+        spark.dataSource.register(TableChangefeedDataSource)
+        mv = VersionedTable(str(tmp_path / "shll_mv"))
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", src.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(
+                make_mv_maintainer(
+                    mv, "shll_q", group_cols=["g"], sum_cols=["x"],
+                    source=src, approx_distinct_cols=["v"],
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "shll_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (r["g"], r["n_rows"], r["e"])
+            for r in mv.read(spark)
+            .select(
+                "g", "n_rows",
+                F.hll_sketch_estimate("v_hll").alias("e"),
+            )
+            .collect()
+        )
+        exp = sorted(
+            (r["g"], r["n"], r["nd"])
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.count_distinct("v").cast("bigint").alias("nd"),
+            )
+            .collect()
+        )
+        assert got == exp
+
+    def test_requires_source(self, spark, tmp_path):
+        mv = VersionedTable(str(tmp_path / "shll_ns"))
+        with pytest.raises(ValueError, match="source"):
+            make_mv_maintainer(
+                mv, "q", group_cols=["g"], sum_cols=["x"],
+                approx_distinct_cols=["v"],
+            )
