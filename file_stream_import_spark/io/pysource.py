@@ -615,6 +615,14 @@ _MAP_SETTERS = (
 )
 
 
+# parsed-checkpoint cache keyed by (base-file stat, newest segment):
+# a long-lived stream's repeated _plan_rows calls re-parse the (big,
+# whole-history) checkpoint only when it actually changed (review
+# r14 — the per-call parse scaled with TOTAL history, not the range)
+_PLAN_ROWS_CACHE: dict = {}
+_PLAN_ROWS_CACHE_MAX = 16
+
+
 def _plan_rows(t, lo: int, hi: int):
     """(rows_by_version, retained_set) for checkpoint-served
     changefeed planning over [lo, hi] — or (None, None) when the range
@@ -626,11 +634,29 @@ def _plan_rows(t, lo: int, hi: int):
     segments, so every use must guard with the RETAINED set."""
     if hi - lo + 1 < _CKPT_PLAN_MIN:
         return None, None
+    import os
+
+    from .versioned import _ckpt_path, _seg_files
+
     try:
-        rows = {
-            int(r["version"]): r
-            for r in t._read_checkpoint()["rows"]
-        }
+        try:
+            st = os.stat(_ckpt_path(t._meta_root))
+            base_key = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            base_key = None
+        segs = _seg_files(t._meta_root)
+        key = (base_key, segs[-1] if segs else None)
+        cached = _PLAN_ROWS_CACHE.get(t._meta_root)
+        if cached is not None and cached[0] == key:
+            rows = cached[1]
+        else:
+            rows = {
+                int(r["version"]): r
+                for r in t._read_checkpoint()["rows"]
+            }
+            if len(_PLAN_ROWS_CACHE) >= _PLAN_ROWS_CACHE_MAX:
+                _PLAN_ROWS_CACHE.pop(next(iter(_PLAN_ROWS_CACHE)))
+            _PLAN_ROWS_CACHE[t._meta_root] = (key, rows)
     except (OSError, ValueError, KeyError, TypeError):
         return None, None
     if not rows:
@@ -1528,9 +1554,11 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
             # r14: a LONG starting range (historical backfill) serves
             # the ranged-union walk and per-version planning from the
             # history checkpoint's rows instead of parsing every
-            # interim manifest
+            # interim manifest. The modes dict is built ONCE here and
+            # cached (review r14: rebuilding it per trigger cost
+            # O(total history) on every micro-batch).
             self._plan_cache, _retained = _plan_rows(t, pin_lo, latest)
-            modes = (
+            self._plan_modes = (
                 None
                 if self._plan_cache is None
                 else {
@@ -1539,10 +1567,11 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
                 }
             )
             self._pinned_colmap = _resolved_map(
-                t, pin_lo, latest, modes=modes
+                t, pin_lo, latest, modes=self._plan_modes
             )
         else:
             self._plan_cache = None
+            self._plan_modes = None
             self._pinned_colmap = pinned.get("colmap") or {}
         self._overlay_cache = _OverlayCache(
             latest, pinned_has_map=bool(self._pinned_colmap)
@@ -1612,21 +1641,39 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
                 )
             except FileNotFoundError:
                 pass  # expired: the walk below raises the remedy
+        # r14: refresh the checkpoint-row cache FIRST when a LONG CDF
+        # range outruns it (new commits / segments extended since
+        # construction) — both the overlay skip and the per-version
+        # loop below feed from it. Short ranges (every steady-state
+        # streaming trigger) never refresh: missing versions just fall
+        # back to their manifests, so no per-trigger checkpoint work.
+        rows = self._plan_cache
+        retained = None
+        if (
+            self.read_change_data
+            and hi - lo + 1 >= _CKPT_PLAN_MIN
+            and (
+                rows is None
+                or any(
+                    v not in rows or rows[v].get("added") is None
+                    for v in range(lo, hi + 1)
+                )
+            )
+        ):
+            fresh, retained = _plan_rows(self._table(), lo, hi)
+            if fresh is not None:
+                rows = {**rows, **fresh} if rows else fresh
+                self._plan_cache = rows
+                self._plan_modes = {
+                    v: str(r.get("mode", "")) for v, r in rows.items()
+                }
         # post-pin overlay (r13): see TableChangefeedReader — a
         # mid-stream rename's versions fold their routing back to the
         # pinned names, planned driver-side once per batch. Checkpoint
         # rows (r14) let it skip manifest loads for known non-setter
         # versions.
-        plan_modes = (
-            None
-            if self._plan_cache is None
-            else {
-                v: str(r.get("mode", ""))
-                for v, r in self._plan_cache.items()
-            }
-        )
         overlay = self._overlay_cache.extend(
-            self._table(), max(hi, lo), modes=plan_modes
+            self._table(), max(hi, lo), modes=self._plan_modes
         )
         colmap = {**colmap, **overlay, **self._pinned_colmap}
         cdf_fallback = {**overlay, **self._pinned_colmap}
@@ -1658,20 +1705,6 @@ class TableChangefeedPartitionedReader(DataSourceStreamReader):
             # few hundred bytes — instead of parsing every interim
             # manifest (group list + per-group stats).
             t = self._table()
-            rows = self._plan_cache
-            retained = None
-            if rows is None:
-                rows, retained = _plan_rows(t, lo, hi)
-            elif any(
-                v not in rows or rows[v].get("added") is None
-                for v in range(lo, hi + 1)
-            ):
-                # construction-time cache misses part of this range
-                # (new commits / legacy rows): one re-read picks up
-                # segments extended since
-                fresh, retained = _plan_rows(t, lo, hi)
-                if fresh is not None:
-                    rows = {**rows, **fresh}
             if rows is not None and retained is None:
                 retained = set(t.versions())
             for v in range(lo, hi + 1):

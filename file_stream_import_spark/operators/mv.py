@@ -52,6 +52,48 @@ _ROWS = "n_rows"
 _MAX_EXACT_KEYS = 8192
 
 
+def _derived_names(
+    group_cols: list[str],
+    sum_cols: list[str],
+    rows_col: str,
+    min_cols: list[str],
+    max_cols: list[str],
+    sumsq_cols: list[str],
+    distinct_cols: list[str],
+    approx_distinct_cols: list[str],
+) -> tuple[list[str], list[str], list[str], list[str]]:
+    """Shared column validation + derived-name derivation for BOTH the
+    batch refresher and the streaming maintainer (review r14: the
+    maintainer had drifted - no collision checks), so the two paths
+    raise the same clear ValueError at call time instead of an opaque
+    ambiguous-column failure mid-refresh."""
+    ext_names = [f"{c}_min" for c in min_cols] + [
+        f"{c}_max" for c in max_cols
+    ]
+    sq_names = [f"{c}_sumsq" for c in sumsq_cols]
+    nd_names = [f"{c}_nd" for c in distinct_cols]
+    hll_names = [f"{c}_hll" for c in approx_distinct_cols]
+    taken = {*group_cols, *sum_cols, rows_col}
+    if rows_col in group_cols or rows_col in sum_cols:
+        raise ValueError(
+            f"rows_col {rows_col!r} collides with a group/sum column "
+            "- pass rows_col=<other name> (an MV-over-MV rollup that "
+            "groups by the lower MV's count column hits this)"
+        )
+    for c in [
+        *min_cols, *max_cols, *sumsq_cols, *distinct_cols,
+        *approx_distinct_cols,
+    ]:
+        if c in group_cols:
+            raise ValueError(
+                f"derived-aggregate column {c!r} is a group column"
+            )
+    for n in [*ext_names, *sq_names, *nd_names, *hll_names]:
+        if n in taken:
+            raise ValueError(f"derived column name {n!r} collides")
+    return ext_names, sq_names, nd_names, hll_names
+
+
 def _sweep_zero_groups(mv: VersionedTable, spark, rows_col: str) -> None:
     """Sweep zero-count groups (MERGE leaves them; deleting inside the
     MERGE would break the signed-fold algebra). The sweep commits
@@ -208,30 +250,10 @@ def refresh_mv(
     sumsq_cols = list(sumsq_cols or [])
     distinct_cols = list(distinct_cols or [])
     approx_distinct_cols = list(approx_distinct_cols or [])
-    ext_names = [f"{c}_min" for c in min_cols] + [
-        f"{c}_max" for c in max_cols
-    ]
-    sq_names = [f"{c}_sumsq" for c in sumsq_cols]
-    nd_names = [f"{c}_nd" for c in distinct_cols]
-    hll_names = [f"{c}_hll" for c in approx_distinct_cols]
-    taken = {*group_cols, *sum_cols, rows_col}
-    if rows_col in group_cols or rows_col in sum_cols:
-        raise ValueError(
-            f"rows_col {rows_col!r} collides with a group/sum column "
-            "— pass rows_col=<other name> (an MV-over-MV rollup that "
-            "groups by the lower MV's count column hits this)"
-        )
-    for c in [
-        *min_cols, *max_cols, *sumsq_cols, *distinct_cols,
-        *approx_distinct_cols,
-    ]:
-        if c in group_cols:
-            raise ValueError(
-                f"derived-aggregate column {c!r} is a group column"
-            )
-    for n in [*ext_names, *sq_names, *nd_names, *hll_names]:
-        if n in taken:
-            raise ValueError(f"derived column name {n!r} collides")
+    ext_names, sq_names, nd_names, hll_names = _derived_names(
+        group_cols, sum_cols, rows_col, min_cols, max_cols,
+        sumsq_cols, distinct_cols, approx_distinct_cols,
+    )
     cur = source.latest_version()
     if cur is None:
         raise FileNotFoundError(f"source has no snapshots: {source.path}")
@@ -412,7 +434,6 @@ def refresh_mv(
                         mv, spark, deltas,
                         group_cols=group_cols,
                         distinct_cols=distinct_cols,
-                        tag=tag, cur=cur,
                     )
                 deltas = deltas.select(
                     *group_cols, *sum_cols, rows_col, *sq_names,
@@ -553,27 +574,6 @@ def _fold_aux(
             continue  # racing refresher: re-read the aux watermark
 
 
-def _aux_version_asof(aux: VersionedTable, tag: str, cur: int) -> int:
-    """The aux version whose watermark is <= ``cur`` — normally the
-    latest (the fold just ran), but a racing refresher may have folded
-    PAST this refresh's target; walking back pins the nd computation
-    to the state consistent with this refresh's own watermark. Best
-    effort: if the walk falls off the retained range (or the racer
-    jumped over cur entirely), the oldest retained version is
-    returned and the next refresh converges the transient lead."""
-    v = aux.latest_version()
-    while v is not None and v > 0:
-        wm = (aux._load_manifest(v).get("txn") or {}).get(tag)
-        if wm is None or int(wm) <= cur:
-            return v
-        try:
-            aux._load_manifest(v - 1)
-        except FileNotFoundError:
-            return v
-        v -= 1
-    return v
-
-
 def _fold_distinct(
     mv: VersionedTable,
     spark,
@@ -581,8 +581,6 @@ def _fold_distinct(
     *,
     group_cols: list[str],
     distinct_cols: list[str],
-    tag: str,
-    cur: int,
 ):
     """Join each touched group's FINAL distinct count (``<col>_nd``)
     onto the grouped delta rows: the aux table, group-pruned to the
@@ -592,9 +590,18 @@ def _fold_distinct(
     the zero-rows sweep."""
     for c in distinct_cols:
         aux = nd_aux_table(mv, c)
+        # read the aux LATEST — guaranteed >= cur after _fold_aux.
+        # Reading a version pinned at exactly cur would be WRONG under
+        # concurrent refreshers (review r14): a racer may have folded
+        # PAST cur in one commit, so no aux version at cur exists and
+        # a walk-back lands BEFORE this refresh's own window. Latest
+        # is convergent instead: a group's aux state at any version
+        # >= cur differs from its cur-state only by OTHER windows'
+        # changes, and whichever refresher owns those windows
+        # recomputes the group again on its conflict retry (or already
+        # folded this window's rows into its own deltas).
         live = _pruned_snapshot(
-            aux, spark, _aux_version_asof(aux, tag, cur),
-            group_cols, deltas,
+            aux, spark, aux.latest_version(), group_cols, deltas,
         )
         nd = (
             live.filter(F.col("cnt") > 0)
@@ -628,7 +635,7 @@ def _fold_hll(
     Exact semantics (and O(delta) deletes) live in distinct_cols'
     support tables; this variant trades delete-locality for zero aux
     state — the right choice for insert-mostly corpora."""
-    if mv_v is None or mv.latest_version() is None:
+    if mv_v is None:
         stored = deltas.select(
             *group_cols,
             *[
@@ -1143,12 +1150,10 @@ def make_mv_maintainer(
     sumsq_cols = list(sumsq_cols or [])
     distinct_cols = list(distinct_cols or [])
     approx_distinct_cols = list(approx_distinct_cols or [])
-    ext_names = [f"{c}_min" for c in min_cols] + [
-        f"{c}_max" for c in max_cols
-    ]
-    sq_names = [f"{c}_sumsq" for c in sumsq_cols]
-    nd_names = [f"{c}_nd" for c in distinct_cols]
-    hll_names = [f"{c}_hll" for c in approx_distinct_cols]
+    ext_names, sq_names, nd_names, hll_names = _derived_names(
+        group_cols, sum_cols, rows_col, min_cols, max_cols,
+        sumsq_cols, distinct_cols, approx_distinct_cols,
+    )
     if (ext_names or hll_names) and source is None:
         raise ValueError(
             "min_cols/max_cols/approx_distinct_cols need source= "
@@ -1167,6 +1172,12 @@ def make_mv_maintainer(
         is_add = sign == 1
         ftypes = _sum_fold_types(batch_df.schema, sum_cols)
         _sum_fold_types(batch_df.schema, sumsq_cols)
+        have = set(batch_df.columns)
+        for c in [*distinct_cols, *approx_distinct_cols]:
+            if c not in have:
+                raise ValueError(
+                    f"distinct column {c!r} not in the stream schema"
+                )
         base = batch_df.groupBy(*group_cols).agg(
             *[
                 F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
@@ -1265,7 +1276,6 @@ def make_mv_maintainer(
                     mv, spark, deltas,
                     group_cols=group_cols,
                     distinct_cols=distinct_cols,
-                    tag=query_name, cur=int(batch_id),
                 )
             deltas = deltas.select(
                 *group_cols, *sum_cols, rows_col, *sq_names,

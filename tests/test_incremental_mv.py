@@ -2153,3 +2153,53 @@ class TestStreamingApproxDistinct:
                 mv, "q", group_cols=["g"], sum_cols=["x"],
                 approx_distinct_cols=["v"],
             )
+
+
+class TestDistinctConcurrentRefreshers:
+    def test_racer_folding_past_cur_converges(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Review r14: a racing refresher can fold the aux PAST this
+        refresh's cur in ONE commit (no aux version at exactly cur
+        exists). The slow refresher must still produce nd values that
+        CONVERGE — reading the aux latest does (any lead belongs to
+        windows whose owner recomputes those groups on retry); the
+        removed walk-back landed BEFORE the slow refresher's own
+        window and persisted stale counts."""
+        src = _mk_v(
+            spark, tmp_path, [(1, "a", "x", 1), (2, "b", "y", 2)]
+        )
+        mv = _mv(tmp_path, "race_nd")
+        _refresh_nd(src, mv, spark)                      # wm = 0
+        src.commit(
+            spark.createDataFrame(
+                [(3, "a", "z", 3)],
+                "k long, g string, v string, x long",
+            ),
+            mode="append",
+        )                                                # v1
+        cur_slow = src.latest_version()                  # = 1
+        src.delete_where(spark, F.col("k") == 3)         # v2: z leaves
+        # the RACER folds the aux straight to v2 (one commit, 1..2)
+        from file_stream_import_spark.operators.mv import _fold_aux
+
+        _fold_aux(
+            nd_aux_table(mv, "v"), src, spark,
+            group_cols=["g"], col="v", key="k",
+            tag="mv:nd", cur=src.latest_version(),
+        )
+        # the SLOW refresher still believes cur = 1
+        orig = VersionedTable.latest_version
+
+        def pinned(self):
+            v = orig(self)
+            if self.path == src.path and v is not None:
+                return min(v, cur_slow)
+            return v
+
+        monkeypatch.setattr(VersionedTable, "latest_version", pinned)
+        _refresh_nd(src, mv, spark)  # folds CDF 1..1 only
+        monkeypatch.setattr(VersionedTable, "latest_version", orig)
+        # the follow-up refresh (cur = 2) must converge everything
+        _refresh_nd(src, mv, spark)
+        assert _state_nd(spark, mv) == _recompute_nd(spark, src)
