@@ -84,8 +84,14 @@ class CommitConflictError(RuntimeError):
 
 # the manifest format this engine reads AND writes (Iceberg/Delta
 # protocol-version mechanic): bump when a manifest gains semantics an
-# old reader would silently misread rather than merely ignore
-_FORMAT_VERSION = 1
+# old reader would silently misread rather than merely ignore.
+# Format 2 = DELTA manifests: the file carries only this commit's
+# diff against its parent for the width-sized keys (groups/stats/
+# delete_entries/colmap/castmap/clustered); a format-1 reader would
+# misread the missing keys as an empty table, hence the bump. FULL
+# manifests (v0, every _SNAP_EVERY-th version, vacuum boundary snaps)
+# stay format 1.
+_FORMAT_VERSION = 2
 
 
 class UnsupportedFormatError(RuntimeError):
@@ -1157,6 +1163,203 @@ def _added_bytes(m: dict) -> int | None:
     return total
 
 
+# -- O(delta) commit metadata (delta manifests + snapshot cadence) -------
+#
+# A full manifest serializes the WHOLE table state — group list,
+# per-group stats boxes, bloom refs, delete entries, colmaps — so every
+# commit paid O(table width) in serialization and bytes even when it
+# touched one group (measured: `compact` of a fixed 20-group backlog
+# 0.46 s -> 4.0 s at 100x groups; ~140 KB/commit at 401 groups). The
+# fix is the Delta-log idea re-applied at the manifest level: most
+# commits write a DELTA manifest (format 2) holding the resolved small
+# keys (mode/schema/txn/committed_at/...) plus per-key DIFFS against
+# the parent for the width-sized keys; every _SNAP_EVERY-th version
+# writes a classic FULL manifest so reconstruction chains stay short.
+# _load_manifest reconstructs the merged view behind the existing API —
+# no reader, rebase validation, or changefeed code changes.
+#
+# Diff encodings (chosen so reconstruction is EXACT, not rule-based):
+#   dict keys  (stats/colmap/castmap/clustered): {"s": {set}, "x": [del]}
+#   list keys  (groups/delete_entries):          {"a": [add], "r": [del
+#       keys], "ks": 1 if both lists are all-str} — falls back to the
+#       explicit full value when the list has duplicates or the new
+#       order is not (parent minus removed) + appended.
+# A key absent from the in-memory manifest is absent from the delta and
+# reconstructs as absent — no implicit inheritance at READ time (all
+# inheritance already happened in _publish before encoding).
+#
+# vacuum() writes a BOUNDARY SNAP (`_snap-v{N}.json`, the materialized
+# full manifest of the newest expired version) before unlinking the
+# expired prefix, so retained delta chains always have a base; readers
+# consult snaps only while walking PARENTS (expired versions stay
+# unreadable directly, preserving time-travel semantics).
+
+_SNAP_EVERY = 32
+_DELTA_BIG = (
+    "groups",
+    "stats",
+    "delete_entries",
+    "colmap",
+    "castmap",
+    "clustered",
+)
+_MAX_CHAIN = 100_000  # corrupt parent-pointer cycle guard
+
+
+def _snap_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"_snap-v{version:08d}.json")
+
+
+def _seq_keys(xs: list) -> tuple[list, bool]:
+    """Identity keys for list diffing. All-string lists (group names)
+    key by the strings themselves; anything else keys by canonical
+    JSON. The bool rides the diff record so encoder and folder agree."""
+    if all(isinstance(x, str) for x in xs):
+        return list(xs), True
+    return [json.dumps(x, sort_keys=True) for x in xs], False
+
+
+def _diff_seq(pv: list, nv: list) -> dict | None:
+    """Exact list diff, or None when the delta encoding cannot
+    reproduce the new list verbatim (duplicates, or an order that is
+    not kept-parent-order + appended) — the caller then stores the
+    full list. Correctness never depends on this succeeding."""
+    joint = pv + nv
+    keys, ks = _seq_keys(joint)
+    pk, nk = keys[: len(pv)], keys[len(pv) :]
+    if len(set(pk)) != len(pk) or len(set(nk)) != len(nk):
+        return None
+    ps, ns = set(pk), set(nk)
+    rm = [k for k in pk if k not in ns]
+    add = [x for x, k in zip(nv, nk) if k not in ps]
+    kept = [k for k in pk if k in ns]
+    if kept + [k for k in nk if k not in ps] != nk:
+        return None
+    return {"a": add, "r": rm, "ks": 1 if ks else 0}
+
+
+def _encode_delta(manifest: dict, parent: dict) -> dict:
+    """Delta (format 2) on-disk form of ``manifest`` against its
+    already-materialized ``parent``. Small keys are stored resolved;
+    each width-sized key becomes a diff (or an explicit full value
+    when the diff cannot be exact)."""
+    out = {k: v for k, v in manifest.items() if k not in _DELTA_BIG}
+    out["format"] = 2
+    out["delta"] = 1
+    for k in _DELTA_BIG:
+        if k not in manifest:
+            continue
+        nv = manifest[k]
+        pv = parent.get(k)
+        if isinstance(nv, dict):
+            pv = pv if isinstance(pv, dict) else {}
+            out["d_" + k] = {
+                "s": {
+                    kk: vv
+                    for kk, vv in nv.items()
+                    if kk not in pv or pv[kk] != vv
+                },
+                "x": [kk for kk in pv if kk not in nv],
+            }
+        elif isinstance(nv, list):
+            pv = pv if isinstance(pv, list) else []
+            d = _diff_seq(pv, nv)
+            if d is None:
+                out[k] = nv
+            else:
+                out["d_" + k] = d
+        else:
+            out[k] = nv
+    return out
+
+
+def _fold_delta(parent: dict, raw: dict) -> dict:
+    """Reconstruct the full manifest a format-1 write would have
+    produced, from the parent's materialized view + one delta record.
+    Mutates nothing it was given beyond top-level copies; the result
+    may SHARE substructure with ``parent`` (callers of _load_manifest
+    always receive a private tree — see the cache)."""
+    full = {
+        k: v
+        for k, v in raw.items()
+        if k != "delta" and not k.startswith("d_")
+    }
+    full["format"] = 1
+    for k in _DELTA_BIG:
+        d = raw.get("d_" + k)
+        if d is None:
+            continue  # explicit full value (already copied) or absent
+        if "a" in d:  # list diff
+            base = parent.get(k) or []
+            rm = set(d.get("r") or [])
+            if rm:
+                # key mode must be the ENCODER's ("ks"), never
+                # re-derived: a parent list that happens to be all-str
+                # under a mixed joint list would otherwise key
+                # differently and skip removals
+                if d.get("ks"):
+                    keys = list(base)
+                else:
+                    keys = [json.dumps(x, sort_keys=True) for x in base]
+                base = [x for x, kk in zip(base, keys) if kk not in rm]
+            else:
+                base = list(base)
+            full[k] = base + list(d.get("a") or [])
+        else:  # dict diff
+            base = dict(parent.get(k) or {})
+            for kk in d.get("x") or []:
+                base.pop(kk, None)
+            base.update(d.get("s") or {})
+            full[k] = base
+    return full
+
+
+# Materialized-manifest cache: canonical JSON strings keyed by the
+# manifest FILE's identity (path, version, inode, mtime_ns, size) so a
+# rebuilt table at the same path can never serve stale state. Strings,
+# not dicts: _load_manifest returns a fresh parse per call, so callers
+# that mutate a loaded manifest (rename's stats rewrite does) cannot
+# poison the cache. Bytes-bounded LRU; thread-safe (streaming
+# maintainers fold concurrently on driver threads).
+_MCACHE: "OrderedDict[tuple, str]" = None  # type: ignore[assignment]
+_MCACHE_BYTES = 0
+_MCACHE_CAP = 128 << 20
+_MCACHE_LOCK = None
+
+
+def _mcache_init() -> None:
+    global _MCACHE, _MCACHE_LOCK
+    if _MCACHE is None:
+        from collections import OrderedDict
+        import threading
+
+        _MCACHE = OrderedDict()
+        _MCACHE_LOCK = threading.Lock()
+
+
+def _mcache_get(key: tuple) -> str | None:
+    _mcache_init()
+    with _MCACHE_LOCK:
+        text = _MCACHE.get(key)
+        if text is not None:
+            _MCACHE.move_to_end(key)
+        return text
+
+
+def _mcache_put(key: tuple, text: str) -> None:
+    global _MCACHE_BYTES
+    _mcache_init()
+    with _MCACHE_LOCK:
+        old = _MCACHE.pop(key, None)
+        if old is not None:
+            _MCACHE_BYTES -= len(old)
+        _MCACHE[key] = text
+        _MCACHE_BYTES += len(text)
+        while _MCACHE_BYTES > _MCACHE_CAP and len(_MCACHE) > 1:
+            _, ev = _MCACHE.popitem(last=False)
+            _MCACHE_BYTES -= len(ev)
+
+
 class VersionedTable:
     def __init__(self, path: str, _meta_root: str | None = None) -> None:
         # ``path`` is the DATA root (immutable uuid group dirs, shared
@@ -1227,13 +1430,39 @@ class VersionedTable:
         return list(range(lo, latest + 1))
 
     def _load_manifest(self, version: int) -> dict:
-        with open(_manifest_path(self._meta_root, version)) as f:
-            m = json.load(f)
+        """The MATERIALIZED manifest for ``version`` — delta manifests
+        (format 2) are folded onto their parent chain transparently, so
+        every consumer keeps seeing the classic full shape. Returns a
+        private tree per call (parsed fresh from the cache's canonical
+        string), so in-place mutation by callers stays as harmless as
+        it was when every call re-read the file."""
+        return self._load_full(version, allow_snap=False)
+
+    def _raw_manifest(self, version: int, allow_snap: bool) -> tuple:
+        """(cache_key, raw dict or cached full text). FileNotFoundError
+        propagates for expired/unpublished versions; during a PARENT
+        walk (allow_snap) the vacuum boundary snap substitutes for the
+        newest expired manifest."""
+        path = _manifest_path(self._meta_root, version)
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            if not allow_snap:
+                raise
+            path = _snap_path(self._meta_root, version)
+            st = os.stat(path)  # missing too -> FileNotFoundError out
+        key = (self._meta_root, version, st.st_ino, st.st_mtime_ns, st.st_size)
+        cached = _mcache_get(key)
+        if cached is not None:
+            return key, cached
+        with open(path) as f:
+            text = f.read()
+        m = json.loads(text)
         # forward-compat guard (Iceberg/Delta protocol versioning):
         # a manifest written by a NEWER writer with semantics this
         # reader can't honor (e.g. a new delete-entry kind) must fail
         # loudly, not silently misread. Absent = format 1 (all
-        # manifests this engine has ever written).
+        # manifests this engine wrote before delta manifests).
         fmt = int(m.get("format", 1))
         if fmt > _FORMAT_VERSION:
             raise UnsupportedFormatError(
@@ -1242,7 +1471,45 @@ class VersionedTable:
                 f"{_FORMAT_VERSION} — upgrade the engine to read "
                 "this table"
             )
-        return m
+        if not m.get("delta"):
+            _mcache_put(key, text)  # full form: cache the file text
+        return key, m
+
+    def _load_full(self, version: int, allow_snap: bool) -> dict:
+        """Materialize one version: walk back collecting delta records
+        until a full manifest, a cached ancestor, or the vacuum
+        boundary snap, then fold forward ONCE — O(width) total, not
+        O(chain x width). Only the REQUESTED version is cached (walks
+        over consecutive versions hit the parent in cache, so chains
+        re-fold one delta per step in steady state)."""
+        key0, first = self._raw_manifest(version, allow_snap)
+        if isinstance(first, str):
+            return json.loads(first)
+        if not first.get("delta"):
+            return first
+        chain = [first]
+        v = first.get("parent")
+        base = None
+        while True:
+            if v is None or len(chain) > _MAX_CHAIN:
+                raise ValueError(
+                    f"manifest v{version} at {self._meta_root}: delta "
+                    f"chain has no full ancestor (broken parent link)"
+                )
+            _, raw = self._raw_manifest(int(v), True)
+            if isinstance(raw, str):
+                base = json.loads(raw)
+                break
+            if not raw.get("delta"):
+                base = raw
+                break
+            chain.append(raw)
+            v = raw.get("parent")
+        full = base
+        for raw in reversed(chain):
+            full = _fold_delta(full, raw)
+        _mcache_put(key0, json.dumps(full))
+        return full
 
     def latest_version(self) -> int | None:
         """Newest committed version, resolved in O(1 + commits since
@@ -1614,7 +1881,9 @@ class VersionedTable:
         version = (parent if parent is not None else -1) + 1
         manifest["version"] = version
         manifest["parent"] = parent
-        manifest.setdefault("format", _FORMAT_VERSION)
+        # the in-memory (and full on-disk) form is format 1; only the
+        # delta ENCODING below stamps format 2 on its own payload
+        manifest.setdefault("format", 1)
         import time as _time
 
         parent_manifest = (
@@ -1681,9 +1950,17 @@ class VersionedTable:
                 int(epoch) if prev is None else max(int(prev), int(epoch))
             )
         manifest["txn"] = inherited
+        # O(delta) commit metadata: most versions write a DELTA record
+        # against the parent; every _SNAP_EVERY-th version writes the
+        # classic full manifest so reconstruction chains stay short
+        # (and so pre-delta readers of a fresh table's v0 still work)
+        if parent is None or version % _SNAP_EVERY == 0:
+            payload = manifest
+        else:
+            payload = _encode_delta(manifest, parent_manifest)
         tmp = _manifest_path(self._meta_root, version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump(payload, f)
         target = _manifest_path(self._meta_root, version)
         try:
             # link+unlink = atomic create-if-absent (rename would
@@ -4581,9 +4858,38 @@ class VersionedTable:
                     cut = min(cut, i)
                     break
         expired, keep = vs[:cut], vs[cut:]
+        if expired and not dry_run:
+            # BOUNDARY SNAP before any unlink: the first retained
+            # version may be a delta manifest whose chain crosses into
+            # the expired prefix — materialize the newest expired
+            # version in full so reconstruction always has a base.
+            # Written before unlinking (and read via allow_snap only),
+            # so a racing reader never loses coverage; failure here
+            # aborts the vacuum with the table intact.
+            boundary = expired[-1]
+            full = self._load_full(boundary, allow_snap=True)
+            sp = _snap_path(self._meta_root, boundary)
+            tmp = sp + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(full, f)
+            os.replace(tmp, sp)
         if not dry_run:
             for v in expired:
                 os.unlink(_manifest_path(self._meta_root, v))
+            if expired:
+                # older boundary snaps are unreachable now (every
+                # retained chain stops at the new boundary first)
+                mdir = _manifest_dir(self._meta_root)
+                for name in os.listdir(mdir):
+                    if (
+                        name.startswith("_snap-v")
+                        and name.endswith(".json")
+                        and name < os.path.basename(sp)
+                    ):
+                        try:
+                            os.unlink(os.path.join(mdir, name))
+                        except OSError:
+                            pass  # racing vacuum
         if expired and not dry_run:
             # trim expired rows out of the history checkpoint (readers
             # filter too — this just stops the file growing forever);

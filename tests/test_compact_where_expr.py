@@ -298,7 +298,11 @@ class TestMetadataOnlySizing:
         t = _mixed_table(spark, tmp_path)
         v = t.latest_version()
         p = _manifest_path(t.path, v)
-        m = json.load(open(p))
+        # simulate a pre-_bytes manifest: materialize (the on-disk form
+        # may be a format-2 delta) and write the stripped FULL form
+        # back — a full manifest is valid at any version; the rewrite
+        # changes the file's stat identity so the cache re-reads it
+        m = t._load_manifest(v)
         for g in m["groups"]:
             m["stats"][g].pop("_bytes", None)
         json.dump(m, open(p, "w"))

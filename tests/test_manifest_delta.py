@@ -1,0 +1,255 @@
+"""O(delta) commit metadata: delta manifests + snapshot cadence +
+vacuum boundary snaps (r15 VERDICT #1).
+
+Every commit used to serialize the FULL table state (group list,
+per-group stats/bloom refs, delete entries, colmaps) into its manifest
+— O(table width) bytes per commit, measured 8.7x `compact` cost at
+100x groups. Most commits now write a format-2 DELTA manifest (per-key
+diffs against the parent); every ``_SNAP_EVERY``-th version writes the
+classic full form; ``_load_manifest`` reconstructs the merged view, so
+readers / rebase validation / the changefeed are untouched.
+
+Ground truth in these tests is the IN-MEMORY manifest captured at
+publish time (json round-tripped): reconstruction must be exactly the
+dict a full write would have produced, for every commit mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_stream_import_spark.io import versioned as V
+from file_stream_import_spark.io.versioned import (
+    UnsupportedFormatError,
+    VersionedTable,
+)
+
+
+def _df(spark, a, b):
+    return spark.range(a, b).selectExpr(
+        "id", "id * 2 as v", "cast(id % 5 as string) as k"
+    )
+
+
+@pytest.fixture()
+def recorder(monkeypatch):
+    """Capture the materialized (in-memory, full-form) manifest at
+    publish time — the oracle reconstruction must reproduce."""
+    recorded: dict[tuple, dict] = {}
+    orig = VersionedTable._publish
+
+    def rec(self, parent, manifest, txn=None):
+        ver = orig(self, parent, manifest, txn=txn)
+        recorded[(self._meta_root, ver)] = json.loads(json.dumps(manifest))
+        return ver
+
+    monkeypatch.setattr(VersionedTable, "_publish", rec)
+    return recorded
+
+
+def _assert_all_roundtrip(t: VersionedTable, recorded: dict) -> None:
+    V._MCACHE = None  # force cold reconstruction
+    for ver in t.versions():
+        got = t._load_manifest(ver)
+        want = recorded[(t._meta_root, ver)]
+        assert got == want, (
+            f"v{ver}: reconstruction diverged on keys "
+            f"{ {k for k in set(got) | set(want) if got.get(k) != want.get(k)} }"
+        )
+
+
+class TestDeltaRoundTrip:
+    def test_all_commit_modes_reconstruct_exactly(
+        self, spark, tmp_path, recorder
+    ):
+        """One table through every commit family: append, partitioned
+        append, CoW delete, MoR delete, update, rename, widen, bloom
+        declaration, constraints, optimize, compact, rollback, merge —
+        each version's materialized view equals the publish-time full
+        form byte-for-byte (as JSON values)."""
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 100))
+        t.commit(_df(spark, 100, 200))
+        t.commit(_df(spark, 200, 300), partition_by=["k"])
+        t.delete_where(spark, F.expr("id < 50"))
+        t.delete_where(
+            spark, F.expr("id >= 290"), strategy="merge-on-read",
+            key_cols=["id"],
+        )
+        t.update_where(spark, F.expr("id >= 250"), {"v": F.expr("v + 1")})
+        t.rename_column("v", "val")
+        t.commit(_df(spark, 300, 400).withColumnRenamed("v", "val"))
+        t.set_bloom_columns(spark, ["id"])
+        t.commit(_df(spark, 400, 500).withColumnRenamed("v", "val"))
+        t.add_check_constraint(spark, "pos", "id >= 0")
+        t.optimize(spark, cluster_by=["id"])
+        t.commit(_df(spark, 500, 600).withColumnRenamed("v", "val"))
+        t.compact(spark)
+        t.drop_check_constraint("pos")
+        t.rollback(8)
+        from file_stream_import_spark.io.versioned import merge_into
+
+        src = _df(spark, 550, 650).withColumnRenamed("v", "val")
+        merge_into(t, spark, src, key="id")
+        _assert_all_roundtrip(t, recorder)
+        # the data plane agrees end-to-end too
+        assert t.read(spark).count() > 0
+
+    def test_branch_chain_reconstructs(self, spark, tmp_path, recorder):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 50))
+        t.commit(_df(spark, 50, 100))
+        b = t.create_branch("dev")
+        b.commit(_df(spark, 100, 150))
+        b.commit(_df(spark, 150, 200))
+        t.publish_branch("dev")
+        _assert_all_roundtrip(t, recorder)
+        _assert_all_roundtrip(b, recorder)
+
+    def test_widen_and_drop_column_chain(self, spark, tmp_path, recorder):
+        from pyspark.sql.types import LongType
+
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            spark.range(0, 10).selectExpr(
+                "cast(id as int) as id", "cast(id as string) as s"
+            )
+        )
+        t.widen_column("id", LongType())
+        t.drop_column("s")
+        t.commit(spark.range(10, 20).selectExpr("id"))
+        _assert_all_roundtrip(t, recorder)
+
+
+class TestSnapshotCadence:
+    def test_every_nth_version_is_full(self, spark, tmp_path, monkeypatch):
+        monkeypatch.setattr(V, "_SNAP_EVERY", 4)
+        t = VersionedTable(str(tmp_path / "t"))
+        for i in range(10):
+            t.commit(_df(spark, i * 10, i * 10 + 10))
+        for ver in range(10):
+            raw = json.load(open(V._manifest_path(t.path, ver)))
+            if ver % 4 == 0:
+                assert not raw.get("delta"), f"v{ver} should be full"
+                assert raw.get("format", 1) == 1
+                assert "groups" in raw and "stats" in raw
+            else:
+                assert raw.get("delta") == 1, f"v{ver} should be delta"
+                assert raw["format"] == 2
+                assert "groups" not in raw or raw.get("d_groups") is None
+
+    def test_delta_commit_bytes_are_o_delta(self, spark, tmp_path):
+        """The point of the exercise: on a WIDE table, an append's
+        manifest is a small constant, not O(#groups). The partitioned
+        bootstrap creates ~40 groups; the single-group append after it
+        must be far smaller than the full form at the same version."""
+        t = VersionedTable(str(tmp_path / "t"))
+        wide = spark.range(0, 4000).selectExpr(
+            "id", "id * 2 as v", "cast(id % 40 as string) as k"
+        )
+        t.commit(wide, partition_by=["k"])
+        v = t.commit(_df(spark, 0, 10))
+        raw_bytes = os.path.getsize(V._manifest_path(t.path, v))
+        full_bytes = len(json.dumps(t._load_manifest(v)))
+        assert raw_bytes < full_bytes / 5, (
+            f"delta manifest {raw_bytes}B vs full {full_bytes}B — "
+            "append metadata is not O(delta)"
+        )
+
+
+class TestVacuumBoundarySnap:
+    def test_retained_delta_chain_survives_vacuum(
+        self, spark, tmp_path, monkeypatch, recorder
+    ):
+        # no full snapshots after v0 — every retained version depends
+        # on the chain crossing into the expired prefix
+        monkeypatch.setattr(V, "_SNAP_EVERY", 10_000)
+        t = VersionedTable(str(tmp_path / "t"))
+        for i in range(8):
+            t.commit(_df(spark, i * 10, i * 10 + 10))
+        t.vacuum(keep_versions=3, min_age_seconds=0)
+        assert t.versions() == [5, 6, 7]
+        snaps = [
+            n
+            for n in os.listdir(V._manifest_dir(t.path))
+            if n.startswith("_snap-v")
+        ]
+        assert snaps == ["_snap-v00000004.json"]
+        _assert_all_roundtrip(t, recorder)
+        assert t.read(spark).count() == 80  # appends: v7 holds all rows
+        # a second vacuum advances the boundary and cleans the old snap
+        t.commit(_df(spark, 80, 90))
+        t.vacuum(keep_versions=2, min_age_seconds=0)
+        snaps = [
+            n
+            for n in os.listdir(V._manifest_dir(t.path))
+            if n.startswith("_snap-v")
+        ]
+        assert snaps == ["_snap-v00000006.json"]
+        _assert_all_roundtrip(t, recorder)
+
+    def test_expired_versions_stay_unreadable(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The boundary snap serves PARENT walks only: direct time
+        travel to an expired version still fails (vacuum semantics),
+        even though its materialized form exists on disk."""
+        monkeypatch.setattr(V, "_SNAP_EVERY", 10_000)
+        t = VersionedTable(str(tmp_path / "t"))
+        for i in range(5):
+            t.commit(_df(spark, i * 10, i * 10 + 10))
+        t.vacuum(keep_versions=2, min_age_seconds=0)
+        V._MCACHE = None
+        with pytest.raises(FileNotFoundError):
+            t._load_manifest(2)  # expired boundary version itself
+
+
+class TestManifestCache:
+    def test_loads_are_private_trees(self, spark, tmp_path):
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 10, 20))
+        m = t._load_manifest(1)
+        g = m["groups"][0]
+        m["groups"].append("data/poison")
+        m["stats"][g]["id"] = {"min": -999}
+        m2 = t._load_manifest(1)
+        assert "data/poison" not in m2["groups"]
+        assert m2["stats"][g]["id"]["min"] == 0
+
+    def test_rebuilt_table_at_same_path_not_served_stale(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        t = VersionedTable(path)
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 10, 20))
+        assert len(t._load_manifest(1)["groups"]) == 2  # warm the cache
+        shutil.rmtree(path)
+        t2 = VersionedTable(path)
+        t2.commit(_df(spark, 0, 5).withColumn("extra", F.lit(1)))
+        t2.commit(_df(spark, 5, 8).withColumn("extra", F.lit(1)))
+        m = t2._load_manifest(1)
+        assert "extra" in m["schema"]
+        assert t2.read(spark).count() == 8
+
+    def test_old_reader_rejects_delta_manifest(self, spark, tmp_path):
+        """A pre-delta reader (format ceiling 1) must fail loudly on a
+        format-2 file, not misread the missing keys as an empty
+        table."""
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 10, 20))
+        V._MCACHE = None
+        old_ceiling = V._FORMAT_VERSION
+        try:
+            V._FORMAT_VERSION = 1
+            with pytest.raises(UnsupportedFormatError):
+                t._load_manifest(1)
+        finally:
+            V._FORMAT_VERSION = old_ceiling

@@ -52,7 +52,9 @@ def build(spark, path: str) -> VersionedTable:
 def strip_stats(t: VersionedTable) -> None:
     v = t.latest_version()
     p = _manifest_path(t.path, v)
-    m = json.load(open(p))
+    # materialize first (the file may be a format-2 delta) and write
+    # the stripped FULL form back
+    m = t._load_manifest(v)
     m.pop("stats", None)
     json.dump(m, open(p, "w"))
 
