@@ -101,6 +101,70 @@ def bench_one(
     history[label] = passes
 
 
+# --- host-phase calibration (r15 VERDICT #2) ---------------------------
+# BENCH_r14.json was recorded in a severe CPU-steal phase (gate subtotal
+# 20.3 s vs 6.2 s quiet, same binary) and needed prose notes to stay
+# comparable. The artifact now carries its own weather report: a
+# CONSTANT-WORK micro-task (one JVM whole-stage-codegen aggregation +
+# one pure-Python loop) timed FIRST and LAST. Readings land in the JSON
+# under "calibration"; if the pre-run reading drifts >CAL_DRIFT_MAX over
+# the recorded quiet baseline, the harness waits and re-probes up to
+# CAL_RETRIES times before starting (don't record a poisoned run), and
+# any drift is flagged rather than silently folded into query timings.
+CAL_BASELINE_S = 0.210  # quiet-window min on this host, 2026-08-16 (r15)
+CAL_DRIFT_MAX = 1.2
+CAL_RETRIES = 3
+CAL_RETRY_WAIT_S = 60.0
+
+
+def calibration_probe(spark) -> float:
+    """Constant work, no IO: a 30M-row codegen'd JVM aggregation plus a
+    2M-iteration Python arithmetic loop. Returns the min of 3 passes —
+    tracks host CPU availability, invariant to repo code changes."""
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(30_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000003) as s"
+        ).first()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        return time.perf_counter() - t0
+
+    once()  # warm-up (codegen compile)
+    return round(min(once() for _ in range(3)), 3)
+
+
+def calibrate(spark, when: str) -> dict:
+    """One calibration reading + drift vs the quiet baseline. Pre-run
+    ('first') readings in a noisy phase trigger a wait-and-reprobe loop
+    so the recorded artifact starts in a quiet window when one arrives
+    within a few minutes; 'last' only reports."""
+    reading = calibration_probe(spark)
+    retries = 0
+    while (
+        when == "first"
+        and reading / CAL_BASELINE_S > CAL_DRIFT_MAX
+        and retries < CAL_RETRIES
+    ):
+        print(
+            f"  calibration[{when}]: {reading:.3f}s = "
+            f"{reading / CAL_BASELINE_S:.2f}x baseline — host phase "
+            f"noisy, waiting {CAL_RETRY_WAIT_S:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(CAL_RETRY_WAIT_S)
+        reading = calibration_probe(spark)
+        retries += 1
+    drift = round(reading / CAL_BASELINE_S, 3)
+    print(
+        f"  calibration[{when}]: {reading:.3f}s ({drift:.2f}x baseline"
+        f"{', NOISY' if drift > CAL_DRIFT_MAX else ''})",
+        file=sys.stderr,
+    )
+    return {"s": reading, "drift": drift, "retries": retries}
+
+
 def ingest_run(spark, csv1: str, csv2: str):
     """CSV scan → 1M-row initial upsert → 200k-row update wave (O1-O5)."""
     from file_stream_import_spark.io.csv_ingest import ingest_locations_csv
@@ -125,6 +189,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     history: dict[str, list[float]] = {}
+    cal_first = calibrate(spark, "first")
 
     for name in HEADLINE:
         if name in qs:
@@ -380,6 +445,17 @@ def main() -> None:
                 history,
             )
 
+    cal_last = calibrate(spark, "last")
+    cal = {
+        "baseline_s": CAL_BASELINE_S,
+        "first": cal_first,
+        "last": cal_last,
+        "host_phase": (
+            "noisy"
+            if max(cal_first["drift"], cal_last["drift"]) > CAL_DRIFT_MAX
+            else "quiet"
+        ),
+    }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     result = {
@@ -388,10 +464,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "calibration": cal,
     }
     try:
         with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_HISTORY.jsonl"), "a") as f:
-            f.write(json.dumps({"ts": time.time(), "sf": sf_val, "passes": history}) + "\n")
+            f.write(json.dumps({"ts": time.time(), "sf": sf_val, "passes": history, "calibration": cal}) + "\n")
     except OSError:
         pass  # read-only checkout — history is best-effort
     print(json.dumps(result))

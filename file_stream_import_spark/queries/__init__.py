@@ -77,6 +77,7 @@ def load_all() -> None:
         round12,
         round13,
         round14,
+        round15,
     )
 
 

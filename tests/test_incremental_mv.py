@@ -2079,6 +2079,458 @@ class TestDistinctScanDiscipline:
         assert reads["n"] == 0
 
 
+class TestCombinedStoredFold:
+    """r15 VERDICT #4: a view declaring BOTH min/max and approx-
+    distinct families reads the stored MV snapshot ONCE per refresh
+    and the source snapshot AT MOST once (the union of both families'
+    endangered keys drives a single recompute) — the two-pass fold
+    used to pay each read twice."""
+
+    KW = dict(
+        name="c", group_cols=["g"], sum_cols=["x"], key="k",
+        min_cols=["x"], max_cols=["x"], approx_distinct_cols=["v"],
+    )
+
+    def _counting(self, monkeypatch, src, mv):
+        reads = {"src": 0, "mv": 0}
+        orig = VersionedTable.read
+
+        def counting(self_t, *a, **kw):
+            if self_t.path == src.path:
+                reads["src"] += 1
+            elif self_t.path == mv.path:
+                reads["mv"] += 1
+            return orig(self_t, *a, **kw)
+
+        monkeypatch.setattr(VersionedTable, "read", counting)
+        return reads
+
+    def test_single_mv_read_and_single_source_read(
+        self, spark, tmp_path, monkeypatch
+    ):
+        src = _mk_v(
+            spark, tmp_path, [(1, "a", "x", 5), (2, "a", "y", 9)]
+        )
+        mv = _mv(tmp_path, "comb")
+        refresh_mv(src, mv, spark, **self.KW)
+        # a delete of the stored max endangers 'a' for BOTH families
+        src.delete_where(spark, F.col("k") == 2)
+        reads = self._counting(monkeypatch, src, mv)
+        refresh_mv(src, mv, spark, **self.KW)
+        # mv reads: one stored-state fold + the zero-group sweep's
+        # auto-prune read path counts separately only if it calls read
+        assert reads["mv"] <= 2, reads
+        assert reads["src"] == 1, reads  # ONE union-key recompute
+        row = {
+            r["g"]: (r["x_min"], r["x_max"])
+            for r in mv.read(spark).collect()
+        }
+        assert row["a"] == (5, 5)
+
+    def test_append_only_still_never_reads_source(
+        self, spark, tmp_path, monkeypatch
+    ):
+        src = _mk_v(
+            spark, tmp_path, [(1, "a", "x", 5), (2, "b", "y", 9)]
+        )
+        mv = _mv(tmp_path, "comb2")
+        refresh_mv(src, mv, spark, **self.KW)
+        src.commit(
+            spark.createDataFrame(
+                [(3, "a", "z", 7)],
+                "k long, g string, v string, x long",
+            ),
+            mode="append",
+        )
+        reads = self._counting(monkeypatch, src, mv)
+        refresh_mv(src, mv, spark, **self.KW)
+        assert reads["src"] == 0, reads
+        assert reads["mv"] <= 2, reads
+        row = {
+            r["g"]: (r["x_min"], r["x_max"], r["n_rows"])
+            for r in mv.read(spark).collect()
+        }
+        assert row["a"] == (5, 7, 2)
+
+
+class TestPercentileHistograms:
+    """r15 VERDICT #7: approx percentiles in the MV family via signed
+    log-bucket histograms — fully self-maintainable under deletes
+    (unlike MIN/MAX and HLL: no endangered recompute, no aux state).
+    Invariants: the stored histogram equals a full rebuild from the
+    source after any DML; hist_percentile estimates land within the
+    declared relative error of exact percentile_disc."""
+
+    KW = dict(
+        name="p", group_cols=["g"], sum_cols=["x"], key="k",
+        percentile_cols=["x"],
+    )
+
+    def _src(self, spark, tmp_path, n=3000, name="psrc"):
+        t = VersionedTable(str(tmp_path / name))
+        t.commit(
+            spark.range(0, n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("g"),
+                ((F.col("id") * 37) % 997 + 1).cast("long").alias("x"),
+            ),
+            mode="overwrite",
+        )
+        return t
+
+    def _hist_rebuild(self, spark, src):
+        """Ground truth: the histogram a bootstrap would build now."""
+        from file_stream_import_spark.operators.mv import (
+            _DEFAULT_PCT_ERR,
+            _hist_base,
+            _hist_map,
+        )
+
+        rows = _hist_map(
+            src.read(spark), ["g"], "x",
+            _hist_base(_DEFAULT_PCT_ERR), F.lit(1),
+        ).collect()
+        return {r["g"]: dict(r["x_hist"]) for r in rows}
+
+    def _hist_state(self, spark, mv):
+        return {
+            r["g"]: dict(r["x_hist"])
+            for r in mv.read(spark).collect()
+        }
+
+    def test_histogram_exact_through_dml(self, spark, tmp_path):
+        src = self._src(spark, tmp_path)
+        mv = _mv(tmp_path, "pmv")
+        refresh_mv(src, mv, spark, **self.KW)
+        assert self._hist_state(spark, mv) == self._hist_rebuild(
+            spark, src
+        )
+        # delete-heavy + update waves: histograms fold deletes EXACTLY
+        src.delete_where(spark, F.col("x") > 900)
+        merge_into(
+            src, spark,
+            src.read(spark).filter(F.col("k") < 500).withColumn(
+                "x", F.col("x") + 17
+            ),
+            key="k",
+        )
+        src.delete_where(spark, (F.col("g") == "1") & (F.col("k") % 2 == 0))
+        refresh_mv(src, mv, spark, **self.KW)
+        assert self._hist_state(spark, mv) == self._hist_rebuild(
+            spark, src
+        )
+
+    def test_estimates_within_declared_error(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import hist_percentile
+
+        src = self._src(spark, tmp_path)
+        mv = _mv(tmp_path, "pmv2")
+        refresh_mv(src, mv, spark, **self.KW)
+        src.delete_where(spark, F.col("x").between(300, 600))
+        refresh_mv(src, mv, spark, **self.KW)
+        est = {
+            r["g"]: (r["p50"], r["p95"])
+            for r in mv.read(spark).select(
+                "g",
+                hist_percentile("x_hist", 0.5).alias("p50"),
+                hist_percentile("x_hist", 0.95).alias("p95"),
+            ).collect()
+        }
+        exact = {
+            r["g"]: (r["e50"], r["e95"])
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.expr("percentile_approx(x, 0.5, 100000)").alias("e50"),
+                F.expr("percentile_approx(x, 0.95, 100000)").alias("e95"),
+            )
+            .collect()
+        }
+        for g, (p50, p95) in est.items():
+            e50, e95 = exact[g]
+            assert abs(p50 / e50 - 1) <= 0.0101, (g, p50, e50)
+            assert abs(p95 / e95 - 1) <= 0.0101, (g, p95, e95)
+
+    def test_negative_zero_and_null_values(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import hist_percentile
+
+        t = VersionedTable(str(tmp_path / "nzsrc"))
+        rows = [(i, "a", v) for i, v in enumerate(
+            [-100.0, -1.0, 0.0, 0.0, 1.0, 100.0, None]
+        )]
+        t.commit(
+            spark.createDataFrame(rows, "k long, g string, x double"),
+            mode="overwrite",
+        )
+        mv = _mv(tmp_path, "nzmv")
+        refresh_mv(t, mv, spark, **self.KW)
+        r = mv.read(spark).select(
+            hist_percentile("x_hist", 0.0).alias("lo"),
+            hist_percentile("x_hist", 0.5).alias("mid"),
+            hist_percentile("x_hist", 1.0).alias("hi"),
+        ).first()
+        assert abs(r["lo"] / -100.0 - 1) <= 0.0101
+        assert r["mid"] == 0.0  # rank 3 of 6 non-null values
+        assert abs(r["hi"] / 100.0 - 1) <= 0.0101
+
+    def test_group_vanishes_and_empty_hist(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import hist_percentile
+
+        src = self._src(spark, tmp_path, n=300)
+        mv = _mv(tmp_path, "pmv3")
+        refresh_mv(src, mv, spark, **self.KW)
+        src.delete_where(spark, F.col("g") == "2")
+        refresh_mv(src, mv, spark, **self.KW)
+        assert sorted(
+            r["g"] for r in mv.read(spark).collect()
+        ) == ["0", "1"]
+        # estimator on an EMPTY histogram returns NULL, not an error
+        empty = mv.read(spark).select(
+            hist_percentile(F.expr("map()").cast("map<int,bigint>"), 0.5)
+            .alias("p")
+        ).first()
+        assert empty["p"] is None
+
+    def test_validation(self, spark, tmp_path):
+        src = self._src(spark, tmp_path, n=30)
+        mv = _mv(tmp_path, "pmv4")
+        with pytest.raises(ValueError, match="group column"):
+            refresh_mv(
+                src, mv, spark, name="p", group_cols=["g"],
+                sum_cols=["x"], key="k", percentile_cols=["g"],
+            )
+        with pytest.raises(ValueError, match="percentile_rel_err"):
+            refresh_mv(
+                src, mv, spark, name="p", group_cols=["g"],
+                sum_cols=["x"], key="k", percentile_cols=["x"],
+                percentile_rel_err=0.0,
+            )
+
+    def test_streaming_maintainer_parity(self, spark, tmp_path):
+        """The streaming maintainer folds the same histograms batch by
+        batch — state equals a full rebuild after live DML crossing
+        trigger boundaries."""
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        src = self._src(spark, tmp_path, n=600, name="spsrc")
+        mv = _mv(tmp_path, "spmv")
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", src.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(
+                make_mv_maintainer(
+                    mv, "sp_q", group_cols=["g"], sum_cols=["x"],
+                    percentile_cols=["x"],
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck_sp"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert self._hist_state(spark, mv) == self._hist_rebuild(
+                spark, src
+            )
+            src.delete_where(spark, F.col("x") > 800)
+            merge_into(
+                src, spark,
+                src.read(spark).filter(F.col("k") < 100).withColumn(
+                    "x", F.col("x") * 2
+                ),
+                key="k",
+            )
+            q.processAllAvailable()
+            assert self._hist_state(spark, mv) == self._hist_rebuild(
+                spark, src
+            )
+        finally:
+            q.stop()
+
+
+class TestRewriteWithMv:
+    """r15 VERDICT #5: MV query rewrite — a source-form GROUP BY whose
+    grouping/measure set is subsumed by the MV is answered FROM the MV
+    (zero source IO, plan-pinned); anything not subsumed returns None
+    so the caller falls back to the source."""
+
+    SPEC = dict(
+        mv_group_cols=["g", "h"], sum_cols=["x"], min_cols=["x"],
+        max_cols=["x"], sumsq_cols=["x"], distinct_cols=["v"],
+        approx_distinct_cols=["v"], percentile_cols=["x"],
+    )
+
+    def _build(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import refresh_mv
+
+        src = VersionedTable(str(tmp_path / "rwsrc"))
+        src.commit(
+            spark.range(0, 4000).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("g"),
+                (F.col("id") % 2).cast("string").alias("h"),
+                ((F.col("id") * 13) % 101).cast("string").alias("v"),
+                ((F.col("id") * 37) % 997 + 1).cast("long").alias("x"),
+            ),
+            mode="overwrite",
+        )
+        mv = _mv(tmp_path, "rwmv")
+        kw = dict(
+            name="rw", group_cols=["g", "h"], sum_cols=["x"], key="k",
+            min_cols=["x"], max_cols=["x"], sumsq_cols=["x"],
+            distinct_cols=["v"], approx_distinct_cols=["v"],
+            percentile_cols=["x"],
+        )
+        refresh_mv(src, mv, spark, **kw)
+        src.delete_where(spark, F.col("x") > 900)
+        refresh_mv(src, mv, spark, **kw)
+        return src, mv
+
+    def test_exact_grouping_answers_without_source(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from file_stream_import_spark.operators.mv import rewrite_with_mv
+
+        src, mv = self._build(spark, tmp_path)
+        reads = {"src": 0}
+        orig = VersionedTable.read
+
+        def counting(self_t, *a, **kw):
+            if self_t.path == src.path:
+                reads["src"] += 1
+            return orig(self_t, *a, **kw)
+
+        monkeypatch.setattr(VersionedTable, "read", counting)
+        out = rewrite_with_mv(
+            mv, spark,
+            group_cols=["g", "h"],
+            measures={
+                "n": ("count",),
+                "sum_x": ("sum", "x"),
+                "avg_x": ("avg", "x"),
+                "min_x": ("min", "x"),
+                "max_x": ("max", "x"),
+                "var_x": ("var_pop", "x"),
+                "nd_v": ("count_distinct", "v"),
+                "p50_x": ("percentile", "x", 0.5),
+            },
+            **self.SPEC,
+        )
+        assert out is not None
+        got = {
+            (r["g"], r["h"]): r.asDict() for r in out.collect()
+        }
+        assert reads["src"] == 0, "rewrite scanned the source"
+        monkeypatch.setattr(VersionedTable, "read", orig)
+        want = {
+            (r["g"], r["h"]): r.asDict()
+            for r in src.read(spark)
+            .groupBy("g", "h")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("x").alias("sum_x"),
+                F.avg("x").alias("avg_x"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.var_pop("x").alias("var_x"),
+                F.count_distinct("v").alias("nd_v"),
+                F.expr("percentile_approx(x, 0.5, 100000)").alias(
+                    "p50_x"
+                ),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k, w in want.items():
+            r = got[k]
+            assert r["n"] == w["n"] and r["sum_x"] == w["sum_x"]
+            assert abs(r["avg_x"] - w["avg_x"]) < 1e-9
+            assert r["min_x"] == w["min_x"] and r["max_x"] == w["max_x"]
+            assert abs(r["var_x"] - w["var_x"]) < 1e-6 * max(
+                1.0, abs(w["var_x"])
+            )
+            assert r["nd_v"] == w["nd_v"]
+            assert abs(r["p50_x"] / w["p50_x"] - 1) <= 0.0101
+
+    def test_subset_grouping_reaggregates(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import rewrite_with_mv
+
+        src, mv = self._build(spark, tmp_path)
+        out = rewrite_with_mv(
+            mv, spark,
+            group_cols=["g"],
+            measures={
+                "n": ("count",),
+                "sum_x": ("sum", "x"),
+                "avg_x": ("avg", "x"),
+                "min_x": ("min", "x"),
+                "max_x": ("max", "x"),
+                "var_x": ("var_pop", "x"),
+                "and_v": ("approx_count_distinct", "v"),
+            },
+            **self.SPEC,
+        )
+        assert out is not None
+        got = {r["g"]: r.asDict() for r in out.collect()}
+        want = {
+            r["g"]: r.asDict()
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("x").alias("sum_x"),
+                F.avg("x").alias("avg_x"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.var_pop("x").alias("var_x"),
+                F.count_distinct("v").alias("and_v"),
+            )
+            .collect()
+        }
+        for k, w in want.items():
+            r = got[k]
+            assert r["n"] == w["n"] and r["sum_x"] == w["sum_x"]
+            assert abs(r["avg_x"] - w["avg_x"]) < 1e-9
+            assert r["min_x"] == w["min_x"] and r["max_x"] == w["max_x"]
+            assert abs(r["var_x"] - w["var_x"]) < 1e-6 * max(
+                1.0, abs(w["var_x"])
+            )
+            # HLL union estimate: within 5% of exact
+            assert abs(r["and_v"] / w["and_v"] - 1) <= 0.05
+
+    def test_not_subsumed_falls_back(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import rewrite_with_mv
+
+        _, mv = self._build(spark, tmp_path)
+        base = dict(self.SPEC)
+        # grouping not a subset of the MV's
+        assert rewrite_with_mv(
+            mv, spark, group_cols=["k"],
+            measures={"n": ("count",)}, **base,
+        ) is None
+        # exact distinct does not re-aggregate across groups
+        assert rewrite_with_mv(
+            mv, spark, group_cols=["g"],
+            measures={"nd": ("count_distinct", "v")}, **base,
+        ) is None
+        # percentile histograms are exact-grouping only (v1)
+        assert rewrite_with_mv(
+            mv, spark, group_cols=["g"],
+            measures={"p": ("percentile", "x", 0.5)}, **base,
+        ) is None
+        # a measure column the MV does not maintain
+        assert rewrite_with_mv(
+            mv, spark, group_cols=["g", "h"],
+            measures={"s": ("sum", "v")}, **base,
+        ) is None
+
+
 class TestStreamingApproxDistinct:
     """r14 late: approx_distinct_cols in the streaming maintainer —
     sketch union per batch, delete-endangered groups re-sketch against
