@@ -351,9 +351,10 @@ def rewrite_with_mv(
                                       re-aggregate across groups)
       ("approx_count_distinct", c) <- c in approx_distinct_cols (HLL
                                       sketches re-aggregate by union)
-      ("percentile", c, q)         <- c in percentile_cols, EXACT
-                                      grouping only (v1: histogram
-                                      maps are per-row state)
+      ("percentile", c, q)         <- c in percentile_cols (histogram
+                                      maps re-aggregate by signed
+                                      bucket union — collect_list +
+                                      map_zip_with fold, JVM-side)
 
     Subsumption: set(group_cols) must be a subset of the MV's grouping.
     EXACT grouping (equal sets) answers with a pure projection — zero
@@ -408,10 +409,30 @@ def rewrite_with_mv(
             if exact:
                 return F.hll_sketch_estimate(h)
             return F.hll_sketch_estimate(F.hll_union_agg(h))
-        if kind == "percentile" and c in percentile_cols and exact:
-            return hist_percentile(
-                f"{c}_hist", float(spec[2]), percentile_rel_err
-            )
+        if kind == "percentile" and c in percentile_cols:
+            h = F.col(f"{c}_hist")
+            if not exact:
+                # merge the finer groups' histograms: fold the
+                # collected maps with the same signed bucket union the
+                # MERGE clause uses — per coarse group the list holds
+                # at most the MV's finer-group count, folded JVM-side
+                empty = F.expr(f"cast(map() as {_HIST_TYPE})")
+                h = F.aggregate(
+                    F.collect_list(h),
+                    empty,
+                    lambda acc, m: F.map_filter(
+                        F.map_zip_with(
+                            acc,
+                            m,
+                            lambda k, a, b: F.coalesce(
+                                a, F.lit(0).cast("bigint")
+                            )
+                            + F.coalesce(b, F.lit(0).cast("bigint")),
+                        ),
+                        lambda k, v: v != 0,
+                    ),
+                )
+            return hist_percentile(h, float(spec[2]), percentile_rel_err)
         return None
 
     exprs = []

@@ -2473,6 +2473,7 @@ class TestRewriteWithMv:
                 "max_x": ("max", "x"),
                 "var_x": ("var_pop", "x"),
                 "and_v": ("approx_count_distinct", "v"),
+                "p50_x": ("percentile", "x", 0.5),
             },
             **self.SPEC,
         )
@@ -2490,6 +2491,9 @@ class TestRewriteWithMv:
                 F.max("x").alias("max_x"),
                 F.var_pop("x").alias("var_x"),
                 F.count_distinct("v").alias("and_v"),
+                F.expr("percentile_approx(x, 0.5, 100000)").alias(
+                    "p50_x"
+                ),
             )
             .collect()
         }
@@ -2503,6 +2507,8 @@ class TestRewriteWithMv:
             )
             # HLL union estimate: within 5% of exact
             assert abs(r["and_v"] / w["and_v"] - 1) <= 0.05
+            # merged-histogram percentile: within the declared 1%
+            assert abs(r["p50_x"] / w["p50_x"] - 1) <= 0.0101
 
     def test_not_subsumed_falls_back(self, spark, tmp_path):
         from file_stream_import_spark.operators.mv import rewrite_with_mv
@@ -2518,11 +2524,6 @@ class TestRewriteWithMv:
         assert rewrite_with_mv(
             mv, spark, group_cols=["g"],
             measures={"nd": ("count_distinct", "v")}, **base,
-        ) is None
-        # percentile histograms are exact-grouping only (v1)
-        assert rewrite_with_mv(
-            mv, spark, group_cols=["g"],
-            measures={"p": ("percentile", "x", 0.5)}, **base,
         ) is None
         # a measure column the MV does not maintain
         assert rewrite_with_mv(
