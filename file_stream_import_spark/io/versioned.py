@@ -1321,24 +1321,24 @@ def _fold_delta(parent: dict, raw: dict) -> dict:
 # that mutate a loaded manifest (rename's stats rewrite does) cannot
 # poison the cache. Bytes-bounded LRU; thread-safe (streaming
 # maintainers fold concurrently on driver threads).
-_MCACHE: "OrderedDict[tuple, str]" = None  # type: ignore[assignment]
+import threading as _threading
+from collections import OrderedDict as _OrderedDict
+
+_MCACHE: "_OrderedDict[tuple, str]" = _OrderedDict()
 _MCACHE_BYTES = 0
 _MCACHE_CAP = 128 << 20
-_MCACHE_LOCK = None
+_MCACHE_LOCK = _threading.Lock()
 
 
-def _mcache_init() -> None:
-    global _MCACHE, _MCACHE_LOCK
-    if _MCACHE is None:
-        from collections import OrderedDict
-        import threading
-
-        _MCACHE = OrderedDict()
-        _MCACHE_LOCK = threading.Lock()
+def _mcache_clear() -> None:
+    """Drop every cached manifest (tests force cold reconstruction)."""
+    global _MCACHE_BYTES
+    with _MCACHE_LOCK:
+        _MCACHE.clear()
+        _MCACHE_BYTES = 0
 
 
 def _mcache_get(key: tuple) -> str | None:
-    _mcache_init()
     with _MCACHE_LOCK:
         text = _MCACHE.get(key)
         if text is not None:
@@ -1348,7 +1348,6 @@ def _mcache_get(key: tuple) -> str | None:
 
 def _mcache_put(key: tuple, text: str) -> None:
     global _MCACHE_BYTES
-    _mcache_init()
     with _MCACHE_LOCK:
         old = _MCACHE.pop(key, None)
         if old is not None:

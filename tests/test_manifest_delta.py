@@ -53,7 +53,7 @@ def recorder(monkeypatch):
 
 
 def _assert_all_roundtrip(t: VersionedTable, recorded: dict) -> None:
-    V._MCACHE = None  # force cold reconstruction
+    V._mcache_clear()  # force cold reconstruction
     for ver in t.versions():
         got = t._load_manifest(ver)
         want = recorded[(t._meta_root, ver)]
@@ -204,7 +204,7 @@ class TestVacuumBoundarySnap:
         for i in range(5):
             t.commit(_df(spark, i * 10, i * 10 + 10))
         t.vacuum(keep_versions=2, min_age_seconds=0)
-        V._MCACHE = None
+        V._mcache_clear()
         with pytest.raises(FileNotFoundError):
             t._load_manifest(2)  # expired boundary version itself
 
@@ -245,7 +245,7 @@ class TestManifestCache:
         t = VersionedTable(str(tmp_path / "t"))
         t.commit(_df(spark, 0, 10))
         t.commit(_df(spark, 10, 20))
-        V._MCACHE = None
+        V._mcache_clear()
         old_ceiling = V._FORMAT_VERSION
         try:
             V._FORMAT_VERSION = 1
