@@ -1625,26 +1625,29 @@ class VersionedTable:
         schema_json = df.schema.json()
         groups: list[str] = []
         delete_entries: list[dict] = []
+        # ONE parent load serves the schema check, the stats carry, and
+        # the bloom/constraint lookups below (each load parses the full
+        # materialized manifest — O(width) per call at large widths)
+        pm = self._load_manifest(parent) if parent is not None else {}
         if mode == "append" and parent is not None:
-            m = self._load_manifest(parent)
-            if _schema_key(m["schema"]) != _schema_key(schema_json):
+            if _schema_key(pm["schema"]) != _schema_key(schema_json):
                 if not allow_evolution:
                     raise SchemaMismatchError(
                         "append schema differs from table schema; pass "
                         "allow_evolution=True for additive columns, or "
                         "overwrite to migrate explicitly"
                     )
-                schema_json = _evolve_schema(m["schema"], df.schema)
-            groups = list(m["groups"])
+                schema_json = _evolve_schema(pm["schema"], df.schema)
+            groups = list(pm["groups"])
             # pending merge-on-read deletes stay scoped to the OLD
             # groups; the new group is younger than every delete and
             # must not be touched by them
-            delete_entries = list(m.get("delete_entries") or [])
+            delete_entries = list(pm.get("delete_entries") or [])
         # stats for RETAINED groups carry forward by reference
         stats = (
             {
                 g: s
-                for g, s in (self._load_manifest(parent).get("stats") or {}).items()
+                for g, s in (pm.get("stats") or {}).items()
                 if g in set(groups)
             }
             if parent is not None and groups
@@ -1653,7 +1656,6 @@ class VersionedTable:
         # (1) immutable data files first, invisible until the manifest;
         # per-column min/max + CHECK validation observed in the SAME
         # job as the write
-        pm = self._load_manifest(parent) if parent is not None else {}
         checks = pm.get("constraints") or {}
         if partition_by:
             added, new_stats = self._write_partitioned_groups(
