@@ -111,7 +111,7 @@ def bench_one(
 # the recorded quiet baseline, the harness waits and re-probes up to
 # CAL_RETRIES times before starting (don't record a poisoned run), and
 # any drift is flagged rather than silently folded into query timings.
-CAL_BASELINE_S = 0.210  # quiet-window min on this host, 2026-08-16 (r15)
+CAL_BASELINE_S = 0.311  # quiet-window min on this host, 2026-08-16 (r15)
 CAL_DRIFT_MAX = 1.2
 CAL_RETRIES = 3
 CAL_RETRY_WAIT_S = 60.0
