@@ -346,9 +346,13 @@ def rewrite_with_mv(
       ("stddev_pop", c)            <- c in sumsq_cols AND sum_cols
                                       (assumes c non-null, the sumsq
                                       contract)
-      ("count_distinct", c)        <- c in distinct_cols, EXACT
-                                      grouping only (nd does not
-                                      re-aggregate across groups)
+      ("count_distinct", c)        <- c in distinct_cols: exact
+                                      grouping reads <c>_nd; a SUBSET
+                                      grouping is answered EXACTLY
+                                      from the aux support table
+                                      (distinct (group, value) rows
+                                      re-count at any coarser
+                                      grouping — still no source IO)
       ("approx_count_distinct", c) <- c in approx_distinct_cols (HLL
                                       sketches re-aggregate by union)
       ("percentile", c, q)         <- c in percentile_cols (histogram
@@ -436,15 +440,43 @@ def rewrite_with_mv(
         return None
 
     exprs = []
+    aux_nd: dict[str, str] = {}
     for out_name, spec in measures.items():
-        e = measure_expr(tuple(spec))
+        spec = tuple(spec)
+        if (
+            spec[0] == "count_distinct"
+            and not exact
+            and len(spec) > 1
+            and spec[1] in distinct_cols
+        ):
+            # the per-group nd numbers cannot re-aggregate (a value in
+            # two finer groups must count once), but the aux SUPPORT
+            # TABLE holds exactly the distinct (group, value) pairs —
+            # re-counting those at the coarser grouping is exact
+            aux_nd[out_name] = spec[1]
+            continue
+        e = measure_expr(spec)
         if e is None:
             return None  # not subsumed -> caller computes from source
         exprs.append(e.alias(out_name))
     df = mv.read(spark)
     if exact:
-        return df.select(*group_cols, *exprs)
-    return df.groupBy(*group_cols).agg(*exprs)
+        out = df.select(*group_cols, *exprs)
+    else:
+        out = df.groupBy(*group_cols).agg(*exprs)
+    for out_name, c in aux_nd.items():
+        nd = (
+            nd_aux_table(mv, c)
+            .read(spark)
+            .filter(F.col("cnt") > 0)
+            .groupBy(*group_cols)
+            .agg(F.count_distinct(F.col(c)).cast("bigint").alias(out_name))
+        )
+        out = out.join(nd, on=group_cols, how="left").withColumn(
+            out_name,
+            F.coalesce(F.col(out_name), F.lit(0).cast("bigint")),
+        )
+    return out
 
 
 def _watermark(

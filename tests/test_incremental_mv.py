@@ -2306,6 +2306,89 @@ class TestPercentileHistograms:
                 percentile_rel_err=0.0,
             )
 
+    @settings(
+        max_examples=_FUZZ_EXAMPLES,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.data_too_large,
+        ],
+        derandomize=_FUZZ_DERANDOMIZE,
+    )
+    @given(init=_rows_st, ops=st.lists(_op_st, min_size=1, max_size=4))
+    def test_hist_mv_equals_rebuild_for_random_histories(
+        self, spark, tmp_path_factory, init, ops
+    ):
+        """Signed histograms through random DML histories (incl.
+        mid-history refreshes and rename cycles): the stored maps must
+        equal a full rebuild EXACTLY — the self-maintainability claim,
+        fuzzed. x in [-20, 20] exercises the negative/zero/positive
+        bucket mirror."""
+        from file_stream_import_spark.operators.mv import (
+            _DEFAULT_PCT_ERR,
+            _hist_base,
+            _hist_map,
+        )
+
+        base = tmp_path_factory.mktemp("hist_fuzz")
+        src = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
+        src.commit(
+            spark.createDataFrame(init, "k long, g string, x long"),
+            mode="overwrite",
+        )
+        mv = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
+        kw = dict(
+            name="hf", group_cols=["g"], sum_cols=["x"], key="k",
+            percentile_cols=["x"],
+        )
+        refresh_mv(src, mv, spark, **kw)
+        for op in ops:
+            kind = op[0]
+            if kind == "merge":
+                merge_into(
+                    src, spark,
+                    spark.createDataFrame(
+                        op[1], "k long, g string, x long"
+                    ),
+                    key="k",
+                )
+            elif kind == "delete":
+                lo, hi = sorted((op[1], op[2]))
+                src.delete_where(spark, F.col("k").between(lo, hi))
+            elif kind == "append":
+                have = {
+                    r["k"]
+                    for r in src.read(spark).select("k").collect()
+                }
+                fresh = [r for r in op[1] if r[0] not in have]
+                if not fresh:
+                    continue
+                src.commit(
+                    spark.createDataFrame(
+                        fresh, "k long, g string, x long"
+                    ),
+                    mode="append",
+                )
+            elif kind == "rename_cycle":
+                src.rename_column("x", "x_tmp")
+                src.rename_column("x_tmp", "x")
+            else:
+                refresh_mv(src, mv, spark, **kw)
+        refresh_mv(src, mv, spark, **kw)
+        got = {
+            r["g"]: dict(r["x_hist"])
+            for r in mv.read(spark).collect()
+        }
+        want = {
+            r["g"]: dict(r["x_hist"])
+            for r in _hist_map(
+                src.read(spark), ["g"], "x",
+                _hist_base(_DEFAULT_PCT_ERR), F.lit(1),
+            ).collect()
+        }
+        assert got == want, f"histogram diverged after {ops}"
+
     def test_streaming_maintainer_parity(self, spark, tmp_path):
         """The streaming maintainer folds the same histograms batch by
         batch — state equals a full rebuild after live DML crossing
@@ -2474,6 +2557,7 @@ class TestRewriteWithMv:
                 "var_x": ("var_pop", "x"),
                 "and_v": ("approx_count_distinct", "v"),
                 "p50_x": ("percentile", "x", 0.5),
+                "nd_v": ("count_distinct", "v"),
             },
             **self.SPEC,
         )
@@ -2494,6 +2578,7 @@ class TestRewriteWithMv:
                 F.expr("percentile_approx(x, 0.5, 100000)").alias(
                     "p50_x"
                 ),
+                F.count_distinct("v").alias("nd_v"),
             )
             .collect()
         }
@@ -2509,6 +2594,8 @@ class TestRewriteWithMv:
             assert abs(r["and_v"] / w["and_v"] - 1) <= 0.05
             # merged-histogram percentile: within the declared 1%
             assert abs(r["p50_x"] / w["p50_x"] - 1) <= 0.0101
+            # coarse EXACT distinct served from the aux support table
+            assert r["nd_v"] == w["nd_v"]
 
     def test_not_subsumed_falls_back(self, spark, tmp_path):
         from file_stream_import_spark.operators.mv import rewrite_with_mv
@@ -2520,10 +2607,10 @@ class TestRewriteWithMv:
             mv, spark, group_cols=["k"],
             measures={"n": ("count",)}, **base,
         ) is None
-        # exact distinct does not re-aggregate across groups
+        # a distinct column the MV does not maintain
         assert rewrite_with_mv(
             mv, spark, group_cols=["g"],
-            measures={"nd": ("count_distinct", "v")}, **base,
+            measures={"nd": ("count_distinct", "x")}, **base,
         ) is None
         # a measure column the MV does not maintain
         assert rewrite_with_mv(
