@@ -366,7 +366,14 @@ def rewrite_with_mv(
     SUMSQ re-add, MIN/MAX re-extremize, HLL re-unions), one shuffle
     over MV-sized input. The caller passes the SAME spec it gave
     refresh_mv — the MV stores no self-description (schema IS the
-    contract), exactly like rows_col."""
+    contract), exactly like rows_col.
+
+    Consistency: the MV and (for coarse count_distinct) its aux
+    support table are each read at their own LATEST — under a racing
+    refresher the aux may momentarily be one window ahead of the MV
+    snapshot, the same read-latest convergence choice _fold_distinct
+    documents; refresh once with no concurrent writers for a
+    version-consistent view."""
     sum_cols = list(sum_cols or [])
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
