@@ -172,11 +172,32 @@ def _sum_fold_types(schema, sum_cols: list[str]) -> dict[str, str]:
 # midpoint is within ``rel_err`` of it (base = (1+rel_err)^2, so the
 # half-bucket ratio sqrt(base) = 1+rel_err). Contract: finite values;
 # NaN/Inf are ignored like NULLs (their bucket is NULL); bucket ids
-# fit int comfortably (|id| <= ~36k at rel_err=0.01 across the whole
+# fit int comfortably (|id| <= ~75k at rel_err=0.01 across the whole
 # double range). The estimator and the refresher must use the SAME
 # rel_err (it is the bucket geometry, like rows_col is a name).
+#
+# ENCODING (r16, fixes the r15 sign/fraction bug): the magnitude index
+# mag = floor(log_base |v|) is NEGATIVE for |v| < 1, so a raw
+# sign-mirrored ``±(mag+1)`` id collides positive fractions with the
+# negative mirror range (at 1%: +0.5 → id −34, the same id a negative
+# value near −1.95 gets — decoded percentiles came back with the wrong
+# sign and magnitude). The fix is DDSketch's two-store idea flattened
+# into one keyspace: shift
+# magnitudes by an OFFSET deeper than the deepest representable double
+# exponent, so every positive value maps to a strictly POSITIVE id and
+# every negative value to its strictly NEGATIVE mirror:
+#     id = 0                      for v == 0
+#     id = +(OFFSET + mag + 1)    for v > 0
+#     id = −(OFFSET + mag + 1)    for v < 0
+# OFFSET = ceil(745 / ln(base)) + 2 > |mag| for any finite double
+# (|ln 4.9e−324| ≈ 744.44), so id order == value order across the
+# whole signed double line, fractions included. Stored maps written by
+# the r15 encoder are incompatible — re-bootstrap the MV (the spec
+# records hist_encoding, so a mismatch fails loudly rather than
+# decoding garbage).
 
 _DEFAULT_PCT_ERR = 0.01
+_HIST_ENCODING = 2  # bump when the bucket↔value mapping changes
 
 
 def _hist_base(rel_err: float) -> float:
@@ -185,23 +206,45 @@ def _hist_base(rel_err: float) -> float:
     return (1.0 + float(rel_err)) ** 2
 
 
+def _hist_offset(base: float) -> int:
+    """Magnitude shift that makes bucket ids sign-pure: strictly larger
+    than |floor(log_base |v|)| for every finite nonzero double (the
+    deepest denormal is 4.9e−324, |ln| ≈ 744.44). Guarded so twice the
+    id range still fits int32 — rel_err below ~7e−7 would overflow the
+    stored map's int key (and be absurd precision for a sketch)."""
+    import math
+
+    off = int(math.ceil(745.0 / math.log(base))) + 2
+    if 2 * off + 4 > 2**31 - 1:
+        raise ValueError(
+            "percentile_rel_err too small: bucket ids would overflow "
+            f"int32 (offset {off}); use rel_err >= 1e-6"
+        )
+    return off
+
+
 def _hist_bucket(col, base: float):
-    """Sign-mirrored log bucket id: 0 for 0, 1+floor(log_base v) for
-    v>0, the negated mirror for v<0 — ordered by value, so percentile
-    scans walk ids ascending. NULL (and non-finite, whose log/cast
-    degenerates to NULL) values get a NULL id and are ignored."""
+    """Offset sign-mirrored log bucket id (see the module notes): 0 for
+    0, +(OFFSET + floor(log_base v) + 1) for v>0, the negated mirror
+    for v<0 — positive values occupy a strictly positive id range, so
+    ids are ordered by value across fractions and mixed signs, and
+    percentile scans walk them ascending. NULL (and non-finite, whose
+    log/cast degenerates to NULL) values get a NULL id and are
+    ignored."""
     import math
 
     v = F.col(col).cast("double") if isinstance(col, str) else col
+    off = _hist_offset(base)
     mag = (F.floor(F.log(F.abs(v)) / F.lit(math.log(base)))).cast("int")
     non_finite = (
         v.isNull() | F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
     )
+    shifted = mag + F.lit(off + 1)
     return (
         F.when(non_finite, F.lit(None).cast("int"))
         .when(v == 0, F.lit(0))
-        .when(v > 0, mag + F.lit(1))
-        .otherwise(-(mag + F.lit(1)))
+        .when(v > 0, shifted)
+        .otherwise(-shifted)
     )
 
 
@@ -304,7 +347,13 @@ def hist_percentile(
         ),
     )
     bid = picked["bid"]
-    mid = F.exp((F.abs(bid).cast("double") - F.lit(0.5)) * F.lit(lb))
+    # invert the offset encoding: |id| = OFFSET + mag + 1, the bucket
+    # covers (base^mag, base^(mag+1)], geometric midpoint exponent
+    # mag + 0.5 = |id| − OFFSET − 0.5
+    off = _hist_offset(base)
+    mid = F.exp(
+        (F.abs(bid).cast("double") - F.lit(float(off) + 0.5)) * F.lit(lb)
+    )
     return (
         F.when(total == 0, F.lit(None).cast("double"))
         .when(bid == 0, F.lit(0.0))

