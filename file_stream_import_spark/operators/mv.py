@@ -1221,6 +1221,8 @@ def refresh_join_mv(
     key_a: str | list[str],
     key_b: str | list[str],
     rows_col: str = _ROWS,
+    percentile_cols: list[str] | None = None,
+    percentile_rel_err: float = _DEFAULT_PCT_ERR,
     pin_watermark: bool = False,
 ) -> tuple[int, int]:
     """Incrementally maintain an aggregate MV over an EQUI-JOIN of two
@@ -1245,14 +1247,25 @@ def refresh_join_mv(
 
     ``group_cols``/``sum_cols`` name columns of the JOINED row (either
     side); both sources must satisfy the CDF contract on their own
-    keys. SUM/COUNT only (AVG = SUM/COUNT at read); join-key updates
-    decompose into -old/+new pairs on the delta side and need nothing
-    special. Returns (version_a, version_b) the MV now reflects.
+    keys. SUM/COUNT (AVG = SUM/COUNT at read) plus, since r16,
+    ``percentile_cols``: the same signed log-bucket histograms
+    refresh_mv maintains (``<col>_hist``, estimate with
+    hist_percentile) — fully self-maintainable under the delta-join's
+    signed rows, so the fold stays O(delta) with no endangered
+    recompute on either side. Join-key updates decompose into
+    -old/+new pairs on the delta side and need nothing special.
+    Returns (version_a, version_b) the MV now reflects.
     ``pin_watermark=True`` tags BOTH sources at their watermarks
     (vacuum-proof refreshes, see refresh_mv)."""
     from ..io.versioned import _schema_from_json
 
     tag_a, tag_b = f"mv:{name}:a", f"mv:{name}:b"
+    percentile_cols = list(percentile_cols or [])
+    hist_base = _hist_base(percentile_rel_err)
+    *_, hist_names = _derived_names(
+        group_cols, sum_cols, rows_col, [], [], [], [], [],
+        percentile_cols,
+    )
     cur_a, cur_b = a.latest_version(), b.latest_version()
     if cur_a is None or cur_b is None:
         raise FileNotFoundError(
@@ -1264,10 +1277,11 @@ def refresh_join_mv(
     cols_b = {f.name for f in schema_b.fields}
     from pyspark.sql.types import StructType
 
-    ftypes = _sum_fold_types(
-        StructType(list(schema_a.fields) + list(schema_b.fields)),
-        sum_cols,
+    joined_schema = StructType(
+        list(schema_a.fields) + list(schema_b.fields)
     )
+    ftypes = _sum_fold_types(joined_schema, sum_cols)
+    _sum_fold_types(joined_schema, percentile_cols)  # numeric check
     missing = [c for c in on if c not in cols_a or c not in cols_b]
     if missing:
         raise ValueError(f"join columns missing from a source: {missing}")
@@ -1306,6 +1320,11 @@ def refresh_join_mv(
                 agg = joined.groupBy(*group_cols).agg(
                     *sums, F.count("*").cast("bigint").alias(rows_col)
                 )
+                if percentile_cols:
+                    agg = _attach_hists(
+                        agg, joined, group_cols, percentile_cols,
+                        hist_base, F.lit(1),
+                    )
                 mv.commit(
                     agg,
                     mode="overwrite",
@@ -1355,15 +1374,26 @@ def refresh_join_mv(
                     ],
                     F.sum("__sign").cast("bigint").alias(rows_col),
                 )
+                if percentile_cols:
+                    # the joined delta row's sign is already the
+                    # product of its sides' signs (__sign) — the same
+                    # signed fold the agg MV uses, over joined rows
+                    deltas = _attach_hists(
+                        deltas, delta, group_cols, percentile_cols,
+                        hist_base, F.col("__sign"),
+                    )
                 merge_into(
                     mv,
                     spark,
                     deltas,
                     key=group_cols,
                     when_matched={
-                        c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
-                        + F.coalesce(F.col(f"s.{c}"), F.lit(0))
-                        for c in [*sum_cols, rows_col]
+                        **{
+                            c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                            + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                            for c in [*sum_cols, rows_col]
+                        },
+                        **{n: _hist_merge_expr(n) for n in hist_names},
                     },
                     txn={tag_a: cur_a, tag_b: cur_b},
                     expected_parent=mv_v,

@@ -571,11 +571,37 @@ def _mk_join(spark, tmp_path):
 
 
 def _refresh_j(a, b, mv, spark):
+    # percentile_cols rides every join-MV test (r16): each refresh
+    # also folds the x histogram, and _hist_state_j pins it
     return refresh_join_mv(
         a, b, mv, spark,
         name="j", on=["ck"], group_cols=["seg"], sum_cols=["x"],
-        key_a="k", key_b="ck",
+        key_a="k", key_b="ck", percentile_cols=["x"],
     )
+
+
+def _hist_state_j(spark, mv):
+    return {
+        r["seg"]: dict(r["x_hist"])
+        for r in mv.read(spark).collect()
+    }
+
+
+def _hist_rebuild_j(spark, a, b):
+    """Histogram a bootstrap would build from the CURRENT join."""
+    from file_stream_import_spark.operators.mv import (
+        _DEFAULT_PCT_ERR,
+        _hist_base,
+        _hist_map,
+    )
+
+    joined = a.read(spark).join(b.read(spark), on="ck", how="inner")
+    return {
+        r["seg"]: dict(r["x_hist"])
+        for r in _hist_map(
+            joined, ["seg"], "x", _hist_base(_DEFAULT_PCT_ERR), F.lit(1)
+        ).collect()
+    }
 
 
 def _state_j(spark, t):
@@ -727,6 +753,76 @@ class TestRefreshJoinMv:
                 key_a="k", key_b="ck",
             )
 
+    def test_percentile_histograms_through_both_side_dml(
+        self, spark, tmp_path
+    ):
+        """r16 (VERDICT #3): percentile histograms in the join MV —
+        folded through left-side DML, a right-side segment move (which
+        regroups every joined row under the key), and deletes; stored
+        maps equal a full rebuild and estimates land within 1% on a
+        mixed-sign FRACTIONAL domain."""
+        from file_stream_import_spark.operators.mv import (
+            hist_percentile,
+            refresh_join_mv,
+        )
+
+        a = VersionedTable(str(tmp_path / "pa"))
+        # x double in [-0.9, 0.9]: sub-1 magnitudes on both signs
+        a.commit(
+            spark.range(0, 400).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 4).alias("ck"),
+                (((F.col("id") * 7) % 181 - 90) / 100.0).alias("x"),
+            ),
+            mode="overwrite",
+        )
+        b = VersionedTable(str(tmp_path / "pb"))
+        b.commit(
+            spark.createDataFrame(
+                [(0, "g0"), (1, "g1"), (2, "g0"), (3, "g1")],
+                "ck long, seg string",
+            ),
+            mode="overwrite",
+        )
+        mv = _mv(tmp_path, name="pjmv")
+        kw = dict(
+            name="pj", on=["ck"], group_cols=["seg"], sum_cols=["x"],
+            key_a="k", key_b="ck", percentile_cols=["x"],
+        )
+        refresh_join_mv(a, b, mv, spark, **kw)
+        assert _hist_state_j(spark, mv) == _hist_rebuild_j(spark, a, b)
+        # left delete + right segment move in one window
+        a.delete_where(spark, F.col("x") > 0.6)
+        merge_into(
+            b, spark,
+            spark.createDataFrame([(2, "g2")], "ck long, seg string"),
+            key="ck",
+        )
+        refresh_join_mv(a, b, mv, spark, **kw)
+        assert _hist_state_j(spark, mv) == _hist_rebuild_j(spark, a, b)
+        est = {
+            r["seg"]: r["p50"]
+            for r in mv.read(spark).select(
+                "seg", hist_percentile("x_hist", 0.5).alias("p50")
+            ).collect()
+        }
+        exact = {
+            r["seg"]: r["e50"]
+            for r in a.read(spark)
+            .join(b.read(spark), on="ck", how="inner")
+            .groupBy("seg")
+            .agg(F.expr(
+                "percentile_approx(x, 0.5, 100000)"
+            ).alias("e50"))
+            .collect()
+        }
+        for seg, e in exact.items():
+            got = est[seg]
+            if e == 0.0:
+                assert got == 0.0, (seg, got)
+            else:
+                assert abs(got / e - 1) <= 0.0101, (seg, got, e)
+
     @settings(
         max_examples=_FUZZ_EXAMPLES,
         deadline=None,
@@ -813,6 +909,12 @@ class TestRefreshJoinMv:
         assert _state_j(spark, mv) == _recompute_j(spark, a, b), (
             f"join MV diverged from recompute after {ops}"
         )
+        # r16: the percentile histograms must be byte-equal to a full
+        # rebuild from the final join — self-maintainability under the
+        # delta-join's signed rows, fuzzed
+        assert _hist_state_j(spark, mv) == _hist_rebuild_j(
+            spark, a, b
+        ), f"join-MV histogram diverged after {ops}"
 
 
 from file_stream_import_spark.operators.mv import make_mv_maintainer
