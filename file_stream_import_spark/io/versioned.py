@@ -1290,7 +1290,12 @@ def _fold_delta(parent: dict, raw: dict) -> dict:
         if d is None:
             continue  # explicit full value (already copied) or absent
         if "a" in d:  # list diff
-            base = parent.get(k) or []
+            # mirror the ENCODER's type guard (_encode_delta diffs
+            # against [] when the parent value is not a list): a key
+            # that ever changed type dict->list must fold against the
+            # same base the diff was computed from
+            pv = parent.get(k)
+            base = pv if isinstance(pv, list) else []
             rm = set(d.get("r") or [])
             if rm:
                 # key mode must be the ENCODER's ("ks"), never
@@ -1306,7 +1311,8 @@ def _fold_delta(parent: dict, raw: dict) -> dict:
                 base = list(base)
             full[k] = base + list(d.get("a") or [])
         else:  # dict diff
-            base = dict(parent.get(k) or {})
+            pv = parent.get(k)
+            base = dict(pv) if isinstance(pv, dict) else {}
             for kk in d.get("x") or []:
                 base.pop(kk, None)
             base.update(d.get("s") or {})

@@ -158,6 +158,130 @@ def _sum_fold_types(schema, sum_cols: list[str]) -> dict[str, str]:
     return out
 
 
+# -- MV spec self-description (r16, VERDICT #2) -------------------------
+#
+# refresh_mv / refresh_join_mv / make_mv_maintainer used to TRUST the
+# caller to re-state the MV's spec on every call — a wrong
+# group_cols/measure mapping silently re-aggregated garbage (only
+# schema-missing columns failed loudly). The spec is now RECORDED in a
+# sidecar ``_mv_spec.json`` at the MV root when the MV bootstraps
+# (vacuum never touches files outside data/ and _manifests/, and a
+# re-bootstrap overwrites it): every later refresh VALIDATES its
+# kwargs against the recorded spec and raises with a remedy on any
+# drift, and rewrite_with_mv can be called with just (group_cols,
+# measures) — the MV describes itself. The spec also pins
+# ``hist_encoding`` so histograms stored under an older bucket
+# encoding fail loudly instead of decoding garbage. MVs bootstrapped
+# before the spec existed adopt the caller's kwargs once on their
+# next refresh — unless they maintain percentile columns, whose
+# stored maps may predate encoding 2; those must re-bootstrap.
+
+_SPEC_FILE = "_mv_spec.json"
+_SPEC_VERSION = 1
+
+
+def _norm_key(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _spec_path(mv: VersionedTable) -> str:
+    import os
+
+    return os.path.join(mv.path, _SPEC_FILE)
+
+
+def load_mv_spec(mv: VersionedTable) -> dict | None:
+    """The MV's recorded self-description (grouping, measure families,
+    CDF key, rel_err, histogram encoding), written at bootstrap.
+    Returns None for MVs bootstrapped before the spec existed (they
+    adopt a spec on their next refresh)."""
+    import json
+
+    try:
+        with open(_spec_path(mv)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _store_spec(mv: VersionedTable, spec: dict) -> None:
+    import json
+    import os
+    import uuid
+
+    os.makedirs(mv.path, exist_ok=True)
+    p = _spec_path(mv)
+    tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(spec, f, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def rename_in_spec(mv: VersionedTable, renames: dict[str, str]) -> None:
+    """Lockstep companion to rename_column for spec-recorded MVs: the
+    documented rename recipe (rename the source column and the MV's
+    column together, then refresh under the NEW name) now has a third
+    step — rewrite the recorded spec's column references so the
+    new-name kwargs validate. Maps every column-list field plus
+    rows_col/key/on; no-op when the MV has no recorded spec."""
+    spec = load_mv_spec(mv)
+    if spec is None:
+        return
+    for f in (
+        "group_cols", "sum_cols", "min_cols", "max_cols",
+        "sumsq_cols", "distinct_cols", "approx_distinct_cols",
+        "percentile_cols", "key", "key_a", "key_b", "on",
+    ):
+        if isinstance(spec.get(f), list):
+            spec[f] = [renames.get(x, x) for x in spec[f]]
+    if isinstance(spec.get("rows_col"), str):
+        spec["rows_col"] = renames.get(spec["rows_col"], spec["rows_col"])
+    _store_spec(mv, spec)
+
+
+def _validate_spec(mv: VersionedTable, spec: dict) -> None:
+    """Incremental-refresh gate: the caller's canonicalized kwargs
+    must equal the recorded spec field for field. A missing spec file
+    (pre-spec MV) adopts the caller's kwargs once — except when
+    percentile columns are declared, where the stored maps may predate
+    the current bucket encoding and only a re-bootstrap is safe."""
+    stored = load_mv_spec(mv)
+    if stored is None:
+        if spec.get("percentile_cols"):
+            raise ValueError(
+                f"MV at {mv.path} predates the recorded spec and "
+                "maintains percentile histograms — their stored maps "
+                "may use an older bucket encoding. Re-bootstrap the "
+                "MV (delete it or refresh after a source overwrite) "
+                "to adopt a spec"
+            )
+        _store_spec(mv, spec)
+        return
+    if stored.get("percentile_cols") and (
+        stored.get("hist_encoding") != _HIST_ENCODING
+    ):
+        raise ValueError(
+            f"MV at {mv.path} stores percentile histograms under "
+            f"bucket encoding {stored.get('hist_encoding')} but this "
+            f"build writes encoding {_HIST_ENCODING} — the maps are "
+            "not interoperable; re-bootstrap the MV"
+        )
+    if stored != spec:
+        diff = sorted(
+            k
+            for k in {*stored, *spec}
+            if stored.get(k) != spec.get(k)
+        )
+        raise ValueError(
+            f"MV spec mismatch at {mv.path}: field(s) {diff} differ "
+            "from the spec recorded at bootstrap — a mismatched "
+            "refresh would fold wrong aggregates. Pass the recorded "
+            "spec (load_mv_spec(mv) returns it), re-bootstrap the MV "
+            "to change it, or — after a lockstep column rename — "
+            "rename_in_spec(mv, {old: new})"
+        )
+
+
 # -- approx-percentile measures: signed log-bucket histograms (r15) -----
 #
 # Unlike MIN/MAX (endangered-group recompute) and HLL sketches (cannot
@@ -368,16 +492,16 @@ def rewrite_with_mv(
     *,
     group_cols: list[str],
     measures: dict[str, tuple],
-    mv_group_cols: list[str],
+    mv_group_cols: list[str] | None = None,
     sum_cols: list[str] | None = None,
-    rows_col: str = _ROWS,
+    rows_col: str | None = None,
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
     approx_distinct_cols: list[str] | None = None,
     percentile_cols: list[str] | None = None,
-    percentile_rel_err: float = _DEFAULT_PCT_ERR,
+    percentile_rel_err: float | None = None,
 ):
     """MV QUERY REWRITE — the read side of IVM (r15 VERDICT #5): answer
     a source-form ``GROUP BY group_cols`` aggregate FROM the MV when
@@ -413,9 +537,16 @@ def rewrite_with_mv(
     EXACT grouping (equal sets) answers with a pure projection — zero
     shuffle; a strict subset re-aggregates the MV's rows (SUM/COUNT/
     SUMSQ re-add, MIN/MAX re-extremize, HLL re-unions), one shuffle
-    over MV-sized input. The caller passes the SAME spec it gave
-    refresh_mv — the MV stores no self-description (schema IS the
-    contract), exactly like rows_col.
+    over MV-sized input.
+
+    Spec (r16, VERDICT #2): the MV DESCRIBES ITSELF — when a recorded
+    spec exists (every MV bootstrapped since r16 has one), call with
+    just (group_cols, measures) and the grouping/measure families/
+    rows_col/rel_err are read from the record; any explicitly-passed
+    field is VALIDATED against it and a mismatch raises (a wrong
+    re-statement would silently re-aggregate garbage). Pre-spec MVs
+    fall back to the caller's full re-statement (mv_group_cols
+    required).
 
     Consistency: the MV and (for coarse count_distinct) its aux
     support table are each read at their own LATEST — under a racing
@@ -423,13 +554,92 @@ def rewrite_with_mv(
     snapshot, the same read-latest convergence choice _fold_distinct
     documents; refresh once with no concurrent writers for a
     version-consistent view."""
+    stored = load_mv_spec(mv)
+    if stored is not None:
+        if stored.get("percentile_cols") and (
+            stored.get("hist_encoding") != _HIST_ENCODING
+        ):
+            raise ValueError(
+                f"MV at {mv.path} stores percentile histograms under "
+                f"bucket encoding {stored.get('hist_encoding')} but "
+                f"this build reads encoding {_HIST_ENCODING} — "
+                "re-bootstrap the MV before rewriting through it"
+            )
+
+        def rec(field, default):
+            v = stored.get(field)
+            return default if v is None else v
+
+        resolved = {
+            "mv_group_cols": list(stored["group_cols"]),
+            "sum_cols": rec("sum_cols", []),
+            "rows_col": rec("rows_col", _ROWS),
+            "min_cols": rec("min_cols", []),
+            "max_cols": rec("max_cols", []),
+            "sumsq_cols": rec("sumsq_cols", []),
+            "distinct_cols": rec("distinct_cols", []),
+            "approx_distinct_cols": rec("approx_distinct_cols", []),
+            "percentile_cols": rec("percentile_cols", []),
+            "percentile_rel_err": rec(
+                "percentile_rel_err", _DEFAULT_PCT_ERR
+            ),
+        }
+        passed = {
+            "mv_group_cols": mv_group_cols,
+            "sum_cols": sum_cols,
+            "rows_col": rows_col,
+            "min_cols": min_cols,
+            "max_cols": max_cols,
+            "sumsq_cols": sumsq_cols,
+            "distinct_cols": distinct_cols,
+            "approx_distinct_cols": approx_distinct_cols,
+            "percentile_cols": percentile_cols,
+            "percentile_rel_err": percentile_rel_err,
+        }
+        drift = sorted(
+            k
+            for k, v in passed.items()
+            if v is not None and (
+                float(v) != float(resolved[k])
+                if k == "percentile_rel_err"
+                else list(v) != list(resolved[k])
+                if isinstance(v, (list, tuple))
+                else v != resolved[k]
+            )
+        )
+        if drift:
+            raise ValueError(
+                f"rewrite spec mismatch at {mv.path}: field(s) "
+                f"{drift} differ from the MV's recorded spec — drop "
+                "the argument(s) (the MV describes itself) or pass "
+                "the recorded values (load_mv_spec(mv))"
+            )
+        mv_group_cols = resolved["mv_group_cols"]
+        sum_cols = resolved["sum_cols"]
+        rows_col = resolved["rows_col"]
+        min_cols = resolved["min_cols"]
+        max_cols = resolved["max_cols"]
+        sumsq_cols = resolved["sumsq_cols"]
+        distinct_cols = resolved["distinct_cols"]
+        approx_distinct_cols = resolved["approx_distinct_cols"]
+        percentile_cols = resolved["percentile_cols"]
+        percentile_rel_err = resolved["percentile_rel_err"]
+    elif mv_group_cols is None:
+        raise ValueError(
+            f"MV at {mv.path} has no recorded spec (pre-spec "
+            "bootstrap) — pass mv_group_cols and the measure "
+            "families explicitly, or refresh it once to adopt a spec"
+        )
     sum_cols = list(sum_cols or [])
+    rows_col = rows_col or _ROWS
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
     sumsq_cols = list(sumsq_cols or [])
     distinct_cols = list(distinct_cols or [])
     approx_distinct_cols = list(approx_distinct_cols or [])
     percentile_cols = list(percentile_cols or [])
+    if percentile_rel_err is None:
+        percentile_rel_err = _DEFAULT_PCT_ERR
     if not set(group_cols) <= set(mv_group_cols):
         return None
     exact = set(group_cols) == set(mv_group_cols)
@@ -634,7 +844,14 @@ def refresh_mv(
     vacuum() can never expire the manifests the next refresh's CDF
     walk needs — without it, a vacuum past the watermark forces an MV
     re-bootstrap (the documented remedy). Main-chain sources only
-    (tags live on main)."""
+    (tags live on main).
+
+    Spec self-description (r16): the bootstrap RECORDS these kwargs
+    in ``_mv_spec.json`` at the MV root; every later refresh
+    validates against the record and a mismatched re-statement
+    raises instead of folding wrong aggregates (see _validate_spec;
+    load_mv_spec reads the record, rewrite_with_mv serves itself
+    from it)."""
     tag = f"mv:{name}"
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
@@ -663,8 +880,31 @@ def refresh_mv(
                 f"distinct column {c!r} not in source schema"
             )
     _sum_fold_types(src_schema, percentile_cols)  # numeric-family check
+    spec = {
+        "spec_version": _SPEC_VERSION,
+        "kind": "agg",
+        "name": name,
+        "group_cols": list(group_cols),
+        "sum_cols": list(sum_cols),
+        "key": _norm_key(key),
+        "rows_col": rows_col,
+        "min_cols": min_cols,
+        "max_cols": max_cols,
+        "sumsq_cols": sumsq_cols,
+        "distinct_cols": distinct_cols,
+        "approx_distinct_cols": approx_distinct_cols,
+        "percentile_cols": percentile_cols,
+        "percentile_rel_err": (
+            float(percentile_rel_err) if percentile_cols else None
+        ),
+        "hist_encoding": _HIST_ENCODING if percentile_cols else None,
+    }
     while True:
         mv_v, wm = _watermark(mv, tag)
+        if wm is None:
+            _store_spec(mv, spec)  # bootstrap (re)defines the spec
+        else:
+            _validate_spec(mv, spec)
         if wm is not None and cur <= wm:
             # converged (or a replay of an applied refresh): still run
             # the zero-group sweep so a crashed predecessor's residue
@@ -1291,6 +1531,22 @@ def refresh_join_mv(
             f"non-join columns shared by both sources would collide in "
             f"the joined row: {sorted(clash)} — rename one side"
         )
+    spec = {
+        "spec_version": _SPEC_VERSION,
+        "kind": "join",
+        "name": name,
+        "on": list(on),
+        "group_cols": list(group_cols),
+        "sum_cols": list(sum_cols),
+        "key_a": _norm_key(key_a),
+        "key_b": _norm_key(key_b),
+        "rows_col": rows_col,
+        "percentile_cols": percentile_cols,
+        "percentile_rel_err": (
+            float(percentile_rel_err) if percentile_cols else None
+        ),
+        "hist_encoding": _HIST_ENCODING if percentile_cols else None,
+    }
     while True:
         mv_v = mv.latest_version()
         txn = (
@@ -1300,6 +1556,10 @@ def refresh_join_mv(
         )
         wa = None if txn.get(tag_a) is None else int(txn[tag_a])
         wb = None if txn.get(tag_b) is None else int(txn[tag_b])
+        if wa is None:
+            _store_spec(mv, spec)  # bootstrap (re)defines the spec
+        else:
+            _validate_spec(mv, spec)
         if wa is not None and cur_a <= wa and wb is not None and (
             cur_b <= wb
         ):
@@ -1565,14 +1825,47 @@ def make_mv_maintainer(
             "(the endangered-group recompute/re-sketch reads the "
             "source snapshot)"
         )
+    # kind "agg-stream", NOT "agg": a batch refresh_mv pointed at a
+    # stream-maintained MV (or vice versa) must raise — the two
+    # protocols keep independent watermarks and would double-count
+    spec = {
+        "spec_version": _SPEC_VERSION,
+        "kind": "agg-stream",
+        "name": query_name,
+        "group_cols": list(group_cols),
+        "sum_cols": list(sum_cols),
+        "rows_col": rows_col,
+        "min_cols": min_cols,
+        "max_cols": max_cols,
+        "sumsq_cols": sumsq_cols,
+        "distinct_cols": distinct_cols,
+        "approx_distinct_cols": approx_distinct_cols,
+        "percentile_cols": percentile_cols,
+        "percentile_rel_err": (
+            float(percentile_rel_err) if percentile_cols else None
+        ),
+        "hist_encoding": _HIST_ENCODING if percentile_cols else None,
+    }
+    spec_checked = False
 
     def write(batch_df, batch_id: int) -> None:
+        nonlocal spec_checked
         spark = batch_df.sparkSession
         # a planned-but-empty batch (pure compaction versions) needs
         # no MV commit; the watermark stays put, and a replayed empty
         # batch is empty again — safe to skip
         if not batch_df.take(1):
             return
+        if not spec_checked:
+            # once per (re)started query: a fresh MV records the spec
+            # before the first fold; an existing one validates against
+            # its recorded spec (adopting it if pre-spec, raising on
+            # any drift — including a batch-refreshed MV's "agg" kind)
+            if mv.latest_version() is None:
+                _store_spec(mv, spec)
+            else:
+                _validate_spec(mv, spec)
+            spec_checked = True
         sign = _sign_col()
         is_add = sign == 1
         ftypes = _sum_fold_types(batch_df.schema, sum_cols)

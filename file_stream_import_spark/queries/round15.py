@@ -261,10 +261,13 @@ def lake_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN/MAX re-extremize), never touching the multi-thousand-row
     source. History: bootstrap (v0), append (v1), group-moving MERGE
     (v2), CoW DELETE (v3), one incremental refresh, then the rewrite.
-    Two in-query pins: the rewrite's plan references the MV path and
-    NOT the source path (plan-string check), and a non-subsumed
+    In-query pins: the rewrite's plan references the MV path and
+    NOT the source path (plan-string check); a non-subsumed
     measure (sum of a column the MV does not maintain) returns None —
-    the documented fallback."""
+    the documented fallback; and (r16, spec self-description) the
+    rewrite is called with NO spec re-statement — the MV's recorded
+    _mv_spec.json serves it — while a CONTRADICTING re-statement and
+    a mismatched refresh both raise in-query."""
     import shutil
     import tempfile
 
@@ -283,10 +286,6 @@ def lake_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="orders_rw", group_cols=["status", "b"],
         sum_cols=["cents"], key="k", min_cols=["cents"],
         max_cols=["cents"],
-    )
-    spec = dict(
-        mv_group_cols=["status", "b"], sum_cols=["cents"],
-        min_cols=["cents"], max_cols=["cents"],
     )
     try:
         src.commit(
@@ -316,6 +315,25 @@ def lake_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, F.col("k").between(u + 1, 2 * u), prune_where="auto"
         )                                                   # v3
         refresh_mv(src, mv, spark, **kw)
+        # r16 spec pins: a refresh whose kwargs contradict the
+        # recorded spec raises; so does a rewrite re-stating a wrong
+        # grouping — while the rewrite below passes NO spec at all
+        try:
+            refresh_mv(src, mv, spark, **{**kw, "min_cols": []})
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("mismatched refresh spec did not raise")
+        try:
+            rewrite_with_mv(
+                mv, spark, group_cols=["status"],
+                measures={"n_rows": ("count",)},
+                mv_group_cols=["status"],
+            )
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("contradicting rewrite spec did not raise")
         out = rewrite_with_mv(
             mv, spark,
             group_cols=["status"],
@@ -326,7 +344,6 @@ def lake_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "min_cents": ("min", "cents"),
                 "max_cents": ("max", "cents"),
             },
-            **spec,
         )
         if out is None:
             raise AssertionError("subsumed rewrite unexpectedly fell back")
@@ -342,7 +359,7 @@ def lake_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # negative probe: a measure the MV does not maintain falls back
         if rewrite_with_mv(
             mv, spark, group_cols=["status"],
-            measures={"s": ("sum", "k")}, **spec,
+            measures={"s": ("sum", "k")},
         ) is not None:
             raise AssertionError("non-subsumed rewrite did not fall back")
         out = out.select(

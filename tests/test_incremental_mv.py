@@ -169,11 +169,14 @@ class TestRefreshMv:
         folds the chain, so the delta surfaces under the END name —
         rename the MV's column in lockstep (metadata-only on both
         sides) and refresh with the new name."""
+        from file_stream_import_spark.operators.mv import rename_in_spec
+
         src = _mk(spark, tmp_path, [(1, "a", 10)])
         mv = _mv(tmp_path)
         _refresh(src, mv, spark)
         src.rename_column("x", "y")
         mv.rename_column("x", "y")
+        rename_in_spec(mv, {"x": "y"})  # r16: third lockstep step
         src.commit(
             spark.createDataFrame(
                 [(2, "a", 5)], "k long, g string, y long"
@@ -1961,12 +1964,15 @@ class TestMvRenameLockstep:
         # the documented lockstep migration: source col, aux dir +
         # col, MV nd col — all renamed together, then refresh with the
         # new name
+        from file_stream_import_spark.operators.mv import rename_in_spec
+
         src.rename_column("v", "w")
         old_aux = nd_aux_table(mv, "v")
         new_aux = nd_aux_table(mv, "w")
         _osmod.rename(old_aux.path, new_aux.path)
         new_aux.rename_column("v", "w")
         mv.rename_column("v_nd", "w_nd")
+        rename_in_spec(mv, {"v": "w"})  # r16: spec follows the rename
         src.commit(
             spark.createDataFrame(
                 [(3, "a", "x", 4)],
@@ -2008,9 +2014,13 @@ class TestMvRenameLockstep:
         # documented recipe), then more source DML and chained
         # refreshes: level 2's CDF replay range now CONTAINS mv1's
         # rename commit and the post-rename merge
+        from file_stream_import_spark.operators.mv import rename_in_spec
+
         src.rename_column("x", "cents")
         mv1.rename_column("x", "cents")
         mv2.rename_column("x", "cents")
+        rename_in_spec(mv1, {"x": "cents"})
+        rename_in_spec(mv2, {"x": "cents"})
         src.commit(
             spark.createDataFrame(
                 [(4, "b", 7)], "k long, g string, cents long"
@@ -2945,3 +2955,342 @@ class TestDistinctConcurrentRefreshers:
         # the follow-up refresh (cur = 2) must converge everything
         _refresh_nd(src, mv, spark)
         assert _state_nd(spark, mv) == _recompute_nd(spark, src)
+
+
+class TestMvSpec:
+    """r16 (VERDICT #2): MV spec self-description — the refresh kwargs
+    are RECORDED in _mv_spec.json at bootstrap; later refreshes
+    validate against the record (a silent wrong re-statement becomes a
+    loud error), rewrite_with_mv reads the record instead of trusting
+    arguments, and the record pins the histogram bucket encoding."""
+
+    KW = dict(
+        name="sp", group_cols=["g"], sum_cols=["x"], key="k",
+        min_cols=["x"],
+    )
+
+    def _src(self, spark, tmp_path, name="spsrc"):
+        t = VersionedTable(str(tmp_path / name))
+        t.commit(
+            spark.range(0, 200).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("g"),
+                ((F.col("id") * 37) % 97 + 1).cast("long").alias("x"),
+            ),
+            mode="overwrite",
+        )
+        return t
+
+    def test_bootstrap_records_and_refresh_validates(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.operators.mv import load_mv_spec
+
+        src = self._src(spark, tmp_path)
+        mv = _mv(tmp_path, "spmv")
+        refresh_mv(src, mv, spark, **self.KW)
+        rec = load_mv_spec(mv)
+        assert rec["kind"] == "agg" and rec["group_cols"] == ["g"]
+        assert rec["key"] == ["k"] and rec["min_cols"] == ["x"]
+        # matching re-statement refreshes fine
+        src.commit(
+            spark.createDataFrame(
+                [(1000, "a", 5)], "k long, g string, x long"
+            ),
+            mode="append",
+        )
+        refresh_mv(src, mv, spark, **self.KW)
+        # a WRONG re-statement raises instead of folding garbage
+        bad = dict(self.KW, sum_cols=[])
+        with pytest.raises(ValueError, match="spec mismatch"):
+            refresh_mv(src, mv, spark, **bad)
+        # even a converged (no-delta) refresh validates
+        bad2 = dict(self.KW, min_cols=[])
+        with pytest.raises(ValueError, match="spec mismatch"):
+            refresh_mv(src, mv, spark, **bad2)
+
+    def test_rebootstrap_redefines_spec(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import load_mv_spec
+
+        src = self._src(spark, tmp_path)
+        mv = _mv(tmp_path, "spmv_rb")
+        refresh_mv(src, mv, spark, **self.KW)
+        # a DIFFERENT name has no watermark on this MV -> bootstrap
+        # path -> overwrites data AND spec (the documented semantic)
+        kw2 = dict(
+            name="sp2", group_cols=["g"], sum_cols=["x"], key="k",
+        )
+        refresh_mv(src, mv, spark, **kw2)
+        rec = load_mv_spec(mv)
+        assert rec["name"] == "sp2" and rec["min_cols"] == []
+
+    def test_pre_spec_mv_adopts_once(self, spark, tmp_path):
+        import os
+
+        from file_stream_import_spark.operators.mv import (
+            _spec_path,
+            load_mv_spec,
+        )
+
+        src = self._src(spark, tmp_path)
+        mv = _mv(tmp_path, "spmv_ad")
+        refresh_mv(src, mv, spark, **self.KW)
+        os.unlink(_spec_path(mv))  # simulate a pre-r16 MV
+        src.commit(
+            spark.createDataFrame(
+                [(1001, "b", 7)], "k long, g string, x long"
+            ),
+            mode="append",
+        )
+        refresh_mv(src, mv, spark, **self.KW)  # adopts
+        assert load_mv_spec(mv)["name"] == "sp"
+
+    def test_pre_spec_percentile_mv_must_rebootstrap(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from file_stream_import_spark.operators.mv import _spec_path
+
+        src = self._src(spark, tmp_path)
+        mv = _mv(tmp_path, "spmv_pct")
+        kw = dict(
+            name="spp", group_cols=["g"], sum_cols=["x"], key="k",
+            percentile_cols=["x"],
+        )
+        refresh_mv(src, mv, spark, **kw)
+        os.unlink(_spec_path(mv))
+        src.commit(
+            spark.createDataFrame(
+                [(1002, "c", 9)], "k long, g string, x long"
+            ),
+            mode="append",
+        )
+        with pytest.raises(ValueError, match="[Rr]e-bootstrap"):
+            refresh_mv(src, mv, spark, **kw)
+
+    def test_old_hist_encoding_rejected(self, spark, tmp_path):
+        import json
+
+        from file_stream_import_spark.operators.mv import (
+            _spec_path,
+            rewrite_with_mv,
+        )
+
+        src = self._src(spark, tmp_path)
+        mv = _mv(tmp_path, "spmv_enc")
+        kw = dict(
+            name="spe", group_cols=["g"], sum_cols=["x"], key="k",
+            percentile_cols=["x"],
+        )
+        refresh_mv(src, mv, spark, **kw)
+        rec = json.load(open(_spec_path(mv)))
+        rec["hist_encoding"] = 1  # r15 encoding
+        with open(_spec_path(mv), "w") as f:
+            json.dump(rec, f)
+        src.commit(
+            spark.createDataFrame(
+                [(1003, "a", 3)], "k long, g string, x long"
+            ),
+            mode="append",
+        )
+        with pytest.raises(ValueError, match="encoding"):
+            refresh_mv(src, mv, spark, **kw)
+        with pytest.raises(ValueError, match="encoding"):
+            rewrite_with_mv(
+                mv, spark, group_cols=["g"],
+                measures={"n": ("count",)},
+            )
+
+    def test_rewrite_reads_spec(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import (
+            rewrite_with_mv,
+        )
+
+        src = self._src(spark, tmp_path)
+        mv = _mv(tmp_path, "spmv_rw")
+        refresh_mv(src, mv, spark, **self.KW)
+        # no re-statement at all: the MV describes itself
+        out = rewrite_with_mv(
+            mv, spark, group_cols=["g"],
+            measures={
+                "n": ("count",),
+                "sum_x": ("sum", "x"),
+                "min_x": ("min", "x"),
+            },
+        )
+        exp = sorted(
+            (r["g"], r["n"], r["s"], r["m"])
+            for r in src.read(spark).groupBy("g").agg(
+                F.count("*").alias("n"),
+                F.sum("x").alias("s"),
+                F.min("x").alias("m"),
+            ).collect()
+        )
+        got = sorted(
+            (r["g"], r["n"], r["sum_x"], r["min_x"])
+            for r in out.collect()
+        )
+        assert got == exp
+        # an explicitly-passed field that CONTRADICTS the record
+        # raises; one that matches passes
+        with pytest.raises(ValueError, match="rewrite spec mismatch"):
+            rewrite_with_mv(
+                mv, spark, group_cols=["g"],
+                measures={"n": ("count",)}, mv_group_cols=["g", "h"],
+            )
+        assert rewrite_with_mv(
+            mv, spark, group_cols=["g"],
+            measures={"n": ("count",)}, mv_group_cols=["g"],
+        ) is not None
+
+    def test_rewrite_without_spec_needs_restatement(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from file_stream_import_spark.operators.mv import (
+            _spec_path,
+            rewrite_with_mv,
+        )
+
+        src = self._src(spark, tmp_path)
+        mv = _mv(tmp_path, "spmv_leg")
+        refresh_mv(src, mv, spark, **self.KW)
+        os.unlink(_spec_path(mv))  # pre-spec MV
+        with pytest.raises(ValueError, match="no recorded spec"):
+            rewrite_with_mv(
+                mv, spark, group_cols=["g"],
+                measures={"n": ("count",)},
+            )
+        # the legacy full re-statement still works
+        out = rewrite_with_mv(
+            mv, spark, group_cols=["g"],
+            measures={"n": ("count",)},
+            mv_group_cols=["g"], sum_cols=["x"], min_cols=["x"],
+        )
+        assert out.count() == 3
+
+    def test_join_mv_spec_validates(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import load_mv_spec
+
+        a, b = _mk_join(spark, tmp_path)
+        mv = _mv(tmp_path, "spmv_j")
+        _refresh_j(a, b, mv, spark)
+        rec = load_mv_spec(mv)
+        assert rec["kind"] == "join" and rec["on"] == ["ck"]
+        a.commit(
+            spark.createDataFrame(
+                [(9, 10, 4)], "k long, ck long, x long"
+            ),
+            mode="append",
+        )
+        with pytest.raises(ValueError, match="spec mismatch"):
+            refresh_join_mv(
+                a, b, mv, spark,
+                name="j", on=["ck"], group_cols=["seg"],
+                sum_cols=[], key_a="k", key_b="ck",
+                percentile_cols=["x"],
+            )
+        _refresh_j(a, b, mv, spark)  # matching spec still refreshes
+        assert _state_j(spark, mv) == _recompute_j(spark, a, b)
+
+    def test_stream_maintainer_on_batch_mv_raises(
+        self, spark, tmp_path
+    ):
+        """The two protocols keep independent watermarks — pointing a
+        stream maintainer at a batch-refreshed MV would double-count;
+        the spec's kind field turns that into a loud error on the
+        first batch."""
+        src = self._src(spark, tmp_path, name="spsrc_mix")
+        mv = _mv(tmp_path, "spmv_mix")
+        refresh_mv(src, mv, spark, **self.KW)
+        write = make_mv_maintainer(
+            mv, "mixq", group_cols=["g"], sum_cols=["x"],
+        )
+        batch = spark.createDataFrame(
+            [(1, "a", 2, "insert", 1)],
+            "k long, g string, x long, _change_type string, "
+            "_commit_version long",
+        )
+        with pytest.raises(ValueError, match="spec mismatch"):
+            write(batch, 0)
+
+    def test_rewrite_over_join_mv_spec(self, spark, tmp_path):
+        """The spec makes rewrite_with_mv work over a JOIN MV too:
+        kind 'join' resolves sum/rows/percentile from the record
+        (min/max/distinct default empty), so a coarser GROUP BY over
+        the joined aggregate is answered from the MV — zero source IO
+        on either join side."""
+        from file_stream_import_spark.operators.mv import (
+            hist_percentile,
+            refresh_join_mv,
+            rewrite_with_mv,
+        )
+
+        a, b = _mk_join(spark, tmp_path)
+        mv = _mv(tmp_path, "spmv_jrw")
+        refresh_join_mv(
+            a, b, mv, spark,
+            name="jrw", on=["ck"], group_cols=["seg"], sum_cols=["x"],
+            key_a="k", key_b="ck", percentile_cols=["x"],
+        )
+        out = rewrite_with_mv(
+            mv, spark, group_cols=["seg"],
+            measures={
+                "n": ("count",),
+                "sum_x": ("sum", "x"),
+                "p50_x": ("percentile", "x", 0.5),
+            },
+        )
+        assert out is not None
+        files = out.inputFiles()
+        assert files and all(mv.path in f for f in files)
+        got = {
+            r["seg"]: (r["n"], r["sum_x"]) for r in out.collect()
+        }
+        want = {
+            seg: (n, x) for seg, n, x in _recompute_j(spark, a, b)
+        }
+        assert got == want
+        # a measure the join MV does not maintain falls back
+        assert rewrite_with_mv(
+            mv, spark, group_cols=["seg"],
+            measures={"m": ("min", "x")},
+        ) is None
+
+    def test_rename_in_spec_follows_lockstep(self, spark, tmp_path):
+        """Without the third lockstep step a post-rename refresh
+        raises (spec mismatch names the field); with it, the new-name
+        kwargs validate and the refresh converges."""
+        from file_stream_import_spark.operators.mv import (
+            load_mv_spec,
+            rename_in_spec,
+        )
+
+        src = self._src(spark, tmp_path, name="spsrc_rn")
+        mv = _mv(tmp_path, "spmv_rn")
+        refresh_mv(src, mv, spark, **self.KW)
+        src.rename_column("x", "y")
+        mv.rename_column("x", "y")
+        mv.rename_column("x_min", "y_min")
+        src.commit(
+            spark.createDataFrame(
+                [(2000, "a", 8)], "k long, g string, y long"
+            ),
+            mode="append",
+        )
+        kw_new = dict(
+            name="sp", group_cols=["g"], sum_cols=["y"], key="k",
+            min_cols=["y"],
+        )
+        with pytest.raises(ValueError, match="rename_in_spec"):
+            refresh_mv(src, mv, spark, **kw_new)
+        rename_in_spec(mv, {"x": "y"})
+        assert load_mv_spec(mv)["sum_cols"] == ["y"]
+        refresh_mv(src, mv, spark, **kw_new)
+        got = {
+            r["g"]: (r["n_rows"], r["y"])
+            for r in mv.read(spark).collect()
+        }
+        assert got["a"] == (1, 8)  # the post-rename append folded

@@ -359,10 +359,36 @@ def main():
 
     scale_sf10.build(spark)  # no-op when /tmp/sf10 already exists
 
+    # r16 (VERDICT #5): the campaign's OPENING rows (partitioned_commit,
+    # merge_clauses) have been the most host-phase-sensitive measurements
+    # two rounds running — gate on bench.py's calibration probe exactly
+    # like bench.py does (wait-and-reprobe on a noisy start), and record
+    # a reading before each campaign and one at the end so every section
+    # of the table carries its own weather report.
+    import json
+
+    import bench
+
+    cal = {"first": bench.calibrate(spark, "first")}
     r01, m01 = campaign(spark, SRC01, "sf01")
+    cal["mid"] = bench.calibrate(spark, "mid")
     r10, m10 = campaign(spark, scale_sf10.DST, "sf10")
+    cal["last"] = bench.calibrate(spark, "last")
+    noisy = any(
+        c["drift"] > bench.CAL_DRIFT_MAX for c in cal.values()
+    )
     print(f"sf0.1: {m01}")
     print(f"sf10 : {m10}")
+    print(
+        "calibration: "
+        + json.dumps(
+            {
+                **cal,
+                "baseline_s": bench.CAL_BASELINE_S,
+                "host_phase": "noisy" if noisy else "quiet",
+            }
+        )
+    )
     print()
     print("| operation | sf0.1 | sf10 (100x rows, 100x groups) | ratio |")
     print("|---|---|---|---|")
@@ -370,6 +396,13 @@ def main():
         print(
             f"| {k} | {r01[k]:.3f} | {r10[k]:.3f} "
             f"| {r10[k] / r01[k]:.1f}x |"
+        )
+    if noisy:
+        print(
+            "\nNOTE: a calibration reading exceeded the quiet "
+            "threshold — in-campaign ratios for the opening rows are "
+            "phase-hostage; prefer a quiet-window re-run before "
+            "recording them."
         )
 
 
