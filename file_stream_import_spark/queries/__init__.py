@@ -78,6 +78,7 @@ def load_all() -> None:
         round13,
         round14,
         round15,
+        round16,
     )
 
 

@@ -1,0 +1,254 @@
+"""Round-16 driver queries: join-MV percentile histograms and the
+spec-served rewrite over a join MV.
+
+* lake_join_mv_percentile — an (orders |><| customer) join MV keyed on
+  segment, maintaining COUNT/SUM plus a percentile histogram over a
+  MIXED-SIGN FRACTIONAL column (the domain the r15 bucket encoding
+  corrupted), refreshed O(delta) through a left append, a right-side
+  segment move (regrouping every joined row under the moved keys), and
+  a left delete wave. The hashed output is the EXACT rank-based
+  percentile recomputed from the final join; in-query pins hold the
+  MV's histogram estimates within the declared 1% AND exercise the
+  spec-served rewrite (no spec re-statement) to the GLOBAL grouping —
+  histogram re-merge across segments — with an inputFiles() proof that
+  the rewrite never reads either join side.
+
+Reference parity: the reference joins and aggregates in Postgres at
+query time (SURVEY §3); incremental join-view maintenance with
+percentile state is north-star lakehouse surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.tables import load_table
+from . import register
+
+
+@register(
+    "lake_join_mv_percentile",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_custkey AS ck,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 10 AS u FROM base),
+    left_final AS (
+      SELECT k, ck, cents,
+             CAST((cents % 199) - 99 AS DOUBLE) / 100.0 AS frac
+      FROM base, p
+      WHERE NOT (k > p.u AND k <= 2 * p.u)
+    ),
+    segs AS (
+      SELECT c_custkey AS ck,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MV'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    ),
+    joined AS (
+      SELECT s.seg, l.cents, l.frac
+      FROM left_final l JOIN segs s ON l.ck = s.ck
+    ),
+    ranked AS (
+      SELECT seg, cents, frac,
+             ROW_NUMBER() OVER (
+               PARTITION BY seg ORDER BY frac
+             ) AS rnf,
+             COUNT(*) OVER (PARTITION BY seg) AS cnt
+      FROM joined
+    )
+    SELECT seg,
+           CAST(MAX(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MAX(CASE WHEN rnf = CAST(CEIL(0.5 * cnt) AS BIGINT)
+                    THEN frac END) AS p50f,
+           MAX(CASE WHEN rnf = CAST(CEIL(0.9 * cnt) AS BIGINT)
+                    THEN frac END) AS p90f
+    FROM ranked GROUP BY seg
+    """,
+)
+def lake_join_mv_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile histograms in the JOIN MV (operators/mv.py::
+    refresh_join_mv percentile_cols, r16) + the spec-served rewrite.
+
+    History: bootstrap the left side with the first 2/3 of densified
+    orders joined against the full customer dim (v0), append the last
+    third (left delta joins the pruned right snapshot), MERGE every
+    ck%7==0 customer into segment 'MV' (right delta joins the pruned
+    LEFT snapshot at its watermark — the regroup decomposes into
+    -old/+new signed joined rows), then CoW-DELETE the left k in
+    (u, 2u] — deletes the histogram forgets EXACTLY (signed bucket
+    fold, no endangered recompute). One incremental refresh per wave.
+
+    The hashed output is the EXACT rank percentile (value at rank
+    ceil(q*n), the estimator's own target) of the mixed-sign
+    fractional column recomputed from the final join. In-query pins:
+    (1) hist_percentile estimates within the declared 1% of those
+    exact values per segment; (2) rewrite_with_mv with NO spec
+    re-statement (the MV's recorded _mv_spec.json serves it) answers
+    the GLOBAL grouping by re-merging the per-segment histograms —
+    estimates within 1% of the exact global rank values — while
+    inputFiles() proves the rewrite read ONLY the MV, never either
+    join side."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..io.versioned import VersionedTable, merge_into
+    from ..operators.curation import dense_sequence
+    from ..operators.mv import (
+        hist_percentile,
+        refresh_join_mv,
+        rewrite_with_mv,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    o = dense_sequence(o, "o_orderkey", out_col="k").select(
+        "k", "ck", "cents",
+        (((F.col("cents") % 199) - 99).cast("double") / F.lit(100.0))
+        .alias("frac"),
+    )
+    n = o.count()
+    third, u = n // 3, n // 10
+    o = o.localCheckpoint(eager=True)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+    ).localCheckpoint(eager=True)
+    a = VersionedTable(tempfile.mkdtemp(prefix="lake_jmvp_a_"))
+    b = VersionedTable(tempfile.mkdtemp(prefix="lake_jmvp_b_"))
+    mv = VersionedTable(tempfile.mkdtemp(prefix="lake_jmvp_"))
+    kw = dict(
+        name="jmvp", on=["ck"], group_cols=["seg"],
+        sum_cols=["cents"], key_a="k", key_b="ck",
+        percentile_cols=["frac"],
+    )
+    try:
+        a.commit(o.filter(F.col("k") <= 2 * third), mode="overwrite")
+        b.commit(c, mode="overwrite")
+        refresh_join_mv(a, b, mv, spark, **kw)          # bootstrap join
+        a.commit(o.filter(F.col("k") > 2 * third), mode="append")
+        refresh_join_mv(a, b, mv, spark, **kw)          # left delta
+        merge_into(
+            b, spark,
+            c.filter(F.col("ck") % 7 == 0).withColumn(
+                "seg", F.lit("MV")
+            ),
+            key="ck",
+        )
+        refresh_join_mv(a, b, mv, spark, **kw)          # right regroup
+        a.delete_where(
+            spark, F.col("k").between(u + 1, 2 * u), prune_where="auto"
+        )
+        refresh_join_mv(a, b, mv, spark, **kw)          # left delete
+        # exact rank percentiles from the FINAL join — the oracle-
+        # comparable truth (frac derives from cents by identical
+        # integer arithmetic + one double division on both engines)
+        joined = a.read(spark).join(b.read(spark), on="ck", how="inner")
+        wf = Window.partitionBy("seg").orderBy("frac")
+        ranked = (
+            joined
+            .withColumn("rnf", F.row_number().over(wf))
+            .withColumn(
+                "cnt", F.count("*").over(Window.partitionBy("seg"))
+            )
+        )
+
+        def at_rank(q):
+            return F.max(
+                F.when(
+                    F.col("rnf")
+                    == F.ceil(F.lit(q) * F.col("cnt")).cast("bigint"),
+                    F.col("frac"),
+                )
+            )
+
+        exact = ranked.groupBy("seg").agg(
+            F.max("cnt").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            at_rank(0.5).alias("p50f"),
+            at_rank(0.9).alias("p90f"),
+        )
+        out = exact.localCheckpoint(eager=True)
+
+        def pin(got, want, where):
+            ok = got == 0.0 if want == 0 else (
+                got is not None and abs(got / want - 1) <= 0.0101
+            )
+            if not ok:
+                raise AssertionError(
+                    f"histogram percentile {got} drifted past 1% from "
+                    f"exact {want} ({where})"
+                )
+
+        # pin 1: per-segment estimates from the MV's stored histograms
+        est = {
+            r["seg"]: (r["e50"], r["e90"])
+            for r in mv.read(spark).select(
+                "seg",
+                hist_percentile("frac_hist", 0.5).alias("e50"),
+                hist_percentile("frac_hist", 0.9).alias("e90"),
+            ).collect()
+        }
+        for r in out.collect():
+            e50, e90 = est[r["seg"]]
+            pin(e50, r["p50f"], f"seg {r['seg']} p50")
+            pin(e90, r["p90f"], f"seg {r['seg']} p90")
+        # pin 2: spec-served rewrite to the GLOBAL grouping — the
+        # per-segment histograms re-merge by signed bucket union, and
+        # the plan reads ONLY the MV (no spec re-statement passed)
+        g = rewrite_with_mv(
+            mv, spark, group_cols=[],
+            measures={
+                "n": ("count",),
+                "g50": ("percentile", "frac", 0.5),
+                "g90": ("percentile", "frac", 0.9),
+            },
+        )
+        if g is None:
+            raise AssertionError("subsumed global rewrite fell back")
+        files = g.inputFiles()
+        if not files or not all(mv.path in f for f in files):
+            raise AssertionError(
+                f"rewrite plan does not read only the MV: {files[:3]}"
+            )
+        grow = g.first()
+        wg = Window.orderBy("frac")
+        granked = (
+            joined.withColumn("rnf", F.row_number().over(wg))
+            .withColumn("cnt", F.count("*").over(Window.partitionBy()))
+        )
+        gexact = granked.agg(
+            F.max(
+                F.when(
+                    F.col("rnf")
+                    == F.ceil(F.lit(0.5) * F.col("cnt")).cast("bigint"),
+                    F.col("frac"),
+                )
+            ).alias("e50"),
+            F.max(
+                F.when(
+                    F.col("rnf")
+                    == F.ceil(F.lit(0.9) * F.col("cnt")).cast("bigint"),
+                    F.col("frac"),
+                )
+            ).alias("e90"),
+        ).first()
+        if grow["n"] != granked.count():
+            raise AssertionError("global rewrite row count drifted")
+        pin(grow["g50"], gexact["e50"], "global p50")
+        pin(grow["g90"], gexact["e90"], "global p90")
+    finally:
+        shutil.rmtree(a.path, ignore_errors=True)
+        shutil.rmtree(b.path, ignore_errors=True)
+        shutil.rmtree(mv.path, ignore_errors=True)
+    return out
