@@ -3294,3 +3294,55 @@ class TestMvSpec:
             for r in mv.read(spark).collect()
         }
         assert got["a"] == (1, 8)  # the post-rename append folded
+
+    def test_rewrite_over_stream_maintained_mv(self, spark, tmp_path):
+        """kind 'agg-stream' specs serve the rewrite too: a stream-
+        maintained MV answers a subset GROUP BY with no re-statement."""
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+        from file_stream_import_spark.operators.mv import rewrite_with_mv
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        src = VersionedTable(str(tmp_path / "rwst_src"))
+        src.commit(
+            spark.range(0, 300).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("g"),
+                (F.col("id") % 2).cast("string").alias("h"),
+                (F.col("id") % 50 + 1).alias("x"),
+            ),
+            mode="overwrite",
+        )
+        mv = VersionedTable(str(tmp_path / "rwst_mv"))
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", src.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()
+            .writeStream.foreachBatch(
+                make_mv_maintainer(
+                    mv, "rwst_q", group_cols=["g", "h"], sum_cols=["x"],
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck_rwst"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = rewrite_with_mv(
+            mv, spark, group_cols=["g"],
+            measures={"n": ("count",), "sum_x": ("sum", "x")},
+        )
+        assert out is not None
+        got = {r["g"]: (r["n"], r["sum_x"]) for r in out.collect()}
+        want = {
+            r["g"]: (r["n"], r["s"])
+            for r in src.read(spark).groupBy("g").agg(
+                F.count("*").alias("n"), F.sum("x").alias("s")
+            ).collect()
+        }
+        assert got == want
