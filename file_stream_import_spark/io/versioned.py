@@ -4942,7 +4942,14 @@ class VersionedTable:
         # reclaims. Age-gated by the same threshold as data orphans (a
         # fresh tmp may belong to a publish in flight right now).
         mdir = _manifest_dir(self._meta_root)
-        for sweep_dir in (mdir, _seg_dir(self._meta_root)):
+        # the table ROOT also collects write-then-replace litter from
+        # sidecar publishers (e.g. operators/mv.py's _mv_spec.json) —
+        # same `<name>.tmp-<uuid>` convention, same age gate; files
+        # only, and only the table handle (the root is shared by refs)
+        sweep_dirs = [mdir, _seg_dir(self._meta_root)]
+        if not self.is_branch:
+            sweep_dirs.append(self.path)
+        for sweep_dir in sweep_dirs:
             if not (os.path.isdir(sweep_dir) and not dry_run):
                 continue
             for name in os.listdir(sweep_dir):
@@ -4950,7 +4957,9 @@ class VersionedTable:
                     continue
                 full = os.path.join(sweep_dir, name)
                 try:
-                    if os.path.getmtime(full) <= cutoff:
+                    if os.path.isfile(full) and (
+                        os.path.getmtime(full) <= cutoff
+                    ):
                         os.unlink(full)
                 except OSError:
                     pass  # already gone / racing writer — advisory

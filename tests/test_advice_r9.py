@@ -219,3 +219,38 @@ class TestInSetReads:
         )
         got = sorted(r["k"] for r in df.collect())
         assert got == [5, 250]  # id-0399 filtered by the range bound
+
+
+class TestVacuumRootTmpSweep:
+    """r16: sidecar publishers (operators/mv.py's _mv_spec.json) write
+    `<name>.tmp-<uuid>` at the table ROOT then os.replace — a crash in
+    between leaves litter nothing else reclaims. Vacuum's tmp sweep
+    now covers root-level FILES with the same age gate."""
+
+    def test_sweeps_old_root_litter_keeps_fresh_and_dirs(
+        self, spark, tmp_path
+    ):
+        t, _ = _mk_table(spark, tmp_path, n_groups=2, rows_per_group=5)
+        stale = os.path.join(t.path, "_mv_spec.json.tmp-deadbeef")
+        fresh = os.path.join(t.path, "_mv_spec.json.tmp-cafebabe")
+        for p in (stale, fresh):
+            with open(p, "w") as f:
+                f.write("{}")
+        # a DIRECTORY whose name matches must never be touched
+        decoy = os.path.join(t.path, "weird.tmp-dir")
+        os.makedirs(decoy)
+        old = time.time() - 7200
+        os.utime(stale, (old, old))
+        os.utime(decoy, (old, old))
+        t.vacuum(keep_versions=10, min_age_seconds=3600)
+        assert not os.path.exists(stale)
+        assert os.path.exists(fresh)
+        assert os.path.isdir(decoy)
+        # the real spec file survives any vacuum
+        spec = os.path.join(t.path, "_mv_spec.json")
+        with open(spec, "w") as f:
+            f.write("{}")
+        os.utime(spec, (old, old))
+        t.vacuum(keep_versions=10, min_age_seconds=0)
+        assert os.path.exists(spec)
+        assert not os.path.exists(fresh)
