@@ -13,6 +13,13 @@ spec-served rewrite over a join MV.
   histogram re-merge across segments — with an inputFiles() proof that
   the rewrite never reads either join side.
 
+* lake_mv_quality_percentile — per-language quality-score percentiles
+  maintained incrementally over a curated documents corpus: the score
+  is a strictly-positive sub-1 fraction (C4/Gopher-style composite) —
+  the exact value domain the r15 bucket encoding corrupted — folded
+  through an append and a quality-floor CoW delete, exact rank values
+  hashed vs DuckDB with in-query estimate pins.
+
 Reference parity: the reference joins and aggregates in Postgres at
 query time (SURVEY §3); incremental join-view maintenance with
 percentile state is north-star lakehouse surface.
@@ -250,5 +257,152 @@ def lake_join_mv_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(a.path, ignore_errors=True)
         shutil.rmtree(b.path, ignore_errors=True)
+        shutil.rmtree(mv.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_mv_quality_percentile",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+        string_split_regex(trim(text), '\s+') AS toks,
+        length(text) AS len_chars,
+        length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+          AS n_punct,
+        length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, n_chars,
+        len(list_filter(toks, x -> x IN
+          ('the','a','of','and','in','to','is','on','for','with'))) * 1.0
+          / len(toks) AS stop_r,
+        n_punct * 1.0 / len_chars AS punct_r,
+        n_upper * 1.0 / len_chars AS upper_r
+      FROM t
+    ), scored AS (
+      SELECT doc_id, lang, n_chars,
+        ROUND(LEAST(stop_r * 5, 1.0) * 0.5
+              + (1 - LEAST(punct_r * 10, 1.0)) * 0.25
+              + (1 - LEAST(upper_r * 10, 1.0)) * 0.25, 4) AS q
+      FROM r
+    ),
+    final AS (SELECT * FROM scored WHERE NOT (q < 0.3)),
+    ranked AS (
+      SELECT lang, n_chars, q,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM final
+    )
+    SELECT lang,
+           CAST(MAX(cnt) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * cnt) AS BIGINT)
+                    THEN q END) AS p50q,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * cnt) AS BIGINT)
+                    THEN q END) AS p90q
+    FROM ranked GROUP BY lang
+    """,
+)
+def lake_mv_quality_percentile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-score percentiles in the incremental MV — the r15
+    VERDICT's own motivating domain ("fractions in (0,1) are exactly
+    LLM-pipeline material: quality scores, probabilities, ratios"),
+    which the pre-r16 bucket encoding silently corrupted.
+
+    The C4/Gopher-style composite quality score (operators/text.py::
+    with_quality_score, oracle-proven since round 1 via text_quality)
+    lands every document in [0, 1]. A versioned corpus table
+    bootstraps with two thirds of the docs (v0), appends the rest
+    (v1), then a curation pass CoW-DELETEs every doc scoring under
+    0.3 (v2) — the histogram forgets the deleted mass EXACTLY (signed
+    bucket fold). One incremental refresh per wave maintains a
+    per-language MV of COUNT + SUM(n_chars) + quality histogram. The
+    hashed output is the exact rank-based percentile (value at rank
+    ceil(q*n)) per language from the final corpus; in-query pins hold
+    the MV's histogram estimates within the declared 1% of those
+    values — all of them strictly positive sub-1 fractions."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..io.versioned import VersionedTable
+    from ..operators.mv import hist_percentile, refresh_mv
+    from ..operators.text import with_quality_score
+
+    d = with_quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars",
+        F.col("quality_score").alias("q"),
+    ).localCheckpoint(eager=True)
+    src = VersionedTable(tempfile.mkdtemp(prefix="lake_qpct_src_"))
+    mv = VersionedTable(tempfile.mkdtemp(prefix="lake_qpct_"))
+    kw = dict(
+        name="doc_quality", group_cols=["lang"],
+        sum_cols=["n_chars"], key="doc_id", percentile_cols=["q"],
+    )
+    try:
+        src.commit(
+            d.filter(F.col("doc_id") % 3 != 0), mode="overwrite"
+        )                                                   # v0
+        refresh_mv(src, mv, spark, **kw)
+        src.commit(
+            d.filter(F.col("doc_id") % 3 == 0), mode="append"
+        )                                                   # v1
+        refresh_mv(src, mv, spark, **kw)
+        src.delete_where(
+            spark, F.col("q") < 0.3, prune_where="auto"
+        )                                                   # v2: curate
+        refresh_mv(src, mv, spark, **kw)
+        w = Window.partitionBy("lang").orderBy("q")
+        ranked = (
+            src.read(spark)
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "cnt", F.count("*").over(Window.partitionBy("lang"))
+            )
+        )
+
+        def at_rank(q):
+            return F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(q) * F.col("cnt")).cast("bigint"),
+                    F.col("q"),
+                )
+            )
+
+        exact = ranked.groupBy("lang").agg(
+            F.max("cnt").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            at_rank(0.5).alias("p50q"),
+            at_rank(0.9).alias("p90q"),
+        )
+        out = exact.localCheckpoint(eager=True)
+        est = {
+            r["lang"]: (r["e50"], r["e90"])
+            for r in mv.read(spark).select(
+                "lang",
+                hist_percentile("q_hist", 0.5).alias("e50"),
+                hist_percentile("q_hist", 0.9).alias("e90"),
+            ).collect()
+        }
+        for r in out.collect():
+            e50, e90 = est[r["lang"]]
+            for got, want in ((e50, r["p50q"]), (e90, r["p90q"])):
+                ok = got == 0.0 if want == 0 else (
+                    got is not None and abs(got / want - 1) <= 0.0101
+                )
+                if not ok:
+                    raise AssertionError(
+                        f"quality percentile {got} drifted past 1% "
+                        f"from exact {want} in lang {r['lang']} — "
+                        "sub-1 positive fractions are the r15 bug's "
+                        "domain; this pin must never regress"
+                    )
+    finally:
+        shutil.rmtree(src.path, ignore_errors=True)
         shutil.rmtree(mv.path, ignore_errors=True)
     return out
