@@ -3346,3 +3346,81 @@ class TestMvSpec:
             ).collect()
         }
         assert got == want
+
+
+class TestHistEncodingExtremes:
+    """r16: the offset encoding's whole-double-range claim, pinned at
+    the edges — denormals near 4.9e-324, magnitudes near 1.8e308, and
+    the int32-overflow guard on absurd rel_err."""
+
+    def test_bucket_ids_ordered_at_double_extremes(self, spark):
+        from file_stream_import_spark.operators.mv import (
+            _DEFAULT_PCT_ERR,
+            _hist_base,
+            _hist_bucket,
+            _hist_offset,
+        )
+
+        base = _hist_base(_DEFAULT_PCT_ERR)
+        off = _hist_offset(base)
+        vals = [
+            -1.7e308, -1.0, -2.3e-308, -4.9e-324, 0.0,
+            4.9e-324, 2.3e-308, 1.0, 1.7e308,
+        ]
+        rows = (
+            spark.createDataFrame([(v,) for v in vals], "x double")
+            .select("x", _hist_bucket("x", base).alias("b"))
+            .orderBy("x")
+            .collect()
+        )
+        ids = [r["b"] for r in rows]
+        assert ids == sorted(ids), ids            # total order by value
+        assert ids[4] == 0                        # zero bucket
+        assert all(i < 0 for i in ids[:4])        # negatives sign-pure
+        assert all(i > 0 for i in ids[5:])        # positives sign-pure
+        # every id fits int32 with room (the guard's invariant)
+        assert max(abs(i) for i in ids) < 2**31 - 1
+        # the deepest denormal's magnitude stays under the offset
+        assert abs(ids[5]) >= 1 and abs(ids[5]) <= 2 * off
+
+    def test_estimates_at_extremes_within_error(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import (
+            hist_percentile,
+            refresh_mv,
+        )
+
+        vals = [1e-300, 1e-10, 1.0, 1e10, 1e300]
+        t = VersionedTable(str(tmp_path / "exsrc"))
+        t.commit(
+            spark.createDataFrame(
+                [(i, "a", v) for i, v in enumerate(vals)],
+                "k long, g string, x double",
+            ),
+            mode="overwrite",
+        )
+        mv = _mv(tmp_path, "exmv")
+        refresh_mv(
+            t, mv, spark,
+            name="ex", group_cols=["g"], sum_cols=[], key="k",
+            percentile_cols=["x"],
+        )
+        sel = [
+            hist_percentile("x_hist", (i + 1) / 5.0).alias(f"p{i}")
+            for i in range(5)
+        ]
+        r = mv.read(spark).select(*sel).first()
+        for i, v in enumerate(vals):
+            assert abs(r[f"p{i}"] / v - 1) <= 0.0101, (i, v, r[f"p{i}"])
+
+    def test_absurd_rel_err_rejected(self):
+        import pytest as _pt
+
+        from file_stream_import_spark.operators.mv import (
+            _hist_base,
+            _hist_offset,
+        )
+
+        with _pt.raises(ValueError, match="int32"):
+            _hist_offset(_hist_base(1e-8))
+        # the supported floor still works
+        assert _hist_offset(_hist_base(1e-6)) > 0

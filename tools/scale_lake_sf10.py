@@ -51,11 +51,24 @@ def _orders(spark, sf_dir):
 
 
 def campaign(spark, sf_dir, label):
+    import bench
+
     from file_stream_import_spark.io.versioned import (
         VersionedTable,
         merge_into,
         table_changes_rows,
     )
+
+    # r16 escalation of the r15 calibration discipline: the host's
+    # steal bursts can start and end BETWEEN the campaign-level
+    # probes, so the three historically phase-hostage rows each get
+    # their own immediately-preceding probe reading (recorded in the
+    # meta dict) — a high row next to a quiet row-probe is a real
+    # regression; next to a noisy one it's weather.
+    row_cal = {}
+
+    def row_probe(name):
+        row_cal[name] = bench.calibration_probe(spark)
 
     o = _orders(spark, sf_dir).localCheckpoint(eager=True)
     n = o.count()
@@ -63,6 +76,7 @@ def campaign(spark, sf_dir, label):
     t = VersionedTable(os.path.join(root, "t"))
     out = {}
 
+    row_probe("partitioned_commit")
     t0 = time.time()
     t.commit(o, mode="overwrite", partition_by=[f"truncate({CHUNK}, k)"])
     out["partitioned_commit (full data — honest linear)"] = time.time() - t0
@@ -74,6 +88,7 @@ def campaign(spark, sf_dir, label):
         .withColumn("status", F.lit("M"))
         .localCheckpoint(eager=True)
     )
+    row_probe("merge_clauses")
     t0 = time.time()
     merge_into(
         t, spark, upd, key="k",
@@ -153,6 +168,7 @@ def campaign(spark, sf_dir, label):
         key="k",
     )  # v4: the fresh delta the catch-up lands
     ck = os.path.join(root, "rep_ck")
+    row_probe("cdf_replication_catchup")
     t0 = time.time()
     q = (
         spark.readStream.format("table_changefeed")
@@ -340,6 +356,7 @@ def campaign(spark, sf_dir, label):
         "compact": f"{before}->{after}",
         "cdf_rows": n_cdf,
         "batch_cdf_rows": n_bcdf,
+        "row_cal": row_cal,
     }
     return out, meta
 
