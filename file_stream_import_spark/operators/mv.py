@@ -227,6 +227,17 @@ def rename_in_spec(mv: VersionedTable, renames: dict[str, str]) -> None:
     spec = load_mv_spec(mv)
     if spec is None:
         return
+    sw = spec.get("source_where")
+    if sw and any(old in sw for old in renames):
+        # the predicate is an opaque SQL string — rewriting column
+        # references inside it safely would need a parser; a
+        # conservative substring hit refuses rather than recording a
+        # spec whose predicate silently references a dead name
+        raise ValueError(
+            f"MV at {mv.path} has source_where={sw!r} which may "
+            "reference a renamed column — re-bootstrap the MV with "
+            "the updated predicate instead of renaming in place"
+        )
     for f in (
         "group_cols", "sum_cols", "min_cols", "max_cols",
         "sumsq_cols", "distinct_cols", "approx_distinct_cols",
@@ -546,7 +557,9 @@ def rewrite_with_mv(
     field is VALIDATED against it and a mismatch raises (a wrong
     re-statement would silently re-aggregate garbage). Pre-spec MVs
     fall back to the caller's full re-statement (mv_group_cols
-    required).
+    required). A FILTERED MV (spec ``source_where``) answers the
+    aggregate over ITS OWN universe — the caller owns matching the
+    query's WHERE to the view's predicate (check load_mv_spec).
 
     Consistency: the MV and (for coarse count_distinct) its aux
     support table are each read at their own LATEST — under a racing
@@ -777,6 +790,7 @@ def refresh_mv(
     approx_distinct_cols: list[str] | None = None,
     percentile_cols: list[str] | None = None,
     percentile_rel_err: float = _DEFAULT_PCT_ERR,
+    source_where: str | None = None,
     pin_watermark: bool = False,
 ) -> int:
     """Bring ``mv`` up to the source's latest version; returns the
@@ -851,7 +865,21 @@ def refresh_mv(
     validates against the record and a mismatched re-statement
     raises instead of folding wrong aggregates (see _validate_spec;
     load_mv_spec reads the record, rewrite_with_mv serves itself
-    from it)."""
+    from it).
+
+    ``source_where`` (r16) makes this a FILTERED (partial) MV — the
+    classic partial-view maintenance: a SQL predicate string over
+    source columns restricts the view's universe. The bootstrap
+    filters the snapshot; every delta fold filters the CDF's ROW
+    IMAGES independently, so an UPDATE that moves a row ACROSS the
+    filter boundary decomposes correctly (pre-image inside the view
+    folds −1, post-image outside contributes nothing — a net delete;
+    the mirror case is a net insert). The endangered-group recompute
+    and the distinct aux fold apply the same predicate to their
+    source reads. Contract: deterministic row-level predicate over
+    source columns only (no aggregates/windows/nondeterminism — same
+    trust level as rows_col); recorded in the spec, so changing it
+    requires a re-bootstrap."""
     tag = f"mv:{name}"
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
@@ -898,7 +926,11 @@ def refresh_mv(
             float(percentile_rel_err) if percentile_cols else None
         ),
         "hist_encoding": _HIST_ENCODING if percentile_cols else None,
+        "source_where": source_where,
     }
+    where_expr = (
+        None if source_where is None else F.expr(source_where)
+    )
     while True:
         mv_v, wm = _watermark(mv, tag)
         if wm is None:
@@ -919,6 +951,8 @@ def refresh_mv(
         try:
             if wm is None:
                 boot_src = source.read(spark, version=cur)
+                if where_expr is not None:
+                    boot_src = boot_src.filter(where_expr)
                 agg = (
                     boot_src
                     .groupBy(*group_cols)
@@ -970,7 +1004,7 @@ def refresh_mv(
                     _fold_aux(
                         nd_aux_table(mv, c), source, spark,
                         group_cols=group_cols, col=c, key=key,
-                        tag=tag, cur=cur,
+                        tag=tag, cur=cur, source_where=source_where,
                     )
                 mv.commit(
                     agg,
@@ -984,6 +1018,11 @@ def refresh_mv(
                 cdf_df = table_changes_cdf(
                     source, spark, wm + 1, cur, key=key
                 )
+                if where_expr is not None:
+                    # each ROW IMAGE filters independently: an update
+                    # moving a row across the boundary nets to a pure
+                    # insert/delete of the view row
+                    cdf_df = cdf_df.filter(where_expr)
                 deltas = (
                     cdf_df
                     .groupBy(*group_cols)
@@ -1064,12 +1103,13 @@ def refresh_mv(
                         cur=cur, mv_v=mv_v, group_cols=group_cols,
                         min_cols=min_cols, max_cols=max_cols,
                         approx_cols=approx_distinct_cols,
+                        source_where=source_where,
                     )
                 for c in distinct_cols:
                     _fold_aux(
                         nd_aux_table(mv, c), source, spark,
                         group_cols=group_cols, col=c, key=key,
-                        tag=tag, cur=cur,
+                        tag=tag, cur=cur, source_where=source_where,
                     )
                 if distinct_cols:
                     deltas = _fold_distinct(
@@ -1164,6 +1204,7 @@ def _fold_aux(
     key,
     tag: str,
     cur: int,
+    source_where: str | None = None,
 ) -> None:
     """Bring the support table up to source version ``cur``: bootstrap
     (one grouped count of the snapshot) when the aux is empty, else
@@ -1172,15 +1213,24 @@ def _fold_aux(
     exactly like the MV's, so the aux commit and the MV merge being
     two separate commits is crash-safe: a crash between them leaves
     the aux ahead, and the replayed refresh skips the fold (watermark
-    check) while still recomputing the MV's nd from the aux."""
+    check) while still recomputing the MV's nd from the aux. A
+    filtered MV's predicate (``source_where``) applies to both the
+    bootstrap snapshot and the CDF row images, so the aux counts
+    exactly the view's universe."""
+    where_expr = (
+        None if source_where is None else F.expr(source_where)
+    )
     while True:
         a_v, a_wm = _watermark(aux, tag)
         if a_wm is not None and a_wm >= cur:
             return  # replay / racing refresher already folded
         try:
             if a_wm is None:
+                snap = source.read(spark, version=cur)
+                if where_expr is not None:
+                    snap = snap.filter(where_expr)
                 counts = (
-                    source.read(spark, version=cur)
+                    snap
                     .filter(F.col(col).isNotNull())
                     .groupBy(*group_cols, col)
                     .agg(F.count("*").cast("bigint").alias("cnt"))
@@ -1193,10 +1243,13 @@ def _fold_aux(
                 )
             else:
                 sign = _sign_col()
+                cdf = table_changes_cdf(
+                    source, spark, a_wm + 1, cur, key=key
+                )
+                if where_expr is not None:
+                    cdf = cdf.filter(where_expr)
                 deltas = (
-                    table_changes_cdf(
-                        source, spark, a_wm + 1, cur, key=key
-                    )
+                    cdf
                     .filter(F.col(col).isNotNull())
                     .groupBy(*group_cols, col)
                     .agg(F.sum(sign).cast("bigint").alias("cnt"))
@@ -1272,6 +1325,7 @@ def _fold_stored(
     min_cols: list[str],
     max_cols: list[str],
     approx_cols: list[str],
+    source_where: str | None = None,
 ):
     """Resolve each delta group's FINAL stored-state measures — MIN/MAX
     extremes and APPROX-DISTINCT HLL sketches — in ONE pass over the
@@ -1383,6 +1437,10 @@ def _fold_stored(
             src = source.read(spark, version=cur).join(
                 end_keys, on=group_cols, how="semi"
             )
+        if source_where is not None:
+            # filtered MV: the exact recompute sees only the view's
+            # universe (the group-pruned read is a superset)
+            src = src.filter(F.expr(source_where))
         exact = src.groupBy(*group_cols).agg(*aggs)
     if exact is not None:
         j = j.join(exact, on=group_cols, how="left")
@@ -1777,6 +1835,7 @@ def make_mv_maintainer(
     approx_distinct_cols: list[str] | None = None,
     percentile_cols: list[str] | None = None,
     percentile_rel_err: float = _DEFAULT_PCT_ERR,
+    source_where: str | None = None,
 ):
     """STREAMING IVM: a foreachBatch sink that folds a
     ``readchangedata`` stream's micro-batches into an aggregate MV.
@@ -1806,7 +1865,10 @@ def make_mv_maintainer(
     Decimal measures fold exactly as decimal(38, s) like the batch
     path. ``percentile_cols`` (r15) folds signed log-bucket
     histograms per batch — self-maintainable under deletes, no source
-    needed, same bucket geometry as the batch refresher."""
+    needed, same bucket geometry as the batch refresher.
+    ``source_where`` (r16) filters each batch's row images like the
+    batch refresher's filtered-MV path — a batch left empty by the
+    filter commits nothing (same as a planned-but-empty batch)."""
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
     sumsq_cols = list(sumsq_cols or [])
@@ -1845,15 +1907,21 @@ def make_mv_maintainer(
             float(percentile_rel_err) if percentile_cols else None
         ),
         "hist_encoding": _HIST_ENCODING if percentile_cols else None,
+        "source_where": source_where,
     }
     spec_checked = False
 
     def write(batch_df, batch_id: int) -> None:
         nonlocal spec_checked
         spark = batch_df.sparkSession
-        # a planned-but-empty batch (pure compaction versions) needs
-        # no MV commit; the watermark stays put, and a replayed empty
-        # batch is empty again — safe to skip
+        if source_where is not None:
+            # filtered MV: row images filter independently, exactly
+            # like the batch refresher's CDF filter
+            batch_df = batch_df.filter(F.expr(source_where))
+        # a planned-but-empty batch (pure compaction versions, or one
+        # the view filter emptied) needs no MV commit; the watermark
+        # stays put, and a replayed empty batch is empty again — safe
+        # to skip
         if not batch_df.take(1):
             return
         if not spec_checked:
@@ -1969,6 +2037,7 @@ def make_mv_maintainer(
                     cur=cur, mv_v=latest, group_cols=group_cols,
                     min_cols=min_cols, max_cols=max_cols,
                     approx_cols=approx_distinct_cols,
+                    source_where=source_where,
                 )
             if distinct_cols:
                 deltas = _fold_distinct(

@@ -20,6 +20,12 @@ spec-served rewrite over a join MV.
   through an append and a quality-floor CoW delete, exact rank values
   hashed vs DuckDB with in-query estimate pins.
 
+* lake_mv_filtered — a FILTERED (partial) MV: "high-value orders"
+  (cents >= $20k) maintained through a MERGE that moves rows across
+  the view boundary in both directions and a delete wave that
+  endangers view minima; the hashed output is the MV's OWN stored
+  state vs DuckDB's filtered aggregate.
+
 Reference parity: the reference joins and aggregates in Postgres at
 query time (SURVEY §3); incremental join-view maintenance with
 percentile state is north-star lakehouse surface.
@@ -402,6 +408,112 @@ def lake_mv_quality_percentile(
                         "sub-1 positive fractions are the r15 bug's "
                         "domain; this pin must never regress"
                     )
+    finally:
+        shutil.rmtree(src.path, ignore_errors=True)
+        shutil.rmtree(mv.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_mv_filtered",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 10 AS u FROM base),
+    moved AS (
+      SELECT b.k, b.status,
+             CASE WHEN b.k <= p.u AND b.k % 2 = 0
+                    THEN b.cents + 1000000
+                  WHEN b.k <= p.u
+                    THEN b.cents - 1000000
+                  ELSE b.cents END AS cents
+      FROM base b, p
+    ),
+    final AS (
+      SELECT m.k, m.status, m.cents
+      FROM moved m, p
+      WHERE NOT (m.k > p.u AND m.k <= 2 * p.u)
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents
+    FROM final
+    WHERE cents >= 2000000
+    GROUP BY status
+    """,
+)
+def lake_mv_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED (partial) MV (operators/mv.py::refresh_mv
+    source_where, r16): a "high-value orders" view — the MV maintains
+    COUNT/SUM/MIN over ONLY rows with cents >= $20k, with the
+    predicate recorded in the MV's spec. History: bootstrap two
+    thirds (v0), append the rest (v1), then a MERGE that moves rows
+    ACROSS the view boundary in BOTH directions (even k <= u gain
+    $10k, odd lose $10k — pre/post images filter independently, so a
+    crossing nets to a pure view insert or delete), then a CoW DELETE
+    of k in (u, 2u] whose rows include view minima (the endangered
+    MIN recompute must read the FILTERED source). One incremental
+    refresh per wave. The hashed output is the MV's OWN STORED STATE
+    — not a recompute — so the oracle match proves the partial-view
+    fold converged to DuckDB's filtered aggregate exactly."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, merge_into
+    from ..operators.mv import refresh_mv
+    from .round11 import _densified_orders
+
+    o = _densified_orders(spark, sf_dir)
+    n = o.count()
+    third, u = n // 3, n // 10
+    o = o.localCheckpoint(eager=True)
+    src = VersionedTable(tempfile.mkdtemp(prefix="lake_mvf_src_"))
+    mv = VersionedTable(tempfile.mkdtemp(prefix="lake_mvf_"))
+    kw = dict(
+        name="hi_value", group_cols=["status"], sum_cols=["cents"],
+        key="k", min_cols=["cents"], source_where="cents >= 2000000",
+    )
+    try:
+        src.commit(
+            o.filter(F.col("k") <= 2 * third).select(
+                "k", "status", "cents"
+            ),
+            mode="overwrite",
+        )                                                   # v0
+        refresh_mv(src, mv, spark, **kw)
+        src.commit(
+            o.filter(F.col("k") > 2 * third).select(
+                "k", "status", "cents"
+            ),
+            mode="append",
+        )                                                   # v1
+        refresh_mv(src, mv, spark, **kw)
+        merge_into(
+            src, spark,
+            o.filter(F.col("k") <= u).select(
+                "k", "status",
+                F.when(
+                    F.col("k") % 2 == 0, F.col("cents") + 1_000_000
+                ).otherwise(F.col("cents") - 1_000_000).alias("cents"),
+            ),
+            key="k",
+        )                                                   # v2: cross
+        refresh_mv(src, mv, spark, **kw)
+        src.delete_where(
+            spark, F.col("k").between(u + 1, 2 * u), prune_where="auto"
+        )                                                   # v3
+        refresh_mv(src, mv, spark, **kw)
+        out = mv.read(spark).select(
+            "status",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("cents").cast("bigint").alias("sum_cents"),
+            F.col("cents_min").cast("bigint").alias("min_cents"),
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src.path, ignore_errors=True)
         shutil.rmtree(mv.path, ignore_errors=True)

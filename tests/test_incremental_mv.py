@@ -3424,3 +3424,200 @@ class TestHistEncodingExtremes:
             _hist_offset(_hist_base(1e-8))
         # the supported floor still works
         assert _hist_offset(_hist_base(1e-6)) > 0
+
+
+class TestFilteredMv:
+    """r16: FILTERED (partial) MVs — refresh_mv(source_where=...)
+    maintains the aggregate over a predicate-restricted universe.
+    The hard case is an UPDATE that moves a row ACROSS the filter
+    boundary: the pre/post images filter independently, so it nets to
+    a pure view-row delete (or insert)."""
+
+    KW = dict(
+        name="fv", group_cols=["g"], sum_cols=["x"], key="k",
+        min_cols=["x"], distinct_cols=["v"], percentile_cols=["x"],
+        source_where="flag = 1",
+    )
+
+    def _src(self, spark, tmp_path, name="fvsrc"):
+        t = VersionedTable(str(tmp_path / name))
+        t.commit(
+            spark.range(0, 600).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("g"),
+                (F.col("id") % 2).cast("int").alias("flag"),
+                ((F.col("id") * 13) % 31).cast("string").alias("v"),
+                ((F.col("id") * 37) % 499 + 1).cast("long").alias("x"),
+            ),
+            mode="overwrite",
+        )
+        return t
+
+    def _recompute(self, spark, src):
+        rows = (
+            src.read(spark)
+            .filter("flag = 1")
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.coalesce(F.sum("x"), F.lit(0))
+                .cast("bigint").alias("s"),
+                F.min("x").alias("mn"),
+                F.count_distinct("v").cast("bigint").alias("nd"),
+            )
+            .collect()
+        )
+        return sorted((r["g"], r["n"], r["s"], r["mn"], r["nd"])
+                      for r in rows)
+
+    def _state(self, spark, mv):
+        return sorted(
+            (r["g"], r["n_rows"], r["x"], r["x_min"], r["v_nd"])
+            for r in mv.read(spark).collect()
+        )
+
+    def test_filtered_mv_through_boundary_crossing_dml(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.operators.mv import load_mv_spec
+
+        src = self._src(spark, tmp_path)
+        mv = _mv(tmp_path, "fvmv")
+        refresh_mv(src, mv, spark, **self.KW)
+        assert self._state(spark, mv) == self._recompute(spark, src)
+        assert load_mv_spec(mv)["source_where"] == "flag = 1"
+        # wave 1: flip rows INTO the view (flag 0 -> 1) and OUT of it
+        # (flag 1 -> 0), plus an in-view value update — all via MERGE,
+        # so the CDF carries pre/post image pairs across the boundary
+        merge_into(
+            src, spark,
+            src.read(spark).filter(F.col("k") < 60).withColumn(
+                "flag", F.lit(1) - F.col("flag")
+            ),
+            key="k",
+        )
+        merge_into(
+            src, spark,
+            src.read(spark)
+            .filter((F.col("k") >= 100) & (F.col("k") < 130))
+            .withColumn("x", F.col("x") + 1000),
+            key="k",
+        )
+        refresh_mv(src, mv, spark, **self.KW)
+        assert self._state(spark, mv) == self._recompute(spark, src)
+        # wave 2: delete the view's min-extreme rows (endangered
+        # recompute must read the FILTERED source) + an append of
+        # mixed in/out rows
+        src.delete_where(spark, (F.col("flag") == 1) & (F.col("x") < 50))
+        src.commit(
+            spark.createDataFrame(
+                [(9000, "a", 1, "zz", 7), (9001, "a", 0, "zz", 3)],
+                "k long, g string, flag int, v string, x long",
+            ),
+            mode="append",
+        )
+        refresh_mv(src, mv, spark, **self.KW)
+        assert self._state(spark, mv) == self._recompute(spark, src)
+        # percentile histogram equals a filtered rebuild
+        from file_stream_import_spark.operators.mv import (
+            _DEFAULT_PCT_ERR,
+            _hist_base,
+            _hist_map,
+        )
+
+        got = {
+            r["g"]: dict(r["x_hist"])
+            for r in mv.read(spark).collect()
+        }
+        want = {
+            r["g"]: dict(r["x_hist"])
+            for r in _hist_map(
+                src.read(spark).filter("flag = 1"), ["g"], "x",
+                _hist_base(_DEFAULT_PCT_ERR), F.lit(1),
+            ).collect()
+        }
+        assert got == want
+
+    def test_predicate_rides_spec(self, spark, tmp_path):
+        src = self._src(spark, tmp_path, name="fvsrc2")
+        mv = _mv(tmp_path, "fvmv2")
+        refresh_mv(src, mv, spark, **self.KW)
+        src.commit(
+            spark.createDataFrame(
+                [(9100, "b", 1, "q", 5)],
+                "k long, g string, flag int, v string, x long",
+            ),
+            mode="append",
+        )
+        # a different predicate (or dropping it) is a spec mismatch
+        with pytest.raises(ValueError, match="spec mismatch"):
+            refresh_mv(
+                src, mv, spark, **{**self.KW, "source_where": "flag = 0"}
+            )
+        with pytest.raises(ValueError, match="spec mismatch"):
+            refresh_mv(
+                src, mv, spark, **{**self.KW, "source_where": None}
+            )
+
+    def test_rename_with_predicate_refuses(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import rename_in_spec
+
+        src = self._src(spark, tmp_path, name="fvsrc3")
+        mv = _mv(tmp_path, "fvmv3")
+        refresh_mv(src, mv, spark, **self.KW)
+        with pytest.raises(ValueError, match="source_where"):
+            rename_in_spec(mv, {"flag": "live"})
+
+    def test_streaming_maintainer_filtered_parity(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        src = self._src(spark, tmp_path, name="fvsrc4")
+        mv = _mv(tmp_path, "fvmv4")
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", src.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(
+                make_mv_maintainer(
+                    mv, "fv_q", group_cols=["g"], sum_cols=["x"],
+                    source_where="flag = 1",
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck_fv"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            merge_into(
+                src, spark,
+                src.read(spark).filter(F.col("k") < 40).withColumn(
+                    "flag", F.lit(1) - F.col("flag")
+                ),
+                key="k",
+            )
+            q.processAllAvailable()
+            got = sorted(
+                (r["g"], r["n_rows"], r["x"])
+                for r in mv.read(spark).collect()
+            )
+            want = sorted(
+                (r["g"], r["n"], r["s"])
+                for r in src.read(spark).filter("flag = 1")
+                .groupBy("g")
+                .agg(
+                    F.count("*").cast("bigint").alias("n"),
+                    F.sum("x").cast("bigint").alias("s"),
+                )
+                .collect()
+            )
+            assert got == want
+        finally:
+            q.stop()
