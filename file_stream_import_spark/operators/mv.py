@@ -497,12 +497,38 @@ def hist_percentile(
     )
 
 
+def _where_conjuncts(spark: SparkSession, sql: str) -> list[str]:
+    """Top-level AND conjuncts of a SQL predicate, each normalized to
+    the parser's canonical ``.sql()`` rendering — so matching is
+    whitespace/keyword-case/conjunct-order insensitive, but makes NO
+    attempt at deeper logical equivalence (``a >= 3`` does not match a
+    view's ``a >= 2``; the rewrite stays conservative and returns
+    None)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+
+    def flat(e):
+        if e.getClass().getSimpleName() == "And":
+            return flat(e.left()) + flat(e.right())
+        return [e.sql()]
+
+    try:
+        return flat(parser.parseExpression(sql))
+    except (Py4JJavaError, AnalysisException) as e:
+        # the gateway surfaces Java ParseException as pyspark's
+        # captured ParseException (an AnalysisException subclass)
+        raise ValueError(f"unparseable predicate {sql!r}: {e}") from e
+
+
 def rewrite_with_mv(
     mv: VersionedTable,
     spark: SparkSession,
     *,
     group_cols: list[str],
     measures: dict[str, tuple],
+    where: str | None = None,
     mv_group_cols: list[str] | None = None,
     sum_cols: list[str] | None = None,
     rows_col: str | None = None,
@@ -557,9 +583,28 @@ def rewrite_with_mv(
     field is VALIDATED against it and a mismatch raises (a wrong
     re-statement would silently re-aggregate garbage). Pre-spec MVs
     fall back to the caller's full re-statement (mv_group_cols
-    required). A FILTERED MV (spec ``source_where``) answers the
-    aggregate over ITS OWN universe — the caller owns matching the
-    query's WHERE to the view's predicate (check load_mv_spec).
+    required).
+
+    ``where`` (r16) is the query's WHERE clause, subsumption-checked
+    against the view (conjunct-based, conservative):
+
+    * every conjunct of the view's recorded ``source_where`` must
+      appear verbatim (parser-normalized) among the query's conjuncts
+      — the query then syntactically implies the view's predicate, so
+      every qualifying row is IN the view;
+    * the RESIDUAL query conjuncts must reference only the MV's
+      GROUPING columns (a group-column filter commutes with the
+      grouping, so it applies directly to MV rows — and to the aux
+      support table for coarse exact count_distinct); a residual
+      touching a measure column returns None (post-aggregation rows
+      cannot re-derive a row-level filter);
+    * an unfiltered query (``where=None``) over a FILTERED MV returns
+      None — the view is missing rows the query needs.
+
+    Same trust contract as ``source_where``: deterministic row-level
+    predicates. Matching is syntactic per-conjunct; a logically-but-
+    not-syntactically implied predicate (query ``a >= 3`` vs the
+    view's ``a >= 2``) conservatively falls back to the source.
 
     Consistency: the MV and (for coarse count_distinct) its aux
     support table are each read at their own LATEST — under a racing
@@ -653,6 +698,24 @@ def rewrite_with_mv(
     percentile_cols = list(percentile_cols or [])
     if percentile_rel_err is None:
         percentile_rel_err = _DEFAULT_PCT_ERR
+    view_where = (
+        stored.get("source_where") if stored is not None else None
+    )
+    residual: list[str] = []
+    if where is None:
+        if view_where:
+            # the MV holds only its predicate's rows; an unfiltered
+            # query needs rows the view never saw
+            return None
+    else:
+        residual = _where_conjuncts(spark, where)
+        for c in (
+            _where_conjuncts(spark, view_where) if view_where else []
+        ):
+            if c in residual:
+                residual.remove(c)
+            else:
+                return None  # query does not imply the view predicate
     if not set(group_cols) <= set(mv_group_cols):
         return None
     exact = set(group_cols) == set(mv_group_cols)
@@ -739,14 +802,39 @@ def rewrite_with_mv(
             return None  # not subsumed -> caller computes from source
         exprs.append(e.alias(out_name))
     df = mv.read(spark)
+    resid_expr = None
+    if residual:
+        # each conjunct is already parenthesized by the parser's .sql()
+        resid_sql = " AND ".join(residual)
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import StructType
+
+        gset = set(mv_group_cols)
+        probe = spark.createDataFrame(
+            [], StructType([f for f in df.schema.fields if f.name in gset])
+        )
+        try:
+            # a frame holding ONLY the grouping columns: analysis fails
+            # iff the residual references anything else (a plain
+            # select+filter probe would not — Spark resolves missing
+            # filter references through a projection)
+            probe.filter(F.expr(resid_sql)).schema
+        except AnalysisException:
+            return None  # residual needs row-level (measure) columns
+        resid_expr = F.expr(resid_sql)
+        df = df.filter(resid_expr)
     if exact:
         out = df.select(*group_cols, *exprs)
     else:
         out = df.groupBy(*group_cols).agg(*exprs)
     for out_name, c in aux_nd.items():
+        nd = nd_aux_table(mv, c).read(spark)
+        if resid_expr is not None:
+            # the aux support table carries the MV's grouping columns,
+            # so the same group-column residual applies
+            nd = nd.filter(resid_expr)
         nd = (
-            nd_aux_table(mv, c)
-            .read(spark)
+            nd
             .filter(F.col("cnt") > 0)
             .groupBy(*group_cols)
             .agg(F.count_distinct(F.col(c)).cast("bigint").alias(out_name))
@@ -1521,6 +1609,7 @@ def refresh_join_mv(
     rows_col: str = _ROWS,
     percentile_cols: list[str] | None = None,
     percentile_rel_err: float = _DEFAULT_PCT_ERR,
+    source_where: str | None = None,
     pin_watermark: bool = False,
 ) -> tuple[int, int]:
     """Incrementally maintain an aggregate MV over an EQUI-JOIN of two
@@ -1554,7 +1643,17 @@ def refresh_join_mv(
     -old/+new pairs on the delta side and need nothing special.
     Returns (version_a, version_b) the MV now reflects.
     ``pin_watermark=True`` tags BOTH sources at their watermarks
-    (vacuum-proof refreshes, see refresh_mv)."""
+    (vacuum-proof refreshes, see refresh_mv).
+
+    ``source_where`` (r16) makes this a FILTERED join MV: a row-level
+    SQL predicate over the JOINED row (either side's columns). Filter
+    commutes with the signed delta-join decomposition — each joined
+    delta row filters independently, so both the bootstrap join and
+    every ``deltaA >< B@new / A@old >< deltaB`` leg apply the
+    predicate before grouping, and a one-sided conjunct reaches that
+    side's scan via Catalyst pushdown. Same contract as refresh_mv's
+    filtered path: deterministic row-level predicate, recorded in the
+    spec, changing it requires a re-bootstrap."""
     from ..io.versioned import _schema_from_json
 
     tag_a, tag_b = f"mv:{name}:a", f"mv:{name}:b"
@@ -1604,7 +1703,11 @@ def refresh_join_mv(
             float(percentile_rel_err) if percentile_cols else None
         ),
         "hist_encoding": _HIST_ENCODING if percentile_cols else None,
+        "source_where": source_where,
     }
+    where_expr = (
+        None if source_where is None else F.expr(source_where)
+    )
     while True:
         mv_v = mv.latest_version()
         txn = (
@@ -1635,6 +1738,8 @@ def refresh_join_mv(
                 joined = a.read(spark, version=cur_a).join(
                     b.read(spark, version=cur_b), on=on, how="inner"
                 )
+                if where_expr is not None:
+                    joined = joined.filter(where_expr)
                 agg = joined.groupBy(*group_cols).agg(
                     *sums, F.count("*").cast("bigint").alias(rows_col)
                 )
@@ -1681,6 +1786,11 @@ def refresh_join_mv(
                 delta = parts[0]
                 for p in parts[1:]:
                     delta = delta.unionByName(p)
+                if where_expr is not None:
+                    # joined delta rows filter independently — a
+                    # join-key update whose post-image leaves the view
+                    # nets to a pure view delete (and mirror-wise)
+                    delta = delta.filter(where_expr)
                 deltas = delta.groupBy(*group_cols).agg(
                     *[
                         F.coalesce(

@@ -518,3 +518,141 @@ def lake_mv_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src.path, ignore_errors=True)
         shutil.rmtree(mv.path, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_mv_filtered_rewrite",
+    oracle="""
+    WITH base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_custkey AS ck,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT COUNT(*) // 10 AS u FROM base),
+    lf AS (
+      SELECT k, ck, cents FROM base, p
+      WHERE NOT (k > p.u AND k <= 2 * p.u)
+    ),
+    segs AS (
+      SELECT c_custkey AS ck,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MACHINERY'
+                  WHEN c_custkey % 7 = 0 THEN 'MV'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    ),
+    j AS (SELECT s.seg, l.cents FROM lf l JOIN segs s ON l.ck = s.ck)
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM j
+    WHERE cents >= 15000000 AND seg <> 'MACHINERY'
+          AND seg <> 'BUILDING'
+    GROUP BY seg
+    """,
+)
+def lake_mv_filtered_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED JOIN MV + WHERE-subsumed rewrite (operators/mv.py::
+    refresh_join_mv source_where + rewrite_with_mv where, both r16).
+
+    The view: (orders |><| customer-segments) restricted to the JOINED
+    predicate ``cents >= 15000000 AND seg <> 'MACHINERY'`` — one
+    conjunct per side, so Catalyst pushes each below the join.
+    History: bootstrap 2/3 of the left (v0), append the rest (left
+    delta filters its joined rows), MERGE customers ck%5==0 into the
+    EXCLUDED segment 'MACHINERY' and ck%7==0 into 'MV' (a right-side
+    regroup whose -old/+new joined rows cross the view's seg conjunct
+    — leavers fold out, stayers regroup), then CoW-DELETE left k in
+    (u, 2u]. One incremental refresh per wave.
+
+    The RETURNED frame is rewrite_with_mv's answer — no spec
+    re-statement (the recorded _mv_spec.json serves grouping, measures
+    AND the view predicate), the query WHERE carrying the view's two
+    conjuncts plus a residual GROUP-COLUMN conjunct
+    (``seg <> 'BUILDING'``) that applies to MV rows; an in-query
+    inputFiles() pin proves the plan reads ONLY the MV, never either
+    join side. Hash-matching DuckDB's filtered join-aggregate proves
+    the subsumption check, the residual filter, and the filtered
+    delta-join folds all compose exactly."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable, merge_into
+    from ..operators.curation import dense_sequence
+    from ..operators.mv import refresh_join_mv, rewrite_with_mv
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    o = dense_sequence(o, "o_orderkey", out_col="k").select(
+        "k", "ck", "cents"
+    )
+    n = o.count()
+    third, u = n // 3, n // 10
+    o = o.localCheckpoint(eager=True)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+    ).localCheckpoint(eager=True)
+    a = VersionedTable(tempfile.mkdtemp(prefix="lake_fjr_a_"))
+    b = VersionedTable(tempfile.mkdtemp(prefix="lake_fjr_b_"))
+    mv = VersionedTable(tempfile.mkdtemp(prefix="lake_fjr_"))
+    kw = dict(
+        name="fjr", on=["ck"], group_cols=["seg"],
+        sum_cols=["cents"], key_a="k", key_b="ck",
+        source_where="cents >= 15000000 AND seg <> 'MACHINERY'",
+    )
+    try:
+        a.commit(o.filter(F.col("k") <= 2 * third), mode="overwrite")
+        b.commit(c, mode="overwrite")
+        refresh_join_mv(a, b, mv, spark, **kw)      # filtered bootstrap
+        a.commit(o.filter(F.col("k") > 2 * third), mode="append")
+        refresh_join_mv(a, b, mv, spark, **kw)      # left delta
+        merge_into(
+            b, spark,
+            c.filter(
+                (F.col("ck") % 5 == 0) | (F.col("ck") % 7 == 0)
+            ).withColumn(
+                "seg",
+                F.when(F.col("ck") % 5 == 0, F.lit("MACHINERY"))
+                .otherwise(F.lit("MV")),
+            ),
+            key="ck",
+        )
+        refresh_join_mv(a, b, mv, spark, **kw)      # regroup + leavers
+        a.delete_where(
+            spark, F.col("k").between(u + 1, 2 * u), prune_where="auto"
+        )
+        refresh_join_mv(a, b, mv, spark, **kw)      # left delete
+        ans = rewrite_with_mv(
+            mv, spark, group_cols=["seg"],
+            measures={
+                "n_rows": ("count",),
+                "sum_cents": ("sum", "cents"),
+            },
+            where=(
+                "cents >= 15000000 AND seg <> 'MACHINERY' "
+                "AND seg <> 'BUILDING'"
+            ),
+        )
+        if ans is None:
+            raise AssertionError("subsumed filtered rewrite fell back")
+        files = ans.inputFiles()
+        if not files or not all(mv.path in f for f in files):
+            raise AssertionError(
+                f"rewrite plan does not read only the MV: {files[:3]}"
+            )
+        out = ans.select(
+            "seg",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(a.path, ignore_errors=True)
+        shutil.rmtree(b.path, ignore_errors=True)
+        shutil.rmtree(mv.path, ignore_errors=True)
+    return out

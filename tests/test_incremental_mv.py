@@ -3621,3 +3621,295 @@ class TestFilteredMv:
             assert got == want
         finally:
             q.stop()
+
+
+class TestFilteredJoinMv:
+    """r16: source_where on refresh_join_mv — the predicate is over
+    the JOINED row (either side's columns) and commutes with the
+    signed delta-join decomposition, so each leg filters its joined
+    delta rows independently."""
+
+    KW = dict(
+        name="fj", on=["ck"], group_cols=["seg"], sum_cols=["x"],
+        key_a="k", key_b="ck", percentile_cols=["x"],
+        source_where="x >= 100 AND seg != 'scrap'",
+    )
+
+    def _srcs(self, spark, tmp_path):
+        a = VersionedTable(str(tmp_path / "fja"))
+        a.commit(
+            spark.range(0, 400).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 20).alias("ck"),
+                ((F.col("id") * 7) % 331).cast("long").alias("x"),
+            ),
+            mode="overwrite",
+        )
+        b = VersionedTable(str(tmp_path / "fjb"))
+        b.commit(
+            spark.range(0, 20).select(
+                F.col("id").alias("ck"),
+                F.when(F.col("id") % 5 == 0, F.lit("scrap"))
+                .when(F.col("id") % 2 == 0, F.lit("gold"))
+                .otherwise(F.lit("iron")).alias("seg"),
+            ),
+            mode="overwrite",
+        )
+        return a, b
+
+    def _recompute(self, spark, a, b):
+        return sorted(
+            (r["seg"], r["n"], r["s"])
+            for r in a.read(spark)
+            .join(b.read(spark), on="ck")
+            .filter("x >= 100 AND seg != 'scrap'")
+            .groupBy("seg")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.coalesce(F.sum("x"), F.lit(0))
+                .cast("bigint").alias("s"),
+            )
+            .collect()
+        )
+
+    def _state(self, spark, mv):
+        return sorted(
+            (r["seg"], r["n_rows"], r["x"])
+            for r in mv.read(spark).collect()
+        )
+
+    def test_filtered_join_mv_through_dml(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import (
+            _DEFAULT_PCT_ERR,
+            _hist_base,
+            _hist_map,
+            load_mv_spec,
+        )
+
+        a, b = self._srcs(spark, tmp_path)
+        mv = _mv(tmp_path, "fjmv")
+        refresh_join_mv(a, b, mv, spark, **self.KW)
+        assert self._state(spark, mv) == self._recompute(spark, a, b)
+        assert (
+            load_mv_spec(mv)["source_where"]
+            == "x >= 100 AND seg != 'scrap'"
+        )
+        # wave 1 (left delta): x updates crossing the filter boundary
+        # in both directions + an append straddling it
+        merge_into(
+            a, spark,
+            a.read(spark).filter(F.col("k") < 80).withColumn(
+                "x",
+                F.when(F.col("x") < 100, F.col("x") + 150)
+                .otherwise(F.col("x") - 90),
+            ),
+            key="k",
+        )
+        a.commit(
+            spark.createDataFrame(
+                [(9000, 2, 99), (9001, 2, 5000)], "k long, ck long, x long"
+            ),
+            mode="append",
+        )
+        refresh_join_mv(a, b, mv, spark, **self.KW)
+        assert self._state(spark, mv) == self._recompute(spark, a, b)
+        # wave 2 (right delta): a segment move INTO the excluded
+        # 'scrap' segment (every joined row leaves the view) and one
+        # out of it
+        merge_into(
+            b, spark,
+            spark.createDataFrame(
+                [(2, "scrap"), (5, "gold")], "ck long, seg string"
+            ),
+            key="ck",
+        )
+        refresh_join_mv(a, b, mv, spark, **self.KW)
+        assert self._state(spark, mv) == self._recompute(spark, a, b)
+        # wave 3 (both deltas in one refresh) + left deletes
+        a.delete_where(spark, F.col("x") > 4000)
+        merge_into(
+            b, spark,
+            spark.createDataFrame([(7, "gold")], "ck long, seg string"),
+            key="ck",
+        )
+        refresh_join_mv(a, b, mv, spark, **self.KW)
+        assert self._state(spark, mv) == self._recompute(spark, a, b)
+        # the histogram equals a bootstrap's from the filtered join
+        got = {
+            r["seg"]: dict(r["x_hist"])
+            for r in mv.read(spark).collect()
+        }
+        want = {
+            r["seg"]: dict(r["x_hist"])
+            for r in _hist_map(
+                a.read(spark).join(b.read(spark), on="ck")
+                .filter("x >= 100 AND seg != 'scrap'"),
+                ["seg"], "x", _hist_base(_DEFAULT_PCT_ERR), F.lit(1),
+            ).collect()
+        }
+        assert got == want
+
+    def test_join_predicate_change_is_spec_mismatch(
+        self, spark, tmp_path
+    ):
+        a, b = self._srcs(spark, tmp_path)
+        mv = _mv(tmp_path, "fjmv2")
+        refresh_join_mv(a, b, mv, spark, **self.KW)
+        a.commit(
+            spark.createDataFrame(
+                [(9100, 3, 500)], "k long, ck long, x long"
+            ),
+            mode="append",
+        )
+        kw = dict(self.KW, source_where="x >= 200")
+        with pytest.raises(ValueError, match="source_where"):
+            refresh_join_mv(a, b, mv, spark, **kw)
+
+
+class TestRewriteWhere:
+    """r16: predicate subsumption in rewrite_with_mv — the query's
+    WHERE is matched conjunct-by-conjunct against the view's recorded
+    source_where; residual conjuncts must be group-column-only and
+    apply to MV rows (and the aux table for coarse exact distinct)."""
+
+    def _build(self, spark, tmp_path, source_where=None):
+        src = VersionedTable(str(tmp_path / f"rws_{bool(source_where)}"))
+        src.commit(
+            spark.range(0, 900).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 4).cast("string").alias("g"),
+                (F.col("id") % 3).cast("string").alias("h"),
+                ((F.col("id") * 11) % 47).cast("string").alias("v"),
+                ((F.col("id") * 13) % 977).cast("long").alias("x"),
+            ),
+            mode="overwrite",
+        )
+        mv = VersionedTable(str(tmp_path / f"rwm_{bool(source_where)}"))
+        refresh_mv(
+            src, mv, spark,
+            name="rww", group_cols=["g", "h"], sum_cols=["x"],
+            key="k", min_cols=["x"], distinct_cols=["v"],
+            source_where=source_where,
+        )
+        return src, mv
+
+    def test_where_matches_view_predicate(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import rewrite_with_mv
+
+        src, mv = self._build(spark, tmp_path, source_where="x >= 500")
+        # spacing/keyword-case insensitive via the parser's
+        # normalization (identifier case is NOT normalized — a
+        # mismatch falls back conservatively)
+        out = rewrite_with_mv(
+            mv, spark, group_cols=["g", "h"],
+            measures={"n": ("count",), "s": ("sum", "x")},
+            where="x   >=    500",
+        )
+        assert out is not None
+        assert all(mv.path in f for f in out.inputFiles())
+        got = sorted((r["g"], r["h"], r["n"], r["s"])
+                     for r in out.collect())
+        want = sorted(
+            (r["g"], r["h"], r["n"], r["s"])
+            for r in src.read(spark).filter("x >= 500")
+            .groupBy("g", "h")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("x").cast("bigint").alias("s"),
+            )
+            .collect()
+        )
+        assert got == want
+
+    def test_residual_group_conjunct_applies_to_mv_rows(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.operators.mv import rewrite_with_mv
+
+        src, mv = self._build(spark, tmp_path, source_where="x >= 500")
+        # query = view predicate AND a group-column residual, coarser
+        # grouping; exact count_distinct rides the aux table and must
+        # see the SAME residual
+        out = rewrite_with_mv(
+            mv, spark, group_cols=["g"],
+            measures={
+                "n": ("count",),
+                "s": ("sum", "x"),
+                "nd": ("count_distinct", "v"),
+            },
+            where="h <> '2' AND x >= 500",
+        )
+        assert out is not None
+        assert all(
+            mv.path in f or (mv.path + "_nd") in f
+            for f in out.inputFiles()
+        )
+        got = sorted((r["g"], r["n"], r["s"], r["nd"])
+                     for r in out.collect())
+        want = sorted(
+            (r["g"], r["n"], r["s"], r["nd"])
+            for r in src.read(spark)
+            .filter("x >= 500 AND h <> '2'")
+            .groupBy("g")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("x").cast("bigint").alias("s"),
+                F.count_distinct("v").cast("bigint").alias("nd"),
+            )
+            .collect()
+        )
+        assert got == want
+
+    def test_residual_on_unfiltered_mv(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import rewrite_with_mv
+
+        src, mv = self._build(spark, tmp_path)
+        out = rewrite_with_mv(
+            mv, spark, group_cols=["g"],
+            measures={"n": ("count",)},
+            where="h = '1'",
+        )
+        assert out is not None
+        got = sorted((r["g"], r["n"]) for r in out.collect())
+        want = sorted(
+            (r["g"], r["n"])
+            for r in src.read(spark).filter("h = '1'")
+            .groupBy("g").agg(F.count("*").alias("n")).collect()
+        )
+        assert got == want
+
+    def test_not_subsumed_shapes_return_none(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import rewrite_with_mv
+
+        _, mv = self._build(spark, tmp_path, source_where="x >= 500")
+        m = {"n": ("count",)}
+        # unfiltered query over a filtered view: rows are missing
+        assert rewrite_with_mv(
+            mv, spark, group_cols=["g", "h"], measures=m,
+        ) is None
+        # query does not carry the view's conjunct
+        assert rewrite_with_mv(
+            mv, spark, group_cols=["g", "h"], measures=m,
+            where="h = '1'",
+        ) is None
+        # logically implied but not syntactically equal: conservative
+        assert rewrite_with_mv(
+            mv, spark, group_cols=["g", "h"], measures=m,
+            where="x >= 600",
+        ) is None
+        # residual references a row-level measure column
+        assert rewrite_with_mv(
+            mv, spark, group_cols=["g", "h"], measures=m,
+            where="x >= 500 AND v = 'q'",
+        ) is None
+
+    def test_garbage_where_raises(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import rewrite_with_mv
+
+        _, mv = self._build(spark, tmp_path)
+        with pytest.raises(ValueError, match="unparseable"):
+            rewrite_with_mv(
+                mv, spark, group_cols=["g"],
+                measures={"n": ("count",)},
+                where="x >= AND 3",
+            )
