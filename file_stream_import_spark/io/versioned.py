@@ -6495,6 +6495,58 @@ def table_changes_cdf(
     )
 
 
+def _type_has_map(dt) -> bool:
+    """True when a MAP lurks anywhere in the type tree — such a column
+    cannot sit inside an equality-compared struct (Spark's `<=>`
+    rejects unorderable types)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _type_has_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_type_has_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _comparable_expr(col, dt):
+    """An equality-comparable, order-canonical twin of ``col``: every
+    MAP in the type tree becomes its entries array sorted by key
+    (map keys are unique, so the sort is total and deterministic),
+    applied recursively through arrays and structs. Subtrees without
+    maps pass through untouched."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        entries = F.map_entries(col)
+        if _type_has_map(dt.valueType):
+            entries = F.transform(
+                entries,
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    _comparable_expr(e["value"], dt.valueType).alias(
+                        "value"
+                    ),
+                ),
+            )
+        return F.array_sort(entries)
+    if isinstance(dt, ArrayType) and _type_has_map(dt.elementType):
+        return F.transform(
+            col, lambda x: _comparable_expr(x, dt.elementType)
+        )
+    if isinstance(dt, StructType) and any(
+        _type_has_map(f.dataType) for f in dt.fields
+    ):
+        return F.struct(
+            *[
+                _comparable_expr(col[f.name], f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+    return col
+
+
 def snapshot_diff(
     table: VersionedTable,
     spark: SparkSession,
@@ -6623,11 +6675,42 @@ def snapshot_diff(
     payload = [c for c in all_cols if c not in keys]
     olds = a.select(*keys, F.struct(*payload).alias("old"))
     news = b.select(*keys, F.struct(*payload).alias("new"))
+    # MAP columns are not equatable in Spark (`<=>` rejects any struct
+    # containing one — a percentile MV's <col>_hist is exactly that),
+    # so the U test compares a CANONICALIZED twin struct where every
+    # map is its key-sorted entries array (recursively). Only built
+    # when the payload actually contains a map — the common-case plan
+    # is unchanged — and map equality becomes ORDER-INSENSITIVE, which
+    # is the correct semantics for maps anyway.
+    if any(_type_has_map(types[c]) for c in payload):
+        olds = a.select(
+            *keys,
+            F.struct(*payload).alias("old"),
+            F.struct(
+                *[
+                    _comparable_expr(F.col(c), types[c]).alias(c)
+                    for c in payload
+                ]
+            ).alias("__oc"),
+        )
+        news = b.select(
+            *keys,
+            F.struct(*payload).alias("new"),
+            F.struct(
+                *[
+                    _comparable_expr(F.col(c), types[c]).alias(c)
+                    for c in payload
+                ]
+            ).alias("__nc"),
+        )
+        upd = ~F.col("__oc").eqNullSafe(F.col("__nc"))
+    else:
+        upd = ~F.col("old").eqNullSafe(F.col("new"))
     j = olds.join(news, keys, "full_outer")
     change = (
         F.when(F.col("old").isNull(), F.lit("I"))
         .when(F.col("new").isNull(), F.lit("D"))
-        .when(~F.col("old").eqNullSafe(F.col("new")), F.lit("U"))
+        .when(upd, F.lit("U"))
     )
     return (
         j.withColumn("change", change)

@@ -440,6 +440,50 @@ def _attach_hists(deltas, df, group_cols, percentile_cols, base, sign):
     return deltas
 
 
+def _attach_merged_hists(deltas, df, group_cols, hist_names, sign):
+    """Rollup twin of _attach_hists: ``df``'s ``hist_names`` columns
+    are ALREADY log-bucket histogram maps (a fine MV's ``<col>_hist``),
+    so the per-group fold is a pure signed MAP MERGE — explode the
+    entries, scale each bucket count by ``sign`` (+1 literal for
+    bootstraps, the CDF sign for deltas: an update-preimage subtracts
+    the fine group's old histogram exactly), sum per (group, bucket),
+    drop zero buckets, repack. Because bucketing is deterministic, the
+    merged map is byte-identical to the histogram a full rebuild from
+    the BASE table would produce. Two narrow shuffles over the delta
+    only; groups with no entries get an empty map (never NULL)."""
+    empty = F.expr(f"cast(map() as {_HIST_TYPE})")
+    for name in hist_names:
+        per_bucket = (
+            df.select(
+                *group_cols,
+                sign.alias("__hs"),
+                F.explode(F.map_entries(F.col(name))).alias("__e"),
+            )
+            .groupBy(*group_cols, F.col("__e.key").alias("__hb"))
+            .agg(
+                F.sum(F.col("__hs") * F.col("__e.value"))
+                .cast("bigint")
+                .alias("__hc")
+            )
+            .filter(F.col("__hc") != 0)
+        )
+        h = per_bucket.groupBy(*group_cols).agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__hb"), F.col("__hc"))
+                    )
+                )
+            )
+            .cast(_HIST_TYPE)
+            .alias(name)
+        )
+        deltas = deltas.join(h, on=group_cols, how="left").withColumn(
+            name, F.coalesce(F.col(name), empty)
+        )
+    return deltas
+
+
 def hist_percentile(
     name, q: float, rel_err: float = _DEFAULT_PCT_ERR
 ):
@@ -1414,6 +1458,7 @@ def _fold_stored(
     max_cols: list[str],
     approx_cols: list[str],
     source_where: str | None = None,
+    rollup_src: bool = False,
 ):
     """Resolve each delta group's FINAL stored-state measures — MIN/MAX
     extremes and APPROX-DISTINCT HLL sketches — in ONE pass over the
@@ -1434,7 +1479,15 @@ def _fold_stored(
     against source@cur (group-pruned via manifest stats when the key
     set fits the driver cap, AQE semi join otherwise); each family
     then masks with ITS OWN endangerment flag, so results are
-    identical to the former two-pass fold."""
+    identical to the former two-pass fold.
+
+    ``rollup_src=True`` (r16, refresh_rollup_mv): the source is itself
+    an aggregate MV, so the endangered recompute reads the FINE MV's
+    derived columns — ``MIN(c_min)`` / ``MAX(c_max)`` instead of the
+    raw column, and ``hll_union_agg(c_hll)`` (sketch union) instead of
+    re-sketching raw values. The caller's delta candidate columns
+    (``__ins_*``/``__del_*``) already carry the fine-level derived
+    values, so everything else is unchanged."""
     if mv_v is None:
         # streaming maintainer's first batches: no MV yet — every
         # group is new, so the stored side is an EMPTY frame typed
@@ -1504,14 +1557,32 @@ def _fold_stored(
     if not probe:
         exact = None
     else:
-        aggs = (
-            [F.min(c).alias(f"__ex_min_{c}") for c in min_cols]
-            + [F.max(c).alias(f"__ex_max_{c}") for c in max_cols]
-            + [
-                F.hll_sketch_agg(F.col(c)).alias(f"__ex_hll_{c}")
-                for c in approx_cols
-            ]
-        )
+        if rollup_src:
+            aggs = (
+                [
+                    F.min(f"{c}_min").alias(f"__ex_min_{c}")
+                    for c in min_cols
+                ]
+                + [
+                    F.max(f"{c}_max").alias(f"__ex_max_{c}")
+                    for c in max_cols
+                ]
+                + [
+                    F.hll_union_agg(F.col(f"{c}_hll")).alias(
+                        f"__ex_hll_{c}"
+                    )
+                    for c in approx_cols
+                ]
+            )
+        else:
+            aggs = (
+                [F.min(c).alias(f"__ex_min_{c}") for c in min_cols]
+                + [F.max(c).alias(f"__ex_max_{c}") for c in max_cols]
+                + [
+                    F.hll_sketch_agg(F.col(c)).alias(f"__ex_hll_{c}")
+                    for c in approx_cols
+                ]
+            )
         if len(group_cols) == 1 and len(probe) <= _MAX_EXACT_KEYS:
             src = source.read(
                 spark,
@@ -2186,3 +2257,327 @@ def make_mv_maintainer(
         _sweep_zero_groups(mv, spark, rows_col)
 
     return write
+
+
+def refresh_rollup_mv(
+    fine: VersionedTable,
+    mv: VersionedTable,
+    spark: SparkSession,
+    *,
+    name: str,
+    group_cols: list[str],
+    pin_watermark: bool = False,
+) -> int:
+    """Cascaded (multi-level) rollup: maintain a COARSE aggregate MV
+    incrementally from a FINE aggregate MV's change-data-feed — the
+    TimescaleDB continuous-aggregate / Druid rollup ladder (hourly →
+    daily → monthly), each level O(its own delta), never rescanning
+    the base table. Returns the fine-MV version the rollup now
+    reflects. Reference parity: the reference delegates all
+    aggregation to Postgres at query time (internal/db/db.go:43-137);
+    a continuous rollup ladder is north-star lakehouse surface — at
+    100 TB the fine MV is the only thing that ever scans the base,
+    and each coarser level folds deltas that are already thousands of
+    times smaller.
+
+    EVERYTHING IS DERIVED FROM THE FINE MV'S RECORDED SPEC
+    (_mv_spec.json, r16): the caller names only the coarse grouping —
+    a subset of the fine grouping — and the rollup maintains the SAME
+    measure columns under the SAME names, so rollups compose (a
+    rollup's spec is measure-shaped like an agg spec and a third
+    level derives from it identically):
+
+    * SUM columns fold as sums of fine sums; ``rows_col`` folds
+      WEIGHTED — sum of fine row counts (the fine CDF's +1/−1 sign
+      times the fine group's count), so the coarse count is the BASE
+      row count, not the fine group count.
+    * ``<c>_sumsq`` folds as a plain double sum (sums of squares are
+      associative), keeping VAR/STDDEV derivable at every level.
+    * ``<c>_min`` / ``<c>_max`` fold with LEAST/GREATEST on the
+      insert side; a fine-group preimage whose extreme TOUCHES the
+      stored coarse extreme endangers the group, and exactly those
+      groups recompute ``MIN(c_min)`` / ``MAX(c_max)`` from the FINE
+      MV snapshot (group-pruned) — O(delta + endangered fine rows),
+      and the fine MV is already aggregate-sized.
+    * ``<c>_hll`` folds by SKETCH UNION (F.hll_union_agg) on the
+      insert side; any preimage endangers (a re-sketched fine group
+      may have shrunk) and endangered groups re-union from the fine
+      snapshot. Estimates remain within HLL error of the BASE
+      table's distinct count (union of per-group sketches over a
+      partition of the rows).
+    * ``<c>_hist`` percentile histograms fold by pure SIGNED MAP
+      MERGE (_attach_merged_hists): deterministic bucketing makes
+      the merged map byte-identical to a histogram built from the
+      base values, so deletes are forgotten EXACTLY — O(delta), no
+      endangered recompute, same ``percentile_rel_err`` (and
+      hist_encoding) as the fine level.
+    * EXACT COUNT DISTINCT (``distinct_cols``) does NOT roll up — a
+      value's occurrence counts cannot be combined across fine
+      groups without per-value state. Declare the coarse MV directly
+      over the base table (its aux keeps the per-value counts), or
+      use ``approx_distinct_cols`` (HLL unions exactly). A fine spec
+      with distinct_cols is refused loudly.
+
+    The rollup's watermark is the FINE MV's version, riding the
+    rollup's manifest txn map atomically (same crash/replay contract
+    as refresh_mv); ``pin_watermark=True`` tags the FINE MV so its
+    vacuum can never expire the manifests the next rollup fold
+    needs. The rollup records its own spec (kind "rollup") at
+    bootstrap; later refreshes re-derive from the fine spec and any
+    drift — a re-bootstrapped fine MV with different measures, a
+    changed coarse grouping — raises instead of folding garbage.
+    Contract: the fine MV must be spec-recorded (refresh it once
+    under this build, or re-bootstrap) and maintained by
+    refresh_mv / make_mv_maintainer / refresh_rollup_mv; coarse
+    group columns must be a non-empty subset of the fine grouping."""
+    tag = f"mv:{name}"
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError(
+            "rollup needs at least one group column (a GLOBAL "
+            "aggregate has no MERGE key; keep a constant group "
+            "column in the fine MV and roll up onto it)"
+        )
+    fspec = load_mv_spec(fine)
+    if fspec is None:
+        raise ValueError(
+            f"fine MV at {fine.path} has no recorded spec "
+            "(_mv_spec.json) — refresh it once under this build (a "
+            "pre-spec MV adopts its spec on the next refresh) or "
+            "re-bootstrap it, then roll up"
+        )
+    if fspec.get("kind") not in ("agg", "agg-stream", "rollup"):
+        raise ValueError(
+            f"fine MV at {fine.path} has kind {fspec.get('kind')!r}: "
+            "only grouped aggregate MVs (agg / agg-stream / rollup) "
+            "roll up — a join MV's grouping is already the view"
+        )
+    if fspec.get("distinct_cols"):
+        raise ValueError(
+            "exact COUNT DISTINCT does not roll up (occurrence "
+            "counts cannot merge across fine groups without "
+            "per-value state): declare the coarse MV directly over "
+            "the base table with refresh_mv, or switch the fine MV "
+            f"to approx_distinct_cols. Fine MV declares "
+            f"{fspec['distinct_cols']!r}"
+        )
+    fine_groups = list(fspec["group_cols"])
+    missing = [g for g in group_cols if g not in fine_groups]
+    if missing:
+        raise ValueError(
+            f"rollup group column(s) {missing!r} are not fine-MV "
+            f"group columns {fine_groups!r} — a rollup can only "
+            "coarsen the fine grouping"
+        )
+    sum_cols = list(fspec["sum_cols"])
+    rows_col = fspec["rows_col"]
+    min_cols = list(fspec.get("min_cols") or [])
+    max_cols = list(fspec.get("max_cols") or [])
+    sumsq_cols = list(fspec.get("sumsq_cols") or [])
+    approx_cols = list(fspec.get("approx_distinct_cols") or [])
+    pct_cols = list(fspec.get("percentile_cols") or [])
+    rel_err = fspec.get("percentile_rel_err")
+    if pct_cols and fspec.get("hist_encoding") != _HIST_ENCODING:
+        raise ValueError(
+            f"fine MV at {fine.path} stores percentile histograms "
+            f"under bucket encoding {fspec.get('hist_encoding')} but "
+            f"this build merges encoding {_HIST_ENCODING} — "
+            "re-bootstrap the fine MV first"
+        )
+    ext_names, sq_names, _, hll_names, hist_names = _derived_names(
+        group_cols, sum_cols, rows_col, min_cols, max_cols,
+        sumsq_cols, [], approx_cols, pct_cols,
+    )
+    cur = fine.latest_version()
+    if cur is None:
+        raise FileNotFoundError(f"fine MV has no snapshots: {fine.path}")
+    from ..io.versioned import _schema_from_json
+
+    fine_schema = _schema_from_json(fine._load_manifest(cur)["schema"])
+    fine_names = {f.name for f in fine_schema.fields}
+    for n in [rows_col, *sum_cols, *sq_names, *ext_names,
+              *hll_names, *hist_names]:
+        if n not in fine_names:
+            raise ValueError(
+                f"fine MV at {fine.path} is missing measure column "
+                f"{n!r} its spec declares — re-bootstrap the fine MV"
+            )
+    # sums (incl. the _sumsq columns, which are plain double sums at
+    # this level) fold in the fine MV's own storage types — bigint
+    # stays exact, decimal(38,s) stays exact, double stays double
+    fold_cols = [*sum_cols, *sq_names]
+    ftypes = _sum_fold_types(fine_schema, fold_cols)
+    spec = {
+        "spec_version": _SPEC_VERSION,
+        "kind": "rollup",
+        "name": name,
+        "source_name": fspec["name"],
+        "group_cols": group_cols,
+        "sum_cols": sum_cols,
+        "key": fine_groups,
+        "rows_col": rows_col,
+        "min_cols": min_cols,
+        "max_cols": max_cols,
+        "sumsq_cols": sumsq_cols,
+        "distinct_cols": [],
+        "approx_distinct_cols": approx_cols,
+        "percentile_cols": pct_cols,
+        "percentile_rel_err": (
+            float(rel_err) if pct_cols else None
+        ),
+        "hist_encoding": _HIST_ENCODING if pct_cols else None,
+        "source_where": None,
+    }
+    while True:
+        mv_v, wm = _watermark(mv, tag)
+        if wm is None:
+            _store_spec(mv, spec)  # bootstrap (re)defines the spec
+        else:
+            _validate_spec(mv, spec)
+        if wm is not None and cur <= wm:
+            _sweep_zero_groups(mv, spark, rows_col)
+            if pin_watermark:
+                _pin_watermark(fine, name, wm)
+            return wm
+        try:
+            if wm is None:
+                boot = fine.read(spark, version=cur)
+                agg = boot.groupBy(*group_cols).agg(
+                    *[
+                        F.coalesce(F.sum(c), F.lit(0))
+                        .cast(ftypes[c])
+                        .alias(c)
+                        for c in fold_cols
+                    ],
+                    F.coalesce(F.sum(rows_col), F.lit(0))
+                    .cast("bigint")
+                    .alias(rows_col),
+                    *[
+                        F.min(f"{c}_min").alias(f"{c}_min")
+                        for c in min_cols
+                    ],
+                    *[
+                        F.max(f"{c}_max").alias(f"{c}_max")
+                        for c in max_cols
+                    ],
+                    *[
+                        F.hll_union_agg(F.col(f"{c}_hll")).alias(
+                            f"{c}_hll"
+                        )
+                        for c in approx_cols
+                    ],
+                )
+                if hist_names:
+                    agg = _attach_merged_hists(
+                        agg, boot, group_cols, hist_names, F.lit(1)
+                    )
+                mv.commit(
+                    agg,
+                    mode="overwrite",
+                    txn={tag: cur},
+                    expected_parent=mv_v,
+                )
+            else:
+                sign = _sign_col()
+                is_add = sign == 1
+                cdf_df = table_changes_cdf(
+                    fine, spark, wm + 1, cur, key=fine_groups
+                )
+                deltas = cdf_df.groupBy(*group_cols).agg(
+                    *[
+                        F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
+                        .cast(ftypes[c])
+                        .alias(c)
+                        for c in fold_cols
+                    ],
+                    F.coalesce(
+                        F.sum(sign * F.col(rows_col)), F.lit(0)
+                    )
+                    .cast("bigint")
+                    .alias(rows_col),
+                    *[
+                        F.min(
+                            F.when(is_add, F.col(f"{c}_min"))
+                        ).alias(f"__ins_min_{c}")
+                        for c in min_cols
+                    ],
+                    *[
+                        F.min(
+                            F.when(~is_add, F.col(f"{c}_min"))
+                        ).alias(f"__del_min_{c}")
+                        for c in min_cols
+                    ],
+                    *[
+                        F.max(
+                            F.when(is_add, F.col(f"{c}_max"))
+                        ).alias(f"__ins_max_{c}")
+                        for c in max_cols
+                    ],
+                    *[
+                        F.max(
+                            F.when(~is_add, F.col(f"{c}_max"))
+                        ).alias(f"__del_max_{c}")
+                        for c in max_cols
+                    ],
+                    *[
+                        F.hll_union_agg(
+                            F.when(is_add, F.col(f"{c}_hll"))
+                        ).alias(f"__ins_hll_{c}")
+                        for c in approx_cols
+                    ],
+                    *(
+                        [
+                            F.max(
+                                F.when(~is_add, F.lit(1))
+                            ).alias("__any_del")
+                        ]
+                        if approx_cols
+                        else []
+                    ),
+                )
+                if hist_names:
+                    deltas = _attach_merged_hists(
+                        deltas, cdf_df, group_cols, hist_names,
+                        _sign_col(),
+                    )
+                if ext_names or hll_names:
+                    deltas = _fold_stored(
+                        fine, mv, spark, deltas,
+                        cur=cur, mv_v=mv_v, group_cols=group_cols,
+                        min_cols=min_cols, max_cols=max_cols,
+                        approx_cols=approx_cols,
+                        rollup_src=True,
+                    )
+                deltas = deltas.select(
+                    *group_cols, *fold_cols, rows_col,
+                    *ext_names, *hll_names, *hist_names,
+                )
+                merge_into(
+                    mv,
+                    spark,
+                    deltas,
+                    key=group_cols,
+                    when_matched={
+                        **{
+                            c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                            + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                            for c in [*fold_cols, rows_col]
+                        },
+                        **{
+                            n: F.col(f"s.{n}")
+                            for n in [*ext_names, *hll_names]
+                        },
+                        **{
+                            n: _hist_merge_expr(n)
+                            for n in hist_names
+                        },
+                    },
+                    txn={tag: cur},
+                    expected_parent=mv_v,
+                )
+            _sweep_zero_groups(mv, spark, rows_col)
+            if pin_watermark:
+                _pin_watermark(fine, name, cur)
+            return cur
+        except CommitConflictError:
+            continue  # racing refresher landed: re-read the watermark

@@ -26,6 +26,15 @@ spec-served rewrite over a join MV.
   endangers view minima; the hashed output is the MV's OWN stored
   state vs DuckDB's filtered aggregate.
 
+* lake_mv_cascade — CASCADED rollup MVs (refresh_rollup_mv, second
+  session): base -> fine (prio, month) -> coarse (prio), the coarse
+  level maintained O(delta) from the fine MV's CDF and derived
+  entirely from the fine MV's recorded spec; hashed output is the
+  coarse MV's stored state vs DuckDB's direct aggregate of the final
+  base, with in-query pins on merged-histogram percentiles, unioned
+  HLL estimates, and a rewrite_with_mv GLOBAL answer (kind "rollup"
+  spec) whose inputFiles() prove it reads neither base nor fine.
+
 Reference parity: the reference joins and aggregates in Postgres at
 query time (SURVEY §3); incremental join-view maintenance with
 percentile state is north-star lakehouse surface.
@@ -655,4 +664,242 @@ def lake_mv_filtered_rewrite(
         shutil.rmtree(a.path, ignore_errors=True)
         shutil.rmtree(b.path, ignore_errors=True)
         shutil.rmtree(mv.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "lake_mv_cascade",
+    oracle="""
+    WITH numbered AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS k,
+             o_custkey AS ck,
+             o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    base AS (
+      SELECT k, ck, prio, cents,
+             CAST((cents % 199) - 99 AS DOUBLE) / 100.0 AS frac
+      FROM numbered
+    ),
+    final AS (
+      SELECT k, ck,
+             CASE WHEN k % 13 = 0 THEN '1-URGENT' ELSE prio END AS prio,
+             cents, frac
+      FROM base
+      WHERE frac > -0.90
+    )
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MIN(frac) AS frac_min,
+           MAX(frac) AS frac_max,
+           ROUND(SUM(frac * frac), 4) AS frac_sumsq
+    FROM final
+    GROUP BY prio
+    ORDER BY prio
+    """,
+)
+def lake_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded rollup MVs (operators/mv.py::refresh_rollup_mv, r16):
+    base orders -> FINE MV by (prio, month) -> COARSE MV by (prio),
+    the coarse level maintained O(delta) from the fine MV's OWN CDF —
+    never reading the base — and everything at the coarse level
+    derived from the fine MV's recorded spec (the caller names only
+    the coarser grouping).
+
+    History: bootstrap the base with the first 2/3 of densified orders
+    and refresh the LADDER (fine bootstraps from base, coarse
+    bootstraps from fine); append the last third (each level folds its
+    own delta); CoW-DELETE frac <= -0.90 (endangers fine AND coarse
+    minima — the coarse recompute is group-pruned against the FINE MV,
+    already aggregate-sized); MERGE every k%13==0 row into prio
+    '1-URGENT' (a base regroup that cascades: fine folds -old/+new
+    across (prio, month) groups, coarse folds the fine CDF across prio
+    groups). One refresh per level per wave.
+
+    The hashed output is the COARSE MV'S OWN STORED STATE — weighted
+    row counts (sums of fine counts = base counts), sums of sums,
+    endangered-recomputed extremes, and double sumsq — vs DuckDB's
+    direct aggregate of the final base state. In-query pins: (1) the
+    coarse percentile histograms (pure signed MAP MERGE of fine maps,
+    mixed-sign fractional domain) estimate p50/p90 within the declared
+    1% of exact rank values; (2) the coarse HLL sketches (union of
+    fine unions) estimate distinct custkeys within sketch error; (3)
+    rewrite_with_mv over the ROLLUP's recorded spec (kind "rollup"
+    serves the rewrite unchanged) answers the GLOBAL grouping from
+    coarse-MV-sized input with an inputFiles() proof it reads neither
+    the base nor the fine MV."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..io.versioned import VersionedTable, merge_into
+    from ..operators.curation import dense_sequence
+    from ..operators.mv import (
+        hist_percentile,
+        refresh_mv,
+        refresh_rollup_mv,
+        rewrite_with_mv,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderpriority").alias("prio"),
+        F.month("o_orderdate").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    o = dense_sequence(o, "o_orderkey", out_col="k").select(
+        "k", "ck", "prio", "m", "cents",
+        (((F.col("cents") % 199) - 99).cast("double") / F.lit(100.0))
+        .alias("frac"),
+    )
+    n = o.count()
+    third = n // 3
+    o = o.localCheckpoint(eager=True)
+    base = VersionedTable(tempfile.mkdtemp(prefix="lake_casc_base_"))
+    fine = VersionedTable(tempfile.mkdtemp(prefix="lake_casc_fine_"))
+    coarse = VersionedTable(tempfile.mkdtemp(prefix="lake_casc_top_"))
+    fine_kw = dict(
+        name="casc_fine", group_cols=["prio", "m"],
+        sum_cols=["cents"], key="k",
+        min_cols=["frac"], max_cols=["frac"], sumsq_cols=["frac"],
+        approx_distinct_cols=["ck"], percentile_cols=["frac"],
+    )
+
+    def refresh_ladder():
+        refresh_mv(base, fine, spark, **fine_kw)
+        refresh_rollup_mv(
+            fine, coarse, spark, name="casc_top", group_cols=["prio"]
+        )
+
+    try:
+        base.commit(o.filter(F.col("k") <= 2 * third), mode="overwrite")
+        refresh_ladder()                                  # bootstrap
+        base.commit(o.filter(F.col("k") > 2 * third), mode="append")
+        refresh_ladder()                                  # append fold
+        base.delete_where(
+            spark, F.col("frac") <= -0.90, prune_where="auto"
+        )
+        refresh_ladder()                                  # extreme delete
+        upd = (
+            base.read(spark)
+            .filter(F.col("k") % 13 == 0)
+            .withColumn("prio", F.lit("1-URGENT"))
+        )
+        merge_into(base, spark, upd, key="k")
+        refresh_ladder()                                  # regroup wave
+        # exact targets from the FINAL base state (rank percentiles
+        # per prio and globally, exact distinct ck counts)
+        fb = base.read(spark)
+        w = Window.partitionBy("prio").orderBy("frac")
+        ranked = (
+            fb.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "cnt", F.count("*").over(Window.partitionBy("prio"))
+            )
+        )
+
+        def at_rank(q):
+            return F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(q) * F.col("cnt")).cast("bigint"),
+                    F.col("frac"),
+                )
+            )
+
+        exact = {
+            r["prio"]: r.asDict()
+            for r in ranked.groupBy("prio")
+            .agg(
+                at_rank(0.5).alias("p50"),
+                at_rank(0.9).alias("p90"),
+                F.count_distinct("ck").alias("nd"),
+            )
+            .collect()
+        }
+        got = {
+            r["prio"]: r.asDict()
+            for r in coarse.read(spark)
+            .withColumn("__p50", hist_percentile("frac_hist", 0.5))
+            .withColumn("__p90", hist_percentile("frac_hist", 0.9))
+            .withColumn("__nd", F.hll_sketch_estimate("ck_hll"))
+            .collect()
+        }
+        if set(got) != set(exact):
+            raise AssertionError(
+                f"coarse groups {sorted(got)} != {sorted(exact)}"
+            )
+
+        def pin(got_v, want, where, tol):
+            ok = (
+                got_v == 0.0
+                if want == 0
+                else got_v is not None
+                and abs(got_v / want - 1) <= tol
+            )
+            if not ok:
+                raise AssertionError(
+                    f"{where}: estimate {got_v} vs exact {want}"
+                )
+
+        for p, e in exact.items():
+            pin(got[p]["__p50"], e["p50"], f"p50[{p}]", 0.0101)
+            pin(got[p]["__p90"], e["p90"], f"p90[{p}]", 0.0101)
+            pin(float(got[p]["__nd"]), e["nd"], f"nd[{p}]", 0.15)
+        # GLOBAL grouping served by the rewrite over the ROLLUP's
+        # recorded spec — group_cols=[] re-merges every coarse row;
+        # the plan must read only the coarse MV
+        ans = rewrite_with_mv(
+            coarse, spark,
+            group_cols=[],
+            measures={
+                "n_rows": ("count",),
+                "g_p50": ("percentile", "frac", 0.5),
+                "g_nd": ("approx_count_distinct", "ck"),
+            },
+        )
+        if ans is None:
+            raise AssertionError("rollup rewrite fell back")
+        files = ans.inputFiles()
+        if not files or not all(coarse.path in f for f in files):
+            raise AssertionError(
+                f"rewrite reads beyond the coarse MV: {files[:3]}"
+            )
+        g = ans.collect()[0]
+        gw = Window.orderBy("frac")
+        grk = (
+            fb.withColumn("rn", F.row_number().over(gw))
+            .withColumn("cnt", F.count("*").over(Window.partitionBy()))
+        )
+        ge = grk.groupBy().agg(
+            at_rank(0.5).alias("p50"),
+            F.count_distinct("ck").alias("nd"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        if g["n_rows"] != ge["n"]:
+            raise AssertionError(
+                f"global count {g['n_rows']} != {ge['n']}"
+            )
+        pin(g["g_p50"], ge["p50"], "global p50", 0.0101)
+        pin(float(g["g_nd"]), ge["nd"], "global nd", 0.15)
+        out = (
+            coarse.read(spark)
+            .select(
+                "prio",
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("cents").cast("bigint").alias("sum_cents"),
+                F.col("frac_min").alias("frac_min"),
+                F.col("frac_max").alias("frac_max"),
+                F.round(F.col("frac_sumsq"), 4).alias("frac_sumsq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base.path, ignore_errors=True)
+        shutil.rmtree(fine.path, ignore_errors=True)
+        shutil.rmtree(coarse.path, ignore_errors=True)
     return out

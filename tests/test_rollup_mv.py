@@ -1,0 +1,320 @@
+"""Cascaded rollup MVs (r16, operators/mv.py::refresh_rollup_mv): a
+coarse aggregate MV maintained O(delta) from a FINE aggregate MV's CDF,
+everything derived from the fine MV's recorded spec. The invariant every
+test drives: after refreshing the ladder, every level equals a FULL
+recompute from the BASE table — sums and weighted row counts exactly,
+min/max exactly (endangered recompute against the fine MV), percentile
+histograms byte-identical to a rebuild from base values (signed map
+merge), and HLL unions within sketch error of the base distinct count.
+
+Also covers the snapshot_diff fix the rollup flushed out: a CDF over any
+table holding a MAP column used to fail analysis (`<=>` rejects structs
+containing maps); the diff now compares a canonicalized twin (key-sorted
+entry arrays)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from file_stream_import_spark.io.versioned import (
+    VersionedTable,
+    merge_into,
+    snapshot_diff,
+)
+from file_stream_import_spark.operators.mv import (
+    hist_percentile,
+    load_mv_spec,
+    refresh_mv,
+    refresh_rollup_mv,
+)
+
+
+def _rows(lo, hi):
+    # (k, d, site, x, uid): x mixed-sign fractional (the r15 bug's
+    # domain), uid a small bigint for distinct counting
+    return [
+        (k, k % 5, f"s{k % 3}", ((k * 37) % 199 - 99) / 100.0,
+         (k * 13) % 37)
+        for k in range(lo, hi)
+    ]
+
+
+_SCHEMA = "k int, d int, site string, x double, uid bigint"
+
+_FINE_KW = dict(
+    name="fine", group_cols=["d", "site"], sum_cols=[], key="k",
+    min_cols=["x"], max_cols=["x"], sumsq_cols=["x"],
+    approx_distinct_cols=["uid"], percentile_cols=["x"],
+)
+
+
+def _mk(spark, tmp_path, rows, name):
+    t = VersionedTable(str(tmp_path / name))
+    t.commit(spark.createDataFrame(rows, _SCHEMA), mode="overwrite")
+    return t
+
+
+def _base_agg(spark, base, group_cols):
+    return {
+        tuple(r[g] for g in group_cols): r.asDict()
+        for r in base.read(spark)
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("x") * F.col("x")), F.lit(0.0)
+            ).alias("x_sumsq"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.count_distinct("uid").cast("bigint").alias("nd"),
+        )
+        .collect()
+    }
+
+
+def _check_level(spark, base, mv, group_cols, *, hll_tol=0.15):
+    """The MV's stored state equals a full recompute from BASE."""
+    exp = _base_agg(spark, base, group_cols)
+    got = {
+        tuple(r[g] for g in group_cols): r.asDict()
+        for r in mv.read(spark)
+        .withColumn("__est", F.hll_sketch_estimate("uid_hll"))
+        .withColumn("__p50", hist_percentile("x_hist", 0.5))
+        .withColumn("__p90", hist_percentile("x_hist", 0.9))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    # exact rank percentiles from base (the estimator's own target)
+    w = Window.partitionBy(*group_cols).orderBy("x")
+    cnt = Window.partitionBy(*group_cols)
+    exact = {
+        0.5: {}, 0.9: {},
+    }
+    ranked = (
+        base.read(spark)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(cnt))
+    )
+    for q in (0.5, 0.9):
+        for r in ranked.filter(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("cnt")).cast("bigint")
+        ).collect():
+            exact[q][tuple(r[g] for g in group_cols)] = r["x"]
+    for key, e in exp.items():
+        g = got[key]
+        assert g["n_rows"] == e["n_rows"], (key, g, e)
+        assert abs(g["x_sumsq"] - e["x_sumsq"]) < 1e-9, key
+        assert g["x_min"] == e["x_min"], key
+        assert g["x_max"] == e["x_max"], key
+        assert abs(g["__est"] / e["nd"] - 1) <= hll_tol, (
+            key, g["__est"], e["nd"],
+        )
+        for q, col in ((0.5, "__p50"), (0.9, "__p90")):
+            want = exact[q][key]
+            got_q = g[col]
+            if want == 0:
+                assert got_q == 0.0, (key, q, got_q)
+            else:
+                assert got_q is not None and (
+                    abs(got_q / want - 1) <= 0.0101
+                ), (key, q, got_q, want)
+
+
+def _ladder(spark, tmp_path):
+    base = _mk(spark, tmp_path, _rows(1, 301), "base")
+    fine = VersionedTable(str(tmp_path / "fine"))
+    coarse = VersionedTable(str(tmp_path / "coarse"))
+    return base, fine, coarse
+
+
+def _refresh_ladder(spark, base, fine, coarse):
+    refresh_mv(base, fine, spark, **_FINE_KW)
+    refresh_rollup_mv(fine, coarse, spark, name="coarse",
+                      group_cols=["site"])
+
+
+class TestRollupMV:
+    def test_bootstrap_equals_base_aggregate(self, spark, tmp_path):
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        _check_level(spark, base, coarse, ["site"])
+        spec = load_mv_spec(coarse)
+        assert spec["kind"] == "rollup"
+        assert spec["source_name"] == "fine"
+        assert spec["key"] == ["d", "site"]
+
+    def test_incremental_waves_equal_base(self, spark, tmp_path):
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        # append wave
+        base.commit(
+            spark.createDataFrame(_rows(301, 421), _SCHEMA),
+            mode="append",
+        )
+        _refresh_ladder(spark, base, fine, coarse)
+        _check_level(spark, base, coarse, ["site"])
+        # delete wave endangering coarse minima (most-negative x)
+        base.delete_where(spark, F.col("x") <= -0.80,
+                          prune_where="auto")
+        _refresh_ladder(spark, base, fine, coarse)
+        _check_level(spark, base, coarse, ["site"])
+        # merge wave: move rows between d groups AND sites
+        upd = (
+            base.read(spark)
+            .filter(F.col("k") % 11 == 0)
+            .withColumn("site", F.lit("s0"))
+            .withColumn("x", F.col("x") + 0.03)
+        )
+        merge_into(base, spark, upd, key="k")
+        _refresh_ladder(spark, base, fine, coarse)
+        _check_level(spark, base, coarse, ["site"])
+
+    def test_vanishing_coarse_group_swept(self, spark, tmp_path):
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        base.delete_where(spark, F.col("site") == "s2",
+                          prune_where="auto")
+        _refresh_ladder(spark, base, fine, coarse)
+        sites = {r["site"] for r in coarse.read(spark).collect()}
+        assert sites == {"s0", "s1"}
+        _check_level(spark, base, coarse, ["site"])
+
+    def test_hist_byte_equal_to_base_rebuild(self, spark, tmp_path):
+        """Deterministic bucketing makes the MERGED coarse histogram
+        identical (as a dict) to one built directly from base values —
+        deletes are forgotten exactly, nothing drifts through the
+        ladder."""
+        from file_stream_import_spark.operators.mv import (
+            _hist_base,
+            _hist_map,
+        )
+
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        base.delete_where(spark, F.col("x").between(-0.3, 0.25),
+                          prune_where="auto")
+        _refresh_ladder(spark, base, fine, coarse)
+        stored = {
+            r["site"]: dict(r["x_hist"])
+            for r in coarse.read(spark).collect()
+        }
+        rebuilt = {
+            r["site"]: dict(r["x_hist"])
+            for r in _hist_map(
+                base.read(spark), ["site"], "x",
+                _hist_base(0.01), F.lit(1),
+            ).collect()
+        }
+        assert stored == rebuilt
+
+    def test_three_level_cascade(self, spark, tmp_path):
+        """rollup-of-rollup: the rollup's spec is measure-shaped like
+        an agg spec, so a third level derives identically — and still
+        equals the base recompute after DML at the bottom."""
+        base = _mk(spark, tmp_path, _rows(1, 301), "base")
+        fine = VersionedTable(str(tmp_path / "fine"))
+        mid = VersionedTable(str(tmp_path / "mid"))
+        top = VersionedTable(str(tmp_path / "top"))
+
+        def refresh_all():
+            refresh_mv(base, fine, spark, **_FINE_KW)
+            refresh_rollup_mv(fine, mid, spark, name="mid",
+                              group_cols=["site"])
+            refresh_rollup_mv(mid, top, spark, name="top",
+                              group_cols=["site"])
+
+        # mid coarsens (d, site) -> (site); top re-groups on the same
+        # key — a degenerate but legal subset that must stay exact
+        refresh_all()
+        base.commit(
+            spark.createDataFrame(_rows(301, 361), _SCHEMA),
+            mode="append",
+        )
+        base.delete_where(spark, F.col("k") % 7 == 0,
+                          prune_where="auto")
+        refresh_all()
+        _check_level(spark, base, mid, ["site"])
+        _check_level(spark, base, top, ["site"])
+        assert load_mv_spec(top)["source_name"] == "mid"
+
+    def test_exact_distinct_refused(self, spark, tmp_path):
+        base = _mk(spark, tmp_path, _rows(1, 61), "base")
+        fine = VersionedTable(str(tmp_path / "fine"))
+        coarse = VersionedTable(str(tmp_path / "coarse"))
+        refresh_mv(
+            base, fine, spark,
+            name="fine", group_cols=["d", "site"], sum_cols=[],
+            key="k", distinct_cols=["uid"],
+        )
+        with pytest.raises(ValueError, match="does not roll up"):
+            refresh_rollup_mv(fine, coarse, spark, name="c",
+                              group_cols=["site"])
+
+    def test_group_not_subset_refused(self, spark, tmp_path):
+        base, fine, coarse = _ladder(spark, tmp_path)
+        refresh_mv(base, fine, spark, **_FINE_KW)
+        with pytest.raises(ValueError, match="not fine-MV group"):
+            refresh_rollup_mv(fine, coarse, spark, name="c",
+                              group_cols=["uid"])
+        with pytest.raises(ValueError, match="at least one group"):
+            refresh_rollup_mv(fine, coarse, spark, name="c",
+                              group_cols=[])
+
+    def test_unspecced_fine_refused(self, spark, tmp_path):
+        base, fine, coarse = _ladder(spark, tmp_path)
+        refresh_mv(base, fine, spark, **_FINE_KW)
+        os.remove(str(tmp_path / "fine" / "_mv_spec.json"))
+        with pytest.raises(ValueError, match="no recorded spec"):
+            refresh_rollup_mv(fine, coarse, spark, name="c",
+                              group_cols=["site"])
+
+    def test_fine_spec_drift_raises(self, spark, tmp_path):
+        """A re-bootstrapped fine MV with different measures must not
+        fold silently into an existing rollup."""
+        import shutil
+
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        # re-bootstrap the fine MV WITHOUT min/max
+        shutil.rmtree(str(tmp_path / "fine"))
+        kw = dict(_FINE_KW, min_cols=[], max_cols=[])
+        refresh_mv(base, fine, spark, **kw)
+        with pytest.raises(ValueError, match="spec mismatch"):
+            refresh_rollup_mv(fine, coarse, spark, name="coarse",
+                              group_cols=["site"])
+
+    def test_converged_replay_is_noop(self, spark, tmp_path):
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        v1 = coarse.latest_version()
+        wm = refresh_rollup_mv(fine, coarse, spark, name="coarse",
+                               group_cols=["site"])
+        assert wm == fine.latest_version()
+        assert coarse.latest_version() == v1
+
+
+class TestSnapshotDiffMapColumns:
+    """The fix the rollup flushed out: snapshot_diff (and therefore any
+    CDF walk) over a table with MAP columns used to fail analysis."""
+
+    def test_map_column_diff(self, spark, tmp_path):
+        t = VersionedTable(str(tmp_path / "m"))
+        df = spark.createDataFrame(
+            [(1, {1: 10}), (2, {2: 20}), (3, {3: 30})],
+            "k int, m map<int,bigint>",
+        )
+        t.commit(df, mode="overwrite")
+        upd = spark.createDataFrame(
+            [(2, {2: 25}), (4, {4: 40})], "k int, m map<int,bigint>"
+        )
+        merge_into(t, spark, upd, key="k")
+        d = {
+            r["k"]: r["change"]
+            for r in snapshot_diff(t, spark, 0, 1, key="k").collect()
+        }
+        # unchanged map rows emit nothing; changed map is U; new is I
+        assert d == {2: "U", 4: "I"}
