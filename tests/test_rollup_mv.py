@@ -318,3 +318,113 @@ class TestSnapshotDiffMapColumns:
         }
         # unchanged map rows emit nothing; changed map is U; new is I
         assert d == {2: "U", 4: "I"}
+
+
+class TestRollupOverStreamFine:
+    """A stream-maintained fine MV (kind \"agg-stream\") records the
+    same measure-shaped spec, so the rollup derives from it
+    identically — the ladder's bottom can be a live changefeed."""
+
+    def test_rollup_over_stream_maintained_fine(self, spark, tmp_path):
+        from file_stream_import_spark.io.pysource import (
+            TableChangefeedDataSource,
+        )
+        from file_stream_import_spark.operators.mv import (
+            make_mv_maintainer,
+        )
+
+        spark.dataSource.register(TableChangefeedDataSource)
+        base = _mk(spark, tmp_path, _rows(1, 121), "base")
+        fine = VersionedTable(str(tmp_path / "fine"))
+        coarse = VersionedTable(str(tmp_path / "coarse"))
+        q = (
+            spark.readStream.format("table_changefeed")
+            .option("path", base.path)
+            .option("readchangedata", "true")
+            .option("key", "k")
+            .load()
+            .writeStream.foreachBatch(
+                make_mv_maintainer(
+                    fine, "roll_sq", group_cols=["d", "site"],
+                    sum_cols=[], source=base, min_cols=["x"],
+                    max_cols=["x"], sumsq_cols=["x"],
+                    percentile_cols=["x"],
+                )
+            )
+            .option(
+                "checkpointLocation", str(tmp_path / "ck_roll")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            refresh_rollup_mv(fine, coarse, spark, name="c",
+                              group_cols=["site"])
+            assert load_mv_spec(coarse)["source_name"] == "roll_sq"
+            # DML at the base flows stream -> fine -> rollup
+            base.delete_where(spark, F.col("x") <= -0.70,
+                              prune_where="auto")
+            q.processAllAvailable()
+            refresh_rollup_mv(fine, coarse, spark, name="c",
+                              group_cols=["site"])
+        finally:
+            q.stop()
+        exp = {
+            r["site"]: r.asDict()
+            for r in base.read(spark).groupBy("site").agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.min("x").alias("x_min"),
+                F.max("x").alias("x_max"),
+            ).collect()
+        }
+        got = {
+            r["site"]: r.asDict()
+            for r in coarse.read(spark).collect()
+        }
+        assert set(got) == set(exp)
+        for s, e in exp.items():
+            assert got[s]["n_rows"] == e["n_rows"], s
+            assert got[s]["x_min"] == e["x_min"], s
+            assert got[s]["x_max"] == e["x_max"], s
+
+
+class TestRewriteOverRollup:
+    """The kind-\"rollup\" spec is measure-shaped like an agg spec, so
+    rewrite_with_mv serves it unchanged — a coarser-still grouping is
+    answered from rollup-sized input, weighted counts staying BASE
+    row counts."""
+
+    def test_rewrite_serves_rollup_spec(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import (
+            rewrite_with_mv,
+        )
+
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        ans = rewrite_with_mv(
+            coarse, spark,
+            group_cols=[],
+            measures={
+                "n_rows": ("count",),
+                "x_min": ("min", "x"),
+                "p50": ("percentile", "x", 0.5),
+            },
+        )
+        assert ans is not None
+        files = ans.inputFiles()
+        assert files and all(coarse.path in f for f in files)
+        row = ans.collect()[0]
+        b = base.read(spark)
+        assert row["n_rows"] == b.count()
+        assert row["x_min"] == b.agg(F.min("x")).collect()[0][0]
+        # exact global rank-percentile target
+        import math
+
+        n = b.count()
+        want = sorted(r["x"] for r in b.collect())[
+            math.ceil(0.5 * n) - 1
+        ]
+        if want == 0:
+            assert row["p50"] == 0.0
+        else:
+            assert abs(row["p50"] / want - 1) <= 0.0101
