@@ -2581,3 +2581,47 @@ def refresh_rollup_mv(
             return cur
         except CommitConflictError:
             continue  # racing refresher landed: re-read the watermark
+
+
+def answer_from_mvs(
+    mvs,
+    spark: SparkSession,
+    *,
+    group_cols: list[str],
+    measures: dict[str, tuple],
+    where: str | None = None,
+):
+    """MV SELECTION — the read-side optimizer over a CATALOG of
+    candidate MVs (the classic view-matching step, e.g. the
+    Goldstein/Larson SQL Server algorithm's selection phase): try
+    ``rewrite_with_mv`` on every candidate — each serves itself from
+    its own recorded spec, so a mixed catalog of agg / join / rollup /
+    filtered views needs no per-view arguments — keep the answers
+    whose subsumption check passed, and return the one that reads the
+    FEWEST STORED ROWS. The cost signal is ``count_where`` with no
+    predicate: pure manifest metadata, zero Spark jobs, so choosing
+    among a ladder of rollups costs a few file reads. On a cascade
+    (fine by (day, site), coarse by (site)) a site-grouped query picks
+    the COARSE level automatically — MV-sized input shrinks again by
+    the rollup factor.
+
+    Returns ``(answer_df, chosen_mv)``, or ``None`` when no candidate
+    subsumes the request (caller falls back to the source). Ties
+    break to the earliest candidate in ``mvs`` (stable). A candidate
+    without a recorded spec raises — a catalog is built from
+    self-describing views; refresh the stray once to adopt its spec.
+    Reference parity: the reference always queries base tables in
+    Postgres (internal/db/db.go:43-72); automatic answer-from-view is
+    north-star warehouse surface."""
+    best = None
+    for mv in mvs:
+        ans = rewrite_with_mv(
+            mv, spark,
+            group_cols=group_cols, measures=measures, where=where,
+        )
+        if ans is None:
+            continue
+        rows = int(mv.count_where(spark))
+        if best is None or rows < best[2]:
+            best = (ans, mv, rows)
+    return None if best is None else (best[0], best[1])

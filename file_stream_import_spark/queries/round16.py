@@ -886,6 +886,36 @@ def lake_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         pin(g["g_p50"], ge["p50"], "global p50", 0.0101)
         pin(float(g["g_nd"]), ge["nd"], "global nd", 0.15)
+        # MV SELECTION over the ladder as a catalog: a prio-grouped
+        # query subsumes BOTH levels; answer_from_mvs must pick the
+        # COARSE one (fewer stored rows, decided from manifest
+        # metadata) and its plan must read only that MV
+        from ..operators.mv import answer_from_mvs
+
+        sel = answer_from_mvs(
+            [fine, coarse], spark,
+            group_cols=["prio"],
+            measures={"sel_rows": ("count",)},
+        )
+        if sel is None:
+            raise AssertionError("catalog selection fell back")
+        sel_df, chosen = sel
+        if chosen.path != coarse.path:
+            raise AssertionError(
+                f"catalog picked {chosen.path}, not the coarse level"
+            )
+        sfiles = sel_df.inputFiles()
+        if not sfiles or not all(coarse.path in f for f in sfiles):
+            raise AssertionError("selection plan reads beyond coarse")
+        sel_rows = {
+            r["prio"]: r["sel_rows"] for r in sel_df.collect()
+        }
+        for p, e in exact.items():
+            if sel_rows.get(p) != got[p]["n_rows"]:
+                raise AssertionError(
+                    f"selection count drifted for {p}: "
+                    f"{sel_rows.get(p)} vs {got[p]['n_rows']}"
+                )
         out = (
             coarse.read(spark)
             .select(

@@ -428,3 +428,64 @@ class TestRewriteOverRollup:
             assert row["p50"] == 0.0
         else:
             assert abs(row["p50"] / want - 1) <= 0.0101
+
+
+class TestAnswerFromMvs:
+    """MV selection over a catalog: the cheapest subsuming view wins,
+    decided from manifest metadata (count_where, no scan)."""
+
+    def test_picks_coarse_level_for_coarse_grouping(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.operators.mv import (
+            answer_from_mvs,
+        )
+
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        got = answer_from_mvs(
+            [fine, coarse], spark,
+            group_cols=["site"],
+            measures={"n_rows": ("count",), "x_min": ("min", "x")},
+        )
+        assert got is not None
+        ans, chosen = got
+        assert chosen.path == coarse.path
+        files = ans.inputFiles()
+        assert files and all(coarse.path in f for f in files)
+        exp = _base_agg(spark, base, ["site"])
+        for r in ans.collect():
+            assert r["n_rows"] == exp[(r["site"],)]["n_rows"]
+            assert r["x_min"] == exp[(r["site"],)]["x_min"]
+
+    def test_fine_grouping_excludes_coarse(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import (
+            answer_from_mvs,
+        )
+
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        got = answer_from_mvs(
+            [coarse, fine], spark,
+            group_cols=["d", "site"],
+            measures={"n_rows": ("count",)},
+        )
+        assert got is not None
+        _, chosen = got
+        assert chosen.path == fine.path
+
+    def test_unanswerable_returns_none(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import (
+            answer_from_mvs,
+        )
+
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        assert (
+            answer_from_mvs(
+                [fine, coarse], spark,
+                group_cols=["uid"],
+                measures={"n_rows": ("count",)},
+            )
+            is None
+        )
