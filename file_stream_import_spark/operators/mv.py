@@ -2327,9 +2327,11 @@ def refresh_rollup_mv(
     drift — a re-bootstrapped fine MV with different measures, a
     changed coarse grouping — raises instead of folding garbage.
     Contract: the fine MV must be spec-recorded (refresh it once
-    under this build, or re-bootstrap) and maintained by
-    refresh_mv / make_mv_maintainer / refresh_rollup_mv; coarse
-    group columns must be a non-empty subset of the fine grouping."""
+    under this build, or re-bootstrap) and maintained by refresh_mv /
+    make_mv_maintainer / refresh_rollup_mv / refresh_join_mv (a JOIN
+    MV's per-group sums, weighted rows, and histograms coarsen the
+    same way — the join legs stay at the fine level); coarse group
+    columns must be a non-empty subset of the fine grouping."""
     tag = f"mv:{name}"
     group_cols = list(group_cols)
     if not group_cols:
@@ -2346,11 +2348,11 @@ def refresh_rollup_mv(
             "pre-spec MV adopts its spec on the next refresh) or "
             "re-bootstrap it, then roll up"
         )
-    if fspec.get("kind") not in ("agg", "agg-stream", "rollup"):
+    if fspec.get("kind") not in ("agg", "agg-stream", "rollup", "join"):
         raise ValueError(
             f"fine MV at {fine.path} has kind {fspec.get('kind')!r}: "
-            "only grouped aggregate MVs (agg / agg-stream / rollup) "
-            "roll up — a join MV's grouping is already the view"
+            "only grouped aggregate MVs (agg / agg-stream / rollup / "
+            "join) roll up"
         )
     if fspec.get("distinct_cols"):
         raise ValueError(

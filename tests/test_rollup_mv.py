@@ -489,3 +489,110 @@ class TestAnswerFromMvs:
             )
             is None
         )
+
+
+class TestRollupOverJoinMV:
+    """A JOIN MV's spec is measure-shaped too (sums, weighted rows,
+    histograms) — rolling it up coarsens the joined aggregate without
+    ever re-running the join."""
+
+    def test_rollup_over_join_mv(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import (
+            refresh_join_mv,
+        )
+
+        a = VersionedTable(str(tmp_path / "a"))
+        b = VersionedTable(str(tmp_path / "b"))
+        jmv = VersionedTable(str(tmp_path / "jmv"))
+        coarse = VersionedTable(str(tmp_path / "coarse"))
+        a.commit(
+            spark.createDataFrame(
+                [
+                    (k, k % 40, 100 + k,
+                     ((k * 37) % 199 - 99) / 100.0)
+                    for k in range(1, 201)
+                ],
+                "k int, ck int, cents bigint, frac double",
+            ),
+            mode="overwrite",
+        )
+        b.commit(
+            spark.createDataFrame(
+                [(ck, f"g{ck % 5}", f"r{ck % 2}") for ck in range(40)],
+                "ck int, seg string, reg string",
+            ),
+            mode="overwrite",
+        )
+        kw = dict(
+            name="jf", on=["ck"], group_cols=["reg", "seg"],
+            sum_cols=["cents"], key_a="k", key_b="ck",
+            percentile_cols=["frac"],
+        )
+
+        def refresh_all():
+            refresh_join_mv(a, b, jmv, spark, **kw)
+            refresh_rollup_mv(jmv, coarse, spark, name="jc",
+                              group_cols=["reg"])
+
+        def check():
+            joined = a.read(spark).join(
+                b.read(spark), on="ck", how="inner"
+            )
+            exp = {
+                r["reg"]: r.asDict()
+                for r in joined.groupBy("reg").agg(
+                    F.count("*").cast("bigint").alias("n_rows"),
+                    F.sum("cents").cast("bigint").alias("cents"),
+                ).collect()
+            }
+            got = {
+                r["reg"]: r.asDict()
+                for r in coarse.read(spark)
+                .withColumn(
+                    "__p50", hist_percentile("frac_hist", 0.5)
+                )
+                .collect()
+            }
+            assert set(got) == set(exp)
+            import math
+
+            for reg, e in exp.items():
+                assert got[reg]["n_rows"] == e["n_rows"], reg
+                assert got[reg]["cents"] == e["cents"], reg
+                vals = sorted(
+                    r["frac"]
+                    for r in joined.filter(
+                        F.col("reg") == reg
+                    ).collect()
+                )
+                want = vals[math.ceil(0.5 * len(vals)) - 1]
+                p = got[reg]["__p50"]
+                if want == 0:
+                    assert p == 0.0, reg
+                else:
+                    assert abs(p / want - 1) <= 0.0101, (reg, p, want)
+
+        refresh_all()
+        check()
+        # left append + right regroup crossing seg AND reg
+        a.commit(
+            spark.createDataFrame(
+                [
+                    (k, k % 40, 100 + k,
+                     ((k * 37) % 199 - 99) / 100.0)
+                    for k in range(201, 281)
+                ],
+                "k int, ck int, cents bigint, frac double",
+            ),
+            mode="append",
+        )
+        merge_into(
+            b, spark,
+            spark.createDataFrame(
+                [(ck, "gX", "r0") for ck in range(0, 40, 7)],
+                "ck int, seg string, reg string",
+            ),
+            key="ck",
+        )
+        refresh_all()
+        check()
