@@ -596,3 +596,146 @@ class TestRollupOverJoinMV:
         )
         refresh_all()
         check()
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from tests.test_incremental_mv import (  # noqa: E402
+    _FUZZ_DERANDOMIZE,
+    _FUZZ_EXAMPLES,
+    _frac_op_st,
+    _frac_rows_st,
+)
+
+
+def _widen(rows):
+    """(k, g, x) -> (k, g, h, x): the second fine-group column derives
+    from k so merges that move g also regroup under a stable h."""
+    return [(k, g, f"h{k % 3}", x) for (k, g, x) in rows]
+
+
+class TestRollupConvergenceFuzz:
+    @settings(
+        max_examples=_FUZZ_EXAMPLES,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.data_too_large,
+        ],
+        derandomize=_FUZZ_DERANDOMIZE,
+    )
+    @given(
+        init=_frac_rows_st,
+        ops=st.lists(_frac_op_st, min_size=1, max_size=4),
+    )
+    def test_ladder_equals_base_for_random_histories(
+        self, spark, tmp_path_factory, init, ops
+    ):
+        """The CASCADE through random DML histories (merges moving
+        groups, range deletes, appends, mid-history ladder refreshes,
+        rename cycles): after a final ladder refresh the COARSE level
+        must equal a full recompute from the base — weighted rows and
+        min/max EXACTLY, double sums to fp tolerance, and the merged
+        histogram maps EXACTLY (the two-hop self-maintainability
+        claim, fuzzed on the mixed-sign fractional grid)."""
+        import uuid
+
+        from file_stream_import_spark.operators.mv import (
+            _DEFAULT_PCT_ERR,
+            _hist_base,
+            _hist_map,
+        )
+
+        root = tmp_path_factory.mktemp("rollup_fuzz")
+        src = VersionedTable(f"{root}/{uuid.uuid4().hex}")
+        src.commit(
+            spark.createDataFrame(
+                _widen(init), "k long, g string, h string, x double"
+            ),
+            mode="overwrite",
+        )
+        fine = VersionedTable(f"{root}/{uuid.uuid4().hex}")
+        coarse = VersionedTable(f"{root}/{uuid.uuid4().hex}")
+        kw = dict(
+            name="rf", group_cols=["g", "h"], sum_cols=["x"], key="k",
+            min_cols=["x"], max_cols=["x"], percentile_cols=["x"],
+        )
+
+        def ladder():
+            refresh_mv(src, fine, spark, **kw)
+            refresh_rollup_mv(fine, coarse, spark, name="rc",
+                              group_cols=["g"])
+
+        ladder()
+        for op in ops:
+            kind = op[0]
+            if kind == "merge":
+                merge_into(
+                    src, spark,
+                    spark.createDataFrame(
+                        _widen(op[1]),
+                        "k long, g string, h string, x double",
+                    ),
+                    key="k",
+                )
+            elif kind == "delete":
+                lo, hi = sorted((op[1], op[2]))
+                src.delete_where(spark, F.col("k").between(lo, hi))
+            elif kind == "append":
+                have = {
+                    r["k"]
+                    for r in src.read(spark).select("k").collect()
+                }
+                fresh = [r for r in op[1] if r[0] not in have]
+                if not fresh:
+                    continue
+                src.commit(
+                    spark.createDataFrame(
+                        _widen(fresh),
+                        "k long, g string, h string, x double",
+                    ),
+                    mode="append",
+                )
+            elif kind == "rename_cycle":
+                src.rename_column("x", "x_tmp")
+                src.rename_column("x_tmp", "x")
+            else:
+                ladder()
+        ladder()
+        want = {
+            r["g"]: r.asDict()
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.coalesce(F.sum("x"), F.lit(0.0)).alias("x"),
+                F.min("x").alias("x_min"),
+                F.max("x").alias("x_max"),
+            )
+            .collect()
+        }
+        got = {
+            r["g"]: r.asDict()
+            for r in coarse.read(spark).collect()
+        }
+        assert set(got) == set(want), f"groups diverged after {ops}"
+        for g, e in want.items():
+            r = got[g]
+            assert r["n_rows"] == e["n_rows"], (g, ops)
+            assert abs(r["x"] - e["x"]) < 1e-9, (g, ops)
+            assert r["x_min"] == e["x_min"], (g, ops)
+            assert r["x_max"] == e["x_max"], (g, ops)
+        hw = {
+            r["g"]: dict(r["x_hist"])
+            for r in _hist_map(
+                src.read(spark), ["g"], "x",
+                _hist_base(_DEFAULT_PCT_ERR), F.lit(1),
+            ).collect()
+        }
+        hg = {
+            r["g"]: dict(r["x_hist"])
+            for r in coarse.read(spark).collect()
+        }
+        assert hg == hw, f"rollup histograms diverged after {ops}"
