@@ -739,3 +739,51 @@ class TestRollupConvergenceFuzz:
             for r in coarse.read(spark).collect()
         }
         assert hg == hw, f"rollup histograms diverged after {ops}"
+
+
+class TestRollupDecimalSums:
+    def test_decimal_sums_fold_exactly(self, spark, tmp_path):
+        """decimal(38,s) sum columns keep the exact-decimal fold type
+        through the ladder (the fine MV stores decimal(38,2); the
+        rollup must not silently widen to double)."""
+        from decimal import Decimal
+
+        base = VersionedTable(str(tmp_path / "base"))
+        base.commit(
+            spark.createDataFrame(
+                [
+                    (k, f"s{k % 3}", k % 5,
+                     Decimal(k * 7 % 1000) / 100)
+                    for k in range(1, 201)
+                ],
+                "k int, site string, d int, amt decimal(12,2)",
+            ),
+            mode="overwrite",
+        )
+        fine = VersionedTable(str(tmp_path / "fine"))
+        coarse = VersionedTable(str(tmp_path / "coarse"))
+        kw = dict(
+            name="df", group_cols=["d", "site"], sum_cols=["amt"],
+            key="k",
+        )
+        refresh_mv(base, fine, spark, **kw)
+        refresh_rollup_mv(fine, coarse, spark, name="dc",
+                          group_cols=["site"])
+        assert dict(coarse.read(spark).dtypes)["amt"] == "decimal(38,2)"
+        base.delete_where(spark, F.col("k") % 4 == 0,
+                          prune_where="auto")
+        refresh_mv(base, fine, spark, **kw)
+        refresh_rollup_mv(fine, coarse, spark, name="dc",
+                          group_cols=["site"])
+        want = {
+            (r["site"],): (r["n"], r["amt"])
+            for r in base.read(spark).groupBy("site").agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("amt").alias("amt"),
+            ).collect()
+        }
+        got = {
+            (r["site"],): (r["n_rows"], r["amt"])
+            for r in coarse.read(spark).collect()
+        }
+        assert got == want
