@@ -433,6 +433,56 @@ def main() -> None:
             )
 
         bench_one("lake_mv_refresh_cycle", mv_cycle, timings, history, spread_target=1.15)
+
+        # r16: the CASCADE ladder — a finer (status, bucket) MV plus a
+        # status rollup maintained from its CDF; the timed body is the
+        # full cycle (merge wave -> fine refresh -> rollup refresh), so
+        # the rollup's marginal fold cost reads against
+        # lake_mv_refresh_cycle above
+        from file_stream_import_spark.operators.mv import (
+            refresh_rollup_mv,
+        )
+
+        tmf = VersionedTable(os.path.join(tmp5, "t2"))
+        om2 = om.withColumn(
+            "bucket", (F.col("k") % 32).cast("int")
+        ).localCheckpoint(eager=True)
+        tmf.commit(om2, mode="overwrite")
+        fine2 = VersionedTable(os.path.join(tmp5, "fine2"))
+        roll2 = VersionedTable(os.path.join(tmp5, "roll2"))
+        fkw = dict(
+            name="bench_fine2", group_cols=["status", "bucket"],
+            sum_cols=["cents"], key="k",
+        )
+        refresh_mv(tmf, fine2, spark, **fkw)
+        refresh_rollup_mv(
+            fine2, roll2, spark, name="bench_roll2",
+            group_cols=["status"],
+        )
+        upd2 = om2.filter(F.col("k") <= 2_000).localCheckpoint(
+            eager=True
+        )
+        wave2 = {"i": 0}
+
+        def rollup_ladder():
+            wave2["i"] += 1
+            merge_into(
+                tmf, spark,
+                upd2.withColumn(
+                    "cents", F.col("cents") + F.lit(wave2["i"])
+                ),
+                key="k",
+            )
+            refresh_mv(tmf, fine2, spark, **fkw)
+            return refresh_rollup_mv(
+                fine2, roll2, spark, name="bench_roll2",
+                group_cols=["status"],
+            )
+
+        bench_one(
+            "lake_mv_rollup_ladder", rollup_ladder, timings, history,
+            spread_target=1.15,
+        )
     finally:
         shutil.rmtree(tmp5, ignore_errors=True)
 

@@ -147,6 +147,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
     for label, rows in (
+        ("warmup", 2000),  # discarded: JVM/codegen warm-up
         ("small", args.rows),
         ("large", args.rows * args.scale),
     ):
@@ -155,6 +156,7 @@ def main() -> None:
             results[label] = run_arm(spark, root, rows, args.delta)
         finally:
             shutil.rmtree(root, ignore_errors=True)
+    results.pop("warmup", None)
     s, l = results["small"], results["large"]
     summary = {
         "scale": args.scale,
