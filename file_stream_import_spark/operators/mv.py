@@ -2266,6 +2266,7 @@ def refresh_rollup_mv(
     *,
     name: str,
     group_cols: list[str],
+    source_where: str | None = None,
     pin_watermark: bool = False,
 ) -> int:
     """Cascaded (multi-level) rollup: maintain a COARSE aggregate MV
@@ -2326,6 +2327,15 @@ def refresh_rollup_mv(
     bootstrap; later refreshes re-derive from the fine spec and any
     drift — a re-bootstrapped fine MV with different measures, a
     changed coarse grouping — raises instead of folding garbage.
+    ``source_where`` makes this a FILTERED rollup — a SQL predicate
+    over FINE MV rows (group or measure columns) scopes the coarse
+    view's universe, with the same partial-view identity as
+    refresh_mv: every fine CDF row image filters independently, so a
+    fine-group update crossing the boundary (say ``n_rows >= 10``)
+    nets to a pure coarse insert/delete; the endangered recompute
+    reads the fine snapshot under the same predicate; the predicate
+    rides the spec (changing it re-bootstraps).
+
     Contract: the fine MV must be spec-recorded (refresh it once
     under this build, or re-bootstrap) and maintained by refresh_mv /
     make_mv_maintainer / refresh_rollup_mv / refresh_join_mv (a JOIN
@@ -2428,8 +2438,11 @@ def refresh_rollup_mv(
             float(rel_err) if pct_cols else None
         ),
         "hist_encoding": _HIST_ENCODING if pct_cols else None,
-        "source_where": None,
+        "source_where": source_where,
     }
+    where_expr = (
+        None if source_where is None else F.expr(source_where)
+    )
     while True:
         mv_v, wm = _watermark(mv, tag)
         if wm is None:
@@ -2444,6 +2457,8 @@ def refresh_rollup_mv(
         try:
             if wm is None:
                 boot = fine.read(spark, version=cur)
+                if where_expr is not None:
+                    boot = boot.filter(where_expr)
                 agg = boot.groupBy(*group_cols).agg(
                     *[
                         F.coalesce(F.sum(c), F.lit(0))
@@ -2485,6 +2500,12 @@ def refresh_rollup_mv(
                 cdf_df = table_changes_cdf(
                     fine, spark, wm + 1, cur, key=fine_groups
                 )
+                if where_expr is not None:
+                    # each fine ROW IMAGE filters independently: a
+                    # fine-group update crossing the view boundary
+                    # nets to a pure coarse insert/delete — the same
+                    # partial-view identity as refresh_mv
+                    cdf_df = cdf_df.filter(where_expr)
                 deltas = cdf_df.groupBy(*group_cols).agg(
                     *[
                         F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
@@ -2548,6 +2569,7 @@ def refresh_rollup_mv(
                         cur=cur, mv_v=mv_v, group_cols=group_cols,
                         min_cols=min_cols, max_cols=max_cols,
                         approx_cols=approx_cols,
+                        source_where=source_where,
                         rollup_src=True,
                     )
                 deltas = deltas.select(

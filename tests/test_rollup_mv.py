@@ -787,3 +787,69 @@ class TestRollupDecimalSums:
             for r in coarse.read(spark).collect()
         }
         assert got == want
+
+
+class TestFilteredRollup:
+    """source_where on the rollup: the coarse view's universe is a
+    predicate over FINE MV rows — including measure columns, so a
+    fine group entering/leaving the boundary (its count crossing the
+    threshold) nets to a pure coarse insert/delete."""
+
+    def test_measure_predicate_boundary_crossings(
+        self, spark, tmp_path
+    ):
+        base, fine, coarse = _ladder(spark, tmp_path)
+
+        def refresh_all():
+            refresh_mv(base, fine, spark, **_FINE_KW)
+            refresh_rollup_mv(
+                fine, coarse, spark, name="fc",
+                group_cols=["site"], source_where="n_rows >= 22",
+            )
+
+        def check():
+            fine_full = (
+                base.read(spark)
+                .groupBy("d", "site")
+                .agg(
+                    F.count("*").cast("bigint").alias("n_rows"),
+                    F.min("x").alias("x_min"),
+                    F.max("x").alias("x_max"),
+                )
+                .filter(F.col("n_rows") >= 22)
+            )
+            want = {
+                r["site"]: (r["n"], r["mn"], r["mx"])
+                for r in fine_full.groupBy("site").agg(
+                    F.sum("n_rows").cast("bigint").alias("n"),
+                    F.min("x_min").alias("mn"),
+                    F.max("x_max").alias("mx"),
+                ).collect()
+            }
+            got = {
+                r["site"]: (r["n_rows"], r["x_min"], r["x_max"])
+                for r in coarse.read(spark).collect()
+            }
+            assert got == want
+
+        refresh_all()
+        check()
+        # push some fine groups BELOW the threshold (leave the view),
+        # others further above; the deltas cross the measure boundary
+        base.delete_where(
+            spark, (F.col("d") == 2) & (F.col("k") % 3 != 0),
+            prune_where="auto",
+        )
+        base.commit(
+            spark.createDataFrame(_rows(301, 391), _SCHEMA),
+            mode="append",
+        )
+        refresh_all()
+        check()
+        assert load_mv_spec(coarse)["source_where"] == "n_rows >= 22"
+        # changing the predicate is spec drift
+        with pytest.raises(ValueError, match="spec mismatch"):
+            refresh_rollup_mv(
+                fine, coarse, spark, name="fc",
+                group_cols=["site"], source_where="n_rows >= 5",
+            )
