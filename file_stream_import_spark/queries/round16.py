@@ -933,3 +933,119 @@ def lake_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(fine.path, ignore_errors=True)
         shutil.rmtree(coarse.path, ignore_errors=True)
     return out
+
+
+@register(
+    "lake_mv_rollup_filtered",
+    oracle="""
+    WITH numbered AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS k,
+             lang, source, n_chars
+      FROM documents
+    ),
+    final AS (SELECT * FROM numbered WHERE k % 5 <> 0),
+    fine AS (
+      SELECT lang, source,
+             COUNT(*) AS n, SUM(n_chars) AS s
+      FROM final GROUP BY lang, source
+    )
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(s) AS BIGINT) AS sum_chars
+    FROM fine
+    WHERE n >= 4
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lake_mv_rollup_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED rollup (refresh_rollup_mv source_where, r16): the
+    coarse per-language view aggregates only fine (lang, source)
+    groups holding at least 4 documents — a predicate over the FINE
+    MV's MEASURE column, so a fine group's count crossing the
+    threshold nets to a pure coarse insert/delete (the partial-view
+    identity applied one level up).
+
+    History: bootstrap the base with the first 2/3 of densified
+    documents and refresh the ladder; append the last third (fine
+    groups cross the threshold UPWARD); CoW-DELETE every k%5==0 row
+    (counts fall, groups cross DOWNWARD). One refresh per level per
+    wave. The hashed output is the coarse MV's OWN stored state vs
+    DuckDB's two-level filtered aggregate of the final base. In-query
+    pins: the recorded spec carries the predicate, and a refresh
+    re-stated with a DIFFERENT predicate raises (spec drift) instead
+    of mixing universes."""
+    import shutil
+    import tempfile
+
+    from ..io.versioned import VersionedTable
+    from ..operators.curation import dense_sequence
+    from ..operators.mv import (
+        load_mv_spec,
+        refresh_mv,
+        refresh_rollup_mv,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    d = dense_sequence(d, "doc_id", out_col="k").select(
+        "k", "lang", "source", "n_chars"
+    )
+    n = d.count()
+    third = n // 3
+    d = d.localCheckpoint(eager=True)
+    base = VersionedTable(tempfile.mkdtemp(prefix="lake_rf_base_"))
+    fine = VersionedTable(tempfile.mkdtemp(prefix="lake_rf_fine_"))
+    coarse = VersionedTable(tempfile.mkdtemp(prefix="lake_rf_top_"))
+    fine_kw = dict(
+        name="rf_fine", group_cols=["lang", "source"],
+        sum_cols=["n_chars"], key="k",
+    )
+
+    def refresh_ladder():
+        refresh_mv(base, fine, spark, **fine_kw)
+        refresh_rollup_mv(
+            fine, coarse, spark, name="rf_top", group_cols=["lang"],
+            source_where="n_rows >= 4",
+        )
+
+    try:
+        base.commit(d.filter(F.col("k") <= 2 * third), mode="overwrite")
+        refresh_ladder()                                # bootstrap
+        base.commit(d.filter(F.col("k") > 2 * third), mode="append")
+        refresh_ladder()                                # upward crossings
+        base.delete_where(
+            spark, F.col("k") % 5 == 0, prune_where="auto"
+        )
+        refresh_ladder()                                # downward crossings
+        if load_mv_spec(coarse)["source_where"] != "n_rows >= 4":
+            raise AssertionError("predicate not recorded in the spec")
+        try:
+            refresh_rollup_mv(
+                fine, coarse, spark, name="rf_top",
+                group_cols=["lang"], source_where="n_rows >= 9",
+            )
+        except ValueError as e:
+            if "spec mismatch" not in str(e):
+                raise
+        else:
+            raise AssertionError(
+                "predicate change did not raise spec drift"
+            )
+        out = (
+            coarse.read(spark)
+            .select(
+                "lang",
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base.path, ignore_errors=True)
+        shutil.rmtree(fine.path, ignore_errors=True)
+        shutil.rmtree(coarse.path, ignore_errors=True)
+    return out
