@@ -6538,11 +6538,15 @@ def _comparable_expr(col, dt):
     if isinstance(dt, StructType) and any(
         _type_has_map(f.dataType) for f in dt.fields
     ):
+        # field access on a NULL struct yields a NON-null struct of
+        # nulls — a leading isNull discriminator keeps "NULL struct"
+        # and "struct of all-null fields" distinct under equality
         return F.struct(
+            col.isNull().alias("__nul"),
             *[
                 _comparable_expr(col[f.name], f.dataType).alias(f.name)
                 for f in dt.fields
-            ]
+            ],
         )
     return col
 

@@ -320,6 +320,30 @@ class TestSnapshotDiffMapColumns:
         assert d == {2: "U", 4: "I"}
 
 
+    def test_null_struct_vs_struct_of_nulls(self, spark, tmp_path):
+        """A struct payload containing a map canonicalizes through the
+        comparable twin; a NULL struct and a struct of all-NULL fields
+        must still compare DIFFERENT (the twin carries an isNull
+        discriminator — field access on a NULL struct would otherwise
+        fabricate a struct of nulls)."""
+        t = VersionedTable(str(tmp_path / "ns"))
+        schema = "k int, s struct<m: map<int,bigint>, v: int>"
+        t.commit(
+            spark.createDataFrame([(1, None), (2, None)], schema),
+            mode="overwrite",
+        )
+        merge_into(
+            t, spark,
+            spark.createDataFrame([(1, (None, None))], schema),
+            key="k",
+        )
+        d = {
+            r["k"]: r["change"]
+            for r in snapshot_diff(t, spark, 0, 1, key="k").collect()
+        }
+        assert d == {1: "U"}
+
+
 class TestRollupOverStreamFine:
     """A stream-maintained fine MV (kind \"agg-stream\") records the
     same measure-shaped spec, so the rollup derives from it
