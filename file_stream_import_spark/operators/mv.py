@@ -573,6 +573,7 @@ def rewrite_with_mv(
     group_cols: list[str],
     measures: dict[str, tuple],
     where: str | None = None,
+    having: str | None = None,
     mv_group_cols: list[str] | None = None,
     sum_cols: list[str] | None = None,
     rows_col: str | None = None,
@@ -649,6 +650,14 @@ def rewrite_with_mv(
     predicates. Matching is syntactic per-conjunct; a logically-but-
     not-syntactically implied predicate (query ``a >= 3`` vs the
     view's ``a >= 2``) conservatively falls back to the source.
+
+    ``having`` (r16) is a post-aggregation predicate applied to the
+    ANSWERED frame — HAVING pushed to the MV. It may reference the
+    requested measure output names and grouping columns (and, for
+    exact groupings, the MV's stored measure columns — SQL's "HAVING
+    can reference aggregates not in SELECT"); one that resolves
+    against none of those returns None (fallback), and unparseable
+    SQL raises ValueError.
 
     Consistency: the MV and (for coarse count_distinct) its aux
     support table are each read at their own LATEST — under a racing
@@ -887,6 +896,24 @@ def rewrite_with_mv(
             out_name,
             F.coalesce(F.col(out_name), F.lit(0).cast("bigint")),
         )
+    if having is not None:
+        # post-aggregation predicate over the ANSWERED frame. Names
+        # resolve against the output (requested measures + grouping);
+        # in the exact-grouping case resolution may also reach the
+        # MV's stored measure columns through the projection — which
+        # is precisely SQL's "HAVING may reference aggregates not in
+        # SELECT" (the stored columns ARE group aggregates). A
+        # predicate that resolves against neither (subset grouping
+        # referencing an unrequested measure) conservatively falls
+        # back. Garbage SQL raises like `where` does.
+        from pyspark.errors import AnalysisException
+
+        _where_conjuncts(spark, having)  # parse gate: ValueError
+        try:
+            out = out.filter(F.expr(having))
+            out.schema  # force analysis now, not at the caller
+        except AnalysisException:
+            return None
     return out
 
 
@@ -2614,6 +2641,7 @@ def answer_from_mvs(
     group_cols: list[str],
     measures: dict[str, tuple],
     where: str | None = None,
+    having: str | None = None,
 ):
     """MV SELECTION — the read-side optimizer over a CATALOG of
     candidate MVs (the classic view-matching step, e.g. the
@@ -2642,6 +2670,7 @@ def answer_from_mvs(
         ans = rewrite_with_mv(
             mv, spark,
             group_cols=group_cols, measures=measures, where=where,
+            having=having,
         )
         if ans is None:
             continue

@@ -877,3 +877,96 @@ class TestFilteredRollup:
                 fine, coarse, spark, name="fc",
                 group_cols=["site"], source_where="n_rows >= 5",
             )
+
+
+class TestHavingRewrite:
+    """HAVING pushed to the MV: a post-aggregation predicate on the
+    answered frame — including stored-but-unrequested measures for
+    exact groupings (SQL's HAVING-beyond-SELECT), conservative None
+    when the subset grouping cannot resolve it."""
+
+    def test_having_filters_answer(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import (
+            rewrite_with_mv,
+        )
+
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        ans = rewrite_with_mv(
+            coarse, spark,
+            group_cols=["site"],
+            measures={"n": ("count",)},
+            having="n >= 100",
+        )
+        assert ans is not None
+        got = {r["site"]: r["n"] for r in ans.collect()}
+        want = {
+            r["site"]: r["n"]
+            for r in base.read(spark).groupBy("site")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 100)
+            .collect()
+        }
+        assert got == want and got  # non-empty at this data size
+
+    def test_having_on_stored_unrequested_measure_exact(
+        self, spark, tmp_path
+    ):
+        from file_stream_import_spark.operators.mv import (
+            rewrite_with_mv,
+        )
+
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        # x_min is maintained but NOT requested: exact grouping may
+        # still reference it (stored measures ARE group aggregates)
+        ans = rewrite_with_mv(
+            coarse, spark,
+            group_cols=["site"],
+            measures={"n": ("count",)},
+            having="x_min <= -0.9",
+        )
+        assert ans is not None
+        got = {r["site"] for r in ans.collect()}
+        want = {
+            r["site"]
+            for r in base.read(spark).groupBy("site")
+            .agg(F.min("x").alias("m"))
+            .filter(F.col("m") <= -0.9)
+            .collect()
+        }
+        assert got == want
+
+    def test_having_unresolvable_falls_back(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import (
+            rewrite_with_mv,
+        )
+
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        # GLOBAL grouping re-aggregates: the stored x_min column is
+        # gone after the agg, and it was not requested -> None
+        assert (
+            rewrite_with_mv(
+                coarse, spark,
+                group_cols=[],
+                measures={"n": ("count",)},
+                having="x_min <= -0.9",
+            )
+            is None
+        )
+
+    def test_garbage_having_raises(self, spark, tmp_path):
+        from file_stream_import_spark.operators.mv import (
+            rewrite_with_mv,
+        )
+
+        base, fine, coarse = _ladder(spark, tmp_path)
+        _refresh_ladder(spark, base, fine, coarse)
+        with pytest.raises(ValueError, match="unparseable"):
+            rewrite_with_mv(
+                coarse, spark,
+                group_cols=["site"],
+                measures={"n": ("count",)},
+                having="n >=",
+            )
