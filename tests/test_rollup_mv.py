@@ -970,3 +970,26 @@ class TestHavingRewrite:
                 measures={"n": ("count",)},
                 having="n >=",
             )
+
+
+class TestRollupWatermarkPinning:
+    def test_pinned_fine_vacuum_survives(self, spark, tmp_path):
+        """pin_watermark=True tags the FINE MV at the rollup's
+        watermark, so a fine-side vacuum cannot expire the manifests
+        the next rollup fold needs."""
+        base, fine, coarse = _ladder(spark, tmp_path)
+        refresh_mv(base, fine, spark, **_FINE_KW)
+        refresh_rollup_mv(fine, coarse, spark, name="coarse",
+                          group_cols=["site"], pin_watermark=True)
+        for w in range(2):
+            base.commit(
+                spark.createDataFrame(
+                    _rows(301 + 30 * w, 331 + 30 * w), _SCHEMA
+                ),
+                mode="append",
+            )
+            refresh_mv(base, fine, spark, **_FINE_KW)
+        fine.vacuum(keep_versions=1, min_age_seconds=0)
+        refresh_rollup_mv(fine, coarse, spark, name="coarse",
+                          group_cols=["site"], pin_watermark=True)
+        _check_level(spark, base, coarse, ["site"])
