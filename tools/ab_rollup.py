@@ -112,10 +112,13 @@ def run_arm(spark, root: str, base_rows: int, delta_rows: int) -> dict:
     out["append_rollup_s"] = round(t2 - t1, 3)
     # fixed delete wave touching stored minima -> endangered recompute
     # at BOTH levels (fine recomputes from base pruned; rollup from
-    # the fine MV pruned)
+    # the fine MV pruned). The slice is a FIXED absolute k-range so
+    # the deleted-row count is identical in both arms — a fractional
+    # predicate would scale the delta with base size and measure the
+    # delta, not the machinery
     base.delete_where(
         spark,
-        (F.col("x") <= -0.97) & (F.col("k") % 7 == 0),
+        (F.col("x") <= -0.97) & (F.col("k") < 20000),
         prune_where="auto",
     )
     t0 = time.monotonic()
