@@ -904,6 +904,13 @@ def _group_fully_contained(gstats: dict | None, where: dict) -> bool:
     return True
 
 
+# write-side AQE file sizing for data-group writes (see the REBALANCE
+# note inside _write_group_with_stats); env-gated so an A/B can compare
+_WRITE_REBALANCE = os.environ.get(
+    "SPARK_GRAFT_WRITE_REBALANCE", "1"
+) != "0"
+
+
 def _write_group_with_stats(
     df: DataFrame,
     full_path: str,
@@ -924,6 +931,21 @@ def _write_group_with_stats(
     PASSES (only FALSE violates)."""
     from pyspark.sql import Observation
 
+    # Write-side file sizing (guide §6): a commit delta arriving in N
+    # upstream partitions otherwise lands as N files regardless of
+    # size — a 1k-row exactly-once commit on local[32] wrote 32
+    # ~30-row files, and the per-file-planned changefeed then fanned a
+    # tiny catch-up into 256 Python tasks. A REBALANCE hint makes AQE
+    # coalesce the write to advisoryPartitionSizeInBytes-sized
+    # partitions (64 MB default; a cluster raises the advisory conf,
+    # so the knob is already scale-parameterized) — one bounded
+    # shuffle of the commit delta, the Iceberg
+    # write.distribution-mode analog. Sorted/clustered layouts do NOT
+    # pass through here (_cluster_write has its own kernel), so no
+    # ordering is destroyed. SPARK_GRAFT_WRITE_REBALANCE=0 restores
+    # the old behavior.
+    if _WRITE_REBALANCE:
+        df = df.hint("rebalance")
     checks = checks or {}
     cols = [f for f in df.schema.fields if _stats_eligible(f.dataType)]
     if not cols and not checks and not bloom_cols:
@@ -2862,20 +2884,32 @@ class VersionedTable:
                     tuple(sorted(castmap.get(g) or ())),
                 )
                 by_sig.setdefault(sig, []).append(g)
-            parts = [
-                align(
+
+            def scan(nsig, csig, gg):
+                paths = [os.path.join(self.path, g) for g in gg]
+                if not nsig and not csig:
+                    # no rename routing, no width casts: read under the
+                    # DECLARED manifest schema directly — columns a file
+                    # predates read NULL natively, file columns outside
+                    # the schema are pruned, and no footer-merge job
+                    # runs at plan time (mergeSchema reads every footer
+                    # in a Spark job; the manifest already knows the
+                    # schema)
+                    return spark.read.schema(declared).parquet(*paths)
+                return align(
                     widen(
                         remap(
                             spark.read.option(
                                 "mergeSchema", "true"
-                            ).parquet(
-                                *[os.path.join(self.path, g) for g in gg]
-                            ),
+                            ).parquet(*paths),
                             dict(nsig),
                         ),
                         csig,
                     )
                 )
+
+            parts = [
+                scan(nsig, csig, gg)
                 # repr-keyed: signatures mix str and None (tombstones)
                 for (nsig, csig), gg in sorted(by_sig.items(), key=repr)
             ]
@@ -5033,6 +5067,7 @@ def merge_into(
     when_not_matched_by_source: str | dict | None = None,
     not_matched_by_source_condition=None,
     allow_evolution: bool = False,
+    source_unique: bool = False,
 ) -> int:
     """MERGE INTO the versioned table. Default clauses: WHEN MATCHED
     THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * — the lakehouse
@@ -5120,18 +5155,31 @@ def merge_into(
     existing column, and shared columns must keep their exact types.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    dup = (
-        updates.groupBy(*keys)
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .count()
+    # Duplicate-source-key probe: count(*) vs exact COUNT DISTINCT of
+    # the key tuple (struct keeps NULL keys comparable, matching the
+    # old groupBy probe). The aggregates RIDE the touch-test pass below
+    # (zero extra jobs); only the no-touch-test paths pay a standalone
+    # one-job aggregate. ``source_unique=True`` skips the probe — the
+    # MV refreshers pass it for deltas that are the output of a groupBy
+    # on the merge key, unique by construction.
+    dup_exprs = (
+        None
+        if source_unique
+        else [
+            F.count(F.lit(1)).alias("__mrg_n"),
+            F.count_distinct(
+                F.struct(*[F.col(k) for k in keys])
+            ).alias("__mrg_nd"),
+        ]
     )
-    if dup:
-        raise ValueError(
-            "MERGE source has duplicate keys; resolve last-writer-wins "
-            "first (operators/upsert.py::merge_upsert)"
-        )
+
+    def _check_dup(row) -> None:
+        if row is not None and row["__mrg_n"] != row["__mrg_nd"]:
+            raise ValueError(
+                "MERGE source has duplicate keys; resolve "
+                "last-writer-wins first "
+                "(operators/upsert.py::merge_upsert)"
+            )
     # Delta-style snapshot pinning: with an explicit expected_parent
     # the merge is COMPUTED against that snapshot even if the table
     # has advanced — publish-time validation (_publish_or_rebase)
@@ -5164,6 +5212,8 @@ def merge_into(
         else expected_parent
     )
     if base is None:
+        if dup_exprs is not None:
+            _check_dup(updates.agg(*dup_exprs).first())
         return table.commit(
             updates
             if when_not_matched == "insert_all"
@@ -5203,9 +5253,14 @@ def merge_into(
         # the positional union below stays by-name correct
         updates = updates.select(*[f.name for f in declared.fields])
     types = {f.name: f.dataType for f in declared.fields}
-    touched, untouched = _split_touched_groups(
-        m, updates, keys, types, table_path=table.path
+    touched, untouched, probe_row = _split_touched_groups(
+        m, updates, keys, types, table_path=table.path,
+        extra_aggs=dup_exprs,
     )
+    if dup_exprs is not None:
+        if probe_row is None:  # no touch-test pass ran
+            probe_row = updates.agg(*dup_exprs).first()
+        _check_dup(probe_row)
     if when_not_matched_by_source is not None and untouched:
         # the BY SOURCE clause concerns target rows whose keys are
         # ABSENT from the source — they live in any group, so groups
@@ -5469,14 +5524,21 @@ def _split_touched_groups(
     keys: list[str],
     types: dict,
     table_path: str | None = None,
-) -> tuple[list[str], list[str]]:
+    extra_aggs: list | None = None,
+) -> tuple[list[str], list[str], object]:
     """Partition a manifest's groups into (touched, untouched) by the
     update keys. One aggregate pass over the updates answers, per
     candidate group, "does any update row fall inside this group's
     per-key-column min/max box?" — exact row-level evidence, not just
     range overlap, all JVM-side. NULL update keys never join-match any
     row, and NULL current keys never match an update, so key-box
-    pruning on non-null values is lossless."""
+    pruning on non-null values is lossless.
+
+    ``extra_aggs`` piggybacks caller aggregates (merge_into's
+    duplicate-key probe) on the FIRST touch-test pass, so the caller
+    pays zero extra jobs; the third return value is that pass's Row
+    (None when no touch-test pass ran — the caller aggregates
+    itself)."""
     groups = list(m["groups"])
     stats = m.get("stats") or {}
     candidates: list[tuple[str, object]] = []  # (group, box condition)
@@ -5528,14 +5590,19 @@ def _split_touched_groups(
     # tests <= _TOUCH_CHUNK boxes; passes share the cached updates scan
     if len(candidates) > _TOUCH_CHUNK:
         updates = updates.localCheckpoint(eager=True)
+    extra_row = None
     for lo in range(0, len(candidates), _TOUCH_CHUNK):
         chunk = candidates[lo : lo + _TOUCH_CHUNK]
         hit = updates.select(
             *[
                 F.max(F.when(box, 1).otherwise(0)).alias(f"g{i}")
                 for i, (_, box) in enumerate(chunk)
-            ]
+            ],
+            # caller aggregates ride the first pass for free
+            *(extra_aggs if lo == 0 and extra_aggs else []),
         ).first()
+        if lo == 0:
+            extra_row = hit
         for i, (g, _) in enumerate(chunk):
             if hit[f"g{i}"] == 1:
                 touched.append(g)
@@ -5563,6 +5630,7 @@ def _split_touched_groups(
     return (
         [g for g in groups if g in touched_set],
         [g for g in groups if g not in touched_set],
+        extra_row,
     )
 
 
@@ -6102,7 +6170,7 @@ def apply_changes(
         )
     types = {f.name: f.dataType for f in declared.fields}
     # a group is touched if ANY change key (upsert OR delete) hits it
-    touched, untouched = _split_touched_groups(
+    touched, untouched, _ = _split_touched_groups(
         m, all_keys, keys, types, table_path=table.path
     )
     current = table._read_groups(spark, m, touched)
@@ -6288,6 +6356,8 @@ def table_changes_rows(
     from_version: int,
     to_version: int | None = None,
     key: str | list[str] = "id",
+    dup_probe: str = "eager",
+    columns: list | None = None,
 ) -> DataFrame:
     """Row-level change-data-feed between snapshots (Delta's CDF read
     shape, computed READ-SIDE): for each version v in [from_version,
@@ -6327,7 +6397,12 @@ def table_changes_rows(
         raise FileNotFoundError(f"no snapshots at {table.path}")
     lo = int(from_version)
     declared = _schema_from_json(table._load_manifest(hi)["schema"])
-    payload_fields = [f for f in declared.fields if f.name not in keys]
+    payload_fields = [
+        f
+        for f in declared.fields
+        if f.name not in keys
+        and (columns is None or f.name in set(columns))
+    ]
 
     def realign(d: DataFrame) -> DataFrame:
         """Project old/new structs to the END version's payload
@@ -6363,7 +6438,12 @@ def table_changes_rows(
                     "start the CDF range at a retained version"
                 ) from None
             df0 = table._read_groups(spark, m0, list(m0["groups"]))
-            pay0 = [c for c in df0.columns if c not in keys]
+            pay0 = [
+                c
+                for c in df0.columns
+                if c not in keys
+                and (columns is None or c in set(columns))
+            ]
             base = df0.select(
                 *keys,
                 F.lit("I").alias("change"),
@@ -6378,7 +6458,10 @@ def table_changes_rows(
                 "new",
             )
         else:
-            d = snapshot_diff(table, spark, v - 1, v, keys)
+            d = snapshot_diff(
+                table, spark, v - 1, v, keys, dup_probe=dup_probe,
+                columns=columns,
+            )
         parts.append(
             realign(d).select(
                 *keys,
@@ -6421,6 +6504,8 @@ def table_changes_cdf(
     key: str | list[str] = "id",
     from_timestamp=None,
     to_timestamp=None,
+    dup_probe: str = "eager",
+    columns: list | None = None,
 ) -> DataFrame:
     """Row-level CDF in Delta's FLAT row shape — the batch twin of the
     changefeed's ``readchangedata`` stream: table columns plus
@@ -6456,13 +6541,24 @@ def table_changes_cdf(
     )
     if hi is None:
         raise FileNotFoundError(f"no snapshots at {table.path}")
-    d = table_changes_rows(table, spark, from_version, hi, key=keys)
+    d = table_changes_rows(
+        table, spark, from_version, hi, key=keys, dup_probe=dup_probe,
+        columns=columns,
+    )
     # output columns follow the DECLARED schema's field order (keys in
     # place, not hoisted) + _change_type + _commit_version, the exact
     # flat shape the streaming readchangedata CDF emits — positional
-    # consumers can swap batch backfill and stream tail freely
+    # consumers can swap batch backfill and stream tail freely.
+    # ``columns`` (internal, the MV refresh path) restricts the
+    # payload to the columns the fold consumes — see snapshot_diff's
+    # projected-diff note.
     declared = _schema_from_json(table._load_manifest(hi)["schema"])
-    names = [f.name for f in declared.fields]
+    names = [
+        f.name
+        for f in declared.fields
+        if columns is None
+        or f.name in (set(columns) | set(keys))
+    ]
     row = lambda side, label: F.struct(  # noqa: E731
         F.lit(label).alias("_change_type"), F.col(side).alias("p")
     )
@@ -6557,6 +6653,8 @@ def snapshot_diff(
     from_version: int,
     to_version: int,
     key: str | list[str],
+    dup_probe: str = "eager",
+    columns: list | None = None,
 ) -> DataFrame:
     """Row-level diff between two snapshots: one row per key whose
     state changed, with ``change`` in ('I','D','U') and the old/new
@@ -6649,6 +6747,17 @@ def snapshot_diff(
     types = {f.name: f.dataType for f in a.schema.fields}
     types.update({f.name: f.dataType for f in b.schema.fields})
     all_cols = list(b.columns) + [c for c in a.columns if c not in b.columns]
+    if columns is not None:
+        # PROJECTED diff (guide §2.3: shuffle only the bytes the
+        # consumer folds): keys + the requested payload columns flow
+        # into the full-outer join; the U test then compares only the
+        # projected payload, so an update touching ONLY untracked
+        # columns emits no row — for the signed MV folds that is
+        # byte-identical output (such a ± pair cancels in every
+        # aggregate) with narrower shuffles and fewer spurious
+        # endangered-group recomputes.
+        want = set(columns) | set(keys)
+        all_cols = [c for c in all_cols if c in want]
 
     def align(df: DataFrame) -> DataFrame:
         for c in all_cols:
@@ -6657,25 +6766,37 @@ def snapshot_diff(
         return df.select(*all_cols)
 
     a, b = align(a), align(b)
-    # key-uniqueness probe over the rows this diff reads (one job for
-    # both sides; O(delta) like the diff itself)
-    dup = (
+    # key-uniqueness probe over the rows this diff reads (O(delta)
+    # like the diff itself). "eager" runs it as its own job NOW and
+    # raises ValueError at call time (the public contract);
+    # dup_probe="lazy" (the internal MV/CDF refresh path) embeds the
+    # probe in the diff's own plan as a broadcast scalar guard — the
+    # extra job AND the extra read pass disappear, the check runs when
+    # the diff is first consumed, and a violation raises Spark's
+    # USER_RAISED_EXCEPTION carrying the same message.
+    probe = (
         a.select(*keys, F.lit("from").alias("__side"))
         .unionByName(b.select(*keys, F.lit("to").alias("__side")))
         .groupBy("__side", *keys)
         .count()
         .filter(F.col("count") > 1)
-        .limit(1)
-        .collect()
     )
-    if dup:
-        r = dup[0]
-        raise ValueError(
-            f"snapshot_diff requires key-unique snapshots: key "
-            f"{tuple(r[k] for k in keys)} appears {r['count']}x in the "
-            f"'{r['__side']}' snapshot (raw-append-built table?); "
-            "deduplicate via merge_into/apply_changes first"
+    lazy_guard = None
+    if dup_probe == "lazy":
+        lazy_guard = probe.agg(
+            F.count(F.lit(1)).alias("__diff_dups")
         )
+    else:
+        dup = probe.limit(1).collect()
+        if dup:
+            r = dup[0]
+            raise ValueError(
+                f"snapshot_diff requires key-unique snapshots: key "
+                f"{tuple(r[k] for k in keys)} appears {r['count']}x "
+                f"in the '{r['__side']}' snapshot (raw-append-built "
+                "table?); deduplicate via merge_into/apply_changes "
+                "first"
+            )
     payload = [c for c in all_cols if c not in keys]
     olds = a.select(*keys, F.struct(*payload).alias("old"))
     news = b.select(*keys, F.struct(*payload).alias("new"))
@@ -6716,11 +6837,32 @@ def snapshot_diff(
         .when(F.col("new").isNull(), F.lit("D"))
         .when(upd, F.lit("U"))
     )
-    return (
+    out = (
         j.withColumn("change", change)
         .filter(F.col("change").isNotNull())
         .select(*keys, "change", "old", "new")
     )
+    if lazy_guard is not None:
+        # one-row broadcast: the guard aggregate rides the consuming
+        # job; assert_true raises (with the contract message) if any
+        # duplicate key exists, and returns NULL otherwise, so the
+        # filter keeps every row
+        out = (
+            out.crossJoin(F.broadcast(lazy_guard))
+            .where(
+                F.assert_true(
+                    F.col("__diff_dups") == 0,
+                    F.lit(
+                        "snapshot_diff requires key-unique snapshots: "
+                        "a key appears more than once in one side "
+                        "(raw-append-built table?); deduplicate via "
+                        "merge_into/apply_changes first"
+                    ),
+                ).isNull()
+            )
+            .drop("__diff_dups")
+        )
+    return out
 
 
 def make_idempotent_table_writer(

@@ -368,6 +368,7 @@ def extract_wav_features(
     (integer energy/peak over centered samples) are computed from the
     DECODED frames. Complements extract_audio_features (windowed
     fan-out over raw bytes) by exercising the container layer."""
+    import numpy as np
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -375,15 +376,20 @@ def extract_wav_features(
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
                 container = wav_encode(bytes(p), sample_rate)
                 rate, n, pcm = wav_decode(container)
-                s = [b - 128 for b in pcm]
+                # vectorized feature math over the decoded frames
+                # (guide §4.2: a per-byte Python loop here dominated
+                # the kernel); int64 accumulation keeps energy exact
+                s = np.frombuffer(pcm, dtype=np.uint8).astype(
+                    np.int64
+                ) - 128
                 rows.append(
                     (
                         doc_id,
                         rate,
                         n,
                         len(container),
-                        sum(v * v for v in s),
-                        max((abs(v) for v in s), default=0),
+                        int((s * s).sum()) if s.size else 0,
+                        int(np.abs(s).max()) if s.size else 0,
                     )
                 )
             yield pd.DataFrame(

@@ -112,6 +112,20 @@ def _sweep_zero_groups(mv: VersionedTable, spark, rows_col: str) -> None:
         pass  # next refresh's sweep converges the residue
 
 
+def _pin_deltas(df):
+    """Materialize a delta pipeline ONCE before merge_into consumes it:
+    the merge runs at least two actions over its source (touch test +
+    group write), and without a persist each action re-executes the
+    whole upstream CDF diff + aggregation — measured 3x the per-refresh
+    cost on the bench cycle (guide §1/§2: don't recompute). Deltas are
+    aggregate-sized (one row per touched group), so MEMORY_AND_DISK is
+    bounded; lineage is kept (unlike localCheckpoint) so executor loss
+    recomputes. Callers unpersist right after the merge commits."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _sign_col():
     """+1 for insert/update_postimage, -1 for delete/update_preimage —
     THE signed-multiset convention every MV fold in this module uses
@@ -1174,8 +1188,24 @@ def refresh_mv(
             else:
                 sign = _sign_col()
                 is_add = sign == 1
+                # project the CDF to the columns the fold consumes
+                # (guide §2.3): ± pairs over untracked columns cancel
+                # in every signed aggregate, so dropping them changes
+                # nothing downstream while the diff join shuffles only
+                # the tracked bytes. source_where may reference any
+                # source column, so filtered MVs keep the full row.
+                needed = (
+                    None
+                    if source_where is not None
+                    else sorted({
+                        *group_cols, *sum_cols, *sumsq_cols,
+                        *min_cols, *max_cols, *distinct_cols,
+                        *approx_distinct_cols, *percentile_cols,
+                    })
+                )
                 cdf_df = table_changes_cdf(
-                    source, spark, wm + 1, cur, key=key
+                    source, spark, wm + 1, cur, key=key,
+                    dup_probe="lazy", columns=needed,
                 )
                 if where_expr is not None:
                     # each ROW IMAGE filters independently: an update
@@ -1276,36 +1306,45 @@ def refresh_mv(
                         group_cols=group_cols,
                         distinct_cols=distinct_cols,
                     )
-                deltas = deltas.select(
+                deltas = _pin_deltas(deltas.select(
                     *group_cols, *sum_cols, rows_col, *sq_names,
                     *ext_names, *nd_names, *hll_names, *hist_names,
-                )
-                merge_into(
-                    mv,
-                    spark,
-                    deltas,
-                    key=group_cols,
-                    when_matched={
-                        **{
-                            c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
-                            + F.coalesce(F.col(f"s.{c}"), F.lit(0))
-                            for c in [*sum_cols, rows_col, *sq_names]
+                ))
+                try:
+                    merge_into(
+                        mv,
+                        spark,
+                        deltas,
+                        key=group_cols,
+                        when_matched={
+                            **{
+                                c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                                + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                                for c in [*sum_cols, rows_col, *sq_names]
+                            },
+                            # the source row already carries the FINAL
+                            # extreme (folded against the stored value /
+                            # exact-recomputed for endangered groups) —
+                            # and the FINAL distinct count from the aux
+                            **{
+                                n: F.col(f"s.{n}")
+                                for n in [
+                                    *ext_names, *nd_names, *hll_names
+                                ]
+                            },
+                            # histograms MERGE-combine: signed
+                            # per-bucket add, zero buckets dropped
+                            **{
+                                n: _hist_merge_expr(n)
+                                for n in hist_names
+                            },
                         },
-                        # the source row already carries the FINAL
-                        # extreme (folded against the stored value /
-                        # exact-recomputed for endangered groups) —
-                        # and the FINAL distinct count from the aux
-                        **{
-                            n: F.col(f"s.{n}")
-                            for n in [*ext_names, *nd_names, *hll_names]
-                        },
-                        # histograms MERGE-combine: signed per-bucket
-                        # add, zero buckets dropped
-                        **{n: _hist_merge_expr(n) for n in hist_names},
-                    },
-                    txn={tag: cur},
-                    expected_parent=mv_v,
-                )
+                        txn={tag: cur},
+                        expected_parent=mv_v,
+                        source_unique=True,  # groupBy(group_cols) out
+                    )
+                finally:
+                    deltas.unpersist()
             _sweep_zero_groups(mv, spark, rows_col)
             if pin_watermark:
                 _pin_watermark(source, name, cur)
@@ -1403,28 +1442,38 @@ def _fold_aux(
             else:
                 sign = _sign_col()
                 cdf = table_changes_cdf(
-                    source, spark, a_wm + 1, cur, key=key
+                    source, spark, a_wm + 1, cur, key=key,
+                    dup_probe="lazy",
+                    columns=(
+                        None
+                        if source_where is not None
+                        else sorted({*group_cols, col})
+                    ),
                 )
                 if where_expr is not None:
                     cdf = cdf.filter(where_expr)
-                deltas = (
+                deltas = _pin_deltas(
                     cdf
                     .filter(F.col(col).isNotNull())
                     .groupBy(*group_cols, col)
                     .agg(F.sum(sign).cast("bigint").alias("cnt"))
                 )
-                merge_into(
-                    aux,
-                    spark,
-                    deltas,
-                    key=[*group_cols, col],
-                    when_matched={
-                        "cnt": F.coalesce(F.col("t.cnt"), F.lit(0))
-                        + F.coalesce(F.col("s.cnt"), F.lit(0))
-                    },
-                    txn={tag: cur},
-                    expected_parent=a_v,
-                )
+                try:
+                    merge_into(
+                        aux,
+                        spark,
+                        deltas,
+                        key=[*group_cols, col],
+                        when_matched={
+                            "cnt": F.coalesce(F.col("t.cnt"), F.lit(0))
+                            + F.coalesce(F.col("s.cnt"), F.lit(0))
+                        },
+                        txn={tag: cur},
+                        expected_parent=a_v,
+                        source_unique=True,  # groupBy(key) output
+                    )
+                finally:
+                    deltas.unpersist()
             _sweep_zero_groups(aux, spark, "cnt")
             return
         except CommitConflictError:
@@ -1908,22 +1957,30 @@ def refresh_join_mv(
                         deltas, delta, group_cols, percentile_cols,
                         hist_base, F.col("__sign"),
                     )
-                merge_into(
-                    mv,
-                    spark,
-                    deltas,
-                    key=group_cols,
-                    when_matched={
-                        **{
-                            c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
-                            + F.coalesce(F.col(f"s.{c}"), F.lit(0))
-                            for c in [*sum_cols, rows_col]
+                deltas = _pin_deltas(deltas)
+                try:
+                    merge_into(
+                        mv,
+                        spark,
+                        deltas,
+                        key=group_cols,
+                        when_matched={
+                            **{
+                                c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                                + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                                for c in [*sum_cols, rows_col]
+                            },
+                            **{
+                                n: _hist_merge_expr(n)
+                                for n in hist_names
+                            },
                         },
-                        **{n: _hist_merge_expr(n) for n in hist_names},
-                    },
-                    txn={tag_a: cur_a, tag_b: cur_b},
-                    expected_parent=mv_v,
-                )
+                        txn={tag_a: cur_a, tag_b: cur_b},
+                        expected_parent=mv_v,
+                        source_unique=True,  # groupBy(group_cols) out
+                    )
+                finally:
+                    deltas.unpersist()
             _sweep_zero_groups(mv, spark, rows_col)
             if pin_watermark:
                 # pin BOTH sides: the next refresh reads A@watermark
@@ -1941,7 +1998,7 @@ def _signed_cdf(t, spark, lo, hi, key):
     """Row-level CDF rows [lo, hi] with a ``__sign`` column (+1 for
     insert/update_postimage, -1 for delete/update_preimage), metadata
     columns dropped — the signed-multiset delta of the table."""
-    cdf = table_changes_cdf(t, spark, lo, hi, key=key)
+    cdf = table_changes_cdf(t, spark, lo, hi, key=key, dup_probe="lazy")
     return cdf.withColumn("__sign", _sign_col()).drop(
         "_change_type", "_commit_version"
     )
@@ -2021,6 +2078,7 @@ def _fold_aux_batch(
                     },
                     txn={tag: int(batch_id)},
                     expected_parent=latest,
+                    source_unique=True,  # groupBy(key) output
                 )
             _sweep_zero_groups(aux, spark, "cnt")
             return
@@ -2253,10 +2311,10 @@ def make_mv_maintainer(
                     group_cols=group_cols,
                     distinct_cols=distinct_cols,
                 )
-            deltas = deltas.select(
+            deltas = _pin_deltas(deltas.select(
                 *group_cols, *sum_cols, rows_col, *sq_names,
                 *ext_names, *nd_names, *hll_names, *hist_names,
-            )
+            ))
             try:
                 merge_into(
                     mv,
@@ -2277,10 +2335,13 @@ def make_mv_maintainer(
                     },
                     txn={query_name: int(batch_id)},
                     expected_parent=latest,
+                    source_unique=True,  # groupBy(group_cols) output
                 )
                 break
             except CommitConflictError:
                 continue  # concurrent delivery landed: re-check
+            finally:
+                deltas.unpersist()
         _sweep_zero_groups(mv, spark, rows_col)
 
     return write
@@ -2525,7 +2586,8 @@ def refresh_rollup_mv(
                 sign = _sign_col()
                 is_add = sign == 1
                 cdf_df = table_changes_cdf(
-                    fine, spark, wm + 1, cur, key=fine_groups
+                    fine, spark, wm + 1, cur, key=fine_groups,
+                    dup_probe="lazy",
                 )
                 if where_expr is not None:
                     # each fine ROW IMAGE filters independently: a
@@ -2599,33 +2661,37 @@ def refresh_rollup_mv(
                         source_where=source_where,
                         rollup_src=True,
                     )
-                deltas = deltas.select(
+                deltas = _pin_deltas(deltas.select(
                     *group_cols, *fold_cols, rows_col,
                     *ext_names, *hll_names, *hist_names,
-                )
-                merge_into(
-                    mv,
-                    spark,
-                    deltas,
-                    key=group_cols,
-                    when_matched={
-                        **{
-                            c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
-                            + F.coalesce(F.col(f"s.{c}"), F.lit(0))
-                            for c in [*fold_cols, rows_col]
+                ))
+                try:
+                    merge_into(
+                        mv,
+                        spark,
+                        deltas,
+                        key=group_cols,
+                        when_matched={
+                            **{
+                                c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                                + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                                for c in [*fold_cols, rows_col]
+                            },
+                            **{
+                                n: F.col(f"s.{n}")
+                                for n in [*ext_names, *hll_names]
+                            },
+                            **{
+                                n: _hist_merge_expr(n)
+                                for n in hist_names
+                            },
                         },
-                        **{
-                            n: F.col(f"s.{n}")
-                            for n in [*ext_names, *hll_names]
-                        },
-                        **{
-                            n: _hist_merge_expr(n)
-                            for n in hist_names
-                        },
-                    },
-                    txn={tag: cur},
-                    expected_parent=mv_v,
-                )
+                        txn={tag: cur},
+                        expected_parent=mv_v,
+                        source_unique=True,  # groupBy(group_cols) out
+                    )
+                finally:
+                    deltas.unpersist()
             _sweep_zero_groups(mv, spark, rows_col)
             if pin_watermark:
                 _pin_watermark(fine, name, cur)

@@ -104,7 +104,7 @@ class TestLegacyNoneStatsReadAndMerge:
         }
         updates = spark.createDataFrame([(1.0,)], "k double")
         types = {"k": updates.schema["k"].dataType}
-        touched, untouched = _split_touched_groups(m, updates, ["k"], types)
+        touched, untouched, _ = _split_touched_groups(m, updates, ["k"], types)
         assert touched == ["data/a"] and untouched == []
 
     def test_split_touched_skips_proven_all_null_group(self, spark):
@@ -119,7 +119,7 @@ class TestLegacyNoneStatsReadAndMerge:
         }
         updates = spark.createDataFrame([(1.0,)], "k double")
         types = {"k": updates.schema["k"].dataType}
-        touched, untouched = _split_touched_groups(m, updates, ["k"], types)
+        touched, untouched, _ = _split_touched_groups(m, updates, ["k"], types)
         assert touched == [] and untouched == ["data/a"]
 
 

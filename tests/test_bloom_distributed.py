@@ -89,7 +89,7 @@ class TestManyGroupsTouchTest:
             "k string, g int",
         )
         _forbid_driver_sidecar_reads(monkeypatch)
-        touched, untouched = _split_touched_groups(
+        touched, untouched, _ = _split_touched_groups(
             m, upd, ["k"], types, table_path=t.path
         )
         # every true home group is touched (no false negatives); blooms
@@ -136,7 +136,7 @@ class TestManyGroupsTouchTest:
             [(_k("ghost-", i), -1) for i in range(5)], "k string, g int"
         )
         _forbid_driver_sidecar_reads(monkeypatch)
-        touched, _ = _split_touched_groups(
+        touched, _, _ = _split_touched_groups(
             m, upd, ["k"], types, table_path=t.path
         )
         assert len(touched) <= 2  # fp budget only

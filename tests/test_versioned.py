@@ -734,11 +734,22 @@ class TestChangefeedPartitionedReader:
             TableChangefeedPartitionedReader,
         )
 
+        import file_stream_import_spark.io.versioned as V
+
         t = VersionedTable(str(tmp_path / "t"))
-        t.commit(
-            _df(spark, 0, 10).repartition(3), mode="overwrite"
-        )  # v0: one group, 3 files
-        t.commit(_df(spark, 10, 14).coalesce(1))  # v1: one group, 1 file
+        # pin the multi-file fixture shape: the r16 write-side
+        # REBALANCE would coalesce 3 tiny partitions into one file
+        # (by design); this test is about per-FILE planning, so it
+        # writes the old layout explicitly
+        old = V._WRITE_REBALANCE
+        V._WRITE_REBALANCE = False
+        try:
+            t.commit(
+                _df(spark, 0, 10).repartition(3), mode="overwrite"
+            )  # v0: one group, 3 files
+            t.commit(_df(spark, 10, 14).coalesce(1))  # v1: 1 file
+        finally:
+            V._WRITE_REBALANCE = old
         r = TableChangefeedPartitionedReader({"path": t.path})
         full = r.partitions(
             {"next_version": 0}, {"next_version": 2}

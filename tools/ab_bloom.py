@@ -239,7 +239,7 @@ def run_many_groups(spark: SparkSession, n_groups: int) -> None:
                 best, touched = None, None
                 for _ in range(3):
                     t0 = time.time()
-                    touched, _u = _split_touched_groups(
+                    touched, _u, _x = _split_touched_groups(
                         m, upd, ["k"], types, table_path=t.path
                     )
                     best = min(best or 9e9, time.time() - t0)

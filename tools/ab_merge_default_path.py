@@ -96,7 +96,7 @@ def threeway(t, spark, upd, keys=("k",)):
     m = t._load_manifest(base)
     declared = V._schema_from_json(m["schema"])
     types = {f.name: f.dataType for f in declared.fields}
-    touched, untouched = V._split_touched_groups(
+    touched, untouched, _ = V._split_touched_groups(
         m, upd, keys, types, table_path=t.path
     )
     current = t._read_groups(spark, m, touched)
