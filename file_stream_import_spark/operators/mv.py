@@ -1902,23 +1902,54 @@ def refresh_join_mv(
                     expected_parent=mv_v,
                 )
             else:
+                # project each leg to the columns the fold consumes
+                # (guide §2.3; see _signed_cdf's note — untracked-only
+                # ± pairs cancel after the join). The post-join select
+                # keeps the two legs union-compatible. Filtered MVs
+                # keep full rows (source_where may reference any
+                # joined column).
+                tracked = (
+                    set(group_cols) | set(sum_cols)
+                    | set(percentile_cols)
+                )
+                sel = sorted(set(on) | tracked)
+                proj_a = (
+                    None
+                    if source_where is not None
+                    else sorted(set(on) | (tracked & cols_a))
+                )
+                proj_b = (
+                    None
+                    if source_where is not None
+                    else sorted(set(on) | (tracked & cols_b))
+                )
+
+                def leg(joined):
+                    if source_where is not None:
+                        return joined
+                    return joined.select(*sel, "__sign")
+
                 parts = []
                 if cur_a > wa:
                     da = _signed_cdf(
-                        a, spark, wa + 1, cur_a, key_a
+                        a, spark, wa + 1, cur_a, key_a,
+                        columns=proj_a,
                     ).localCheckpoint(eager=True)
                     parts.append(
-                        da.join(
-                            _pruned_snapshot(
-                                b, spark, cur_b, on, da
-                            ),
-                            on=on,
-                            how="inner",
+                        leg(
+                            da.join(
+                                _pruned_snapshot(
+                                    b, spark, cur_b, on, da
+                                ),
+                                on=on,
+                                how="inner",
+                            )
                         )
                     )
                 if cur_b > wb:
                     db = _signed_cdf(
-                        b, spark, wb + 1, cur_b, key_b
+                        b, spark, wb + 1, cur_b, key_b,
+                        columns=proj_b,
                     ).localCheckpoint(eager=True)
                     try:
                         a_old = _pruned_snapshot(a, spark, wa, on, db)
@@ -1929,7 +1960,9 @@ def refresh_join_mv(
                             "re-create the MV (bootstrap) or retain "
                             "watermark snapshots until refresh"
                         ) from e
-                    parts.append(db.join(a_old, on=on, how="inner"))
+                    parts.append(
+                        leg(db.join(a_old, on=on, how="inner"))
+                    )
                 delta = parts[0]
                 for p in parts[1:]:
                     delta = delta.unionByName(p)
@@ -1994,11 +2027,17 @@ def refresh_join_mv(
             continue  # racing refresher landed: re-read the watermarks
 
 
-def _signed_cdf(t, spark, lo, hi, key):
+def _signed_cdf(t, spark, lo, hi, key, columns=None):
     """Row-level CDF rows [lo, hi] with a ``__sign`` column (+1 for
     insert/update_postimage, -1 for delete/update_preimage), metadata
-    columns dropped — the signed-multiset delta of the table."""
-    cdf = table_changes_cdf(t, spark, lo, hi, key=key, dup_probe="lazy")
+    columns dropped — the signed-multiset delta of the table.
+    ``columns`` projects the diff to the columns the join-fold
+    consumes (see snapshot_diff's projected-diff note — a ± pair over
+    untracked columns joins identically on both signs and cancels in
+    every grouped aggregate, so dropping it changes nothing)."""
+    cdf = table_changes_cdf(
+        t, spark, lo, hi, key=key, dup_probe="lazy", columns=columns
+    )
     return cdf.withColumn("__sign", _sign_col()).drop(
         "_change_type", "_commit_version"
     )
