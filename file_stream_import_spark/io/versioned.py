@@ -905,10 +905,53 @@ def _group_fully_contained(gstats: dict | None, where: dict) -> bool:
 
 
 # write-side AQE file sizing for data-group writes (see the REBALANCE
-# note inside _write_group_with_stats); env-gated so an A/B can compare
-_WRITE_REBALANCE = os.environ.get(
-    "SPARK_GRAFT_WRITE_REBALANCE", "1"
-) != "0"
+# note inside _write_group_with_stats); env-gated so an A/B can compare:
+#   "0"     — never rebalance (pre-r16 layout)
+#   "1"     — rebalance only when the delta is estimated small (default)
+#   "force" — always rebalance (the un-gated r16 behavior, for A/Bs)
+_WRITE_REBALANCE = os.environ.get("SPARK_GRAFT_WRITE_REBALANCE", "1")
+# Size gate for the hint: only deltas at most this many estimated bytes
+# get the extra shuffle. Default 256 MB = 4x the 64 MB AQE advisory — a
+# cluster that raises advisoryPartitionSizeInBytes should raise this in
+# step. Rationale: the small-files pathology the hint fixes only exists
+# for small deltas (a 1k-row commit landing as one ~30-row file per
+# upstream partition); for a large delta the shuffle is a full extra
+# pass over the data that buys nothing locally (measured 1.7x slower on
+# a 20M-row/280 MB commit with the file count UNCHANGED at 32 either
+# way, because AQE's default parallelism-first coalescing targets
+# bytes/cores, not the advisory — tools/ab_write_rebalance.py).
+_WRITE_REBALANCE_MAX_BYTES = int(
+    os.environ.get(
+        "SPARK_GRAFT_WRITE_REBALANCE_MAX_BYTES", str(256 << 20)
+    )
+)
+# Plans whose leaves have no real statistics (e.g. LogicalRDD from a
+# localCheckpoint or a streaming foreachBatch micro-batch) report the
+# defaultSizeInBytes sentinel (Long.MaxValue); joins can multiply
+# finite estimates past it too. At or above this, the estimate carries
+# no information.
+_STATS_UNKNOWN = 1 << 62
+
+
+def _delta_small_enough(df: DataFrame) -> bool:
+    """True when the optimizer's size estimate says the about-to-be-
+    written delta is small enough that per-upstream-partition layout
+    could produce pathological tiny files — the case the REBALANCE
+    hint exists for. Unknown estimates return True: the unknown-stats
+    shapes (micro-batch deltas, checkpointed fixtures) are exactly the
+    small exactly-once commits that need the protection, and a
+    misjudged large one merely pays one bounded delta shuffle. Uses
+    the same sizeInBytes statistic broadcast planning trusts; costs no
+    Spark job (plan-time only)."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover — py4j/connect edge
+        return True
+    if est >= _STATS_UNKNOWN:
+        return True
+    return est <= _WRITE_REBALANCE_MAX_BYTES
 
 
 def _write_group_with_stats(
@@ -942,9 +985,16 @@ def _write_group_with_stats(
     # shuffle of the commit delta, the Iceberg
     # write.distribution-mode analog. Sorted/clustered layouts do NOT
     # pass through here (_cluster_write has its own kernel), so no
-    # ordering is destroyed. SPARK_GRAFT_WRITE_REBALANCE=0 restores
-    # the old behavior.
-    if _WRITE_REBALANCE:
+    # ordering is destroyed. Size-gated by _delta_small_enough: a
+    # LARGE delta keeps its upstream partitioning — there the extra
+    # shuffle costs a full pass over the data and cannot produce the
+    # tiny-files pathology anyway (tools/ab_write_rebalance.py
+    # measured 1.7x on a 280 MB commit, file count unchanged).
+    # SPARK_GRAFT_WRITE_REBALANCE=0 restores the old behavior
+    # entirely; "force" skips the size gate.
+    if _WRITE_REBALANCE == "force" or (
+        _WRITE_REBALANCE != "0" and _delta_small_enough(df)
+    ):
         df = df.hint("rebalance")
     checks = checks or {}
     cols = [f for f in df.schema.fields if _stats_eligible(f.dataType)]

@@ -211,3 +211,77 @@ class TestWriteFileSizing:
         )
         t.commit(df, mode="overwrite")
         assert t.read(spark).count() == 0
+
+
+class TestRebalanceSizeGate:
+    """The REBALANCE hint is size-gated: only deltas the optimizer
+    estimates small get the extra shuffle. A large delta keeps its
+    upstream partitioning (the shuffle there is a full extra pass that
+    cannot fix a tiny-files pathology it does not have — measured 1.7x
+    on a 280 MB commit with the file count unchanged,
+    tools/ab_write_rebalance.py)."""
+
+    def test_small_estimate_rebalances(self, spark):
+        from file_stream_import_spark.io.versioned import (
+            _delta_small_enough,
+        )
+
+        assert _delta_small_enough(spark.range(1000).selectExpr(
+            "id as k", "id * 2 as v"
+        ))
+
+    def test_large_estimate_skips(self, spark):
+        from file_stream_import_spark.io.versioned import (
+            _delta_small_enough,
+        )
+
+        # Range reports exact rows x width stats without running a
+        # job: 10^9 rows x 8 B >> the 256 MB gate
+        assert not _delta_small_enough(spark.range(1_000_000_000))
+
+    def test_unknown_estimate_rebalances(self, spark):
+        """LogicalRDD-backed plans (localCheckpoint, foreachBatch
+        micro-batch deltas) report the defaultSizeInBytes sentinel —
+        exactly the exactly-once small-commit shapes the hint exists
+        for, so unknown must mean rebalance."""
+        from file_stream_import_spark.io.versioned import (
+            _delta_small_enough,
+        )
+
+        df = spark.range(100).selectExpr("id as k").localCheckpoint(
+            eager=True
+        )
+        assert _delta_small_enough(df)
+
+    def test_large_commit_keeps_upstream_layout(self, spark, tmp_path):
+        """End-to-end: a delta estimated over the gate writes one file
+        per upstream partition (no rebalance shuffle), and the table
+        still reads back intact."""
+        import file_stream_import_spark.io.versioned as V
+
+        src = str(tmp_path / "src")
+        spark.range(5_000).selectExpr(
+            "id as k", "id * 3 as v"
+        ).write.parquet(src)
+        # explicit upstream partitioning (the scan alone may pack the
+        # small files into one split); Repartition passes the scan's
+        # real size estimate through, so the gate still sees a finite
+        # stat rather than the unknown sentinel
+        delta = spark.read.parquet(src).repartition(7)
+
+        old = V._WRITE_REBALANCE_MAX_BYTES
+        V._WRITE_REBALANCE_MAX_BYTES = 1  # force "large" without big data
+        try:
+            t = VersionedTable(str(tmp_path / "t"))
+            t.commit(delta, mode="overwrite")
+        finally:
+            V._WRITE_REBALANCE_MAX_BYTES = old
+        m = t._load_manifest(0)
+        g = m["groups"][0]
+        files = [
+            n
+            for n in os.listdir(os.path.join(t.path, g))
+            if n.endswith(".parquet")
+        ]
+        assert len(files) == 7  # upstream partitioning preserved
+        assert t.read(spark).count() == 5_000

@@ -742,7 +742,7 @@ class TestChangefeedPartitionedReader:
         # (by design); this test is about per-FILE planning, so it
         # writes the old layout explicitly
         old = V._WRITE_REBALANCE
-        V._WRITE_REBALANCE = False
+        V._WRITE_REBALANCE = "0"
         try:
             t.commit(
                 _df(spark, 0, 10).repartition(3), mode="overwrite"
