@@ -6697,42 +6697,22 @@ def _comparable_expr(col, dt):
     return col
 
 
-def snapshot_diff(
+def _diff_pair_sides(
     table: VersionedTable,
     spark: SparkSession,
     from_version: int,
     to_version: int,
-    key: str | list[str],
-    dup_probe: str = "eager",
-    columns: list | None = None,
-) -> DataFrame:
-    """Row-level diff between two snapshots: one row per key whose
-    state changed, with ``change`` in ('I','D','U') and the old/new
-    payload structs — "what did last night's job change?", the READ
-    side of CDC (the changefeed streams appended GROUPS; this computes
-    exact row deltas between ARBITRARY versions, including deletes and
-    rewrites).
-
-    MANIFEST-AWARE: a group present in both snapshots with identical
-    applicable delete entries contributes identical rows to both sides
-    and is skipped entirely — only differing groups are read, so
-    diffing two adjacent snapshots of a 100 TB table after a pruned
-    MERGE reads O(delta), not O(table). A key that merely MOVED
-    between groups with an unchanged payload joins across the sides
-    and cancels to "unchanged". Payload comparison is null-safe.
-
-    PRECONDITION — keys must be unique within each snapshot. Tables
-    maintained through ``merge_into`` / ``apply_changes`` satisfy this
-    by construction (both reject duplicate source keys); a table built
-    from raw ``append`` commits can violate it, and a duplicated key
-    would multiply rows through the full-outer join and let the
-    shared-group skip hide one copy. A single probe job (the same
-    ``limit(1)`` test ``merge_into`` uses) checks BOTH sides' read
-    rows and raises ValueError on a duplicate. The probe covers the
-    groups the diff actually reads — a duplicate split across a
-    skipped shared group and a differing group is outside the
-    contract (it cannot arise from merge/apply-maintained tables)."""
-    keys = [key] if isinstance(key, str) else list(key)
+    want: set | None = None,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Aligned (old-side, new-side, column-types) row frames for a
+    version-range diff — the shared prologue of the keyed diff
+    (snapshot_diff) and the signed fold (table_signed_rows):
+    manifest-aware shared-group skip (a group in both snapshots with
+    identical applicable delete entries contributes identical rows
+    and is never read), rename-chain folding onto the FROM side, and
+    additive-evolution alignment (missing columns read typed NULL).
+    ``want`` projects the aligned columns; the caller includes its
+    own key columns in it if it needs them."""
     try:
         ma = table._load_manifest(from_version)
         mb = table._load_manifest(to_version)
@@ -6797,16 +6777,7 @@ def snapshot_diff(
     types = {f.name: f.dataType for f in a.schema.fields}
     types.update({f.name: f.dataType for f in b.schema.fields})
     all_cols = list(b.columns) + [c for c in a.columns if c not in b.columns]
-    if columns is not None:
-        # PROJECTED diff (guide §2.3: shuffle only the bytes the
-        # consumer folds): keys + the requested payload columns flow
-        # into the full-outer join; the U test then compares only the
-        # projected payload, so an update touching ONLY untracked
-        # columns emits no row — for the signed MV folds that is
-        # byte-identical output (such a ± pair cancels in every
-        # aggregate) with narrower shuffles and fewer spurious
-        # endangered-group recomputes.
-        want = set(columns) | set(keys)
+    if want is not None:
         all_cols = [c for c in all_cols if c in want]
 
     def align(df: DataFrame) -> DataFrame:
@@ -6815,28 +6786,133 @@ def snapshot_diff(
                 df = df.withColumn(c, F.lit(None).cast(types[c]))
         return df.select(*all_cols)
 
-    a, b = align(a), align(b)
+    return align(a), align(b), types
+
+
+def table_signed_rows(
+    table: VersionedTable,
+    spark: SparkSession,
+    from_version: int,
+    to_version: int,
+    columns: list | None = None,
+) -> DataFrame:
+    """Signed-multiset delta between two snapshots WITHOUT the keyed
+    diff: for each adjacent version pair, every row of the pair's
+    differing groups, new side tagged ``__sign``=+1 and old side −1.
+    A row unchanged across a pair appears as a canceling ± pair, so
+    any aggregate LINEAR in the row multiset — SUM, COUNT, signed
+    histogram-bucket counts — over EXACT arithmetic (integral /
+    decimal) folds to precisely the result the keyed CDF delta gives,
+    with no per-key shuffle, no pair join, and no key-uniqueness
+    precondition (nothing joins, so nothing can multiply). Per-pair
+    reads are the same manifest-aware O(delta) group reads
+    snapshot_diff does; rename/evolution folding is shared
+    (_diff_pair_sides), and output columns CAST to the END version's
+    declared types so widening inside the range unions cleanly.
+
+    NOT for min/max/HLL/exact-distinct folds (not linear in the
+    multiset) nor float/double sums (IEEE cancellation over unchanged
+    pairs is order-sensitive, so the fold could drift from the keyed
+    delta by ULPs) — callers gate on their fold types
+    (refresh_mv/refresh_rollup_mv do)."""
+    from functools import reduce
+
+    lo, hi = int(from_version), int(to_version)
+    declared = _schema_from_json(table._load_manifest(hi)["schema"])
+    wanted = [
+        f
+        for f in declared.fields
+        if columns is None or f.name in set(columns)
+    ]
+    want = None if columns is None else set(columns)
+    parts: list[DataFrame] = []
+    for v in range(lo + 1, hi + 1):
+        a, b, _ = _diff_pair_sides(table, spark, v - 1, v, want)
+        for df, sgn in ((b, 1), (a, -1)):
+            have = set(df.columns)
+            parts.append(
+                df.select(
+                    *[
+                        (
+                            F.col(f.name)
+                            if f.name in have
+                            else F.lit(None)
+                        )
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in wanted
+                    ],
+                    F.lit(sgn).alias("__sign"),
+                )
+            )
+    return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+def snapshot_diff(
+    table: VersionedTable,
+    spark: SparkSession,
+    from_version: int,
+    to_version: int,
+    key: str | list[str],
+    dup_probe: str = "eager",
+    columns: list | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots: one row per key whose
+    state changed, with ``change`` in ('I','D','U') and the old/new
+    payload structs — "what did last night's job change?", the READ
+    side of CDC (the changefeed streams appended GROUPS; this computes
+    exact row deltas between ARBITRARY versions, including deletes and
+    rewrites).
+
+    MANIFEST-AWARE: a group present in both snapshots with identical
+    applicable delete entries contributes identical rows to both sides
+    and is skipped entirely — only differing groups are read, so
+    diffing two adjacent snapshots of a 100 TB table after a pruned
+    MERGE reads O(delta), not O(table). A key that merely MOVED
+    between groups with an unchanged payload joins across the sides
+    and cancels to "unchanged". Payload comparison is null-safe.
+
+    PRECONDITION — keys must be unique within each snapshot. Tables
+    maintained through ``merge_into`` / ``apply_changes`` satisfy this
+    by construction (both reject duplicate source keys); a table built
+    from raw ``append`` commits can violate it, and a duplicated key
+    would multiply rows through the full-outer join and let the
+    shared-group skip hide one copy. A single probe job (the same
+    ``limit(1)`` test ``merge_into`` uses) checks BOTH sides' read
+    rows and raises ValueError on a duplicate. The probe covers the
+    groups the diff actually reads — a duplicate split across a
+    skipped shared group and a differing group is outside the
+    contract (it cannot arise from merge/apply-maintained tables)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    # PROJECTED diff (guide §2.3: shuffle only the bytes the
+    # consumer folds): keys + the requested payload columns flow
+    # into the diff aggregate; the U test then compares only the
+    # projected payload, so an update touching ONLY untracked
+    # columns emits no row — for the signed MV folds that is
+    # byte-identical output (such a ± pair cancels in every
+    # aggregate) with narrower shuffles and fewer spurious
+    # endangered-group recomputes.
+    want = None if columns is None else set(columns) | set(keys)
+    a, b, types = _diff_pair_sides(
+        table, spark, from_version, to_version, want
+    )
     # key-uniqueness probe over the rows this diff reads (O(delta)
     # like the diff itself). "eager" runs it as its own job NOW and
-    # raises ValueError at call time (the public contract);
-    # dup_probe="lazy" (the internal MV/CDF refresh path) embeds the
-    # probe in the diff's own plan as a broadcast scalar guard — the
-    # extra job AND the extra read pass disappear, the check runs when
-    # the diff is first consumed, and a violation raises Spark's
-    # USER_RAISED_EXCEPTION carrying the same message.
-    probe = (
-        a.select(*keys, F.lit("from").alias("__side"))
-        .unionByName(b.select(*keys, F.lit("to").alias("__side")))
-        .groupBy("__side", *keys)
-        .count()
-        .filter(F.col("count") > 1)
-    )
-    lazy_guard = None
-    if dup_probe == "lazy":
-        lazy_guard = probe.agg(
-            F.count(F.lit(1)).alias("__diff_dups")
+    # raises ValueError at call time (the public contract), naming
+    # the offending key and side; dup_probe="lazy" (the internal
+    # MV/CDF refresh path) rides the diff aggregate below for free —
+    # both paths keep the per-side counts in the grouped row, and the
+    # guard filter raises Spark's USER_RAISED_EXCEPTION (same
+    # contract message) for EVERY consumed group, so a duplicate
+    # anywhere surfaces when the diff is first consumed.
+    if dup_probe != "lazy":
+        probe = (
+            a.select(*keys, F.lit("from").alias("__side"))
+            .unionByName(b.select(*keys, F.lit("to").alias("__side")))
+            .groupBy("__side", *keys)
+            .count()
+            .filter(F.col("count") > 1)
         )
-    else:
         dup = probe.limit(1).collect()
         if dup:
             r = dup[0]
@@ -6847,9 +6923,17 @@ def snapshot_diff(
                 "table?); deduplicate via merge_into/apply_changes "
                 "first"
             )
-    payload = [c for c in all_cols if c not in keys]
-    olds = a.select(*keys, F.struct(*payload).alias("old"))
-    news = b.select(*keys, F.struct(*payload).alias("new"))
+    payload = [c for c in a.columns if c not in keys]
+    # UNION + one grouped aggregate instead of a full-outer join (r16
+    # optimization 2, guide §2.1/§1.2): both sides carry a side tag
+    # and their payload struct; grouping by key rebuilds the
+    # (old, new) pair with ONE exchange and NO per-side sort, where
+    # the join shape cost two shuffles — and the old lazy dup guard's
+    # broadcast subtree re-read both sides entirely; here the per-side
+    # counts ride the same aggregate, so each side is read ONCE.
+    # first(..., ignorenulls) is deterministic because the guard
+    # admits at most one row per (key, side).
+    #
     # MAP columns are not equatable in Spark (`<=>` rejects any struct
     # containing one — a percentile MV's <col>_hist is exactly that),
     # so the U test compares a CANONICALIZED twin struct where every
@@ -6857,62 +6941,114 @@ def snapshot_diff(
     # when the payload actually contains a map — the common-case plan
     # is unchanged — and map equality becomes ORDER-INSENSITIVE, which
     # is the correct semantics for maps anyway.
-    if any(_type_has_map(types[c]) for c in payload):
-        olds = a.select(
+    has_map = any(_type_has_map(types[c]) for c in payload)
+
+    def tagged(df: DataFrame, side: str) -> DataFrame:
+        cols = [
             *keys,
-            F.struct(*payload).alias("old"),
-            F.struct(
-                *[
-                    _comparable_expr(F.col(c), types[c]).alias(c)
-                    for c in payload
-                ]
+            F.lit(side).alias("__side"),
+            F.struct(*payload).alias("__p"),
+        ]
+        if has_map:
+            cols.append(
+                F.struct(
+                    *[
+                        _comparable_expr(F.col(c), types[c]).alias(c)
+                        for c in payload
+                    ]
+                ).alias("__pc")
+            )
+        return df.select(*cols)
+
+    u = tagged(a, "o").unionByName(tagged(b, "n"))
+    o_side = F.col("__side") == "o"
+    aggs = [
+        F.first(F.when(o_side, F.col("__p")), ignorenulls=True).alias(
+            "old"
+        ),
+        F.first(F.when(~o_side, F.col("__p")), ignorenulls=True).alias(
+            "new"
+        ),
+        F.count(F.when(o_side, F.lit(1))).alias("__n_old"),
+        F.count(F.when(~o_side, F.lit(1))).alias("__n_new"),
+    ]
+    if has_map:
+        aggs += [
+            F.first(
+                F.when(o_side, F.col("__pc")), ignorenulls=True
             ).alias("__oc"),
-        )
-        news = b.select(
-            *keys,
-            F.struct(*payload).alias("new"),
-            F.struct(
-                *[
-                    _comparable_expr(F.col(c), types[c]).alias(c)
-                    for c in payload
-                ]
+            F.first(
+                F.when(~o_side, F.col("__pc")), ignorenulls=True
             ).alias("__nc"),
-        )
+        ]
+    g = u.groupBy(*keys).agg(*aggs)
+    # the guard filter sits directly above the aggregate and
+    # references its count columns, so it cannot be pushed below it
+    # or merged into a later filter — every group evaluates it on
+    # first consumption, exactly like the old global broadcast guard
+    g = g.where(
+        F.assert_true(
+            (F.col("__n_old") <= 1) & (F.col("__n_new") <= 1),
+            F.lit(
+                "snapshot_diff requires key-unique snapshots: "
+                "a key appears more than once in one side "
+                "(raw-append-built table?); deduplicate via "
+                "merge_into/apply_changes first"
+            ),
+        ).isNull()
+    )
+    if has_map:
         upd = ~F.col("__oc").eqNullSafe(F.col("__nc"))
     else:
         upd = ~F.col("old").eqNullSafe(F.col("new"))
-    j = olds.join(news, keys, "full_outer")
     change = (
         F.when(F.col("old").isNull(), F.lit("I"))
         .when(F.col("new").isNull(), F.lit("D"))
         .when(upd, F.lit("U"))
     )
-    out = (
-        j.withColumn("change", change)
-        .filter(F.col("change").isNotNull())
-        .select(*keys, "change", "old", "new")
+    # NULL keys never matched under the old full-outer join, so a
+    # NULL-key row surfaced as a pure D (old side) or I (new side) —
+    # but groupBy treats NULLs as equal, so such a group decomposes
+    # back into its per-side rows here. when(lit(False), col) is a
+    # typed NULL without hand-building the struct DataType.
+    d_row = F.struct(
+        F.lit("D").alias("change"),
+        F.col("old").alias("old"),
+        F.when(F.lit(False), F.col("new")).alias("new"),
     )
-    if lazy_guard is not None:
-        # one-row broadcast: the guard aggregate rides the consuming
-        # job; assert_true raises (with the contract message) if any
-        # duplicate key exists, and returns NULL otherwise, so the
-        # filter keeps every row
-        out = (
-            out.crossJoin(F.broadcast(lazy_guard))
-            .where(
-                F.assert_true(
-                    F.col("__diff_dups") == 0,
-                    F.lit(
-                        "snapshot_diff requires key-unique snapshots: "
-                        "a key appears more than once in one side "
-                        "(raw-append-built table?); deduplicate via "
-                        "merge_into/apply_changes first"
-                    ),
-                ).isNull()
+    i_row = F.struct(
+        F.lit("I").alias("change"),
+        F.when(F.lit(False), F.col("old")).alias("old"),
+        F.col("new").alias("new"),
+    )
+    n_row = F.struct(
+        change.alias("change"),
+        F.col("old").alias("old"),
+        F.col("new").alias("new"),
+    )
+    any_key_null = F.col(keys[0]).isNull()
+    for k in keys[1:]:
+        any_key_null = any_key_null | F.col(k).isNull()
+    rows = F.when(
+        any_key_null,
+        F.array_compact(
+            F.array(
+                F.when(F.col("old").isNotNull(), d_row),
+                F.when(F.col("new").isNotNull(), i_row),
             )
-            .drop("__diff_dups")
+        ),
+    ).otherwise(
+        F.array_compact(F.array(F.when(change.isNotNull(), n_row)))
+    )
+    return (
+        g.select(*keys, F.explode(rows).alias("__c"))
+        .select(
+            *keys,
+            F.col("__c.change").alias("change"),
+            F.col("__c.old").alias("old"),
+            F.col("__c.new").alias("new"),
         )
-    return out
+    )
 
 
 def make_idempotent_table_writer(

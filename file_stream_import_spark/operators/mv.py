@@ -37,13 +37,29 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..io.versioned import (
+    _CDF_PLAN_CHUNK,
     CommitConflictError,
     VersionedTable,
     merge_into,
     table_changes_cdf,
+    table_signed_rows,
 )
 
 _ROWS = "n_rows"
+
+# Signed direct fold (r16 optimization 2): when every maintained
+# aggregate is LINEAR in the row multiset over EXACT arithmetic
+# (integral/decimal SUMs, the row count, signed histogram buckets —
+# no min/max/HLL/exact-distinct, no double sums, no sumsq), the
+# refresh folds table_signed_rows directly by the GROUP columns: the
+# keyed CDF's per-key shuffle and pair join disappear (unchanged rows
+# cancel exactly). "0" restores the keyed-CDF fold for A/Bs. Ranges
+# past _CDF_PLAN_CHUNK pairs keep the CDF path (its chunked
+# evaluation bounds Catalyst analysis; the signed fold has no chunk
+# machinery).
+import os as _os
+
+_SIGNED_FOLD = _os.environ.get("SPARK_GRAFT_MV_SIGNED_FOLD", "1")
 
 # endangered-group keys are collected driver-side only up to this cap
 # (to drive the group-pruned exact read); a larger set falls back to a
@@ -1185,6 +1201,85 @@ def refresh_mv(
                     txn={tag: cur},
                     expected_parent=mv_v,
                 )
+            elif (
+                _SIGNED_FOLD != "0"
+                and not ext_names
+                and not nd_names
+                and not hll_names
+                and not sumsq_cols
+                and all(ftypes[c] != "double" for c in sum_cols)
+                and cur - wm <= _CDF_PLAN_CHUNK
+            ):
+                # DIRECT SIGNED FOLD (see module knob note): every
+                # maintained aggregate here is linear in the row
+                # multiset over exact arithmetic, so folding ALL rows
+                # of the differing groups (±) equals folding the keyed
+                # CDF delta — unchanged rows cancel exactly — with no
+                # per-key shuffle and no pair join.
+                needed = (
+                    None
+                    if source_where is not None
+                    else sorted({
+                        *group_cols, *sum_cols, *percentile_cols,
+                    })
+                )
+                srows = table_signed_rows(
+                    source, spark, wm, cur, columns=needed
+                )
+                if where_expr is not None:
+                    # each side's rows filter independently — same
+                    # partial-view identity as the CDF row images
+                    srows = srows.filter(where_expr)
+                s = F.col("__sign")
+                deltas = srows.groupBy(*group_cols).agg(
+                    *[
+                        F.coalesce(F.sum(s * F.col(c)), F.lit(0))
+                        .cast(ftypes[c])
+                        .alias(c)
+                        for c in sum_cols
+                    ],
+                    F.sum(s).cast("bigint").alias(rows_col),
+                )
+                if percentile_cols:
+                    deltas = _attach_hists(
+                        deltas, srows, group_cols, percentile_cols,
+                        hist_base, s,
+                    )
+                # drop pure-cancel groups (all-zero delta, empty hist
+                # deltas): merging them is the identity, so skipping
+                # the touch spares group rewrites — the compaction /
+                # moved-rows case where every read row cancels
+                nonzero = F.col(rows_col) != 0
+                for c in sum_cols:
+                    nonzero = nonzero | (F.col(c) != 0)
+                for n in hist_names:
+                    nonzero = nonzero | (F.size(F.col(n)) > 0)
+                deltas = _pin_deltas(deltas.filter(nonzero).select(
+                    *group_cols, *sum_cols, rows_col, *hist_names,
+                ))
+                try:
+                    merge_into(
+                        mv,
+                        spark,
+                        deltas,
+                        key=group_cols,
+                        when_matched={
+                            **{
+                                c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                                + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                                for c in [*sum_cols, rows_col]
+                            },
+                            **{
+                                n: _hist_merge_expr(n)
+                                for n in hist_names
+                            },
+                        },
+                        txn={tag: cur},
+                        expected_parent=mv_v,
+                        source_unique=True,  # groupBy(group_cols) out
+                    )
+                finally:
+                    deltas.unpersist()
             else:
                 sign = _sign_col()
                 is_add = sign == 1
@@ -2621,6 +2716,83 @@ def refresh_rollup_mv(
                     txn={tag: cur},
                     expected_parent=mv_v,
                 )
+            elif (
+                _SIGNED_FOLD != "0"
+                and not ext_names
+                and not hll_names
+                and all(ftypes[c] != "double" for c in fold_cols)
+                and cur - wm <= _CDF_PLAN_CHUNK
+            ):
+                # DIRECT SIGNED FOLD over fine-MV rows (see refresh_mv
+                # and the module knob note): coarse sums, the weighted
+                # row count, and signed histogram merges are all linear
+                # in the fine-row multiset over exact arithmetic, so ±
+                # fine rows fold to the same coarse delta as the keyed
+                # fine CDF — unchanged fine groups cancel exactly.
+                # (fold_cols includes <c>_sumsq only when the fine MV
+                # declares it, and those are double — the gate above
+                # keeps such specs on the CDF path.)
+                needed = (
+                    None
+                    if source_where is not None
+                    else sorted({
+                        *group_cols, *fold_cols, rows_col, *hist_names,
+                    })
+                )
+                srows = table_signed_rows(
+                    fine, spark, wm, cur, columns=needed
+                )
+                if where_expr is not None:
+                    # each fine ROW IMAGE filters independently — same
+                    # partial-view identity as the CDF path
+                    srows = srows.filter(where_expr)
+                s = F.col("__sign")
+                deltas = srows.groupBy(*group_cols).agg(
+                    *[
+                        F.coalesce(F.sum(s * F.col(c)), F.lit(0))
+                        .cast(ftypes[c])
+                        .alias(c)
+                        for c in fold_cols
+                    ],
+                    F.coalesce(F.sum(s * F.col(rows_col)), F.lit(0))
+                    .cast("bigint")
+                    .alias(rows_col),
+                )
+                if hist_names:
+                    deltas = _attach_merged_hists(
+                        deltas, srows, group_cols, hist_names, s
+                    )
+                nonzero = F.col(rows_col) != 0
+                for c in fold_cols:
+                    nonzero = nonzero | (F.col(c) != 0)
+                for n in hist_names:
+                    nonzero = nonzero | (F.size(F.col(n)) > 0)
+                deltas = _pin_deltas(deltas.filter(nonzero).select(
+                    *group_cols, *fold_cols, rows_col, *hist_names,
+                ))
+                try:
+                    merge_into(
+                        mv,
+                        spark,
+                        deltas,
+                        key=group_cols,
+                        when_matched={
+                            **{
+                                c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                                + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                                for c in [*fold_cols, rows_col]
+                            },
+                            **{
+                                n: _hist_merge_expr(n)
+                                for n in hist_names
+                            },
+                        },
+                        txn={tag: cur},
+                        expected_parent=mv_v,
+                        source_unique=True,  # groupBy(group_cols) out
+                    )
+                finally:
+                    deltas.unpersist()
             else:
                 sign = _sign_col()
                 is_add = sign == 1

@@ -100,6 +100,115 @@ class TestLazyDupProbe:
         assert "__diff_dups" not in d.columns
 
 
+class TestDiffUnionAggregate:
+    """The diff's full-outer join became a union + one grouped
+    aggregate (one exchange, per-side dup counts riding the same
+    pass). These pin the join-era semantics the aggregate must
+    reproduce exactly."""
+
+    def test_null_keys_never_pair_across_sides(self, spark, tmp_path):
+        """A NULL key never matched under the equi-join, so it always
+        surfaced as a pure D (old side) / I (new side) — even when
+        the payload is identical on both sides. groupBy treats NULLs
+        as equal, so the aggregate must decompose such a group back
+        into its per-side rows."""
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        t.commit(mk([(None, "same"), (1, "a"), (2, "b")]),
+                 mode="overwrite")
+        t.commit(mk([(None, "same"), (1, "a"), (3, "c")]),
+                 mode="overwrite")
+        for probe in ("eager", "lazy"):
+            d = snapshot_diff(t, spark, 0, 1, key="k", dup_probe=probe)
+            got = sorted(
+                (
+                    (r["k"], r["change"],
+                     None if r["old"] is None else r["old"]["v"],
+                     None if r["new"] is None else r["new"]["v"])
+                    for r in d.collect()
+                ),
+                key=lambda x: (x[0] is None, x[0] or 0, x[1]),
+            )
+            assert got == [
+                (2, "D", "b", None),
+                (3, "I", None, "c"),
+                (None, "D", "same", None),
+                (None, "I", None, "same"),
+            ], (probe, got)
+
+    def test_null_key_duplicates_still_raise(self, spark, tmp_path):
+        """Two NULL-keyed rows in ONE side collide (the old probe's
+        groupBy counted NULLs together); both probe modes must keep
+        raising, not silently emit two D/I rows."""
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        t.commit(mk([(2, "x")]), mode="overwrite")
+        t.commit(mk([(None, "b"), (None, "c")]), mode="append")
+        with pytest.raises(ValueError, match="key-unique"):
+            snapshot_diff(t, spark, 0, 1, key="k", dup_probe="eager")
+        d = snapshot_diff(t, spark, 0, 1, key="k", dup_probe="lazy")
+        with pytest.raises(Exception, match="key-unique"):
+            d.collect()
+
+    def test_lazy_dup_raises_even_when_group_would_cancel(
+        self, spark, tmp_path
+    ):
+        """The guard rides the change CASE's filter, which every
+        group evaluates — a duplicate whose first() draw happens to
+        equal the other side (an 'unchanged' group the output drops)
+        must still raise on consumption."""
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        t.commit(mk([(1, "a")]), mode="overwrite")
+        t.commit(mk([(1, "a"), (1, "a")]), mode="overwrite")
+        d = snapshot_diff(t, spark, 0, 1, key="k", dup_probe="lazy")
+        with pytest.raises(Exception, match="key-unique"):
+            d.collect()
+
+    def test_map_payload_still_order_insensitive(self, spark, tmp_path):
+        """MAP payloads compare through the canonicalized twin in the
+        aggregate exactly as they did across the join: same entries
+        in a different order is NOT an update."""
+        t = VersionedTable(str(tmp_path / "t"))
+        df1 = spark.sql(
+            "SELECT 1L AS k, map('a', 1, 'b', 2) AS m"
+        )
+        df2 = spark.sql(
+            "SELECT 1L AS k, map('b', 2, 'a', 1) AS m"
+        )
+        t.commit(df1, mode="overwrite")
+        t.commit(df2, mode="overwrite")
+        d = snapshot_diff(t, spark, 0, 1, key="k", dup_probe="lazy")
+        assert d.collect() == []
+        t.commit(
+            spark.sql("SELECT 1L AS k, map('a', 9, 'b', 2) AS m"),
+            mode="overwrite",
+        )
+        d2 = snapshot_diff(t, spark, 1, 2, key="k")
+        rows = d2.collect()
+        assert [(r["k"], r["change"]) for r in rows] == [(1, "U")]
+
+    def test_single_exchange_no_join_in_plan(self, spark, tmp_path):
+        """The diff plan carries ONE shuffle exchange and no join —
+        the old shape was two per-side exchanges + a full-outer
+        SortMergeJoin plus the lazy guard's second read of both
+        sides."""
+        t = VersionedTable(str(tmp_path / "t"))
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        t.commit(mk([(1, "a"), (2, "b")]), mode="overwrite")
+        t.commit(mk([(2, "B"), (3, "c")]), mode="overwrite")
+        d = snapshot_diff(t, spark, 0, 1, key="k", dup_probe="lazy")
+        plan = d._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        assert "SortMergeJoin" not in plan
+        assert "Join" not in plan
+        # one exchange node (formatted explain prints each node
+        # twice: tree + details)
+        assert plan.count("Exchange") == 2
+
+
 class TestProjectedCdf:
     def test_projected_cdf_matches_full_on_tracked_columns(
         self, spark, tmp_path
@@ -285,3 +394,213 @@ class TestRebalanceSizeGate:
         ]
         assert len(files) == 7  # upstream partitioning preserved
         assert t.read(spark).count() == 5_000
+
+
+class TestSignedDirectFold:
+    """Linear-aggregate MVs (exact sums/counts/histograms only) refresh
+    through table_signed_rows — no keyed CDF, no per-key shuffle. The
+    fold must be indistinguishable from the keyed-CDF path."""
+
+    def _mv_rows(self, spark, mv):
+        return sorted(
+            map(tuple, mv.read(spark).collect()), key=str
+        )
+
+    def test_fast_and_cdf_paths_agree_through_dml(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Same DML history folded under SPARK_GRAFT_MV_SIGNED_FOLD
+        on/off lands byte-identical MV rows — updates, group moves,
+        deletes, multi-commit refresh windows."""
+        from file_stream_import_spark.operators import mv as M
+        from file_stream_import_spark.io.versioned import apply_changes
+
+        results = {}
+        for mode in ("1", "0"):
+            monkeypatch.setattr(M, "_SIGNED_FOLD", mode)
+            t = VersionedTable(str(tmp_path / f"t{mode}"))
+            view = VersionedTable(str(tmp_path / f"v{mode}"))
+            mk = lambda rows: spark.createDataFrame(
+                rows, "k long, g string, x long"
+            )
+            t.commit(
+                mk([(i, "ab"[i % 2], i * 10) for i in range(20)]),
+                mode="overwrite",
+            )
+            M.refresh_mv(
+                t, view, spark, name="m", group_cols=["g"],
+                sum_cols=["x"], key="k",
+            )
+            # one refresh per commit, then one spanning two commits
+            merge_into(
+                t, spark, mk([(1, "a", 999), (20, "b", 5)]), key="k"
+            )
+            M.refresh_mv(
+                t, view, spark, name="m", group_cols=["g"],
+                sum_cols=["x"], key="k",
+            )
+            apply_changes(
+                t, spark,
+                spark.createDataFrame(
+                    [(2, "b", 7, "U"), (3, None, None, "D"),
+                     (30, "a", 1, "I")],
+                    "k long, g string, x long, op string",
+                ),
+                key="k",
+            )
+            t.delete_where(spark, F.col("k").between(10, 12))
+            M.refresh_mv(
+                t, view, spark, name="m", group_cols=["g"],
+                sum_cols=["x"], key="k",
+            )
+            results[mode] = self._mv_rows(spark, view)
+        assert results["1"] == results["0"]
+
+    def test_fast_path_is_taken_and_gated(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Eligible specs call table_signed_rows; specs with min/max
+        (non-linear folds) or double sums (inexact cancellation) stay
+        on the keyed CDF path."""
+        from file_stream_import_spark.operators import mv as M
+
+        calls = []
+        orig = M.table_signed_rows
+
+        def spy(*a, **kw):
+            calls.append(True)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(M, "table_signed_rows", spy)
+        mk = lambda rows: spark.createDataFrame(
+            rows, "k long, g string, x long, d double"
+        )
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(mk([(1, "a", 1, 0.5), (2, "b", 2, 1.5)]),
+                 mode="overwrite")
+        eligible = VersionedTable(str(tmp_path / "m1"))
+        minmax = VersionedTable(str(tmp_path / "m2"))
+        dbl = VersionedTable(str(tmp_path / "m3"))
+        kw = dict(group_cols=["g"], key="k")
+        M.refresh_mv(t, eligible, spark, name="e", sum_cols=["x"], **kw)
+        M.refresh_mv(
+            t, minmax, spark, name="mm", sum_cols=["x"],
+            min_cols=["x"], **kw,
+        )
+        M.refresh_mv(t, dbl, spark, name="d", sum_cols=["d"], **kw)
+        merge_into(t, spark, mk([(1, "a", 3, 2.5)]), key="k")
+        calls.clear()
+        M.refresh_mv(t, eligible, spark, name="e", sum_cols=["x"], **kw)
+        assert calls, "eligible spec must take the signed fold"
+        calls.clear()
+        M.refresh_mv(
+            t, minmax, spark, name="mm", sum_cols=["x"],
+            min_cols=["x"], **kw,
+        )
+        assert not calls, "min/max spec must stay on the CDF path"
+        M.refresh_mv(t, dbl, spark, name="d", sum_cols=["d"], **kw)
+        assert not calls, "double-sum spec must stay on the CDF path"
+
+    def test_pure_cancel_window_advances_watermark_untouched(
+        self, spark, tmp_path
+    ):
+        """A rewrite that changes no row values (compaction-shaped:
+        groups differ, rows cancel) folds to an EMPTY delta — the MV
+        rows are untouched but the watermark still advances."""
+        from file_stream_import_spark.operators import mv as M
+
+        mk = lambda rows: spark.createDataFrame(
+            rows, "k long, g string, x long"
+        )
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(mk([(i, "ab"[i % 2], i) for i in range(10)]),
+                 mode="overwrite")
+        t.commit(mk([(i, "ab"[i % 2], i) for i in range(10, 20)]))
+        view = VersionedTable(str(tmp_path / "v"))
+        M.refresh_mv(
+            t, view, spark, name="m", group_cols=["g"],
+            sum_cols=["x"], key="k",
+        )
+        before = self._mv_rows(spark, view)
+        t.compact(spark, min_bytes=1 << 30)  # rewrite, same rows
+        assert t.latest_version() == 2
+        wm = M.refresh_mv(
+            t, view, spark, name="m", group_cols=["g"],
+            sum_cols=["x"], key="k",
+        )
+        assert wm == 2
+        assert self._mv_rows(spark, view) == before
+
+    def test_filtered_mv_boundary_cross_fast_path(
+        self, spark, tmp_path
+    ):
+        """source_where MVs stay eligible: an update moving a row
+        across the view boundary nets to a pure insert/delete of the
+        view row under the signed fold."""
+        from file_stream_import_spark.operators import mv as M
+
+        mk = lambda rows: spark.createDataFrame(
+            rows, "k long, g string, x long"
+        )
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(mk([(1, "a", 5), (2, "a", 50), (3, "b", 70)]),
+                 mode="overwrite")
+        view = VersionedTable(str(tmp_path / "v"))
+        kw = dict(
+            name="m", group_cols=["g"], sum_cols=["x"], key="k",
+            source_where="x >= 10",
+        )
+        M.refresh_mv(t, view, spark, **kw)
+        # 1 enters the view (5 -> 30); 3 leaves it (70 -> 9)
+        merge_into(
+            t, spark, mk([(1, "a", 30), (3, "b", 9)]), key="k"
+        )
+        M.refresh_mv(t, view, spark, **kw)
+        got = {
+            r["g"]: (r["x"], r["n_rows"])
+            for r in view.read(spark).collect()
+        }
+        assert got == {"a": (80, 2)}
+
+    def test_rollup_fast_path_matches_base_recompute(
+        self, spark, tmp_path
+    ):
+        """The rollup's signed fold over fine-MV rows equals a coarse
+        recompute from the base table after mixed DML."""
+        from file_stream_import_spark.operators import mv as M
+
+        mk = lambda rows: spark.createDataFrame(
+            rows, "k long, g string, b int, x long"
+        )
+        t = VersionedTable(str(tmp_path / "t"))
+        t.commit(
+            mk([(i, "ab"[i % 2], i % 3, i * 10) for i in range(30)]),
+            mode="overwrite",
+        )
+        fine = VersionedTable(str(tmp_path / "fine"))
+        roll = VersionedTable(str(tmp_path / "roll"))
+        fkw = dict(
+            name="f", group_cols=["g", "b"], sum_cols=["x"], key="k"
+        )
+        M.refresh_mv(t, fine, spark, **fkw)
+        M.refresh_rollup_mv(fine, roll, spark, name="r",
+                            group_cols=["g"])
+        merge_into(
+            t, spark, mk([(1, "b", 2, 999), (40, "a", 0, 4)]), key="k"
+        )
+        t.delete_where(spark, F.col("k") < 5)
+        M.refresh_mv(t, fine, spark, **fkw)
+        M.refresh_rollup_mv(fine, roll, spark, name="r",
+                            group_cols=["g"])
+        want = {
+            (r["g"]): (r["x"], r["n_rows"])
+            for r in t.read(spark)
+            .groupBy("g")
+            .agg(F.sum("x").alias("x"), F.count("*").alias("n_rows"))
+            .collect()
+        }
+        got = {
+            r["g"]: (r["x"], r["n_rows"])
+            for r in roll.read(spark).collect()
+        }
+        assert got == want
