@@ -6421,7 +6421,7 @@ def table_changes_rows(
     reads O(its delta) via the manifest-aware shared-group skip — a
     bounded nightly range of k commits costs k pruned diffs, never
     k table scans. from_version=0 emits version 0's rows as inserts.
-    Each pair is a driver-planned join plan (a few Spark jobs,
+    Each pair is a driver-planned diff plan (a few Spark jobs,
     ~0.7 s/pair overhead regardless of delta size), so for LONG
     backfill ranges use the BATCH changefeed datasource instead
     (``spark.read.format("table_changefeed")`` + readchangedata +
@@ -6527,8 +6527,9 @@ def table_changes_rows(
     if len(parts) <= _CDF_PLAN_CHUNK:
         return union(parts)
     # LONG replay ranges: one lazy plan holding every per-pair diff
-    # (each a full-outer join with two scans) makes Catalyst analysis
-    # superlinear in the range — 300 pairs measured ~227 s of mostly
+    # (each a grouped aggregate over two scans) makes Catalyst
+    # analysis superlinear in the range — 300 pairs measured ~227 s
+    # (join-era number; the shape concern is unchanged) of mostly
     # DRIVER planning for 301 delta rows. Materialize in bounded
     # chunks instead: each chunk's plan holds <= _CDF_PLAN_CHUNK
     # diffs (analysis cost bounded), its delta-bound rows checkpoint
@@ -6869,14 +6870,15 @@ def snapshot_diff(
     and is skipped entirely — only differing groups are read, so
     diffing two adjacent snapshots of a 100 TB table after a pruned
     MERGE reads O(delta), not O(table). A key that merely MOVED
-    between groups with an unchanged payload joins across the sides
-    and cancels to "unchanged". Payload comparison is null-safe.
+    between groups with an unchanged payload pairs up across the
+    sides and cancels to "unchanged". Payload comparison is
+    null-safe.
 
     PRECONDITION — keys must be unique within each snapshot. Tables
     maintained through ``merge_into`` / ``apply_changes`` satisfy this
     by construction (both reject duplicate source keys); a table built
     from raw ``append`` commits can violate it, and a duplicated key
-    would multiply rows through the full-outer join and let the
+    would pick an arbitrary payload when the sides pair up and let the
     shared-group skip hide one copy. A single probe job (the same
     ``limit(1)`` test ``merge_into`` uses) checks BOTH sides' read
     rows and raises ValueError on a duplicate. The probe covers the

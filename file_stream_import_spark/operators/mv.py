@@ -1286,7 +1286,7 @@ def refresh_mv(
                 # project the CDF to the columns the fold consumes
                 # (guide §2.3): ± pairs over untracked columns cancel
                 # in every signed aggregate, so dropping them changes
-                # nothing downstream while the diff join shuffles only
+                # nothing downstream while the diff aggregate shuffles only
                 # the tracked bytes. source_where may reference any
                 # source column, so filtered MVs keep the full row.
                 needed = (
