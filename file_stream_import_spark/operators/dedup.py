@@ -89,14 +89,23 @@ def band_params(
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Distinct k-token shingles per document (built-ins only)."""
-    t = tokens(text_col)
+    """Distinct k-token shingles per document (built-ins only).
+
+    The token array is projected to a real column before the shingle
+    transform: expressions captured inside a higher-order-function
+    lambda are re-evaluated per element, so ``element_at(tokens(text),
+    i + j)`` would re-run the whole regex split k times per shingle
+    position — quadratic in document length. An attribute reference
+    keeps it one tokenization per row.
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    t = F.col("_toks")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
     )
     return (
-        df.filter(F.size(t) >= k)
+        base.filter(F.size(t) >= k)
         .select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
     )
@@ -523,7 +532,11 @@ def chunk_dedup(
     # Blank docs tokenize to [''] (split of an empty string), not [] —
     # drop them up front so they emit no chunks at all.
     df = df.filter(F.length(F.trim(F.col(text_col))) > 0)
-    t = tokens(text_col)
+    # Project tokens to a column: a captured expression inside the
+    # transform lambda is re-evaluated per element, so slice(tokens(..))
+    # would re-tokenize the document once per chunk.
+    df = df.withColumn("_toks", tokens(text_col))
+    t = F.col("_toks")
     n_chunks = F.ceil(F.size(t) / F.lit(chunk_tokens))
     # sequence(0, n-1): lazy CaseWhen guards the n==0 descending-sequence
     # trap (empty text ⇒ sequence(0,-1) would yield [0,-1], not []).

@@ -121,7 +121,12 @@ def winnow_fingerprints(
     ``portable_hash=True`` swaps xxhash64 for the md5-derived 60-bit
     hash, making the whole fingerprint set reproducible in DuckDB.
     """
-    t = tokens(text_col)
+    # Tokens are projected to a real column first: an expression
+    # captured inside the transform lambda would be re-evaluated per
+    # element, re-running the regex split k times per shingle position
+    # (quadratic in document length).
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    t = F.col("_toks")
     hash_fn = portable_hash60 if portable_hash else F.xxhash64
     # Guard short docs: sequence(1, n) with n < 1 yields a DESCENDING
     # sequence ([1, 0]), and element_at(t, 0) aborts the query.
@@ -135,7 +140,7 @@ def winnow_fingerprints(
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     exploded = (
-        df.select(F.col(id_col), F.posexplode(sh).alias("pos", "h"))
+        base.select(F.col(id_col), F.posexplode(sh).alias("pos", "h"))
     )
     w = (
         W.partitionBy(id_col)

@@ -57,6 +57,10 @@ def get_spark(
         # reader rejects; read nanos as long and convert in io.tables
         # (truncation to micros matches DuckDB's internal precision).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Wide aggregates (128-column MinHash signatures) exceed the
+        # default 100-field codegen cutoff and drop to interpreted
+        # evaluation; 200 keeps the widest repo plan inside codegen.
+        .config("spark.sql.codegen.maxFields", "200")
     )
     if extra_conf:
         for k, v in extra_conf.items():

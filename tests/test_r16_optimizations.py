@@ -604,3 +604,89 @@ class TestSignedDirectFold:
             for r in roll.read(spark).collect()
         }
         assert got == want
+
+
+class TestHofLambdaNoRetokenize:
+    """The shingle/n-gram/winnow/chunk kernels must never capture the
+    tokenization expression inside a higher-order-function lambda: a
+    captured subtree is re-evaluated PER ELEMENT, which re-runs the
+    regex split once per gram position — quadratic in document length
+    (measured 13.8s -> 1.8s on the sf0.1 shingle pass). The invariant
+    is pinned structurally: no lambdafunction body in the analyzed plan
+    may contain a split() call."""
+
+    @staticmethod
+    def _lambda_bodies(plan: str) -> list[str]:
+        import re
+
+        out = []
+        for m in re.finditer(r"lambdafunction\(", plan):
+            i, depth = m.end(), 1
+            while depth and i < len(plan):
+                if plan[i] == "(":
+                    depth += 1
+                elif plan[i] == ")":
+                    depth -= 1
+                i += 1
+            out.append(plan[m.start():i])
+        return out
+
+    def _assert_no_split_in_lambdas(self, df):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        bodies = self._lambda_bodies(plan)
+        assert bodies, "expected at least one lambda in the plan"
+        offenders = [b[:120] for b in bodies if "split(" in b]
+        assert not offenders, offenders
+
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id int, text string",
+        )
+
+    def test_shingles(self, docs):
+        from file_stream_import_spark.operators.dedup import shingles
+
+        self._assert_no_split_in_lambdas(shingles(docs))
+
+    def test_chunk_dedup(self, docs):
+        from file_stream_import_spark.operators.dedup import chunk_dedup
+
+        self._assert_no_split_in_lambdas(chunk_dedup(docs, chunk_tokens=2))
+
+    def test_winnow_fingerprints(self, docs):
+        from file_stream_import_spark.operators.text import (
+            winnow_fingerprints,
+        )
+
+        self._assert_no_split_in_lambdas(winnow_fingerprints(docs))
+
+    def test_word_ngrams(self, docs):
+        from file_stream_import_spark.operators.curation import word_ngrams
+
+        self._assert_no_split_in_lambdas(
+            docs.select(word_ngrams("text", 3).alias("g"))
+        )
+
+    def test_word_ngrams_values_unchanged(self, spark):
+        """The zip_with rewrite emits the exact same grams as the old
+        element_at form, including the short-document empty-array edge."""
+        from file_stream_import_spark.operators.curation import word_ngrams
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "one two"), (3, "solo"), (4, "")],
+            "doc_id int, text string",
+        )
+        got = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", word_ngrams("text", 2).alias("g")
+            ).collect()
+        }
+        assert got == {
+            1: ["a b", "b c", "c d"],
+            2: ["one two"],
+            3: [],
+            4: [],
+        }
