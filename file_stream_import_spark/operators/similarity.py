@@ -17,6 +17,17 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns, as a zip_with/aggregate
+    fold.
+
+    The fold form is deliberate (r16, tools/ab_vecmath.py): unrolling
+    the statically-known 64-dim chain into ``a[0]*b[0] + ...`` pushes
+    the whole-stage method past the JVM/codegen size limits, the stage
+    silently drops to interpreted evaluation, and the boxed ~1.5k-node
+    expression tree measured 3.7-7.7x SLOWER than this compact
+    CodegenFallback fold across every vector query. What IS cheap is
+    evaluating folds less often — hoist per-row norms out of per-pair
+    expressions (see cosine_neardup_dedup / the knn operators)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -31,6 +42,15 @@ def _norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _cos_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine given precomputed L2 norms — bit-identical to
+    :func:`cosine` (same dot fold, same division; the norms are the
+    same expressions evaluated once per ROW instead of once per PAIR,
+    which removes two of the three interpreted folds from every pair:
+    measured 0.48x on the all-pairs dedup shape)."""
+    return _dot(a, b) / (na * nb)
 
 
 def _q6(col) -> Column:
@@ -58,17 +78,24 @@ def knn_bruteforce(
     is too large use knn_topk_partial (same exact results, shuffle
     bounded to k·batches survivors) or the LSH/IVF variants.
     """
+    # norms hoisted once per row (r16): the scored-pair expression then
+    # runs one dot fold instead of three
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("nq", _norm(F.col("qv")))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vv"),
-    )
+    ).withColumn("nv", _norm(F.col("vv")))
     scored = (
         v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("vv")))
+        .withColumn(
+            "cos",
+            _cos_with_norms(
+                F.col("qv"), F.col("vv"), F.col("nq"), F.col("nv")
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -119,17 +146,23 @@ def knn_topk_partial(
     scale the scored-pair stream is too large to trust to an optimizer
     rule, and the A/B shows the crossing costs nothing here.
     """
+    # norms hoisted once per row (r16), as in knn_bruteforce
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("nq", _norm(F.col("qv")))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vv"),
-    )
+    ).withColumn("nv", _norm(F.col("vv")))
     scored = (
         v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("vv")))
+        .withColumn(
+            "cos",
+            _cos_with_norms(
+                F.col("qv"), F.col("vv"), F.col("nq"), F.col("nv")
+            ),
+        )
         .select("query_id", "neighbor_id", "cos")
     )
 
@@ -246,17 +279,26 @@ def ann_lsh_pairs(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
         "bucket",
-    )
+    # norm hoisted to once per ROW: inside the bucket join it would
+    # re-fold per candidate pair (2 of the 3 interpreted HOF folds)
+    ).withColumn("nv", _norm(F.col("v")))
     left = b.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"), "bucket",
     )
     right = b.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), "bucket",
     )
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos",
+            _cos_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ),
+        )
         .filter(F.col("cos") >= min_cos)
         .select("id_a", "id_b", _q6("cos").alias("cos_sim"))
         .distinct()
@@ -289,22 +331,31 @@ def ann_lsh_knn(
     single-table form, so num_tables=1 reproduces it exactly.
     """
     vv = F.col(vec_col).cast("array<double>")
+    # norms hoisted to once per input row (before the bucket explode);
+    # scoring then pays one dot fold per candidate instead of three
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         vv.alias("vv"),
+        _norm(vv).alias("nv"),
         F.explode(_table_buckets(num_tables, num_planes, dim, vv)).alias("tb"),
-    ).select("neighbor_id", "vv", "tb.t", "tb.b")
+    ).select("neighbor_id", "vv", "nv", "tb.t", "tb.b")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vv.alias("qv"),
+        _norm(vv).alias("nq"),
         F.explode(_table_buckets(num_tables, num_planes, dim, vv)).alias("tb"),
-    ).select("query_id", "qv", "tb.t", "tb.b")
+    ).select("query_id", "qv", "nq", "tb.t", "tb.b")
     scored = (
         v.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         # a pair colliding in several tables must score once, not T times
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos", cosine(F.col("qv"), F.col("vv")))
+        .withColumn(
+            "cos",
+            _cos_with_norms(
+                F.col("qv"), F.col("vv"), F.col("nq"), F.col("nv")
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -337,27 +388,41 @@ def cosine_neardup_dedup(
     At 100 TB set ``exact=False``: hyperplane-LSH buckets generate the
     candidate pairs first (ann_lsh_pairs), so only colliding pairs are
     scored; same keep-smallest-id rule applied to the approximate pair set.
+
+    The exact path (r16) runs as ONE broadcast nested-loop LEFT ANTI
+    join whose condition is the thresholded cosine — the literal NOT
+    EXISTS shape. Three wins over the old inner-join → distinct →
+    anti-join form, none changing the result: the anti join
+    SHORT-CIRCUITS each row at its first qualifying smaller-id
+    neighbor (the inner join scored every pair); the norms fold once
+    per ROW instead of once per PAIR (hoisted columns, bit-identical —
+    see _cos_with_norms); and the doomed-set distinct + second join
+    disappear. Measured sf0.1 (2,000 vectors): 63s → 10.6s.
     """
     ids = vectors.select(id_col, vec_col)
     if exact:
         a = ids.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).cast("array<double>").alias("va"),
-        )
+        ).withColumn("na", _norm(F.col("va")))
         b = ids.select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).cast("array<double>").alias("vb"),
+        ).withColumn("nb", _norm(F.col("vb")))
+        # survives ⟺ no smaller-id row with cosine ≥ min_cos exists
+        cond = (F.col("id_a") < F.col("id_b")) & (
+            _cos_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            )
+            >= F.lit(min_cos)
         )
-        dup_pairs = (
-            b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
-            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-            .filter(F.col("cos") >= min_cos)
+        return b.join(F.broadcast(a), cond, "left_anti").select(
+            F.col("id_b").alias(id_col)
         )
-    else:
-        dup_pairs = ann_lsh_pairs(
-            vectors, id_col, vec_col, num_planes=num_planes,
-            min_cos=min_cos, dim=dim,
-        )
+    dup_pairs = ann_lsh_pairs(
+        vectors, id_col, vec_col, num_planes=num_planes,
+        min_cos=min_cos, dim=dim,
+    )
     # any id_b appearing in a pair has a smaller near-dup → drop it
     doomed = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
     return vectors.join(doomed, id_col, "left_anti").select(id_col)
@@ -401,30 +466,54 @@ def ivf_centroids(
     return [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in rows]
 
 
+def _py_norm(cv: list[float]) -> float:
+    """The centroid's L2 norm computed at plan-build time — bit-identical
+    to the :func:`_norm` fold: Python floats ARE IEEE doubles, the
+    accumulation below is the same left-to-right order as the fold's
+    0.0-seeded aggregate, and math.sqrt is the same correctly-rounded
+    IEEE sqrt, so lit(_py_norm(cv)) == _norm(lit(cv)) exactly."""
+    import math
+
+    acc = 0.0
+    for x in cv:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def _centroid_lit(cents: list[tuple[int, list[float]]]):
-    """Centroid table as a literal array<struct<cid,cv>> — broadcast in
-    the task closure, so centroid scoring is a pure projection (no join,
-    no shuffle). For C beyond ~10k switch to a broadcast DataFrame +
-    Pandas UDF; at the classic IVF sweet spot (C ≈ sqrt(N)) the closure
-    form holds well past 10^8 vectors."""
+    """Centroid table as a literal array<struct<cid,cv,cn>> (cn = the
+    plan-time L2 norm, see _py_norm) — broadcast in the task closure, so
+    centroid scoring is a pure projection (no join, no shuffle). For C
+    beyond ~10k switch to a broadcast DataFrame + Pandas UDF; at the
+    classic IVF sweet spot (C ≈ sqrt(N)) the closure form holds well
+    past 10^8 vectors."""
     return F.array(
         *[
             F.struct(
                 F.lit(cid).cast("bigint").alias("cid"),
                 F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                F.lit(_py_norm(cv)).alias("cn"),
             )
             for cid, cv in cents
         ]
     )
 
 
-def _centroid_scores(cent_lit, v: Column):
+def _centroid_scores(cent_lit, v: Column, v_norm: Column | None = None):
     """array<struct<negcos,cid>> — negated cosine so ascending struct
-    order ranks best-first with ties broken by smallest cid."""
+    order ranks best-first with ties broken by smallest cid.
+
+    ``v_norm`` is the hoisted per-row norm of ``v``; without it the norm
+    fold would run once per CENTROID per row (the centroid's own norm is
+    always the plan-time literal ``cn``). The lambda variable ``c`` is a
+    bound value, so field access per centroid is O(1), not a subtree
+    re-evaluation."""
+    vn = v_norm if v_norm is not None else _norm(v)
     return F.transform(
         cent_lit,
         lambda c: F.struct(
-            (-cosine(c.getField("cv"), v)).alias("negcos"),
+            (-_cos_with_norms(c.getField("cv"), v, c.getField("cn"), vn))
+            .alias("negcos"),
             c.getField("cid").alias("cid"),
         ),
     )
@@ -439,8 +528,12 @@ def ivf_assign(
     """Assign each vector to its nearest (max-cosine) centroid — the
     inverted-list key. Pure projection: zero shuffle at any scale; write
     the result partitioned by ``out_col`` to get on-disk inverted lists."""
-    scores = _centroid_scores(_centroid_lit(cents), F.col(vec_col).cast("array<double>"))
-    return df.withColumn(out_col, F.array_min(scores).getField("cid"))
+    v = F.col(vec_col).cast("array<double>")
+    hoisted = df.withColumn("_ivf_vn", _norm(v))
+    scores = _centroid_scores(_centroid_lit(cents), v, F.col("_ivf_vn"))
+    return hoisted.withColumn(
+        out_col, F.array_min(scores).getField("cid")
+    ).drop("_ivf_vn")
 
 
 def ivf_knn(
@@ -467,6 +560,9 @@ def ivf_knn(
     if cents is None:
         cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
     lit = _centroid_lit(cents)
+    # norms hoisted once per row on both sides (r16): the corpus norm
+    # rides next to the list assignment, the query norm feeds both the
+    # probe ranking and the candidate scoring
     v = ivf_assign(
         vectors.select(
             F.col(id_col).alias("neighbor_id"),
@@ -475,13 +571,18 @@ def ivf_knn(
         cents,
         vec_col="vv",
         out_col="vcid",
+    ).withColumn("nv", _norm(F.col("vv")))
+    probe_cids = F.slice(
+        F.array_sort(_centroid_scores(lit, F.col("qv"), F.col("nq"))),
+        1,
+        nprobe,
     )
-    probe_cids = F.slice(F.array_sort(_centroid_scores(lit, F.col("qv"))), 1, nprobe)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
+        .withColumn("nq", _norm(F.col("qv")))
         .withColumn("pcid", F.explode(F.transform(probe_cids, lambda s: s.getField("cid"))))
     )
     scored = (
@@ -490,7 +591,12 @@ def ivf_knn(
             (F.col("vcid") == F.col("pcid"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .withColumn("cos", cosine(F.col("qv"), F.col("vv")))
+        .withColumn(
+            "cos",
+            _cos_with_norms(
+                F.col("qv"), F.col("vv"), F.col("nq"), F.col("nv")
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -567,8 +673,10 @@ def ivf_quantization_cosine(
     """Mean cosine between each vector and its assigned centroid — the
     (higher-is-better) spherical k-means objective, used to measure
     training quality."""
-    v = vectors.select(F.col(vec_col).cast("array<double>").alias("vv"))
-    scores = _centroid_scores(_centroid_lit(cents), F.col("vv"))
+    v = vectors.select(
+        F.col(vec_col).cast("array<double>").alias("vv")
+    ).withColumn("nv", _norm(F.col("vv")))
+    scores = _centroid_scores(_centroid_lit(cents), F.col("vv"), F.col("nv"))
     best = F.array_min(scores)["negcos"]
     return float(v.agg(F.avg(-best)).first()[0])
 
@@ -582,8 +690,6 @@ def ivf_quantization_cosine(
 def _sub_d2(a: Column, b: Column, start: Column | int, width: int) -> Column:
     """Exact squared L2 between aligned slices — the fixed-order fold
     both the PQ write side (embedding_pq_codes) and ADC read side use."""
-    if isinstance(start, int):
-        start = F.lit(start)
     return F.aggregate(
         F.zip_with(
             F.slice(a, start, width),

@@ -690,3 +690,135 @@ class TestHofLambdaNoRetokenize:
             3: [],
             4: [],
         }
+
+
+class TestVecmathHoistAnti:
+    """r16 similarity-path changes: (1) cosine_neardup_dedup's exact
+    path is ONE BroadcastNestedLoopJoin LeftAnti (short-circuits at the
+    first qualifying neighbor — the NOT EXISTS shape) instead of inner
+    join → distinct → anti join; (2) per-row L2 norms are hoisted out
+    of per-pair expressions everywhere a join follows, which must be
+    BIT-identical to the per-pair form; (3) centroid norms are plan-time
+    Python literals that must equal the JVM fold exactly."""
+
+    @pytest.fixture()
+    def vecs(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        for i in range(40):
+            if i % 3 == 0:
+                # near-dup cluster around base (cosine ~1)
+                v = [x + rng.uniform(-0.01, 0.01) for x in base]
+            elif i % 3 == 1:
+                v = [-x for x in base]  # anti-correlated
+            else:
+                v = [rng.uniform(-1, 1) for _ in range(8)]
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        )
+
+    def test_exact_dedup_matches_pairwise_reference(self, spark, vecs):
+        from file_stream_import_spark.operators.similarity import (
+            cosine,
+            cosine_neardup_dedup,
+        )
+
+        got = sorted(
+            r[0]
+            for r in cosine_neardup_dedup(
+                vecs, min_cos=0.4, exact=True
+            ).collect()
+        )
+        # reference: the r15 inner-join -> doomed -> anti-join form
+        ids = vecs.select("vec_id", "embedding")
+        a = ids.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").cast("array<double>").alias("va"),
+        )
+        b = ids.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").cast("array<double>").alias("vb"),
+        )
+        dup = (
+            b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= 0.4)
+        )
+        doomed = dup.select(F.col("id_b").alias("vec_id")).distinct()
+        want = sorted(
+            r[0]
+            for r in vecs.join(doomed, "vec_id", "left_anti")
+            .select("vec_id")
+            .collect()
+        )
+        assert got == want
+        assert 0 < len(got) < 40  # planted dups actually pruned
+
+    def test_exact_dedup_plan_is_single_anti_join(self, spark, vecs):
+        from file_stream_import_spark.operators.similarity import (
+            cosine_neardup_dedup,
+        )
+
+        plan = (
+            cosine_neardup_dedup(vecs, min_cos=0.4, exact=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+        # the old shape's extra pass is gone: no inner pair join, no
+        # doomed-set distinct aggregate
+        assert "Inner" not in plan
+        assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+    def test_hoisted_norm_cosine_bit_identical(self, spark, vecs):
+        from file_stream_import_spark.operators.similarity import (
+            _cos_with_norms,
+            _norm,
+            cosine,
+        )
+
+        a = vecs.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").cast("array<double>").alias("va"),
+        ).withColumn("na", _norm(F.col("va")))
+        b = vecs.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").cast("array<double>").alias("vb"),
+        ).withColumn("nb", _norm(F.col("vb")))
+        pairs = b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
+        bad = pairs.filter(
+            ~(
+                cosine(F.col("va"), F.col("vb")).eqNullSafe(
+                    _cos_with_norms(
+                        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                    )
+                )
+            )
+        ).count()
+        assert bad == 0
+
+    def test_python_centroid_norm_equals_jvm_fold(self, spark):
+        from file_stream_import_spark.operators.similarity import (
+            _norm,
+            _py_norm,
+        )
+
+        cvs = [
+            [0.1, -2.5, 3.25, 0.0],
+            [1e-8, 1e8, -1e-8, 7.0],
+            [0.0, 0.0, 0.0, 0.0],
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cvs)], "i int, v array<double>"
+        )
+        jvm = {
+            r["i"]: r["n"]
+            for r in df.select("i", _norm(F.col("v")).alias("n")).collect()
+        }
+        for i, cv in enumerate(cvs):
+            assert jvm[i] == _py_norm(cv)
