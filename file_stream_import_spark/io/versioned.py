@@ -1842,7 +1842,13 @@ class VersionedTable:
         shutil.rmtree(staged, ignore_errors=True)
         if not groups:
             return [], {}
-        gdf = spark.read.option("mergeSchema", "true").parquet(
+        # the staged files were just written from ``df`` (partitionBy
+        # strips only the derived __p_i directory columns), so their
+        # schema IS df.schema — read under it directly instead of
+        # mergeSchema, which runs a distributed footer-merge job at
+        # plan time for a schema we already hold (same rationale as
+        # the no-evolution arm of _read_groups)
+        gdf = spark.read.schema(df.schema).parquet(
             *[os.path.join(self.path, g) for g in groups]
         )
         gcol = F.regexp_extract(

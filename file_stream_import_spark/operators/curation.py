@@ -77,7 +77,10 @@ def word_ngrams(text_col: str, n: int) -> F.Column:
     # transform lambda: a captured expression is re-evaluated per
     # element, so the lambda form re-tokenizes the text n times per
     # gram position (quadratic in document length), while each slice
-    # argument below is evaluated once per row.
+    # argument below is evaluated once per row. F.concat (unlike the
+    # pre-r16 concat_ws) yields a NULL gram if a token were NULL —
+    # safe because tokens() (split of a non-null trim) never produces
+    # NULL elements, an assumption this function depends on.
     length = F.size(t) - (n - 1)
     grams = F.slice(t, 1, length)
     for j in range(1, n):

@@ -535,6 +535,13 @@ def chunk_dedup(
     # Project tokens to a column: a captured expression inside the
     # transform lambda is re-evaluated per element, so slice(tokens(..))
     # would re-tokenize the document once per chunk.
+    if "_toks" in df.columns:
+        # withColumn REPLACES an existing column of the same name —
+        # guard instead of silently clobbering caller data (ADVICE r16)
+        raise ValueError(
+            "chunk_dedup: column '_toks' already exists on the input "
+            "(reserved for the projected token array)"
+        )
     df = df.withColumn("_toks", tokens(text_col))
     t = F.col("_toks")
     n_chunks = F.ceil(F.size(t) / F.lit(chunk_tokens))

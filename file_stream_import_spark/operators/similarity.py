@@ -10,6 +10,7 @@ loop, and bit-identical to an oracle computing in double precision.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
@@ -370,6 +371,192 @@ def ann_lsh_knn(
     )
 
 
+def _neardup_match_mask(C, den, idm, min_cos):
+    """Match mask for the exact-dedup kernel, mirroring the JVM
+    condition ``(id_a < id_b) AND cosine >= min_cos`` cell by cell:
+
+    * Spark treats NaN as LARGER than every number, so a NaN cosine
+      (NaN element, or Inf/Inf shapes) satisfies ``>= min_cos`` — hence
+      the ``isnan`` OR-leg (verified against the JVM path in
+      tests/test_r17_optimizations.py).
+    * Under ANSI mode (Spark 4 default) a zero divisor RAISES
+      DIVIDE_BY_ZERO; the JVM join's And short-circuits, so only cells
+      with id_a < id_b evaluate the division — mirror exactly that.
+    """
+    import numpy as np
+
+    if bool(np.any(idm & (den == 0.0))):
+        raise ArithmeticError(
+            "[DIVIDE_BY_ZERO] zero-norm vector in cosine_neardup_dedup "
+            "(ANSI division by zero, matching the JVM fold's behavior)"
+        )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        C = C / den
+    return (np.greater_equal(C, min_cos) | np.isnan(C)) & idm
+
+
+def _make_neardup_exact_fn(min_cos: float, id_col: str):
+    """Cogrouped-kernel body for the exact cosine dedup: for each
+    cogroup (a hash slice of the rows × the FULL pool), decide which
+    slice rows have a smaller-id near-duplicate, fully vectorized.
+
+    Bit-identity with the JVM zip_with/aggregate fold: the dot and the
+    squared-norm accumulate with one vectorized numpy op PER DIMENSION
+    IN INDEX ORDER — the identical IEEE add/multiply sequence
+    ``acc = (acc + x_d*y_d)`` the fold performs, so every cosine (and
+    therefore every threshold decision) is the same double, not merely
+    close. Rows/pool entries are grouped by vector length first: the
+    JVM zip_with NULL-pads unequal lengths, which NULLs the whole dot
+    (never a match), so only equal-length pairs are ever compared."""
+
+    def fn(_key, left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64")}
+            )
+        b_ids = left["_id"].to_numpy()
+        survivors = np.ones(len(left), dtype=bool)
+        # pool grouped by vector length; norms via the sequential fold
+        pools: dict = {}
+        if len(right):
+            a_ids = right["_id"].to_numpy()
+            by_len: dict = {}
+            for i, vec in enumerate(right["_v"]):
+                arr = np.asarray(vec, dtype=np.float64)
+                by_len.setdefault(arr.shape[0], []).append((a_ids[i], arr))
+            for L, entries in by_len.items():
+                aid = np.asarray([e[0] for e in entries], dtype=np.int64)
+                A = (
+                    np.vstack([e[1] for e in entries])
+                    if L
+                    else np.zeros((len(entries), 0))
+                )
+                an = np.zeros(len(entries))
+                for d in range(L):
+                    an = an + A[:, d] * A[:, d]
+                pools[L] = (aid, A, np.sqrt(an))
+        if pools:
+            b_by_len: dict = {}
+            for i, vec in enumerate(left["_v"]):
+                arr = np.asarray(vec, dtype=np.float64)
+                b_by_len.setdefault(arr.shape[0], []).append((i, arr))
+            for L, entries in b_by_len.items():
+                if L not in pools:
+                    continue
+                aid, A, an = pools[L]
+                idx = np.asarray([e[0] for e in entries])
+                Bm = (
+                    np.vstack([e[1] for e in entries])
+                    if L
+                    else np.zeros((len(entries), 0))
+                )
+                bn = np.zeros(len(entries))
+                for d in range(L):
+                    bn = bn + Bm[:, d] * Bm[:, d]
+                bn = np.sqrt(bn)
+                bid = b_ids[idx]
+                # chunk the slice rows so the pair matrix stays bounded
+                step = max(1, 4_000_000 // max(1, len(aid)))
+                for s in range(0, len(idx), step):
+                    Bc = Bm[s : s + step]
+                    acc = np.zeros((Bc.shape[0], len(aid)))
+                    for d in range(L):
+                        # same IEEE sequence as the zip_with fold:
+                        # acc = (acc + x_d * y_d), d ascending
+                        acc = acc + np.multiply.outer(
+                            Bc[:, d], A[:, d]
+                        )
+                    # JVM denominator is na * nb (pool-norm × row-norm)
+                    den = np.multiply.outer(bn[s : s + step], an)
+                    idm = aid[None, :] < bid[s : s + step, None]
+                    doomed = _neardup_match_mask(
+                        acc, den, idm, min_cos
+                    ).any(axis=1)
+                    survivors[idx[s : s + step][doomed]] = False
+        return pd.DataFrame(
+            {id_col: pd.Series(b_ids[survivors], dtype="int64")}
+        )
+
+    return fn
+
+
+def _neardup_exact_kernel(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+) -> DataFrame:
+    """Exact O(n²) cosine dedup evaluated as a vectorized numpy kernel
+    instead of one interpreted zip_with fold per candidate pair.
+
+    Shape (guide §4.2 / §8 decide-with-small-rows): ship ROWS across
+    the Arrow boundary, never pairs — the rows are hash-sliced into P
+    groups, the candidate pool rides to each slice via a broadcast
+    replicate (P × pool bytes, the same broadcast-fit precondition the
+    BNLJ form had), and each task scores its slice × pool as numpy
+    matrix ops. The r16 rejection of "Arrow for the dot" shipped both
+    vectors PER PAIR (~2 GB at sf0.1); this ships each vector P+1
+    times (~30 MB) and does the pairing inside the kernel.
+
+    Value-identical to the JVM fold (see _make_neardup_exact_fn), with
+    the JVM path kept for A/B under SPARK_GRAFT_COSINE_KERNEL=jvm.
+    Rows the JVM condition could never match — NULL id, NULL vector, a
+    NULL element anywhere (zip_with's NULL poisons the whole fold) —
+    bypass the kernel entirely and survive, exactly as the anti join
+    leaves them."""
+    spark = vectors.sparkSession
+    idc = F.col(id_col)
+    v = F.col(vec_col).cast("array<double>")
+    ok = (
+        idc.isNotNull()
+        & v.isNotNull()
+        & ~F.exists(v, lambda x: x.isNull())
+    )
+    base = vectors.select(
+        idc.alias("_id"), v.alias("_v"), ok.alias("_ok")
+    )
+    clean = base.filter(F.col("_ok")).select("_id", "_v")
+    # rows no pair can ever match: NULL cosine / NULL id comparisons
+    # are never >= threshold, so they all survive
+    passthrough = base.filter(~F.col("_ok")).select(
+        F.col("_id").alias(id_col)
+    )
+    n_slices = int(
+        os.environ.get("SPARK_GRAFT_COSINE_SLICES", "0")
+    ) or spark.sparkContext.defaultParallelism
+    sliced = clean.withColumn(
+        "_g", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_slices))
+    )
+    # fresh projection (new attribute ids) so the cogroup's two sides
+    # don't trip the ambiguous-self-join check
+    pool = (
+        vectors.select(idc.alias("_id"), v.alias("_v"), ok.alias("_ok"))
+        .filter(F.col("_ok"))
+        .select("_id", "_v")
+        .crossJoin(
+            F.broadcast(
+                spark.range(n_slices).select(F.col("id").alias("_g"))
+            )
+        )
+    )
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [StructField(id_col, vectors.schema[id_col].dataType, True)]
+    )
+    survivors = (
+        sliced.groupBy("_g")
+        .cogroup(pool.groupBy("_g"))
+        .applyInPandas(
+            _make_neardup_exact_fn(float(min_cos), id_col), out_schema
+        )
+    )
+    return survivors.unionByName(passthrough)
+
+
 def cosine_neardup_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -401,6 +588,20 @@ def cosine_neardup_dedup(
     """
     ids = vectors.select(id_col, vec_col)
     if exact:
+        from pyspark.sql.types import (
+            ByteType, IntegerType, LongType, ShortType,
+        )
+
+        id_type = vectors.schema[id_col].dataType
+        use_kernel = os.environ.get(
+            "SPARK_GRAFT_COSINE_KERNEL", "pandas"
+        ) != "jvm" and isinstance(
+            id_type, (ByteType, ShortType, IntegerType, LongType)
+        )
+        if use_kernel:
+            return _neardup_exact_kernel(
+                vectors, id_col, vec_col, min_cos
+            )
         a = ids.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).cast("array<double>").alias("va"),
@@ -524,16 +725,30 @@ def ivf_assign(
     cents: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     out_col: str = "ivf_cid",
+    keep_norm_col: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest (max-cosine) centroid — the
     inverted-list key. Pure projection: zero shuffle at any scale; write
-    the result partitioned by ``out_col`` to get on-disk inverted lists."""
+    the result partitioned by ``out_col`` to get on-disk inverted lists.
+
+    ``keep_norm_col`` keeps the per-row L2 norm (computed here anyway
+    for the centroid scoring) under that name so callers that need the
+    norm afterwards (ivf_knn's candidate scoring) don't fold it twice."""
     v = F.col(vec_col).cast("array<double>")
-    hoisted = df.withColumn("_ivf_vn", _norm(v))
-    scores = _centroid_scores(_centroid_lit(cents), v, F.col("_ivf_vn"))
-    return hoisted.withColumn(
+    norm_col = keep_norm_col or "_ivf_vn"
+    if norm_col in df.columns:
+        # withColumn REPLACES an existing column of the same name —
+        # guard instead of silently clobbering caller data
+        raise ValueError(
+            f"ivf_assign: column {norm_col!r} already exists on the "
+            "input (reserved for the hoisted vector norm)"
+        )
+    hoisted = df.withColumn(norm_col, _norm(v))
+    scores = _centroid_scores(_centroid_lit(cents), v, F.col(norm_col))
+    out = hoisted.withColumn(
         out_col, F.array_min(scores).getField("cid")
-    ).drop("_ivf_vn")
+    )
+    return out if keep_norm_col else out.drop(norm_col)
 
 
 def ivf_knn(
@@ -563,6 +778,9 @@ def ivf_knn(
     # norms hoisted once per row on both sides (r16): the corpus norm
     # rides next to the list assignment, the query norm feeds both the
     # probe ranking and the candidate scoring
+    # keep_norm_col: ivf_assign already folds the corpus norm for its
+    # centroid scoring — reuse it as nv instead of folding again
+    # (ADVICE r16: one redundant O(dim) aggregate per corpus row)
     v = ivf_assign(
         vectors.select(
             F.col(id_col).alias("neighbor_id"),
@@ -571,7 +789,8 @@ def ivf_knn(
         cents,
         vec_col="vv",
         out_col="vcid",
-    ).withColumn("nv", _norm(F.col("vv")))
+        keep_norm_col="nv",
+    )
     probe_cids = F.slice(
         F.array_sort(_centroid_scores(lit, F.col("qv"), F.col("nq"))),
         1,

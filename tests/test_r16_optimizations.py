@@ -758,7 +758,13 @@ class TestVecmathHoistAnti:
         assert got == want
         assert 0 < len(got) < 40  # planted dups actually pruned
 
-    def test_exact_dedup_plan_is_single_anti_join(self, spark, vecs):
+    def test_exact_dedup_plan_is_single_anti_join(
+        self, spark, vecs, monkeypatch
+    ):
+        # r17 made the numpy cogroup kernel the default; this pins the
+        # PRESERVED JVM arm (SPARK_GRAFT_COSINE_KERNEL=jvm) — see
+        # test_r17_optimizations for the kernel-path plan shape
+        monkeypatch.setenv("SPARK_GRAFT_COSINE_KERNEL", "jvm")
         from file_stream_import_spark.operators.similarity import (
             cosine_neardup_dedup,
         )
