@@ -67,6 +67,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parse_bytes(raw: str | int) -> int:
+    raw = str(raw).strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.endswith(suf + "b"):
+            raw, mult = raw[:-2], m
+            break
+        if raw.endswith(suf):
+            raw, mult = raw[:-1], m
+            break
+    return int(raw) * mult
+
+
+def spread_small_scan(
+    df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    """Repartition a COMPUTE-HEAVY aggregate's input when the source
+    file is too small for the scan to fill the session's parallelism
+    (guide §2.5: fix input parallelism at the read site, never inside
+    an operator).
+
+    For queries whose per-row work dwarfs the scan (multi-sketch +
+    exact-arm audits: countDistinct's Expand, exact percentiles, HLL),
+    a sub-split-size file plans ONE scan task and the whole aggregate
+    runs on one core. The gate derives from INPUT SIZE, not core
+    count: if the file already yields >= half the session's
+    parallelism in maxPartitionBytes-sized splits, the scan
+    parallelizes naturally and the DataFrame returns unchanged — at
+    fact-table scale this never fires, so the bounded small-file
+    shuffle (round-robin, a few MB) exists exactly where one core
+    would otherwise do all the work. Only merge-order-free aggregates
+    may sit downstream (exact count/sum/min/max/distinct, HLL register
+    max; approx-percentile sketches only behind a slack bound), which
+    is each caller's documented obligation."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    spark = df.sparkSession
+    try:
+        mpb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+    except Exception:  # pragma: no cover
+        mpb = 128 << 20
+    splits = max(1, -(-size // mpb))
+    par = spark.sparkContext.defaultParallelism
+    if 2 * splits >= par:
+        return df
+    return df.repartition(par)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -933,6 +933,48 @@ _WRITE_REBALANCE_MAX_BYTES = int(
 _STATS_UNKNOWN = 1 << 62
 
 
+def _write_size_estimate(df: DataFrame) -> int | None:
+    """The optimizer's sizeInBytes estimate for the about-to-be-written
+    DataFrame, or None when unknown (the defaultSizeInBytes sentinel
+    from LogicalRDD-backed plans, or a py4j/connect edge). Same
+    statistic broadcast planning trusts; plan-time only, no Spark
+    job."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover — py4j/connect edge
+        return None
+    if est >= _STATS_UNKNOWN:
+        return None
+    return est
+
+
+def _advisory_bytes(spark) -> int:
+    """AQE's advisory partition size (the write-sizing target), parsed
+    from the session conf; 64 MB fallback mirrors session.py."""
+    raw = "64m"
+    try:
+        raw = spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
+        )
+    except Exception:  # pragma: no cover
+        pass
+    raw = str(raw).strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.endswith(suf + "b"):
+            raw, mult = raw[:-2], m
+            break
+        if raw.endswith(suf):
+            raw, mult = raw[:-1], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:  # pragma: no cover
+        return 64 << 20
+
+
 def _delta_small_enough(df: DataFrame) -> bool:
     """True when the optimizer's size estimate says the about-to-be-
     written delta is small enough that per-upstream-partition layout
@@ -940,18 +982,67 @@ def _delta_small_enough(df: DataFrame) -> bool:
     hint exists for. Unknown estimates return True: the unknown-stats
     shapes (micro-batch deltas, checkpointed fixtures) are exactly the
     small exactly-once commits that need the protection, and a
-    misjudged large one merely pays one bounded delta shuffle. Uses
-    the same sizeInBytes statistic broadcast planning trusts; costs no
-    Spark job (plan-time only)."""
-    try:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:  # pragma: no cover — py4j/connect edge
-        return True
-    if est >= _STATS_UNKNOWN:
+    misjudged large one merely pays one bounded delta shuffle."""
+    est = _write_size_estimate(df)
+    if est is None:
         return True
     return est <= _WRITE_REBALANCE_MAX_BYTES
+
+
+_STATS_EXPR_CACHE: dict = {}
+
+
+def _stats_observe_exprs(
+    cols: tuple, checks_items: tuple, ndv_cols: tuple
+) -> tuple[list, set]:
+    """Observation expression list for _write_group_with_stats,
+    memoized per (schema, checks, bloom, SparkContext) signature.
+
+    The Columns are unresolved expressions, reusable across any number
+    of DataFrames under the same JVM; building them fresh costs ~400
+    py4j round trips PER WRITE (r17 site-attributed profile) for a
+    signature that repeats on every commit of the same table — the
+    single largest plan-construction site on the MV refresh path."""
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    key = (
+        id(ctx),
+        tuple((f.name, f.dataType.json()) for f in cols),
+        checks_items,
+        ndv_cols,
+    )
+    hit = _STATS_EXPR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    checks = dict(checks_items)
+    exprs = [F.count(F.lit(1)).alias("rows")]
+    summable: set = set()
+    for i, f in enumerate(cols):
+        exprs.append(F.min(f.name).alias(f"mn_{i}"))
+        exprs.append(F.max(f.name).alias(f"mx_{i}"))
+        exprs.append(
+            F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0)).alias(
+                f"nu_{i}"
+            )
+        )
+        se = _sum_stat_expr(f, f"sm_{i}")
+        if se is not None:
+            exprs.append(se)
+            summable.add(i)
+    for i, name in enumerate(sorted(checks)):
+        bad = ~F.coalesce(F.expr(checks[name]), F.lit(True))
+        exprs.append(
+            F.sum(F.when(bad, 1).otherwise(0)).alias(f"ck_{i}")
+        )
+    # approx NDV per bloom column observed in the SAME job — sizes the
+    # filters by distinct keys, not rows (see _bloom_build's ndv note)
+    for i, c in enumerate(ndv_cols):
+        exprs.append(F.approx_count_distinct(c).alias(f"nd_{i}"))
+    if len(_STATS_EXPR_CACHE) > 256:  # stale-context / churn backstop
+        _STATS_EXPR_CACHE.clear()
+    _STATS_EXPR_CACHE[key] = (exprs, summable)
+    return exprs, summable
 
 
 def _write_group_with_stats(
@@ -992,40 +1083,34 @@ def _write_group_with_stats(
     # measured 1.7x on a 280 MB commit, file count unchanged).
     # SPARK_GRAFT_WRITE_REBALANCE=0 restores the old behavior
     # entirely; "force" skips the size gate.
-    if _WRITE_REBALANCE == "force" or (
-        _WRITE_REBALANCE != "0" and _delta_small_enough(df)
-    ):
+    if _WRITE_REBALANCE == "force":
         df = df.hint("rebalance")
+    elif _WRITE_REBALANCE != "0":
+        est = _write_size_estimate(df)
+        if est is not None and est > _WRITE_REBALANCE_MAX_BYTES:
+            pass  # large delta: keep its upstream layout (r16 gate)
+        elif est is not None and est <= _advisory_bytes(df.sparkSession):
+            # KNOWN sub-advisory delta (r17): the rebalance would
+            # coalesce to ONE partition anyway — coalesce(1) produces
+            # the identical single-file layout with ZERO shuffle (the
+            # hint pays an exchange + one AQE stage materialization
+            # per write; an MV-refresh cycle runs several). Unknown
+            # estimates keep the hint: coalesce on a misjudged large
+            # delta would serialize the whole write onto one task.
+            df = df.coalesce(1)
+        else:
+            df = df.hint("rebalance")
     checks = checks or {}
     cols = [f for f in df.schema.fields if _stats_eligible(f.dataType)]
     if not cols and not checks and not bloom_cols:
         df.write.parquet(full_path)
         return None
-    exprs = [F.count(F.lit(1)).alias("rows")]
-    summable: set = set()
-    for i, f in enumerate(cols):
-        exprs.append(F.min(f.name).alias(f"mn_{i}"))
-        exprs.append(F.max(f.name).alias(f"mx_{i}"))
-        exprs.append(
-            F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0)).alias(
-                f"nu_{i}"
-            )
-        )
-        se = _sum_stat_expr(f, f"sm_{i}")
-        if se is not None:
-            exprs.append(se)
-            summable.add(i)
-    check_names = sorted(checks)
-    for i, name in enumerate(check_names):
-        bad = ~F.coalesce(F.expr(checks[name]), F.lit(True))
-        exprs.append(
-            F.sum(F.when(bad, 1).otherwise(0)).alias(f"ck_{i}")
-        )
-    # approx NDV per bloom column observed in the SAME job — sizes the
-    # filters by distinct keys, not rows (see _bloom_build's ndv note)
     ndv_cols = [c for c in (bloom_cols or []) if c in df.columns]
-    for i, c in enumerate(ndv_cols):
-        exprs.append(F.approx_count_distinct(c).alias(f"nd_{i}"))
+    exprs, summable = _stats_observe_exprs(
+        tuple(cols), tuple(sorted((checks or {}).items())),
+        tuple(ndv_cols),
+    )
+    check_names = sorted(checks)
     obs = Observation()
     df.observe(obs, *exprs).write.parquet(full_path)
     got = obs.get

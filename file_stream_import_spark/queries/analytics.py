@@ -296,7 +296,12 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     five scans is the naive form this operator replaces). Output is 5
     rows, unpivoted driver-side-free via an inline stack().
     """
+    from ..io.tables import spread_small_scan
+
     o = load_table(spark, sf_dir, "orders")
+    # r17: five countDistinct arms — same spread rationale and
+    # merge-order-free argument as schema_profile
+    o = spread_small_scan(o, sf_dir, "orders")
 
     def _null(c):  # noqa: ANN001, ANN202
         return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint")

@@ -100,30 +100,39 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer–supplier graph — the iterative-algorithm shape Spark
     expresses as a join+aggregate loop over DataFrames.
 
-    Per iteration: one hash join of edges⋈scores on src (both sides
-    reuse the src partitioning across iterations) and one groupBy dst —
-    two shuffles per iteration, data-sized but degree-bounded. Every
-    node has out-degree >= 1 by construction (edges are bidirectional),
-    so there is no dangling-mass correction, and every node also has an
-    in-edge, so the aggregate covers all nodes. At 100 TB: the edge list
-    partitioning is cached/reused, and a localCheckpoint every few
-    iterations cuts the growing lineage (same pattern as
-    operators/dedup.py connected components). Contributions are
-    floor-quantized to a 1e-15 grid so per-node sums are exact BIGINT
-    arithmetic — reduction-order-independent, hence the DuckDB oracle
-    reproduces the floating-point iteration exactly.
+    Per iteration: one hash join of edges⋈scores on src and one groupBy
+    dst — two shuffles per iteration, data-sized but degree-bounded.
+    Every node has out-degree >= 1 by construction (edges are
+    bidirectional), so there is no dangling-mass correction, and every
+    node also has an in-edge, so the aggregate covers all nodes.
+
+    r17 (measured, interleaved noop A/B at sf0.1): the edge list and
+    degree table are localCheckpoint-ed once — without it every
+    iteration's plan re-embeds the orders⋈lineitem+distinct subtree and
+    the final 3-iteration plan re-scans/re-shuffles it (r16's persist
+    A/B was a wash; the checkpoint, which also TRUNCATES the lineage
+    the optimizer replans per iteration, is not: base 5.3s → 3.7s with
+    both, cold-first-run 12.7 → 5.4 — the dedup.py connected-components
+    pattern this docstring already pointed at). The rank state (one row
+    per customer/supplier — DIMENSION-sized, never fact-sized)
+    broadcasts into the edge join per guide §3.1, saving the
+    per-iteration exchange AQE would otherwise materialize before
+    reaching the same join. Contributions are floor-quantized to a
+    1e-15 grid so per-node sums are exact BIGINT arithmetic —
+    reduction-order-independent, hence checkpoint/broadcast cannot
+    change a single output bit (pinned in test_r17_optimizations.py).
     """
-    ed = _edges(spark, sf_dir)
+    ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = ed.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("outdeg")
-    )
+    ).localCheckpoint(eager=True)
     n = deg.agg(F.count("*").cast("bigint").alias("nn"))
     state = deg.crossJoin(F.broadcast(n)).select(
         "node", "outdeg", (F.lit(1.0) / F.col("nn")).alias("score")
     )
     for last in [False, False, True]:
         contrib = ed.join(
-            state.withColumnRenamed("node", "src"), "src"
+            F.broadcast(state.withColumnRenamed("node", "src")), "src"
         ).select(
             "dst",
             F.floor(

@@ -908,6 +908,8 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds — a sketch outside its error contract fails the hash (this
     query was rows-only before r5).
     """
+    from ..io.tables import spread_small_scan
+
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         # integer cents: the interpolated median of integers is an exact
         # multiple of 0.5 in double, so the cross-engine hash can't be
@@ -916,6 +918,13 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_cents",
         F.round(F.col("l_extendedprice") * 100).cast("bigint"),
     )
+    # r17: the four sketch+exact aggregates are the cost here, not the
+    # scan — spread a sub-split-size input across the session's cores
+    # (size-gated: a fact-scale lineitem parallelizes naturally and is
+    # left alone). Value-identical: every downstream aggregate is
+    # merge-order-free (exact count/percentile, HLL register max), and
+    # the GK approx percentile feeds only a 5%-slack bound check.
+    li = spread_small_scan(li, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", 0.02).alias("_cda"),

@@ -493,7 +493,13 @@ def schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     in approx_count_distinct to collapse the expand back to a single
     pass (the approx_distinct_sketch pattern, bound-checked there).
     """
+    from ..io.tables import spread_small_scan
+
     o = load_table(spark, sf_dir, "orders")
+    # r17: six countDistinct arms expand the input 6x through one core
+    # when the file is sub-split-size — spread it (size-gated; exact
+    # aggregates only, so merge order cannot change a value)
+    o = spread_small_scan(o, sf_dir, "orders")
     b = o.select(
         F.col("o_orderkey").cast("string").alias("o_orderkey"),
         F.col("o_custkey").cast("string").alias("o_custkey"),

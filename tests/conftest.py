@@ -16,6 +16,69 @@ from file_stream_import_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# ---------------------------------------------------------------------------
+# Slow-tier marking (r17). pytest.ini's default `-m "not slow"` excludes
+# these from the driver-verified tier; run them with `-m slow` (or the
+# whole suite with `-m ""`). Selection = the fuzz / random-history
+# convergence / soak / large-fixture suites from the measured 46-min
+# full run (durations log, 2026-08-18): whole files where the entire
+# file is that shape, single classes otherwise — every subsystem keeps
+# fast smoke/contract tests in the default tier, and all r16/r17
+# optimization pins stay fast.
+# ---------------------------------------------------------------------------
+
+_SLOW_FILES = {
+    # property/fuzz harnesses (random histories vs models)
+    "test_properties.py",
+    "test_model_fuzz.py",
+    "test_concurrency_fuzz.py",
+    # full declared-query-vs-DuckDB sweep at sf0.001 — the round driver
+    # independently runs the same comparison at sf0.01 (CORRECTNESS),
+    # so the default tier doesn't pay the ~5 min duplicate
+    "test_oracle.py",
+    # large-fixture scaling suites
+    "test_metadata_scale.py",
+    "test_bloom_distributed.py",
+    # replication convergence fuzz + long changefeed soaks
+    "test_cdf_replication.py",
+}
+
+_SLOW_CLASSES = {
+    ("test_streaming.py", "TestOuterAttributionJoin"),
+    ("test_streaming.py", "TestChangefeedAdmissionControl"),
+    ("test_streaming.py", "TestFinalizedSessions"),
+    ("test_streaming.py", "TestFinalizedSessionsStateBound"),
+    ("test_streaming.py", "TestStateCleanup"),
+    ("test_streaming.py", "TestTrendingForeachBatch"),
+    ("test_incremental_mv.py", "TestRefreshJoinMv"),
+    ("test_incremental_mv.py", "TestPercentileHistograms"),
+    ("test_incremental_mv.py", "TestRefreshMvDistinct"),
+    ("test_incremental_mv.py", "TestRefreshMvMinMax"),
+    ("test_incremental_mv.py", "TestStreamingMaintainerParity"),
+    ("test_incremental_mv.py", "TestStreamingMvMaintainer"),
+    ("test_incremental_mv.py", "TestMvConvergenceFuzz"),
+    ("test_incremental_mv.py", "TestFloatMvFuzz"),
+    ("test_incremental_mv.py", "TestFilteredJoinMv"),
+    ("test_incremental_mv.py", "TestFilteredMv"),
+    ("test_incremental_mv.py", "TestRewriteWithMv"),
+    ("test_rollup_mv.py", "TestRollupConvergenceFuzz"),
+    ("test_llm_ops.py", "TestIvfPq"),
+    ("test_llm_ops.py", "TestIvfKmeansTraining"),
+    ("test_cdf_stream.py", "TestBatchCdfReader"),
+    ("test_advice_r11.py", "TestBoundedTriggerAcrossRename"),
+    ("test_cdf_planning.py", "TestCheckpointServedPlan"),
+    ("test_versioned.py", "TestModelBasedSequences"),
+    ("test_versioned.py", "TestBloomSkipping"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        cls = item.cls.__name__ if item.cls is not None else None
+        if fname in _SLOW_FILES or (fname, cls) in _SLOW_CLASSES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -189,6 +189,70 @@ class TestCosineKernel:
         assert got == want
 
 
+class TestPagerankCheckpoint:
+    def test_pagerank_matches_uncheckpointed_reference(
+        self, spark, sf_dir
+    ):
+        """r17: pagerank localCheckpoints the edge/degree tables and
+        broadcasts the dimension-sized rank state. The arithmetic is
+        exact-bigint on a quantized grid, so the result must be
+        IDENTICAL to the plain recursive-plan form."""
+        from file_stream_import_spark.queries.graph import (
+            _edges,
+            pagerank_bipartite,
+        )
+
+        got = {
+            r["node"]: r["pagerank"]
+            for r in pagerank_bipartite(spark, sf_dir).collect()
+        }
+        # reference: the pre-r17 shape — no checkpoint, no broadcast
+        ed = _edges(spark, sf_dir)
+        deg = ed.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").cast("bigint").alias("outdeg")
+        )
+        n = deg.agg(F.count("*").cast("bigint").alias("nn"))
+        state = deg.crossJoin(F.broadcast(n)).select(
+            "node", "outdeg", (F.lit(1.0) / F.col("nn")).alias("score")
+        )
+        for last in [False, False, True]:
+            contrib = ed.join(
+                state.withColumnRenamed("node", "src"), "src"
+            ).select(
+                "dst",
+                F.floor(
+                    F.col("score") / F.col("outdeg") * 1e15 + F.lit(0.5)
+                ).alias("cq"),
+            )
+            agg = (
+                contrib.groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("cq").alias("sq"))
+                .crossJoin(F.broadcast(n))
+                .select(
+                    "node",
+                    (
+                        F.lit(0.15) / F.col("nn")
+                        + F.lit(0.85)
+                        * (F.col("sq").cast("double") / F.lit(1e15))
+                    ).alias("score"),
+                )
+            )
+            state = agg if last else agg.join(deg, "node").select(
+                "node", "outdeg", "score"
+            )
+        want = {
+            r["node"]: r["pagerank"]
+            for r in state.select(
+                "node",
+                (
+                    F.floor(F.col("score") * 1e9 + F.lit(0.5)) / 1e9
+                    + F.lit(0.0)
+                ).alias("pagerank"),
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+
 class TestIvfNormReuse:
     def test_ivf_assign_keep_norm_col(self, spark):
         from file_stream_import_spark.operators.similarity import (
